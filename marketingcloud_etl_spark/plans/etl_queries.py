@@ -1,0 +1,249 @@
+"""ETL-surface queries — the reference pipeline's semantics (R5-R16,
+SURVEY.md §2.A) re-expressed over the fixture tables, oracle-checked.
+
+The reference (/root/reference/app/salesforce_extractor.py) flattens
+nested {keys,values} items (:153-181), strips query strings + caps at
+256 chars (:171), null-safe-parses timestamps (:138-151), content-hashes
+every record (:179-181) and upserts with insert-ignore dedup (:214-217),
+with a count-watermark incremental mode (:373-395). Each of those
+behaviors is a named query here; the live REST/JDBC halves live in
+sources/ and sinks/ with their own tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import content_hash, content_hash_sql
+from ..functions.money import dec
+from ..io import table
+from ..session import prep
+from .catalog import query
+
+_EVENT_HASH_COLS = ("user_id", "event_type", "value", "props")
+_EVENT_HASH_SQL = content_hash_sql(_EVENT_HASH_COLS)
+
+
+@query(
+    "q00_flagship_ingest_dedup",
+    oracle=f"""
+    WITH src AS (
+      SELECT user_id, event_type, value, props FROM events
+      UNION ALL
+      SELECT user_id, event_type, value, props FROM events
+    ), hashed AS (
+      SELECT DISTINCT user_id, event_type, value, props, {_EVENT_HASH_SQL} AS hash
+      FROM src
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT hash) AS n_hashes,
+           cast(sum(cast(value as decimal(14,2))) as double) AS total_value
+    FROM hashed GROUP BY event_type
+    """,
+    tags=("etl", "headline"),
+)
+def q00_flagship_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference pipeline shape end-to-end — ingest the
+    same batch twice, content-hash each record (R10), drop duplicates
+    (R12 insert-ignore), aggregate (R11). Idempotence invariant: counts
+    equal a single ingest."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(*_EVENT_HASH_COLS)
+    src = e.unionByName(e)
+    hashed = src.withColumn("hash", content_hash(_EVENT_HASH_COLS))
+    deduped = hashed.dropDuplicates(["hash"])
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("hash").alias("n_hashes"),
+        F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "q35_flatten_nested",
+    oracle="""
+    SELECT event_id,
+           coalesce(cast(user_id as varchar), '') AS lead_id,
+           coalesce(event_type, '') AS event_name,
+           coalesce(cast(event_id % 7 as varchar), '') AS session_id
+    FROM events
+    """,
+    tags=("etl",),
+)
+def q35_flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 flatten: build the reference's nested {keys,values} document
+    (JSON round-trip), then flatten with nested-field projection and R6
+    missing-key "" defaults (salesforce_extractor.py:153-181)."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    nested = e.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("user_id").cast("string").alias("lead_id"),
+                    (F.col("event_id") % 7).cast("string").alias("session_id"),
+                ).alias("keys"),
+                F.struct(F.col("event_type").alias("event_name")).alias("values"),
+            )
+        ).alias("payload"),
+    )
+    schema = "keys STRUCT<lead_id: STRING, session_id: STRING>, values STRUCT<event_name: STRING>"
+    parsed = nested.select("event_id", F.from_json("payload", schema).alias("d"))
+    return parsed.select(
+        "event_id",
+        F.coalesce(F.col("d.keys.lead_id"), F.lit("")).alias("lead_id"),
+        F.coalesce(F.col("d.values.event_name"), F.lit("")).alias("event_name"),
+        F.coalesce(F.col("d.keys.session_id"), F.lit("")).alias("session_id"),
+    )
+
+
+@query(
+    "q36_clean_strip_truncate",
+    oracle="""
+    SELECT event_id,
+           split_part(concat(event_type, '?session=', cast(event_id as varchar)), '?', 1) AS event_name,
+           substring(repeat(concat(event_type, ' '), 60), 1, 256) AS capped,
+           cast(length(substring(repeat(concat(event_type, ' '), 60), 1, 256)) as int) AS capped_len
+    FROM events
+    """,
+    tags=("etl",),
+)
+def q36_clean_strip_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7+R8: strip everything after '?' (Spark split is regex — '?'
+    must be escaped) and cap at 256 chars (salesforce_extractor.py:171)."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    raw = F.concat(F.col("event_type"), F.lit("?session="), F.col("event_id").cast("string"))
+    long_str = F.repeat(F.concat(F.col("event_type"), F.lit(" ")), 60)
+    capped = F.substring(long_str, 1, 256)
+    return e.select(
+        "event_id",
+        F.split(raw, r"\?").getItem(0).alias("event_name"),
+        capped.alias("capped"),
+        F.length(capped).alias("capped_len"),
+    )
+
+
+_DOC_HASH_COLS = ("text", "lang", "source")
+_DOC_HASH_SQL = content_hash_sql(_DOC_HASH_COLS)
+
+
+@query(
+    "q37_dedup_exact_hash",
+    oracle=f"""
+    WITH src AS (
+      SELECT text, lang, source FROM documents
+      UNION ALL
+      SELECT text, lang, source FROM documents
+    ), hashed AS (
+      SELECT DISTINCT text, lang, source, {_DOC_HASH_SQL} AS hash FROM src
+    )
+    SELECT source, count(*) AS n_docs, count(DISTINCT hash) AS n_unique
+    FROM hashed GROUP BY source
+    """,
+    tags=("etl", "dedup"),
+)
+def q37_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by full-record content hash (R10+R12) on documents —
+    double-ingest collapses back to one copy per document."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents").select(*_DOC_HASH_COLS)
+    src = d.unionByName(d)
+    hashed = src.withColumn("hash", content_hash(_DOC_HASH_COLS)).dropDuplicates(["hash"])
+    return hashed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("hash").alias("n_unique"),
+    )
+
+
+@query(
+    "q38_dedup_keep_first",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+      SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("etl", "dedup"),
+)
+def q38_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keep-first-by-order: earliest event per (user, type) —
+    the deterministic form of dropDuplicates."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select("event_id", "user_id", "event_type", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "q39_incremental_watermark",
+    oracle="""
+    WITH bound AS (
+      SELECT cast(floor(max(event_id) / 2.0) as bigint) AS half FROM events
+    ), wm AS (
+      SELECT max(ts) AS high_water FROM events, bound WHERE event_id < half
+    )
+    SELECT count(*) AS n_new,
+           min(e.ts) AS first_new_ts,
+           max(e.ts) AS last_new_ts
+    FROM events e, wm WHERE e.ts > wm.high_water
+    """,
+    tags=("etl", "incremental"),
+)
+def q39_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16 incremental mode as a high-watermark filter: everything newer
+    than max(ts) of the already-ingested half. The watermark is computed
+    distributed (broadcast scalar), never collected to the driver."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    half = e.agg(F.floor(F.max("event_id") / 2.0).cast("long").alias("half"))
+    wm = (
+        e.crossJoin(F.broadcast(half))
+        .filter(F.col("event_id") < F.col("half"))
+        .agg(F.max("ts").alias("high_water"))
+    )
+    return (
+        e.crossJoin(F.broadcast(wm))
+        .filter(F.col("ts") > F.col("high_water"))
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.min("ts").alias("first_new_ts"),
+            F.max("ts").alias("last_new_ts"),
+        )
+    )
+
+
+@query(
+    "q40_upsert_antijoin",
+    oracle="""
+    SELECT event_type, count(*) AS n_to_insert
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events t WHERE t.event_id % 2 = 0 AND t.event_id = e.event_id
+    )
+    GROUP BY event_type
+    """,
+    tags=("etl", "upsert"),
+)
+def q40_upsert_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 upsert as insert-only merge: rows of the source batch whose
+    key is absent from the target (here: target = even event_ids) —
+    the anti-join half of sinks/upsert.py."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    target = e.filter(F.col("event_id") % 2 == 0).select("event_id")
+    return (
+        e.join(target, "event_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_to_insert"))
+    )

@@ -1,0 +1,807 @@
+"""Relational operator catalog (SURVEY.md §2.B: projection/filter,
+joins, aggregations, windows, sort/limit, set ops, pivot).
+
+Every query is a (Spark callable, DuckDB oracle SQL) pair. Determinism
+rules observed throughout:
+  * money/measure sums go through the decimal protocol (functions/money)
+  * every ORDER BY that feeds a LIMIT has a unique tiebreak column
+  * no raw `SUM(double)` anywhere; min/max/count on doubles are fine
+  * outputs avoid raw nanosecond timestamps (formatted or truncated)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.money import dec
+from ..io import table
+from ..session import prep
+from .catalog import query
+
+# ---------------------------------------------------------------- helpers
+
+_DEC_EXT = "cast(l_extendedprice as decimal(12,2))"
+_DEC_DISC = "cast(l_discount as decimal(4,2))"
+_DEC_TAX = "cast(l_tax as decimal(4,2))"
+_DEC_QTY = "cast(l_quantity as decimal(12,2))"
+_DEC_PRICE = "cast(o_totalprice as decimal(14,2))"
+
+
+def _ext(col: str = "l_extendedprice") -> F.Column:
+    return dec(col, 12, 2)
+
+
+def _one() -> F.Column:
+    return F.lit(1).cast("decimal(3,2)")
+
+
+# ---------------------------------------------------------------- Q01
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           cast(sum({_DEC_QTY}) as double)                                        AS sum_qty,
+           cast(sum({_DEC_EXT}) as double)                                        AS sum_base_price,
+           cast(sum({_DEC_EXT} * (1 - {_DEC_DISC})) as double)                    AS sum_disc_price,
+           cast(sum({_DEC_EXT} * (1 - {_DEC_DISC}) * (1 + {_DEC_TAX})) as double) AS sum_charge,
+           cast(sum({_DEC_QTY}) as double) / count(*)                             AS avg_qty,
+           cast(sum({_DEC_EXT}) as double) / count(*)                             AS avg_price,
+           cast(sum({_DEC_DISC}) as double) / count(*)                            AS avg_disc,
+           count(*)                                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "headline"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary. Exercises scan→filter→hash-agg
+    with partial/final split; the filter pushes down to the parquet scan."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = _ext() * (_one() - dec("l_discount", 4, 2))
+    charge = disc_price * (_one() + dec("l_tax", 4, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
+            F.sum(_ext()).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity", 12, 2)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_ext()).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(dec("l_discount", 4, 2)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q02
+
+@query(
+    "q02_filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderdate BETWEEN timestamp '1998-01-01 00:00:00' AND timestamp '1999-12-31 00:00:00'
+      AND o_orderstatus IN ('F', 'P')
+      AND (o_orderpriority LIKE '3%' OR o_orderpriority LIKE '1%')
+      AND o_totalprice IS NOT NULL
+      AND NOT (o_totalprice < 1000.0)
+    """,
+    tags=("filter",),
+)
+def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN / IN / LIKE / null test / boolean combos — all pushed to scan."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderdate").between("1998-01-01 00:00:00", "1999-12-31 00:00:00")
+        & F.col("o_orderstatus").isin("F", "P")
+        & (F.col("o_orderpriority").like("3%") | F.col("o_orderpriority").like("1%"))
+        & F.col("o_totalprice").isNotNull()
+        & ~(F.col("o_totalprice") < 1000.0)
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+# ---------------------------------------------------------------- Q03
+
+@query(
+    "q03_case_when",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 250000 THEN 'medium'
+                ELSE 'large' END AS price_band,
+           count(*) AS n_orders,
+           cast(sum({_DEC_PRICE}) as double) AS total
+    FROM orders GROUP BY 1
+    """,
+    tags=("filter",),
+)
+def q03_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression (CASE WHEN) as a grouping key."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 250000, "medium")
+        .otherwise("large")
+        .alias("price_band")
+    )
+    return o.groupBy(band).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------- Q04
+
+@query(
+    "q04_cast_coalesce",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(coalesce(cast(json_extract_string(props, '$.k') as bigint), -1)) as bigint) AS sum_k,
+           count(nullif(cast(json_extract_string(props, '$.k') as bigint), 0)) AS n_nonzero_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("filter", "json"),
+)
+def q04_cast_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cast / coalesce / nullif over a JSON-string column (R6 missing-key
+    default semantics: absent → sentinel, cf. salesforce_extractor.py:163-168)."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(k, F.lit(-1))).alias("sum_k"),
+        F.count(F.nullif(k, F.lit(0))).alias("n_nonzero_k"),
+    )
+
+
+# ---------------------------------------------------------------- Q05
+
+@query(
+    "q05_revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           cast(sum({_DEC_EXT} * (1 - {_DEC_DISC})) as double) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= timestamp '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg", "headline"),
+)
+def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way equi-join star query: fact⋈fact⋈dim⋈dim with an explicit
+    broadcast hint on the tiny nation dim; AQE handles the rest."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = _ext() * (_one() - dec("l_discount", 4, 2))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q06
+
+@query(
+    "q06_join_left_outer",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey) AS n_orders,
+           cast(sum(coalesce({_DEC_PRICE}, 0)) as double) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    tags=("join",),
+)
+def q06_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.coalesce(dec("o_totalprice", 14, 2), F.lit(0).cast("decimal(14,2)")))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q07 / Q08
+
+@query(
+    "q07_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+      AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def q07_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): BUILDING customers that placed orders."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q08_join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def q08_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders — the
+    dedup-vs-target primitive behind the reference's insert-ignore upsert
+    (R12, salesforce_extractor.py:214-217)."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------- Q09
+
+@query(
+    "q09_join_cross",
+    oracle="""
+    SELECT r_name, s.o_orderstatus AS status, count(*) AS n_pairs
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    GROUP BY r_name, s.o_orderstatus
+    """,
+    tags=("join",),
+)
+def q09_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny sets (region × distinct order status)."""
+    prep(spark)
+    r = table(spark, sf_dir, "region")
+    s = table(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("status")).distinct()
+    return r.crossJoin(s).groupBy("r_name", "status").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------- Q10
+
+@query(
+    "q10_join_theta_band",
+    oracle=f"""
+    SELECT b.band_name,
+           count(*) AS n_items,
+           cast(sum({_DEC_QTY}) as double) AS qty
+    FROM lineitem
+    JOIN (VALUES ('xs', 0.0, 10.0), ('s', 10.0, 20.0), ('m', 20.0, 30.0),
+                 ('l', 30.0, 40.0), ('xl', 40.0, 1e9)) AS b(band_name, lo, hi)
+      ON l_quantity > b.lo AND l_quantity <= b.hi
+    GROUP BY b.band_name
+    """,
+    tags=("join",),
+)
+def q10_join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join against a small inline band table — Spark
+    plans this as a broadcast nested-loop join, the right physical choice
+    since the band side is 5 rows."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("xs", 0.0, 10.0), ("s", 10.0, 20.0), ("m", 20.0, 30.0), ("l", 30.0, 40.0), ("xl", 40.0, 1e9)],
+        "band_name string, lo double, hi double",
+    )
+    cond = (F.col("l_quantity") > F.col("lo")) & (F.col("l_quantity") <= F.col("hi"))
+    return (
+        li.join(F.broadcast(bands), cond)
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_quantity", 12, 2)).cast("double").alias("qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q11
+
+@query(
+    "q11_join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           max(c.ts)  AS last_click_ts,
+           count(c.event_id) AS n_prior_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    GROUP BY p.event_id
+    """,
+    tags=("join", "asof"),
+)
+def q11_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, window/aggregate formulation: for every purchase, the
+    latest click by the same user at-or-before the purchase timestamp.
+    (operators/asof.py holds the scale-path merge_asof implementation —
+    this formulation stays oracle-expressible.)"""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(c, (p.p_user == c.c_user) & (c.c_ts <= p.p_ts), "left")
+        .groupBy("purchase_id")
+        .agg(
+            F.max("c_ts").alias("last_click_ts"),
+            F.count("click_id").alias("n_prior_clicks"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q12
+
+@query(
+    "q12_agg_basic",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           min(value) AS min_v, max(value) AS max_v,
+           cast(sum(cast(value as decimal(14,2))) as double) AS sum_v,
+           cast(sum(cast(value as decimal(14,2))) as double) / count(*) AS avg_v
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def q12_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count / countDistinct / min / max / sum / avg in one hash-agg."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.sum(dec("value", 14, 2)).cast("double").alias("sum_v"),
+        (F.sum(dec("value", 14, 2)).cast("double") / F.count(F.lit(1))).alias("avg_v"),
+    )
+
+
+# ---------------------------------------------------------------- Q13
+
+@query(
+    "q13_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderstatus) AS n_statuses,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def q13_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (expand-based plan)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------- Q14
+
+@query(
+    "q14_agg_filtered",
+    oracle=f"""
+    SELECT o_orderpriority,
+           cast(sum(CASE WHEN o_orderstatus = 'F' THEN {_DEC_PRICE} ELSE cast(0 as decimal(14,2)) END) as double) AS finished_total,
+           cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) as bigint) AS n_open,
+           cast(sum(CASE WHEN o_orderdate >= timestamp '2000-01-01 00:00:00' THEN {_DEC_PRICE} ELSE cast(0 as decimal(14,2)) END) as double) AS recent_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def q14_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation via CASE WHEN (portable form of FILTER (WHERE ...))."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    price = dec("o_totalprice", 14, 2)
+    zero = F.lit(0).cast("decimal(14,2)")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", price).otherwise(zero)).cast("double").alias("finished_total"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"), price).otherwise(zero)
+        )
+        .cast("double")
+        .alias("recent_total"),
+    )
+
+
+# ---------------------------------------------------------------- Q15/Q16/Q17
+
+@query(
+    "q15_agg_rollup",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg",),
+)
+def q15_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+        )
+    )
+
+
+@query(
+    "q16_agg_cube",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           cast(sum({_DEC_QTY}) as double) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def q16_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two grouping dims with decimal-protocol measure."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_quantity", 12, 2)).cast("double").alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@query(
+    "q17_agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(cast(c_nationkey as varchar), 'ALL') AS nation_key,
+           count(*) AS n,
+           cast(sum(cast(c_acctbal as decimal(14,2))) as double) AS balance
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    tags=("agg", "sql"),
+)
+def q17_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (Catalyst expands to the same plan
+    as cube/rollup)."""
+    prep(spark)
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+               coalesce(cast(c_nationkey as string), 'ALL') AS nation_key,
+               count(*) AS n,
+               cast(sum(cast(c_acctbal as decimal(14,2))) as double) AS balance
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------- Q18
+
+@query(
+    "q18_agg_collect",
+    oracle="""
+    SELECT lang,
+           array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    tags=("agg",),
+)
+def q18_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set, order-normalized (sorted + joined to a string so the
+    value-hash is insensitive to Spark's nondeterministic collect order)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------- Q19-Q22 windows
+
+@query(
+    "q19_window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4)     OVER w AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ) WHERE rn <= 10
+    """,
+    tags=("window",),
+)
+def q19_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions with a unique tiebreak; top-10 per segment."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@query(
+    "q20_window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           value - lag(value)  OVER w AS delta_value,
+           lead(event_type)    OVER w AS next_type,
+           first_value(event_type) OVER w AS first_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def q20_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first_value analytics per user session stream."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+@query(
+    "q21_window_running",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           cast(sum({_DEC_PRICE}) OVER w_run as double) AS running_spend,
+           cast(sum({_DEC_PRICE}) OVER w_mov as double) / count(*) OVER w_mov AS moving_avg_3
+    FROM orders
+    WINDOW w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def q21_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + 3-row moving average (frame clauses), decimal-exact."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    order_cols = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_run = W.partitionBy("o_custkey").orderBy(*order_cols).rowsBetween(W.unboundedPreceding, 0)
+    w_mov = W.partitionBy("o_custkey").orderBy(*order_cols).rowsBetween(-2, 0)
+    price = dec("o_totalprice", 14, 2)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price).over(w_run).cast("double").alias("running_spend"),
+        (F.sum(price).over(w_mov).cast("double") / F.count(F.lit(1)).over(w_mov)).alias("moving_avg_3"),
+    )
+
+
+@query(
+    "q22_window_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "headline"),
+)
+def q22_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the canonical top-k-per-group pattern."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------- Q23-Q26 sort/limit/set ops
+
+@query(
+    "q23_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    tags=("sort",),
+)
+def q23_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 by price — Spark plans TakeOrderedAndProject, no full sort."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+@query(
+    "q24_set_union",
+    oracle="""
+    SELECT nk, count(*) AS n FROM (
+      SELECT c_nationkey AS nk FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nk FROM supplier
+    ) GROUP BY nk
+    """,
+    tags=("setop",),
+)
+def q24_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name, then aggregate."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q25_set_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+    tags=("setop",),
+)
+def q25_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two key sets."""
+    prep(spark)
+    a = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey"))
+    )
+    b = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.intersect(b)
+
+
+@query(
+    "q26_set_except",
+    oracle="""
+    SELECT ck, count(*) AS n FROM (
+      SELECT o_custkey AS ck FROM orders
+      EXCEPT ALL
+      SELECT c_custkey AS ck FROM customer WHERE c_mktsegment = 'BUILDING'
+    ) GROUP BY ck
+    """,
+    tags=("setop",),
+)
+def q26_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference) then aggregate."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("ck"))
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("ck"))
+    )
+    return o.exceptAll(c).groupBy("ck").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------- Q33 pivot
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "q33_pivot",
+    oracle="""
+    SELECT n_name,
+           cast(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) as bigint) AS automobile,
+           cast(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) as bigint) AS building,
+           cast(sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) as bigint) AS furniture,
+           cast(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) as bigint) AS household,
+           cast(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) as bigint) AS machinery
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("agg", "pivot"),
+)
+def q33_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot market segments into columns (explicit value list so the
+    output schema is static — required for plan caching at scale)."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    piv = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .count()
+    )
+    out = piv.select(
+        "n_name",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS],
+    )
+    return out

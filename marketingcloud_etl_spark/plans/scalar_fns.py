@@ -1,0 +1,211 @@
+"""Scalar-function battery (SURVEY.md §2.B "Scalar functions"):
+string / date / math / hash / array / json, each oracle-checked.
+
+Dialect notes encoded here (the drift traps from SURVEY.md §7):
+  * Spark `split` is regex (escape '?'); DuckDB uses split_part/regexp.
+  * Spark F.log is ln — DuckDB `log` is log10, so SQL says ln/log10.
+  * Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday (+1).
+  * ceil/floor return BIGINT in Spark, DOUBLE in DuckDB (cast).
+  * transcendentals (ln/pow) rounded to 6 dp to absorb libm last-ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..session import prep
+from .catalog import query
+
+
+@query(
+    "q27_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           lower(p_type) AS type_l,
+           cast(length(p_name) as int) AS name_len,
+           substring(p_name, 1, 10) AS name_10,
+           split_part(p_type, ' ', 1) AS type_head,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           trim(concat(' ', p_name, ' ')) AS name_trim
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def q27_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery incl. the reference's R7 split semantics
+    (salesforce_extractor.py:171 — note Spark split is regex)."""
+    prep(spark)
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 10).alias("name_10"),
+        F.split("p_type", " ").getItem(0).alias("type_head"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+    )
+
+
+@query(
+    "q28_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           cast(year(o_orderdate) as int) AS yr,
+           cast(month(o_orderdate) as int) AS mo,
+           cast(day(o_orderdate) as int) AS dom,
+           cast(dayofweek(o_orderdate) + 1 as int) AS dow,
+           cast(date_trunc('month', o_orderdate) as date) AS month_start,
+           cast(datediff('day', o_orderdate, timestamp '2002-01-01 00:00:00') as int) AS days_to_2002,
+           cast(epoch(o_orderdate) as bigint) AS epoch_s,
+           strftime(o_orderdate, '%Y-%m-%d') AS ymd
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def q28_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery incl. R9 timestamp semantics (UTC-pinned)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ymd"),
+    )
+
+
+@query(
+    "q29_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           cast(floor(l_extendedprice) as bigint) AS price_floor,
+           cast(ceil(l_extendedprice) as bigint) AS price_ceil,
+           abs(l_discount - 0.05) AS disc_dev,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(log10(l_extendedprice), 6) AS price_log10,
+           pow(l_quantity, 2) AS qty_sq,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+    tags=("scalar", "math"),
+)
+def q29_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery; per-row IEEE ops are deterministic, transcendentals
+    rounded to absorb JVM-vs-libm last-ulp differences."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.pow("l_quantity", 2).alias("qty_sq"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "q30_hash_funcs",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256,
+           md5(concat_ws(chr(31), p_brand, p_type)) AS brand_type_md5
+    FROM part
+    """,
+    tags=("scalar", "hash"),
+)
+def q30_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content hashes (R10 family; md5/sha2 are
+    oracle-portable, xxhash64 is Spark-only and used in rows-only ops)."""
+    prep(spark)
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_name", 256).alias("name_sha256"),
+        F.md5(F.concat_ws("\x1f", "p_brand", "p_type")).alias("brand_type_md5"),
+    )
+
+
+@query(
+    "q31_array_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           cast(len(toks) as int) AS n_tokens,
+           cast(len(list_distinct(toks)) as int) AS n_distinct,
+           toks[1] AS first_token,
+           list_contains(toks, 'spark') AS has_spark,
+           array_to_string(toks[1:3], ' ') AS head3,
+           array_to_string(list_sort(list_distinct(toks))[1:5], ',') AS vocab5
+    FROM (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t != '') AS toks
+      FROM documents
+    )
+    """,
+    tags=("scalar", "array"),
+)
+def q31_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery over tokenized text: size/distinct/element_at/
+    contains/slice/sort — all higher-order built-ins, no UDFs."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("head3"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), ",").alias("vocab5"),
+    )
+
+
+@query(
+    "q32_json_funcs",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') as bigint) AS k_long,
+           json_extract_string(props, '$.k') AS k_str,
+           CASE WHEN cast(json_extract_string(props, '$.k') as bigint) > 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def q32_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON access two ways: schema'd from_json (preferred — typed,
+    Catalyst-prunable) and get_json_object path extraction."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    parsed = e.withColumn("pj", F.from_json("props", "k LONG"))
+    return parsed.select(
+        "event_id",
+        F.col("pj.k").alias("k_long"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.when(F.col("pj.k") > 50, "high").otherwise("low").alias("k_band"),
+    )

@@ -1,0 +1,66 @@
+"""Local mirror of the driver's Spark-vs-DuckDB comparison: row count,
+column names, and order-insensitive exact values. Stricter than a hash —
+on mismatch it reports which columns/rows drifted."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import pandas as pd
+
+
+def _obj_canon(v):
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return f"{v.isoformat()} 00:00:00.000000"
+    return str(v)
+
+
+def canonical(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif pd.api.types.is_bool_dtype(s):
+            pdf[c] = s.astype("boolean")
+        elif s.dtype == object:
+            pdf[c] = s.map(_obj_canon)
+    if len(pdf.columns):
+        pdf = pdf.sort_values(list(pdf.columns), na_position="first", kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
+    a, b = canonical(spark_pdf), canonical(duck_pdf)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: column mismatch spark={list(a.columns)} duck={list(b.columns)}"
+    )
+    assert len(a) == len(b), f"{name}: row count spark={len(a)} duck={len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            af = av.astype(float).to_numpy()
+            bf = bv.astype(float).to_numpy()
+            bad = [
+                i
+                for i, (x, y) in enumerate(zip(af, bf))
+                if not (x == y or (math.isnan(x) and math.isnan(y)))
+            ]
+            assert not bad, (
+                f"{name}: float drift in {c!r} at rows {bad[:5]} "
+                f"spark={[af[i] for i in bad[:5]]} duck={[bf[i] for i in bad[:5]]}"
+            )
+        else:
+            neq = av.fillna("\0NA") != bv.fillna("\0NA")
+            if neq.any():
+                i = int(neq.idxmax())
+                raise AssertionError(
+                    f"{name}: value mismatch in {c!r} row {i}: "
+                    f"spark={av.iloc[i]!r} duck={bv.iloc[i]!r} "
+                    f"({int(neq.sum())} rows differ)"
+                )
