@@ -1,0 +1,70 @@
+"""Distributed as-of join.
+
+Spark has no native ASOF JOIN; two formulations with different scale
+profiles (SURVEY.md §2.B "Joins" / §7 risk register):
+
+  * window formulation (plans/relational.py::q11_join_asof) — range
+    join + max aggregate; oracle-expressible, fine when the per-key
+    candidate fan-out is modest.
+  * merge_asof formulation (here) — co-partition both sides by key,
+    per-group pandas ``merge_asof`` (sorted merge, O(n+m) per key) via
+    applyInPandas (Arrow-batched). The scale path when keys have long
+    histories: one shuffle per side, no candidate blow-up.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row, attach the latest (``backward``) / earliest
+    (``forward``) right row with right.on ≤ / ≥ left.on, matched by
+    the ``by`` key. Output: left columns + right's non-key columns,
+    suffixed. Right columns must not collide with left's after
+    suffixing.
+    """
+    right_cols = [c for c in right.columns if c not in (on, by)]
+    lcols = list(left.columns)
+    rsch = {f.name: f for f in right.schema.fields}
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField(f"{on}{suffix}", rsch[on].dataType, True)]
+        + [StructField(f"{c}{suffix}", rsch[c].dataType, True) for c in right_cols]
+    )
+    renames = {on: f"{on}{suffix}", **{c: f"{c}{suffix}" for c in right_cols}}
+
+    # one co-partitioning shuffle: tag sides, union, group by key
+    l_tagged = left.withColumn("__side", F.lit(0))
+    r_tagged = right.select(by, on, *right_cols).withColumn("__side", F.lit(1))
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["__side"] == 0][lcols].sort_values(on, kind="mergesort")
+        if lpdf.empty:
+            return pd.DataFrame({f.name: pd.Series(dtype=object) for f in out_schema.fields})
+        rpdf = (
+            pdf[pdf["__side"] == 1][[on, *right_cols]]
+            .dropna(subset=[on])
+            .sort_values(on, kind="mergesort")
+            .rename(columns=renames)
+        )
+        return pd.merge_asof(
+            lpdf,
+            rpdf,
+            left_on=on,
+            right_on=f"{on}{suffix}",
+            direction=direction,
+        )
+
+    return unioned.groupBy(by).applyInPandas(lambda pdf: per_group(pdf), schema=out_schema)

@@ -1,0 +1,246 @@
+"""Deduplication operators (SURVEY.md §2.B "Dedup & incremental" +
+BASELINE north-star LLM-pipeline ops).
+
+Four tiers, all pure DataFrame/SQL built-ins (no Python UDFs — every
+expression stays inside whole-stage codegen):
+
+  * exact       — full-record content hash (reference R10+R12 semantics,
+                  /root/reference/app/salesforce_extractor.py:179-181,214-217)
+  * keep-first  — deterministic dropDuplicates via row_number
+  * MinHash+LSH — shingle → k min-hash permutations → band buckets;
+                  candidate pairs only ever compared within a bucket, so
+                  the shuffle is O(docs·bands), never O(docs²) — this is
+                  the 100 TB-safe near-dup path
+  * SimHash     — 64-bit bitwise-majority fingerprint + banded hamming
+                  candidate generation
+
+Determinism: permutation params come from a seeded PRNG; all hashing is
+xxhash64 with Spark's fixed seed (42). Long-arithmetic overflow wraps
+(Java semantics) identically on every executor, so signatures are
+reproducible cluster-wide.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.hashing import content_hash
+from ..functions.text import tokens
+
+# universal-hash params sized so a*h32 + b < 2^63: works identically
+# with ANSI mode on or off (no long overflow by construction)
+_HASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+_H32_MASK = (1 << 32) - 1
+
+
+def dedup_exact(df: DataFrame, cols: Sequence[str], hash_col: str = "hash") -> DataFrame:
+    """Exact dedup by deterministic content hash over ``cols``."""
+    return df.withColumn(hash_col, content_hash(cols)).dropDuplicates([hash_col])
+
+
+def dedup_keep_first(
+    df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[Column | str]
+) -> DataFrame:
+    """Keep the first row per key under a total order (deterministic —
+    callers must include a unique tiebreak in ``order_cols``)."""
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ------------------------------------------------------------- MinHash LSH
+
+
+def word_shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; empty array when < n tokens."""
+    toks = tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _HASH_P), rng.randrange(0, _HASH_P)) for _ in range(num_perm)]
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+    sig_col: str = "minhash_sig",
+) -> DataFrame:
+    """Append an ``array<bigint>`` MinHash signature of word shingles.
+
+    One xxhash64 per shingle, then ``num_perm`` universal-hash
+    permutations folded with array_min — all vectorized JVM expressions.
+    """
+    params = _perm_params(num_perm, seed)
+    # fold shingles to unsigned 32-bit so a*h32+b stays < 2^63
+    sh = F.transform(
+        word_shingles(text_col, shingle_n),
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit(_H32_MASK)),
+    )
+
+    def perm_min(a: int, b: int) -> Column:
+        # closure factory — binding a/b via lambda defaults would add
+        # parameters that PySpark's HOF arity inspection misreads
+        return F.array_min(
+            F.transform(sh, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_HASH_P)))
+        )
+
+    mins = [
+        F.when(F.size(sh) > 0, perm_min(a, b)).otherwise(F.lit(_HASH_P))
+        for a, b in params
+    ]
+    return df.withColumn(sig_col, F.array(*mins))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH: docs agreeing on all
+    rows of any band collide in that band's bucket.
+
+    Scale path: explode to (band, bucket) keys, self-join per bucket —
+    shuffle cost is docs×bands rows, candidate generation never reads
+    the full cross product. Returns (id_a, id_b, n_shared_bands).
+    """
+    rows = num_perm // bands
+    sig = minhash_signature(df, text_col, num_perm, shingle_n, seed).select(id_col, "minhash_sig")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[F.col("minhash_sig")[i * rows + j].cast("string") for j in range(rows)])).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = (
+        sig.withColumn("bb", F.explode(band_structs))
+        .select(F.col(id_col).alias("id"), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash64(text_col: Column | str) -> Column:
+    """64-bit SimHash: per-token xxhash64, bitwise weighted majority,
+    folded back into one BIGINT — nested higher-order functions only."""
+    th = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+
+    def vote(b: int) -> Column:
+        # unrolled per-bit fold: shift amounts must be Python ints
+        # (F.shiftright takes no Column numBits)
+        return F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out + F.when(vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_band_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4
+) -> DataFrame:
+    """Hamming-near candidates: 64-bit simhash cut into ``bands`` 16-bit
+    bands; pairs sharing any band are candidates (≤ bands-1 bit flips
+    guaranteed caught for hamming distance < bands)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("simhash"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = sh.withColumn("bb", F.explode(band_structs)).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_set(text_col: Column | str, n: int = 2) -> Column:
+    """Sorted distinct word n-gram set (array<string>)."""
+    return F.array_sort(F.array_distinct(word_shingles(text_col, n)))
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two distinct n-gram arrays; 0.0 when both empty."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Jaccard for an explicit candidate-pair table (id_a, id_b) —
+    composed with minhash_lsh_candidates for the verify stage of
+    near-dup detection at scale."""
+    g = df.select(F.col(id_col).alias("id"), ngram_set(text_col, n).alias("grams"))
+    ga, gb = g.alias("ga"), g.alias("gb")
+    return (
+        pairs.join(ga, pairs.id_a == F.col("ga.id"))
+        .join(gb, pairs.id_b == F.col("gb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ngram_jaccard(F.col("ga.grams"), F.col("gb.grams")), 6).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,76 @@
+"""Multimodal column handling (BASELINE north-star).
+
+Media payloads ride as opaque ``binary`` columns next to a typed
+metadata struct; decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` so each task streams record batches without
+materializing a partition. The actual codec step is STUBBED (image /
+audio libraries are not in this environment — see ``decode_stub``):
+the Spark-side plumbing (schema, batch iteration, partitioning,
+deterministic fake features) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, payload_digest string, "
+    "width int, height int, feat_mean double"
+)
+
+
+def decode_stub(payload: bytes) -> dict:
+    """Deterministic fake decoder. A real deployment swaps this for
+    PIL/ffmpeg/torchaudio; everything downstream is codec-agnostic.
+    Raises NotImplementedError for media types we don't fake."""
+    digest = hashlib.md5(payload).hexdigest()
+    # fake "dimensions" and a pooled feature derived from the digest so
+    # results are reproducible and schema-faithful
+    width = int(digest[:4], 16) % 1920 + 1
+    height = int(digest[4:8], 16) % 1080 + 1
+    feat_mean = int(digest[8:16], 16) / float(0xFFFFFFFF)
+    return {"width": width, "height": height, "feat_mean": feat_mean}
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture adapter: treat the utf-8 text bytes as an opaque media
+    payload with a metadata struct — the shape a real image/audio table
+    would have (payload binary, meta struct<media_type,codec>)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8")).withColumn(
+        "meta",
+        F.struct(F.lit("image/fake").alias("media_type"), F.lit("raw").alias("codec")),
+    )
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Batches arrive as Arrow record batches; output schema is fixed
+    (FEATURE_SCHEMA) so Catalyst can prune/plan around the Python stage.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_stub(p if isinstance(p, bytes) else bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "payload_digest": [
+                        hashlib.md5(p if isinstance(p, bytes) else bytes(p)).hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "feat_mean": [f["feat_mean"] for f in feats],
+                }
+            )
+            yield out
+
+    return df.select(id_col, "payload", "meta").mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (BASELINE north-star).
+
+Two tiers:
+  * brute-force top-k — broadcast the (small) query set against the
+    full corpus, cosine via higher-order functions, window top-k.
+    Exact; the right plan whenever |queries| is broadcastable.
+  * LSH-bucketed ANN — random-hyperplane signatures put near vectors in
+    the same bucket; candidate generation is an equi-join on bucket id
+    (+ optional multi-probe neighboring buckets), so the shuffle is
+    O(n·probes) instead of the O(n·q) cross product. The 100 TB path.
+
+Hyperplanes are generated from a seeded PRNG and embedded as literal
+arrays (broadcast with the plan) — no MLlib Vector conversions, no UDFs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.vectors import cosine
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Returns (query_id, neighbor_id, cos_sim, rank). Ranking uses the
+    raw cosine with neighbor id as tiebreak (deterministic); the
+    surfaced cos_sim is rounded to 6 dp.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn("cos_raw", cosine("q_vec", "c_vec"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def random_hyperplane_lsh(
+    df: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Append a sign-bit LSH bucket id (0 .. 2^n_planes-1).
+
+    bucket bit i = sign(v · h_i); computed with zip_with/aggregate folds
+    over literal hyperplane arrays — stays in whole-stage codegen.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+
+    def _dot_lit(plane: list[float]) -> Column:
+        lit_arr = F.array(*[F.lit(x) for x in plane])
+        return F.aggregate(
+            F.zip_with(v, lit_arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    bucket = None
+    for i, plane in enumerate(planes):
+        bit = F.when(_dot_lit(plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn(bucket_col, bucket.cast("int"))
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidate generation by equi-join on LSH
+    bucket across ``n_tables`` independent hash tables (standard
+    recall amplification: P(miss) ≈ (1-p^planes)^tables), optional
+    multiprobe (hamming-1 buckets), exact cosine rerank of the
+    deduplicated candidate set.
+
+    Candidate join cost is O(n·tables·probes); never the n×q cross
+    product — this is the 100 TB similarity path."""
+    cand = None
+    for t in range(n_tables):
+        tseed = seed + 7919 * t
+        c = random_hyperplane_lsh(corpus, dim, n_planes, tseed, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col("lsh_bucket")
+        )
+        q = random_hyperplane_lsh(queries, dim, n_planes, tseed, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col("lsh_bucket")
+        )
+        if multiprobe:
+            probes = F.array(
+                F.col("lsh_bucket"),
+                *[F.col("lsh_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            )
+            q = q.withColumn("probe_bucket", F.explode(probes)).drop("lsh_bucket")
+        else:
+            q = q.withColumnRenamed("lsh_bucket", "probe_bucket")
+        pairs = c.join(F.broadcast(q), c.lsh_bucket == q.probe_bucket).filter(
+            F.col("neighbor_id") != F.col("query_id")
+        ).select("query_id", "neighbor_id")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    c_vec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .withColumn("cos_raw", cosine("q_vec", "c_vec"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
+    )

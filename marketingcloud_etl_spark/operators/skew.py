@@ -1,0 +1,43 @@
+"""Skew-mitigation utilities for 100 TB joins (SURVEY.md §4).
+
+AQE's skew-join splitting handles most cases
+(spark.sql.adaptive.skewJoin.enabled, on in session.get_spark); this
+helper covers the remaining one — a hot key on the *build* side of a
+shuffle join — by salting: the skewed side gets a random salt in
+[0, n), the small side is exploded n× so every salted key still finds
+its match. Result equality is exact; only the partitioning changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join_key(
+    skewed: DataFrame,
+    replicated: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_col: str = "__salt",
+):
+    """Return (skewed', replicated') with a composite (key, salt) join
+    key: skewed rows get one deterministic-per-row salt (hash-based, so
+    re-runs partition identically); replicated rows are duplicated
+    across all salts."""
+    skewed_s = skewed.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)).cast("int")
+    )
+    replicated_s = replicated.withColumn(
+        salt_col, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return skewed_s, replicated_s
+
+
+def salted_groupby_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """Two-phase aggregation for a skewed group-by count: partial
+    aggregate on (key, salt), then final on key — the map-side-combine
+    pattern made explicit for counts on hot keys."""
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
+    return partial.groupBy(key).agg(F.sum("__c").cast("long").alias("n"))

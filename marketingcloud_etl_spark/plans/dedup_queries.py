@@ -1,1 +1,110 @@
-"""Placeholder — filled in by later milestones."""
+"""Near-dup detection catalog: n-gram Jaccard (oracle-checked),
+MinHash+LSH and SimHash candidate generation (rows-only — algorithmic,
+pinned by planted-duplicate tests in tests/test_dedup.py), and the
+HLL sketch (rows-only — estimates are engine-specific)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_sql
+from ..io import table
+from ..operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    ngram_set,
+    simhash64,
+    simhash_band_candidates,
+)
+from ..session import prep
+from .catalog import query
+
+_TOKS_A = tokens_sql("a.text")
+_TOKS_B = tokens_sql("b.text")
+_GRAMS = (
+    "list_distinct(list_transform(range(1, len({t})), i -> {t}[i] || ' ' || {t}[i+1]))"
+)
+
+
+@query(
+    "q47_ngram_jaccard",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             {_GRAMS.format(t=_TOKS_A)} AS ga,
+             {_GRAMS.format(t=_TOKS_B)} AS gb
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id < 200
+    )
+    SELECT id_a, id_b,
+           round(CASE WHEN len(list_distinct(list_concat(ga, gb))) > 0
+                 THEN cast(len(list_intersect(ga, gb)) as double)
+                      / len(list_distinct(list_concat(ga, gb)))
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM pairs
+    """,
+    tags=("dedup",),
+)
+def q47_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-gram Jaccard similarity on consecutive doc pairs — the exact
+    verify stage that LSH candidate pairs feed at scale."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("id_a"), ngram_set("text", 2).alias("ga")
+    )
+    b = d.select(F.col("doc_id").alias("id_b"), ngram_set("text", 2).alias("gb"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ngram_jaccard(F.col("ga"), F.col("gb")), 6).alias("jaccard"),
+        )
+    )
+
+
+@query("q50_minhash_lsh", oracle=None, tags=("dedup", "rows-only"))
+def q50_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms)+LSH(8 bands) near-dup candidates over
+    documents. Shuffle is O(docs×bands) — never the cross product.
+    Deterministic signature params (seed=42)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, num_perm=32, bands=8)
+    return cand.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("n_shared_bands") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_strong_pairs"),
+    )
+
+
+@query("q51_simhash_bands", oracle=None, tags=("dedup", "rows-only"))
+def q51_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints + banded hamming candidate counts;
+    also surfaces the fingerprints of the first 10 docs so the value is
+    pinned run-over-run."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    n_cand = simhash_band_candidates(d).count()
+    return (
+        d.filter(F.col("doc_id") < 10)
+        .select("doc_id", simhash64("text").alias("simhash"))
+        .withColumn("n_band_candidates", F.lit(n_cand))
+    )
+
+
+@query("q60_approx_distinct", oracle=None, tags=("sketch", "rows-only"))
+def q60_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (cardinality dashboards at 100 TB —
+    no exact-distinct shuffle). Estimates are engine-specific, so this
+    is rows-only; the sanity bound vs exact lives in tests."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n"),
+    )

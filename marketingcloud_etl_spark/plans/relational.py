@@ -769,6 +769,37 @@ def q26_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.exceptAll(c).groupBy("ck").agg(F.count(F.lit(1)).alias("n"))
 
 
+# ---------------------------------------------------------------- Q34
+
+@query(
+    "q34_percentile",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           count(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def q34_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — same definition as
+    DuckDB quantile_cont); approx_percentile is the sketch path for
+    100 TB (rows-only, see q60)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("o_totalprice", 0.25), 6).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.50), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.75), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------- Q33 pivot
 
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]

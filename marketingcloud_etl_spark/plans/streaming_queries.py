@@ -1,1 +1,121 @@
-"""Placeholder — filled in by later milestones."""
+"""Streaming + sessionization catalog.
+
+Batch-expressible twins (sessionization, tumbling windows) are
+oracle-checked; genuinely-streaming queries (watermarks, session
+windows, stateful dedup) run a real Structured Streaming job to
+completion (availableNow → memory sink) and are rows-only for the
+driver, with batch-equivalence pinned in tests/test_streaming.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import dec
+from ..io import table
+from ..operators.sessionize import sessionize
+from ..session import prep
+from .catalog import query
+
+
+@query(
+    "q56_sessionization",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           cast(count(DISTINCT session_id) as bigint) AS n_sessions,
+           count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+    tags=("streaming", "session"),
+)
+def q56_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (lag + gap > 30min + cumsum) — the
+    oracle-checkable twin of session_window streaming."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    s = sessionize(e, gap_minutes=30)
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q57_batch_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n,
+           cast(sum(cast(value as decimal(14,2))) as double) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def q57_batch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation in batch form (date_trunc) — the
+    equivalence target for the streaming version below."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
+    )
+
+
+@query("q58_stream_tumbling", oracle=None, tags=("streaming", "rows-only"))
+def q58_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window agg executed as a real Structured
+    Streaming query (multi-file replay → availableNow → memory sink).
+    Must equal q57 row-for-row (pinned in tests)."""
+    prep(spark)
+    from ..streaming.jobs import events_stream, run_to_memory, tumbling_counts
+
+    agg = tumbling_counts(events_stream(spark, sf_dir))
+    return run_to_memory(agg, "q58_out", output_mode="complete").withColumnRenamed(
+        "window_start", "hour_start"
+    )
+
+
+@query("q59_stream_session_window", oracle=None, tags=("streaming", "rows-only"))
+def q59_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap=30min) streaming aggregation run to
+    completion; session count per user must match q56 (pinned in
+    tests)."""
+    prep(spark)
+    from ..streaming.jobs import events_stream, run_to_memory, session_windows
+
+    # unbounded watermark: the replay files arrive time-unordered, and
+    # (unlike tumbling aggs) the session-window operator drops
+    # later-than-watermark rows even in complete mode
+    sw = session_windows(events_stream(spark, sf_dir), gap="30 minutes", watermark="3650 days")
+    out = run_to_memory(sw, "q59_out", output_mode="complete")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+@query("q61_stream_dedup", oracle=None, tags=("streaming", "rows-only"))
+def q61_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on (user_id, event_type): state
+    bounded by the watermark horizon; emits first-seen rows."""
+    prep(spark)
+    from ..streaming.jobs import events_stream, run_to_memory, stream_dedup
+
+    dd = stream_dedup(events_stream(spark, sf_dir), watermark="365 days")
+    out = run_to_memory(dd.select("user_id", "event_type"), "q61_out", output_mode="append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_keys"))

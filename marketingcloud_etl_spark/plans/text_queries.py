@@ -1,1 +1,273 @@
-"""Placeholder — filled in by later milestones."""
+"""Text-analysis catalog (BASELINE north-star: tokenize/word-count,
+tf-idf, language-ID heuristic, quality scoring, fingerprinting) — all
+built-in expressions over ``documents``, all oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.text import tokens, tokens_sql
+from ..io import table
+from ..session import prep
+from .catalog import query
+
+_TOKS = tokens_sql("text")
+
+
+@query(
+    "q41_tokenize_wordcount",
+    oracle=f"""
+    SELECT t AS word, count(*) AS n
+    FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+    GROUP BY t ORDER BY n DESC, t LIMIT 20
+    """,
+    tags=("text", "headline"),
+)
+def q41_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + explode + count: global top-20 words (deterministic
+    tiebreak on the word)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "q42_tfidf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t
+    ), dfreq AS (
+      SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY t
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.t AS term,
+             round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) DESC, tf.t
+             ) AS rn
+      FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN n
+      WHERE tf.doc_id < 100
+    )
+    SELECT doc_id, term, tfidf, rn FROM scored WHERE rn <= 5
+    """,
+    tags=("text",),
+)
+def q42_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-math tf-idf (log-smoothed), top-5 terms per document.
+    The MLlib HashingTF+IDF pipeline gives the hashed variant; this
+    formulation keeps exact terms and stays oracle-checkable."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    w = W.partitionBy("doc_id").orderBy(score.desc(), F.col("t"))
+    return (
+        tf.filter(F.col("doc_id") < 100)
+        .join(dfreq, "t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("t").alias("term"),
+            F.round(score, 6).alias("tfidf"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "q43_text_stats",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           cast(sum(n_chars) as bigint) AS total_chars,
+           cast(sum(n_chars) as double) / count(*) AS avg_chars,
+           cast(sum(len({_TOKS})) as double) / count(*) AS avg_tokens,
+           max(n_chars) AS max_chars,
+           min(n_chars) AS min_chars
+    FROM documents GROUP BY lang
+    """,
+    tags=("text",),
+)
+def q43_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (counts are exact integers, so
+    plain sums are deterministic)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    n_toks = F.size(tokens("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum(n_toks).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+        F.min("n_chars").alias("min_chars"),
+    )
+
+
+_STOPLISTS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def _votes_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_TOKS}, t -> t IN ({inlist})))"
+
+
+@query(
+    "q44_langid_heuristic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             {_votes_sql(_STOPLISTS['en'])} AS v_en,
+             {_votes_sql(_STOPLISTS['es'])} AS v_es,
+             {_votes_sql(_STOPLISTS['de'])} AS v_de,
+             {_votes_sql(_STOPLISTS['fr'])} AS v_fr
+      FROM documents
+    ), pred AS (
+      SELECT lang,
+             CASE
+               WHEN v_en + v_es + v_de + v_fr = 0 THEN 'und'
+               WHEN v_en >= v_es AND v_en >= v_de AND v_en >= v_fr THEN 'en'
+               WHEN v_es >= v_de AND v_es >= v_fr THEN 'es'
+               WHEN v_de >= v_fr THEN 'de'
+               ELSE 'fr'
+             END AS lang_pred
+      FROM scored
+    )
+    SELECT lang, lang_pred, count(*) AS n_docs FROM pred GROUP BY lang, lang_pred
+    """,
+    tags=("text",),
+)
+def q44_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (n-gram-free heuristic): count
+    stopword hits per candidate language, argmax with a fixed
+    preference order, confusion-matrix style output vs the labeled
+    ``lang`` column."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def n_hits(ws: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    votes = {code: n_hits(ws) for code, ws in _STOPLISTS.items()}
+    scored = d.select("lang", *[v.alias(f"v_{c}") for c, v in votes.items()])
+    v = {c: F.col(f"v_{c}") for c in _STOPLISTS}
+    pred = (
+        F.when(v["en"] + v["es"] + v["de"] + v["fr"] == 0, "und")
+        .when((v["en"] >= v["es"]) & (v["en"] >= v["de"]) & (v["en"] >= v["fr"]), "en")
+        .when((v["es"] >= v["de"]) & (v["es"] >= v["fr"]), "es")
+        .when(v["de"] >= v["fr"], "de")
+        .otherwise("fr")
+    )
+    return (
+        scored.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q45_quality_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             cast(len({_TOKS}) as int) AS n_tokens,
+             cast(len(list_distinct({_TOKS})) as int) AS n_distinct,
+             cast(length(replace(text, ' ', '')) as int) AS n_letter_chars,
+             cast(len(list_filter({_TOKS},
+                  t -> t IN ('the','a','of','and','to','el','la','de'))) as int) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round(CASE WHEN n_tokens > 0 THEN n_distinct * 1.0 / n_tokens ELSE 0.0 END, 6) AS distinct_ratio,
+           round(CASE WHEN n_tokens > 0 THEN n_letter_chars * 1.0 / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+           round(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+           round(0.5 * (CASE WHEN n_tokens > 0 THEN n_distinct * 1.0 / n_tokens ELSE 0.0 END)
+               + 0.3 * (CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END)
+               + 0.2 * least(n_tokens, 100) / 100.0, 6) AS quality
+    FROM feat
+    """,
+    tags=("text",),
+)
+def q45_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features: lexical diversity, mean token length,
+    stopword ratio, length prior — combined into one bounded score
+    (the LLM-data curation filter shape)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop = F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "el", "la", "de"))
+    feat = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_letter_chars"),
+        F.size(stop).alias("n_stop"),
+    )
+    nt = F.col("n_tokens")
+    ratio = lambda num: F.when(nt > 0, num * 1.0 / nt).otherwise(F.lit(0.0))  # noqa: E731
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(ratio(F.col("n_distinct")), 6).alias("distinct_ratio"),
+        F.round(ratio(F.col("n_letter_chars")), 6).alias("avg_token_len"),
+        F.round(ratio(F.col("n_stop")), 6).alias("stopword_ratio"),
+        F.round(
+            0.5 * ratio(F.col("n_distinct"))
+            + 0.3 * ratio(F.col("n_stop"))
+            + 0.2 * F.least(nt, F.lit(100)) / 100.0,
+            6,
+        ).alias("quality"),
+    )
+
+
+@query(
+    "q46_doc_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT source,
+             md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs, count(DISTINCT fingerprint) AS n_unique
+    FROM fp GROUP BY source
+    """,
+    tags=("text", "dedup"),
+)
+def q46_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct vocabulary — catches token-shuffled duplicates that exact
+    content hashing misses."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " "))
+    return (
+        d.select("source", fp.alias("fingerprint"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique"),
+        )
+    )

@@ -1,1 +1,132 @@
-"""Placeholder — filled in by later milestones."""
+"""Embedding / similarity-search catalog (BASELINE north-star):
+cosine via higher-order functions (no UDF), brute-force top-k,
+LSH-bucketed ANN (rows-only), and the multimodal mapInPandas pipeline
+(rows-only — decode stubbed, plumbing real)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, cosine_sql
+from ..io import table
+from ..operators.multimodal import attach_binary_payload, extract_features
+from ..operators.similarity import ann_lsh_topk, knn_bruteforce
+from ..session import prep
+from .catalog import query
+
+_COS_AB = cosine_sql("a.embedding", "b.embedding")
+
+
+@query(
+    "q48_cosine_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_AB}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+    tags=("vector",),
+)
+def q48_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity of consecutive vector pairs — pure SQL
+    higher-order fold, bit-identical across engines (float→double
+    widening, sequential fold, IEEE ops in the same order)."""
+    prep(spark)
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "q49_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {cosine_sql('b.embedding', 'a.embedding')} AS cos_raw
+      FROM embeddings a CROSS JOIN q b
+      WHERE a.vec_id != b.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("vector", "headline"),
+)
+def q49_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 5 query vectors: broadcast
+    cross join + window top-k (operators/similarity.knn_bruteforce)."""
+    prep(spark)
+    e = table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@query(
+    "q53_embedding_neardup",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id % 10 = 0 AND label < 3
+    )
+    SELECT a.label,
+           count(*) AS n_pairs,
+           cast(sum(CASE WHEN {_COS_AB} > 0.5 THEN 1 ELSE 0 END) as bigint) AS n_above_half,
+           round(max({_COS_AB}), 6) AS max_cos
+    FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.label
+    """,
+    tags=("vector", "dedup"),
+)
+def q53_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup scan within label blocks (blocked
+    pairwise compare — the verify stage downstream of ANN candidate
+    generation). Sampled so the oracle's fold stays cheap."""
+    prep(spark)
+    e = table(spark, sf_dir, "embeddings")
+    s = e.filter((F.col("vec_id") % 10 == 0) & (F.col("label") < 3))
+    a = s.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = s.select(F.col("label").alias("label_b"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = cosine("va", "vb")
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(cos > 0.5, 1).otherwise(0)).alias("n_above_half"),
+            F.round(F.max(cos), 6).alias("max_cos"),
+        )
+    )
+
+
+@query("q52_ann_lsh_topk", oracle=None, tags=("vector", "ann", "rows-only"))
+def q52_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH + multiprobe, exact rerank inside
+    buckets — the 100 TB similarity-search path (candidate join is
+    O(n·probes), not O(n·q)). Recall vs brute force is pinned in
+    tests/test_similarity.py; driver check is rows-only."""
+    prep(spark)
+    e = table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@query("q54_multimodal_features", oracle=None, tags=("multimodal", "rows-only"))
+def q54_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline plumbing: binary payload column + metadata
+    struct → Arrow-batched mapInPandas feature extraction (decode
+    stubbed deterministically) → per-type rollup."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary_payload(d))
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("payload_digest").alias("n_distinct_payloads"),
+        F.round(F.sum(F.col("feat_mean").cast("decimal(18,12)")).cast("double"), 6).alias("sum_feat"),
+    )

@@ -60,4 +60,14 @@ def prep(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # runtime-settable perf conf: an externally-created session defaults
+    # to 200 shuffle partitions — wrong for both local runs (over-
+    # parallelized) and the fixture scales; AQE coalescing needs to be
+    # on to shrink post-shuffle stages
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        cpus = 32
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     return spark

@@ -1,0 +1,105 @@
+"""Structured Streaming jobs (SURVEY.md §2.B "Streaming").
+
+The fixture ``events`` table is replayed as a file stream (multiple
+parquet files + maxFilesPerTrigger → several micro-batches), then the
+standard streaming surface runs on top: watermarked tumbling/sliding
+windows, session windows, watermark-bounded dedup, stream-static joins,
+and foreachBatch upsert (reference R12/R16 in streaming form).
+
+None of this is oracle-expressible — correctness is pinned by
+batch-equivalence tests (tests/test_streaming.py): the streamed result
+must equal the same aggregation computed in batch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+
+
+def replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Materialize events as an n-file parquet dir (µs timestamps) so a
+    file-source stream replays it in n micro-batches. Cached per
+    (sf_dir, n_files) in the session's temp space."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(tempfile.gettempdir(), f"mcetl_replay_{tag}_{n_files}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        table(spark, sf_dir, "events").repartition(n_files).write.mode("overwrite").parquet(out)
+    return out
+
+
+def events_stream(spark: SparkSession, sf_dir: str, files_per_trigger: int = 2) -> DataFrame:
+    src = replay_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src)
+    )
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Gap-based session windows per user (streaming twin of
+    operators/sessionize.py)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful dedup bounded by watermark — the streaming form of the
+    reference's insert-ignore upsert (R12): state never grows past the
+    watermark horizon."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def stream_static_join(stream: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream⋈static dimension join; the static side is broadcast so no
+    stateful join state is needed."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion with availableNow and
+    return the materialized result from the memory sink."""
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,125 @@
+"""Behavioral pins for the algorithmic (non-oracle) operators:
+planted-duplicate recall for MinHash/SimHash, ANN recall vs brute
+force, merge_asof vs the window formulation, multimodal determinism,
+salting equivalence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from marketingcloud_etl_spark.io import table
+from marketingcloud_etl_spark.operators.asof import asof_join
+from marketingcloud_etl_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_band_candidates,
+)
+from marketingcloud_etl_spark.operators.multimodal import attach_binary_payload, extract_features
+from marketingcloud_etl_spark.operators.similarity import ann_lsh_topk, knn_bruteforce
+from marketingcloud_etl_spark.operators.skew import salted_join_key
+
+
+@pytest.fixture(scope="module")
+def docs_with_neardups(spark, sf_dir):
+    """Fixture docs + planted near-duplicates: doc N+id gets doc id's
+    text with one word appended — near-dup but not exact-dup."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text").filter(F.col("doc_id") < 50)
+    max_id = 100000
+    dups = d.select(
+        (F.col("doc_id") + max_id).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appendedword")).alias("text"),
+    )
+    return d.unionByName(dups)
+
+
+def test_minhash_lsh_finds_planted_neardups(docs_with_neardups):
+    cand = minhash_lsh_candidates(docs_with_neardups, num_perm=32, bands=8)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    planted = {(i, i + 100000) for i in range(50)}
+    found = planted & pairs
+    # banded MinHash at 32/8 catches the overwhelming majority of
+    # ~0.95-jaccard pairs; demand >= 80% recall
+    assert len(found) >= 40, f"LSH recall too low: {len(found)}/50"
+
+
+def test_minhash_verify_stage_jaccard(docs_with_neardups):
+    cand = minhash_lsh_candidates(docs_with_neardups, num_perm=32, bands=8)
+    verified = ngram_jaccard_pairs(docs_with_neardups, cand)
+    planted = verified.filter(F.col("id_b") - F.col("id_a") == 100000)
+    rows = planted.collect()
+    assert rows, "no planted pairs survived to verify stage"
+    assert all(r.jaccard > 0.8 for r in rows)
+
+
+def test_simhash_bands_find_planted_neardups(docs_with_neardups):
+    cand = simhash_band_candidates(docs_with_neardups, bands=4)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    planted = {(i, i + 100000) for i in range(50)}
+    assert len(planted & pairs) >= 35, f"simhash recall too low: {len(planted & pairs)}/50"
+
+
+def test_dedup_exact_idempotent(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    once = dedup_exact(d, ["text", "lang", "source"]).count()
+    twice = dedup_exact(d.unionByName(d), ["text", "lang", "source"]).count()
+    assert once == twice
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = knn_bruteforce(e, q, k=5).select("query_id", "neighbor_id")
+    approx = ann_lsh_topk(e, q, k=5)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"ANN recall {recall:.2f} below floor"
+    # and the approximate ranks must be genuinely high-cosine: every
+    # returned neighbor must be in the exact top-50
+    top50 = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(e, q, k=50).collect()}
+    assert approx_set <= top50 | exact_set
+
+
+def test_asof_join_matches_window_formulation(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    got = asof_join(purchases, clicks, on="ts", by="user_id").select(
+        "event_id", F.col("ts_right").alias("last_click_ts")
+    )
+    # window/aggregate formulation as the reference answer
+    p = purchases.alias("p")
+    c = clicks.alias("c")
+    want = (
+        p.join(c, (F.col("p.user_id") == F.col("c.user_id")) & (F.col("c.ts") <= F.col("p.ts")), "left")
+        .groupBy("p.event_id")
+        .agg(F.max("c.ts").alias("last_click_ts"))
+    )
+    got_m = {r.event_id: r.last_click_ts for r in got.collect()}
+    want_m = {r.event_id: r.last_click_ts for r in want.collect()}
+    assert got_m == want_m
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(100)
+    f1 = extract_features(attach_binary_payload(d)).orderBy("doc_id").collect()
+    f2 = extract_features(attach_binary_payload(d)).orderBy("doc_id").collect()
+    assert f1 == f2
+    assert all(r.n_bytes >= 0 and 1 <= r.width <= 1920 for r in f1)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+    li_s, o_s = salted_join_key(li, o, key="l_orderkey", n_salts=4)
+    salted = (
+        li_s.join(o_s, (li_s.l_orderkey == o_s.o_orderkey) & (li_s.__salt == o_s.__salt))
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
