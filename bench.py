@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round perf probe.
+
+Runs the headline queries from the catalog at ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line::
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+Timing is end-to-end per query: plan construction + execution +
+materialization of the (small) result to the driver. A warm-up pass at
+sf0.001 runs first so JVM/codegen startup cost is not billed to the
+first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from marketingcloud_etl_spark.plans.catalog import load_all  # noqa: E402
+from marketingcloud_etl_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, spanning scan→join→agg→window→
+# dedup→text→vector. Heavy all-pairs ops (q47 ngram jaccard, q48 cosine
+# pairs) are representative of the LLM-dedup path and stay in.
+HEADLINE = (
+    "q00_flagship_ingest_dedup",
+    "q01_pricing_summary",
+    "q05_revenue_by_nation",
+    "q11_join_asof",
+    "q15_agg_rollup",
+    "q22_window_topk",
+    "q37_dedup_exact_hash",
+    "q41_tokenize_wordcount",
+    "q42_tfidf",
+    "q49_knn_bruteforce",
+    "q50_minhash_lsh",
+    "q56_sessionization",
+)
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    spark = get_spark(app_name="bench")
+
+    # warm-up: JVM + codegen + Arrow path, billed to nobody
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in ("q01_pricing_summary", "q05_revenue_by_nation"):
+            registry[name].fn(spark, warm_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = registry.get(name)
+        if qd is None:
+            continue
+        t0 = time.perf_counter()
+        qd.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -89,19 +89,24 @@ def minhash_signature(
         word_shingles(text_col, shingle_n),
         lambda s: F.xxhash64(s).bitwiseAND(F.lit(_H32_MASK)),
     )
-
-    def perm_min(a: int, b: int) -> Column:
-        # closure factory — binding a/b via lambda defaults would add
-        # parameters that PySpark's HOF arity inspection misreads
-        return F.array_min(
-            F.transform(sh, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_HASH_P)))
-        )
-
-    mins = [
-        F.when(F.size(sh) > 0, perm_min(a, b)).otherwise(F.lit(_HASH_P))
-        for a, b in params
-    ]
-    return df.withColumn(sig_col, F.array(*mins))
+    # Single pass over the shingle array: fold all num_perm permutation
+    # minimums at once. Higher-order functions run interpreted (outside
+    # whole-stage codegen), so the naive per-permutation formulation
+    # (num_perm independent transforms, each re-inlining the shingle
+    # pipeline after project-collapse) costs num_perm× the shingle work —
+    # ~300× slower at sf0.1. SQL lambdas allow the nested capture
+    # (outer `h` inside the zip_with lambda) that makes one pass work.
+    params_sql = "array(" + ",".join(
+        f"named_struct('a', cast({a} as bigint), 'b', cast({b} as bigint))" for a, b in params
+    ) + ")"
+    agg_sql = (
+        f"aggregate(__mh_sh, array_repeat(cast({_HASH_P} as bigint), {num_perm}), "
+        f"(acc, h) -> zip_with(acc, {params_sql}, "
+        f"(m, p) -> least(m, pmod(p.a * h + p.b, cast({_HASH_P} as bigint)))))"
+    )
+    # empty shingle array → aggregate returns the init (all sentinel P),
+    # matching the previous when(size>0) semantics
+    return df.withColumn("__mh_sh", sh).withColumn(sig_col, F.expr(agg_sql)).drop("__mh_sh")
 
 
 def minhash_lsh_candidates(
@@ -121,6 +126,12 @@ def minhash_lsh_candidates(
     the full cross product. Returns (id_a, id_b, n_shared_bands).
     """
     rows = num_perm // bands
+    # signature computation is CPU-heavy and narrow: spread it over all
+    # cores even when the input is a single small file (one partition);
+    # on a real cluster the input splits already provide this
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     sig = minhash_signature(df, text_col, num_perm, shingle_n, seed).select(id_col, "minhash_sig")
     band_structs = F.array(
         *[
@@ -134,6 +145,9 @@ def minhash_lsh_candidates(
     buckets = (
         sig.withColumn("bb", F.explode(band_structs))
         .select(F.col(id_col).alias("id"), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        # persisted because the self-join below reads it twice — without
+        # this the full signature pipeline executes once per join side
+        .persist()
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -152,26 +166,33 @@ def minhash_lsh_candidates(
 # ---------------------------------------------------------------- SimHash
 
 
-def simhash64(text_col: Column | str) -> Column:
+def simhash64(text_col: str) -> Column:
     """64-bit SimHash: per-token xxhash64, bitwise weighted majority,
-    folded back into one BIGINT — nested higher-order functions only."""
-    th = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    folded back into one BIGINT.
 
-    def vote(b: int) -> Column:
-        # unrolled per-bit fold: shift amounts must be Python ints
-        # (F.shiftright takes no Column numBits)
-        return F.aggregate(
-            th,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
-        )
-
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        out = out + F.when(vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    Single pass over the token array: the 64 per-bit vote counters fold
+    together through one ``aggregate`` whose accumulator is an
+    ``array<bigint>`` of length 64. The SQL (not Python) HOF API is
+    required twice over: nested lambda capture of ``h``, and
+    ``shiftright(h, b)`` with a *column* shift amount (``F.shiftright``
+    only accepts a Python int). The unrolled per-bit alternative runs 64
+    interpreted aggregate passes over the tokens — two orders of
+    magnitude slower.
+    """
+    if not isinstance(text_col, str):
+        raise TypeError("simhash64 takes a column name (builds a SQL expression)")
+    toks = rf"filter(split({text_col}, '\\s+'), t -> t != '')"
+    th = f"transform({toks}, t -> xxhash64(t))"
+    votes = (
+        f"aggregate({th}, array_repeat(cast(0 as bigint), 64), "
+        f"(acc, h) -> zip_with(acc, sequence(0, 63), "
+        f"(c, b) -> c + (shiftright(h, b) & 1) * 2 - 1))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({votes}, sequence(0, 63), "
+        f"(v, b) -> if(v > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
 
 
 def simhash_band_candidates(
@@ -182,6 +203,9 @@ def simhash_band_candidates(
     guaranteed caught for hamming distance < bands)."""
     width = 64 // bands
     mask = (1 << width) - 1
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("simhash"))
     band_structs = F.array(
         *[
@@ -192,8 +216,10 @@ def simhash_band_candidates(
             for i in range(bands)
         ]
     )
-    buckets = sh.withColumn("bb", F.explode(band_structs)).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    buckets = (
+        sh.withColumn("bb", F.explode(band_structs))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist()
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (

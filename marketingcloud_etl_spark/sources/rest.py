@@ -1,0 +1,180 @@
+"""Paginated REST source (reference R1-R4) as a Spark 4 Python
+DataSource — the one genuinely custom source in the engine
+(SURVEY.md §4: "the pruning logic lives in our Python DataSource").
+
+Reference behaviors re-expressed (all from
+/root/reference/app/salesforce_extractor.py):
+  * OAuth2 client-credentials auth, token + rest instance url (:86-104)
+    → driver-side auth in ``partitions()``; token ships to executors in
+    the partition descriptor.
+  * page GET with Bearer header, 401 → re-auth + retry once (:106-136)
+    → the same retry inside ``read()``; Spark task retry
+    (spark.task.maxFailures) supersedes beyond that.
+  * page-range pruning from a count watermark (:250-280): start_page =
+    floor(db_count / page_size) + 1 clamped to ≥ 1; skip everything
+    when the API count ≤ db_count (:271-280) → ``partitions()`` emits
+    only the needed pages — partition pruning pushed into the source.
+  * count probe via page 1 (:341-347) → one probe GET in
+    ``partitions()``.
+
+Scale posture: one page = one InputPartition = one task, so a
+1000-executor cluster fans the page range out 1000-wide (the reference
+fetched sequentially, :276-278). Page size stays the API's 2500 (:248).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+ITEM_DDL = (
+    "keys struct<lead_id: string, url: string, session_id: string, `order`: string>, "
+    "values struct<type_id: string, event_category: string, event_name: string, date: string>, "
+    "page int"
+)
+
+DEFAULT_PAGE_SIZE = 2500  # "As per API response" — salesforce_extractor.py:248
+
+
+def _http_json(url: str, data: dict | None = None, headers: dict | None = None, timeout: float = 30.0) -> dict:
+    body = None
+    hdrs = dict(headers or {})
+    if data is not None:
+        body = json.dumps(data).encode()
+        hdrs["Content-Type"] = "application/json"
+    req = urllib.request.Request(url, data=body, headers=hdrs)
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read().decode())
+
+
+def get_auth_token(auth_url: str, client_id: str, client_secret: str) -> str:
+    """OAuth2 client-credentials grant (R1)."""
+    payload = {
+        "grant_type": "client_credentials",
+        "client_id": client_id,
+        "client_secret": client_secret,
+    }
+    return _http_json(auth_url, data=payload)["access_token"]
+
+
+def fetch_page(base_url: str, page: int, token: str, auth: tuple[str, str, str] | None = None) -> dict:
+    """GET one page; on 401 re-auth once and retry (R2, :128-135)."""
+    url = f"{base_url}?$page={page}"  # pagination pattern, :265/:278
+    try:
+        return _http_json(url, headers={"Authorization": f"Bearer {token}"})
+    except urllib.error.HTTPError as e:
+        if e.code == 401 and auth is not None:
+            token = get_auth_token(*auth)
+            return _http_json(url, headers={"Authorization": f"Bearer {token}"})
+        raise
+
+
+def plan_pages(api_count: int, db_count: int, page_size: int = DEFAULT_PAGE_SIZE) -> list[int]:
+    """R3 scan pruning: resume at the page containing the first un-
+    ingested record; empty plan when nothing new (:264, :271-280)."""
+    if api_count <= db_count:
+        return []
+    start_page = max(1, math.ceil(db_count / page_size)) if db_count else 1
+    total_pages = math.ceil(api_count / page_size)
+    return list(range(start_page, total_pages + 1))
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, page: int, token: str):
+        self.page = page
+        self.token = token
+
+
+class _RestPagesReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.base_url = options["base_url"]
+        self.auth_url = options.get("auth_url", "")
+        self.client_id = options.get("client_id", "")
+        self.client_secret = options.get("client_secret", "")
+        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self.db_count = int(options.get("db_count", 0))
+
+    def _auth(self) -> str:
+        if self.auth_url:
+            return get_auth_token(self.auth_url, self.client_id, self.client_secret)
+        return ""
+
+    def partitions(self) -> Sequence[InputPartition]:
+        token = self._auth()
+        probe = fetch_page(
+            self.base_url, 1, token, (self.auth_url, self.client_id, self.client_secret) if self.auth_url else None
+        )
+        api_count = int(probe.get("count", 0))
+        pages = plan_pages(api_count, self.db_count, self.page_size)
+        return [_PagePartition(p, token) for p in pages]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        auth = (self.auth_url, self.client_id, self.client_secret) if self.auth_url else None
+        resp = fetch_page(self.base_url, partition.page, partition.token, auth)
+        for item in resp.get("items", []):
+            keys = item.get("keys", {}) or {}
+            values = item.get("values", {}) or {}
+            yield (
+                (
+                    keys.get("lead_id"),
+                    keys.get("url"),
+                    keys.get("session_id"),
+                    keys.get("order"),
+                ),
+                (
+                    values.get("type_id"),
+                    values.get("event_category"),
+                    values.get("event_name"),
+                    values.get("date"),
+                ),
+                partition.page,
+            )
+
+
+class RestPagesDataSource(DataSource):
+    """``spark.read.format("rest_pages").options(base_url=..., db_count=N)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest_pages"
+
+    def schema(self) -> str:
+        return ITEM_DDL
+
+    def reader(self, schema: StructType) -> _RestPagesReader:
+        return _RestPagesReader(schema, self.options)
+
+
+def register_rest_source(spark) -> None:
+    spark.dataSource.register(RestPagesDataSource)
+
+
+def fetch_pages_to_df(spark, base_url: str, db_count: int = 0, auth: tuple[str, str, str] | None = None):
+    """Fallback path (SURVEY.md §7 risk 2): driver-side sequential fetch
+    → createDataFrame, same pruning math — for Spark builds without the
+    Python DataSource API. Prefer the DataSource (parallel fetch)."""
+    token = get_auth_token(*auth) if auth else ""
+    probe = fetch_page(base_url, 1, token, auth)
+    pages = plan_pages(int(probe.get("count", 0)), db_count)
+    rows = []
+    for p in pages:
+        resp = probe if p == 1 else fetch_page(base_url, p, token, auth)
+        for item in resp.get("items", []):
+            keys = item.get("keys", {}) or {}
+            values = item.get("values", {}) or {}
+            rows.append(
+                (
+                    (keys.get("lead_id"), keys.get("url"), keys.get("session_id"), keys.get("order")),
+                    (values.get("type_id"), values.get("event_category"), values.get("event_name"), values.get("date")),
+                    p,
+                )
+            )
+    return spark.createDataFrame(rows, ITEM_DDL)
