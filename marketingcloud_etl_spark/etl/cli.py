@@ -1,0 +1,87 @@
+"""CLI entry points — reference R19 parity
+(/root/reference/app/salesforce_lead_activity.py:6-22: Typer commands
+``bulk`` / ``incremental``), argparse-based so the engine carries no
+extra dependency.
+
+Usage::
+
+    python -m marketingcloud_etl_spark.etl.cli bulk \
+        --base-url https://api/data --auth-url https://api/auth \
+        --client-id ID --client-secret SECRET --target /data/lead_activity
+
+    python -m marketingcloud_etl_spark.etl.cli incremental --demo \
+        --target /tmp/lead_activity_demo
+
+``--demo`` runs against the built-in mock SFMC server (deterministic
+corpus with every edge the reference handles) — the executable
+equivalent of the reference's manual debug harness
+(/root/reference/app/debug.py).
+
+Prints one JSON line with the run's result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .lead_activity import bulk_extract, incremental_extract
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="marketingcloud-etl-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, doc in (
+        ("bulk", "full refresh: fetch everything, dedup, overwrite target (R15)"),
+        ("incremental", "count-watermark append: fetch only new pages (R16)"),
+    ):
+        s = sub.add_parser(name, help=doc)
+        s.add_argument("--base-url", default="", help="paginated REST endpoint (?$page=N)")
+        s.add_argument("--auth-url", default="", help="OAuth2 token endpoint ('' = no auth)")
+        s.add_argument("--client-id", default="")
+        s.add_argument("--client-secret", default="")
+        s.add_argument("--target", required=True, help="parquet target path")
+        s.add_argument("--page-size", type=int, default=2500)
+        s.add_argument("--demo", action="store_true", help="use the built-in mock SFMC server")
+    return p
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = _parser().parse_args(argv)
+    from ..session import get_spark
+
+    spark = get_spark(app_name=f"lead-activity-{args.cmd}")
+    server = None
+    try:
+        if args.demo:
+            from ..sources.mock_sfmc import PAGE_SIZE, MockSfmcServer
+
+            server = MockSfmcServer(n_items=35).__enter__()
+            args.base_url = server.base_url
+            args.auth_url = server.auth_url
+            args.client_id, args.client_secret = "demo", "demo"
+            args.page_size = PAGE_SIZE
+        if not args.base_url:
+            raise SystemExit("--base-url is required (or pass --demo)")
+        kw = dict(
+            base_url=args.base_url,
+            target_path=args.target,
+            auth_url=args.auth_url,
+            client_id=args.client_id,
+            client_secret=args.client_secret,
+            page_size=args.page_size,
+        )
+        if args.cmd == "bulk":
+            result = {"mode": "bulk", "rows": bulk_extract(spark, **kw)}
+        else:
+            result = {"mode": "incremental", **incremental_extract(spark, **kw)}
+        print(json.dumps(result))
+        return result
+    finally:
+        if server is not None:
+            server.__exit__(None, None, None)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -61,7 +61,10 @@ def flatten_lead_activity(items: DataFrame) -> DataFrame:
         F.coalesce(g("keys.url"), F.lit("")).alias("url"),
         F.coalesce(g("keys.session_id"), F.lit("")).alias("session_id"),
         F.coalesce(g("keys.order"), F.lit("")).alias("order"),
-        F.to_timestamp(g("values.date"), DATE_FMT).alias("date"),
+        # try_to_timestamp: null on parse failure regardless of the
+        # session's ANSI setting (Spark 4 defaults ANSI on; plain
+        # to_timestamp would throw) — the reference's None-on-error
+        F.try_to_timestamp(g("values.date"), F.lit(DATE_FMT)).alias("date"),
         F.coalesce(g("values.type_id"), F.lit("")).alias("type_id"),
         F.coalesce(g("values.event_category"), F.lit("")).alias("event_category"),
         F.substring(

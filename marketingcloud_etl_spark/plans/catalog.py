@@ -30,6 +30,7 @@ _PLAN_MODULES = (
     "marketingcloud_etl_spark.plans.text_queries",
     "marketingcloud_etl_spark.plans.vector_queries",
     "marketingcloud_etl_spark.plans.streaming_queries",
+    "marketingcloud_etl_spark.plans.udf_queries",
 )
 
 

@@ -1,0 +1,197 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.B "UDF / UDAF / UDTF
+surface") — the escape hatches for semantics built-ins can't express,
+each demonstrated on a real operator and oracle-checked.
+
+The reference defines no UDFs (all its transforms compile to builtins,
+SURVEY.md §2 R5-R10); these exist because the north-star LLM-data
+pipeline needs the vectorized-Python path: Arrow-batched
+``pandas_udf`` for per-row numeric kernels, ``applyInPandas`` for
+whole-group logic, and UDTFs for one-to-many expansion.
+
+Determinism protocol for the oracle comparisons: every float that
+crosses the Spark/DuckDB boundary is either derived from exact integer
+arithmetic (grouped z-score: bigint sums; median of ints: exact in
+binary) or folded sequentially in the same order on both sides, then
+rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..io import table
+from ..session import prep
+from .catalog import query
+
+
+# ------------------------------------------------------- scalar pandas UDF
+
+
+@query(
+    "q62_pandas_udf_vecnorm",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(cast(embedding as double[]),
+                                              x -> x * x))), 6) AS l2_norm
+    FROM embeddings
+    """,
+    tags=("udf", "vector"),
+)
+def q62_pandas_udf_vecnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm of the embedding column via an Arrow-batched scalar
+    ``pandas_udf`` — the vectorized-Python hot path (one Arrow batch
+    per task, never per-row pickling). The kernel folds sequentially in
+    float64 so the result is bit-identical to the oracle's list fold."""
+    prep(spark)
+
+    @F.pandas_udf(DoubleType())
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        def norm(v) -> float:
+            acc = 0.0
+            for x in v:
+                xf = float(x)
+                acc += xf * xf
+            return acc**0.5
+
+        return vecs.map(norm)
+
+    e = table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.round(l2_norm("embedding"), 6).alias("l2_norm"))
+
+
+# ---------------------------------------------------- grouped-map (applyInPandas)
+
+
+@query(
+    "q63_grouped_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT lang,
+             cast(sum(n_chars) as bigint) AS s,
+             cast(sum(n_chars * n_chars) as bigint) AS ss,
+             count(*) AS n
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           round((d.n_chars - cast(s as double) / n)
+                 / sqrt(cast(ss as double) / n
+                        - (cast(s as double) / n) * (cast(s as double) / n)),
+                 6) AS z
+    FROM documents d JOIN stats USING (lang)
+    """,
+    tags=("udf", "text"),
+)
+def q63_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of document length via ``applyInPandas`` —
+    whole-group custom logic (the grouped-map escape hatch). Mean and
+    variance come from exact integer sums (Python bigints), so Spark
+    and DuckDB compute the identical doubles; no float-order drift.
+
+    Scale note: applyInPandas shuffles by the grouping key and holds
+    ONE group per Arrow batch in memory — fine for bounded groups like
+    ``lang``; keyed differently for heavy skew (salting, skew.py)."""
+    prep(spark)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = [int(v) for v in pdf["n_chars"]]
+        n = len(vals)
+        s = sum(vals)
+        ss = sum(v * v for v in vals)
+        mean = s / n
+        var = ss / n - mean * mean
+        sd = var**0.5
+        z = [round((v - mean) / sd, 6) for v in vals]
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z": z}
+        )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return d.groupBy("lang").applyInPandas(zscore, "doc_id bigint, lang string, z double")
+
+
+# ----------------------------------------------------- grouped-agg pandas UDF
+
+
+@query(
+    "q64_pandas_udaf_median",
+    oracle="""
+    SELECT lang,
+           cast(median(n_chars) as double) AS median_chars,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    tags=("udf", "text"),
+)
+def q64_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median document length via a GROUPED_AGG
+    ``pandas_udf`` (a UDAF). Median of integers is exact in binary
+    (middle value, or the mean of two ints — a dyadic rational), so it
+    hash-matches across engines with no rounding protocol."""
+    prep(spark)
+
+    @F.pandas_udf(DoubleType(), F.PandasUDFType.GROUPED_AGG)
+    def med(v: pd.Series) -> float:
+        return float(v.median())
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas agg too
+    @F.pandas_udf("long", F.PandasUDFType.GROUPED_AGG)
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        med("n_chars").alias("median_chars"),
+        n_rows("n_chars").alias("n_docs"),
+    )
+
+
+# ------------------------------------------------------------------- UDTF
+
+
+@query(
+    "q65_udtf_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS ts
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           unnest(ts) AS token,
+           unnest(range(1, len(ts) + 1)) AS pos
+    FROM toks
+    """,
+    tags=("udf", "text"),
+)
+def q65_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many tokenization through a Python UDTF (Spark 3.5+
+    table function) with a LATERAL correlated call — the UDTF shape for
+    expansions that aren't a plain ``explode``. Emits (token, pos),
+    1-based, matching the oracle's parallel unnest."""
+    prep(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: int")
+    class Tokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            pos = 0
+            for tok in text.split():
+                pos += 1
+                yield tok, pos
+
+    spark.udtf.register("tokens_udtf", Tokens)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM docs_udtf_src d, LATERAL tokens_udtf(d.text) t
+        WHERE d.doc_id < 50
+        """
+    )
