@@ -143,3 +143,86 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
     )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 1,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse codebook partitions the
+    corpus into cells; each query probes only its ``n_probe`` nearest
+    cells, then exact-reranks the candidates.
+
+    The codebook seeds from a deterministic corpus sample (order by
+    xxhash64(id), take n_cells), then runs ``refine_iters`` Lloyd
+    iterations fully distributed: broadcast codebook → argmax-cosine
+    assignment (narrow), element-wise centroid mean via posexplode +
+    (cell, pos) aggregation. Search is a cell-id equi-join, so the
+    candidate shuffle is O(n·n_probe/n_cells·q) instead of the n×q
+    cross product. Complements the hyperplane-LSH path above: IVF
+    adapts to the data distribution, LSH is oblivious. On uniform
+    synthetic vectors recall ≈ the probed corpus fraction; on real
+    (clustered) embeddings it is far higher at the same probe budget.
+    """
+    cents = (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .withColumn("__h", F.xxhash64(F.col("cent_id")))
+        .orderBy("__h")
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(W.orderBy("cent_id")) - 1)
+        .select("cell", F.col("cent_vec").cast("array<double>").alias("cent_vec"))
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    for _ in range(refine_iters):
+        scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+            "__sim", cosine("__v", "cent_vec")
+        )
+        w1 = W.partitionBy("__vid").orderBy(F.col("__sim").desc(), F.col("cell"))
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") == 1)
+            .select("cell", "__v")
+        )
+        cents = (
+            assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("cent_vec"))
+        )
+
+    def nearest_cells(df: DataFrame, idc: str, keep: int, out_vec: str) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(idc), F.col(vec_col).alias(out_vec))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("__sim", cosine(out_vec, "cent_vec"))
+        )
+        w = W.partitionBy(idc).orderBy(F.col("__sim").desc(), F.col("cell"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= keep)
+            .select(idc, "cell", out_vec)
+        )
+
+    corpus_cells = nearest_cells(corpus, "neighbor_id", 1, "c_vec")
+    query_cells = nearest_cells(queries, "query_id", n_probe, "q_vec")
+    scored = (
+        corpus_cells.join(F.broadcast(query_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", cosine("q_vec", "c_vec"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
+    )

@@ -247,3 +247,41 @@ def q40_upsert_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_to_insert"))
     )
+
+
+@query(
+    "q67_csv_json_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(cast(value as decimal(14,2))) as double) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("etl", "source"),
+)
+def q67_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON file source/sink (SURVEY §2.B scans): write the
+    events projection to both formats, read both back with explicit
+    schemas, verify they agree (inner-join equality), and aggregate —
+    the oracle computes the same aggregate straight from parquet, so
+    any round-trip corruption (type drift, quoting, double formatting)
+    breaks the hash match."""
+    import os
+
+    prep(spark)
+    base = f"/tmp/mcetl_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    e.write.mode("overwrite").json(f"{base}/json")
+    schema = "event_id bigint, event_type string, value double"
+    c = spark.read.schema(schema).option("header", True).csv(f"{base}/csv")
+    j = spark.read.schema(schema).json(f"{base}/json")
+    # cross-format agreement: every row identical in both round-trips
+    mismatches = c.join(j, ["event_id", "event_type", "value"], "full_outer").filter(
+        F.col("event_id").isNull()
+    )
+    agg = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
+    )
+    return agg.filter(F.lit(mismatches.count() == 0))

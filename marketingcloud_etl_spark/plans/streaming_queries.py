@@ -119,3 +119,36 @@ def q61_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = stream_dedup(events_stream(spark, sf_dir), watermark="365 days")
     out = run_to_memory(dd.select("user_id", "event_type"), "q61_out", output_mode="append")
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+@query(
+    "q68_sliding_window",
+    oracle="""
+    WITH expanded AS (
+      SELECT event_type, value,
+             unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+      FROM events
+    )
+    SELECT win_start, event_type,
+           count(*) AS n,
+           cast(sum(cast(value as decimal(14,2))) as double) AS total_value
+    FROM expanded GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def q68_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h wide, 1h slide): every event lands in exactly
+    two windows. ``F.window(ts, '2 hours', '1 hour')`` — the oracle
+    expresses the same membership by exploding each row to its two
+    window starts. Batch form of the streaming sliding aggregation."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )

@@ -130,3 +130,17 @@ def q54_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("payload_digest").alias("n_distinct_payloads"),
         F.round(F.sum(F.col("feat_mean").cast("decimal(18,12)")).cast("double"), 6).alias("sum_feat"),
     )
+
+
+@query("q66_ann_ivf_topk", oracle=None, tags=("vector", "rows-only"))
+def q66_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (coarse codebook → probe n_probe cells → exact
+    rerank) for the first 5 vectors — the data-adaptive counterpart of
+    the hyperplane-LSH path (q52). Recall vs brute force is pinned in
+    tests/test_operators.py."""
+    prep(spark)
+    from ..operators.similarity import ann_ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ann_ivf_topk(e, q, k=5, n_cells=16, n_probe=6)

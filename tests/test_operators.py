@@ -123,3 +123,18 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         .count()
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from marketingcloud_etl_spark.operators.similarity import ann_ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = knn_bruteforce(e, q, k=5).select("query_id", "neighbor_id")
+    approx = ann_ivf_topk(e, q, k=5, n_cells=16, n_probe=6)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+    # every surfaced neighbor must be genuinely high-cosine (exact top-50)
+    top50 = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(e, q, k=50).collect()}
+    assert approx_set <= top50 | exact_set
