@@ -836,3 +836,52 @@ def q33_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS],
     )
     return out
+
+
+@query(
+    "q70_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           cast(sum(cast(l_extendedprice as decimal(12,2))
+                    * (1.00 - cast(l_discount as decimal(4,2)))) as double)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "scale"),
+)
+def q70_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketing — the 100 TB pattern
+    for repeated large⋈large joins: both sides written bucketed+sorted
+    on the join key, so the sort-merge join reads bucket i ⋈ bucket i
+    with NO exchange on either side (pinned in tests: the physical plan
+    contains no shuffle before the join). Broadcast is disabled inside
+    this query to force the merge path; prep() restores it for
+    everything else."""
+    import os
+
+    prep(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/mcetl_bucketed_{tag}"
+    names = {"lineitem": f"li_bkt_{tag}", "orders": f"ord_bkt_{tag}"}
+    keys = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+    for t, name in names.items():
+        if not spark.catalog.tableExists(name):
+            (
+                table(spark, sf_dir, t)
+                .write.bucketBy(8, keys[t])
+                .sortBy(keys[t])
+                .option("path", f"{base}/{name}")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    li, o = spark.table(names["lineitem"]), spark.table(names["orders"])
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(dec("l_extendedprice", 12, 2) * (F.lit(1.00).cast("decimal(4,2)") - dec("l_discount", 4, 2)))
+        .cast("double")
+        .alias("revenue"),
+    )

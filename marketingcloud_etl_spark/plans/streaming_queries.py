@@ -152,3 +152,36 @@ def q68_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
     )
+
+
+@query(
+    "q69_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           cast(sum(cast(value as decimal(14,2))) as double) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def q69_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension: the events stream joins the broadcast
+    customer dim row-by-row (no join state), runs to completion, then
+    aggregates — and must equal the same join computed in batch, which
+    is exactly what the oracle checks. The one streaming query with a
+    full value-hash gate."""
+    prep(spark)
+    from ..streaming.jobs import events_stream, run_to_memory, stream_static_join
+
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream_static_join(events_stream(spark, sf_dir), dim, "user_id").select(
+        "c_mktsegment", "value"
+    )
+    out = run_to_memory(joined, "q69_out", output_mode="append")
+    return out.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
+    )

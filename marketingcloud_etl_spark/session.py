@@ -70,4 +70,8 @@ def prep(spark: SparkSession) -> SparkSession:
         cpus = 32
     spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 4)))
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # restore broadcast joins for dimension tables — q70 (bucketed
+    # join) disables them within its own run, and queries must not
+    # leak conf into each other
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     return spark

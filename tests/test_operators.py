@@ -138,3 +138,21 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # every surfaced neighbor must be genuinely high-cosine (exact top-50)
     top50 = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(e, q, k=50).collect()}
     assert approx_set <= top50 | exact_set
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """q70's point: bucketed+sorted tables sort-merge-join with zero
+    exchanges — the plan that survives a 100x scale-up."""
+    from marketingcloud_etl_spark.plans.catalog import load_all
+
+    load_all()["q70_bucketed_join"].fn(spark, sf_dir)  # materializes tables
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    li, o = spark.table(f"li_bkt_{tag}"), spark.table(f"ord_bkt_{tag}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
