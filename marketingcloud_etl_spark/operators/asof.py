@@ -68,3 +68,53 @@ def asof_join(
         )
 
     return unioned.groupBy(by).applyInPandas(lambda pdf: per_group(pdf), schema=out_schema)
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Same semantics as :func:`asof_join`, via the cogrouped-map API:
+    ``groupBy().cogroup().applyInPandas`` co-shuffles both sides by the
+    key and hands each key's two frames to one pandas ``merge_asof`` —
+    no union/tag pass, one Arrow exchange per side. Prefer this
+    formulation; the union form exists for Spark builds without
+    cogroup."""
+    right_cols = [c for c in right.columns if c not in (on, by)]
+    lcols = list(left.columns)
+    rsch = {f.name: f for f in right.schema.fields}
+    on_r = f"{on}{suffix}"
+    suffixed = [f"{c}{suffix}" for c in right_cols]
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField(on_r, rsch[on].dataType, True)]
+        + [StructField(f"{c}{suffix}", rsch[c].dataType, True) for c in right_cols]
+    )
+    # rename the right side BEFORE the cogroup: when both sides derive
+    # from the same scan, identically-named columns share attribute ids
+    # and the analyzer silently drops the right's copy from its frame
+    right_renamed = right.select(
+        by,
+        F.col(on).alias(on_r),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame({f.name: pd.Series(dtype=object) for f in out_schema.fields})
+        if rpdf.empty:
+            # a key with no right rows arrives as a zero-column frame
+            rpdf = pd.DataFrame({c: pd.Series(dtype="object") for c in (on_r, *suffixed)})
+        lpdf = lpdf[lcols].sort_values(on, kind="mergesort")
+        rpdf = rpdf[[on_r, *suffixed]].dropna(subset=[on_r]).sort_values(on_r, kind="mergesort")
+        return pd.merge_asof(lpdf, rpdf, left_on=on, right_on=on_r, direction=direction)
+
+    return (
+        left.groupBy(by)
+        .cogroup(right_renamed.groupBy(by))
+        .applyInPandas(lambda lp, rp: merge(lp, rp), schema=out_schema)
+    )

@@ -885,3 +885,34 @@ def q70_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "q71_asof_cogroup",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.ts AS click_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "asof", "udf"),
+)
+def q71_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, merge_asof formulation (operators/asof.py): both
+    sides co-shuffled by user, per-key sorted merge in pandas — O(n+m)
+    per key with no candidate fan-out, the scale path when keys have
+    long histories. Checked against DuckDB's native ASOF JOIN. Only
+    the matched timestamp is surfaced (among equal timestamps the
+    matched *row* is tie-ambiguous; the max ts is not)."""
+    prep(spark)
+    from ..operators.asof import asof_join_cogroup
+
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_eid")
+    )
+    out = asof_join_cogroup(p, c, on="ts", by="user_id")
+    return out.select(
+        F.col("event_id").alias("purchase_id"), F.col("ts_right").alias("click_ts")
+    )
