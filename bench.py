@@ -44,7 +44,12 @@ HEADLINE = (
     "q42_tfidf",
     "q49_knn_bruteforce",
     "q50_minhash_lsh",
+    "q52_ann_lsh_topk",
     "q56_sessionization",
+    "q66_ann_ivf_topk",
+    "q68_sliding_window",
+    "q70_bucketed_join",
+    "q71_asof_cogroup",
 )
 
 

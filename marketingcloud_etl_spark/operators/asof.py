@@ -77,13 +77,21 @@ def asof_join_cogroup(
     by: str,
     direction: str = "backward",
     suffix: str = "_right",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Same semantics as :func:`asof_join`, via the cogrouped-map API:
-    ``groupBy().cogroup().applyInPandas`` co-shuffles both sides by the
-    key and hands each key's two frames to one pandas ``merge_asof`` —
-    no union/tag pass, one Arrow exchange per side. Prefer this
+    ``groupBy().cogroup().applyInPandas`` co-shuffles both sides and
+    hands each group's two frames to one pandas ``merge_asof`` — no
+    union/tag pass, one Arrow exchange per side. Prefer this
     formulation; the union form exists for Spark builds without
-    cogroup."""
+    cogroup.
+
+    Cogrouping is by ``hash(key) % n_buckets``, not the raw key: one
+    pandas call handles a whole bucket of keys (``merge_asof(by=key)``
+    is vectorized across keys), so per-group Python/Arrow overhead is
+    paid n_buckets times, not once per distinct key — the difference
+    between ~10² and ~10⁶ python calls at scale. Keys never split
+    across buckets, so semantics are unchanged."""
     right_cols = [c for c in right.columns if c not in (on, by)]
     lcols = list(left.columns)
     rsch = {f.name: f for f in right.schema.fields}
@@ -106,15 +114,35 @@ def asof_join_cogroup(
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
             return pd.DataFrame({f.name: pd.Series(dtype=object) for f in out_schema.fields})
-        if rpdf.empty:
-            # a key with no right rows arrives as a zero-column frame
-            rpdf = pd.DataFrame({c: pd.Series(dtype="object") for c in (on_r, *suffixed)})
+        if rpdf.empty or f"{by}__r" not in rpdf.columns:
+            # a bucket with no right rows arrives as a zero-column frame;
+            # rebuild it with merge-compatible dtypes
+            rpdf = pd.DataFrame(
+                {
+                    f"{by}__r": pd.Series(dtype=lpdf[by].dtype),
+                    on_r: pd.Series(dtype=lpdf[on].dtype),
+                    **{c: pd.Series(dtype="object") for c in suffixed},
+                }
+            )
         lpdf = lpdf[lcols].sort_values(on, kind="mergesort")
-        rpdf = rpdf[[on_r, *suffixed]].dropna(subset=[on_r]).sort_values(on_r, kind="mergesort")
-        return pd.merge_asof(lpdf, rpdf, left_on=on, right_on=on_r, direction=direction)
+        rpdf = (
+            rpdf[[f"{by}__r", on_r, *suffixed]]
+            .dropna(subset=[on_r])
+            .sort_values(on_r, kind="mergesort")
+            .rename(columns={f"{by}__r": by})
+        )
+        out = pd.merge_asof(
+            lpdf, rpdf, left_on=on, right_on=on_r, by=by, direction=direction
+        )
+        return out[[f.name for f in out_schema.fields]]
 
+    bkt = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets))  # noqa: E731
+    left_b = left.withColumn("__bkt", bkt(by))
+    right_b = right_renamed.withColumnRenamed(by, f"{by}__r").withColumn(
+        "__bkt", bkt(f"{by}__r")
+    )
     return (
-        left.groupBy(by)
-        .cogroup(right_renamed.groupBy(by))
+        left_b.groupBy("__bkt")
+        .cogroup(right_b.groupBy("__bkt"))
         .applyInPandas(lambda lp, rp: merge(lp, rp), schema=out_schema)
     )

@@ -74,3 +74,54 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return df.select(id_col, "payload", "meta").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_no int, frame_offset long, frame_digest string"
+
+
+def frame_sample(df: DataFrame, id_col: str = "doc_id", frame_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """One-to-many frame sampling over binary payloads via mapInPandas:
+    the payload is treated as a fake video whose "frames" are
+    fixed-width byte windows; up to ``max_frames`` frames sample
+    evenly across the payload (deterministic offsets + digests).
+
+    A real deployment swaps the window slicing for ffmpeg keyframe
+    extraction; the Spark shape is the part that matters at scale —
+    binary in, bounded typed fan-out per record, Arrow-batched, no
+    driver involvement."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, offs, digs = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                p = payload if isinstance(payload, bytes) else bytes(payload)
+                n_frames = min(max_frames, max(1, len(p) // frame_bytes))
+                stride = max(1, (len(p) - frame_bytes) // max(1, n_frames - 1)) if n_frames > 1 else 0
+                for i in range(n_frames):
+                    off = i * stride
+                    ids.append(int(doc_id))
+                    nos.append(i)
+                    offs.append(off)
+                    digs.append(hashlib.md5(p[off : off + frame_bytes]).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame_offset": offs, "frame_digest": digs}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Decode-free resize planning: given extracted (width, height)
+    metadata, compute the aspect-preserving output dims + scale factor
+    as plain columns (stays in codegen). The actual pixel resample
+    belongs inside the decode UDF; this keeps the planning relational
+    so Catalyst can filter/prune on it (e.g. skip no-op resizes)."""
+    scale = F.least(
+        F.lit(float(target_w)) / F.col("width"), F.lit(float(target_h)) / F.col("height")
+    )
+    return (
+        df.withColumn("scale", F.round(scale, 6))
+        .withColumn("out_w", F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int"))
+        .withColumn("out_h", F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int"))
+        .withColumn("is_noop", (F.col("out_w") == F.col("width")) & (F.col("out_h") == F.col("height")))
+    )

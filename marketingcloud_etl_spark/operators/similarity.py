@@ -107,29 +107,74 @@ def ann_lsh_topk(
     deduplicated candidate set.
 
     Candidate join cost is O(n·tables·probes); never the n×q cross
-    product — this is the 100 TB similarity path."""
-    cand = None
-    for t in range(n_tables):
-        tseed = seed + 7919 * t
-        c = random_hyperplane_lsh(corpus, dim, n_planes, tseed, vec_col).select(
-            F.col(id_col).alias("neighbor_id"), F.col("lsh_bucket")
+    product — this is the 100 TB similarity path.
+
+    All ``n_tables × n_planes`` hyperplane dots fold in ONE expression
+    per row (a transform over a literal plane matrix), and the per-table
+    buckets explode to (table, bucket) rows joined once — not one
+    signature pass + join per table, which costs tables× the vector
+    work in the interpreted HOF evaluator and tables× the join stages.
+    """
+    all_planes = [
+        _hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
+    ]
+    # signature computation is CPU-heavy and narrow — spread a
+    # single-file corpus across all cores (real clusters get this from
+    # their input splits)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
+
+    def bucket_rows(df: DataFrame, out_id: str) -> DataFrame:
+        # One SQL expression computes every table's bucket in a single
+        # pass: vector read once, all n_tables*n_planes dots folded once,
+        # sign bits packed per table. Two structural tricks:
+        #   * the whole thing is ONE F.expr — a literal plane matrix via
+        #     3072 F.lit() calls plus nested Python lambdas costs seconds
+        #     of py4j round-trips PER CALL at plan-build time;
+        #   * vector and dot array are let-bound through single-element
+        #     transform lambdas — a lambda argument is evaluated once
+        #     per row, whereas a single-statically-referenced alias gets
+        #     inlined by CollapseProject and re-evaluated on every
+        #     inner-lambda iteration (~50x the runtime work here).
+        flat = [p for planes in all_planes for p in planes]
+        planes_sql = (
+            "array("
+            + ",".join("array(" + ",".join(f"{x!r}D" for x in p) + ")" for p in flat)
+            + ")"
         )
-        q = random_hyperplane_lsh(queries, dim, n_planes, tseed, vec_col).select(
-            F.col(id_col).alias("query_id"), F.col("lsh_bucket")
+        dots_sql = (
+            f"transform({planes_sql}, p -> "
+            f"aggregate(zip_with(v, p, (a, b) -> a * b), 0D, (acc, x) -> acc + x))"
         )
-        if multiprobe:
-            probes = F.array(
-                F.col("lsh_bucket"),
-                *[F.col("lsh_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
-            )
-            q = q.withColumn("probe_bucket", F.explode(probes)).drop("lsh_bucket")
-        else:
-            q = q.withColumnRenamed("lsh_bucket", "probe_bucket")
-        pairs = c.join(F.broadcast(q), c.lsh_bucket == q.probe_bucket).filter(
-            F.col("neighbor_id") != F.col("query_id")
-        ).select("query_id", "neighbor_id")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+        buckets_sql = (
+            f"transform(sequence(0, {n_tables - 1}), t -> "
+            f"aggregate(sequence(0, {n_planes - 1}), 0, (acc, i) -> "
+            f"acc + if(element_at(d, t * {n_planes} + i + 1) >= 0D, "
+            f"cast(pow(2D, i) as int), 0)))"
+        )
+        expr = (
+            f"element_at(transform(array(cast({vec_col} as array<double>)), v -> "
+            f"element_at(transform(array({dots_sql}), d -> {buckets_sql}), 1)), 1)"
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(F.expr(expr)).alias("table_id", "bucket")
+        )
+
+    c = bucket_rows(corpus, "neighbor_id")
+    q = bucket_rows(queries, "query_id")
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q = q.select("query_id", "table_id", F.explode(probes).alias("bucket"))
+    cand = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     c_vec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     scored = (

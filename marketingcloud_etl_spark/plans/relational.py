@@ -916,3 +916,36 @@ def q71_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("event_id").alias("purchase_id"), F.col("ts_right").alias("click_ts")
     )
+
+
+@query(
+    "q72_salted_join",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           cast(sum(cast(l_quantity as decimal(12,2))) as double) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "scale"),
+)
+def q72_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (operators/skew.py): the skewed side gets a
+    deterministic per-row salt, the other side replicates across all
+    salts, the join runs on (key, salt) — identical results, hot keys
+    spread over n_salts partitions. Oracle = the plain join, proving
+    result equality; the partitioning is the only thing that changes."""
+    prep(spark)
+    from ..operators.skew import salted_join_key
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li_s, o_s = salted_join_key(li, o, key="l_orderkey", n_salts=8)
+    joined = li_s.join(
+        o_s, (li_s.l_orderkey == o_s.o_orderkey) & (li_s["__salt"] == o_s["__salt"])
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(dec("l_quantity", 12, 2)).cast("double").alias("total_qty"),
+    )

@@ -144,3 +144,26 @@ def q66_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return ann_ivf_topk(e, q, k=5, n_cells=16, n_probe=6)
+
+
+@query("q73_frame_sample_resize", oracle=None, tags=("multimodal", "rows-only"))
+def q73_frame_sample_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: attach binary payloads → sample frames
+    (mapInPandas one-to-many) → extract per-doc dims → plan aspect-
+    preserving resizes — decode stubbed, every Spark boundary real.
+    Deterministic digests pin the values run-over-run (tests)."""
+    prep(spark)
+    from ..operators.multimodal import attach_binary_payload, extract_features, frame_sample, resize_plan
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = attach_binary_payload(d)
+    frames = frame_sample(media)
+    feats = resize_plan(extract_features(media), target_w=224, target_h=224)
+    return (
+        frames.join(feats.select("doc_id", "width", "height", "out_w", "out_h", "is_noop"), "doc_id")
+        .groupBy("doc_id", "width", "height", "out_w", "out_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min("frame_digest").alias("first_digest"),
+        )
+    )

@@ -40,6 +40,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # keep managed-table metadata out of the working directory
+        .config("spark.sql.warehouse.dir", "/tmp/mcetl_warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
