@@ -868,10 +868,22 @@ def q70_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = {"lineitem": f"li_bkt_{tag}", "orders": f"ord_bkt_{tag}"}
     keys = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
     for t, name in names.items():
-        if not spark.catalog.tableExists(name):
+        if spark.catalog.tableExists(name):
+            continue
+        src = table(spark, sf_dir, t)
+        if os.path.exists(f"{base}/{name}/_SUCCESS"):
+            # data already on disk from an earlier session — register
+            # the bucketed DDL instead of rewriting (bucket metadata
+            # lives in the catalog, not the files)
+            cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields)
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING parquet "
+                f"CLUSTERED BY ({keys[t]}) SORTED BY ({keys[t]}) INTO 8 BUCKETS "
+                f"LOCATION '{base}/{name}'"
+            )
+        else:
             (
-                table(spark, sf_dir, t)
-                .write.bucketBy(8, keys[t])
+                src.write.bucketBy(8, keys[t])
                 .sortBy(keys[t])
                 .option("path", f"{base}/{name}")
                 .mode("overwrite")

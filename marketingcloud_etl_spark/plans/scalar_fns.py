@@ -209,3 +209,33 @@ def q32_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         F.when(F.col("pj.k") > 50, "high").otherwise("low").alias("k_band"),
     )
+
+
+@query(
+    "q74_map_funcs",
+    oracle="""
+    SELECT event_type,
+           'k' AS first_key,
+           count(*) AS n,
+           cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint)
+             AS sum_vals
+    FROM events GROUP BY event_type
+    """,
+    tags=("scalar", "map"),
+)
+def q74_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: from_json to map<string,string>, map_keys,
+    explode of the map to (key, value) rows, re-aggregated. The oracle
+    reaches the same numbers through JSON path extraction."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    m = e.withColumn("pm", F.from_json("props", "map<string,string>"))
+    exploded = m.select(
+        "event_type",
+        F.element_at(F.map_keys("pm"), 1).alias("first_key"),
+        F.explode("pm").alias("k", "v"),
+    )
+    return exploded.groupBy("event_type", "first_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("long")).alias("sum_vals"),
+    )

@@ -185,3 +185,49 @@ def q69_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "q75_stream_foreachbatch_upsert",
+    oracle="""
+    SELECT event_type, count(*) AS n_rows,
+           cast(sum(cast(value as decimal(14,2))) as double) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "sink"),
+)
+def q75_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink — the reference's insert-ignore loader
+    (R12) in streaming form: every micro-batch anti-joins the parquet
+    target on event_id and appends only new rows. Because replay
+    micro-batches overlap nothing and event_id is unique, the final
+    target must equal the source table exactly — which the oracle
+    checks by value."""
+    import os
+    import shutil
+
+    prep(spark)
+    from ..sinks.upsert import upsert_parquet
+    from ..streaming.jobs import events_stream
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    target = f"/tmp/mcetl_febatch_{tag}"
+    shutil.rmtree(target, ignore_errors=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(batch_df, target, key="event_id")
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{target}_ckpt_new")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(f"{target}_ckpt_new", ignore_errors=True)
+    out = spark.read.parquet(target)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
+    )
