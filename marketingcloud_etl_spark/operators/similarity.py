@@ -258,6 +258,9 @@ def ann_ivf_topk(
             .select(idc, "cell", out_vec)
         )
 
+    # both assignment branches read the codebook — persist so the Lloyd
+    # pipeline runs once, not once per branch
+    cents = cents.persist()
     corpus_cells = nearest_cells(corpus, "neighbor_id", 1, "c_vec")
     query_cells = nearest_cells(queries, "query_id", n_probe, "q_vec")
     scored = (

@@ -961,3 +961,129 @@ def q72_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(dec("l_quantity", 12, 2)).cast("double").alias("total_qty"),
     )
+
+
+@query(
+    "q76_partition_pruning",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, count(*) AS n,
+           cast(sum(cast(value as decimal(14,2))) as double) AS total_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("scan", "scale"),
+)
+def q76_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning: events written
+    partitioned by event_type, then a single-type query — the scan
+    touches ONE partition directory (PartitionFilters in the plan,
+    pinned in tests), the at-scale layout for low-cardinality hot
+    filters. The oracle computes the same result from the unpartitioned
+    table."""
+    import os
+
+    prep(spark)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/tmp/mcetl_part_events_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
+    e = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "q77_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           cast(sum(cast(l_extendedprice as decimal(12,2))
+                    * (1.00 - cast(l_discount as decimal(4,2)))) as double) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "headline"),
+)
+def q77_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority shape (TPC-H Q3): three-table join with
+    selective filters on both fact and dimension sides, revenue
+    aggregation, top-10 — the canonical filter-pushdown + broadcast +
+    partial-agg pipeline."""
+    prep(spark)
+    cutoff = "1998-03-15"
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                dec("l_extendedprice", 12, 2)
+                * (F.lit(1.00).cast("decimal(4,2)") - dec("l_discount", 4, 2))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q78_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           cast(sum(cast(l_extendedprice as decimal(12,2))
+                    * (1.00 - cast(l_discount as decimal(4,2)))) as double) AS revenue,
+           count(*) AS n_lines
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "headline"),
+)
+def q78_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting shape (TPC-H Q10): fact filter + three
+    dimension joins + grouped revenue + top-20. Dimensions broadcast;
+    the one shuffle is the final aggregation on customer."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice", 12, 2)
+                * (F.lit(1.00).cast("decimal(4,2)") - dec("l_discount", 4, 2))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

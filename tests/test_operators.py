@@ -156,3 +156,21 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_partition_pruning_scan(spark, sf_dir):
+    """q76's layout claim: the single-type query scans one partition
+    directory (partition filters present, no full-table scan)."""
+    from marketingcloud_etl_spark.plans.catalog import load_all
+
+    load_all()["q76_partition_pruning"].fn(spark, sf_dir)  # materializes layout
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    df = (
+        spark.read.parquet(f"/tmp/mcetl_part_events_{tag}")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan
+    n_all = spark.read.parquet(f"/tmp/mcetl_part_events_{tag}").count()
+    assert df.count() < n_all  # genuinely pruned subset
