@@ -1087,3 +1087,35 @@ def q78_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q80_sql_correlated_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "sql"),
+)
+def q80_sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text interface end-to-end (TPC-H Q4 shape): temp views +
+    spark.sql with a correlated EXISTS subquery, which Catalyst
+    decorrelates into a semi join — the one subquery form the
+    DataFrame API can't write directly."""
+    prep(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )

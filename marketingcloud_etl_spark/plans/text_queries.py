@@ -271,3 +271,59 @@ def q46_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fingerprint").alias("n_unique"),
         )
     )
+
+
+@query(
+    "q79_rolling_hash",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform({_TOKS},
+                            t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS h
+      FROM documents WHERE doc_id < 300
+    ), w AS (
+      SELECT doc_id,
+             list_transform(range(1, len(h) - 2),
+                            i -> list_reduce(h[i : i + 3],
+                                             (acc, x) -> (acc * 257 + x) % 2147483647)) AS wh
+      FROM th WHERE len(h) >= 4
+    )
+    SELECT doc_id,
+           cast(len(wh) as bigint) AS n_windows,
+           list_min(wh) AS min_hash,
+           cast(len(list_distinct(wh)) as bigint) AS n_distinct
+    FROM w
+    """,
+    tags=("text", "dedup"),
+)
+def q79_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprinting (Rabin-Karp over 4-token windows,
+    the winnowing primitive): polynomial fold (acc·257 + h) mod p over
+    each window of 32-bit token hashes. Every value is exact integer
+    arithmetic shared with the oracle (md5-prefix token hashes, the
+    same modulus), so the whole fingerprint table hash-matches."""
+    prep(spark)
+    k, b, p = 4, 257, (1 << 31) - 1
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    th = F.transform(
+        tokens("text"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    d = d.withColumn("h", th).filter(F.size("h") >= k)
+    # h is referenced twice (size + slice) so CollapseProject keeps the
+    # alias materialized; each window folds its k hashes
+    wh = F.transform(
+        F.sequence(F.lit(1), F.size("h") - (k - 1)),
+        lambda i: F.aggregate(
+            F.slice("h", i, k),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: F.pmod(acc * b + x, F.lit(p)),
+        ),
+    )
+    d = d.withColumn("wh", wh)
+    return d.select(
+        "doc_id",
+        F.size("wh").cast("bigint").alias("n_windows"),
+        F.array_min("wh").alias("min_hash"),
+        F.size(F.array_distinct("wh")).cast("bigint").alias("n_distinct"),
+    )
