@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dec", "dsum", "davg", "dmul"]
+__all__ = ["dec"]
 
 
 def _col(c: Column | str) -> Column:
@@ -34,20 +34,3 @@ def _col(c: Column | str) -> Column:
 def dec(c: Column | str, prec: int = 18, scale: int = 4) -> Column:
     """Exact decimal view of a money/measure double column."""
     return _col(c).cast(f"decimal({prec},{scale})")
-
-
-def dmul(a: Column, b: Column) -> Column:
-    """Decimal product (operands must already be decimal-cast)."""
-    return a * b
-
-
-def dsum(c: Column, alias: str | None = None) -> Column:
-    """Exact decimal sum, surfaced as double."""
-    out = F.sum(c).cast("double")
-    return out.alias(alias) if alias else out
-
-
-def davg(c: Column, count_col: Column | None = None, alias: str | None = None) -> Column:
-    """avg = cast(sum_dec as double) / count — deterministic both engines."""
-    out = F.sum(c).cast("double") / F.count(F.lit(1))
-    return out.alias(alias) if alias else out

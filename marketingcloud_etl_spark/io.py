@@ -37,6 +37,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects; read it as raw nanos and truncate to micros with
         # integer division (ns div 1000) — identical to DuckDB's ns→us
         # truncation, so oracle comparisons stay exact.
+        # NOTE: nanosAsLong stays set for the session — any later
+        # TIMESTAMP(NANOS) parquet read also comes back as bigint. The
+        # `ts` dtype check below is the pattern such readers must copy.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":

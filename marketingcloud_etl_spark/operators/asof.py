@@ -53,19 +53,26 @@ def asof_join(
         lpdf = pdf[pdf["__side"] == 0][lcols].sort_values(on, kind="mergesort")
         if lpdf.empty:
             return pd.DataFrame({f.name: pd.Series(dtype=object) for f in out_schema.fields})
+        # merge_asof raises on null merge keys: null-ts left rows match
+        # nothing by definition, so route them around the merge
+        null_left = lpdf[lpdf[on].isna()]
+        lpdf = lpdf[lpdf[on].notna()]
         rpdf = (
             pdf[pdf["__side"] == 1][[on, *right_cols]]
             .dropna(subset=[on])
             .sort_values(on, kind="mergesort")
             .rename(columns=renames)
         )
-        return pd.merge_asof(
+        merged = pd.merge_asof(
             lpdf,
             rpdf,
             left_on=on,
             right_on=f"{on}{suffix}",
             direction=direction,
         )
+        if not null_left.empty:
+            merged = pd.concat([merged, null_left], ignore_index=True)
+        return merged
 
     return unioned.groupBy(by).applyInPandas(lambda pdf: per_group(pdf), schema=out_schema)
 
@@ -125,6 +132,10 @@ def asof_join_cogroup(
                 }
             )
         lpdf = lpdf[lcols].sort_values(on, kind="mergesort")
+        # merge_asof raises on null merge keys: null-ts left rows match
+        # nothing by definition, so route them around the merge
+        null_left = lpdf[lpdf[on].isna()]
+        lpdf = lpdf[lpdf[on].notna()]
         rpdf = (
             rpdf[[f"{by}__r", on_r, *suffixed]]
             .dropna(subset=[on_r])
@@ -134,6 +145,8 @@ def asof_join_cogroup(
         out = pd.merge_asof(
             lpdf, rpdf, left_on=on, right_on=on_r, by=by, direction=direction
         )
+        if not null_left.empty:
+            out = pd.concat([out, null_left], ignore_index=True)
         return out[[f.name for f in out_schema.fields]]
 
     bkt = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets))  # noqa: E731

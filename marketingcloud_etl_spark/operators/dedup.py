@@ -132,6 +132,11 @@ def minhash_lsh_candidates(
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
+    # docs too short to form a single shingle all share the sentinel
+    # signature — banding them would put every short doc in one bucket
+    # (quadratic false-candidate blowup), so they are excluded: with no
+    # shingles there is no shingle-set similarity to detect
+    df = df.filter(F.size(tokens(text_col)) >= shingle_n)
     sig = minhash_signature(df, text_col, num_perm, shingle_n, seed).select(id_col, "minhash_sig")
     band_structs = F.array(
         *[
@@ -206,6 +211,9 @@ def simhash_band_candidates(
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
+    # token-less docs share simhash 0 — same bucket-collision blowup as
+    # empty-shingle MinHash; exclude them (nothing to compare)
+    df = df.filter(F.size(tokens(text_col)) > 0)
     sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("simhash"))
     band_structs = F.array(
         *[

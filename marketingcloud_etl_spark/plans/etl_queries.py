@@ -276,12 +276,12 @@ def q67_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "event_id bigint, event_type string, value double"
     c = spark.read.schema(schema).option("header", True).csv(f"{base}/csv")
     j = spark.read.schema(schema).json(f"{base}/json")
-    # cross-format agreement: every row identical in both round-trips
-    mismatches = c.join(j, ["event_id", "event_type", "value"], "full_outer").filter(
-        F.col("event_id").isNull()
-    )
+    # cross-format agreement: symmetric difference must be empty (a
+    # USING full-outer join coalesces the key columns, so a null-key
+    # filter over it can never fire — exceptAll is the real check)
+    n_mismatch = c.exceptAll(j).count() + j.exceptAll(c).count()
     agg = c.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
     )
-    return agg.filter(F.lit(mismatches.count() == 0))
+    return agg.filter(F.lit(n_mismatch == 0))

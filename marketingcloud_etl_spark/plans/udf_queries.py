@@ -77,10 +77,13 @@ def q62_pandas_udf_vecnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY lang
     )
     SELECT d.doc_id, d.lang,
-           round((d.n_chars - cast(s as double) / n)
-                 / sqrt(cast(ss as double) / n
-                        - (cast(s as double) / n) * (cast(s as double) / n)),
-                 6) AS z
+           CASE WHEN cast(ss as double) / n
+                     - (cast(s as double) / n) * (cast(s as double) / n) > 0
+                THEN round((d.n_chars - cast(s as double) / n)
+                           / sqrt(cast(ss as double) / n
+                                  - (cast(s as double) / n) * (cast(s as double) / n)),
+                           6)
+                ELSE NULL END AS z
     FROM documents d JOIN stats USING (lang)
     """,
     tags=("udf", "text"),
@@ -104,7 +107,8 @@ def q63_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean = s / n
         var = ss / n - mean * mean
         sd = var**0.5
-        z = [round((v - mean) / sd, 6) for v in vals]
+        # constant-length group (e.g. a lang with one doc): z undefined
+        z = [round((v - mean) / sd, 6) if sd > 0 else None for v in vals]
         return pd.DataFrame(
             {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z": z}
         )

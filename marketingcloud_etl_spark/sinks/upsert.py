@@ -45,6 +45,10 @@ def upsert_parquet(
     collapsed first (dropDuplicates), mirroring the reference's unique
     constraint. Returns {"inserted": n, "skipped": m}."""
     spark = df.sparkSession
+    # persist the INPUT: both the anti-join and the `total` count read
+    # it, and re-executing the lineage would re-run the source — for a
+    # REST-backed batch that means every page fetched over HTTP twice
+    df = df.persist()
     batch = df.dropDuplicates([key])
     target_exists = _parquet_exists(spark, path)
     if target_exists:
@@ -64,6 +68,7 @@ def upsert_parquet(
         return {"inserted": inserted, "skipped": total - inserted}
     finally:
         new_rows.unpersist()
+        df.unpersist()
 
 
 def _parquet_exists(spark: SparkSession, path: str) -> bool:

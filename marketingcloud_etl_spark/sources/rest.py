@@ -78,18 +78,27 @@ def fetch_page(base_url: str, page: int, token: str, auth: tuple[str, str, str] 
 
 def plan_pages(api_count: int, db_count: int, page_size: int = DEFAULT_PAGE_SIZE) -> list[int]:
     """R3 scan pruning: resume at the page containing the first un-
-    ingested record; empty plan when nothing new (:264, :271-280)."""
+    ingested record; empty plan when nothing new (:264, :271-280).
+
+    floor(db_count/page_size)+1, not the reference's ceil(:264): when
+    db_count lands exactly on a page boundary the boundary page is
+    fully ingested and ceil would re-download it every run; a partially
+    ingested page still re-fetches (its duplicates die in the
+    anti-join, the reference's unique-constraint safety net)."""
     if api_count <= db_count:
         return []
-    start_page = max(1, math.ceil(db_count / page_size)) if db_count else 1
+    start_page = db_count // page_size + 1
     total_pages = math.ceil(api_count / page_size)
     return list(range(start_page, total_pages + 1))
 
 
 class _PagePartition(InputPartition):
-    def __init__(self, page: int, token: str):
+    def __init__(self, page: int, token: str, cached_resp: dict | None = None):
         self.page = page
         self.token = token
+        # the partitions() count probe already downloaded page 1 — ship
+        # its payload with the partition instead of fetching it twice
+        self.cached_resp = cached_resp
 
 
 class _RestPagesReader(DataSourceReader):
@@ -114,11 +123,14 @@ class _RestPagesReader(DataSourceReader):
         )
         api_count = int(probe.get("count", 0))
         pages = plan_pages(api_count, self.db_count, self.page_size)
-        return [_PagePartition(p, token) for p in pages]
+        return [_PagePartition(p, token, probe if p == 1 else None) for p in pages]
 
     def read(self, partition: _PagePartition) -> Iterator[tuple]:
-        auth = (self.auth_url, self.client_id, self.client_secret) if self.auth_url else None
-        resp = fetch_page(self.base_url, partition.page, partition.token, auth)
+        if partition.cached_resp is not None:
+            resp = partition.cached_resp
+        else:
+            auth = (self.auth_url, self.client_id, self.client_secret) if self.auth_url else None
+            resp = fetch_page(self.base_url, partition.page, partition.token, auth)
         for item in resp.get("items", []):
             keys = item.get("keys", {}) or {}
             values = item.get("values", {}) or {}

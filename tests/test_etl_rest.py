@@ -43,10 +43,11 @@ def _bulk(spark, server, target) -> int:
 def test_plan_pages_pruning_math():
     # R3: resume at the page holding the first un-ingested record
     assert plan_pages(35, 0, 10) == [1, 2, 3, 4]
-    assert plan_pages(35, 34, 10) == [4]
+    assert plan_pages(35, 34, 10) == [4]  # partial boundary page refetches
     assert plan_pages(35, 35, 10) == []  # nothing new → no fetch at all
     assert plan_pages(0, 0, 10) == []
-    assert plan_pages(2500 * 3, 2500, 2500) == [1, 2, 3]  # boundary page refetches
+    # exact page boundary: page 1 fully ingested → start at page 2
+    assert plan_pages(2500 * 3, 2500, 2500) == [2, 3]
 
 
 def test_bulk_flatten_clean_dedup(spark, server, tmp_path):
