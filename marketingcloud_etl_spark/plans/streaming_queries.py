@@ -213,6 +213,10 @@ def q75_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
     tag = os.path.basename(sf_dir.rstrip("/"))
     target = f"/tmp/mcetl_febatch_{tag}"
     shutil.rmtree(target, ignore_errors=True)
+    # also clear any checkpoint a crashed earlier run left behind —
+    # stale offsets would make the stream skip every file against the
+    # freshly-emptied target
+    shutil.rmtree(f"{target}_ckpt_new", ignore_errors=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         upsert_parquet(batch_df, target, key="event_id")
