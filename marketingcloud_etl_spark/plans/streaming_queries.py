@@ -235,3 +235,38 @@ def q75_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "q81_stateful_running_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           cast(sum(cast(round(value * 100) as bigint)) as bigint) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def q81_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState end-to-end: the custom stateful operator
+    emits each user's cumulative (count, cents) per micro-batch; the
+    final emission per user — cumulative, so the row with the max
+    count — must equal the plain batch aggregate, which the oracle
+    checks by value. Cents are summed as exact integers on both sides
+    (per-row rounding first: a float sum of 2-dp doubles then one
+    round drifts at batch boundaries)."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    from ..streaming.jobs import events_stream, run_to_memory, stateful_running_totals
+
+    out = run_to_memory(
+        stateful_running_totals(events_stream(spark, sf_dir)),
+        "q81_out",
+        output_mode="update",
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )

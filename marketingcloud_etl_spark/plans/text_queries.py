@@ -327,3 +327,38 @@ def q79_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("wh").alias("min_hash"),
         F.size(F.array_distinct("wh")).cast("bigint").alias("n_distinct"),
     )
+
+
+@query(
+    "q82_bpe_token_count",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS n_ws
+      FROM documents
+    )
+    SELECT source,
+           cast(sum(n_bpe) as bigint) AS total_bpe_tokens,
+           cast(sum(n_ws) as bigint) AS total_ws_tokens,
+           round(cast(sum(n_bpe) as double) / sum(n_ws), 6) AS bpe_per_word
+    FROM t GROUP BY source
+    """,
+    tags=("text",),
+)
+def q82_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (the LLM-pipeline budget estimator):
+    whitespace words and a BPE-ish pre-tokenizer regex (letter runs |
+    single digits | single punctuation — the GPT-2 pre-tokenizer's
+    coarse shape). Same pattern evaluates identically under Java regex
+    and RE2, so the counts hash-match the oracle."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)))
+    n_ws = F.size(tokens("text"))
+    t = d.select("source", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
+    return t.groupBy("source").agg(
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.sum("n_ws").alias("total_ws_tokens"),
+        F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6).alias("bpe_per_word"),
+    )

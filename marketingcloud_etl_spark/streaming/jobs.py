@@ -103,3 +103,29 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stateful_running_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    cumulative event count and value total (in exact integer cents),
+    re-emitted on every micro-batch that touches the user. The state
+    row is the operator's whole memory — nothing grows with stream
+    length, the at-scale property flatMapGroupsWithState exists for."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(round(float(pdf["value"].sum()) * 100))
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
