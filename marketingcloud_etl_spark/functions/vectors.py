@@ -37,7 +37,12 @@ def l2norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2norm(a) * l2norm(b))
+    # zero-norm guard: 0/0 would be NaN, and Spark orders NaN as the
+    # LARGEST double — an all-zero embedding would outrank every real
+    # neighbor in a cos-desc top-k. Define cosine with a zero vector
+    # as 0.0 (no directional similarity).
+    denom = l2norm(a) * l2norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -49,5 +54,7 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 def cosine_sql(a: str, b: str) -> str:
-    """DuckDB SQL mirroring :func:`cosine` operation-for-operation."""
-    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    """DuckDB SQL mirroring :func:`cosine` operation-for-operation,
+    including the zero-norm → 0.0 guard."""
+    denom = f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    return f"(CASE WHEN {denom} > 0 THEN {_dot_sql(a, b)} / {denom} ELSE 0.0 END)"

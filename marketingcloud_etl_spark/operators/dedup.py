@@ -109,6 +109,37 @@ def minhash_signature(
     return df.withColumn("__mh_sh", sh).withColumn(sig_col, F.expr(agg_sql)).drop("__mh_sh")
 
 
+def _spread_partitions(df: DataFrame) -> DataFrame:
+    """Spread a CPU-heavy narrow stage over all cores even when the
+    input is a single small file (one partition); on a real cluster the
+    input splits already provide this."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
+def _banded_candidates(buckets: DataFrame) -> DataFrame:
+    """Self-join a (id, band, bucket) table into candidate pairs:
+    docs colliding in any band become a pair, counted across bands.
+    The input is persisted because the self-join reads it twice —
+    without it the producing pipeline executes once per join side.
+    (The cache block lives until session end or LRU eviction; tiny —
+    docs×bands rows of three scalars.)"""
+    buckets = buckets.persist()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -125,13 +156,10 @@ def minhash_lsh_candidates(
     shuffle cost is docs×bands rows, candidate generation never reads
     the full cross product. Returns (id_a, id_b, n_shared_bands).
     """
+    if num_perm % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
     rows = num_perm // bands
-    # signature computation is CPU-heavy and narrow: spread it over all
-    # cores even when the input is a single small file (one partition);
-    # on a real cluster the input splits already provide this
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = _spread_partitions(df)
     # docs too short to form a single shingle all share the sentinel
     # signature — banding them would put every short doc in one bucket
     # (quadratic false-candidate blowup), so they are excluded: with no
@@ -147,25 +175,10 @@ def minhash_lsh_candidates(
             for i in range(bands)
         ]
     )
-    buckets = (
-        sig.withColumn("bb", F.explode(band_structs))
-        .select(F.col(id_col).alias("id"), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        # persisted because the self-join below reads it twice — without
-        # this the full signature pipeline executes once per join side
-        .persist()
+    buckets = sig.withColumn("bb", F.explode(band_structs)).select(
+        F.col(id_col).alias("id"), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
+    return _banded_candidates(buckets)
 
 
 # ---------------------------------------------------------------- SimHash
@@ -206,11 +219,11 @@ def simhash_band_candidates(
     """Hamming-near candidates: 64-bit simhash cut into ``bands`` 16-bit
     bands; pairs sharing any band are candidates (≤ bands-1 bit flips
     guaranteed caught for hamming distance < bands)."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = _spread_partitions(df)
     # token-less docs share simhash 0 — same bucket-collision blowup as
     # empty-shingle MinHash; exclude them (nothing to compare)
     df = df.filter(F.size(tokens(text_col)) > 0)
@@ -224,22 +237,10 @@ def simhash_band_candidates(
             for i in range(bands)
         ]
     )
-    buckets = (
-        sh.withColumn("bb", F.explode(band_structs))
-        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .persist()
+    buckets = sh.withColumn("bb", F.explode(band_structs)).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
+    return _banded_candidates(buckets)
 
 
 # ---------------------------------------------------------- n-gram Jaccard

@@ -17,14 +17,14 @@ from pyspark.sql import functions as F
 def salted_join_key(
     skewed: DataFrame,
     replicated: DataFrame,
-    key: str,
     n_salts: int = 16,
     salt_col: str = "__salt",
 ):
-    """Return (skewed', replicated') with a composite (key, salt) join
-    key: skewed rows get one deterministic-per-row salt (hash-based, so
-    re-runs partition identically); replicated rows are duplicated
-    across all salts."""
+    """Return (skewed', replicated') with an extra salt column to join
+    on alongside the key: each skewed row gets one deterministic salt
+    (hash of the whole row — per-ROW, not per-key, since the point is
+    to split a hot key's rows apart; re-runs partition identically);
+    replicated rows are duplicated across all salts."""
     skewed_s = skewed.withColumn(
         salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)).cast("int")
     )

@@ -953,7 +953,7 @@ def q72_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    li_s, o_s = salted_join_key(li, o, key="l_orderkey", n_salts=8)
+    li_s, o_s = salted_join_key(li, o, n_salts=8)
     joined = li_s.join(
         o_s, (li_s.l_orderkey == o_s.o_orderkey) & (li_s["__salt"] == o_s["__salt"])
     )

@@ -73,7 +73,14 @@ def upsert_parquet(
 
 def _parquet_exists(spark: SparkSession, path: str) -> bool:
     if os.path.exists(path):  # local fs fast path
-        return any(n.endswith(".parquet") or n == "_SUCCESS" for n in os.listdir(path))
+        entries = os.listdir(path)
+        if any(n.endswith(".parquet") or n == "_SUCCESS" for n in entries):
+            return True
+        if not entries:
+            return False
+        # a partitioned target has only partition=value/ dirs at the top
+        # level (and possibly no _SUCCESS marker) — fall through to a
+        # real schema probe rather than wrongly skipping the anti-join
     try:
         spark.read.parquet(path).schema
         return True

@@ -118,7 +118,9 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(round(float(pdf["value"].sum()) * 100))
+            # per-row rounding BEFORE summing: one round over a float
+            # batch-sum drifts with micro-batch boundaries
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
 

@@ -116,7 +116,7 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     plain = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
-    li_s, o_s = salted_join_key(li, o, key="l_orderkey", n_salts=4)
+    li_s, o_s = salted_join_key(li, o, n_salts=4)
     salted = (
         li_s.join(o_s, (li_s.l_orderkey == o_s.o_orderkey) & (li_s.__salt == o_s.__salt))
         .groupBy("o_orderstatus")
