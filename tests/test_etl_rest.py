@@ -117,3 +117,25 @@ def test_cli_demo_bulk_then_incremental(spark, tmp_path):
     r2 = cli_main(["incremental", "--demo", "--target", target])
     assert r2["mode"] == "incremental"
     assert r2["inserted"] == 0
+
+
+def test_partitioned_upsert_idempotent(spark, sf_dir, tmp_path):
+    """Partitioned target (top level holds only partition dirs): the
+    existence probe must still see it, or a re-run would double every
+    row — the reviewer-found _SUCCESS-marker gap."""
+    import os
+
+    from marketingcloud_etl_spark.io import table as iotable
+    from marketingcloud_etl_spark.sinks.upsert import upsert_parquet
+
+    target = str(tmp_path / "events_part")
+    e = iotable(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    r1 = upsert_parquet(e, target, key="event_id", partition_cols=["event_type"])
+    assert r1["inserted"] > 0
+    # simulate a committer that writes no top-level _SUCCESS marker
+    marker = os.path.join(target, "_SUCCESS")
+    if os.path.exists(marker):
+        os.remove(marker)
+    r2 = upsert_parquet(e, target, key="event_id", partition_cols=["event_type"])
+    assert r2["inserted"] == 0
+    assert spark.read.parquet(target).count() == r1["inserted"]
