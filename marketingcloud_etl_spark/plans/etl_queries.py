@@ -285,3 +285,33 @@ def q67_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
     )
     return agg.filter(F.lit(n_mismatch == 0))
+
+
+@query("q83_rest_source_ingest", oracle=None, tags=("etl", "source", "rows-only"))
+def q83_rest_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paginated REST DataSource end-to-end (R1-R4), self-contained:
+    an in-process mock SFMC server serves the deterministic corpus, the
+    Spark source plans one partition per page (pruning inside
+    partitions()), and the lead-activity flatten/dedup pipeline runs on
+    top. Deterministic output: 34 rows (35 items, one planted
+    cross-page duplicate), every reference edge case exercised —
+    missing keys, query-string strip, 256-char cap, bad dates.
+    Rows-only: the HTTP source has no DuckDB twin."""
+    prep(spark)
+    from ..etl.lead_activity import flatten_lead_activity, read_lead_activity
+    from ..sources.mock_sfmc import PAGE_SIZE, MockSfmcServer
+
+    with MockSfmcServer(n_items=35) as server:
+        items = read_lead_activity(
+            spark,
+            base_url=server.base_url,
+            auth_url=server.auth_url,
+            client_id="demo",
+            client_secret="demo",
+            page_size=PAGE_SIZE,
+        )
+        flat = flatten_lead_activity(items).dropDuplicates(["hash"])
+        # materialize inside the server's lifetime; the driver only
+        # collects after this function returns
+        rows = flat.collect()
+    return spark.createDataFrame(rows, flat.schema).orderBy("hash")
