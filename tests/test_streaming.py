@@ -64,3 +64,70 @@ def test_stream_static_join(spark, sf_dir):
     )
     want = {r.c_mktsegment: r["count"] for r in batch.collect()}
     assert got == want
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """The watermark semantic, pinned directly: a row arriving after
+    its window was finalized is dropped, never merged into re-emitted
+    results. Spark keeps TWO watermark values per batch — the previous
+    batch's for late-event filtering, the current one for state
+    eviction — so the drop requires the watermark to have been
+    established one batch BEFORE the late row arrives (three files
+    forced into three micro-batches via maxFilesPerTrigger=1 +
+    file-mtime ordering)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    schema = "event_id long, ts_s string, value double"
+
+    def write_one(rows, name, mtime):
+        staging = str(tmp_path / f"stage_{name}")
+        (
+            spark.createDataFrame(rows, schema)
+            .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        part = glob.glob(f"{staging}/part-*.parquet")[0]
+        dest = f"{src}/{name}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))  # file source orders by mtime
+
+    now = time.time()
+    # batch 0: early-window row + noon row → watermark 11:00 after
+    write_one([(0, "2025-06-01 02:15:00", 1.0), (1, "2025-06-01 12:00:00", 1.0)], "f1", now - 90)
+    # batch 1: fresh row; establishes the filtering watermark
+    write_one([(2, "2025-06-01 12:30:00", 1.0)], "f2", now - 45)
+    # batch 2: late row targeting the finalized [02:00, 03:00) window
+    write_one([(3, "2025-06-01 02:00:30", 1.0)], "f3", now)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the finalized early window keeps n=1 — the late row was dropped
+    got = {str(r.ws): r.n for r in spark.table("t_late").collect()}
+    assert got.get("2025-06-01 02:00:00") == 1, got
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) for p in q.recentProgress
+    )
+    assert dropped == 1
