@@ -1119,3 +1119,36 @@ def q80_sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "q84_window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           count(*) OVER w AS n_last_30d,
+           cast(sum(cast(o_totalprice as decimal(14,2))) OVER w as double)
+             AS spend_last_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def q84_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, vs q21's row-based frames):
+    per customer, rolling 30-day order count and spend. Spark's
+    rangeBetween needs a numeric order column, so the frame runs over
+    epoch seconds with the equivalent ±bounds; RANGE includes peers
+    (tied order dates) on both engines."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_last_30d"),
+        F.sum(dec("o_totalprice", 14, 2)).over(w).cast("double").alias("spend_last_30d"),
+    )
