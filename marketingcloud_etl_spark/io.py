@@ -24,9 +24,7 @@ TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-__all__ = ["TABLES", "DEFAULT_SF_DIR", "table", "load_tables", "register_views"]
+__all__ = ["TABLES", "table", "register_views"]
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -36,20 +34,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read it as raw nanos and truncate to micros with
         # integer division (ns div 1000) — identical to DuckDB's ns→us
-        # truncation, so oracle comparisons stay exact.
-        # NOTE: nanosAsLong stays set for the session — any later
-        # TIMESTAMP(NANOS) parquet read also comes back as bigint. The
-        # `ts` dtype check below is the pattern such readers must copy.
+        # truncation, so oracle comparisons stay exact. The conf is
+        # captured at read/analysis time, so it can be restored
+        # immediately — later nanos-parquet reads in the session are
+        # unaffected.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-
-
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

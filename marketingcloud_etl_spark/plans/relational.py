@@ -856,13 +856,13 @@ def q70_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for repeated large⋈large joins: both sides written bucketed+sorted
     on the join key, so the sort-merge join reads bucket i ⋈ bucket i
     with NO exchange on either side (pinned in tests: the physical plan
-    contains no shuffle before the join). Broadcast is disabled inside
-    this query to force the merge path; prep() restores it for
-    everything else."""
+    contains no shuffle before the join). The merge path is forced with
+    a join HINT, not session conf — conf is read at execution time, so
+    mutating it from inside a query function would race with any other
+    lazily-built query in the same session."""
     import os
 
     prep(spark)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     base = f"/tmp/mcetl_bucketed_{tag}"
     names = {"lineitem": f"li_bkt_{tag}", "orders": f"ord_bkt_{tag}"}
@@ -890,7 +890,7 @@ def q70_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .saveAsTable(name)
             )
     li, o = spark.table(names["lineitem"]), spark.table(names["orders"])
-    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    joined = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(dec("l_extendedprice", 12, 2) * (F.lit(1.00).cast("decimal(4,2)") - dec("l_discount", 4, 2)))

@@ -65,11 +65,14 @@ def prep(spark: SparkSession) -> SparkSession:
     # runtime-settable perf conf: an externally-created session defaults
     # to 200 shuffle partitions — wrong for both local runs (over-
     # parallelized) and the fixture scales; AQE coalescing needs to be
-    # on to shrink post-shuffle stages
+    # on to shrink post-shuffle stages. Size from the session's ACTUAL
+    # core count (an 8-core test session must not get the 32 the env
+    # default implies); $SPARK_GRAFT_CPUS overrides when set explicitly.
+    env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
     try:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        cpus = int(env_cpus) if env_cpus else spark.sparkContext.defaultParallelism
     except ValueError:
-        cpus = 32
+        cpus = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 4)))
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     # restore broadcast joins for dimension tables — q70 (bucketed

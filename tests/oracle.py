@@ -13,23 +13,42 @@ import pandas as pd
 def _obj_canon(v):
     if v is None:
         return None
+    if not isinstance(v, (list, tuple, dict)) and pd.isna(v):
+        return None  # pd.NA / NaT from extension dtypes
     if isinstance(v, _dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, _dt.date):
         return f"{v.isoformat()} 00:00:00.000000"
+    if isinstance(v, bool):
+        return str(v)
     return str(v)
 
 
 def canonical(pdf: pd.DataFrame) -> pd.DataFrame:
+    import decimal
+
     pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
     for c in pdf.columns:
         s = pdf[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             pdf[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif pd.api.types.is_bool_dtype(s):
-            pdf[c] = s.astype("boolean")
+            # string form, not the 'boolean' extension dtype — that
+            # dtype rejects the sentinel fillna in the comparator
+            pdf[c] = s.astype("object").map(_obj_canon)
         elif s.dtype == object:
-            pdf[c] = s.map(_obj_canon)
+            # numeric-as-object (DuckDB DECIMAL → decimal.Decimal, or a
+            # mixed engine returning python floats): coerce to float64 so
+            # it sorts/compares numerically against the other side's
+            # float column instead of lexicographically as strings
+            non_null = s.dropna()
+            if len(non_null) and all(
+                isinstance(v, (int, float, decimal.Decimal)) and not isinstance(v, bool)
+                for v in non_null
+            ):
+                pdf[c] = s.astype("float64")
+            else:
+                pdf[c] = s.map(_obj_canon)
     if len(pdf.columns):
         pdf = pdf.sort_values(list(pdf.columns), na_position="first", kind="mergesort")
     return pdf.reset_index(drop=True)

@@ -148,14 +148,10 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     load_all()["q70_bucketed_join"].fn(spark, sf_dir)  # materializes tables
     tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
     li, o = spark.table(f"li_bkt_{tag}"), spark.table(f"ord_bkt_{tag}")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        joined = li.join(o, li.l_orderkey == o.o_orderkey)
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    joined = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
 
 
 def test_partition_pruning_scan(spark, sf_dir):
