@@ -108,3 +108,67 @@ def q60_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_H32 = "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+_H32_DUCK = "('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::BIGINT"
+
+
+@query(
+    "q85_hash_sample_split",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, lang, {_H32_DUCK} % 100 AS bucket FROM documents)
+    SELECT lang,
+           count(*) AS n_docs,
+           cast(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) as bigint) AS n_sample,
+           cast(sum(CASE WHEN bucket < 90 THEN 1 ELSE 0 END) as bigint) AS n_train,
+           cast(sum(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) as bigint) AS n_test
+    FROM h GROUP BY lang
+    """,
+    tags=("sampling",),
+)
+def q85_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus sampling + train/test split by key hash —
+    the reproducible alternative to rand()-based sampling (stable
+    across runs, engines, and partitionings; membership derivable from
+    the key alone, so a re-run or a different engine selects the SAME
+    rows). 10% sample bucket, 90/10 train/test split."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.expr(_H32), F.lit(100))
+    h = d.select("lang", bucket.alias("bucket"))
+    return h.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("bucket") < 10, 1).otherwise(0)).alias("n_sample"),
+        F.sum(F.when(F.col("bucket") < 90, 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("bucket") >= 90, 1).otherwise(0)).alias("n_test"),
+    )
+
+
+@query(
+    "q86_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_H32_DUCK}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 20
+    """,
+    tags=("sampling",),
+)
+def q86_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly k=20 docs per language, selected by
+    hash order (deterministic, unbiased within stratum) — the balanced
+    evaluation-set builder. One shuffle on the stratum key."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.expr(_H32), "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )

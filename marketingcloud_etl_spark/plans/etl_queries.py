@@ -315,3 +315,38 @@ def q83_rest_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # collects after this function returns
         rows = flat.collect()
     return spark.createDataFrame(rows, flat.schema).orderBy("hash")
+
+
+@query(
+    "q87_scd2_versioning",
+    oracle="""
+    SELECT user_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           event_type AS state,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN true ELSE false END AS is_current
+    FROM events WHERE event_type IN ('signup', 'purchase')
+    """,
+    tags=("etl", "scd"),
+)
+def q87_scd2_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change log: each state
+    change becomes a versioned row with [valid_from, valid_to) validity
+    and an is_current flag — the warehouse pattern for dimension
+    history, one window pass, no self-join."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.col("event_type").alias("state"),
+        nxt.isNull().alias("is_current"),
+    )
