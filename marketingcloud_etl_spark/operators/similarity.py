@@ -190,30 +190,23 @@ def ann_lsh_topk(
     )
 
 
-def ann_ivf_topk(
+def train_ivf_codebook(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
+    refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    refine_iters: int = 1,
-) -> DataFrame:
-    """IVF-style approximate top-k: a coarse codebook partitions the
-    corpus into cells; each query probes only its ``n_probe`` nearest
-    cells, then exact-reranks the candidates.
+) -> list:
+    """Train the IVF coarse codebook and MATERIALIZE it (a list of
+    (cell, centroid) rows — n_cells × dim doubles, trivially small).
 
-    The codebook seeds from a deterministic corpus sample (order by
-    xxhash64(id), take n_cells), then runs ``refine_iters`` Lloyd
-    iterations fully distributed: broadcast codebook → argmax-cosine
-    assignment (narrow), element-wise centroid mean via posexplode +
-    (cell, pos) aggregation. Search is a cell-id equi-join, so the
-    candidate shuffle is O(n·n_probe/n_cells·q) instead of the n×q
-    cross product. Complements the hyperplane-LSH path above: IVF
-    adapts to the data distribution, LSH is oblivious. On uniform
-    synthetic vectors recall ≈ the probed corpus fraction; on real
-    (clustered) embeddings it is far higher at the same probe budget.
+    Training is the expensive part (Lloyd iterations over the corpus);
+    in a real deployment it runs offline and the search path reuses the
+    codebook across queries — this function is that split. Seeding is a
+    deterministic corpus sample (order by xxhash64(id), take n_cells);
+    each Lloyd iteration is fully distributed: broadcast codebook →
+    argmax-cosine assignment (narrow), element-wise centroid mean via
+    posexplode + (cell, pos) aggregation.
     """
     cents = (
         corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
@@ -244,6 +237,43 @@ def ann_ivf_topk(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cell", F.transform("pm", lambda s: s["m"]).alias("cent_vec"))
         )
+    return cents.collect()
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 1,
+    codebook: list | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse codebook partitions the
+    corpus into cells; each query probes only its ``n_probe`` nearest
+    cells, then exact-reranks the candidates.
+
+    The codebook seeds from a deterministic corpus sample (order by
+    xxhash64(id), take n_cells), then runs ``refine_iters`` Lloyd
+    iterations fully distributed: broadcast codebook → argmax-cosine
+    assignment (narrow), element-wise centroid mean via posexplode +
+    (cell, pos) aggregation. Search is a cell-id equi-join, so the
+    candidate shuffle is O(n·n_probe/n_cells·q) instead of the n×q
+    cross product. Complements the hyperplane-LSH path above: IVF
+    adapts to the data distribution, LSH is oblivious. On uniform
+    synthetic vectors recall ≈ the probed corpus fraction; on real
+    (clustered) embeddings it is far higher at the same probe budget.
+
+    Pass a pre-trained ``codebook`` (from :func:`train_ivf_codebook`)
+    to skip training — the production shape: train once offline,
+    search many times.
+    """
+    spark = corpus.sparkSession
+    if codebook is None:
+        codebook = train_ivf_codebook(corpus, n_cells, refine_iters, id_col, vec_col)
+    cents = spark.createDataFrame(codebook, "cell int, cent_vec array<double>")
 
     def nearest_cells(df: DataFrame, idc: str, keep: int, out_vec: str) -> DataFrame:
         scored = (
@@ -258,9 +288,6 @@ def ann_ivf_topk(
             .select(idc, "cell", out_vec)
         )
 
-    # both assignment branches read the codebook — persist so the Lloyd
-    # pipeline runs once, not once per branch
-    cents = cents.persist()
     corpus_cells = nearest_cells(corpus, "neighbor_id", 1, "c_vec")
     query_cells = nearest_cells(queries, "query_id", n_probe, "q_vec")
     scored = (
