@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.text import tokens, tokens_sql
+from ..operators.dedup import word_shingles
 from ..io import table
 from ..session import prep
 from .catalog import query
@@ -361,4 +362,90 @@ def q82_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bpe").alias("total_bpe_tokens"),
         F.sum("n_ws").alias("total_ws_tokens"),
         F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6).alias("bpe_per_word"),
+    )
+
+
+@query(
+    "q88_doc_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(1, cast(ceil((len(toks) - 10) / 40.0) as bigint)))) AS chunk_id,
+             toks
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(toks[chunk_id * 40 + 1 : chunk_id * 40 + 50], ' ') AS chunk_text,
+           cast(len(toks[chunk_id * 40 + 1 : chunk_id * 40 + 50]) as int) AS n_tokens
+    FROM chunks
+    """,
+    tags=("text", "chunking"),
+)
+def q88_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training/RAG pipelines: 50-token windows
+    with 10-token overlap (stride 40), one output row per chunk —
+    sequence + slice + explode, no UDF, so chunking runs inside the
+    scan stage. Chunk count = ceil((n_tokens - overlap) / stride),
+    min 1 for any non-empty doc."""
+    prep(spark)
+    size, overlap = 50, 10
+    stride = size - overlap
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = d.withColumn("toks", tokens("text")).filter(F.size("toks") > 0)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("toks") - overlap) / float(stride)).cast("bigint"),
+    )
+    d = d.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    chunk = F.slice("toks", F.col("chunk_id").cast("int") * stride + 1, size)
+    return d.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+@query(
+    "q89_decontamination",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len({_TOKS}) - 6, 1)),
+               i -> array_to_string({_TOKS}[i : i + 7], ' ')))) AS gram
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id < 20
+    ), hits AS (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id >= 20
+    )
+    SELECT count(*) AS n_contaminated,
+           (SELECT count(*) FROM documents WHERE doc_id >= 20) AS n_train_docs
+    FROM hits
+    """,
+    tags=("text", "dedup"),
+)
+def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 8-gram
+    with the held-out set (docs 0-19 stand in for the benchmark). The
+    join is on exact n-gram strings after explode+distinct — shuffle is
+    O(total distinct grams), never pairwise; at 100 TB the gram column
+    would be xxhash64-folded to 8 bytes first (same plan shape)."""
+    prep(spark)
+    n = 8
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", n))).alias("gram")
+    )
+    bench = grams.filter(F.col("doc_id") < 20).select("gram").distinct()
+    train_grams = grams.filter(F.col("doc_id") >= 20)
+    hits = train_grams.join(F.broadcast(bench), "gram").select("doc_id").distinct()
+    n_train = d.filter(F.col("doc_id") >= 20).count()
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.lit(n_train).cast("long").alias("n_train_docs"),
     )
