@@ -13,7 +13,10 @@ import pandas as pd
 def _obj_canon(v):
     if v is None:
         return None
-    if not isinstance(v, (list, tuple, dict)) and pd.isna(v):
+    # container cells (incl. numpy arrays from Arrow toPandas) make
+    # pd.isna return an element-wise array — exclude them from the
+    # scalar NA check or the `if` raises on ambiguous truth value
+    if not hasattr(v, "__len__") and pd.isna(v):
         return None  # pd.NA / NaT from extension dtypes
     if isinstance(v, _dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
