@@ -449,3 +449,79 @@ def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_contaminated"),
         F.lit(n_train).cast("long").alias("n_train_docs"),
     )
+
+
+@query(
+    "q90_curation_pipeline",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang, text,
+             cast(len({_TOKS}) as int) AS n_tokens,
+             cast(len(list_distinct({_TOKS})) as int) AS n_distinct
+      FROM documents
+    ), quality AS (
+      SELECT *,
+             round(CASE WHEN n_tokens > 0
+                        THEN n_distinct * 1.0 / n_tokens ELSE 0.0 END, 6) AS distinct_ratio
+      FROM feat
+    ), filtered AS (
+      SELECT * FROM quality
+      WHERE n_tokens >= 20 AND distinct_ratio >= 0.3 AND lang IN ('en', 'es')
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM filtered
+      ) WHERE rn = 1
+    ), split AS (
+      SELECT lang,
+             CASE WHEN ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::BIGINT % 100 < 90
+                  THEN 'train' ELSE 'test' END AS split
+      FROM deduped
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM split GROUP BY lang, split
+    """,
+    tags=("text", "etl", "headline"),
+)
+def q90_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus curation pipeline, composed from the
+    catalog's building blocks in ONE declarative plan: quality features
+    → threshold filter → language filter → exact dedup (keep lowest
+    doc_id per text hash) → deterministic hash train/test split →
+    per-split counts. Catalyst fuses the feature projection into the
+    scan; the only shuffles are the dedup window and the final agg."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    feat = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    quality = feat.withColumn(
+        "distinct_ratio",
+        F.round(
+            F.when(F.col("n_tokens") > 0, F.col("n_distinct") * 1.0 / F.col("n_tokens"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+    filtered = quality.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("distinct_ratio") >= 0.3)
+        & F.col("lang").isin("en", "es")
+    )
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    bucket = F.pmod(
+        F.expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"),
+        F.lit(100),
+    )
+    split = deduped.select(
+        "lang", F.when(bucket < 90, "train").otherwise("test").alias("split")
+    )
+    return split.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
