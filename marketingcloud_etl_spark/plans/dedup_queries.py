@@ -172,3 +172,28 @@ def q86_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+@query("q91_neardup_pipeline", oracle=None, tags=("dedup", "rows-only"))
+def q91_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup detection pipeline at production shape:
+    MinHash+LSH candidate generation (O(docs·bands) shuffle) → exact
+    2-gram Jaccard verification on ONLY the candidate pairs → verdict
+    counts by band-agreement strength. The verify stage touches
+    candidates, never the corpus cross product — this composition is
+    what runs at 100 TB."""
+    prep(spark)
+    from ..operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, num_perm=32, bands=8)
+    verified = ngram_jaccard_pairs(d, cand, n=2)
+    joined = cand.join(verified, ["id_a", "id_b"])
+    return joined.groupBy("n_shared_bands").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_neardups"),
+        F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
