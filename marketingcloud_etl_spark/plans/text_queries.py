@@ -525,3 +525,82 @@ def q90_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.when(bucket < 90, "train").otherwise("test").alias("split")
     )
     return split.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_TRIGRAMS_DUCK = (
+    "list_distinct(list_transform(range(1, greatest(length(text) - 1, 1)), "
+    "i -> substr(text, i, 3)))"
+)
+
+
+@query(
+    "q92_langid_chargram",
+    oracle=f"""
+    WITH doc_grams AS (
+      SELECT doc_id, lang, unnest({_TRIGRAMS_DUCK}) AS gram FROM documents
+    ), profile AS (
+      SELECT lang AS plang, gram FROM (
+        SELECT lang, gram, count(*) AS n,
+               row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS rn
+        FROM doc_grams WHERE doc_id < 100
+        GROUP BY lang, gram
+      ) WHERE rn <= 50
+    ), overlap AS (
+      SELECT d.doc_id, d.lang, p.plang, count(*) AS n_shared
+      FROM doc_grams d JOIN profile p USING (gram)
+      WHERE d.doc_id >= 100
+      GROUP BY d.doc_id, d.lang, p.plang
+    ), pred AS (
+      SELECT lang, plang AS lang_pred FROM (
+        SELECT lang, plang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n_shared DESC, plang) AS rn
+        FROM overlap
+      ) WHERE rn = 1
+    )
+    SELECT lang, lang_pred, count(*) AS n_docs FROM pred GROUP BY lang, lang_pred
+    """,
+    tags=("text",),
+)
+def q92_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (Cavnar-Trenkle shape, the classic
+    n-gram heuristic): per-language top-50 trigram profiles trained on
+    the first 100 labeled docs, remaining docs scored by profile
+    overlap, argmax with deterministic tiebreak — a full train/score
+    workflow in one declarative plan, hash-matched end-to-end."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    doc_grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(length(text) - 2, 0)), "
+                "i -> substring(text, i, 3)))"
+            )
+        ).alias("gram"),
+    )
+    train = doc_grams.filter(F.col("doc_id") < 100)
+    wp = W.partitionBy("lang").orderBy(F.col("n").desc(), "gram")
+    profile = (
+        train.groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 50)
+        .select(F.col("lang").alias("plang"), "gram")
+    )
+    overlap = (
+        doc_grams.filter(F.col("doc_id") >= 100)
+        .join(F.broadcast(profile), "gram")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    wd = W.partitionBy("doc_id").orderBy(F.col("n_shared").desc(), "plang")
+    pred = (
+        overlap.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("plang").alias("lang_pred"))
+    )
+    return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
