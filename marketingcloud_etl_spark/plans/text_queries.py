@@ -196,6 +196,7 @@ def q44_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
              cast(len({_TOKS}) as int) AS n_tokens,
              cast(len(list_distinct({_TOKS})) as int) AS n_distinct,
              cast(length(replace(text, ' ', '')) as int) AS n_letter_chars,
+             cast(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) as int) AS n_punct,
              cast(len(list_filter({_TOKS},
                   t -> t IN ('the','a','of','and','to','el','la','de'))) as int) AS n_stop
       FROM documents
@@ -203,6 +204,7 @@ def q44_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_tokens, n_distinct,
            round(CASE WHEN n_tokens > 0 THEN n_distinct * 1.0 / n_tokens ELSE 0.0 END, 6) AS distinct_ratio,
            round(CASE WHEN n_tokens > 0 THEN n_letter_chars * 1.0 / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+           round(CASE WHEN n_letter_chars > 0 THEN n_punct * 1.0 / n_letter_chars ELSE 0.0 END, 6) AS punct_ratio,
            round(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
            round(0.5 * (CASE WHEN n_tokens > 0 THEN n_distinct * 1.0 / n_tokens ELSE 0.0 END)
                + 0.3 * (CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END)
@@ -224,16 +226,21 @@ def q45_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_letter_chars"),
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).alias("n_punct"),
         F.size(stop).alias("n_stop"),
     )
     nt = F.col("n_tokens")
     ratio = lambda num: F.when(nt > 0, num * 1.0 / nt).otherwise(F.lit(0.0))  # noqa: E731
+    nl = F.col("n_letter_chars")
     return feat.select(
         "doc_id",
         "n_tokens",
         "n_distinct",
         F.round(ratio(F.col("n_distinct")), 6).alias("distinct_ratio"),
         F.round(ratio(F.col("n_letter_chars")), 6).alias("avg_token_len"),
+        F.round(
+            F.when(nl > 0, F.col("n_punct") * 1.0 / nl).otherwise(F.lit(0.0)), 6
+        ).alias("punct_ratio"),
         F.round(ratio(F.col("n_stop")), 6).alias("stopword_ratio"),
         F.round(
             0.5 * ratio(F.col("n_distinct"))
