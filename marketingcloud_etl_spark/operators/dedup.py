@@ -274,8 +274,9 @@ def ngram_jaccard_pairs(
         pairs.join(ga, pairs.id_a == F.col("ga.id"))
         .join(gb, pairs.id_b == F.col("gb.id"))
         .select(
-            "id_a",
-            "id_b",
+            # carry every pairs column through so callers never need to
+            # re-join against the (expensive) candidate-generation plan
+            pairs["*"],
             F.round(ngram_jaccard(F.col("ga.grams"), F.col("gb.grams")), 6).alias("jaccard"),
         )
     )

@@ -187,9 +187,10 @@ def q91_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     cand = minhash_lsh_candidates(d, num_perm=32, bands=8)
+    # ngram_jaccard_pairs carries cand's columns through (incl.
+    # n_shared_bands) — no re-join against the candidate subplan
     verified = ngram_jaccard_pairs(d, cand, n=2)
-    joined = cand.join(verified, ["id_a", "id_b"])
-    return joined.groupBy("n_shared_bands").agg(
+    return verified.groupBy("n_shared_bands").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
         .cast("long")

@@ -10,6 +10,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions.text import tokens, tokens_sql
 from ..operators.dedup import word_shingles
+from .dedup_queries import _H32, _H32_DUCK
 from ..io import table
 from ..session import prep
 from .catalog import query
@@ -196,7 +197,7 @@ def q44_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
              cast(len({_TOKS}) as int) AS n_tokens,
              cast(len(list_distinct({_TOKS})) as int) AS n_distinct,
              cast(length(replace(text, ' ', '')) as int) AS n_letter_chars,
-             cast(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) as int) AS n_punct,
+             cast(length(regexp_replace(text, '[A-Za-z0-9 \t\n\r]', '', 'g')) as int) AS n_punct,
              cast(len(list_filter({_TOKS},
                   t -> t IN ('the','a','of','and','to','el','la','de'))) as int) AS n_stop
       FROM documents
@@ -226,7 +227,7 @@ def q45_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_letter_chars"),
-        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).alias("n_punct"),
+        F.length(F.regexp_replace("text", "[A-Za-z0-9 \t\n\r]", "")).alias("n_punct"),
         F.size(stop).alias("n_stop"),
     )
     nt = F.col("n_tokens")
@@ -481,7 +482,7 @@ def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn = 1
     ), split AS (
       SELECT lang,
-             CASE WHEN ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::BIGINT % 100 < 90
+             CASE WHEN {_H32_DUCK} % 100 < 90
                   THEN 'train' ELSE 'test' END AS split
       FROM deduped
     )
@@ -498,8 +499,6 @@ def q90_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-split counts. Catalyst fuses the feature projection into the
     scan; the only shuffles are the dedup window and the final agg."""
     prep(spark)
-    from pyspark.sql.window import Window as W
-
     d = table(spark, sf_dir, "documents")
     toks = tokens("text")
     feat = d.select(
@@ -524,10 +523,7 @@ def q90_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    bucket = F.pmod(
-        F.expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"),
-        F.lit(100),
-    )
+    bucket = F.pmod(F.expr(_H32), F.lit(100))
     split = deduped.select(
         "lang", F.when(bucket < 90, "train").otherwise("test").alias("split")
     )
@@ -576,16 +572,19 @@ def q92_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap, argmax with deterministic tiebreak — a full train/score
     workflow in one declarative plan, hash-matched end-to-end."""
     prep(spark)
-    from pyspark.sql.window import Window as W
-
     d = table(spark, sf_dir, "documents")
     doc_grams = d.select(
         "doc_id",
         "lang",
         F.explode(
+            # the length guard must be an if(): sequence(1, 0) counts
+            # DOWN in Spark ([1, 0]), which would emit bogus short grams
+            # for texts under 3 chars where the oracle emits none
             F.expr(
-                "array_distinct(transform(sequence(1, greatest(length(text) - 2, 0)), "
-                "i -> substring(text, i, 3)))"
+                "if(length(text) >= 3, "
+                "array_distinct(transform(sequence(1, length(text) - 2), "
+                "i -> substring(text, i, 3))), "
+                "cast(array() as array<string>))"
             )
         ).alias("gram"),
     )

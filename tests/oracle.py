@@ -22,8 +22,12 @@ def _obj_canon(v):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, _dt.date):
         return f"{v.isoformat()} 00:00:00.000000"
-    if isinstance(v, bool):
-        return str(v)
+    # arrays/lists canonicalize element-wise: str(ndarray) elides long
+    # arrays (false PASS) and prints differently from list (false FAIL)
+    if hasattr(v, "tolist"):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(str(_obj_canon(x)) for x in v) + "]"
     return str(v)
 
 

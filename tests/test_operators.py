@@ -170,3 +170,20 @@ def test_partition_pruning_scan(spark, sf_dir):
     assert "PartitionFilters" in plan and "event_type" in plan
     n_all = spark.read.parquet(f"/tmp/mcetl_part_events_{tag}").count()
     assert df.count() < n_all  # genuinely pruned subset
+
+
+def test_punct_ratio_computation(spark):
+    """The fixture corpus contains no punctuation, so q45's punct
+    feature would otherwise be vacuously tested — pin the computation
+    on synthetic text here (class uses literal whitespace chars, which
+    Java regex and RE2 agree on, unlike \\s)."""
+    df = spark.createDataFrame(
+        [("a b, c!", 2), ("clean text", 0), ("x\ty?!.", 3), ("", 0)],
+        "text string, expected int",
+    )
+    got = df.select(
+        "expected",
+        F.length(F.regexp_replace("text", "[A-Za-z0-9 \t\n\r]", "")).alias("n_punct"),
+    ).collect()
+    for r in got:
+        assert r.n_punct == r.expected, r
