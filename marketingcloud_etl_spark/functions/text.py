@@ -3,6 +3,12 @@
 ``documents.text`` is space-separated word soup (FIXTURES.md); the
 tokenizer is a whitespace split with empty-token filtering so it matches
 DuckDB's ``string_split`` + filter exactly.
+
+Contract note: both sides spell the split as ``\\s+`` in their own
+regex dialect. Java regex and RE2 agree on space/tab/newline/CR but
+disagree on exotic whitespace (RE2's ``\\s`` excludes vertical tab) —
+out of contract for the space-separated fixture corpus; use literal
+char classes if exotic whitespace ever enters the data.
 """
 
 from __future__ import annotations

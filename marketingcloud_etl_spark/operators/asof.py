@@ -57,8 +57,13 @@ def asof_join(
         # nothing by definition, so route them around the merge
         null_left = lpdf[lpdf[on].isna()]
         lpdf = lpdf[lpdf[on].notna()]
+        rights = pdf[pdf["__side"] == 1]
+        if rights[by].isna().any():
+            # SQL equality never matches NULL keys — the null-key group
+            # must not pair its left and right rows
+            rights = rights.iloc[0:0]
         rpdf = (
-            pdf[pdf["__side"] == 1][[on, *right_cols]]
+            rights[[on, *right_cols]]
             .dropna(subset=[on])
             .sort_values(on, kind="mergesort")
             .rename(columns=renames)
@@ -132,13 +137,15 @@ def asof_join_cogroup(
                 }
             )
         lpdf = lpdf[lcols].sort_values(on, kind="mergesort")
-        # merge_asof raises on null merge keys: null-ts left rows match
-        # nothing by definition, so route them around the merge
-        null_left = lpdf[lpdf[on].isna()]
-        lpdf = lpdf[lpdf[on].notna()]
+        # merge_asof raises on null ON keys, and matches null BY keys as
+        # equal (NaN == NaN in its grouping) where SQL equality never
+        # matches NULL — route null-key left rows around the merge and
+        # drop null-key right rows
+        null_left = lpdf[lpdf[on].isna() | lpdf[by].isna()]
+        lpdf = lpdf[lpdf[on].notna() & lpdf[by].notna()]
         rpdf = (
             rpdf[[f"{by}__r", on_r, *suffixed]]
-            .dropna(subset=[on_r])
+            .dropna(subset=[on_r, f"{by}__r"])
             .sort_values(on_r, kind="mergesort")
             .rename(columns={f"{by}__r": by})
         )

@@ -116,8 +116,10 @@ def q36_clean_strip_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     must be escaped) and cap at 256 chars (salesforce_extractor.py:171)."""
     prep(spark)
     e = table(spark, sf_dir, "events")
-    raw = F.concat(F.col("event_type"), F.lit("?session="), F.col("event_id").cast("string"))
-    long_str = F.repeat(F.concat(F.col("event_type"), F.lit(" ")), 60)
+    # coalesce each arg: Spark concat is NULL on any NULL argument,
+    # DuckDB concat skips NULLs — empty-string both sides
+    raw = F.concat(F.coalesce(F.col("event_type"), F.lit("")), F.lit("?session="), F.coalesce(F.col("event_id").cast("string"), F.lit("")))
+    long_str = F.repeat(F.concat(F.coalesce(F.col("event_type"), F.lit("")), F.lit(" ")), 60)
     capped = F.substring(long_str, 1, 256)
     return e.select(
         "event_id",
@@ -274,7 +276,7 @@ def q67_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
     e.write.mode("overwrite").json(f"{base}/json")
     schema = "event_id bigint, event_type string, value double"
-    c = spark.read.schema(schema).option("header", True).csv(f"{base}/csv")
+    c = spark.read.schema(schema).option("header", True).option("multiLine", True).csv(f"{base}/csv")
     j = spark.read.schema(schema).json(f"{base}/json")
     # cross-format agreement: symmetric difference must be empty (a
     # USING full-outer join coalesces the key columns, so a null-key

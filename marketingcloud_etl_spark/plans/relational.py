@@ -1138,14 +1138,15 @@ def q84_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame (value-based, vs q21's row-based frames):
     per customer, rolling 30-day order count and spend. Spark's
     rangeBetween needs a numeric order column, so the frame runs over
-    epoch seconds with the equivalent ±bounds; RANGE includes peers
-    (tied order dates) on both engines."""
+    epoch microseconds (full timestamp precision — seconds would
+    merge sub-second-distinct peers and shift the 30-day bound) with
+    the equivalent ±bounds; RANGE includes peers on both engines."""
     prep(spark)
     o = table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
-        .rangeBetween(-30 * 86400, 0)
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30 * 86400 * 1_000_000, 0)
     )
     return o.select(
         "o_orderkey",

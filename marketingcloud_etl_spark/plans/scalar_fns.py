@@ -65,7 +65,7 @@ def q27_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(dayofweek(o_orderdate) + 1 as int) AS dow,
            cast(date_trunc('month', o_orderdate) as date) AS month_start,
            cast(datediff('day', o_orderdate, timestamp '2002-01-01 00:00:00') as int) AS days_to_2002,
-           cast(epoch(o_orderdate) as bigint) AS epoch_s,
+           cast(floor(epoch(o_orderdate)) as bigint) AS epoch_s,
            strftime(o_orderdate, '%Y-%m-%d') AS ymd
     FROM orders
     """,
@@ -199,7 +199,12 @@ def q31_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q32_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON access two ways: schema'd from_json (preferred — typed,
-    Catalyst-prunable) and get_json_object path extraction."""
+    Catalyst-prunable) and get_json_object path extraction.
+
+    Contract note (FIXTURES.md): props is well-formed single-key JSON
+    with an unquoted integer. Outside that contract the engines
+    diverge by design: Spark returns NULL for quoted/fractional/
+    malformed values where DuckDB coerces or errors."""
     prep(spark)
     e = table(spark, sf_dir, "events")
     parsed = e.withColumn("pj", F.from_json("props", "k LONG"))
