@@ -7,6 +7,10 @@ rules observed throughout:
   * every ORDER BY that feeds a LIMIT has a unique tiebreak column
   * no raw `SUM(double)` anywhere; min/max/count on doubles are fine
   * outputs avoid raw nanosecond timestamps (formatted or truncated)
+  * ordering keys are NON-NULL by fixture contract (FIXTURES.md): the
+    engines' default null placement differs (Spark ASC puts nulls
+    FIRST, DuckDB LAST), so any future ordering over a genuinely
+    nullable column must pin NULLS FIRST/LAST explicitly on BOTH sides
 """
 
 from __future__ import annotations
