@@ -54,7 +54,12 @@ def q47_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.filter(F.col("doc_id") < 200).select(
         F.col("doc_id").alias("id_a"), ngram_set("text", 2).alias("ga")
     )
-    b = d.select(F.col("doc_id").alias("id_b"), ngram_set("text", 2).alias("gb"))
+    # the join key implies id_b = id_a + 1 <= 200, but Catalyst can't
+    # propagate constraints through the arithmetic — filter explicitly
+    # so the (expensive) n-gram sets build for 200 docs, not the corpus
+    b = d.filter(F.col("doc_id") <= 200).select(
+        F.col("doc_id").alias("id_b"), ngram_set("text", 2).alias("gb")
+    )
     return (
         a.join(b, F.col("id_b") == F.col("id_a") + 1)
         .select(
