@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.hashing import content_hash
+from .partitioning import spread_partitions
 from ..functions.text import tokens
 
 # universal-hash params sized so a*h32 + b < 2^63: works identically
@@ -109,16 +110,6 @@ def minhash_signature(
     return df.withColumn("__mh_sh", sh).withColumn(sig_col, F.expr(agg_sql)).drop("__mh_sh")
 
 
-def _spread_partitions(df: DataFrame) -> DataFrame:
-    """Spread a CPU-heavy narrow stage over all cores even when the
-    input is a single small file (one partition); on a real cluster the
-    input splits already provide this."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df
-
-
 def _banded_candidates(buckets: DataFrame) -> DataFrame:
     """Self-join a (id, band, bucket) table into candidate pairs:
     docs colliding in any band become a pair, counted across bands.
@@ -159,7 +150,7 @@ def minhash_lsh_candidates(
     if num_perm % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
     rows = num_perm // bands
-    df = _spread_partitions(df)
+    df = spread_partitions(df)
     # docs too short to form a single shingle all share the sentinel
     # signature — banding them would put every short doc in one bucket
     # (quadratic false-candidate blowup), so they are excluded: with no
@@ -223,7 +214,7 @@ def simhash_band_candidates(
         raise ValueError(f"bands ({bands}) must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
-    df = _spread_partitions(df)
+    df = spread_partitions(df)
     # token-less docs share simhash 0 — same bucket-collision blowup as
     # empty-shingle MinHash; exclude them (nothing to compare)
     df = df.filter(F.size(tokens(text_col)) > 0)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.vectors import cosine
+from .partitioning import spread_partitions
 
 
 def knn_bruteforce(
@@ -121,9 +122,7 @@ def ann_lsh_topk(
     # signature computation is CPU-heavy and narrow — spread a
     # single-file corpus across all cores (real clusters get this from
     # their input splits)
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < par:
-        corpus = corpus.repartition(par)
+    corpus = spread_partitions(corpus)
 
     def bucket_rows(df: DataFrame, out_id: str) -> DataFrame:
         # One SQL expression computes every table's bucket in a single

@@ -131,19 +131,19 @@ def q63_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("udf", "text"),
 )
 def q64_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language median document length via a GROUPED_AGG
-    ``pandas_udf`` (a UDAF). Median of integers is exact in binary
+    """Per-language median document length via a grouped-agg
+    ``pandas_udf`` (a UDAF, type-hint form: Series -> scalar). Median of integers is exact in binary
     (middle value, or the mean of two ints — a dyadic rational), so it
     hash-matches across engines with no rounding protocol."""
     prep(spark)
 
-    @F.pandas_udf(DoubleType(), F.PandasUDFType.GROUPED_AGG)
+    @F.pandas_udf(DoubleType())
     def med(v: pd.Series) -> float:
         return float(v.median())
 
     # Spark disallows mixing pandas and JVM aggregates in one agg
     # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas agg too
-    @F.pandas_udf("long", F.PandasUDFType.GROUPED_AGG)
+    @F.pandas_udf("long")
     def n_rows(v: pd.Series) -> int:
         return int(len(v))
 
