@@ -300,9 +300,18 @@ def q83_rest_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing keys, query-string strip, 256-char cap, bad dates.
     Rows-only: the HTTP source has no DuckDB twin."""
     prep(spark)
+    import tempfile
+
     from ..etl.lead_activity import flatten_lead_activity, read_lead_activity
     from ..sources.mock_sfmc import PAGE_SIZE, MockSfmcServer
 
+    # Materialize inside the server's lifetime via a distributed parquet
+    # write (executors write their own partitions — nothing funnels
+    # through the driver, which is the shape that survives 100 TB), then
+    # return the re-read so the caller can collect after the server is
+    # gone. This mirrors the production bulk path
+    # (etl/lead_activity.py::bulk_load).
+    out = tempfile.mkdtemp(prefix="mcetl_q83_") + "/lead_activity"
     with MockSfmcServer(n_items=35) as server:
         items = read_lead_activity(
             spark,
@@ -313,10 +322,8 @@ def q83_rest_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             page_size=PAGE_SIZE,
         )
         flat = flatten_lead_activity(items).dropDuplicates(["hash"])
-        # materialize inside the server's lifetime; the driver only
-        # collects after this function returns
-        rows = flat.collect()
-    return spark.createDataFrame(rows, flat.schema).orderBy("hash")
+        flat.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).orderBy("hash")
 
 
 @query(

@@ -69,12 +69,20 @@ def q41_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q42_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit-math tf-idf (log-smoothed), top-5 terms per document.
     The MLlib HashingTF+IDF pipeline gives the hashed variant; this
-    formulation keeps exact terms and stays oracle-checkable."""
+    formulation keeps exact terms and stays oracle-checkable.
+
+    The document-frequency aggregation keys on the raw token — a
+    Zipf-skewed key at corpus scale (a stopword appears in nearly every
+    document) — so it goes through the salted two-phase count-distinct
+    (operators/skew.py): exact same result, per-key reduce fan-in
+    bounded by n_salts."""
     prep(spark)
+    from ..operators.skew import salted_count_distinct
+
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens("text")).alias("t"))
     tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    dfreq = salted_count_distinct(toks, ["t"], "doc_id", out="df")
     n = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     w = W.partitionBy("doc_id").orderBy(score.desc(), F.col("t"))
@@ -442,8 +450,17 @@ def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the held-out set (docs 0-19 stand in for the benchmark). The
     join is on exact n-gram strings after explode+distinct — shuffle is
     O(total distinct grams), never pairwise; at 100 TB the gram column
-    would be xxhash64-folded to 8 bytes first (same plan shape)."""
+    would be xxhash64-folded to 8 bytes first (same plan shape).
+
+    The gram join key is Zipf-skewed (common 8-grams hit millions of
+    training docs) and a full benchmark-suite gram set is too big to
+    broadcast, so the join runs salted (operators/skew.py): the train
+    side gets a per-row salt, the bench side is replicated across the
+    salts — a hot gram's rows spread over n_salts reducers, result
+    identical to the plain join."""
     prep(spark)
+    from ..operators.skew import salted_join_key
+
     n = 8
     d = table(spark, sf_dir, "documents")
     grams = d.select(
@@ -451,7 +468,8 @@ def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = grams.filter(F.col("doc_id") < 20).select("gram").distinct()
     train_grams = grams.filter(F.col("doc_id") >= 20)
-    hits = train_grams.join(F.broadcast(bench), "gram").select("doc_id").distinct()
+    train_s, bench_s = salted_join_key(train_grams, bench, n_salts=8)
+    hits = train_s.join(bench_s, ["gram", "__salt"]).select("doc_id").distinct()
     n_train = d.filter(F.col("doc_id") >= 20).count()
     return hits.agg(
         F.count(F.lit(1)).alias("n_contaminated"),

@@ -5,8 +5,9 @@ DataSource — the one genuinely custom source in the engine
 Reference behaviors re-expressed (all from
 /root/reference/app/salesforce_extractor.py):
   * OAuth2 client-credentials auth, token + rest instance url (:86-104)
-    → driver-side auth in ``partitions()``; token ships to executors in
-    the partition descriptor.
+    → auth happens once per process (driver for the probe, each
+    executor worker on first read) via a module-level token cache; the
+    bearer token never rides in a partition descriptor.
   * page GET with Bearer header, 401 → re-auth + retry once (:106-136)
     → the same retry inside ``read()``; Spark task retry
     (spark.task.maxFailures) supersedes beyond that.
@@ -92,12 +93,29 @@ def plan_pages(api_count: int, db_count: int, page_size: int = DEFAULT_PAGE_SIZE
     return list(range(start_page, total_pages + 1))
 
 
+# one auth round-trip per worker process, not per task (the reference
+# held one token for its whole sequential run, :86-104); a 401 retry
+# invalidates the entry so the refreshed token is reused too
+_TOKEN_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cached_token(auth_url: str, client_id: str, client_secret: str) -> str:
+    key = (auth_url, client_id)
+    tok = _TOKEN_CACHE.get(key)
+    if tok is None:
+        tok = _TOKEN_CACHE[key] = get_auth_token(auth_url, client_id, client_secret)
+    return tok
+
+
+# ship the probe's page-1 payload with its partition only when small —
+# a 2500-item page in every serialized task descriptor costs more than
+# one extra GET on the executor
+_CACHE_MAX_ITEMS = 200
+
+
 class _PagePartition(InputPartition):
-    def __init__(self, page: int, token: str, cached_resp: dict | None = None):
+    def __init__(self, page: int, cached_resp: dict | None = None):
         self.page = page
-        self.token = token
-        # the partitions() count probe already downloaded page 1 — ship
-        # its payload with the partition instead of fetching it twice
         self.cached_resp = cached_resp
 
 
@@ -111,26 +129,36 @@ class _RestPagesReader(DataSourceReader):
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
         self.db_count = int(options.get("db_count", 0))
 
-    def _auth(self) -> str:
+    def _auth_tuple(self) -> tuple[str, str, str] | None:
         if self.auth_url:
-            return get_auth_token(self.auth_url, self.client_id, self.client_secret)
-        return ""
+            return (self.auth_url, self.client_id, self.client_secret)
+        return None
+
+    def _fetch(self, page: int) -> dict:
+        auth = self._auth_tuple()
+        if auth is None:
+            return fetch_page(self.base_url, page, "")
+        try:
+            return fetch_page(self.base_url, page, _cached_token(*auth))
+        except urllib.error.HTTPError as e:
+            if e.code != 401:
+                raise
+            # stale cached token: drop it and retry with a fresh one
+            _TOKEN_CACHE.pop((auth[0], auth[1]), None)
+            return fetch_page(self.base_url, page, _cached_token(*auth))
 
     def partitions(self) -> Sequence[InputPartition]:
-        token = self._auth()
-        probe = fetch_page(
-            self.base_url, 1, token, (self.auth_url, self.client_id, self.client_secret) if self.auth_url else None
-        )
+        probe = self._fetch(1)
         api_count = int(probe.get("count", 0))
         pages = plan_pages(api_count, self.db_count, self.page_size)
-        return [_PagePartition(p, token, probe if p == 1 else None) for p in pages]
+        small = len(probe.get("items", [])) <= _CACHE_MAX_ITEMS
+        return [_PagePartition(p, probe if p == 1 and small else None) for p in pages]
 
     def read(self, partition: _PagePartition) -> Iterator[tuple]:
         if partition.cached_resp is not None:
             resp = partition.cached_resp
         else:
-            auth = (self.auth_url, self.client_id, self.client_secret) if self.auth_url else None
-            resp = fetch_page(self.base_url, partition.page, partition.token, auth)
+            resp = self._fetch(partition.page)
         for item in resp.get("items", []):
             keys = item.get("keys", {}) or {}
             values = item.get("values", {}) or {}

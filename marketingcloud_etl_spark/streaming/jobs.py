@@ -13,6 +13,7 @@ must equal the same aggregation computed in batch.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -26,7 +27,10 @@ def replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     """Materialize events as an n-file parquet dir (µs timestamps) so a
     file-source stream replays it in n micro-batches. Cached per
     (sf_dir, n_files) in the session's temp space."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # key on the full absolute path, not the basename — two fixture
+    # dirs named sf0.1 under different parents must not share a cache
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    tag = f"{os.path.basename(abs_dir)}_{hashlib.sha1(abs_dir.encode()).hexdigest()[:10]}"
     out = os.path.join(tempfile.gettempdir(), f"mcetl_replay_{tag}_{n_files}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):

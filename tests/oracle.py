@@ -53,7 +53,22 @@ def canonical(pdf: pd.DataFrame) -> pd.DataFrame:
                 isinstance(v, (int, float, decimal.Decimal)) and not isinstance(v, bool)
                 for v in non_null
             ):
-                pdf[c] = s.astype("float64")
+                integral = all(
+                    (isinstance(v, int) and not isinstance(v, bool))
+                    or (isinstance(v, decimal.Decimal) and v == v.to_integral_value())
+                    for v in non_null
+                )
+                if integral:
+                    # exact path: int/Decimal columns can carry values
+                    # above 2^53 that float64 silently rounds — a real
+                    # mismatch would then compare equal (false PASS).
+                    # Python ints are arbitrary-precision; an int64-dtype
+                    # column on the other side compares equal element-wise.
+                    pdf[c] = s.map(lambda v: v if v is None or pd.isna(v) else int(v))
+                else:
+                    # genuinely fractional (DECIMAL with scale, python
+                    # floats): numeric float compare
+                    pdf[c] = s.astype("float64")
             else:
                 pdf[c] = s.map(_obj_canon)
     if len(pdf.columns):

@@ -187,3 +187,47 @@ def test_punct_ratio_computation(spark):
     ).collect()
     for r in got:
         assert r.n_punct == r.expected, r
+
+
+def test_salted_count_distinct_zipf(spark):
+    """Salted two-phase COUNT(DISTINCT) equals the plain form on a
+    synthetic Zipf corpus (hot token in ~every doc, long rare tail) —
+    the q42 document-frequency shape."""
+    import random
+
+    from marketingcloud_etl_spark.operators.skew import salted_count_distinct
+
+    rng = random.Random(7)
+    rows = []
+    for doc in range(300):
+        for _ in range(30):
+            # Zipf-ish: token rank r with weight 1/r over 50 tokens
+            r = rng.choices(range(1, 51), weights=[1.0 / i for i in range(1, 51)])[0]
+            rows.append((doc, f"tok{r}"))
+    df = spark.createDataFrame(rows, "doc_id int, t string")
+    got = {
+        (r.t, r.df)
+        for r in salted_count_distinct(df, ["t"], "doc_id", n_salts=8, out="df").collect()
+    }
+    want = {
+        (r.t, r.df)
+        for r in df.groupBy("t").agg(F.count_distinct("doc_id").alias("df")).collect()
+    }
+    assert got == want and len(want) == 50
+
+
+def test_salted_join_zipf_equals_plain(spark):
+    """Salted join (q89 shape: skewed fact × replicated dim) equals the
+    plain join on a Zipf-hot key distribution."""
+    import random
+
+    from marketingcloud_etl_spark.operators.skew import salted_join_key
+
+    rng = random.Random(11)
+    facts = [(i, f"g{rng.choices(range(1, 40), weights=[1.0 / k for k in range(1, 40)])[0]}") for i in range(2000)]
+    fact = spark.createDataFrame(facts, "doc_id int, gram string")
+    dim = spark.createDataFrame([(f"g{i}",) for i in range(1, 20)], "gram string")
+    fact_s, dim_s = salted_join_key(fact, dim, n_salts=8)
+    got = sorted(r.doc_id for r in fact_s.join(dim_s, ["gram", "__salt"]).select("doc_id").collect())
+    want = sorted(r.doc_id for r in fact.join(dim, "gram").select("doc_id").collect())
+    assert got == want and len(want) > 0
