@@ -50,6 +50,11 @@ HEADLINE = (
     "q68_sliding_window",
     "q70_bucketed_join",
     "q71_asof_cogroup",
+    # LLM-pipeline breadth (round 2): sampling, decontamination, and the
+    # composed curation pipeline
+    "q85_hash_sample_split",
+    "q89_decontamination",
+    "q90_curation_pipeline",
 )
 
 
@@ -72,15 +77,23 @@ def main() -> None:
         # phantom speedup
         raise KeyError(f"headline queries missing from registry: {missing}")
 
-    # warm-up: JVM + codegen + Arrow path, billed to nobody; q70 also
-    # pre-builds its bucketed tables and q66 trains its IVF codebook at
-    # the bench scale, so one-time setup I/O isn't billed as query time
+    # warm-up at sf0.001 only: JVM + codegen + Arrow startup is billed
+    # to nobody, but nothing runs at the bench scale before timing
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for name in ("q01_pricing_summary", "q05_revenue_by_nation"):
             registry[name].fn(spark, warm_dir).collect()
+
+    # one-time setup that q70/q66 amortize across runs (bucketed-table
+    # build, IVF codebook training) is timed separately and reported in
+    # the same JSON line — their per-query numbers below measure steady
+    # state, and the setup cost stays visible instead of hiding in a
+    # full-scale warm-up
+    setup: dict[str, float] = {}
     for name in ("q70_bucketed_join", "q66_ann_ivf_topk"):
+        t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).collect()
+        setup[name] = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -96,6 +109,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "setup": setup,
                 "sf": _sf_of(sf_dir),
             }
         )

@@ -99,6 +99,9 @@ _PRIORITY = (
     # file-format roundtrip + SCD2
     "q67_csv_json_roundtrip",
     "q87_scd2_versioning",
+    # new this round — need first-time driver verdicts
+    "q94_sort_nullable_key",
+    "q93_jdbc_merge_upsert",
 )
 
 

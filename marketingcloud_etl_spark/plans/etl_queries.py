@@ -359,3 +359,67 @@ def q87_scd2_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("state"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query("q93_jdbc_merge_upsert", oracle=None, tags=("etl", "sink", "rows-only"))
+def q93_jdbc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging-table merge upsert against a live SQL database
+    (reference R12, salesforce_extractor.py:211-221): the batch lands
+    in a staging table via a distributed write, then ONE server-side
+    set-based merge moves it into the target under the unique key.
+    Run twice inside the query to prove the idempotence invariant; the
+    returned row reports counts after each pass. Rows-only: the sink's
+    effect lives in the external database, not a relational result.
+    (The sandbox has no JDBC driver jar, so the staging write and the
+    statements run through sqlite3 DBAPI stand-ins — the statement
+    pipeline is identical; see sinks/jdbc_merge.py.)"""
+    prep(spark)
+    import sqlite3
+    import tempfile
+
+    from ..functions.hashing import content_hash
+    from ..sinks.jdbc_merge import merge_upsert
+
+    db = tempfile.mkdtemp(prefix="mcetl_q93_") + "/wh.db"
+
+    def stage_writer(batch, tbl):
+        con = sqlite3.connect(db)
+        try:
+            batch.toPandas().to_sql(tbl, con, if_exists="replace", index=False)
+        finally:
+            con.close()
+
+    def statement_runner(stmts):
+        con = sqlite3.connect(db)
+        try:
+            for s in stmts:
+                con.execute(s)
+            con.commit()
+        finally:
+            con.close()
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    batch = e.select(
+        content_hash(["event_id", "user_id", "event_type"]).alias("hash"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+    kw = dict(url="jdbc:sqlite:unused", target_table="events_mart",
+              key_cols=("hash",), dialect="sqlite",
+              stage_writer=stage_writer, statement_runner=statement_runner)
+
+    def target_count() -> int:
+        con = sqlite3.connect(db)
+        try:
+            return con.execute("SELECT count(*) FROM events_mart").fetchone()[0]
+        finally:
+            con.close()
+
+    merge_upsert(batch, **kw)
+    n1 = target_count()
+    merge_upsert(batch, **kw)  # same batch again: must be a no-op
+    n2 = target_count()
+    return spark.createDataFrame(
+        [(n1, n2, n1 == n2)],
+        "n_after_first bigint, n_after_second bigint, idempotent boolean",
+    )

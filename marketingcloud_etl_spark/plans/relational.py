@@ -1157,3 +1157,53 @@ def q84_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_30d"),
         F.sum(dec("o_totalprice", 14, 2)).over(w).cast("double").alias("spend_last_30d"),
     )
+
+
+@query(
+    "q94_sort_nullable_key",
+    oracle="""
+    WITH k AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS k
+      FROM events
+    ), a AS (
+      SELECT 'asc_nulls_first' AS dir, event_id, k,
+             cast(row_number() OVER (ORDER BY k ASC NULLS FIRST, event_id) as int) AS rnk
+      FROM k ORDER BY k ASC NULLS FIRST, event_id LIMIT 50
+    ), d AS (
+      SELECT 'desc_nulls_last' AS dir, event_id, k,
+             cast(row_number() OVER (ORDER BY k DESC NULLS LAST, event_id) as int) AS rnk
+      FROM k ORDER BY k DESC NULLS LAST, event_id LIMIT 50
+    )
+    SELECT * FROM a UNION ALL SELECT * FROM d
+    """,
+    tags=("sort",),
+)
+def q94_sort_nullable_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort on a genuinely nullable key with the null position
+    pinned EXPLICITLY on both engines (Spark defaults nulls-first for
+    ASC, DuckDB defaults nulls-last — relying on either default
+    diverges silently). Membership of the top-50 proves placement
+    (nulls present under ASC NULLS FIRST, absent under DESC NULLS
+    LAST); the rank column pins the exact order. The post-limit window
+    runs on 50 rows — the global TakeOrderedAndProject does the heavy
+    lifting distributed."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("k"),
+    )
+
+    def top50(dir_name: str, key: F.Column) -> DataFrame:
+        sel = e.orderBy(key, "event_id").limit(50)
+        w = W.orderBy(key, "event_id")
+        return sel.select(
+            F.lit(dir_name).alias("dir"),
+            "event_id",
+            "k",
+            F.row_number().over(w).alias("rnk"),
+        )
+
+    return top50("asc_nulls_first", F.col("k").asc_nulls_first()).unionByName(
+        top50("desc_nulls_last", F.col("k").desc_nulls_last())
+    )

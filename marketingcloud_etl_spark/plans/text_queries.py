@@ -448,9 +448,11 @@ def q88_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any 8-gram
     with the held-out set (docs 0-19 stand in for the benchmark). The
-    join is on exact n-gram strings after explode+distinct — shuffle is
-    O(total distinct grams), never pairwise; at 100 TB the gram column
-    would be xxhash64-folded to 8 bytes first (same plan shape).
+    join is on 8-byte xxhash64 gram fingerprints after explode+distinct
+    — shuffle is O(total distinct grams) and carries bigints, not
+    ~50-char strings (a 64-bit collision between a specific train gram
+    and a specific bench gram is ~n²/2⁶⁴ — immaterial next to the
+    sampling noise of any real decontamination run).
 
     The gram join key is Zipf-skewed (common 8-grams hit millions of
     training docs) and a full benchmark-suite gram set is too big to
@@ -464,7 +466,10 @@ def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 8
     d = table(spark, sf_dir, "documents")
     grams = d.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles("text", n))).alias("gram")
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(word_shingles("text", n), lambda g: F.xxhash64(g)))
+        ).alias("gram"),
     )
     bench = grams.filter(F.col("doc_id") < 20).select("gram").distinct()
     train_grams = grams.filter(F.col("doc_id") >= 20)

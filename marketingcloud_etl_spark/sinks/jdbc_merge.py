@@ -1,0 +1,189 @@
+"""Staging-table merge upsert against a live SQL target (reference
+R12: MySQL ``INSERT … ON DUPLICATE KEY UPDATE hash=hash``,
+/root/reference/app/salesforce_extractor.py:211-221, with the
+create-if-absent DDL of :169-181).
+
+The reference streams per-batch INSERT statements through the driver.
+The Spark-native scale shape is different and strictly better:
+
+  1. the batch DataFrame is written DISTRIBUTED to a staging table
+     (``jdbc_write`` — executors open parallel JDBC connections, 2500
+     rows per round-trip, nothing funnels through the driver);
+  2. ONE set-based merge statement runs server-side, moving staging
+     into the target under the unique key — the database does a single
+     relational merge instead of N client round-trips;
+  3. the staging table is dropped.
+
+Dialect coverage: ``mysql`` (the reference's target), ``postgres`` /
+``sqlite`` (ON CONFLICT), and ``ansi`` (MERGE INTO — Oracle/MSSQL/
+Delta/Iceberg SQL endpoints). The sandbox has no JDBC driver jar or
+server, so tests drive the identical statement pipeline through a
+sqlite3 DBAPI runner (tests/test_operators.py); a real cluster passes
+nothing and gets the JDBC DriverManager path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+
+from .upsert import jdbc_write
+
+# Spark simpleString -> portable SQL column type
+_SQL_TYPES = {
+    "string": "VARCHAR(1024)",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "SMALLINT",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+
+def create_table_sql(df: DataFrame, table: str, key_cols: Sequence[str]) -> str:
+    """CREATE TABLE IF NOT EXISTS mirroring the reference's
+    ensure-table DDL (:169-181): columns from the DataFrame schema, a
+    unique constraint on the merge key (the duplicate-rejection
+    backstop the reference relies on)."""
+    cols = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        sql_t = _SQL_TYPES.get(t)
+        if sql_t is None:
+            if t.startswith("decimal"):
+                sql_t = t.upper()
+            else:
+                raise ValueError(f"no SQL mapping for column {f.name!r} type {t!r}")
+        cols.append(f"{f.name} {sql_t}")
+    uniq = ", ".join(key_cols)
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} ("
+        + ", ".join(cols)
+        + f", UNIQUE ({uniq}))"
+    )
+
+
+def merge_sql(
+    target: str,
+    staging: str,
+    columns: Sequence[str],
+    key_cols: Sequence[str],
+    dialect: str = "mysql",
+    update_on_match: bool = False,
+) -> str:
+    """One set-based statement merging staging into target.
+
+    ``update_on_match=False`` is the reference's exact semantics: the
+    ON-DUPLICATE update is a deliberate no-op (:216 "No-op update to
+    avoid duplicate insertion"), i.e. insert-ignore. ``True`` gives
+    last-write-wins on the non-key columns.
+    """
+    collist = ", ".join(columns)
+    non_key = [c for c in columns if c not in key_cols]
+    if dialect == "mysql":
+        if update_on_match and non_key:
+            upd = ", ".join(f"{c}=VALUES({c})" for c in non_key)
+        else:
+            k = key_cols[0]
+            upd = f"{k}={k}"  # the reference's no-op form
+        return (
+            f"INSERT INTO {target} ({collist}) SELECT {collist} FROM {staging} "
+            f"ON DUPLICATE KEY UPDATE {upd}"
+        )
+    if dialect in ("postgres", "sqlite"):
+        conflict = ", ".join(key_cols)
+        if update_on_match and non_key:
+            upd = "DO UPDATE SET " + ", ".join(f"{c}=excluded.{c}" for c in non_key)
+        else:
+            upd = "DO NOTHING"
+        return (
+            f"INSERT INTO {target} ({collist}) SELECT {collist} FROM {staging} "
+            f"WHERE true ON CONFLICT ({conflict}) {upd}"
+        )
+    if dialect == "ansi":
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        ins = ", ".join(f"s.{c}" for c in columns)
+        stmt = f"MERGE INTO {target} t USING {staging} s ON {on}"
+        if update_on_match and non_key:
+            stmt += " WHEN MATCHED THEN UPDATE SET " + ", ".join(
+                f"t.{c} = s.{c}" for c in non_key
+            )
+        stmt += f" WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({ins})"
+        return stmt
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def _jvm_statement_runner(spark, url: str, properties: dict | None) -> Callable[[Sequence[str]], None]:
+    """Default runner: execute statements over a driver-side JDBC
+    connection via the JVM DriverManager (same classpath the executors'
+    jdbc_write uses). Only the DDL/merge strings travel this path —
+    never data."""
+
+    def run(statements: Sequence[str]) -> None:
+        jvm = spark._jvm
+        props = jvm.java.util.Properties()
+        for k, v in (properties or {}).items():
+            props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+        try:
+            st = conn.createStatement()
+            for s in statements:
+                st.execute(s)
+            conn.commit()
+        finally:
+            conn.close()
+
+    return run
+
+
+def merge_upsert(
+    df: DataFrame,
+    url: str,
+    target_table: str,
+    key_cols: Sequence[str] = ("hash",),
+    dialect: str = "mysql",
+    update_on_match: bool = False,
+    staging_table: str | None = None,
+    batchsize: int = 2500,
+    properties: dict | None = None,
+    stage_writer: Callable[[DataFrame, str], None] | None = None,
+    statement_runner: Callable[[Sequence[str]], None] | None = None,
+) -> dict:
+    """Distributed staging write + one server-side merge (R12).
+
+    Re-running the same batch is a no-op (the unique key rejects every
+    row) — the pipeline's idempotence invariant, pinned by
+    tests/test_operators.py::test_merge_upsert_idempotent.
+
+    ``stage_writer``/``statement_runner`` default to the JDBC paths;
+    tests inject DBAPI equivalents because the sandbox ships no JDBC
+    driver jar.
+    """
+    staging = staging_table or f"{target_table}__stg"
+    columns = df.columns
+    if stage_writer is None:
+        def stage_writer(batch: DataFrame, table: str) -> None:
+            jdbc_write(batch, url, table, mode="overwrite", batchsize=batchsize,
+                       properties=properties)
+    if statement_runner is None:
+        statement_runner = _jvm_statement_runner(df.sparkSession, url, properties)
+
+    # in-batch duplicates collapse before the merge, mirroring the
+    # reference's unique constraint catching cross-page repeats
+    batch = df.dropDuplicates(list(key_cols))
+    stage_writer(batch, staging)
+    statement_runner(
+        [
+            create_table_sql(batch, target_table, key_cols),
+            merge_sql(target_table, staging, columns, key_cols, dialect, update_on_match),
+            f"DROP TABLE {staging}",
+        ]
+    )
+    return {"staged_table": staging, "target_table": target_table}
