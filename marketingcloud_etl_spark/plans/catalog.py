@@ -101,6 +101,10 @@ _PRIORITY = (
     "q87_scd2_versioning",
     # new this round — need first-time driver verdicts
     "q94_sort_nullable_key",
+    "q95_dup_clusters_cc",
+    "q96_repetition_signals",
+    "q97_pii_redaction",
+    "q98_orc_roundtrip",
     "q93_jdbc_merge_upsert",
 )
 

@@ -203,3 +203,73 @@ def q91_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("jaccard"), 6).alias("min_jaccard"),
         F.round(F.max("jaccard"), 6).alias("max_jaccard"),
     )
+
+
+@query(
+    "q95_dup_clusters_cc",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, {_GRAMS.format(t=tokens_sql('text'))} AS gs FROM documents WHERE doc_id < 500
+    ), sim AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2
+      WHERE CASE WHEN len(list_distinct(list_concat(a.gs, b.gs))) > 0
+            THEN cast(len(list_intersect(a.gs, b.gs)) as double)
+                 / len(list_distinct(list_concat(a.gs, b.gs)))
+            ELSE 0.0 END >= 0.05
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS s, id_b AS d FROM sim
+      UNION SELECT id_b, id_a FROM sim
+    ), nodes AS (
+      SELECT DISTINCT s AS id FROM edges
+    ), reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    )
+    SELECT component, cast(count(*) as bigint) AS n_docs,
+           min(id) AS min_doc, max(id) AS max_doc
+    FROM comp GROUP BY component
+    """,
+    tags=("dedup", "iterative"),
+)
+def q95_dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: similarity edges (2-gram
+    Jaccard ≥ 0.05 between docs ≤ 2 ids apart — the q47 verify-stage
+    battery shape) feed min-label-propagation connected components
+    (operators/components.py), so transitively-linked docs land in one
+    cluster even when they never directly collide. The oracle computes
+    the same closure with a recursive CTE — a full value check of an
+    iterative distributed algorithm."""
+    prep(spark)
+    from ..operators.components import connected_components
+    from ..operators.dedup import ngram_jaccard, ngram_set
+
+    d = table(spark, sf_dir, "documents")
+    g = (
+        d.filter(F.col("doc_id") < 500)
+        .select("doc_id", ngram_set("text", 2).alias("gs"))
+        .persist()  # read twice by the gap-1/gap-2 self-join
+    )
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("gs").alias("gb"))
+
+    # one equi-join per gap, unioned — an OR-of-equalities join condition
+    # would plan as a nested-loop join (every row pair evaluated); the
+    # equi-joins hash-partition on the id arithmetic instead
+    def gap_edges(gap: int) -> DataFrame:
+        return (
+            a.join(b, F.col("id_b") == F.col("id_a") + gap)
+            .filter(ngram_jaccard(F.col("ga"), F.col("gb")) >= 0.05)
+            .select("id_a", "id_b")
+        )
+
+    edges = gap_edges(1).unionByName(gap_edges(2))
+    comp = connected_components(edges)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("id").alias("min_doc"),
+        F.max("id").alias("max_doc"),
+    )

@@ -423,3 +423,40 @@ def q93_jdbc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n1, n2, n1 == n2)],
         "n_after_first bigint, n_after_second bigint, idempotent boolean",
     )
+
+
+@query(
+    "q98_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_price,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("etl", "source"),
+)
+def q98_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC file source/sink: write orders to ORC, read it back, and
+    aggregate — the oracle computes the identical aggregate straight
+    from parquet, so any round-trip drift (type mapping, date/decimal
+    encoding) breaks the hash match. ORC is Spark-native columnar with
+    predicate pushdown, the common interchange with Hive warehouses."""
+    import os
+
+    prep(spark)
+    base = f"/tmp/mcetl_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    marker = f"{base}/_SUCCESS"
+    if not os.path.exists(marker):
+        o.write.mode("overwrite").orc(base)
+    back = spark.read.orc(base)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("total_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )

@@ -633,3 +633,148 @@ def q92_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("plang").alias("lang_pred"))
     )
     return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "q96_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS ts FROM documents WHERE doc_id < 300
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i+1])) AS g,
+             len(ts) AS n_tokens,
+             len(list_distinct(ts)) AS n_distinct
+      FROM toks WHERE len(ts) >= 2
+    ), counts AS (
+      SELECT doc_id, g, count(*) AS c,
+             any_value(n_tokens) AS n_tokens, any_value(n_distinct) AS n_distinct
+      FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           cast(sum(c) as bigint) AS n_2grams,
+           cast(max(c) as bigint) AS top2_count,
+           round(cast(max(c) as double) / sum(c), 6) AS top2_frac,
+           round(1.0 - cast(any_value(n_distinct) as double)
+                       / any_value(n_tokens), 6) AS dup_token_frac,
+           (cast(max(c) as double) / sum(c)) > 0.18 AS flag_repetitive
+    FROM counts GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def q96_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText filter
+    family): per-document top-2-gram mass fraction and duplicate-token
+    fraction, with the Gopher-style repetitive flag. Line/paragraph
+    variants are the same plan over a different split expression (this
+    corpus is single-line, so 2-grams are the non-vacuous signal).
+    Shuffle is O(total 2-grams) keyed on (doc_id, gram) — fine-grained,
+    skew-free; the per-doc rollup rides the same partial-agg path."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ts = tokens("text")
+    base = d.select(
+        "doc_id",
+        ts.alias("ts"),
+        F.size(ts).alias("n_tokens"),
+        F.size(F.array_distinct(ts)).alias("n_distinct"),
+    ).filter(F.col("n_tokens") >= 2)
+    grams = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.explode(
+            F.expr("transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))")
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.any_value(F.col("n_tokens")).alias("n_tokens"),
+        F.any_value(F.col("n_distinct")).alias("n_distinct"),
+    )
+    top2_frac = F.max("c").cast("double") / F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_2grams"),
+        F.max("c").cast("long").alias("top2_count"),
+        F.round(top2_frac, 6).alias("top2_frac"),
+        F.round(
+            F.lit(1.0) - F.any_value(F.col("n_distinct")).cast("double") / F.any_value(F.col("n_tokens")),
+            6,
+        ).alias("dup_token_frac"),
+        (top2_frac > 0.18).alias("flag_repetitive"),
+    )
+
+
+@query(
+    "q97_pii_redaction",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id, lang,
+             text || ' contact user' || cast(doc_id as varchar)
+                  || '@example.com or call 555-01' || cast(doc_id % 90 + 10 as varchar)
+                  AS text
+      FROM documents
+    ), red AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+')) AS n_emails,
+             len(regexp_extract_all(text, '[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS n_phones,
+             regexp_replace(
+               regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+', '<EMAIL>', 'g'),
+               '[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS redacted
+      FROM synth
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           cast(sum(n_emails) as bigint) AS n_emails,
+           cast(sum(n_phones) as bigint) AS n_phones,
+           cast(sum(CASE WHEN redacted LIKE '%<EMAIL>%'
+                          AND redacted LIKE '%<PHONE>%' THEN 1 ELSE 0 END) as bigint)
+             AS n_fully_redacted
+    FROM red GROUP BY lang
+    """,
+    tags=("text", "quality"),
+)
+def q97_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: regex detection + redaction
+    of emails and phone-like tokens, with per-language audit counts.
+    The fixture corpus carries no PII, so deterministic synthetic PII
+    is appended first — the detection/redaction expressions are what's
+    under test, on both engines. Patterns use explicit ASCII classes
+    (Java regex and RE2 agree on those; \\d and \\s have corner-case
+    divergences). Pure codegen'd string expressions — no UDFs."""
+    prep(spark)
+    email_re = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+    phone_re = "[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+    d = table(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-01"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+        ).alias("text"),
+    )
+    red = synth.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(email_re), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), 0)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("redacted"),
+    )
+    return red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_phones").cast("long").alias("n_phones"),
+        F.sum(
+            F.when(
+                F.col("redacted").contains("<EMAIL>") & F.col("redacted").contains("<PHONE>"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_fully_redacted"),
+    )

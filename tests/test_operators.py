@@ -318,3 +318,45 @@ def test_merge_sql_dialects(spark):
     df = spark.createDataFrame([("a", 1, 2.0)], "hash string, n bigint, v double")
     ddl = create_table_sql(df, "t", ["hash"])
     assert "CREATE TABLE IF NOT EXISTS t" in ddl and "UNIQUE (hash)" in ddl
+
+
+def test_connected_components_planted(spark):
+    """Planted topology: a 5-chain, a star, a 2-cycle, and an isolated
+    pair — min-label components with pointer jumping must label every
+    node with its component minimum."""
+    from marketingcloud_etl_spark.operators.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),          # chain -> comp 1
+            (10, 11), (10, 12), (10, 13),             # star  -> comp 10
+            (20, 21), (21, 20),                       # cycle (dup edge reversed)
+            (30, 31),                                 # pair
+        ],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30,
+    }
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    keep = {r.doc_id for r in dedup_clusters(docs, edges).filter("keep").collect()}
+    assert keep == {1, 10, 20, 30}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node chain converges well inside max_iter thanks to pointer
+    jumping (plain propagation would need 63 rounds)."""
+    from marketingcloud_etl_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a bigint, id_b bigint"
+    )
+    got = connected_components(edges, max_iter=12).collect()
+    assert len(got) == 64 and all(r.component == 0 for r in got)
