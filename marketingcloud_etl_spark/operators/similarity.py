@@ -15,6 +15,7 @@ arrays (broadcast with the plan) — no MLlib Vector conversions, no UDFs.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -189,6 +190,37 @@ def ann_lsh_topk(
     )
 
 
+def _argmax_cell_sql(vec_sql: str, norm_cents: list[list[float]]) -> str:
+    """ONE expression assigning a vector to its max-dot cell against a
+    LITERAL normalized-centroid matrix (ties → lowest cell, matching
+    the previous window tiebreak). Centroids are pre-normalized so
+    argmax over dot == argmax over cosine (the query's own norm scales
+    every cell identically). Structure follows the LSH signature
+    lessons: one F.expr (py4j literal-building costs seconds), and
+    let-bindings via single-element transform so nothing re-evaluates
+    per lambda iteration after CollapseProject inlining."""
+    cents_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"cast({x!r} as double)" for x in c) + ")"
+            for c in norm_cents
+        )
+        + ")"
+    )
+    return (
+        f"element_at(transform(array(cast({vec_sql} as array<double>)), v -> "
+        f"element_at(transform(array(transform({cents_lit}, c -> "
+        f"aggregate(zip_with(v, c, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x))), "
+        f"s -> cast(array_position(s, array_max(s)) as int) - 1), 1)"
+        f"), 1)"
+    )
+
+
+def _normalize(c: list[float]) -> list[float]:
+    n = math.sqrt(sum(x * x for x in c))
+    return [x / n for x in c] if n > 0 else list(c)
+
+
 def train_ivf_codebook(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -197,46 +229,49 @@ def train_ivf_codebook(
     vec_col: str = "embedding",
 ) -> list:
     """Train the IVF coarse codebook and MATERIALIZE it (a list of
-    (cell, centroid) rows — n_cells × dim doubles, trivially small).
+    (cell, centroid) tuples — n_cells × dim doubles, trivially small).
 
     Training is the expensive part (Lloyd iterations over the corpus);
     in a real deployment it runs offline and the search path reuses the
     codebook across queries — this function is that split. Seeding is a
-    deterministic corpus sample (order by xxhash64(id), take n_cells);
-    each Lloyd iteration is fully distributed: broadcast codebook →
-    argmax-cosine assignment (narrow), element-wise centroid mean via
-    posexplode + (cell, pos) aggregation.
+    deterministic corpus sample (order by xxhash64(id), take n_cells).
+    Each Lloyd iteration is one NARROW pass over the corpus: the
+    centroid matrix rides in the assignment expression as a literal
+    (the codebook is driver-sized by definition), so there is no
+    crossJoin, no per-vector window shuffle — just a map + the
+    element-wise mean aggregation (posexplode + (cell, pos) partial
+    aggs). The previous crossJoin+row_number formulation spent its
+    time shuffling n_cells rows per vector; this one shuffles only the
+    mean partials.
     """
-    cents = (
+    seed_rows = (
         corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
         .withColumn("__h", F.xxhash64(F.col("cent_id")))
         .orderBy("__h")
         .limit(n_cells)
-        .withColumn("cell", F.row_number().over(W.orderBy("cent_id")) - 1)
-        .select("cell", F.col("cent_vec").cast("array<double>").alias("cent_vec"))
+        .collect()
     )
-    vecs = corpus.select(
-        F.col(id_col).alias("__vid"), F.col(vec_col).cast("array<double>").alias("__v")
-    )
+    seed_rows.sort(key=lambda r: r.cent_id)
+    cents: list[list[float]] = [[float(x) for x in r.cent_vec] for r in seed_rows]
+
+    vecs = corpus.select(F.col(vec_col).alias("__v"))
     for _ in range(refine_iters):
-        scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-            "__sim", cosine("__v", "cent_vec")
-        )
-        w1 = W.partitionBy("__vid").orderBy(F.col("__sim").desc(), F.col("cell"))
-        assigned = (
-            scored.withColumn("__rn", F.row_number().over(w1))
-            .filter(F.col("__rn") == 1)
-            .select("cell", "__v")
-        )
-        cents = (
-            assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
+        assign = _argmax_cell_sql("__v", [_normalize(c) for c in cents])
+        means = (
+            vecs.withColumn("cell", F.expr(assign))
+            .select("cell", F.posexplode(F.col("__v").cast("array<double>")).alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cell", F.transform("pm", lambda s: s["m"]).alias("cent_vec"))
+            .collect()  # n_cells × dim scalars — driver-sized
         )
-    return cents.collect()
+        new_cents = [list(c) for c in cents]  # empty cells keep their centroid
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        for cell, pm in by_cell.items():
+            new_cents[cell] = [pm[p] for p in sorted(pm)]
+        cents = new_cents
+    return [(i, c) for i, c in enumerate(cents)]
 
 
 def ann_ivf_topk(
@@ -273,6 +308,15 @@ def ann_ivf_topk(
     if codebook is None:
         codebook = train_ivf_codebook(corpus, n_cells, refine_iters, id_col, vec_col)
     cents = spark.createDataFrame(codebook, "cell int, cent_vec array<double>")
+    norm_cents = [_normalize([float(x) for x in c]) for _, c in codebook]
+
+    # corpus side (the big one): single-expression literal-matrix argmax
+    # — a narrow map, no crossJoin, no per-vector window shuffle
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.expr(_argmax_cell_sql(vec_col, norm_cents)).alias("cell"),
+    )
 
     def nearest_cells(df: DataFrame, idc: str, keep: int, out_vec: str) -> DataFrame:
         scored = (
@@ -287,7 +331,8 @@ def ann_ivf_topk(
             .select(idc, "cell", out_vec)
         )
 
-    corpus_cells = nearest_cells(corpus, "neighbor_id", 1, "c_vec")
+    # query side stays on the crossJoin+window formulation — it needs
+    # the top-n_probe cells, and the query set is small by contract
     query_cells = nearest_cells(queries, "query_id", n_probe, "q_vec")
     scored = (
         corpus_cells.join(F.broadcast(query_cells), "cell")
