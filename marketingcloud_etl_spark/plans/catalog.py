@@ -105,6 +105,10 @@ _PRIORITY = (
     "q96_repetition_signals",
     "q97_pii_redaction",
     "q98_orc_roundtrip",
+    "q99_unpivot_melt",
+    "q100_stats_moments",
+    "q101_gapfill_timeseries",
+    "q102_histogram",
     "q93_jdbc_merge_upsert",
 )
 

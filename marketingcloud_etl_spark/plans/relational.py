@@ -1207,3 +1207,199 @@ def q94_sort_nullable_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top50("asc_nulls_first", F.col("k").asc_nulls_first()).unionByName(
         top50("desc_nulls_last", F.col("k").desc_nulls_last())
     )
+
+
+@query(
+    "q99_unpivot_melt",
+    oracle="""
+    WITH long AS (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_orderkey < 100
+    )
+    SELECT metric, count(*) AS n,
+           min(val) AS min_val, max(val) AS max_val,
+           cast(sum(cast(val as decimal(18,4))) as double) AS sum_val
+    FROM long GROUP BY metric
+    """,
+    tags=("reshape",),
+)
+def q99_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt — wide measure columns to long (metric, val) rows
+    via DataFrame.unpivot (the inverse of q33's pivot), then a per-
+    metric rollup. The oracle uses the portable UNION ALL formulation;
+    Spark plans unpivot as Expand (one pass, rows×metrics output — no
+    join, no shuffle before the aggregate)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    ).withColumn("metric", F.regexp_replace("metric", "^l_", ""))
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.sum(F.col("val").cast("decimal(18,4)")).cast("double").alias("sum_val"),
+    )
+
+
+@query(
+    "q100_stats_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             cast(sum(cast(l_quantity as decimal(30,6))) as double) AS sx,
+             cast(sum(cast(l_quantity * l_quantity as decimal(30,6))) as double) AS sxx,
+             cast(sum(cast(l_extendedprice as decimal(30,6))) as double) AS sy,
+             cast(sum(cast(l_extendedprice * l_extendedprice as decimal(30,6))) as double) AS syy,
+             cast(sum(cast(l_quantity * l_extendedprice as decimal(30,6))) as double) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(sx / n, 6) AS mean_qty,
+           round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_qty,
+           round((n * sxx - sx * sx) / (n * (n - 1.0)), 6) AS var_qty,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def q100_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed statistical moments (mean/stddev/variance/corr) from
+    EXACT power sums: the raw products are exactly representable (2-dp
+    money × small-int quantities stay under 2^53), the sums accumulate
+    in decimal (order-independent), and the closed-form moment math
+    runs on the exact totals — deterministic across partitionings and
+    engines, unlike naive float stddev/corr accumulation. One partial-
+    aggregated pass; no second scan for the means."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(30,6)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(30,6)")).cast("double").alias("sxx"),
+        F.sum(y.cast("decimal(30,6)")).cast("double").alias("sy"),
+        F.sum((y * y).cast("decimal(30,6)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(30,6)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    var = (n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * (n - F.lit(1.0)))
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("sx") / n, 6).alias("mean_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+        F.round(var, 6).alias("var_qty"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "q101_gapfill_timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, cast(ts as date) AS d,
+             count(*) AS n,
+             cast(sum(cast(value as decimal(14,2))) as double) AS total
+      FROM events GROUP BY event_type, cast(ts as date)
+    ), bounds AS (
+      SELECT min(d) AS d0, max(d) AS d1 FROM daily
+    ), spine AS (
+      SELECT t.event_type, s.d
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+                  FROM bounds) s
+    )
+    SELECT sp.event_type, sp.d,
+           coalesce(dl.n, 0) AS n,
+           coalesce(dl.total, 0.0) AS total,
+           coalesce(dl.total,
+                    last_value(dl.total IGNORE NULLS) OVER (
+                      PARTITION BY sp.event_type ORDER BY sp.d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0.0) AS total_ffill
+    FROM spine sp LEFT JOIN daily dl ON sp.event_type = dl.event_type AND sp.d = dl.d
+    """,
+    tags=("timeseries",),
+)
+def q101_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: a complete (event_type × day) date spine
+    from sequence(), left-joined daily aggregates, zero-fill for
+    counts, and last-observation-carried-forward for the running total
+    (last(ignorenulls) over an unbounded-preceding frame). The spine
+    build is a broadcast cross of two tiny aggregates; the only real
+    shuffle is the daily rollup."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 14, 2)).cast("double").alias("total"),
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("d")
+    )
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(days))
+    joined = spine.join(daily, ["event_type", "d"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "d",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+        F.coalesce(
+            "total", F.last("total", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("total_ffill"),
+    )
+
+
+@query(
+    "q102_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             cast(least(floor(value / 50.0), 9) as int) AS bucket
+      FROM events
+    )
+    SELECT event_type, bucket, count(*) AS n
+    FROM b GROUP BY event_type, bucket
+    """,
+    tags=("agg", "stats"),
+)
+def q102_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (10 × 50-unit buckets, top bucket open) —
+    the distribution profile for numeric columns, computed with
+    explicit portable bucket math. Partial aggregation collapses to
+    ≤ types×buckets rows per task before the shuffle."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int")
+    return (
+        e.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
