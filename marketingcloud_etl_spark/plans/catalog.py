@@ -109,6 +109,7 @@ _PRIORITY = (
     "q100_stats_moments",
     "q101_gapfill_timeseries",
     "q102_histogram",
+    "q103_mapinarrow_bytes",
     "q93_jdbc_merge_upsert",
 )
 

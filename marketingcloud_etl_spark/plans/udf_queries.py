@@ -199,3 +199,47 @@ def q65_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 50
         """
     )
+
+
+# ------------------------------------------------------------- mapInArrow
+
+
+@query(
+    "q103_mapinarrow_bytes",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           cast(sum(length(text)) as bigint) AS total_chars,
+           cast(sum(octet_length(cast(text as blob))) as bigint) AS total_bytes
+    FROM documents GROUP BY lang
+    """,
+    tags=("udf", "arrow"),
+)
+def q103_mapinarrow_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy Arrow-native batch path (no
+    pandas conversion at all): per-batch char and byte lengths computed
+    with pyarrow.compute kernels, then aggregated JVM-side. The fastest
+    Python boundary Spark offers; the right tool when the kernel
+    already exists in Arrow. Deterministic, so fully oracle-checked."""
+    prep(spark)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def lengths(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),  # lang
+                    pc.cast(pc.utf8_length(b.column(1)), pa.int64()),
+                    pc.cast(pc.binary_length(b.column(1)), pa.int64()),
+                ],
+                names=["lang", "n_chars_a", "n_bytes_a"],
+            )
+
+    d = table(spark, sf_dir, "documents").select("lang", "text")
+    out = d.mapInArrow(lengths, "lang string, n_chars_a bigint, n_bytes_a bigint")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_a").alias("total_chars"),
+        F.sum("n_bytes_a").alias("total_bytes"),
+    )

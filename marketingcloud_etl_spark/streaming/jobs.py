@@ -135,3 +135,49 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_running_totals_tws(stream: DataFrame) -> DataFrame:
+    """The same per-user running totals through ``transformWithState``
+    (Spark 4's arbitrary-state API, successor to
+    ``applyInPandasWithState``): typed ValueState survives across
+    micro-batches, per-key emission on every batch that touches the
+    key. Kept alongside q81's formulation so both stateful APIs stay
+    covered — they must produce identical final state.
+
+    GATED: the transformWithState state-server protocol needs protobuf,
+    which this container does not ship — tests skip without it and no
+    catalog query depends on it (a real cluster with protobuf runs it
+    as-is; see tests/test_streaming.py::test_transform_with_state)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n bigint, cents bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                # per-row rounding BEFORE summing (same protocol as the
+                # applyInPandasWithState twin): batch-sum-then-round
+                # drifts with micro-batch boundaries
+                cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

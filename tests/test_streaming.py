@@ -4,6 +4,7 @@ batch over the identical data."""
 
 from __future__ import annotations
 
+import pytest
 import pyspark.sql.functions as F
 
 from marketingcloud_etl_spark.io import table
@@ -131,3 +132,41 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) for p in q.recentProgress
     )
     assert dropped == 1
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """transformWithState running totals == batch aggregate (skipped
+    where protobuf — required by its state-server protocol — is not
+    installed)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from marketingcloud_etl_spark.streaming.jobs import (
+        events_stream,
+        run_to_memory,
+        stateful_running_totals_tws,
+    )
+
+    out = run_to_memory(
+        stateful_running_totals_tws(events_stream(spark, sf_dir)),
+        "tws_out",
+        output_mode="update",
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select("user_id", "n_events", "total_cents")
+    )
+    from marketingcloud_etl_spark.io import table
+
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_cents"),
+        )
+    )
+    assert final.exceptAll(batch).count() == 0 and batch.exceptAll(final).count() == 0
