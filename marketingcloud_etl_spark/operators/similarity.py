@@ -345,3 +345,187 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
     )
+
+
+# ------------------------------------------------------ product quantization
+
+
+def _pq_literals(codebooks: list[list[list[float]]]) -> tuple[str, str]:
+    """(CB, NS) literal SQL: CB[j][c] = centroid vector of subspace j,
+    NS[j][c] = its squared L2 norm (for min-L2 assignment via
+    argmax(dot - ||c||²/2))."""
+    cb = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"cast({x!r} as double)" for x in c) + ")"
+                for c in book
+            )
+            + ")"
+            for book in codebooks
+        )
+        + ")"
+    )
+    ns = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(f"cast({sum(x * x for x in c)!r} as double)" for c in book)
+            + ")"
+            for book in codebooks
+        )
+        + ")"
+    )
+    return cb, ns
+
+
+def _pq_encode_sql(vec_sql: str, codebooks: list[list[list[float]]]) -> str:
+    """ONE expression producing the array<int> of per-subspace codes
+    (min-L2 assignment, ties → lowest code). Same structural rules as
+    the LSH/IVF expressions: single F.expr, let-bound subvector and
+    score array so nothing re-evaluates per lambda iteration."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    cb, ns = _pq_literals(codebooks)
+    return (
+        f"element_at(transform(array(cast({vec_sql} as array<double>)), v -> "
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"element_at(transform(array(slice(v, j * {d} + 1, {d})), sub -> "
+        f"element_at(transform(array("
+        f"zip_with(element_at({cb}, j + 1), element_at({ns}, j + 1), (c, nn) -> "
+        f"aggregate(zip_with(sub, c, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x) - nn / 2D)"
+        f"), s -> cast(array_position(s, array_max(s)) as int) - 1), 1)"
+        f"), 1))), 1)"
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks (k-means per subspace, seeded
+    from a deterministic corpus sample). Each Lloyd round is ONE
+    narrow pass over the corpus — the encode expression assigns all m
+    codes at once against literal codebooks — plus a (j, code, subpos)
+    mean aggregation whose result is m × n_codes × (dim/m) scalars,
+    i.e. driver-sized by construction."""
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+        .withColumn("__h", F.xxhash64(F.col("sid")))
+        .orderBy("__h")
+        .limit(n_codes)
+        .collect()
+    )
+    seed_rows.sort(key=lambda r: r.sid)
+    dim = len(seed_rows[0].sv)
+    if dim % m:
+        raise ValueError(f"m ({m}) must divide dim ({dim})")
+    d = dim // m
+    books: list[list[list[float]]] = [
+        [[float(x) for x in r.sv[j * d : (j + 1) * d]] for r in seed_rows]
+        for j in range(m)
+    ]
+    vecs = corpus.select(F.col(vec_col).alias("__v"))
+    for _ in range(refine_iters):
+        enc = _pq_encode_sql("__v", books)
+        means = (
+            vecs.withColumn("codes", F.expr(enc))
+            .select("codes", F.posexplode(F.col("__v").cast("array<double>")).alias("pos", "x"))
+            .select(
+                (F.col("pos") / d).cast("int").alias("j"),
+                F.expr(f"codes[cast(pos / {d} as int)]").alias("code"),
+                (F.col("pos") % d).alias("subpos"),
+                "x",
+            )
+            .groupBy("j", "code", "subpos")
+            .agg(F.avg("x").alias("mn"))
+            .collect()
+        )
+        new_books = [[list(c) for c in book] for book in books]
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            acc.setdefault((r.j, r.code), {})[r.subpos] = r.mn
+        for (j, code), sp in acc.items():
+            new_books[j][code] = [sp[p] for p in sorted(sp)]
+        books = new_books
+    return books
+
+
+def ann_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list | None = None,
+) -> DataFrame:
+    """PQ-compressed ANN with asymmetric-distance scoring and exact
+    rerank — the memory-bound half of a production IVF-PQ index.
+
+    The corpus is scanned as m small int codes per vector (m bytes at
+    n_codes ≤ 256 — a 32× compression of a 64-dim float vector); each
+    query ships a lookup table LUT[j][c] = dot(q_j, centroid_{j,c})
+    and the approximate score is a pure m-element table-walk:
+    ``aggregate(zip_with(codes, lut, (cd, row) -> row[cd+1]), ...)``.
+    The top-``rerank`` candidates per query are then exact-cosine
+    reranked. At 100 TB the codes column is what you keep hot; the
+    full vectors page in only for the rerank join. Composes with the
+    IVF cell filter (q66) for sub-linear scan — kept orthogonal here.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, m, n_codes, 1, id_col, vec_col)
+    d = len(codebooks[0][0])
+    cb, _ = _pq_literals(codebooks)
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(_pq_encode_sql(vec_col, codebooks)).alias("codes"),
+    )
+    # per-query LUT over the same literal codebooks (one narrow map on
+    # the tiny query side)
+    lut_sql = (
+        f"element_at(transform(array(cast({vec_col} as array<double>)), v -> "
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"element_at(transform(array(slice(v, j * {d} + 1, {d})), sub -> "
+        f"transform(element_at({cb}, j + 1), c -> "
+        f"aggregate(zip_with(sub, c, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x))"
+        f"), 1))), 1)"
+    )
+    q_lut = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(lut_sql).alias("lut"),
+    )
+    approx = (
+        codes.crossJoin(F.broadcast(q_lut.select("query_id", "lut")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "approx_dot",
+            F.expr(
+                "aggregate(zip_with(codes, lut, (cd, row) -> element_at(row, cd + 1)), "
+                "cast(0 as double), (a, x) -> a + x)"
+            ),
+        )
+        .drop("lut", "codes")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_dot").desc(), F.col("neighbor_id"))
+    cand = approx.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= rerank)
+    c_vec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_lut.select("query_id", "q_vec")), "query_id")
+        .withColumn("cos_raw", cosine("q_vec", "c_vec"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
+    )

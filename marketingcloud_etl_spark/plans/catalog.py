@@ -111,6 +111,7 @@ _PRIORITY = (
     "q102_histogram",
     "q103_mapinarrow_bytes",
     "q93_jdbc_merge_upsert",
+    "q105_ann_pq_topk",
 )
 
 

@@ -176,3 +176,25 @@ def q73_frame_sample_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("frame_digest").alias("first_digest"),
         )
     )
+
+
+_PQ_CODEBOOKS: dict[str, list] = {}
+
+
+@query("q105_ann_pq_topk", oracle=None, tags=("vector", "rows-only"))
+def q105_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (q66's IVF complement): the corpus
+    scans as m=8 small codes per vector (32× compression), each query
+    ships a dot-product lookup table, and the ADC top-50 candidates
+    are exact-cosine reranked to top-5. Codebooks train once per
+    process and dataset (deterministic per-subspace Lloyd). Recall and
+    determinism are pinned in tests/test_operators.py."""
+    prep(spark)
+    from ..operators.similarity import ann_pq_topk, train_pq_codebooks
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cb = _PQ_CODEBOOKS.get(sf_dir)
+    if cb is None:
+        cb = _PQ_CODEBOOKS[sf_dir] = train_pq_codebooks(e, m=8, n_codes=16)
+    return ann_pq_topk(e, q, k=5, m=8, n_codes=16, rerank=50, codebooks=cb)

@@ -360,3 +360,23 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = connected_components(edges, max_iter=12).collect()
     assert len(got) == 64 and all(r.component == 0 for r in got)
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    """PQ ADC scan + exact rerank: recall floor vs brute force, and
+    candidate sanity (surfaced neighbors genuinely high-cosine)."""
+    from marketingcloud_etl_spark.operators.similarity import ann_pq_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = knn_bruteforce(e, q, k=5).select("query_id", "neighbor_id")
+    approx = ann_pq_topk(e, q, k=5, m=8, n_codes=16, rerank=50)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"PQ recall {recall:.2f} below floor"
+    top100 = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(e, q, k=100).collect()}
+    assert approx_set <= top100 | exact_set
+    # deterministic: trained codebooks are a pure function of the corpus
+    again = {(r.query_id, r.neighbor_id) for r in ann_pq_topk(e, q, k=5, m=8, n_codes=16, rerank=50).collect()}
+    assert again == approx_set

@@ -50,3 +50,29 @@ def test_hash_dedup_invariants(spark, rows):
     # re-run invariant: ingesting the batch twice changes nothing
     doubled = dedup_exact(df.unionByName(df), cols)
     assert doubled.count() == once.count()
+
+
+def test_canonical_exact_bigint_no_false_pass():
+    """Integral object columns (DuckDB DECIMAL/HUGEINT) must compare
+    exactly: two values differing only below float64 resolution
+    (> 2^53) are a REAL mismatch and must fail, not coerce equal."""
+    import decimal
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from .oracle import assert_frames_match, canonical
+
+    big = 2**53 + 1  # 9007199254740993; float64 rounds to ...992
+    a = pd.DataFrame({"k": [1], "v": pd.Series([big], dtype=object)})
+    b = pd.DataFrame({"k": [1], "v": pd.Series([decimal.Decimal(big - 1)], dtype=object)})
+    with _pytest.raises(AssertionError):
+        assert_frames_match(a, b, "bigint-precision")
+    # and equal values still pass through the exact path
+    c = pd.DataFrame({"k": [1], "v": pd.Series([decimal.Decimal(big)], dtype=object)})
+    assert_frames_match(a, c, "bigint-equal")
+    # fractional decimals keep the float path
+    f1 = pd.DataFrame({"v": pd.Series([decimal.Decimal("1.25")], dtype=object)})
+    f2 = pd.DataFrame({"v": pd.Series([1.25], dtype=object)})
+    assert_frames_match(f1, f2, "fractional")
+    assert canonical(f1)["v"].dtype == "float64"
