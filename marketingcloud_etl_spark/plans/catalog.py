@@ -110,6 +110,7 @@ _PRIORITY = (
     "q101_gapfill_timeseries",
     "q102_histogram",
     "q103_mapinarrow_bytes",
+    "q106_schema_evolution",
     "q93_jdbc_merge_upsert",
     "q105_ann_pq_topk",
 )

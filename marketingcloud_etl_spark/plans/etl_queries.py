@@ -460,3 +460,50 @@ def q98_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
     )
+
+
+@query(
+    "q106_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+      FROM events WHERE event_id < 5000
+      UNION ALL
+      SELECT event_id, event_type, value
+      FROM events WHERE event_id >= 5000
+    )
+    SELECT event_type,
+           count(*) AS n,
+           cast(count(value) as bigint) AS n_with_value,
+           cast(sum(cast(coalesce(value, 0.0) as decimal(14,2))) as double) AS total_value
+    FROM unioned GROUP BY event_type
+    """,
+    tags=("etl", "source"),
+)
+def q106_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a file-backed table: an old batch written
+    without the ``value`` column and a new batch with it, read back as
+    ONE table via mergeSchema — old rows surface NULL for the added
+    column (the additive-evolution contract every long-lived 100 TB
+    dataset relies on). The oracle builds the same union explicitly,
+    so a wrong merge (dropped column, misaligned rows) breaks the
+    hash."""
+    import os
+
+    prep(spark)
+    base = f"/tmp/mcetl_evolve_{os.path.basename(sf_dir.rstrip('/'))}"
+    e = table(spark, sf_dir, "events")
+    old = e.filter(F.col("event_id") < 5000).select("event_id", "event_type")
+    new = e.filter(F.col("event_id") >= 5000).select("event_id", "event_type", "value")
+    if not os.path.exists(f"{base}/old/_SUCCESS"):
+        old.write.mode("overwrite").parquet(f"{base}/old")
+    if not os.path.exists(f"{base}/new/_SUCCESS"):
+        new.write.mode("overwrite").parquet(f"{base}/new")
+    merged = spark.read.option("mergeSchema", True).parquet(f"{base}/old", f"{base}/new")
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("n_with_value"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )

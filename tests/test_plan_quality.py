@@ -1,0 +1,87 @@
+"""Plan-quality regression tests: the physical plans the engine is
+designed around, pinned so a refactor can't silently regress them
+(SURVEY.md §4). Complements test_operators.py::
+test_bucketed_join_has_no_shuffle / test_partition_pruning_scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marketingcloud_etl_spark.io import table
+from marketingcloud_etl_spark.plans.catalog import load_all
+
+REGISTRY = load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    """q05 joins lineitem→orders→customer→nation: the small dims must
+    come in as broadcast hash joins, never shuffle both sides."""
+    plan = _plan(REGISTRY["q05_revenue_by_nation"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filters_push_into_scan(spark, sf_dir):
+    """A filter on a scanned column must reach the parquet reader
+    (PushedFilters), not run post-scan only."""
+    df = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 1000.0)
+        .select("o_orderkey")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    """A two-column projection must read a two-column schema — a scan
+    that reads everything for a narrow projection is wrong at any
+    scale."""
+    df = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_comment" not in read and "l_extendedprice" not in read
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    """groupBy aggregates must map-side combine (two HashAggregate
+    levels around one Exchange), so hot keys arrive pre-reduced."""
+    df = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+
+
+def test_whole_stage_codegen_covers_scalar_pipeline(spark, sf_dir):
+    """The flagship scan→flatten→hash pipeline stays inside whole-stage
+    codegen (no interpreted projections in the hot path). AQE only
+    shows the real physical tree after execution, so run it first."""
+    df = REGISTRY["q00_flagship_ingest_dedup"].fn(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    # "*(n)" node prefixes are the WholeStageCodegen subtree markers in
+    # the compact plan string; the scan-side projection (stage 1, the
+    # md5 flatten) and the aggregates must all carry one
+    assert "isFinalPlan=true" in plan
+    assert plan.count("*(") >= 3, plan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    """q23 global sort+limit must plan TakeOrderedAndProject — never a
+    full global sort of the table."""
+    plan = _plan(REGISTRY["q23_sort_limit"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    """q07's EXISTS shape must execute as a semi join (no row
+    multiplication then distinct)."""
+    plan = _plan(REGISTRY["q07_join_semi"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
