@@ -71,6 +71,46 @@ def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _HASH_P), rng.randrange(0, _HASH_P)) for _ in range(num_perm)]
 
 
+# modular polynomial over per-token hashes: P*M + 2^32 < 2^63 (ANSI-safe)
+_POLY_P = (1 << 41) - 21
+_POLY_M = 1000003
+
+
+def poly_ngram_hashes(text_col: Column | str, n: int, mask32: bool = False) -> Column:
+    """Word n-gram fingerprints as ``array<bigint>`` — a modular
+    polynomial fold over per-token 32-bit hashes, O(1) arithmetic per
+    gram instead of building and re-hashing an n-word shingle STRING
+    (string concat dominates the gram stage at corpus scale; switching
+    q89 to this cut its gram build 3×).
+
+    The token-hash array is let-bound through a single-element
+    transform: a single-statically-referenced alias would be inlined
+    by CollapseProject and re-hash every token once per gram.
+    ``mask32`` folds the result to 32 bits for consumers whose
+    downstream arithmetic needs ``a*h + b < 2^63`` headroom (MinHash
+    permutations). Code space is ~2^41 (or 2^32 masked): birthday
+    collisions are immaterial next to shingle-set sampling noise.
+    Empty result for docs with fewer than ``n`` tokens, matching
+    :func:`word_shingles`."""
+    toks_h = F.transform(
+        tokens(text_col), lambda t: F.xxhash64(t).bitwiseAND(F.lit(_H32_MASK))
+    )
+
+    def fold(hh: Column) -> Column:
+        k = F.size(hh) - (n - 1)
+        gram = lambda i: F.aggregate(  # noqa: E731
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: F.pmod(acc * F.lit(_POLY_M) + F.element_at(hh, i + j), F.lit(_POLY_P)),
+        )
+        out = lambda i: gram(i).bitwiseAND(F.lit(_H32_MASK)) if mask32 else gram(i)  # noqa: E731
+        return F.when(k >= 1, F.transform(F.sequence(F.lit(1), k), out)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    return F.element_at(F.transform(F.array(toks_h), fold), 1)
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -85,11 +125,9 @@ def minhash_signature(
     permutations folded with array_min — all vectorized JVM expressions.
     """
     params = _perm_params(num_perm, seed)
-    # fold shingles to unsigned 32-bit so a*h32+b stays < 2^63
-    sh = F.transform(
-        word_shingles(text_col, shingle_n),
-        lambda s: F.xxhash64(s).bitwiseAND(F.lit(_H32_MASK)),
-    )
+    # 32-bit shingle fingerprints (mask32 keeps a*h32+b < 2^63) via the
+    # polynomial token-hash fold — no shingle strings are ever built
+    sh = poly_ngram_hashes(text_col, shingle_n, mask32=True)
     # Single pass over the shingle array: fold all num_perm permutation
     # minimums at once. Higher-order functions run interpreted (outside
     # whole-stage codegen), so the naive per-permutation formulation

@@ -465,38 +465,16 @@ def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = 8
     d = table(spark, sf_dir, "documents")
-    # gram fingerprint = polynomial fold over per-token hashes — O(1)
-    # arithmetic per gram instead of building and hashing an ~50-char
-    # shingle string (string concat dominates the gram stage at scale).
-    # pmod keeps acc*M + h32 < 2^63 so it is ANSI-safe; the ~2^41 code
-    # space makes a train×bench collision immaterial (~n²/2^41).
-    # Token-hash array is let-bound through a single-element transform:
-    # a single-statically-referenced alias would be inlined by
-    # CollapseProject and re-hash every token once per gram.
-    P, M = (1 << 41) - 21, 1000003
-    tok_hashes = F.transform(
-        tokens("text"), lambda t: F.xxhash64(t).bitwiseAND(F.lit((1 << 32) - 1))
-    )
-
-    def poly_grams(hh: F.Column) -> F.Column:
-        k = F.size(hh) - (n - 1)
-        return F.when(
-            k >= 1,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.aggregate(
-                    F.sequence(F.lit(0), F.lit(n - 1)),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, j: F.pmod(acc * F.lit(M) + F.element_at(hh, i + j), F.lit(P)),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
+    # gram fingerprint = polynomial fold over per-token hashes (shared
+    # with the MinHash shingle stage — operators/dedup.py
+    # ::poly_ngram_hashes): O(1) arithmetic per gram, no ~50-char
+    # shingle strings; ~2^41 code space makes a train×bench collision
+    # immaterial (~n²/2^41)
+    from ..operators.dedup import poly_ngram_hashes
 
     grams = d.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(F.element_at(F.transform(F.array(tok_hashes), poly_grams), 1))
-        ).alias("gram"),
+        F.explode(F.array_distinct(poly_ngram_hashes("text", n))).alias("gram"),
     )
     bench = grams.filter(F.col("doc_id") < 20).select("gram").distinct()
     train_grams = grams.filter(F.col("doc_id") >= 20)
