@@ -111,6 +111,9 @@ _PRIORITY = (
     "q102_histogram",
     "q103_mapinarrow_bytes",
     "q106_schema_evolution",
+    "q107_sequence_packing",
+    "q108_token_entropy",
+    "q109_dup_canonical_pick",
     "q93_jdbc_merge_upsert",
     "q105_ann_pq_topk",
 )

@@ -205,9 +205,10 @@ def q91_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q95_dup_clusters_cc",
-    oracle=f"""
+# Shared recursive-CTE transitive closure for the CC queries (q95/q109):
+# similarity edges (2-gram Jaccard >= 0.05, docs <= 2 ids apart) -> reach
+# -> per-node min-label component. Ends with `comp(id, component)`.
+_CC_CTE = f"""
     WITH RECURSIVE g AS (
       SELECT doc_id, {_GRAMS.format(t=tokens_sql('text'))} AS gs FROM documents WHERE doc_id < 500
     ), sim AS MATERIALIZED (
@@ -229,6 +230,13 @@ def q91_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), comp AS (
       SELECT id, min(r) AS component FROM reach GROUP BY id
     )
+"""
+
+
+@query(
+    "q95_dup_clusters_cc",
+    oracle=f"""
+    {_CC_CTE}
     SELECT component, cast(count(*) as bigint) AS n_docs,
            min(id) AS min_doc, max(id) AS max_doc
     FROM comp GROUP BY component
@@ -244,6 +252,16 @@ def q95_dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same closure with a recursive CTE — a full value check of an
     iterative distributed algorithm."""
     prep(spark)
+    comp = _dup_components(spark, sf_dir)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("id").alias("min_doc"),
+        F.max("id").alias("max_doc"),
+    )
+
+
+def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side of _CC_CTE: similarity edges -> (id, component)."""
     from ..operators.components import connected_components
     from ..operators.dedup import ngram_jaccard, ngram_set
 
@@ -267,9 +285,54 @@ def q95_dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     edges = gap_edges(1).unionByName(gap_edges(2))
-    comp = connected_components(edges)
-    return comp.groupBy("component").agg(
+    return connected_components(edges)
+
+
+@query(
+    "q109_dup_canonical_pick",
+    oracle=f"""
+    {_CC_CTE}
+    , ranked AS (
+      SELECT comp.component, comp.id, d.n_chars,
+             row_number() OVER (PARTITION BY comp.component
+                                ORDER BY d.n_chars DESC, comp.id ASC) AS rn
+      FROM comp JOIN documents d ON d.doc_id = comp.id
+    )
+    SELECT component,
+           cast(count(*) as bigint) AS n_docs,
+           cast(count(*) as bigint) - 1 AS n_dropped,
+           min(CASE WHEN rn = 1 THEN id END) AS canonical_doc,
+           min(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars
+    FROM ranked GROUP BY component
+    """,
+    tags=("dedup", "iterative"),
+)
+def q109_dup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FINAL stage of the near-dup pipeline: candidate pairs ->
+    connected components (q95) -> pick ONE canonical document per
+    duplicate cluster (longest text wins, doc_id breaks ties) and count
+    what gets dropped. This is the "keep best, drop the rest" dedup
+    policy every LLM-corpus build ends with — deterministic, so a
+    re-run keeps the same survivors.
+
+    Scale shape: the ranking is a row_number window partitioned by
+    component — one shuffle on the cluster id, whose cardinality is
+    the number of dup clusters (<< corpus size). No driver-side state;
+    the iterative part (CC) is O(log diameter) join rounds with
+    lineage cuts (operators/components.py)."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    comp = _dup_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    ranked = comp.join(d, comp["id"] == d["doc_id"]).select(
+        "component", "id", "n_chars"
+    )
+    w = W.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("id").asc())
+    ranked = ranked.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.min("id").alias("min_doc"),
-        F.max("id").alias("max_doc"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        F.min(F.when(F.col("rn") == 1, F.col("id"))).alias("canonical_doc"),
+        F.min(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("canonical_chars"),
     )

@@ -783,3 +783,109 @@ def q97_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_fully_redacted"),
     )
+
+
+@query(
+    "q107_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, len({_TOKS}) AS tok FROM documents
+    ), packed AS (
+      SELECT source, doc_id, tok,
+             cast(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  as bigint) - tok AS start
+      FROM toks
+    ), seqs AS (
+      SELECT source, cast(floor(start / 512.0) as bigint) AS seq_id, doc_id, tok
+      FROM packed
+    )
+    SELECT source, seq_id,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(tok) as bigint) AS seq_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM seqs GROUP BY source, seq_id
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def q107_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing, concat-and-chunk style: documents are
+    concatenated in deterministic (source, doc_id) order and split into
+    512-token sequences; a doc belongs to the sequence where its first
+    token lands. This is the standard LLM-pretraining packing shape
+    (concatenate the corpus, chunk every N tokens) expressed as a
+    window cumulative sum — no sequential driver loop.
+
+    Scale shape: packing is PER SOURCE (each corpus shard packs
+    independently), so the window partitions by source and the only
+    shuffle is hash(source); no global ordering bottleneck. At 100 TB
+    the per-source streams pack in parallel across executors; a single
+    global pack order would serialize the corpus through one task."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    toks = d.select("source", "doc_id", F.size(tokens("text")).alias("tok"))
+    packed = toks.withColumn(
+        "start", F.sum("tok").over(w).cast("long") - F.col("tok")
+    )
+    seqs = packed.withColumn(
+        "seq_id", F.floor(F.col("start") / F.lit(512.0)).cast("long")
+    )
+    return seqs.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("long").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "q108_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ), counts AS (
+      SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t
+    )
+    SELECT doc_id,
+           cast(sum(c) as bigint) AS n_tokens,
+           cast(count(*) as bigint) AS n_unique,
+           round((ln(cast(sum(c) as double))
+                  - sum(c * ln(cast(c as double))) / sum(c)) / ln(2.0), 6)
+             AS entropy_bits
+    FROM counts GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def q108_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    classic repetition/quality signal (low entropy = template or
+    boilerplate text; complements q96's top-gram mass filters).
+
+    One explode + two hash aggregations, all codegen'd built-ins. The
+    identity -sum(p*log2 p) = log2(T) - sum(c*ln c)/(T*ln 2) turns the
+    per-token probability pass into plain distributive SUMs, so the
+    whole thing is a single shuffle on (doc_id, token) then doc_id —
+    no join back for the per-doc total, which matters when doc_id
+    cardinality is billions."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(tokens("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = F.sum("c")
+    sum_clog = F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+    return counts.groupBy("doc_id").agg(
+        total.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.round(
+            (F.log(total.cast("double")) - sum_clog / total) / F.log(F.lit(2.0)),
+            6,
+        ).alias("entropy_bits"),
+    )

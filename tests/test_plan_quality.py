@@ -85,3 +85,29 @@ def test_semi_join_stays_semi(spark, sf_dir):
     multiplication then distinct)."""
     plan = _plan(REGISTRY["q07_join_semi"].fn(spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    """q107 packs per source: the window and the final (source, seq_id)
+    aggregate must share ONE hashpartitioning(source) exchange — a
+    second shuffle for the agg would mean Catalyst stopped recognizing
+    the subset-key co-partitioning the query is designed around."""
+    df = REGISTRY["q107_sequence_packing"].fn(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "Window" in final
+
+
+def test_token_entropy_partial_aggs(spark, sf_dir):
+    """q108's two aggregations must each map-side combine (partial_
+    markers), so the Zipf-ish (doc_id, token) key arrives pre-reduced;
+    and the tokenizer must stay a fused Generate, not a UDF."""
+    df = REGISTRY["q108_token_entropy"].fn(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("partial_") >= 2, final
+    assert "Generate explode" in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
