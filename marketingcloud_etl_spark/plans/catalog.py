@@ -114,6 +114,10 @@ _PRIORITY = (
     "q107_sequence_packing",
     "q108_token_entropy",
     "q109_dup_canonical_pick",
+    "q110_leakage_safe_split",
+    "q111_mixture_weights",
+    "q113_training_export",
+    "q112_approx_quantiles",
     "q93_jdbc_merge_upsert",
     "q105_ann_pq_topk",
 )

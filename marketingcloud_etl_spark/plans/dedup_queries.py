@@ -336,3 +336,148 @@ def q109_dup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rn") == 1, F.col("id"))).alias("canonical_doc"),
         F.min(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("canonical_chars"),
     )
+
+
+# hash32 of an arbitrary bigint expression (same fold as _H32, which is
+# pinned to doc_id): first 8 md5 hex chars as a bigint, both engines
+_H32_OF = "cast(conv(substring(md5(cast({e} as string)), 1, 8), 16, 10) as bigint)"
+_H32_OF_DUCK = "('0x' || substr(md5(cast({e} as varchar)), 1, 8))::BIGINT"
+
+
+@query(
+    "q110_leakage_safe_split",
+    oracle=f"""
+    {_CC_CTE}
+    , universe AS (
+      SELECT d.doc_id, comp.component,
+             coalesce(comp.component, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+      WHERE d.doc_id < 500
+    ), split AS (
+      SELECT doc_id, component, group_id,
+             CASE WHEN {_H32_OF_DUCK.format(e='group_id')} % 100 >= 90
+                  THEN 'test' ELSE 'train' END AS split
+      FROM universe
+    )
+    SELECT split,
+           cast(count(*) as bigint) AS n_docs,
+           cast(count(DISTINCT group_id) as bigint) AS n_groups,
+           cast(sum(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+             AS n_clustered
+    FROM split GROUP BY split
+    """,
+    tags=("sampling", "dedup", "iterative"),
+)
+def q110_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split that CANNOT leak near-duplicates across the
+    boundary: the split key is the duplicate-cluster id (connected
+    component; singletons key on their own doc_id), not the document id
+    — so a whole cluster lands in train or in test, never both. This is
+    the eval-contamination guard a doc-hash split (q85) lacks: hashing
+    doc_ids puts two near-identical docs on opposite sides ~18% of the
+    time at a 90/10 split.
+
+    Scale shape: CC is O(log diameter) bounded join rounds; the split
+    itself is one hash expression on the group id + one aggregation —
+    no extra shuffle beyond the group-id join."""
+    prep(spark)
+    comp = _dup_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    universe = d.join(comp, comp["id"] == d["doc_id"], "left").select(
+        "doc_id",
+        "component",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id"),
+    )
+    bucket = F.pmod(F.expr(_H32_OF.format(e="group_id")), F.lit(100))
+    split = universe.withColumn(
+        "split", F.when(bucket >= 90, F.lit("test")).otherwise(F.lit("train"))
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("group_id").alias("n_groups"),
+        F.sum(F.when(F.col("component").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clustered"),
+    )
+
+
+@query(
+    "q111_mixture_weights",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs,
+             sqrt(cast(count(*) as double)) AS w_raw
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(w_raw) AS w_sum, sum(n_docs) AS n_total FROM per_source
+    )
+    SELECT p.source,
+           cast(p.n_docs as bigint) AS n_docs,
+           round(cast(p.n_docs as double) / t.n_total, 6) AS natural_frac,
+           round(p.w_raw / t.w_sum, 6) AS sampled_frac,
+           round((p.w_raw / t.w_sum) / (cast(p.n_docs as double) / t.n_total), 6)
+             AS upsample_factor
+    FROM per_source p CROSS JOIN tot t
+    """,
+    tags=("sampling",),
+)
+def q111_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixture weights (alpha = 0.5): each
+    source's sampling probability is count^alpha normalized — the
+    standard multi-source rebalancing used to keep a giant crawl from
+    drowning small high-quality sources. Emits natural vs sampled
+    fractions and the per-source up/down-sampling factor.
+
+    sqrt() is IEEE-exact (identical across engines, unlike pow(x,0.5));
+    the normalizing sums are a one-row broadcast — no second shuffle.
+    Scale: one partial-agg pass over the corpus; the mixture table is
+    driver-sized (one row per source) by definition."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sqrt(F.count(F.lit(1)).cast("double")).alias("w_raw"),
+    )
+    tot = per_source.agg(
+        F.sum("w_raw").alias("w_sum"),
+        F.sum("n_docs").cast("double").alias("n_total"),
+    )
+    natural = F.col("n_docs").cast("double") / F.col("n_total")
+    sampled = F.col("w_raw") / F.col("w_sum")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(natural, 6).alias("natural_frac"),
+        F.round(sampled, 6).alias("sampled_frac"),
+        F.round(sampled / natural, 6).alias("upsample_factor"),
+    )
+
+
+@query("q112_approx_quantiles", oracle=None, tags=("sketch", "rows-only"))
+def q112_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via the Greenwald-Khanna sketch
+    (percentile_approx) — the scale path for latency/price/length
+    distributions where an exact percentile would sort 100 TB. Sketches
+    merge associatively across partitions, so the shuffle carries one
+    sketch per group, not the data. Rows-only by contract (sketch
+    internals are engine-specific); the rank-error bound vs the exact
+    quantile is pinned in tests/test_operators.py."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    qs = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            qs.alias("price_quantiles"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.col("price_quantiles")[0].alias("p50"),
+            F.col("price_quantiles")[1].alias("p95"),
+            F.col("price_quantiles")[2].alias("p99"),
+        )
+    )

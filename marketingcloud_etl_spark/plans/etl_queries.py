@@ -507,3 +507,67 @@ def q106_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "q113_training_export",
+    oracle="""
+    WITH sharded AS (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::BIGINT % 8 AS shard
+      FROM documents
+    )
+    SELECT shard,
+           cast(count(*) as bigint) AS n_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           cast(sum(n_chars) as bigint) AS total_chars
+    FROM sharded GROUP BY shard
+    """,
+    tags=("etl", "sink", "llm-pipeline"),
+)
+def q113_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export layout: the corpus written as N hash shards
+    (stable membership: md5 fold of doc_id, so a re-export lands every
+    doc in the same shard), each shard sorted by doc_id and split into
+    size-bounded files (maxRecordsPerFile) — the layout a trainer
+    streams sequentially without a sort or shuffle at read time. The
+    returned manifest aggregates the RE-READ export, so the oracle
+    (same shard math straight from the source table) catches any
+    write/read drift, dropped rows, or shard misassignment.
+
+    Scale shape: one repartition(shard) shuffle, in-partition sort
+    (no global ordering), bounded file sizes for object-store-friendly
+    parallel reads. At 100 TB this is exactly `repartition(4096,
+    shard)` + the same write."""
+    import hashlib
+    import os
+
+    prep(spark)
+    shard = F.pmod(
+        F.expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"),
+        F.lit(8),
+    )
+    # key the export dir on the full sf_dir path, not its basename —
+    # two fixture trees with the same leaf name must not collide
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = f"/tmp/mcetl_export_{tag}"
+    if not os.path.exists(f"{base}/_SUCCESS"):
+        (
+            table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars")
+            .withColumn("shard", shard)
+            .repartition(8, "shard")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 5000)
+            .partitionBy("shard")
+            .parquet(base)
+        )
+    back = spark.read.parquet(base)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

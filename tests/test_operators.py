@@ -380,3 +380,21 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
     # deterministic: trained codebooks are a pure function of the corpus
     again = {(r.query_id, r.neighbor_id) for r in ann_pq_topk(e, q, k=5, m=8, n_codes=16, rerank=50).collect()}
     assert again == approx_set
+
+
+def test_approx_quantiles_rank_error_bound(spark, sf_dir, duck):
+    """q112's GK sketch guarantees rank error <= n/accuracy; with
+    accuracy=10000 every reported quantile must lie between the exact
+    quantiles at p +/- 0.01 (computed by DuckDB on the same data)."""
+    from marketingcloud_etl_spark.plans.catalog import load_all
+
+    rows = load_all()["q112_approx_quantiles"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for p, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            lo, hi = duck.sql(
+                f"""SELECT quantile_disc(l_extendedprice, {max(p - 0.01, 0.0)}),
+                           quantile_disc(l_extendedprice, {min(p + 0.01, 1.0)})
+                    FROM lineitem WHERE l_returnflag = '{r.l_returnflag}'"""
+            ).fetchone()
+            assert lo <= getattr(r, col) <= hi, (r.l_returnflag, col)
