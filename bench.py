@@ -77,11 +77,16 @@ def main() -> None:
         # phantom speedup
         raise KeyError(f"headline queries missing from registry: {missing}")
 
-    # warm-up at sf0.001 only: JVM + codegen + Arrow startup is billed
-    # to nobody, but nothing runs at the bench scale before timing
+    # warm-up at sf0.001 only: run EVERY headline query once at the toy
+    # scale so JVM startup, whole-stage-codegen compilation, Arrow/Python
+    # worker spawn, and py4j plan-building are billed to nobody — those
+    # costs are data-scale-independent, so absorbing them here leaves the
+    # timed pass measuring actual sf0.1 execution. Nothing runs at the
+    # bench scale before timing (the full-scale one-time setup q70/q66
+    # amortize is measured separately below).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in ("q01_pricing_summary", "q05_revenue_by_nation"):
+        for name in HEADLINE:
             registry[name].fn(spark, warm_dir).collect()
 
     # one-time setup that q70/q66 amortize across runs (bucketed-table
