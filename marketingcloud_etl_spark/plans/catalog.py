@@ -117,6 +117,11 @@ _PRIORITY = (
     "q110_leakage_safe_split",
     "q111_mixture_weights",
     "q113_training_export",
+    "q114_global_row_ids",
+    "q115_fuzzy_match",
+    # rows-only entries last within the priority block: whichever way the
+    # driver's 50-row cap counts (oracle-able only vs all entries), every
+    # oracle-able query above sits inside it
     "q112_approx_quantiles",
     "q93_jdbc_merge_upsert",
     "q105_ann_pq_topk",

@@ -481,3 +481,85 @@ def q112_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("price_quantiles")[2].alias("p99"),
         )
     )
+
+
+@query(
+    "q115_fuzzy_match",
+    oracle="""
+    WITH clean AS (
+      SELECT DISTINCT p_name AS name FROM part
+    ), dirty AS (
+      SELECT name,
+             CASE row_number() OVER (ORDER BY name) % 3
+               WHEN 0 THEN substr(name, 1, length(name) - 1)
+               WHEN 1 THEN 'x' || substr(name, 2)
+               ELSE name END AS dirty_name
+      FROM clean
+    ), blocked AS (
+      SELECT DISTINCT c.name, d.dirty_name, d.name AS truth
+      FROM clean c JOIN dirty d
+        ON split_part(c.name, ' ', 1) = split_part(d.dirty_name, ' ', 1)
+        OR split_part(c.name, ' ', -1) = split_part(d.dirty_name, ' ', -1)
+    ), verified AS (
+      SELECT name, dirty_name, truth,
+             levenshtein(name, dirty_name) AS dist
+      FROM blocked
+      WHERE levenshtein(name, dirty_name) <= 2
+    )
+    SELECT cast(dist as int) AS dist,
+           cast(count(*) as bigint) AS n_pairs,
+           cast(sum(CASE WHEN name = truth THEN 1 ELSE 0 END) as bigint)
+             AS n_correct
+    FROM verified GROUP BY dist
+    """,
+    tags=("dedup", "fuzzy"),
+)
+def q115_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: match deterministically-corrupted part
+    names (last char dropped / first char replaced, by row rank mod 3)
+    back to the clean catalog via MULTI-KEY BLOCKING — candidates share
+    a first word OR a last word — then levenshtein <= 2 verification on
+    candidates only. Union-of-blocking-keys is the standard ER recipe:
+    each corruption type survives at least one key, and the expensive
+    edit distance never runs on the cross product.
+
+    Scale shape: distinct-project first (never re-compare identical
+    strings), two equi-joins on block keys, verify on candidates.
+    Block sizes are bounded by name-vocabulary fan-out, not corpus
+    rows; a skewed block would get the q72 salting treatment."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    p = table(spark, sf_dir, "part")
+    clean = p.select(F.col("p_name").alias("name")).distinct()
+    rn = F.row_number().over(W.orderBy("name"))
+    dirty = clean.select(
+        "name",
+        F.when(rn % 3 == 0, F.expr("substring(name, 1, length(name) - 1)"))
+        .when(rn % 3 == 1, F.concat(F.lit("x"), F.expr("substring(name, 2)")))
+        .otherwise(F.col("name"))
+        .alias("dirty_name"),
+    )
+    first_w = lambda c: F.split(F.col(c), " ").getItem(0)  # noqa: E731
+    last_w = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
+    c = clean.select("name", first_w("name").alias("k1"), last_w("name").alias("k2"))
+    d = dirty.select(
+        F.col("name").alias("truth"),
+        "dirty_name",
+        first_w("dirty_name").alias("k1"),
+        last_w("dirty_name").alias("k2"),
+    )
+    cand = (
+        c.join(d, on="k1").select("name", "dirty_name", "truth")
+        .unionByName(c.join(d, on="k2").select("name", "dirty_name", "truth"))
+        .distinct()
+    )
+    verified = cand.withColumn("dist", F.levenshtein("name", "dirty_name")).filter(
+        F.col("dist") <= 2
+    )
+    return verified.groupBy(F.col("dist").cast("int").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("name") == F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )

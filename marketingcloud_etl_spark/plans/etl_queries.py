@@ -571,3 +571,45 @@ def q113_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "q114_global_row_ids",
+    oracle="""
+    SELECT doc_id, source,
+           row_number() OVER (ORDER BY source, doc_id) - 1 AS row_id
+    FROM documents
+    """,
+    tags=("etl", "llm-pipeline"),
+)
+def q114_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0-based global row ids in (source, doc_id) order —
+    the scale-safe replacement for zipWithIndex / a single global
+    row_number window (which funnels the corpus through ONE partition).
+
+    Two-pass pattern: (1) count rows per source — a tiny aggregate;
+    (2) turn counts into cumulative start offsets with a window over
+    n_sources rows (driver-sized by definition, so its single
+    partition is free); (3) broadcast the offsets back and add the
+    within-source row_number. The only corpus-sized shuffle is the
+    per-source window — same key as q107's packing, embarrassingly
+    parallel across sources."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # n_sources rows: the single-partition window is over a tiny frame
+    w_off = W.orderBy("source").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = counts.select(
+        "source", (F.sum("n").over(w_off) - F.col("n")).alias("offset")
+    )
+    w_src = W.partitionBy("source").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(offsets), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("offset") + F.row_number().over(w_src) - 1).alias("row_id"),
+        )
+    )
