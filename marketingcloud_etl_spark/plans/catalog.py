@@ -119,10 +119,12 @@ _PRIORITY = (
     "q113_training_export",
     "q114_global_row_ids",
     "q115_fuzzy_match",
+    "q116_bpe_pair_counts",
     # rows-only entries last within the priority block: whichever way the
     # driver's 50-row cap counts (oracle-able only vs all entries), every
     # oracle-able query above sits inside it
     "q112_approx_quantiles",
+    "q117_freq_items",
     "q93_jdbc_merge_upsert",
     "q105_ann_pq_topk",
 )

@@ -789,7 +789,7 @@ def q97_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q107_sequence_packing",
     oracle=f"""
     WITH toks AS (
-      SELECT source, doc_id, len({_TOKS}) AS tok FROM documents
+      SELECT source, doc_id, coalesce(len({_TOKS}), 0) AS tok FROM documents
     ), packed AS (
       SELECT source, doc_id, tok,
              cast(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
@@ -828,7 +828,10 @@ def q107_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    toks = d.select("source", "doc_id", F.size(tokens("text")).alias("tok"))
+    # NULL text: Spark size(NULL)=-1 vs DuckDB len(NULL)=NULL — pin
+    # both to 0 tokens so a hostile corpus can't corrupt the cumsum
+    n_tok = F.when(F.col("text").isNull(), F.lit(0)).otherwise(F.size(tokens("text")))
+    toks = d.select("source", "doc_id", n_tok.alias("tok"))
     packed = toks.withColumn(
         "start", F.sum("tok").over(w).cast("long") - F.col("tok")
     )
@@ -888,4 +891,66 @@ def q108_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.log(total.cast("double")) - sum_clog / total) / F.log(F.lit(2.0)),
             6,
         ).alias("entropy_bits"),
+    )
+
+
+@query(
+    "q116_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({_TOKS}) AS w FROM documents
+    ), pairs AS (
+      SELECT substr(w, cast(i as int), 2) AS pair
+      FROM words, unnest(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    )
+    SELECT pair, cast(count(*) as bigint) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def q116_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed counting step of BPE vocabulary training: count
+    adjacent symbol pairs across the corpus and surface the top merge
+    candidates (real BPE iterates this; each round is exactly this
+    aggregation with the previous round's merges applied). Explode
+    words, explode positions, substring the pair — all codegen'd
+    built-ins, one (pair) shuffle with map-side partials.
+
+    Word length is guarded >= 2 on both engines: Spark's sequence(1,
+    len-1) would step DOWNWARD for single-char words ([1,0]), silently
+    emitting garbage pairs."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens("text")).alias("w")).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.expr("substring(w, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query("q117_freq_items", oracle=None, tags=("sketch", "rows-only"))
+def q117_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items (heavy hitters) over the token
+    stream via df.stat.freqItems — the one-pass bounded-memory sketch
+    for "which tokens exceed 2% share" at a scale where an exact
+    groupBy would be wasteful. The guarantee is one-sided (a superset:
+    everything above the support threshold is present, plus possible
+    false positives), so the result is pinned rows-only; the inclusion
+    guarantee vs exact counts is tested in tests/test_operators.py.
+    The sketch merges associatively across partitions — no shuffle of
+    raw tokens, just one sketch per partition to the driver."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("t"))
+    hits = toks.stat.freqItems(["t"], support=0.02)
+    return hits.select(
+        F.array_sort(F.col("t_freqItems")).alias("frequent_tokens"),
+        F.size(F.col("t_freqItems")).alias("n_frequent"),
     )

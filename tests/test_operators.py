@@ -398,3 +398,24 @@ def test_approx_quantiles_rank_error_bound(spark, sf_dir, duck):
                     FROM lineitem WHERE l_returnflag = '{r.l_returnflag}'"""
             ).fetchone()
             assert lo <= getattr(r, col) <= hi, (r.l_returnflag, col)
+
+
+def test_freq_items_includes_all_true_heavy_hitters(spark, sf_dir, duck):
+    """q117's sketch guarantee: every token whose true share >= the
+    support threshold must appear in the returned superset."""
+    from marketingcloud_etl_spark.plans.catalog import load_all
+
+    row = load_all()["q117_freq_items"].fn(spark, sf_dir).collect()[0]
+    got = set(row.frequent_tokens)
+    truth = {
+        t
+        for (t, share) in duck.sql(
+            """WITH toks AS (
+                 SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                           t -> t != '')) AS t
+                 FROM documents)
+               SELECT t, count(*) / (SELECT count(*) FROM toks) FROM toks GROUP BY t"""
+        ).fetchall()
+        if share >= 0.02
+    }
+    assert truth <= got, truth - got
