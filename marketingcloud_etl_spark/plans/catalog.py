@@ -120,6 +120,7 @@ _PRIORITY = (
     "q114_global_row_ids",
     "q115_fuzzy_match",
     "q116_bpe_pair_counts",
+    "q118_scalar_udf_arrow",
     # rows-only entries last within the priority block: whichever way the
     # driver's 50-row cap counts (oracle-able only vs all entries), every
     # oracle-able query above sits inside it

@@ -243,3 +243,45 @@ def q103_mapinarrow_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars_a").alias("total_chars"),
         F.sum("n_bytes_a").alias("total_bytes"),
     )
+
+
+@query(
+    "q118_scalar_udf_arrow",
+    oracle="""
+    SELECT n_name,
+           reverse(lower(n_name)) AS rev_name,
+           cast(length(n_name) as int) AS name_len
+    FROM nation
+    """,
+    tags=("udf",),
+)
+def q118_scalar_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-style scalar Python UDF on the Arrow serialization path
+    (``useArrow=True`` — Spark 3.5+'s answer to pickle-per-row): the
+    per-row function signature developers reach for first, without the
+    classic 10-100x row-at-a-time transfer tax. Completes the UDF
+    surface next to the pandas_udf (q62) batch form; built-ins remain
+    the first choice (SURVEY §2 note) — the string kernel here is
+    deliberately trivial so the oracle can mirror it exactly.
+
+    Scale note: Arrow batching amortizes the Python boundary, but each
+    row still pays a Python-function call — for string ops this stays
+    ~10x slower than the codegen'd built-in (q27); use only when the
+    kernel genuinely needs Python."""
+    prep(spark)
+    from pyspark.sql.types import IntegerType, StringType
+
+    @F.udf(returnType=StringType(), useArrow=True)
+    def rev_lower(s: str) -> str:
+        return s[::-1].lower() if s is not None else None
+
+    @F.udf(returnType=IntegerType(), useArrow=True)
+    def str_len(s: str) -> int:
+        return len(s) if s is not None else None
+
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        rev_lower("n_name").alias("rev_name"),
+        str_len("n_name").alias("name_len"),
+    )
