@@ -55,6 +55,10 @@ HEADLINE = (
     "q85_hash_sample_split",
     "q89_decontamination",
     "q90_curation_pipeline",
+    # round-2 second wave: packing + BPE counting (pure built-in text
+    # paths whose regressions would otherwise go unmeasured)
+    "q107_sequence_packing",
+    "q116_bpe_pair_counts",
 )
 
 
