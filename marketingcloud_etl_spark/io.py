@@ -57,3 +57,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql plans)."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fixture_tag(sf_dir: str) -> str:
+    """Identifier-safe cache tag for a fixture dir, keyed on the FULL
+    absolute path: two trees with the same leaf name (/a/sf0.1 vs
+    /b/sf0.1) must never share a /tmp materialization or a catalog
+    table name. The leaf stays in the tag for human readability."""
+    import hashlib
+
+    abs_dir = os.path.abspath(sf_dir.rstrip("/"))
+    leaf = os.path.basename(abs_dir).replace(".", "_")
+    return f"{leaf}_{hashlib.sha1(abs_dir.encode()).hexdigest()[:10]}"

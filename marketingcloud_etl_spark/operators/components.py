@@ -91,12 +91,24 @@ def dedup_clusters(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Cluster near-dup candidate pairs and pick one keeper per cluster
-    (the minimum id — deterministic). Returns every clustered doc id
-    with its component and a ``keep`` flag; docs not in any pair are
-    implicitly unique (callers keep them all)."""
+    (the minimum id — deterministic). Returns one row per ``df`` doc:
+    its component and a ``keep`` flag. Docs not in any candidate pair
+    are their own singleton component and are always kept (anti-join
+    against the component table — broadcast-sized relative to the
+    corpus, since only colliding docs have edges)."""
     comp = connected_components(candidate_pairs)
-    return comp.select(
+    clustered = comp.select(
         F.col("id").alias(id_col),
         "component",
         (F.col("id") == F.col("component")).alias("keep"),
     )
+    unpaired = (
+        df.select(id_col)
+        .join(comp.select(F.col("id").alias(id_col)), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col(id_col).alias("component"),
+            F.lit(True).alias("keep"),
+        )
+    )
+    return clustered.unionByName(unpaired)

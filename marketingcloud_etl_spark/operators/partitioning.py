@@ -7,28 +7,62 @@ already provide the parallelism, so the spread must be conditional —
 an unconditional ``repartition`` would add a full shuffle of the
 payload columns at 100 TB for nothing.
 
-The probe is conversion-free: ``DataFrame.inputFiles()`` (public API,
-driver-side catalog metadata — no job, no DataFrame→RDD conversion,
-unlike ``df.rdd.getNumPartitions()`` which builds and analyzes an RDD
-plan through py4j on every call). File-backed inputs with fewer files
-than cores get repartitioned; non-file inputs (createDataFrame test
-frames, post-shuffle results) report no files and are left alone —
-they already carry the session's parallelism or an explicit one.
+The probe is conversion-free and split-aware. ``DataFrame.inputFiles()``
+(public API, driver-side catalog metadata — no job, no DataFrame→RDD
+conversion) gives the file list; when there are fewer files than cores
+the probe then estimates how many INPUT SPLITS those files produce
+(``ceil(size / spark.sql.files.maxPartitionBytes)`` per file — parquet
+is splittable, so 32 × 2 GB files on a 256-core cluster already scan
+as ~512 splits and must NOT be shuffled). Size lookups go through the
+Hadoop FileSystem driver-side and only run when ``n_files < cores``,
+so the metadata cost is bounded by the core count. Non-file inputs
+(createDataFrame test frames, post-shuffle results) report no files
+and are left alone — they already carry the session's parallelism or
+an explicit one.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _estimated_splits(df: DataFrame, files: list[str]) -> int:
+    """Lower-bound the scan's input-partition count: one split per
+    started ``maxPartitionBytes`` chunk of each file. Spark may pack
+    small files into fewer partitions (openCostInBytes), never more —
+    so underestimating keeps the repartition decision safe."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    try:
+        conf = spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        max_bytes = int(jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf))
+    except Exception:  # pragma: no cover - conf parse fallback
+        max_bytes = _DEFAULT_MAX_PARTITION_BYTES
+    try:
+        hconf = spark._jsc.hadoopConfiguration()
+        splits = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            splits += max(1, -(-size // max_bytes))
+        return int(splits)
+    except Exception:  # pragma: no cover - FS without driver metadata
+        return len(files)
+
 
 def spread_partitions(df: DataFrame) -> DataFrame:
-    """Repartition ``df`` to ``defaultParallelism`` iff it is backed by
-    fewer input files than there are cores."""
+    """Repartition ``df`` to ``defaultParallelism`` iff its file scan
+    yields fewer input splits than there are cores."""
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:  # pragma: no cover - defensive: exotic sources
-        n_files = 0
-    if 0 < n_files < par:
+        return df
+    n_files = len(files)
+    if n_files == 0 or n_files >= par:
+        return df
+    if _estimated_splits(df, files) < par:
         df = df.repartition(par)
     return df

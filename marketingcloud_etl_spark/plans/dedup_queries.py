@@ -285,7 +285,13 @@ def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     edges = gap_edges(1).unionByName(gap_edges(2))
-    return connected_components(edges)
+    comp = connected_components(edges)
+    # labels are localCheckpoint()ed inside connected_components, so the
+    # lineage no longer references g — release the pinned gram arrays
+    # instead of holding them until session end (q95/q109/q110 each
+    # build their own copy)
+    g.unpersist()
+    return comp
 
 
 @query(
@@ -409,7 +415,9 @@ def q110_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              sqrt(cast(count(*) as double)) AS w_raw
       FROM documents GROUP BY source
     ), tot AS (
-      SELECT sum(w_raw) AS w_sum, sum(n_docs) AS n_total FROM per_source
+      SELECT list_reduce(list_sort(list(w_raw)), (a, b) -> a + b) AS w_sum,
+             sum(n_docs) AS n_total
+      FROM per_source
     )
     SELECT p.source,
            cast(p.n_docs as bigint) AS n_docs,
@@ -431,7 +439,10 @@ def q111_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt() is IEEE-exact (identical across engines, unlike pow(x,0.5));
     the normalizing sums are a one-row broadcast — no second shuffle.
     Scale: one partial-agg pass over the corpus; the mixture table is
-    driver-sized (one row per source) by definition."""
+    driver-sized (one row per source) by definition. w_sum left-folds
+    the sorted sqrt terms instead of a raw SUM(double): with sqrt
+    bitwise-identical across engines, the identical addition order
+    makes w_sum bitwise-exact and aggregation-order-independent."""
     prep(spark)
     d = table(spark, sf_dir, "documents")
     per_source = d.groupBy("source").agg(
@@ -439,7 +450,9 @@ def q111_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.count(F.lit(1)).cast("double")).alias("w_raw"),
     )
     tot = per_source.agg(
-        F.sum("w_raw").alias("w_sum"),
+        F.aggregate(
+            F.array_sort(F.collect_list("w_raw")), F.lit(0.0), lambda a, x: a + x
+        ).alias("w_sum"),
         F.sum("n_docs").cast("double").alias("n_total"),
     )
     natural = F.col("n_docs").cast("double") / F.col("n_total")

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import content_hash, content_hash_sql
 from ..functions.money import dec
-from ..io import table
+from ..io import fixture_tag, table
 from ..session import prep
 from .catalog import query
 
@@ -271,7 +271,7 @@ def q67_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     prep(spark)
-    base = f"/tmp/mcetl_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = f"/tmp/mcetl_roundtrip_{fixture_tag(sf_dir)}"
     e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     e.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
     e.write.mode("overwrite").json(f"{base}/json")
@@ -446,7 +446,7 @@ def q98_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     prep(spark)
-    base = f"/tmp/mcetl_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = f"/tmp/mcetl_orc_{fixture_tag(sf_dir)}"
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
@@ -491,7 +491,7 @@ def q106_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     prep(spark)
-    base = f"/tmp/mcetl_evolve_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = f"/tmp/mcetl_evolve_{fixture_tag(sf_dir)}"
     e = table(spark, sf_dir, "events")
     old = e.filter(F.col("event_id") < 5000).select("event_id", "event_type")
     new = e.filter(F.col("event_id") >= 5000).select("event_id", "event_type", "value")
@@ -540,7 +540,6 @@ def q113_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no global ordering), bounded file sizes for object-store-friendly
     parallel reads. At 100 TB this is exactly `repartition(4096,
     shard)` + the same write."""
-    import hashlib
     import os
 
     prep(spark)
@@ -548,10 +547,7 @@ def q113_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"),
         F.lit(8),
     )
-    # key the export dir on the full sf_dir path, not its basename —
-    # two fixture trees with the same leaf name must not collide
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    base = f"/tmp/mcetl_export_{tag}"
+    base = f"/tmp/mcetl_export_{fixture_tag(sf_dir)}"
     if not os.path.exists(f"{base}/_SUCCESS"):
         (
             table(spark, sf_dir, "documents")

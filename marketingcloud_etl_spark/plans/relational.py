@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.money import dec
-from ..io import table
+from ..io import fixture_tag, table
 from ..session import prep
 from .catalog import query
 
@@ -867,7 +867,7 @@ def q70_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     prep(spark)
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tag = fixture_tag(sf_dir)
     base = f"/tmp/mcetl_bucketed_{tag}"
     names = {"lineitem": f"li_bkt_{tag}", "orders": f"ord_bkt_{tag}"}
     keys = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
@@ -987,7 +987,7 @@ def q76_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     prep(spark)
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tag = fixture_tag(sf_dir)
     path = f"/tmp/mcetl_part_events_{tag}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.money import dec
-from ..io import table
+from ..io import fixture_tag, table
 from ..operators.sessionize import sessionize
 from ..session import prep
 from .catalog import query
@@ -213,7 +213,7 @@ def q75_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFram
     from ..sinks.upsert import upsert_parquet
     from ..streaming.jobs import events_stream
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     target = f"/tmp/mcetl_febatch_{tag}"
     shutil.rmtree(target, ignore_errors=True)
     # also clear any checkpoint a crashed earlier run left behind —

@@ -858,7 +858,8 @@ def q107_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(sum(c) as bigint) AS n_tokens,
            cast(count(*) as bigint) AS n_unique,
            round((ln(cast(sum(c) as double))
-                  - sum(c * ln(cast(c as double))) / sum(c)) / ln(2.0), 6)
+                  - list_reduce(list_sort(list(c * ln(cast(c as double)))),
+                                (a, b) -> a + b) / sum(c)) / ln(2.0), 6)
              AS entropy_bits
     FROM counts GROUP BY doc_id
     """,
@@ -874,7 +875,15 @@ def q108_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token probability pass into plain distributive SUMs, so the
     whole thing is a single shuffle on (doc_id, token) then doc_id —
     no join back for the per-doc total, which matters when doc_id
-    cardinality is billions."""
+    cardinality is billions.
+
+    The c*ln(c) terms are irrational doubles, so a plain SUM would be
+    partial-aggregation-order-dependent (the repo's determinism rule
+    bans raw SUM(double)). Both engines instead left-fold the SORTED
+    term array — the identical sequence of IEEE additions, so the sum
+    is deterministic and engine-identical. The array is per-document
+    (bounded by doc vocabulary), not per-corpus, so this stays
+    scale-safe."""
     prep(spark)
     d = table(spark, sf_dir, "documents")
     counts = (
@@ -883,7 +892,10 @@ def q108_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     total = F.sum("c")
-    sum_clog = F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+    term = F.col("c") * F.log(F.col("c").cast("double"))
+    sum_clog = F.aggregate(
+        F.array_sort(F.collect_list(term)), F.lit(0.0), lambda a, x: a + x
+    )
     return counts.groupBy("doc_id").agg(
         total.cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_unique"),

@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame
 
 from .upsert import jdbc_write
 
-# Spark simpleString -> portable SQL column type
+# Spark simpleString -> portable SQL column type. Key columns get the
+# narrower _KEY_STRING width: InnoDB caps index keys at 3072 bytes and
+# utf8mb4 charges 4 bytes/char, so a VARCHAR(1024) in a UNIQUE
+# constraint (4096 bytes) is rejected with MySQL error 1071. 255 chars
+# (1020 bytes) indexes everywhere and covers the 64-char content hash.
+_KEY_STRING = "VARCHAR(255)"
 _SQL_TYPES = {
     "string": "VARCHAR(1024)",
     "bigint": "BIGINT",
@@ -61,6 +66,8 @@ def create_table_sql(df: DataFrame, table: str, key_cols: Sequence[str]) -> str:
                 sql_t = t.upper()
             else:
                 raise ValueError(f"no SQL mapping for column {f.name!r} type {t!r}")
+        if f.name in key_cols and t == "string":
+            sql_t = _KEY_STRING
         cols.append(f"{f.name} {sql_t}")
     uniq = ", ".join(key_cols)
     return (
@@ -133,6 +140,10 @@ def _jvm_statement_runner(spark, url: str, properties: dict | None) -> Callable[
             props.setProperty(k, v)
         conn = jvm.java.sql.DriverManager.getConnection(url, props)
         try:
+            # DriverManager connections start in autocommit, where an
+            # explicit commit() is a JDBC-spec error (MySQL/Postgres
+            # drivers throw). Run the DDL+merge as one transaction.
+            conn.setAutoCommit(False)
             st = conn.createStatement()
             for s in statements:
                 st.execute(s)

@@ -146,7 +146,8 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     from marketingcloud_etl_spark.plans.catalog import load_all
 
     load_all()["q70_bucketed_join"].fn(spark, sf_dir)  # materializes tables
-    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    from marketingcloud_etl_spark.io import fixture_tag
+    tag = fixture_tag(sf_dir)
     li, o = spark.table(f"li_bkt_{tag}"), spark.table(f"ord_bkt_{tag}")
     joined = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
     plan = joined._jdf.queryExecution().executedPlan().toString()
@@ -160,7 +161,8 @@ def test_partition_pruning_scan(spark, sf_dir):
     from marketingcloud_etl_spark.plans.catalog import load_all
 
     load_all()["q76_partition_pruning"].fn(spark, sf_dir)  # materializes layout
-    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    from marketingcloud_etl_spark.io import fixture_tag
+    tag = fixture_tag(sf_dir)
     df = (
         spark.read.parquet(f"/tmp/mcetl_part_events_{tag}")
         .filter(F.col("event_type") == "purchase")
@@ -346,8 +348,11 @@ def test_connected_components_planted(spark):
         30: 30, 31: 30,
     }
     docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
-    keep = {r.doc_id for r in dedup_clusters(docs, edges).filter("keep").collect()}
-    assert keep == {1, 10, 20, 30}
+    decisions = dedup_clusters(docs, edges).collect()
+    assert len(decisions) == 40  # one verdict per doc, paired or not
+    keep = {r.doc_id for r in decisions if r.keep}
+    dropped = {2, 3, 4, 5, 11, 12, 13, 21, 31}  # non-minimum cluster members
+    assert keep == set(range(40)) - dropped
 
 
 def test_connected_components_long_chain_converges(spark):
@@ -401,8 +406,10 @@ def test_approx_quantiles_rank_error_bound(spark, sf_dir, duck):
 
 
 def test_freq_items_includes_all_true_heavy_hitters(spark, sf_dir, duck):
-    """q117's sketch guarantee: every token whose true share >= the
-    support threshold must appear in the returned superset."""
+    """q117's sketch guarantee: every token whose true share STRICTLY
+    exceeds the support threshold must appear in the returned superset
+    (the Karp et al. bound is strict — an exactly-threshold item may
+    legitimately be dropped)."""
     from marketingcloud_etl_spark.plans.catalog import load_all
 
     row = load_all()["q117_freq_items"].fn(spark, sf_dir).collect()[0]
@@ -416,6 +423,6 @@ def test_freq_items_includes_all_true_heavy_hitters(spark, sf_dir, duck):
                  FROM documents)
                SELECT t, count(*) / (SELECT count(*) FROM toks) FROM toks GROUP BY t"""
         ).fetchall()
-        if share >= 0.02
+        if share > 0.02
     }
     assert truth <= got, truth - got
