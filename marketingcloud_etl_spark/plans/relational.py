@@ -1403,3 +1403,146 @@ def q102_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q119_median_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+      SELECT l.l_returnflag, m.med,
+             abs(l.l_extendedprice - m.med) AS adev
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    ), mad AS (
+      SELECT l_returnflag, any_value(med) AS med,
+             quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           round(m.med, 6) AS median_price,
+           round(m.mad, 6) AS mad_price,
+           cast(count(*) as bigint) AS n,
+           cast(count(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad) as bigint)
+             AS n_outliers
+    FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+    GROUP BY d.l_returnflag, m.med, m.mad
+    """,
+    tags=("stats", "quality"),
+)
+def q119_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median + MAD (median absolute
+    deviation), flagging rows beyond 3 scaled MADs — the
+    mean/stddev-free anomaly filter that survives heavy-tailed data
+    (a curation staple: price errors, length explosions).
+
+    Two grouped EXACT percentile passes (both engines interpolate with
+    the same (n-1)p formula — verified bitwise-identical) plus a
+    broadcast join of the tiny per-group stats back onto the rows.
+    Exact per-group medians sort within each group; for
+    billion-row-per-group corpora the q112 GK-sketch path is the
+    approximation alternative."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("adev") > 3 * 1.4826 * F.col("mad")).alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("med", 6).alias("median_price"),
+            F.round("mad", 6).alias("mad_price"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "q121_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT cast((SELECT count(*) FROM v) as bigint) AS n_view,
+           cast((SELECT count(*) FROM c) as bigint) AS n_click_after_view,
+           cast((SELECT count(*) FROM p) as bigint) AS n_purchase_after_click,
+           round(cast((SELECT count(*) FROM p) as double)
+                 / (SELECT count(*) FROM v), 6) AS conversion
+    """,
+    tags=("analytic", "funnel"),
+)
+def q121_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first click. The
+    sequential constraint (each step strictly later than the previous
+    step's first occurrence) is what separates a funnel from three
+    independent counts.
+
+    Shape: one grouped min per step, each joined to the previous
+    step's per-user timestamp — every shuffle and join keys on
+    user_id, so a pre-partitioned events table co-locates the whole
+    funnel with ZERO extra exchanges (AQE turns the later, shrinking
+    step tables into broadcasts). Step filters push into the scan."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+    return counts.select(
+        F.col("n_view").cast("long").alias("n_view"),
+        F.col("n_click_after_view").cast("long").alias("n_click_after_view"),
+        F.col("n_purchase_after_click").cast("long").alias("n_purchase_after_click"),
+        F.round(
+            F.col("n_purchase_after_click").cast("double") / F.col("n_view"), 6
+        ).alias("conversion"),
+    )

@@ -426,3 +426,23 @@ def test_freq_items_includes_all_true_heavy_hitters(spark, sf_dir, duck):
         if share > 0.02
     }
     assert truth <= got, truth - got
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """q120's layout contract: the compacted rewrite yields strictly
+    fewer, size-bounded files than the 64-file fragmented input."""
+    import os
+
+    from marketingcloud_etl_spark.io import fixture_tag
+    from marketingcloud_etl_spark.plans.catalog import load_all
+
+    load_all()["q120_compaction"].fn(spark, sf_dir).collect()
+    base = f"/tmp/mcetl_compact_{fixture_tag(sf_dir)}"
+    frag = [f for f in os.listdir(f"{base}/frag") if f.endswith(".parquet")]
+    comp = [f for f in os.listdir(f"{base}/compact") if f.endswith(".parquet")]
+    assert len(frag) == 64
+    assert 1 <= len(comp) < len(frag) / 4, f"{len(comp)} files after compaction"
+    target = 4 * 1024 * 1024
+    for f in comp:
+        # coalesce packs whole input splits, so allow 2x the target
+        assert os.path.getsize(f"{base}/compact/{f}") <= 2 * target
