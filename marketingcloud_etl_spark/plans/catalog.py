@@ -134,6 +134,8 @@ _PRIORITY = (
     "q120_compaction",
     "q121_funnel_conversion",
     "q122_snapshot_cdc_diff",
+    "q123_stream_stream_join",
+    "q124_scd1_merge",
     # rows-only entries last within the priority block: whichever way the
     # driver's 50-row cap counts (oracle-able only vs all entries), every
     # oracle-able query above sits inside it

@@ -726,3 +726,44 @@ def q122_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("price", 18, 2)).cast("double").alias("total_price"),
     )
+
+
+@query(
+    "q124_scd1_merge",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+    ), merged AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+      FROM customer c WHERE c.c_custkey % 7 != 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM upd
+    )
+    SELECT c_mktsegment,
+           cast(count(*) as bigint) AS n,
+           cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS total_acctbal
+    FROM merged GROUP BY c_mktsegment
+    """,
+    tags=("etl", "sink"),
+)
+def q124_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-1 merge (sinks/upsert.py::scd1_merge): an update batch
+    replaces same-key target rows, last-write-wins — the MERGE ... WHEN
+    MATCHED THEN UPDATE counterpart to q40's insert-ignore and q87's
+    versioned SCD2. One key-partitioned anti-join + union; the oracle
+    rebuilds the merged table arithmetically and aggregates it."""
+    prep(spark)
+    from ..sinks.upsert import scd1_merge
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_mktsegment", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+    )
+    merged = scd1_merge(cust, updates, "c_custkey")
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("c_acctbal", 18, 2)).cast("double").alias("total_acctbal"),
+    )

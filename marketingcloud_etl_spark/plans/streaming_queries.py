@@ -273,3 +273,57 @@ def q81_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "total_cents")
     )
+
+
+@query(
+    "q123_stream_stream_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), pairs AS (
+      SELECT epoch_us(p.ts) - epoch_us(c.ts) AS lead_us
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ts > p.ts - INTERVAL 30 MINUTE
+       AND c.ts <= p.ts
+    )
+    SELECT cast(count(*) as bigint) AS n_pairs,
+           cast(sum(lead_us) as bigint) AS total_lead_us,
+           round(cast(sum(lead_us) as double) / count(*) / 1000000.0, 6)
+             AS avg_lead_sec
+    FROM pairs
+    """,
+    tags=("streaming", "join"),
+)
+def q123_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch formulation of the watermarked stream⋈stream join
+    (streaming/jobs.py::stream_stream_join): purchases matched to
+    same-user clicks in the preceding 30 minutes. The streaming twin
+    runs the IDENTICAL join condition over the replayed file stream
+    and must produce the same pairs (tests/test_streaming.py) — the
+    time bound on both inputs is what lets the streaming engine prune
+    buffered join state instead of holding both streams forever.
+
+    Batch shape: both sides hash-partition on user_id (one shuffle
+    each), the interval predicate evaluates inside the joined
+    partitions; lead times are summed as exact integer microseconds."""
+    prep(spark)
+    from ..streaming.jobs import stream_stream_join  # noqa: F401  (streaming twin)
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("p_ts"))
+    c = e.filter(F.col("event_type") == "click").select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    pairs = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select((F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lead_us"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("lead_us").cast("long").alias("total_lead_us"),
+        F.round(
+            F.sum("lead_us").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("avg_lead_sec"),
+    )

@@ -113,3 +113,18 @@ def jdbc_write(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def scd1_merge(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """SCD type-1 merge (last-write-wins): rows from ``updates`` replace
+    same-key rows in ``target``; unmatched target rows pass through.
+    The update set wins ties inside itself by dropDuplicates on the key.
+
+    This is the plan-level MERGE ... WHEN MATCHED THEN UPDATE — one
+    anti-join (co-partitioned on the key) + a union, no full outer join
+    needed because updates carry complete rows. Complements
+    upsert_parquet (insert-ignore, R12) and the q87 SCD2 history
+    builder: same key semantics, destructive instead of versioned."""
+    u = updates.dropDuplicates([key])
+    kept = target.join(u.select(key), key, "left_anti")
+    return kept.unionByName(u)

@@ -181,3 +181,30 @@ def stateful_running_totals_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "30 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream⋈stream inner join: left rows match right rows
+    with the same ``key`` whose timestamp falls in
+    (left_ts - lookback, left_ts]. Both sides carry watermarks and the
+    join condition bounds event time on BOTH inputs, so Spark can prune
+    buffered state — without the time bound a stream-stream join's
+    state grows forever, the thing that kills it at 100 TB/day."""
+    l, r = left.alias("l"), right.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l.withWatermark(left_ts, left_watermark).join(
+        r.withWatermark(right_ts, right_watermark), cond, "inner"
+    )

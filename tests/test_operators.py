@@ -446,3 +446,19 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     for f in comp:
         # coalesce packs whole input splits, so allow 2x the target
         assert os.path.getsize(f"{base}/compact/{f}") <= 2 * target
+
+
+def test_scd1_merge_semantics(spark):
+    from marketingcloud_etl_spark.sinks.upsert import scd1_merge
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, seg string, bal double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b", 99.0), (2, "b", 77.0), (4, "d", 40.0)], "k int, seg string, bal double"
+    )
+    got = {r.k: r.bal for r in scd1_merge(target, updates, "k").collect()}
+    assert got[1] == 10.0 and got[3] == 30.0      # untouched pass through
+    assert got[2] in (99.0, 77.0)                 # updated (in-batch tie collapsed)
+    assert got[4] == 40.0                         # brand-new key inserted
+    assert len(got) == 4

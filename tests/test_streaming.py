@@ -170,3 +170,42 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
         )
     )
     assert final.exceptAll(batch).count() == 0 and batch.exceptAll(final).count() == 0
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """The streaming stream⋈stream join over the replayed files must
+    produce exactly the batch join's pairs (generous watermarks so no
+    out-of-order replay file advances the watermark past live state)."""
+    import pyspark.sql.functions as F
+
+    from marketingcloud_etl_spark.plans.catalog import load_all
+    from marketingcloud_etl_spark.streaming.jobs import (
+        events_stream,
+        run_to_memory,
+        stream_stream_join,
+    )
+
+    batch = load_all()["q123_stream_stream_join"].fn(spark, sf_dir).collect()[0]
+
+    s = events_stream(spark, sf_dir)
+    p = s.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("p_ts"))
+    c = s.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = stream_stream_join(
+        p.withColumnRenamed("user_id", "key"),
+        c.withColumnRenamed("c_user", "key"),
+        key="key",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lookback="30 minutes",
+        left_watermark="100 days",
+        right_watermark="100 days",
+    )
+    out = run_to_memory(joined, "q123_stream_out", output_mode="append")
+    got = out.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("total_lead_us"),
+    ).collect()[0]
+    assert got.n_pairs == batch.n_pairs
+    assert got.total_lead_us == batch.total_lead_us
