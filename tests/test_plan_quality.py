@@ -111,3 +111,42 @@ def test_token_entropy_partial_aggs(spark, sf_dir):
     assert final.count("partial_") >= 2, final
     assert "Generate explode" in final
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_funnel_step_filters_push_into_scan(spark, sf_dir):
+    """q121: each funnel step's event_type filter must reach its own
+    parquet scan — the funnel reads three pushdown-filtered slices,
+    never three full passes."""
+    plan = _plan(REGISTRY["q121_funnel_conversion"].fn(spark, sf_dir))
+    for step in ("view", "click", "purchase"):
+        assert f"event_type" in plan and step in plan, step
+    # every events scan carries an event_type data filter
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans and all("event_type" in s for s in scans)
+
+
+def test_median_mad_stats_join_broadcasts(spark, sf_dir):
+    """q119: the per-group median/MAD tables are tiny and must come
+    back as broadcast joins, not a shuffle of the row side."""
+    plan = _plan(REGISTRY["q119_median_mad_outliers"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_diff_scans_are_filtered_and_pruned(spark, sf_dir):
+    """q122: both snapshot scans must push their key-mod filters and
+    read only the two needed columns."""
+    plan = _plan(REGISTRY["q122_snapshot_cdc_diff"].fn(spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 2
+    for s in scans:
+        assert "o_orderkey" in s and "o_totalprice" in s
+        assert "o_comment" not in s
+
+
+def test_scd1_merge_broadcasts_update_keys(spark, sf_dir):
+    """q124: the anti-join against the (small) update key set must be
+    a broadcast, so the target table never shuffles just to find
+    survivors."""
+    plan = _plan(REGISTRY["q124_scd1_merge"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
