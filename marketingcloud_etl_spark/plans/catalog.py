@@ -136,6 +136,8 @@ _PRIORITY = (
     "q122_snapshot_cdc_diff",
     "q123_stream_stream_join",
     "q124_scd1_merge",
+    "q125_quarantine_routing",
+    "q126_column_profile",
     # rows-only entries last within the priority block: whichever way the
     # driver's 50-row cap counts (oracle-able only vs all entries), every
     # oracle-able query above sits inside it

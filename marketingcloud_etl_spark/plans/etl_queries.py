@@ -767,3 +767,64 @@ def q124_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("c_acctbal", 18, 2)).cast("double").alias("total_acctbal"),
     )
+
+
+@query(
+    "q125_quarantine_routing",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 83 = 0 THEN NULL ELSE user_id END AS user_id,
+             CASE WHEN event_id % 89 = 0 THEN -1.0 ELSE value END AS value,
+             CASE WHEN event_id % 97 = 0 THEN '{bad' ELSE props END AS props
+      FROM events
+    ), routed AS (
+      SELECT *,
+             CASE WHEN user_id IS NULL THEN 'missing_user'
+                  WHEN value < 0 THEN 'negative_value'
+                  WHEN (CASE WHEN json_valid(props)
+                             THEN json_extract_string(props, '$.k')
+                             ELSE NULL END) IS NULL THEN 'bad_props'
+                  ELSE 'ok' END AS reason
+      FROM raw
+    )
+    SELECT reason,
+           cast(count(*) as bigint) AS n,
+           cast(min(event_id) as bigint) AS first_event,
+           cast(sum(cast(value as decimal(14,2))) as double) AS total_value
+    FROM routed GROUP BY reason
+    """,
+    tags=("etl", "quality"),
+)
+def q125_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing: every record passes a validation battery
+    (key present, measure in range, payload parses) and lands in 'ok'
+    or a quarantine bucket tagged with the FIRST failing rule — the
+    production alternative to the reference's silent null-on-parse
+    (R9, salesforce_extractor.py:149-151): nothing is dropped, bad
+    rows stay queryable with their failure reason.
+
+    Corruption is planted deterministically (key-mod arithmetic) so
+    the oracle reproduces the same dirty input. One pass, pure
+    conditional expressions, partial-aggregated counts — the routing
+    adds zero shuffles beyond the final rollup."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "value", "props")
+    raw = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 83 == 0, F.lit(None)).otherwise(F.col("user_id")).alias("user_id"),
+        F.when(F.col("event_id") % 89 == 0, F.lit(-1.0)).otherwise(F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 97 == 0, F.lit("{bad")).otherwise(F.col("props")).alias("props"),
+    )
+    routed = raw.withColumn(
+        "reason",
+        F.when(F.col("user_id").isNull(), "missing_user")
+        .when(F.col("value") < 0, "negative_value")
+        .when(F.get_json_object("props", "$.k").isNull(), "bad_props")
+        .otherwise("ok"),
+    )
+    return routed.groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("first_event"),
+        F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
+    )

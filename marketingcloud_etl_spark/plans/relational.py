@@ -1546,3 +1546,54 @@ def q121_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_purchase_after_click").cast("double") / F.col("n_view"), 6
         ).alias("conversion"),
     )
+
+
+@query(
+    "q126_column_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col, cast(count(*) as bigint) AS n,
+           cast(count(*) - count(o_orderkey) as bigint) AS n_null,
+           cast(count(DISTINCT o_orderkey) as bigint) AS n_distinct,
+           cast(min(o_orderkey) as varchar) AS min_value,
+           cast(max(o_orderkey) as varchar) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', cast(count(*) as bigint),
+           cast(count(*) - count(o_orderstatus) as bigint),
+           cast(count(DISTINCT o_orderstatus) as bigint),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', cast(count(*) as bigint),
+           cast(count(*) - count(o_orderpriority) as bigint),
+           cast(count(DISTINCT o_orderpriority) as bigint),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+    tags=("profile", "metadata"),
+)
+def q126_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (ANALYZE-style): per-column row count, null
+    count, exact distinct count, and min/max — the metadata sweep
+    that drives partition and join planning decisions before a big
+    job. One aggregation pass per column over a scan pruned to that
+    column (min/max cast to string so heterogeneous columns stack in
+    one result). At 100 TB the exact count(DISTINCT) per column is
+    the expensive honest version; q60's HLL path is the sketch
+    alternative."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+
+    def prof(c: str):
+        return o.select(c).agg(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+        ).select("col", "n", "n_null", "n_distinct", "min_value", "max_value")
+
+    return prof("o_orderkey").unionByName(prof("o_orderstatus")).unionByName(
+        prof("o_orderpriority")
+    )
