@@ -59,6 +59,11 @@ HEADLINE = (
     # paths whose regressions would otherwise go unmeasured)
     "q107_sequence_packing",
     "q116_bpe_pair_counts",
+    # round-2 third wave: exact-percentile, funnel-join, and CDC-diff
+    # shapes — each a distinct physical-plan family
+    "q119_median_mad_outliers",
+    "q121_funnel_conversion",
+    "q122_snapshot_cdc_diff",
 )
 
 

@@ -1442,9 +1442,17 @@ def q119_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join of the tiny per-group stats back onto the rows.
     Exact per-group medians sort within each group; for
     billion-row-per-group corpora the q112 GK-sketch path is the
-    approximation alternative."""
+    approximation alternative. The input is spread conditionally
+    (spread_partitions: no-op when the scan already splits wide) so
+    the percentile partials parallelize; the one repartition Exchange
+    is shared by all three consumers via ReusedExchange — the plan
+    pays it once."""
     prep(spark)
-    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    from ..operators.partitioning import spread_partitions
+
+    li = spread_partitions(
+        table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    )
     med = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("med")
     )
