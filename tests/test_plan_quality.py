@@ -150,3 +150,25 @@ def test_scd1_merge_broadcasts_update_keys(spark, sf_dir):
     survivors."""
     plan = _plan(REGISTRY["q124_scd1_merge"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_every_oracle_query_has_driver_evidence_path():
+    """Driver-contract discipline: each oracle-able catalog query must
+    either hold a _PRIORITY slot (queued for a driver verdict this
+    round) or already own a green round-1 CORRECTNESS row. A query in
+    neither set would silently ship without driver evidence."""
+    import json
+    import os
+
+    from marketingcloud_etl_spark.plans.catalog import _PRIORITY
+
+    r1 = set()
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r01.json")
+    if os.path.exists(path):
+        r1 = set(json.load(open(path)))
+    unevidenced = [
+        n
+        for n, d in REGISTRY.items()
+        if d.oracle is not None and n not in _PRIORITY and n not in r1
+    ]
+    assert not unevidenced, f"oracle queries with no driver-evidence path: {unevidenced}"
