@@ -644,15 +644,9 @@ def q120_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(frag)
     if not os.path.exists(f"{compact}/_SUCCESS"):
-        frag_df = spark.read.parquet(frag)
-        total = sum(
-            os.path.getsize(os.path.join(frag, f))
-            for f in os.listdir(frag)
-            if f.endswith(".parquet")
-        )
-        target = 4 * 1024 * 1024  # tiny target so the fixture still yields >1 file
-        n_out = max(1, -(-total // target))
-        frag_df.coalesce(int(n_out)).write.mode("overwrite").parquet(compact)
+        from ..sinks.upsert import compact_parquet
+
+        compact_parquet(spark, frag, compact)
     back = spark.read.parquet(compact)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

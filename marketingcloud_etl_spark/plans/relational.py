@@ -1454,7 +1454,7 @@ def q119_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     )
     med = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+        F.percentile("l_extendedprice", 0.5).alias("med")
     )
     dev = li.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag",
@@ -1463,7 +1463,7 @@ def q119_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = dev.groupBy("l_returnflag").agg(
         F.first("med").alias("med"),
-        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.percentile("adev", 0.5).alias("mad"),
     )
     return (
         dev.drop("med")
@@ -1503,8 +1503,8 @@ def q119_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cast((SELECT count(*) FROM v) as bigint) AS n_view,
            cast((SELECT count(*) FROM c) as bigint) AS n_click_after_view,
            cast((SELECT count(*) FROM p) as bigint) AS n_purchase_after_click,
-           round(cast((SELECT count(*) FROM p) as double)
-                 / (SELECT count(*) FROM v), 6) AS conversion
+           cast(floor(cast((SELECT count(*) FROM p) as double) * 1000000.0
+                      / (SELECT count(*) FROM v)) as bigint) AS conversion_ppm
     """,
     tags=("analytic", "funnel"),
 )
@@ -1550,9 +1550,16 @@ def q121_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_view").cast("long").alias("n_view"),
         F.col("n_click_after_view").cast("long").alias("n_click_after_view"),
         F.col("n_purchase_after_click").cast("long").alias("n_purchase_after_click"),
-        F.round(
-            F.col("n_purchase_after_click").cast("double") / F.col("n_view"), 6
-        ).alias("conversion"),
+        # floor() of a single IEEE division of exact integers is
+        # engine-identical; round(ratio, 6) is NOT when the true ratio
+        # terminates exactly at the rounding boundary (the engines round
+        # the shortest-string vs the binary value)
+        F.floor(
+            F.col("n_purchase_after_click").cast("double") * 1000000.0
+            / F.col("n_view")
+        )
+        .cast("long")
+        .alias("conversion_ppm"),
     )
 
 

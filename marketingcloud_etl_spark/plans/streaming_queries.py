@@ -290,8 +290,8 @@ def q81_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cast(count(*) as bigint) AS n_pairs,
            cast(sum(lead_us) as bigint) AS total_lead_us,
-           round(cast(sum(lead_us) as double) / count(*) / 1000000.0, 6)
-             AS avg_lead_sec
+           cast(floor(cast(sum(lead_us) as double) / count(*)) as bigint)
+             AS avg_lead_us
     FROM pairs
     """,
     tags=("streaming", "join"),
@@ -323,7 +323,9 @@ def q123_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("lead_us").cast("long").alias("total_lead_us"),
-        F.round(
-            F.sum("lead_us").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
-        ).alias("avg_lead_sec"),
+        # floored integer mean: one IEEE division of exact ints + floor,
+        # engine-identical (round(...,6) on an arbitrary ratio is not)
+        F.floor(F.sum("lead_us").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("avg_lead_us"),
     )

@@ -115,16 +115,63 @@ def jdbc_write(
     writer.save()
 
 
-def scd1_merge(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def scd1_merge(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    version_col: str | None = None,
+) -> DataFrame:
     """SCD type-1 merge (last-write-wins): rows from ``updates`` replace
     same-key rows in ``target``; unmatched target rows pass through.
-    The update set wins ties inside itself by dropDuplicates on the key.
+
+    In-batch ties on the key resolve DETERMINISTICALLY: highest
+    ``version_col`` wins when given, otherwise the row that sorts last
+    across the non-key columns (a canonical pick — dropDuplicates would
+    keep whichever row a partition visits first, so reruns could flip
+    the surviving value).
 
     This is the plan-level MERGE ... WHEN MATCHED THEN UPDATE — one
     anti-join (co-partitioned on the key) + a union, no full outer join
     needed because updates carry complete rows. Complements
     upsert_parquet (insert-ignore, R12) and the q87 SCD2 history
     builder: same key semantics, destructive instead of versioned."""
-    u = updates.dropDuplicates([key])
+    from pyspark.sql.window import Window
+
+    order_cols = [version_col] if version_col else [
+        c for c in updates.columns if c != key
+    ]
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc_nulls_last() for c in order_cols])
+    u = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     kept = target.join(u.select(key), key, "left_anti")
     return kept.unionByName(u)
+
+
+COMPACTION_TARGET_BYTES = 4 * 1024 * 1024
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = COMPACTION_TARGET_BYTES,
+) -> int:
+    """Rewrite a fragmented parquet dir to ceil(total/target) files via
+    coalesce() — a NARROW merge of input splits, no shuffle: compaction
+    must not pay a full exchange just to glue files together. Returns
+    the output file count. Size probing is driver-side local-FS (the
+    /tmp materialization path); an object-store deployment swaps in a
+    listStatus sum."""
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    n_out = int(max(1, -(-total // target_bytes)))
+    spark.read.parquet(src).coalesce(n_out).write.mode("overwrite").parquet(dst)
+    return n_out

@@ -430,11 +430,18 @@ def test_freq_items_includes_all_true_heavy_hitters(spark, sf_dir, duck):
 
 def test_compaction_reduces_file_count(spark, sf_dir):
     """q120's layout contract: the compacted rewrite yields strictly
-    fewer, size-bounded files than the 64-file fragmented input."""
+    fewer, size-bounded files than the 64-file fragmented input — and
+    with a target small enough to demand MULTIPLE output files, the
+    ceil-based packing actually splits (the n_out>1 path the default
+    target can't reach at tiny fixture scale)."""
     import os
 
     from marketingcloud_etl_spark.io import fixture_tag
     from marketingcloud_etl_spark.plans.catalog import load_all
+    from marketingcloud_etl_spark.sinks.upsert import (
+        COMPACTION_TARGET_BYTES,
+        compact_parquet,
+    )
 
     load_all()["q120_compaction"].fn(spark, sf_dir).collect()
     base = f"/tmp/mcetl_compact_{fixture_tag(sf_dir)}"
@@ -442,10 +449,20 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     comp = [f for f in os.listdir(f"{base}/compact") if f.endswith(".parquet")]
     assert len(frag) == 64
     assert 1 <= len(comp) < len(frag) / 4, f"{len(comp)} files after compaction"
-    target = 4 * 1024 * 1024
     for f in comp:
         # coalesce packs whole input splits, so allow 2x the target
-        assert os.path.getsize(f"{base}/compact/{f}") <= 2 * target
+        assert os.path.getsize(f"{base}/compact/{f}") <= 2 * COMPACTION_TARGET_BYTES
+
+    # force multi-file packing: a target far below the fragment total
+    frag_bytes = sum(
+        os.path.getsize(f"{base}/frag/{f}") for f in frag
+    )
+    small = max(1, frag_bytes // 7)
+    n_out = compact_parquet(spark, f"{base}/frag", f"{base}/compact_multi", small)
+    multi = [f for f in os.listdir(f"{base}/compact_multi") if f.endswith(".parquet")]
+    assert n_out >= 7 and len(multi) == n_out, (n_out, len(multi))
+    total_rows = spark.read.parquet(f"{base}/frag").count()
+    assert spark.read.parquet(f"{base}/compact_multi").count() == total_rows
 
 
 def test_scd1_merge_semantics(spark):
@@ -459,6 +476,14 @@ def test_scd1_merge_semantics(spark):
     )
     got = {r.k: r.bal for r in scd1_merge(target, updates, "k").collect()}
     assert got[1] == 10.0 and got[3] == 30.0      # untouched pass through
-    assert got[2] in (99.0, 77.0)                 # updated (in-batch tie collapsed)
+    assert got[2] == 99.0                         # deterministic tie-break: max wins
     assert got[4] == 40.0                         # brand-new key inserted
     assert len(got) == 4
+    # explicit version column overrides the canonical pick
+    versioned = spark.createDataFrame(
+        [(2, "b", 99.0, 1), (2, "b", 77.0, 5)], "k int, seg string, bal double, v int"
+    )
+    got_v = {r.k: r.bal for r in scd1_merge(
+        target.withColumn("v", F.lit(0)), versioned, "k", version_col="v"
+    ).collect()}
+    assert got_v[2] == 77.0                       # higher version wins, not higher value

@@ -118,11 +118,14 @@ def test_funnel_step_filters_push_into_scan(spark, sf_dir):
     parquet scan — the funnel reads three pushdown-filtered slices,
     never three full passes."""
     plan = _plan(REGISTRY["q121_funnel_conversion"].fn(spark, sf_dir))
-    for step in ("view", "click", "purchase"):
-        assert f"event_type" in plan and step in plan, step
-    # every events scan carries an event_type data filter
+    # every events scan must carry an event_type equality in its
+    # PushedFilters section (not merely in a post-scan Filter node)
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
-    assert scans and all("event_type" in s for s in scans)
+    assert scans
+    pushed = [s.split("PushedFilters:")[1] if "PushedFilters:" in s else "" for s in scans]
+    assert all("EqualTo(event_type" in p for p in pushed), pushed
+    for step in ("view", "click", "purchase"):
+        assert any(step in p for p in pushed), step
 
 
 def test_median_mad_stats_join_broadcasts(spark, sf_dir):
@@ -165,7 +168,13 @@ def test_every_oracle_query_has_driver_evidence_path():
     r1 = set()
     path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r01.json")
     if os.path.exists(path):
-        r1 = set(json.load(open(path)))
+        rows = json.load(open(path))
+        r1 = {
+            n
+            for n, row in rows.items()
+            if row.get("rows_match") and row.get("schema_match")
+            and row.get("hash_match") and not row.get("err")
+        }
     unevidenced = [
         n
         for n, d in REGISTRY.items()
