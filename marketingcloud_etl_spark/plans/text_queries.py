@@ -966,3 +966,79 @@ def q117_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.col("t_freqItems")).alias("frequent_tokens"),
         F.size(F.col("t_freqItems")).alias("n_frequent"),
     )
+
+
+@query(
+    "q127_bigram_lm_score",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE len({_TOKS}) >= 2
+    ), bg AS (
+      SELECT doc_id, toks[cast(i as int)] AS w1, toks[cast(i as int) + 1] AS w2
+      FROM dt, unnest(range(1, len(toks))) t(i)
+    ), bc AS (
+      SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+    ), uc AS (
+      SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+    ), scored AS (
+      SELECT g.doc_id,
+             ln(cast(bc.c2 as double) / uc.c1) AS lp
+      FROM bg g JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+                JOIN uc ON g.w1 = uc.w1
+    )
+    SELECT doc_id,
+           cast(count(*) as bigint) AS n_bigrams,
+           round(list_reduce(list_sort(list(lp)), (a, b) -> a + b)
+                 / count(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def q127_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring: train a bigram MLE
+    on the corpus itself, then score each document by its mean bigram
+    log-probability — the perplexity-proxy filter that separates
+    fluent text from gibberish and boilerplate (low avg_logprob =
+    improbable token transitions).
+
+    Train and score are the SAME two aggregations: bigram counts and
+    head counts, then two equi-joins back onto the per-doc bigram
+    stream and a per-doc reduce. Shuffles key on gram strings —
+    Zipf-skewed at 100 TB, where the keys fold to xxhash64 and the
+    hot heads salt (q42/q89 machinery); the probability tables stay
+    corpus-sized, never doc-count-sized. The per-doc log sum uses the
+    sorted-fold protocol (deterministic, engine-identical addition
+    order)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    dt = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") >= 2)
+    bg = dt.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .select("doc_id", F.log(F.col("c2").cast("double") / F.col("c1")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("lp")), F.lit(0.0), lambda a, x: a + x
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logprob"),
+    )
