@@ -263,6 +263,20 @@ def q95_dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark side of _CC_CTE: similarity edges -> (id, component)."""
     from ..operators.components import connected_components
+
+    edges, release = _dup_edges(spark, sf_dir)
+    comp = connected_components(edges)
+    # labels are localCheckpoint()ed inside connected_components, so the
+    # lineage no longer references the gram table — release it instead
+    # of holding it until session end (q95/q109/q110 each build their own)
+    release()
+    return comp
+
+
+def _dup_edges(spark: SparkSession, sf_dir: str):
+    """Similarity edges (2-gram Jaccard >= 0.05, gaps 1-2, doc_id<500
+    battery — the q47 verify-stage shape). Returns (edges, release):
+    call release() once the edge consumer has cut lineage."""
     from ..operators.dedup import ngram_jaccard, ngram_set
 
     d = table(spark, sf_dir, "documents")
@@ -285,13 +299,7 @@ def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     edges = gap_edges(1).unionByName(gap_edges(2))
-    comp = connected_components(edges)
-    # labels are localCheckpoint()ed inside connected_components, so the
-    # lineage no longer references g — release the pinned gram arrays
-    # instead of holding them until session end (q95/q109/q110 each
-    # build their own copy)
-    g.unpersist()
-    return comp
+    return edges, g.unpersist
 
 
 @query(
@@ -575,4 +583,30 @@ def q115_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("name") == F.col("truth"), 1).otherwise(0))
         .cast("long")
         .alias("n_correct"),
+    )
+
+
+@query("q128_pagerank", oracle=None, tags=("graph", "iterative", "rows-only"))
+def q128_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the doc-similarity graph (the q95 edge
+    set fed symmetrically): which documents sit at the center of
+    near-duplicate neighborhoods — a dedup triage signal (high-rank
+    docs are template hubs). Five power iterations, one join + one agg
+    per round, lineage cut each round (operators/pagerank.py).
+
+    Rows-only by contract (float iteration); the operator itself is
+    pinned against a numpy reference in tests/test_operators.py."""
+    prep(spark)
+    from ..operators.pagerank import pagerank
+
+    edges, release = _dup_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    ranks = pagerank(sym, iters=5)
+    release()
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(20)
+        .select("id", F.round("rank", 6).alias("rank"))
     )

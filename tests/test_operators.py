@@ -487,3 +487,28 @@ def test_scd1_merge_semantics(spark):
         target.withColumn("v", F.lit(0)), versioned, "k", version_col="v"
     ).collect()}
     assert got_v[2] == 77.0                       # higher version wins, not higher value
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """operators/pagerank.py vs a dense numpy power iteration on the
+    same graph: identical damping, iterations, and dangling handling."""
+    import numpy as np
+
+    from marketingcloud_etl_spark.operators.pagerank import pagerank
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 2)]
+    edges = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {r.id: r.rank for r in pagerank(edges, damping=0.85, iters=5).collect()}
+
+    n, d = 6, 0.85
+    out_deg = np.zeros(n)
+    for a, _ in pairs:
+        out_deg[a] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, (1 - d) / n)
+        for a, b in pairs:
+            nxt[b] += d * r[a] / out_deg[a]
+        r = nxt
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
