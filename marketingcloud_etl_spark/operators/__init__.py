@@ -11,3 +11,5 @@ from .similarity import knn_bruteforce, random_hyperplane_lsh, ann_lsh_topk  # n
 from .asof import asof_join  # noqa: F401
 from .sessionize import sessionize  # noqa: F401
 from .skew import salted_join_key  # noqa: F401
+from .components import connected_components, dedup_clusters  # noqa: F401
+from .pagerank import pagerank  # noqa: F401

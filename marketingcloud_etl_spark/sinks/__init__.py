@@ -1,1 +1,8 @@
-from .upsert import overwrite_parquet, upsert_parquet, jdbc_write  # noqa: F401
+from .upsert import (  # noqa: F401
+    compact_parquet,
+    jdbc_write,
+    overwrite_parquet,
+    scd1_merge,
+    upsert_parquet,
+)
+from .jdbc_merge import merge_upsert  # noqa: F401
