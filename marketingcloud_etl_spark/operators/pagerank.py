@@ -30,16 +30,22 @@ def pagerank(
     """Fixed-iteration PageRank over directed ``edges``. Returns
     (id, rank). Feed each undirected edge in both directions for the
     symmetric similarity-graph case."""
+    # checkpoint the loop-invariant inputs ONCE: every iteration's eager
+    # localCheckpoint of ranks would otherwise recompute the full edge
+    # derivation (for q128 that is the n-gram Jaccard join battery)
     nodes = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
+        .localCheckpoint()
     )
     n = nodes.count()  # one driver scalar, not data
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("rank"))
     out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
     e = edges.join(out_deg, src).select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"), "__deg"
-    )
+    ).localCheckpoint()
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     base = (1.0 - damping) / n
     for _ in range(iters):

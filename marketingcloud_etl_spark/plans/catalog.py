@@ -146,6 +146,7 @@ _PRIORITY = (
     "q117_freq_items",
     "q93_jdbc_merge_upsert",
     "q105_ann_pq_topk",
+    "q128_pagerank",
 )
 
 

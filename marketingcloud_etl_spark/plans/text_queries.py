@@ -1025,6 +1025,11 @@ def q127_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
+    # three consumers (bigram counts, head counts, score probe) read the
+    # tokenize+explode stream — persist one materialization instead of
+    # re-tokenizing the corpus per consumer (q50's accepted pattern; at
+    # 100 TB this becomes a checkpoint table between the two jobs)
+    bg = bg.persist()
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     scored = (

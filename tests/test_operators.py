@@ -496,11 +496,13 @@ def test_pagerank_matches_numpy_reference(spark):
 
     from marketingcloud_etl_spark.operators.pagerank import pagerank
 
-    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 2)]
+    # node 6 is DANGLING (in-edges only): its mass must drop each round,
+    # pinning the documented simplified-model semantics
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 2), (2, 6)]
     edges = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
     got = {r.id: r.rank for r in pagerank(edges, damping=0.85, iters=5).collect()}
 
-    n, d = 6, 0.85
+    n, d = 7, 0.85
     out_deg = np.zeros(n)
     for a, _ in pairs:
         out_deg[a] += 1
@@ -508,7 +510,12 @@ def test_pagerank_matches_numpy_reference(spark):
     for _ in range(5):
         nxt = np.full(n, (1 - d) / n)
         for a, b in pairs:
-            nxt[b] += d * r[a] / out_deg[a]
+            nxt[b] += d * r[a] / out_deg[a]  # dangling sources never appear here
         r = nxt
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    assert got[6] < 1.0 / n  # the dangling node's rank decayed
+
+    # empty edge set degrades cleanly instead of dividing by zero
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert pagerank(empty).count() == 0
