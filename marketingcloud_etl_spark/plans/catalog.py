@@ -139,6 +139,7 @@ _PRIORITY = (
     "q125_quarantine_routing",
     "q126_column_profile",
     "q127_bigram_lm_score",
+    "q129_setsim_join",
     # rows-only entries last within the priority block: whichever way the
     # driver's 50-row cap counts (oracle-able only vs all entries), every
     # oracle-able query above sits inside it

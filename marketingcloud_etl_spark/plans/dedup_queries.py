@@ -610,3 +610,45 @@ def q128_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("id", F.round("rank", 6).alias("rank"))
     )
+
+
+@query(
+    "q129_setsim_join",
+    oracle=f"""
+    WITH ds AS (
+      SELECT doc_id, {_GRAMS.format(t=tokens_sql('text'))} AS s
+      FROM documents
+      WHERE doc_id < 300 AND len({tokens_sql('text')}) >= 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(len(list_intersect(a.s, b.s)) as int) AS n_inter,
+           cast(len(list_distinct(list_concat(a.s, b.s))) as int) AS n_union,
+           cast(floor(cast(len(list_intersect(a.s, b.s)) as double) * 1000000.0
+                      / len(list_distinct(list_concat(a.s, b.s)))) as bigint)
+             AS jaccard_ppm
+    FROM ds a JOIN ds b ON a.doc_id < b.doc_id
+    WHERE cast(len(list_intersect(a.s, b.s)) as double)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    """,
+    tags=("dedup", "similarity-join"),
+)
+def q129_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering
+    (operators/setsim.py, AllPairs/PPJoin family): every 2-gram-set
+    pair with Jaccard >= 0.5, found WITHOUT the all-pairs product —
+    candidates come from an equi-join on each set's rarest-token
+    prefix, then exact verification on candidates only. The oracle IS
+    the all-pairs formulation over the same bounded battery, so the
+    hash match proves the pruned plan loses nothing. Complements
+    MinHash-LSH (q50: probabilistic recall, unbounded corpora) with
+    the exact-recall variant for threshold-similarity joins."""
+    prep(spark)
+    from ..operators.dedup import ngram_set
+    from ..operators.setsim import setsim_join
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", ngram_set("text", 2).alias("toks"))
+    )
+    return setsim_join(d, threshold=0.5)

@@ -519,3 +519,43 @@ def test_pagerank_matches_numpy_reference(spark):
     # empty edge set degrades cleanly instead of dividing by zero
     empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert pagerank(empty).count() == 0
+
+
+def test_setsim_join_matches_allpairs_and_prunes(spark):
+    """Prefix filtering must return EXACTLY the all-pairs result (no
+    recall loss) while generating far fewer candidates than the cross
+    product on a corpus with rare-token structure."""
+    import pyspark.sql.functions as F
+
+    from marketingcloud_etl_spark.operators.setsim import setsim_join
+
+    # 40 mostly-disjoint sets + 5 planted near-dup pairs
+    rows = []
+    for i in range(40):
+        rows.append((i, [f"tok{i}_{j}" for j in range(10)]))
+    for i in range(5):
+        base = [f"tok{i}_{j}" for j in range(10)]
+        rows.append((100 + i, base[:9] + [f"extra{i}"]))  # jaccard 9/11 ≈ 0.82
+    docs = spark.createDataFrame(rows, "doc_id bigint, toks array<string>")
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard_ppm
+        for r in setsim_join(docs, threshold=0.5).collect()
+    }
+    # brute force reference
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    want = {
+        (r.id_a, r.id_b): r.ppm
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(inter.cast("double") / union >= 0.5)
+        .select(
+            "id_a", "id_b",
+            F.floor(inter.cast("double") * 1000000.0 / union).cast("long").alias("ppm"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 5
