@@ -31,6 +31,7 @@ _PLAN_MODULES = (
     "marketingcloud_etl_spark.plans.vector_queries",
     "marketingcloud_etl_spark.plans.streaming_queries",
     "marketingcloud_etl_spark.plans.udf_queries",
+    "marketingcloud_etl_spark.plans.marketing_queries",
 )
 
 
@@ -140,6 +141,9 @@ _PRIORITY = (
     "q126_column_profile",
     "q127_bigram_lm_score",
     "q129_setsim_join",
+    "q130_cohort_retention",
+    "q131_last_touch_attribution",
+    "q132_rfm_segmentation",
     # rows-only entries last within the priority block: whichever way the
     # driver's 50-row cap counts (oracle-able only vs all entries), every
     # oracle-able query above sits inside it

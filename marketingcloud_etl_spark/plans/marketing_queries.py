@@ -1,0 +1,194 @@
+"""Marketing-analytics catalog — the analytic workloads the reference's
+domain (a marketing-cloud lead-activity ETL) feeds downstream: cohort
+retention, last-touch attribution, RFM segmentation. All pure built-in
+expressions over ``events``, all oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.money import dec
+from ..io import table
+from ..session import prep
+from .catalog import query
+
+
+@query(
+    "q130_cohort_retention",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, cast(date_trunc('week', min(ts)) as date) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, cast(date_trunc('week', ts) as date) AS act_week
+      FROM events
+    )
+    SELECT s.cohort_week,
+           cast(date_diff('day', s.cohort_week, a.act_week) / 7 as int)
+             AS week_offset,
+           cast(count(DISTINCT s.user_id) as bigint) AS n_active
+    FROM signup s JOIN activity a ON s.user_id = a.user_id
+    WHERE a.act_week >= s.cohort_week
+    GROUP BY s.cohort_week, week_offset
+    """,
+    tags=("marketing", "analytic"),
+)
+def q130_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by signup week, counted
+    as active in each later week they produced any event — the
+    triangle matrix every growth dashboard draws. Week offsets are
+    exact integer day-diffs of week-truncated dates (both engines pin
+    weeks to Monday), so no float crosses the oracle.
+
+    Shape: one grouped min (signup), one distinct projection
+    (activity), one user_id-keyed join — the same co-partitioning
+    story as the funnel (q121)."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("act_week")
+    ).distinct()
+    return (
+        signup.join(activity, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "q131_last_touch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, ts,
+             json_extract_string(props, '$.k')::int % 5 AS channel
+      FROM events WHERE event_type = 'click'
+    ), ranked AS (
+      SELECT p.event_id, p.value, c.channel,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 7 DAY
+    ), attributed AS (
+      SELECT p.event_id, p.value,
+             coalesce(r.channel, -1) AS channel
+      FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+        ON p.event_id = r.event_id
+    )
+    SELECT channel,
+           cast(count(*) as bigint) AS n_purchases,
+           cast(sum(cast(value as decimal(14,2))) as double) AS revenue
+    FROM attributed GROUP BY channel
+    """,
+    tags=("marketing", "analytic"),
+)
+def q131_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the LAST
+    click by the same user in the preceding 7 days (ties broken by
+    click id — deterministic); purchases with no qualifying click land
+    in channel -1. Channel derives from the click's JSON payload.
+
+    This is the as-of-join shape (q11) with a lookback bound: the
+    join and the ranking both key on user_id/purchase id, revenue
+    sums ride the decimal protocol."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        (F.get_json_object("props", "$.k").cast("int") % 5).alias("channel"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    w = W.partitionBy("p_id").orderBy(F.col("c_ts").desc_nulls_last(), F.col("c_id").desc_nulls_last())
+    attributed = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_id", "value", F.coalesce("channel", F.lit(-1)).alias("channel"))
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(dec("value", 14, 2)).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "q132_rfm_segmentation",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), anchor AS (
+      SELECT cast(max(ts) as date) AS max_day FROM p
+    ), rfm AS (
+      SELECT p.user_id,
+             cast(date_diff('day', cast(max(p.ts) as date), any_value(a.max_day)) as int)
+               AS r_days,
+             cast(count(*) as bigint) AS f,
+             cast(sum(cast(p.value as decimal(14,2))) as double) AS m
+      FROM p CROSS JOIN anchor a GROUP BY p.user_id
+    )
+    SELECT user_id, r_days, f, m,
+           ntile(4) OVER (ORDER BY r_days ASC, user_id) AS r_score,
+           ntile(4) OVER (ORDER BY f DESC, user_id) AS f_score,
+           ntile(4) OVER (ORDER BY m DESC, user_id) AS m_score
+    FROM rfm
+    """,
+    tags=("marketing", "analytic"),
+)
+def q132_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last
+    purchase, anchored to the corpus max so the result is
+    reproducible), frequency, and monetary value, each quartile-scored
+    with ntile(4) under a deterministic (metric, user_id) order —
+    verified to distribute rows identically in both engines.
+
+    Scale note: the three global ntiles are single-partition sorts of
+    the USER-level rollup (one row per customer, not per event); at
+    extreme customer counts the scores switch to percentile_approx
+    cutpoints (q112's sketch) with identical semantics modulo ties."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    anchor = p.agg(F.max("ts").cast("date").alias("max_day"))
+    rfm = (
+        p.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.first("max_day"), F.max("ts").cast("date"))
+            .cast("int")
+            .alias("r_days"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(dec("value", 14, 2)).cast("double").alias("m"),
+        )
+    )
+    return rfm.select(
+        "user_id",
+        "r_days",
+        "f",
+        "m",
+        F.ntile(4).over(W.orderBy(F.col("r_days").asc(), "user_id")).alias("r_score"),
+        F.ntile(4).over(W.orderBy(F.col("f").desc(), "user_id")).alias("f_score"),
+        F.ntile(4).over(W.orderBy(F.col("m").desc(), "user_id")).alias("m_score"),
+    )
