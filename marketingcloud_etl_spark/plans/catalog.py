@@ -144,6 +144,7 @@ _PRIORITY = (
     "q130_cohort_retention",
     "q131_last_touch_attribution",
     "q132_rfm_segmentation",
+    "q133_ab_test_ztest",
     # rows-only entries last within the priority block: whichever way the
     # driver's 50-row cap counts (oracle-able only vs all entries), every
     # oracle-able query above sits inside it

@@ -192,3 +192,85 @@ def q132_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(W.orderBy(F.col("f").desc(), "user_id")).alias("f_score"),
         F.ntile(4).over(W.orderBy(F.col("m").desc(), "user_id")).alias("m_score"),
     )
+
+
+@query(
+    "q133_ab_test_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             cast(user_id % 2 as int) AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value >= 100.0
+                 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT variant,
+             cast(count(*) as bigint) AS n_users,
+             cast(sum(converted) as bigint) AS n_converted
+      FROM assign GROUP BY variant
+    ), wide AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+        max(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+        max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+        max(CASE WHEN variant = 1 THEN n_converted END) AS c1
+      FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           round(cast(c0 as double) / n0, 6) AS rate_control,
+           round(cast(c1 as double) / n1, 6) AS rate_treatment,
+           round(
+             (cast(c1 as double) / n1 - cast(c0 as double) / n0)
+             / sqrt((cast(c0 + c1 as double) / (n0 + n1))
+                    * (1.0 - cast(c0 + c1 as double) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+    FROM wide
+    """,
+    tags=("marketing", "stats"),
+)
+def q133_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users assigned to
+    variants by key parity (deterministic — the q85 hash-split
+    property), outcome = a purchase of value >= 100, pooled-variance
+    z-score on the rate difference. Every float derives from exact
+    integer counts through the SAME IEEE expression tree on both
+    engines (+,-,*,/ and sqrt are all correctly-rounded), so the
+    z-score is deterministic with no sum-order exposure.
+
+    Shape: one user-level rollup (partial-aggregated max), one
+    two-row arm aggregate, then scalar math on a single row."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    converted = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 100.0), 1
+    ).otherwise(0)
+    assign = (
+        e.groupBy("user_id")
+        .agg(F.max(converted).alias("converted"))
+        .select((F.col("user_id") % 2).cast("int").alias("variant"), "converted")
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return wide.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("c0").cast("long").alias("c0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("c1").cast("long").alias("c1"),
+        F.round(p0, 6).alias("rate_control"),
+        F.round(p1, 6).alias("rate_treatment"),
+        F.round(z, 6).alias("z_score"),
+    )
