@@ -31,24 +31,38 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as raw nanos and truncate to micros with
-        # integer division (ns div 1000) — identical to DuckDB's ns→us
-        # truncation, so oracle comparisons stay exact. The conf is
-        # captured at read/analysis time, so it can be restored
-        # immediately — later nanos-parquet reads in the session are
-        # unaffected.
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+        # fixture generations and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        # in others. Normalize both to a UTC-instant TIMESTAMP column:
+        #  - nanos: Spark's vectorized reader rejects them; read as raw
+        #    int64 and truncate to micros (ns div 1000) — identical to
+        #    DuckDB's ns→us truncation, so oracle comparisons stay exact.
+        #  - micros without tz: with NTZ inference on, this becomes
+        #    TIMESTAMP_NTZ, which unix_micros()/watermarks reject.
+        #    Disable inference so the stored micros are read as UTC
+        #    epoch instants (exactly what DuckDB's naive read shows
+        #    under the UTC session timezone prep() pins).
+        # Both confs are captured at read/analysis time, so restoring
+        # them immediately leaves later parquet reads unaffected.
+        prev = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.legacy.parquet.nanosAsLong",
+                "spark.sql.parquet.inferTimestampNTZ.enabled",
+            )
+        }
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         try:
             df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
             if dict(df.dtypes).get("ts") == "bigint":
                 df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
