@@ -7,6 +7,8 @@ scans so Catalyst gets full predicate-pushdown + column-pruning freedom.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,26 +26,73 @@ TABLES = (
     "embeddings",
 )
 
-__all__ = ["TABLES", "table", "register_views"]
+__all__ = ["TABLES", "table", "register_views", "atomic_cached_write"]
+
+
+def atomic_cached_write(path: str, write_fn) -> str:
+    """Populate a cache directory exactly once, atomically.
+
+    ``write_fn(tmp_dir)`` writes into a tmp sibling which is renamed
+    into place — so ``path`` either doesn't exist or is complete. A
+    pre-existing dir WITHOUT Spark's ``_SUCCESS`` marker is a stale
+    partial from a killed non-atomic writer: it is removed and rebuilt
+    (the rename protocol can't leave one). Concurrent creators race on
+    the rename; the loser keeps the winner's dir and discards its tmp.
+    """
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    try:
+        write_fn(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some
-        # fixture generations and TIMESTAMP(MICROS, isAdjustedToUTC=false)
-        # in others. Normalize both to a UTC-instant TIMESTAMP column:
-        #  - nanos: Spark's vectorized reader rejects them; read as raw
-        #    int64 and truncate to micros (ns div 1000) — identical to
-        #    DuckDB's ns→us truncation, so oracle comparisons stay exact.
-        #  - micros without tz: with NTZ inference on, this becomes
-        #    TIMESTAMP_NTZ, which unix_micros()/watermarks reject.
-        #    Disable inference so the stored micros are read as UTC
-        #    epoch instants (exactly what DuckDB's naive read shows
-        #    under the UTC session timezone prep() pins).
-        # Both confs are captured at read/analysis time, so restoring
-        # them immediately leaves later parquet reads unaffected.
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load ``events`` with its timestamp normalized to a UTC-instant
+    TIMESTAMP column, robust to both fixture generations:
+
+     - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read as
+       raw int64 (``nanosAsLong``) and truncate to micros — identical
+       to DuckDB's ns→us truncation, so oracle comparisons stay exact.
+     - TIMESTAMP(MICROS, isAdjustedToUTC=false): with NTZ inference on
+       this becomes TIMESTAMP_NTZ, which unix_micros()/watermarks
+       reject; with inference off the stored micros read as UTC epoch
+       instants (what DuckDB's naive read shows under the UTC session
+       timezone prep() pins).
+
+    Both knobs are SESSION-GLOBAL and consulted again at physical
+    planning, so returning a lazy frame and restoring the confs is a
+    race: a later action (or a concurrent read on the same session)
+    could see the wrong settings. Instead the first load MATERIALIZES
+    the normalized table to a per-fixture parquet cache while the confs
+    are held — the write is an action, so the conversion provably runs
+    under them — and every return path is a plain conf-independent scan
+    of the cache. The cache appears atomically (write to a tmp sibling,
+    ``os.rename``), so a concurrent creator either wins the rename or
+    discards its tmp; no half-written directory is ever scanned.
+    (Sandbox-fixture shim: a production deployment writes the table
+    timestamp-correct once and never needs this.)"""
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"mcetl_events_norm_{fixture_tag(sf_dir)}"
+    )
+
+    def _normalize(tmp_dir: str) -> None:
         prev = {
             k: spark.conf.get(k, None)
             for k in (
@@ -57,14 +106,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
             if dict(df.dtypes).get("ts") == "bigint":
                 df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            df.write.mode("overwrite").parquet(tmp_dir)
         finally:
             for k, v in prev.items():
                 if v is None:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    return spark.read.parquet(atomic_cached_write(cache_dir, _normalize))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,117 @@
+"""Distributed global ranking — scale-safe ``row_number``/``ntile``
+over a total order WITHOUT a single-partition window.
+
+``Window.orderBy(...)`` with no ``partitionBy`` moves every row into ONE
+task (Spark plans ``Exchange SinglePartition``): fine on a 50-row frame,
+fatal on 10^9 customers. The classic two-phase distributed ranking used
+here keeps every stage parallel:
+
+1. ``repartitionByRange`` on the sort key — Spark's sampled range
+   partitioner, the same machinery a distributed ``ORDER BY`` uses, so
+   partition p holds exactly the keys between boundary p-1 and p.
+2. Per-partition local ``row_number`` (window partitioned by the range
+   partition id — each range bucket is one window group, so the sort
+   parallelizes across buckets).
+3. Per-partition row counts -> cumulative start offsets. This frame has
+   ONE ROW PER PARTITION (bounded by ``spark.sql.shuffle.partitions``,
+   not by data), so its single-partition running-sum window is free.
+4. global row_number = offset(partition) + local row_number, joined back
+   by broadcast.
+
+``ntile`` then needs no extra pass: with N total rows and n buckets,
+q = N div n and r = N mod n, SQL ntile gives the first r buckets q+1
+rows and the rest q — a pure expression over the global row number.
+
+The input is persisted because the offsets subtree and the ranked
+subtree both read the range-shuffled data; without the pin the range
+exchange would run twice (and ``spark_partition_id`` must be observed on
+ONE physical materialization).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+__all__ = ["global_row_number", "distributed_ntile"]
+
+_PID = "__mcetl_pid"
+_LRN = "__mcetl_lrn"
+_OFF = "__mcetl_off"
+_N = "__mcetl_n"
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    out_col: str = "rn",
+    *,
+    with_total: bool = False,
+) -> DataFrame:
+    """Add a 1-based global row number in ``order_cols`` order.
+
+    ``order_cols`` must define a TOTAL order (add a unique tiebreak key)
+    or the numbering is nondeterministic within ties. With
+    ``with_total=True`` the total row count rides along in column
+    ``__mcetl_n`` (consumed by :func:`distributed_ntile`).
+
+    Scale shape: one range exchange of the data + one hash exchange by
+    partition id (both full-width but perfectly balanced — the range
+    partitioner equalizes bucket sizes by sampling), one tiny
+    per-partition-count frame, two broadcasts. Nothing is ever
+    single-partitioned except the count frame (<= shuffle.partitions
+    rows by construction).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("__cnt"))
+    # one row per partition: bounded by shuffle.partitions, never by data,
+    # so this running sum's single partition is free.
+    w_off = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)  # global-window-ok: frame has <= shuffle.partitions rows
+    offsets = counts.select(
+        _PID,
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias(_OFF),
+    )
+    total = counts.agg(F.sum("__cnt").alias(_N))
+    w_local = W.partitionBy(_PID).orderBy(*cols)
+    ranked = (
+        part.withColumn(_LRN, F.row_number().over(w_local))
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, F.col(_OFF) + F.col(_LRN))
+    )
+    if with_total:
+        ranked = ranked.crossJoin(F.broadcast(total))
+    return ranked.drop(_PID, _LRN, _OFF)
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: Sequence[Column | str],
+    out_col: str,
+) -> DataFrame:
+    """``ntile(n_buckets) OVER (ORDER BY order_cols)`` with identical
+    semantics to the SQL window function, computed distributed (see
+    module docstring). ``order_cols`` must be a total order so tie
+    placement matches a window-function oracle deterministically.
+
+    Output column is IntegerType, matching Spark's ``ntile``.
+    """
+    ranked = global_row_number(df, order_cols, out_col="__mcetl_rn", with_total=True)
+    rn, n = F.col("__mcetl_rn"), F.col(_N)
+    q = F.floor(n / n_buckets)
+    r = n % n_buckets
+    big = r * (q + 1)  # rows living in the r buckets of size q+1
+    # guard the small-N edge: q == 0 means every row sits in the first
+    # branch; greatest() keeps the (never-taken) else branch div-safe.
+    bucket = F.when(rn <= big, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
+        r + F.floor((rn - 1 - big) / F.greatest(q, F.lit(1))) + 1
+    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("__mcetl_rn", _N)

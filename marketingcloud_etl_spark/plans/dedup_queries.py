@@ -549,12 +549,15 @@ def q115_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Block sizes are bounded by name-vocabulary fan-out, not corpus
     rows; a skewed block would get the q72 salting treatment."""
     prep(spark)
-    from pyspark.sql.window import Window as W
+    from ..operators.ranking import global_row_number
 
     p = table(spark, sf_dir, "part")
     clean = p.select(F.col("p_name").alias("name")).distinct()
-    rn = F.row_number().over(W.orderBy("name"))
-    dirty = clean.select(
+    # the corruption type keys off a GLOBAL name rank — computed with the
+    # distributed two-phase ranking, not a single-partition window (the
+    # name vocabulary scales with the catalog)
+    rn = F.col("__rn")
+    dirty = global_row_number(clean, ["name"], "__rn").select(
         "name",
         F.when(rn % 3 == 0, F.expr("substring(name, 1, length(name) - 1)"))
         .when(rn % 3 == 1, F.concat(F.lit("x"), F.expr("substring(name, 2)")))

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import content_hash, content_hash_sql
 from ..functions.money import dec
-from ..io import fixture_tag, table
+from ..io import atomic_cached_write, fixture_tag, table
 from ..session import prep
 from .catalog import query
 
@@ -383,9 +383,30 @@ def q93_jdbc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = tempfile.mkdtemp(prefix="mcetl_q93_") + "/wh.db"
 
     def stage_writer(batch, tbl):
+        # sqlite is a single-file target, so the stand-in can't take the
+        # production path's parallel executor connections — but it must
+        # still never materialize the batch on the driver in one piece.
+        # Stage to parquet (distributed write), then stream bounded
+        # record batches into sqlite: peak driver memory is one 10k-row
+        # Arrow batch regardless of batch size.
+        import pyarrow.dataset as ds
+
+        stage_dir = tempfile.mkdtemp(prefix="mcetl_q93_stage_")
+        batch.write.mode("overwrite").parquet(stage_dir)
         con = sqlite3.connect(db)
         try:
-            batch.toPandas().to_sql(tbl, con, if_exists="replace", index=False)
+            cols = batch.columns
+            con.execute(f'DROP TABLE IF EXISTS "{tbl}"')
+            con.execute(f'CREATE TABLE "{tbl}" ({", ".join(cols)})')
+            ins = f'INSERT INTO "{tbl}" VALUES ({",".join("?" * len(cols))})'
+            for rb in ds.dataset(stage_dir, format="parquet").to_batches(
+                batch_size=10_000, columns=cols
+            ):
+                con.executemany(
+                    ins,
+                    zip(*(rb.column(c).to_pylist() for c in cols)),
+                )
+            con.commit()
         finally:
             con.close()
 
@@ -450,9 +471,7 @@ def q98_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
-    marker = f"{base}/_SUCCESS"
-    if not os.path.exists(marker):
-        o.write.mode("overwrite").orc(base)
+    atomic_cached_write(base, lambda tmp: o.write.mode("overwrite").orc(tmp))
     back = spark.read.orc(base)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
@@ -495,10 +514,8 @@ def q106_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     old = e.filter(F.col("event_id") < 5000).select("event_id", "event_type")
     new = e.filter(F.col("event_id") >= 5000).select("event_id", "event_type", "value")
-    if not os.path.exists(f"{base}/old/_SUCCESS"):
-        old.write.mode("overwrite").parquet(f"{base}/old")
-    if not os.path.exists(f"{base}/new/_SUCCESS"):
-        new.write.mode("overwrite").parquet(f"{base}/new")
+    atomic_cached_write(f"{base}/old", lambda tmp: old.write.mode("overwrite").parquet(tmp))
+    atomic_cached_write(f"{base}/new", lambda tmp: new.write.mode("overwrite").parquet(tmp))
     merged = spark.read.option("mergeSchema", True).parquet(f"{base}/old", f"{base}/new")
     return merged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -548,8 +565,9 @@ def q113_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(8),
     )
     base = f"/tmp/mcetl_export_{fixture_tag(sf_dir)}"
-    if not os.path.exists(f"{base}/_SUCCESS"):
-        (
+    atomic_cached_write(
+        base,
+        lambda tmp: (
             table(spark, sf_dir, "documents")
             .select("doc_id", "source", "n_chars")
             .withColumn("shard", shard)
@@ -558,8 +576,9 @@ def q113_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .option("maxRecordsPerFile", 5000)
             .partitionBy("shard")
-            .parquet(base)
-        )
+            .parquet(tmp)
+        ),
+    )
     back = spark.read.parquet(base)
     return back.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -596,7 +615,7 @@ def q114_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     # n_sources rows: the single-partition window is over a tiny frame
-    w_off = W.orderBy("source").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_off = W.orderBy("source").rowsBetween(W.unboundedPreceding, W.currentRow)  # global-window-ok: frame is one row per source
     offsets = counts.select(
         "source", (F.sum("n").over(w_off) - F.col("n")).alias("offset")
     )
@@ -639,14 +658,16 @@ def q120_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     base = f"/tmp/mcetl_compact_{fixture_tag(sf_dir)}"
     frag, compact = f"{base}/frag", f"{base}/compact"
-    if not os.path.exists(f"{frag}/_SUCCESS"):
-        table(spark, sf_dir, "events").repartition(64).write.mode(
-            "overwrite"
-        ).parquet(frag)
-    if not os.path.exists(f"{compact}/_SUCCESS"):
-        from ..sinks.upsert import compact_parquet
+    atomic_cached_write(
+        frag,
+        lambda tmp: table(spark, sf_dir, "events")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    from ..sinks.upsert import compact_parquet
 
-        compact_parquet(spark, frag, compact)
+    atomic_cached_write(compact, lambda tmp: compact_parquet(spark, frag, tmp))
     back = spark.read.parquet(compact)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -11,6 +11,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions.money import dec
 from ..io import table
+from ..operators.ranking import distributed_ntile
 from ..session import prep
 from .catalog import query
 
@@ -164,10 +165,14 @@ def q132_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ntile(4) under a deterministic (metric, user_id) order —
     verified to distribute rows identically in both engines.
 
-    Scale note: the three global ntiles are single-partition sorts of
-    the USER-level rollup (one row per customer, not per event); at
-    extreme customer counts the scores switch to percentile_approx
-    cutpoints (q112's sketch) with identical semantics modulo ties."""
+    Scale note: the quartile scores are NOT window-function ntiles —
+    that would single-partition-sort the customer rollup three times.
+    Each score comes from operators/ranking.py's distributed ntile
+    (range-partition -> local rank -> broadcast offsets -> bucket
+    formula), which reproduces SQL ntile semantics exactly — the
+    (metric, user_id) order is total, so tie placement matches the
+    window-function oracle row for row — while every stage stays
+    parallel at 10^9 customers."""
     prep(spark)
     e = table(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
@@ -183,15 +188,10 @@ def q132_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value", 14, 2)).cast("double").alias("m"),
         )
     )
-    return rfm.select(
-        "user_id",
-        "r_days",
-        "f",
-        "m",
-        F.ntile(4).over(W.orderBy(F.col("r_days").asc(), "user_id")).alias("r_score"),
-        F.ntile(4).over(W.orderBy(F.col("f").desc(), "user_id")).alias("f_score"),
-        F.ntile(4).over(W.orderBy(F.col("m").desc(), "user_id")).alias("m_score"),
-    )
+    scored = distributed_ntile(rfm, 4, [F.col("r_days").asc(), F.col("user_id")], "r_score")
+    scored = distributed_ntile(scored, 4, [F.col("f").desc(), F.col("user_id")], "f_score")
+    scored = distributed_ntile(scored, 4, [F.col("m").desc(), F.col("user_id")], "m_score")
+    return scored.select("user_id", "r_days", "f", "m", "r_score", "f_score", "m_score")
 
 
 @query(

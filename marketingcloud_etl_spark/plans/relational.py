@@ -989,10 +989,15 @@ def q76_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     tag = fixture_tag(sf_dir)
     path = f"/tmp/mcetl_part_events_{tag}"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
-            "event_type"
-        ).parquet(path)
+    from ..io import atomic_cached_write
+
+    atomic_cached_write(
+        path,
+        lambda tmp: table(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(tmp),
+    )
     e = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
     return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -1196,7 +1201,7 @@ def q94_sort_nullable_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def top50(dir_name: str, key: F.Column) -> DataFrame:
         sel = e.orderBy(key, "event_id").limit(50)
-        w = W.orderBy(key, "event_id")
+        w = W.orderBy(key, "event_id")  # global-window-ok: runs post-limit, frame is 50 rows
         return sel.select(
             F.lit(dir_name).alias("dir"),
             "event_id",

@@ -559,3 +559,41 @@ def test_setsim_join_matches_allpairs_and_prunes(spark):
         .collect()
     }
     assert got == want and len(got) == 5
+
+
+@pytest.mark.parametrize("n_rows", [1, 3, 4, 7, 97, 1000])
+def test_distributed_ntile_matches_window_ntile(spark, n_rows):
+    """operators/ranking.py must reproduce SQL ntile/row_number
+    EXACTLY — including the first-r-buckets-get-one-extra tie protocol —
+    for frame sizes that exercise every N mod buckets branch, compared
+    against Spark's own (single-partition) window functions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from marketingcloud_etl_spark.operators.ranking import (
+        distributed_ntile,
+        global_row_number,
+    )
+
+    # keys deliberately non-monotonic in insertion order, with duplicates
+    # in the primary key so the tiebreak column decides placement
+    df = spark.range(n_rows).select(
+        F.col("id").alias("uid"), ((F.col("id") * 37) % 11).alias("k")
+    )
+    order = [F.col("k").asc(), F.col("uid").asc()]
+    expect = df.select(
+        "uid",
+        F.ntile(4).over(W.orderBy(*order)).alias("want_nt"),
+        F.row_number().over(W.orderBy(*order)).alias("want_rn"),
+    )
+    got_nt = distributed_ntile(df, 4, order, "nt")
+    got_rn = global_row_number(df, order, "rn")
+    joined = (
+        expect.join(got_nt.select("uid", "nt"), "uid")
+        .join(got_rn.select("uid", "rn"), "uid")
+    )
+    bad = joined.filter(
+        (F.col("nt") != F.col("want_nt")) | (F.col("rn") != F.col("want_rn"))
+    )
+    assert bad.count() == 0, bad.limit(10).collect()
+    assert dict(got_nt.dtypes)["nt"] == "int"  # matches Spark ntile's type

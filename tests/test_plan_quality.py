@@ -181,3 +181,54 @@ def test_every_oracle_query_has_driver_evidence_path():
         if d.oracle is not None and n not in _PRIORITY and n not in r1
     ]
     assert not unevidenced, f"oracle queries with no driver-evidence path: {unevidenced}"
+
+
+def test_no_unpartitioned_window_in_plans():
+    """No catalog query may build a global (un-partitionBy'd) window —
+    that's a single-partition sort of the whole frame at scale. The only
+    sanctioned shapes: windows over frames bounded by construction
+    (post-limit, per-source counts, per-partition counts), which must
+    carry a `# global-window-ok:` justification on the same line, and
+    operators/ranking.py's distributed substitutes for everything else."""
+    import os
+    import re
+
+    plans_dir = os.path.join(
+        os.path.dirname(__file__), "..", "marketingcloud_etl_spark", "plans"
+    )
+    pat = re.compile(r"(?:W|Window)\.orderBy\(")
+    offenders = []
+    for fname in sorted(os.listdir(plans_dir)):
+        if not fname.endswith(".py"):
+            continue
+        for i, line in enumerate(open(os.path.join(plans_dir, fname)), 1):
+            if pat.search(line) and "global-window-ok:" not in line:
+                offenders.append(f"{fname}:{i}: {line.strip()}")
+    assert not offenders, (
+        "unjustified global windows (use operators/ranking.py or add a "
+        f"bounded-frame justification): {offenders}"
+    )
+
+
+def test_rfm_plan_has_no_single_partition_sort(spark, sf_dir):
+    """q132's quartile scores must come from the distributed ntile:
+    no Exchange SinglePartition feeding a Window over the customer
+    rollup (the count-offset frame is partition-bounded, not
+    data-bounded, and never carries user rows)."""
+    plan = _plan(REGISTRY["q132_rfm_segmentation"].fn(spark, sf_dir))
+    # the rewrite removed the window-function ntile entirely
+    assert "ntile(" not in plan
+    # every remaining Window node is either partitioned (three bracket
+    # groups: functions, partition spec, order spec) or the counts-frame
+    # running sum, whose order key is the synthetic partition id — a
+    # frame bounded by shuffle.partitions, never by data.
+    for line in plan.splitlines():
+        s = line.strip().lstrip(":+- ")
+        if not s.startswith("Window "):
+            continue
+        if "sum(__cnt" in s and "__mcetl_pid" in s:
+            continue  # counts-frame offset window (partition-bounded)
+        import re
+
+        groups = re.findall(r"\[[^\[\]]*\]", s)
+        assert len(groups) >= 3, f"unpartitioned data-sized window: {s}"
