@@ -276,6 +276,63 @@ def q81_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q104_transform_with_state",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           cast(sum(cast(round(value * 100) as bigint)) as bigint) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def q104_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState end-to-end (Spark 4's arbitrary-state API):
+    per-user running totals through typed ValueState, replayed over the
+    file stream, final emission per user compared against the plain
+    batch aggregate by the oracle — identical contract to q81's
+    applyInPandasWithState twin, so both stateful APIs carry the same
+    hash-checked evidence. Needs the RocksDB state store (multi
+    column-family) and protobuf in every Python worker; see
+    streaming/jobs.py::enable_transform_with_state — the session conf
+    is restored after the query finishes."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    from ..streaming.jobs import (
+        RUN_ROCKSDB,
+        enable_transform_with_state,
+        events_stream,
+        run_to_memory,
+        stateful_running_totals_tws,
+    )
+
+    if not enable_transform_with_state(spark):
+        raise RuntimeError(
+            "transformWithState needs protobuf; neither a real "
+            "distribution nor the _pbcompat bundled runtime is available"
+        )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, RUN_ROCKSDB)
+    try:
+        out = run_to_memory(
+            stateful_running_totals_tws(events_stream(spark, sf_dir)),
+            "q104_out",
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )
+
+
+@query(
     "q123_stream_stream_join",
     oracle="""
     WITH p AS (

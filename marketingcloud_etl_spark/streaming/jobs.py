@@ -20,7 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import atomic_cached_write, table
 
 
 def replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
@@ -32,10 +32,13 @@ def replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     abs_dir = os.path.abspath(os.path.normpath(sf_dir))
     tag = f"{os.path.basename(abs_dir)}_{hashlib.sha1(abs_dir.encode()).hexdigest()[:10]}"
     out = os.path.join(tempfile.gettempdir(), f"mcetl_replay_{tag}_{n_files}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        table(spark, sf_dir, "events").repartition(n_files).write.mode("overwrite").parquet(out)
-    return out
+    return atomic_cached_write(
+        out,
+        lambda tmp: table(spark, sf_dir, "events")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str, files_per_trigger: int = 2) -> DataFrame:
@@ -137,6 +140,45 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+RUN_ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def enable_transform_with_state(spark: SparkSession) -> bool:
+    """Make ``transformWithStateInPandas`` runnable on this session.
+
+    Two prerequisites the API has beyond applyInPandasWithState:
+
+    1. protobuf in every Python process that speaks the state-server
+       protocol. ``_pbcompat`` resolves it (real distribution, or the
+       pure-python runtime the base image's gcloud SDK bundles):
+       ``addPyFile`` covers task workers; the PRE-INIT runner is a
+       separate driver-side python process whose PYTHONPATH comes from
+       the PythonFunction env vars (``sc.environment``), which is
+       runtime-mutable — so this works on an externally-created
+       session too.
+    2. the RocksDB state store (multiple column families) — set
+       ``spark.sql.streaming.stateStore.providerClass`` to
+       :data:`RUN_ROCKSDB` before STARTING the query (per-query conf,
+       read at query start; callers restore it after).
+
+    Returns False only when no protobuf can be resolved at all (then
+    callers skip — never silently compute something else).
+    """
+    import os as _os
+
+    from .. import _pbcompat
+
+    if not _pbcompat.ensure_workers(spark):
+        return False
+    if not _pbcompat.real_protobuf_available():
+        z = _pbcompat.shim_zip()
+        env = spark.sparkContext.environment
+        prev = env.get("PYTHONPATH", "")
+        if z not in prev.split(_os.pathsep):
+            env["PYTHONPATH"] = z + (_os.pathsep + prev if prev else "")
+    return True
+
+
 def stateful_running_totals_tws(stream: DataFrame) -> DataFrame:
     """The same per-user running totals through ``transformWithState``
     (Spark 4's arbitrary-state API, successor to
@@ -145,10 +187,9 @@ def stateful_running_totals_tws(stream: DataFrame) -> DataFrame:
     key. Kept alongside q81's formulation so both stateful APIs stay
     covered — they must produce identical final state.
 
-    GATED: the transformWithState state-server protocol needs protobuf,
-    which this container does not ship — tests skip without it and no
-    catalog query depends on it (a real cluster with protobuf runs it
-    as-is; see tests/test_streaming.py::test_transform_with_state)."""
+    Callers run :func:`enable_transform_with_state` first and start the
+    query under the RocksDB state store provider (see q104 /
+    tests/test_streaming.py::test_transform_with_state_matches_batch)."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

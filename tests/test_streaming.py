@@ -135,24 +135,36 @@ def test_watermark_drops_late_rows(spark, tmp_path):
 
 
 def test_transform_with_state_matches_batch(spark, sf_dir):
-    """transformWithState running totals == batch aggregate (skipped
-    where protobuf — required by its state-server protocol — is not
-    installed)."""
-    pytest.importorskip("google.protobuf")
+    """transformWithState running totals == batch aggregate. Protobuf
+    resolves through _pbcompat when no real distribution is installed
+    (skips only when NEITHER source exists on the machine)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
     from marketingcloud_etl_spark.streaming.jobs import (
+        RUN_ROCKSDB,
+        enable_transform_with_state,
         events_stream,
         run_to_memory,
         stateful_running_totals_tws,
     )
 
-    out = run_to_memory(
-        stateful_running_totals_tws(events_stream(spark, sf_dir)),
-        "tws_out",
-        output_mode="update",
-    )
+    if not enable_transform_with_state(spark):
+        pytest.skip("no protobuf available (real or bundled)")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, RUN_ROCKSDB)
+    try:
+        out = run_to_memory(
+            stateful_running_totals_tws(events_stream(spark, sf_dir)),
+            "tws_out",
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
     final = (
         out.withColumn("__rn", F.row_number().over(w))
