@@ -158,18 +158,21 @@ def test_scd1_merge_broadcasts_update_keys(spark, sf_dir):
 def test_every_oracle_query_has_driver_evidence_path():
     """Driver-contract discipline: each oracle-able catalog query must
     either hold a _PRIORITY slot (queued for a driver verdict this
-    round) or already own a green round-1 CORRECTNESS row. A query in
-    neither set would silently ship without driver evidence."""
+    round) or already own a green CORRECTNESS row from ANY past round
+    (r1∪r2∪...). A query in neither set would silently ship without
+    driver evidence."""
+    import glob
     import json
     import os
 
     from marketingcloud_etl_spark.plans.catalog import _PRIORITY
 
-    r1 = set()
-    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r01.json")
-    if os.path.exists(path):
+    green = set()
+    for path in glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")
+    ):
         rows = json.load(open(path))
-        r1 = {
+        green |= {
             n
             for n, row in rows.items()
             if row.get("rows_match") and row.get("schema_match")
@@ -178,9 +181,42 @@ def test_every_oracle_query_has_driver_evidence_path():
     unevidenced = [
         n
         for n, d in REGISTRY.items()
-        if d.oracle is not None and n not in _PRIORITY and n not in r1
+        if d.oracle is not None and n not in _PRIORITY and n not in green
     ]
     assert not unevidenced, f"oracle queries with no driver-evidence path: {unevidenced}"
+
+
+def test_priority_front_slots_cover_unevidenced_backlog():
+    """The driver samples the FIRST 50 oracle-able names in catalog
+    order each round. Any oracle-able query with no green CORRECTNESS
+    row from a past round must therefore sit inside the first 50
+    oracle-able _PRIORITY slots — otherwise its verdict is deferred
+    forever (the exact failure mode of rounds 2–3)."""
+    import glob
+    import json
+    import os
+
+    green = set()
+    for path in glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")
+    ):
+        rows = json.load(open(path))
+        green |= {
+            n
+            for n, row in rows.items()
+            if row.get("rows_match") and row.get("schema_match")
+            and row.get("hash_match") and not row.get("err")
+        }
+    if not green:
+        return  # fresh checkout without driver artifacts
+    oracle_order = [n for n, d in REGISTRY.items() if d.oracle is not None]
+    first50 = set(oracle_order[:50])
+    deferred = [
+        n for n in oracle_order if n not in green and n not in first50
+    ]
+    assert not deferred, (
+        f"unevidenced oracle queries outside the driver's 50-name sample: {deferred}"
+    )
 
 
 def test_no_unpartitioned_window_in_plans():
