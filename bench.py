@@ -26,6 +26,8 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from marketingcloud_etl_spark.io import table  # noqa: E402
+from marketingcloud_etl_spark.operators.ranking import release_ranking_caches  # noqa: E402
 from marketingcloud_etl_spark.plans.catalog import load_all  # noqa: E402
 from marketingcloud_etl_spark.session import get_spark  # noqa: E402
 
@@ -64,6 +66,15 @@ HEADLINE = (
     "q119_median_mad_outliers",
     "q121_funnel_conversion",
     "q122_snapshot_cdc_diff",
+    # round-4 wave: bigram-LM scoring joins, PPJoin prefix-filter join,
+    # last-touch attribution, and the distributed-ntile RFM path — the
+    # families whose perf was previously invisible to the driver
+    "q127_bigram_lm_score",
+    "q129_setsim_join",
+    "q131_last_touch_attribution",
+    "q132_rfm_segmentation",
+    # round-4: the composed end-to-end semantic-dedup pipeline
+    "q134_semantic_dedup_pipeline",
 )
 
 
@@ -97,6 +108,7 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
             registry[name].fn(spark, warm_dir).collect()
+            release_ranking_caches()
 
     # one-time setup that q70/q66 amortize across runs (bucketed-table
     # build, IVF codebook training) is timed separately and reported in
@@ -104,6 +116,13 @@ def main() -> None:
     # state, and the setup cost stays visible instead of hiding in a
     # full-scale warm-up
     setup: dict[str, float] = {}
+    # the events fixture normalizes its timestamp column to a one-time
+    # parquet cache on first touch (io.py::_events) — materialize it here
+    # so the write isn't billed to whichever headline query reads events
+    # first (q00 absorbed it in round 3: +32% for a non-plan cost)
+    t0 = time.perf_counter()
+    table(spark, sf_dir, "events").count()
+    setup["events_normalize_cache"] = round(time.perf_counter() - t0, 3)
     for name in ("q70_bucketed_join", "q66_ann_ivf_topk"):
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).collect()
@@ -114,6 +133,9 @@ def main() -> None:
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release frames pinned by distributed-ranking queries so cached
+        # blocks don't accumulate across the sweep (bookkeeping, untimed)
+        release_ranking_caches()
 
     total = round(sum(timings.values()), 3)
     print(

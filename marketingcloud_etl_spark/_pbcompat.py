@@ -116,6 +116,16 @@ def real_protobuf_available() -> bool:
     return spec is not None and "_pbcompat" not in (spec.origin or "")
 
 
+def resolvable() -> bool:
+    """True when SOME protobuf runtime can be made importable on this
+    host (real distribution, or the gcloud-bundled pure-python runtime).
+    Cheap — two filesystem checks, no imports, no Spark — so callers can
+    gate catalog registration on it at module-import time."""
+    return real_protobuf_available() or os.path.isdir(
+        os.path.join(_GCLOUD_TP, "cloudsdk", "google", "protobuf")
+    )
+
+
 def _build_zip(out_path: str) -> None:
     """Write the self-contained shim zip: alias package + the gcloud
     pure-python runtime rehomed under ``cloudsdk/``."""

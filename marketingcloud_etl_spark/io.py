@@ -36,22 +36,37 @@ def atomic_cached_write(path: str, write_fn) -> str:
     into place — so ``path`` either doesn't exist or is complete. A
     pre-existing dir WITHOUT Spark's ``_SUCCESS`` marker is a stale
     partial from a killed non-atomic writer: it is removed and rebuilt
-    (the rename protocol can't leave one). Concurrent creators race on
-    the rename; the loser keeps the winner's dir and discards its tmp.
+    (the rename protocol can't leave one).
+
+    Creators are serialized through an exclusive ``flock`` on a sibling
+    lock file, and the ``_SUCCESS`` marker is re-checked under the lock:
+    without that, a creator that lost the check-then-rmtree race could
+    delete a cache a concurrent creator had just completed (and a third
+    reader was already scanning). Readers never take the lock — the
+    fast path stays a single ``exists`` check.
     """
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
-    shutil.rmtree(path, ignore_errors=True)
-    tmp = f"{path}.tmp{os.getpid()}"
-    try:
-        write_fn(tmp)
+    import fcntl
+
+    with open(f"{path}.lock", "a") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
         try:
-            os.rename(tmp, path)
-        except OSError:
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                raise
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                return path
+            shutil.rmtree(path, ignore_errors=True)
+            tmp = f"{path}.tmp{os.getpid()}"
+            try:
+                write_fn(tmp)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                        raise
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
     return path
 
 

@@ -36,12 +36,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-__all__ = ["global_row_number", "distributed_ntile"]
+__all__ = ["global_row_number", "distributed_ntile", "release_ranking_caches"]
 
 _PID = "__mcetl_pid"
 _LRN = "__mcetl_lrn"
 _OFF = "__mcetl_off"
 _N = "__mcetl_n"
+
+# Every frame global_row_number pins is registered here so long-lived
+# sessions (catalog sweeps, benchmarks) can release the blocks between
+# queries: q132 alone chains three distributed_ntile calls, and without
+# a release point the MEMORY_AND_DISK blocks accumulate for the session
+# lifetime.
+_PINNED: list[DataFrame] = []
+
+
+def release_ranking_caches(blocking: bool = False) -> int:
+    """Unpersist every frame pinned by :func:`global_row_number` since
+    the last release. Call after the consuming action has materialized
+    its result (unpersisting earlier just re-runs the range exchange).
+    Returns the number of frames released."""
+    n = len(_PINNED)
+    while _PINNED:
+        _PINNED.pop().unpersist(blocking=blocking)
+    return n
 
 
 def global_row_number(
@@ -71,6 +89,7 @@ def global_row_number(
         .withColumn(_PID, F.spark_partition_id())
         .persist()
     )
+    _PINNED.append(part)
     counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("__cnt"))
     # one row per partition: bounded by shuffle.partitions, never by data,
     # so this running sum's single partition is free.

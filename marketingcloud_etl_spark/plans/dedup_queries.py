@@ -505,6 +505,103 @@ def q112_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q135_hll_bound_check",
+    oracle="""
+    SELECT l_returnflag,
+           cast(count(DISTINCT l_partkey) as bigint) AS exact_parts,
+           cast(count(DISTINCT l_orderkey) as bigint) AS exact_orders,
+           true AS parts_within_bound,
+           true AS orders_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("sketch",),
+)
+def q135_hll_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q60's HLL++ sketch made driver-checkable: compute the approximate
+    AND exact distinct counts side by side and emit ``within_bound``
+    booleans (|approx − exact| ≤ 5·rsd·exact — five standard errors of
+    the rsd=0.02 sketch, so a correct implementation passes with
+    overwhelming margin and a broken merge/estimator flips the flag).
+    The exact counts are value-checked by the oracle; the booleans
+    carry the sketch evidence a rows-only check can't."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__ao"),
+    )
+
+    def within(approx: str, exact: str):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.lit(5 * 0.02) * F.col(exact)
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within("__ap", "exact_parts").alias("parts_within_bound"),
+        within("__ao", "exact_orders").alias("orders_within_bound"),
+    )
+
+
+@query(
+    "q136_quantile_bound_check",
+    oracle="""
+    SELECT l_returnflag, cast(count(*) as bigint) AS n,
+           true AS p50_ok, true AS p95_ok, true AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("sketch",),
+)
+def q136_quantile_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q112's Greenwald-Khanna sketch made driver-checkable via its own
+    guarantee: percentile_approx(accuracy=10000) must return an element
+    whose RANK is within ε·n (ε = 1/accuracy) of the target p·n. The
+    check joins the (tiny, broadcast) per-group quantile table back to
+    the rows and verifies  rank_lt(q̂) ≤ (p+ε)·n + 1  and
+    rank_le(q̂) ≥ (p−ε)·n − 1  — rank-based, so it's exact arithmetic,
+    no float tolerance. Group sizes are value-checked by the oracle;
+    the booleans carry the sketch evidence."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    qs = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+    )
+    quant = li.groupBy("l_returnflag").agg(qs.alias("__q"))
+    joined = li.join(F.broadcast(quant), "l_returnflag")
+    agg = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            f
+            for i in range(3)
+            for f in (
+                F.sum((F.col("l_extendedprice") < F.col("__q")[i]).cast("long")).alias(f"__lt{i}"),
+                F.sum((F.col("l_extendedprice") <= F.col("__q")[i]).cast("long")).alias(f"__le{i}"),
+            )
+        ],
+    )
+    eps = 1.0 / 10000
+
+    def ok(i: int, p: float):
+        n = F.col("n")
+        return (F.col(f"__lt{i}") <= (p + eps) * n + 1) & (
+            F.col(f"__le{i}") >= (p - eps) * n - 1
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "n",
+        ok(0, 0.5).alias("p50_ok"),
+        ok(1, 0.95).alias("p95_ok"),
+        ok(2, 0.99).alias("p99_ok"),
+    )
+
+
+@query(
     "q115_fuzzy_match",
     oracle="""
     WITH clean AS (

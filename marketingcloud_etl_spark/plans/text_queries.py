@@ -969,6 +969,56 @@ def q117_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q137_freqitems_inclusion_check",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS t FROM documents
+    ), tot AS (
+      SELECT count(*) AS n FROM toks
+    ), cnt AS (
+      SELECT t, count(*) AS c FROM toks GROUP BY t
+    )
+    SELECT cast(count(*) as bigint) AS n_heavy,
+           true AS all_included
+    FROM cnt, tot WHERE c > 0.02 * n
+    """,
+    tags=("sketch",),
+)
+def q137_freqitems_inclusion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q117's freqItems sketch made driver-checkable via its one-sided
+    guarantee: EVERY token whose exact share exceeds the support
+    threshold must appear in the sketch's result (false positives are
+    allowed, false negatives are not). The exact heavy-hitter count is
+    value-checked by the oracle (same tokenizer on both engines); the
+    ``all_included`` boolean carries the sketch evidence — a broken
+    per-partition merge drops true heavy hitters and flips it."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("t"))
+    freq = (
+        toks.stat.freqItems(["t"], support=0.02)
+        .select(F.col("t_freqItems").alias("__arr"))
+    )
+    tot = toks.agg(F.count(F.lit(1)).alias("__n"))
+    heavy = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("__c") > 0.02 * F.col("__n"))
+    )
+    return (
+        heavy.crossJoin(F.broadcast(freq))
+        .select(F.array_contains(F.col("__arr"), F.col("t")).alias("__inc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_heavy"),
+            F.coalesce(
+                F.min(F.col("__inc").cast("int")) == 1, F.lit(True)
+            ).alias("all_included"),
+        )
+    )
+
+
+@query(
     "q127_bigram_lm_score",
     oracle=f"""
     WITH dt AS (

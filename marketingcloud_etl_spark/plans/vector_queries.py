@@ -178,6 +178,82 @@ def q73_frame_sample_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q134_semantic_dedup_pipeline",
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_docs,
+           true AS canonical_ok,
+           true AS no_leakage,
+           true AS splits_ok
+    FROM embeddings
+    """,
+    tags=("vector", "dedup", "pipeline"),
+)
+def q134_semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end semantic-dedup pipeline as ONE query:
+    embeddings → IVF-cell candidate blocking (top-2 probe cells, shared
+    codebook with q66) → exact cosine verify on candidates only →
+    connected components → canonical pick → leakage-safe cluster-hash
+    split (operators/semantic_dedup.py). Output is the self-verifying
+    invariant row the driver can hash-check:
+
+    * ``n_docs`` — every input doc got exactly one assignment row
+      (value-checked against the table count);
+    * ``canonical_ok`` — every duplicate cluster keeps EXACTLY one
+      canonical member;
+    * ``no_leakage`` — no verified near-dup edge crosses the
+      train/test boundary (the property the cluster-keyed split
+      exists for);
+    * ``splits_ok`` — every doc landed in exactly 'train' or 'test'.
+
+    The booleans are computed from the pipeline's actual output — a
+    regression in any stage (candidate gen, CC, canonical pick, split
+    hashing) flips one of them. Cluster contents themselves are
+    candidate-recall-dependent (approximate by design, SemDeDup-style),
+    so they are pinned by the planted-near-dup e2e test
+    (tests/test_semantic_dedup.py), not the oracle."""
+    prep(spark)
+    from ..operators.semantic_dedup import semantic_dedup
+    from ..operators.similarity import train_ivf_codebook
+
+    e = table(spark, sf_dir, "embeddings")
+    cb = _IVF_CODEBOOKS.get(sf_dir)
+    if cb is None:
+        cb = _IVF_CODEBOOKS[sf_dir] = train_ivf_codebook(e, n_cells=16, refine_iters=1)
+    assign, edges = semantic_dedup(e, cb, threshold=0.35, n_probe=2)
+
+    per_comp = assign.groupBy("component").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep")
+    )
+    canonical_ok = per_comp.agg(
+        (F.min((F.col("n_keep") == 1).cast("int")) == 1).alias("canonical_ok")
+    )
+    splits = assign.select(F.col("vec_id"), "split")
+    leak = (
+        edges.join(splits.withColumnRenamed("vec_id", "id_a"), "id_a")
+        .withColumnRenamed("split", "split_a")
+        .join(splits.withColumnRenamed("vec_id", "id_b"), "id_b")
+        .withColumnRenamed("split", "split_b")
+        .agg(
+            F.coalesce(
+                F.min((F.col("split_a") == F.col("split_b")).cast("int")) == 1,
+                F.lit(True),  # zero verified edges → vacuously leak-free
+            ).alias("no_leakage")
+        )
+    )
+    totals = assign.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.min(F.col("split").isin("train", "test").cast("int")) == 1
+        ).alias("splits_ok"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(canonical_ok))
+        .crossJoin(F.broadcast(leak))
+        .select("n_docs", "canonical_ok", "no_leakage", "splits_ok")
+    )
+
+
 _PQ_CODEBOOKS: dict[str, list] = {}
 
 

@@ -23,6 +23,18 @@ from pyspark.sql import functions as F
 from ..io import atomic_cached_write, table
 
 
+def _cents_sum(values) -> int:
+    """Exact integer cents for a pandas float Series, rounding each row
+    HALF AWAY FROM ZERO — the convention of DuckDB's ``round()`` and
+    Spark's ``F.round`` — not pandas' banker's half-to-even, which would
+    drift one cent on values whose cents product is exactly .5 (e.g.
+    0.125) versus the q81/q104 oracles."""
+    import numpy as np
+
+    c = values.to_numpy(dtype="float64") * 100.0
+    return int((np.sign(c) * np.floor(np.abs(c) + 0.5)).astype("int64").sum())
+
+
 def replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     """Materialize events as an n-file parquet dir (µs timestamps) so a
     file-source stream replays it in n micro-batches. Cached per
@@ -127,7 +139,7 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
             n += len(pdf)
             # per-row rounding BEFORE summing: one round over a float
             # batch-sum drifts with micro-batch boundaries
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            cents += _cents_sum(pdf["value"])
         state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
 
@@ -207,7 +219,7 @@ def stateful_running_totals_tws(stream: DataFrame) -> DataFrame:
                 # per-row rounding BEFORE summing (same protocol as the
                 # applyInPandasWithState twin): batch-sum-then-round
                 # drifts with micro-batch boundaries
-                cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+                cents += _cents_sum(pdf["value"])
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

@@ -184,6 +184,100 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     assert final.exceptAll(batch).count() == 0 and batch.exceptAll(final).count() == 0
 
 
+def test_transform_with_state_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """transformWithState state must survive a query restart from the
+    RocksDB checkpoint alone: run the running-totals processor over half
+    the replay files, stop, add the rest, restart with the SAME
+    checkpoint — users seen in both halves must emit CUMULATIVE totals
+    in phase 2 (phase-1 counts included), and the final per-user row
+    must equal the batch aggregate over the full table. Complements
+    test_checkpoint_recovery_no_duplicates, which only covers source
+    offsets for a stateless foreachBatch sink."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from marketingcloud_etl_spark.io import table
+    from marketingcloud_etl_spark.streaming.jobs import (
+        RUN_ROCKSDB,
+        enable_transform_with_state,
+        replay_dir,
+        stateful_running_totals_tws,
+    )
+
+    if not enable_transform_with_state(spark):
+        pytest.skip("no protobuf available (real or bundled)")
+
+    full = replay_dir(spark, sf_dir)
+    files = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    src = str(tmp_path / "src"); os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(full).schema
+
+    def run_phase(name: str):
+        # memory sink refuses checkpoint recovery; foreachBatch +
+        # parquet-append supports it and keeps every emitted row
+        out_dir = str(tmp_path / name)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            stateful_running_totals_tws(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, RUN_ROCKSDB)
+    try:
+        for f in files[: len(files) // 2]:
+            shutil.copy(os.path.join(full, f), src)
+        p1 = run_phase("tws_ck1").localCheckpoint()  # snapshot before restart
+        for f in files[len(files) // 2 :]:
+            shutil.copy(os.path.join(full, f), src)
+        p2 = run_phase("tws_ck2").localCheckpoint()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_cents"),
+        )
+    )
+    # a user with events in both halves is the witness that phase 2
+    # started from recovered state, not zero
+    both = p1.select("user_id").intersect(p2.select("user_id"))
+    assert both.count() > 0
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        p1.unionByName(p2)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select("user_id", "n_events", "total_cents")
+    )
+    assert final.exceptAll(batch).count() == 0 and batch.exceptAll(final).count() == 0
+
+
 def test_stream_stream_join_equals_batch(spark, sf_dir):
     """The streaming stream⋈stream join over the replayed files must
     produce exactly the batch join's pairs (generous watermarks so no
