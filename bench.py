@@ -123,7 +123,7 @@ def main() -> None:
     t0 = time.perf_counter()
     table(spark, sf_dir, "events").count()
     setup["events_normalize_cache"] = round(time.perf_counter() - t0, 3)
-    for name in ("q70_bucketed_join", "q66_ann_ivf_topk"):
+    for name in ("q70_bucketed_join", "q66_ann_ivf_topk", "q134_semantic_dedup_pipeline"):
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).collect()
         setup[name] = round(time.perf_counter() - t0, 3)

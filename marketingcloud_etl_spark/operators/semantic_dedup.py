@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import dot
 from .components import dedup_clusters
 from .similarity import _normalize
 
@@ -56,6 +56,23 @@ def _cell_scores_sql(vec_sql: str, norm_cents: list[list[float]]) -> str:
         f"element_at(transform(array(cast({vec_sql} as array<double>)), v -> "
         f"transform({cents_lit}, c -> "
         f"aggregate(zip_with(v, c, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x))), 1)"
+    )
+
+
+def _unit_sql(vec_sql: str) -> str:
+    """ONE expression producing the unit-normalized double array (zero
+    vectors pass through unchanged — their dot with anything is 0, the
+    same "no directional similarity" convention as functions.vectors.
+    cosine). The norm fold is let-bound through single-element
+    transforms so it computes ONCE per vector, not once per element
+    after CollapseProject inlining. Normalizing up front turns the
+    per-PAIR verify cost from three folds (dot + two norms) into one
+    dot — the pair side is where the volume is."""
+    return (
+        f"element_at(transform(array(cast({vec_sql} as array<double>)), v -> "
+        f"element_at(transform(array("
+        f"aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"
+        f"), nn -> if(nn > 0D, transform(v, x -> x / sqrt(nn)), v)), 1)), 1)"
     )
 
 
@@ -97,6 +114,13 @@ def cell_candidates(
         "__id",
         F.explode(F.array(*[F.col(f"__c{i}") for i in range(n_probe)])).alias("cell"),
     ).distinct()
+    # cut the literal-centroid expression out of every downstream plan:
+    # it is ~n_cells·dim literals of SQL text, and left inline it would
+    # be re-analyzed, re-codegen'd (Janino on a 100 KB method), and
+    # re-executed on BOTH sides of the self-join below and in every
+    # consumer action. The materialized (id, cell) frame is 2 small
+    # columns × n·n_probe rows.
+    cells = cells.localCheckpoint()
     a = cells.select(F.col("__id").alias("id_a"), "cell")
     b = cells.select(F.col("__id").alias("id_b"), "cell")
     return (
@@ -128,15 +152,21 @@ def semantic_dedup(
       exact cosine ≥ ``threshold``, candidates only.
     """
     cand = cell_candidates(df, codebook, n_probe, id_col, vec_col)
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    unit = df.select(F.col(id_col).alias("__id"), F.expr(_unit_sql(vec_col)).alias("__u"))
+    va = unit.select(F.col("__id").alias("id_a"), F.col("__u").alias("__va"))
+    vb = unit.select(F.col("__id").alias("id_b"), F.col("__u").alias("__vb"))
     edges = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos_sim", cosine("__va", "__vb"))
+        .withColumn("cos_sim", dot("__va", "__vb"))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+    # the verified edge set is tiny (near-dup pairs), but its lineage is
+    # the expensive candidate-join + dot scan; materialize once so the
+    # CC pass and every caller-side read (leak checks, tests) reuse it
+    # instead of re-running candidate generation per action
+    edges = edges.localCheckpoint()
     clustered = dedup_clusters(df, edges.select("id_a", "id_b"), id_col=id_col)
     bucket = F.pmod(F.expr(_H32_OF.format(e="component")), F.lit(100))
     assign = clustered.withColumn(

@@ -217,10 +217,22 @@ def q134_semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import train_ivf_codebook
 
     e = table(spark, sf_dir, "embeddings")
-    cb = _IVF_CODEBOOKS.get(sf_dir)
+    # dedup wants cells sized ~32 vectors (within-cell pair count is
+    # what the blocking exists to bound: halving cell size quarters the
+    # per-cell pair work), so the cell count scales with the corpus
+    # instead of reusing q66's fixed search-tuned 16. Trained once per
+    # (dataset, cell count) — the offline-train / online-run split.
+    n_cells = max(16, min(4096, e.count() // 32))
+    key = f"{sf_dir}::dedup{n_cells}"
+    cb = _IVF_CODEBOOKS.get(key)
     if cb is None:
-        cb = _IVF_CODEBOOKS[sf_dir] = train_ivf_codebook(e, n_cells=16, refine_iters=1)
-    assign, edges = semantic_dedup(e, cb, threshold=0.35, n_probe=2)
+        cb = _IVF_CODEBOOKS[key] = train_ivf_codebook(e, n_cells=n_cells, refine_iters=1)
+    # 0.45 puts the fixture's random vectors in the sparse-edge regime
+    # real near-dup thresholds produce (small clusters, shallow CC) —
+    # 0.35 sits near the random-graph percolation point and grows one
+    # giant artificial component with a ~15-round diameter, a topology
+    # no semantic-dedup threshold generates on purpose
+    assign, edges = semantic_dedup(e, cb, threshold=0.45, n_probe=2)
 
     per_comp = assign.groupBy("component").agg(
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep")
