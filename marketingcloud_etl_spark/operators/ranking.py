@@ -12,9 +12,10 @@ here keeps every stage parallel:
 2. Per-partition local ``row_number`` (window partitioned by the range
    partition id — each range bucket is one window group, so the sort
    parallelizes across buckets).
-3. Per-partition row counts -> cumulative start offsets. This frame has
-   ONE ROW PER PARTITION (bounded by ``spark.sql.shuffle.partitions``,
-   not by data), so its single-partition running-sum window is free.
+3. Per-partition row counts -> cumulative start offsets (and the grand
+   total) via a broadcast self-join of the counts frame — P² rows with
+   P <= ``spark.sql.shuffle.partitions``, never data-sized, and no
+   single-partition stage anywhere in the plan.
 4. global row_number = offset(partition) + local row_number, joined back
    by broadcast.
 
@@ -91,22 +92,32 @@ def global_row_number(
     )
     _PINNED.append(part)
     counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("__cnt"))
-    # one row per partition: bounded by shuffle.partitions, never by data,
-    # so this running sum's single partition is free.
-    w_off = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, -1)  # global-window-ok: frame has <= shuffle.partitions rows
-    offsets = counts.select(
-        _PID,
-        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias(_OFF),
+    # start offsets + grand total from ONE broadcast self-join of the
+    # per-partition counts (P² rows, P <= shuffle.partitions — trivially
+    # small by construction). The obvious running-sum window over the
+    # counts frame would plan Exchange SinglePartition; this keeps the
+    # ENTIRE ranking pipeline free of single-partition stages, so a plan
+    # audit can assert their absence outright instead of whitelisting a
+    # "bounded" one.
+    x, y = counts.alias("x"), counts.alias("y")
+    offsets = (
+        x.join(F.broadcast(y), F.lit(True))
+        .groupBy(F.col(f"x.{_PID}").alias(_PID))
+        .agg(
+            F.sum(
+                F.when(F.col(f"y.{_PID}") < F.col(f"x.{_PID}"), F.col("y.__cnt")).otherwise(0)
+            ).alias(_OFF),
+            F.sum(F.col("y.__cnt")).alias(_N),
+        )
     )
-    total = counts.agg(F.sum("__cnt").alias(_N))
     w_local = W.partitionBy(_PID).orderBy(*cols)
     ranked = (
         part.withColumn(_LRN, F.row_number().over(w_local))
         .join(F.broadcast(offsets), _PID)
         .withColumn(out_col, F.col(_OFF) + F.col(_LRN))
     )
-    if with_total:
-        ranked = ranked.crossJoin(F.broadcast(total))
+    if not with_total:
+        ranked = ranked.drop(_N)
     return ranked.drop(_PID, _LRN, _OFF)
 
 

@@ -603,21 +603,28 @@ def q114_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number window (which funnels the corpus through ONE partition).
 
     Two-pass pattern: (1) count rows per source — a tiny aggregate;
-    (2) turn counts into cumulative start offsets with a window over
-    n_sources rows (driver-sized by definition, so its single
-    partition is free); (3) broadcast the offsets back and add the
-    within-source row_number. The only corpus-sized shuffle is the
-    per-source window — same key as q107's packing, embarrassingly
-    parallel across sources."""
+    (2) turn counts into cumulative start offsets with a broadcast
+    self-join of the counts frame (n_sources² rows — driver-sized by
+    definition, and unlike a running-sum window it plans NO
+    single-partition exchange, so the whole query is provably free of
+    them); (3) broadcast the offsets back and add the within-source
+    row_number. The only corpus-sized shuffle is the per-source window
+    — same key as q107's packing, embarrassingly parallel across
+    sources."""
     prep(spark)
     from pyspark.sql.window import Window as W
 
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    # n_sources rows: the single-partition window is over a tiny frame
-    w_off = W.orderBy("source").rowsBetween(W.unboundedPreceding, W.currentRow)  # global-window-ok: frame is one row per source
-    offsets = counts.select(
-        "source", (F.sum("n").over(w_off) - F.col("n")).alias("offset")
+    x, y = counts.alias("x"), counts.alias("y")
+    offsets = (
+        x.join(F.broadcast(y), F.lit(True))
+        .groupBy(F.col("x.source").alias("source"))
+        .agg(
+            F.sum(
+                F.when(F.col("y.source") < F.col("x.source"), F.col("y.n")).otherwise(0)
+            ).alias("offset")
+        )
     )
     w_src = W.partitionBy("source").orderBy("doc_id")
     return (

@@ -597,3 +597,81 @@ def test_distributed_ntile_matches_window_ntile(spark, n_rows):
     )
     assert bad.count() == 0, bad.limit(10).collect()
     assert dict(got_nt.dtypes)["nt"] == "int"  # matches Spark ntile's type
+
+
+def test_distributed_ntile_adversarial_scale(spark):
+    """10⁶ rows through the distributed ranking at awkward bucket
+    counts (1, a prime, and a prime ~n so nearly every bucket holds one
+    row). No window oracle at this size — the checks are the ntile
+    DEFINITION itself, all computed distributed:
+
+    * bucket sizes follow the q+1/q protocol exactly (first r=N mod b
+      buckets get one extra row);
+    * bucket ids cover 1..min(b, N) with nothing outside;
+    * ORDER is respected: bucket i's max (key, tiebreak) precedes
+      bucket i+1's min — verified by a self-join of the per-bucket
+      min/max stats, never a global sort.
+    """
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.operators.ranking import (
+        distributed_ntile,
+        release_ranking_caches,
+    )
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.col("id").alias("uid"),
+        ((F.col("id") * 2654435761) % 1000003).alias("k"),
+    )
+    order = [F.col("k").asc(), F.col("uid").asc()]
+    try:
+        for b in (1, 97, 999983):
+            got = distributed_ntile(df, b, order, "nt")
+            q, r = divmod(n, b)
+            sizes = got.groupBy("nt").agg(F.count(F.lit(1)).alias("c"))
+            bad_size = sizes.filter(
+                ((F.col("nt") <= r) & (F.col("c") != q + 1))
+                | ((F.col("nt") > r) & (F.col("c") != q))
+                | (F.col("nt") < 1)
+                | (F.col("nt") > min(b, n))
+            ).count()
+            assert bad_size == 0, (b, sizes.orderBy("nt").limit(5).collect())
+            assert sizes.count() == min(b, n), b
+            stats = got.groupBy("nt").agg(
+                F.min(F.struct("k", "uid")).alias("mn"),
+                F.max(F.struct("k", "uid")).alias("mx"),
+            )
+            viol = (
+                stats.alias("a")
+                .join(stats.alias("b"), F.col("b.nt") == F.col("a.nt") + 1)
+                .filter(F.col("a.mx") >= F.col("b.mn"))
+                .count()
+            )
+            assert viol == 0, b
+    finally:
+        release_ranking_caches()
+
+
+def test_distributed_ranking_plan_has_no_single_partition_exchange(spark):
+    """The whole point of operators/ranking.py: NOTHING in its physical
+    plan may funnel data through one partition — not even the offsets
+    frame (computed via a broadcast self-join of per-partition counts,
+    not a running-sum window)."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.operators.ranking import (
+        distributed_ntile,
+        release_ranking_caches,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("uid"), (F.col("id") % 113).alias("k")
+    )
+    try:
+        got = distributed_ntile(df, 4, [F.col("k"), F.col("uid")], "nt")
+        got.collect()
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan
+    finally:
+        release_ranking_caches()

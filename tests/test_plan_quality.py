@@ -247,24 +247,36 @@ def test_no_unpartitioned_window_in_plans():
 
 
 def test_rfm_plan_has_no_single_partition_sort(spark, sf_dir):
-    """q132's quartile scores must come from the distributed ntile:
-    no Exchange SinglePartition feeding a Window over the customer
-    rollup (the count-offset frame is partition-bounded, not
-    data-bounded, and never carries user rows)."""
-    plan = _plan(REGISTRY["q132_rfm_segmentation"].fn(spark, sf_dir))
+    """q132's quartile scores must come from the distributed ntile: no
+    window-function ntile, every Window node partitioned, and the ONLY
+    Exchange SinglePartition allowed is the final stage of a global
+    scalar aggregate (map-side partials -> one row — the canonical
+    shape, which moves P partial rows, not data)."""
+    df = REGISTRY["q132_rfm_segmentation"].fn(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
     # the rewrite removed the window-function ntile entirely
-    assert "ntile(" not in plan
-    # every remaining Window node is either partitioned (three bracket
-    # groups: functions, partition spec, order spec) or the counts-frame
-    # running sum, whose order key is the synthetic partition id — a
-    # frame bounded by shuffle.partitions, never by data.
-    for line in plan.splitlines():
-        s = line.strip().lstrip(":+- ")
-        if not s.startswith("Window "):
-            continue
-        if "sum(__cnt" in s and "__mcetl_pid" in s:
-            continue  # counts-frame offset window (partition-bounded)
-        import re
+    assert "ntile(" not in final
+    import re
 
-        groups = re.findall(r"\[[^\[\]]*\]", s)
-        assert len(groups) >= 3, f"unpartitioned data-sized window: {s}"
+    lines = final.splitlines()
+    for i, line in enumerate(lines):
+        s = line.strip().lstrip(":+- ")
+        if s.startswith("Window "):
+            groups = re.findall(r"\[[^\[\]]*\]", s)
+            assert len(groups) >= 3, f"unpartitioned data-sized window: {s}"
+        if "Exchange SinglePartition" in line:
+            # child must be a map-side partial aggregate (scalar agg)
+            below = " ".join(lines[i + 1 : i + 3])
+            assert "partial_" in below, f"data-sized single partition: {line}"
+
+
+def test_global_row_ids_plan_free_of_single_partition(spark, sf_dir):
+    """q114 (and the ranking operator generally) must plan ZERO
+    single-partition exchanges: offsets come from a broadcast self-join
+    of the per-source counts, not a running-sum window."""
+    df = REGISTRY["q114_global_row_ids"].fn(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
