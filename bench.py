@@ -73,8 +73,10 @@ HEADLINE = (
     "q129_setsim_join",
     "q131_last_touch_attribution",
     "q132_rfm_segmentation",
-    # round-4: the composed end-to-end semantic-dedup pipeline
+    # round-4: the composed end-to-end semantic-dedup pipeline and the
+    # composed IVF-PQ vector index (cells restrict scan, codes score)
     "q134_semantic_dedup_pipeline",
+    "q138_ann_ivfpq_topk",
 )
 
 
@@ -123,7 +125,12 @@ def main() -> None:
     t0 = time.perf_counter()
     table(spark, sf_dir, "events").count()
     setup["events_normalize_cache"] = round(time.perf_counter() - t0, 3)
-    for name in ("q70_bucketed_join", "q66_ann_ivf_topk", "q134_semantic_dedup_pipeline"):
+    for name in (
+        "q70_bucketed_join",
+        "q66_ann_ivf_topk",
+        "q134_semantic_dedup_pipeline",
+        "q138_ann_ivfpq_topk",
+    ):
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).collect()
         setup[name] = round(time.perf_counter() - t0, 3)

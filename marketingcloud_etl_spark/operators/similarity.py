@@ -456,6 +456,102 @@ def train_pq_codebooks(
     return books
 
 
+def ann_ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ivf_codebook: list | None = None,
+    pq_codebooks: list | None = None,
+) -> DataFrame:
+    """The composed production vector index: IVF coarse cells restrict
+    WHICH vectors are scanned (q66's cell equi-join — O(n·n_probe/
+    n_cells·q) candidates, never the cross product), and PQ codes
+    decide HOW each candidate is scored (q105's m-byte ADC table walk
+    instead of a 64-float dot), with an exact-cosine rerank of the
+    ADC top-``rerank``. At 100 TB this is the memory story: the hot
+    working set is (cell id + m codes) per vector; full vectors page
+    in only for the rerank join.
+
+    Both codebooks train offline (:func:`train_ivf_codebook`,
+    :func:`train_pq_codebooks`) and are reused across queries."""
+    spark = corpus.sparkSession
+    if ivf_codebook is None:
+        ivf_codebook = train_ivf_codebook(corpus, n_cells, 1, id_col, vec_col)
+    if pq_codebooks is None:
+        pq_codebooks = train_pq_codebooks(corpus, m, n_codes, 1, id_col, vec_col)
+    d = len(pq_codebooks[0][0])
+    cb, _ = _pq_literals(pq_codebooks)
+    norm_cents = [_normalize([float(x) for x in c]) for _, c in ivf_codebook]
+
+    # one narrow pass builds the scan-side index columns: coarse cell +
+    # PQ codes (both literal-matrix expressions; full vector dropped)
+    index = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(_argmax_cell_sql(vec_col, norm_cents)).alias("cell"),
+        F.expr(_pq_encode_sql(vec_col, pq_codebooks)).alias("codes"),
+    )
+
+    cents = spark.createDataFrame(ivf_codebook, "cell int, cent_vec array<double>")
+    lut_sql = (
+        f"element_at(transform(array(cast({vec_col} as array<double>)), v -> "
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"element_at(transform(array(slice(v, j * {d} + 1, {d})), sub -> "
+        f"transform(element_at({cb}, j + 1), c -> "
+        f"aggregate(zip_with(sub, c, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x))"
+        f"), 1))), 1)"
+    )
+    q_side = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(lut_sql).alias("lut"),
+    )
+    # query side is small by contract: probe its top-n_probe cells via
+    # the broadcast centroid table + window (the q66 shape)
+    q_cells = (
+        q_side.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine("q_vec", "cent_vec"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("cell"))
+    q_probe = (
+        q_cells.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "cell", "lut")
+    )
+    approx = (
+        index.join(F.broadcast(q_probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "approx_dot",
+            F.expr(
+                "aggregate(zip_with(codes, lut, (cd, row) -> element_at(row, cd + 1)), "
+                "cast(0 as double), (a, x) -> a + x)"
+            ),
+        )
+        .select("query_id", "neighbor_id", "approx_dot")
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("approx_dot").desc(), F.col("neighbor_id"))
+    cand = approx.withColumn("__rn", F.row_number().over(w2)).filter(F.col("__rn") <= rerank)
+    c_vec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_side.select("query_id", "q_vec")), "query_id")
+        .withColumn("cos_raw", cosine("q_vec", "c_vec"))
+    )
+    w3 = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
+    )
+
+
 def ann_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

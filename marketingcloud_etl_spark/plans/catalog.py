@@ -89,6 +89,8 @@ _PRIORITY = (
     "q135_hll_bound_check",
     "q136_quantile_bound_check",
     "q137_freqitems_inclusion_check",
+    "q139_ann_recall_check",
+    "q140_binaryfile_ingest",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",
@@ -149,6 +151,7 @@ _PRIORITY = (
     "q93_jdbc_merge_upsert",
     "q105_ann_pq_topk",
     "q128_pagerank",
+    "q138_ann_ivfpq_topk",
 )
 
 

@@ -638,6 +638,68 @@ def q114_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q140_binaryfile_ingest",
+    oracle="""
+    SELECT doc_id,
+           cast(octet_length(encode(text)) as bigint) AS n_bytes,
+           md5(text) AS digest
+    FROM documents WHERE doc_id < 40
+    """,
+    tags=("etl", "source", "multimodal"),
+)
+def q140_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingestion through Spark's ``binaryFile`` source — the
+    entry point of every multimodal pipeline (images/audio land as
+    files, not rows). Fixture docs are materialized once as one file
+    per document (atomic cache, same protocol as io._events); the
+    query then does what a 100 TB media ingest does: scan the
+    directory as (path, length, content) rows, parse the record key
+    out of the path, fingerprint the payload. The oracle recomputes
+    byte length + md5 from the same text — so the file write, the
+    binary read, and the digest all round-trip exactly. At scale the
+    directory listing parallelizes across executors and ``content``
+    stays columnar binary; everything downstream is q54/q73's
+    payload-column machinery."""
+    prep(spark)
+    import os
+    import tempfile
+
+    from ..io import atomic_cached_write, fixture_tag
+
+    src_dir = os.path.join(
+        tempfile.gettempdir(), f"mcetl_binfiles_{fixture_tag(sf_dir)}"
+    )
+
+    def write_files(tmp: str) -> None:
+        # sandbox-fixture shim: materialize 40 small files (a real
+        # deployment ingests files that already exist). Driver-side by
+        # construction — the fixture is 40 rows.
+        os.makedirs(tmp, exist_ok=True)
+        rows = (
+            table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(tmp, f"{r.doc_id}.txt"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    atomic_cached_write(src_dir, write_files)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(src_dir)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1).cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
+
+
+@query(
     "q120_compaction",
     oracle="""
     SELECT event_type,

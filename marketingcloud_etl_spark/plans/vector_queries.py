@@ -178,6 +178,110 @@ def q73_frame_sample_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q138_ann_ivfpq_topk", oracle=None, tags=("vector", "ann", "rows-only"))
+def q138_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production vector index (q66 × q105): IVF cells
+    restrict which vectors are scanned, PQ codes score the survivors
+    via the m-byte ADC table walk, exact cosine reranks the top-50.
+    The hot working set per vector is (cell id + 8 codes) — full
+    vectors page in only for the rerank join. Codebooks train once per
+    process+dataset and are shared with q66/q105. Recall floor vs
+    brute force is driver-checked by q139."""
+    prep(spark)
+    from ..operators.similarity import (
+        ann_ivf_pq_topk,
+        train_ivf_codebook,
+        train_pq_codebooks,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    ivf_cb = _IVF_CODEBOOKS.get(sf_dir)
+    if ivf_cb is None:
+        ivf_cb = _IVF_CODEBOOKS[sf_dir] = train_ivf_codebook(e, n_cells=16, refine_iters=1)
+    pq_cb = _PQ_CODEBOOKS.get(sf_dir)
+    if pq_cb is None:
+        pq_cb = _PQ_CODEBOOKS[sf_dir] = train_pq_codebooks(e, m=8, n_codes=16)
+    return ann_ivf_pq_topk(
+        e, q, k=5, n_cells=16, n_probe=6, rerank=50,
+        ivf_codebook=ivf_cb, pq_codebooks=pq_cb,
+    )
+
+
+@query(
+    "q139_ann_recall_check",
+    oracle="""
+    SELECT cast(5 as bigint) AS n_queries,
+           true AS lsh_recall_ok,
+           true AS ivf_recall_ok,
+           true AS pq_recall_ok,
+           true AS ivfpq_recall_ok
+    """,
+    tags=("vector", "ann"),
+)
+def q139_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable evidence for the whole ANN family: each
+    approximate index's top-5 is compared against the exact brute-force
+    top-5 IN-QUERY, and the booleans assert recall above a floor the
+    methods clear with margin on uniform random vectors (their
+    worst-case data — no cluster structure to exploit; chance level is
+    k/n ≈ 0.01). Floors: LSH ≥ 0.6, IVF ≥ 0.4, PQ ≥ 0.3, composed
+    IVF-PQ ≥ 0.2 (approximations compose multiplicatively). A broken
+    signature fold, cell assignment, or ADC walk lands near chance and
+    flips its flag."""
+    prep(spark)
+    from ..operators.similarity import (
+        ann_ivf_pq_topk,
+        ann_ivf_topk,
+        ann_pq_topk,
+        knn_bruteforce,
+        train_ivf_codebook,
+        train_pq_codebooks,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    ivf_cb = _IVF_CODEBOOKS.get(sf_dir)
+    if ivf_cb is None:
+        ivf_cb = _IVF_CODEBOOKS[sf_dir] = train_ivf_codebook(e, n_cells=16, refine_iters=1)
+    pq_cb = _PQ_CODEBOOKS.get(sf_dir)
+    if pq_cb is None:
+        pq_cb = _PQ_CODEBOOKS[sf_dir] = train_pq_codebooks(e, m=8, n_codes=16)
+
+    exact = knn_bruteforce(e, q, k=5).select("query_id", "neighbor_id")
+    methods = {
+        "lsh": (ann_lsh_topk(e, q, k=5), 0.6),
+        "ivf": (ann_ivf_topk(e, q, k=5, n_cells=16, n_probe=6, codebook=ivf_cb), 0.4),
+        "pq": (ann_pq_topk(e, q, k=5, rerank=50, codebooks=pq_cb), 0.3),
+        "ivfpq": (
+            ann_ivf_pq_topk(e, q, k=5, n_cells=16, n_probe=6, rerank=50,
+                            ivf_codebook=ivf_cb, pq_codebooks=pq_cb),
+            0.2,
+        ),
+    }
+    out = exact.groupBy().agg(
+        F.countDistinct("query_id").alias("n_queries")
+    )
+    for name, (df, floor) in methods.items():
+        hits = (
+            exact.join(
+                df.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .agg(
+                (
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                    >= F.lit(floor) * F.count(F.lit(1))
+                ).alias(f"{name}_recall_ok")
+            )
+        )
+        out = out.crossJoin(F.broadcast(hits))
+    return out.select(
+        "n_queries", "lsh_recall_ok", "ivf_recall_ok", "pq_recall_ok", "ivfpq_recall_ok"
+    )
+
+
 @query(
     "q134_semantic_dedup_pipeline",
     oracle="""

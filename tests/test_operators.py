@@ -675,3 +675,23 @@ def test_distributed_ranking_plan_has_no_single_partition_exchange(spark):
         assert "Exchange SinglePartition" not in plan, plan
     finally:
         release_ranking_caches()
+
+
+def test_ann_ivfpq_recall_and_membership(spark, sf_dir):
+    """Composed IVF-PQ: recall above the q139 floor on worst-case
+    (uniform random) vectors, and every returned neighbor must be a
+    genuinely high-cosine vector (exact top-50) — the rerank stage
+    guarantees no ADC-score impostor survives to the final top-k."""
+    from marketingcloud_etl_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        knn_bruteforce,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(e, q, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in ann_ivf_pq_topk(e, q, k=5, n_probe=6).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.2, f"IVF-PQ recall {recall:.2f} below floor"
+    top50 = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(e, q, k=50).collect()}
+    assert got <= top50 | exact
