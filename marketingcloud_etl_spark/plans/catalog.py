@@ -91,6 +91,10 @@ _PRIORITY = (
     "q137_freqitems_inclusion_check",
     "q139_ann_recall_check",
     "q140_binaryfile_ingest",
+    "q141_tws_liststate_topn",
+    "q142_tws_mapstate_counts",
+    "q143_variant_json",
+    "q144_observed_metrics",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

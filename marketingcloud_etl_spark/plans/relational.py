@@ -1617,3 +1617,51 @@ def q126_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof("o_orderkey").unionByName(prof("o_orderstatus")).unionByName(
         prof("o_orderpriority")
     )
+
+
+@query(
+    "q144_observed_metrics",
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price,
+           max(l_extendedprice) AS max_price,
+           cast(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) as bigint)
+             AS n_null_qty
+    FROM lineitem
+    """,
+    tags=("relational", "observability"),
+)
+def q144_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.observe` — production pipeline telemetry with ZERO extra
+    passes: the metrics accumulate on the SAME physical scan that
+    serves the real aggregation (run here to completion), instead of a
+    second count()/sum() job over 100 TB. The observed values are then
+    returned as a row and value-checked by the oracle — proving the
+    in-flight accumulator path (driver-merged per-task updates) agrees
+    exactly with a dedicated aggregation, decimal money protocol
+    included."""
+    prep(spark)
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec("l_extendedprice", 18, 2)).cast("double").alias("sum_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        # data-quality counter: DISTINCT aggregates are disallowed in
+        # observed metrics, so the battery sticks to accumulator-shaped
+        # ones (count/sum/min/max/conditional-sum)
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_qty"),
+    )
+    # the real work the metrics piggyback on (any downstream job works;
+    # this one mirrors q01's shape)
+    observed.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_price"], m["max_price"], m["n_null_qty"])],
+        "n_rows bigint, sum_price double, max_price double, n_null_qty bigint",
+    )

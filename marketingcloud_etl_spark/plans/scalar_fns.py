@@ -244,3 +244,49 @@ def q74_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("v").cast("long")).alias("sum_vals"),
     )
+
+
+@query(
+    "q143_variant_json",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS custkey,
+           o_orderstatus AS status,
+           o_totalprice AS price,
+           o_orderpriority AS priority
+    FROM orders WHERE o_orderkey < 200
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def q143_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type round-trip: rows serialize to JSON text
+    (the shape semi-structured data actually arrives in), parse_json
+    lifts the text into the binary VARIANT encoding, and typed
+    variant_get path extraction — including a NESTED path
+    ($.amounts.price) — recovers every value exactly. The oracle is
+    the original columns, so the check is lossless-round-trip, not
+    string comparison (JSON key order / float formatting never
+    matter). VARIANT is the 100 TB answer to schema-on-read event
+    blobs: one binary column, no per-field string re-parsing, paths
+    pushed into the scan."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    js = o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_custkey"),
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+                F.struct(F.col("o_totalprice").alias("price")).alias("amounts"),
+            )
+        ).alias("js"),
+    )
+    v = js.select("o_orderkey", F.parse_json(F.col("js")).alias("v"))
+    return v.select(
+        "o_orderkey",
+        F.variant_get(F.col("v"), "$.o_custkey", "bigint").alias("custkey"),
+        F.variant_get(F.col("v"), "$.o_orderstatus", "string").alias("status"),
+        F.variant_get(F.col("v"), "$.amounts.price", "double").alias("price"),
+        F.variant_get(F.col("v"), "$.o_orderpriority", "string").alias("priority"),
+    )

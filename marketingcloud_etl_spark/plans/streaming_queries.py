@@ -345,6 +345,124 @@ def q104_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_tws_final(spark: SparkSession, sf_dir: str, builder, sink_name: str, out_cols):
+    """Shared q104-protocol runner for transformWithState twins: enable
+    protobuf + RocksDB, replay the file stream to completion, pick each
+    user's FINAL emission (max processed_n — the cumulative row count
+    every processor carries)."""
+    from pyspark.sql.window import Window as W
+
+    from ..streaming.jobs import (
+        RUN_ROCKSDB,
+        enable_transform_with_state,
+        events_stream,
+        run_to_memory,
+    )
+
+    if not enable_transform_with_state(spark):
+        raise RuntimeError(
+            "transformWithState needs protobuf; neither a real "
+            "distribution nor the _pbcompat bundled runtime is available"
+        )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, RUN_ROCKSDB)
+    try:
+        out = run_to_memory(
+            builder(events_stream(spark, sf_dir)), sink_name, output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    w = W.partitionBy("user_id").orderBy(F.col("processed_n").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*out_cols)
+    )
+
+
+_q141_query = (
+    query(
+        "q141_tws_liststate_topn",
+        oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS processed_n
+      FROM events
+    )
+    SELECT user_id,
+           cast(max(processed_n) as bigint) AS processed_n,
+           cast(count(*) as bigint) AS n_top,
+           cast(sum(event_id) as bigint) AS ids_sum,
+           cast(max(epoch_us(ts)) as bigint) AS latest_us
+    FROM ranked WHERE rn <= 3 GROUP BY user_id
+    """,
+        tags=("streaming", "stateful"),
+    )
+    if _pb.resolvable()
+    else (lambda fn: fn)
+)
+
+
+@_q141_query
+def q141_tws_liststate_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState LIST state: per-user top-3 events by
+    (ts, event_id) maintained incrementally across micro-batches —
+    bounded "recent items per key" state (O(3) per key regardless of
+    stream length). The kept set is a global top-3 under a total
+    order, so any replay batching yields the same final state; the
+    oracle recomputes it with a batch window. Runs under RocksDB with
+    protobuf via _pbcompat (q104's protocol, incl. the final-emission
+    pick by cumulative row count)."""
+    prep(spark)
+    from ..streaming.jobs import top3_events_tws
+
+    return _run_tws_final(
+        spark, sf_dir, top3_events_tws, "q141_out",
+        ["user_id", "processed_n", "n_top", "ids_sum", "latest_us"],
+    )
+
+
+_q142_query = (
+    query(
+        "q142_tws_mapstate_counts",
+        oracle="""
+    SELECT user_id,
+           cast(count(*) as bigint) AS processed_n,
+           cast(count(DISTINCT event_type) as bigint) AS n_types,
+           cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint)
+             AS purchases,
+           cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint)
+             AS clicks
+    FROM events GROUP BY user_id
+    """,
+        tags=("streaming", "stateful"),
+    )
+    if _pb.resolvable()
+    else (lambda fn: fn)
+)
+
+
+@_q142_query
+def q142_tws_mapstate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState MAP state: per-user per-event-type counters
+    updated incrementally — the typed-state form of a grouped pivot,
+    O(|types|) state per key. Final per-user map must equal the batch
+    group-by, which the oracle checks by value (q104's protocol)."""
+    prep(spark)
+    from ..streaming.jobs import type_counts_tws
+
+    return _run_tws_final(
+        spark, sf_dir, type_counts_tws, "q142_out",
+        ["user_id", "processed_n", "n_types", "purchases", "clicks"],
+    )
+
+
 @query(
     "q123_stream_stream_join",
     oracle="""

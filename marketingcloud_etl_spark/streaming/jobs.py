@@ -236,6 +236,114 @@ def stateful_running_totals_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+def top3_events_tws(stream: DataFrame) -> DataFrame:
+    """``transformWithState`` with LIST state: per user, keep the top-3
+    events by (ts, event_id) across all micro-batches — the bounded
+    "recent items per key" pattern (state is O(3) per key no matter the
+    stream length). A ValueState row count rides along so the FINAL
+    emission per user is identifiable (the one with the max count),
+    exactly q81's protocol. Batch-order independence: the kept set is
+    the global top-3 under a total order, so any batch boundary
+    produces the same final state."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Top3(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("top3", "ts_us bigint, event_id bigint")
+            self._n = handle.getValueState("processed", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            items = [tuple(t) for t in self._top.get()] if self._top.exists() else []
+            (n,) = self._n.get() if self._n.exists() else (0,)
+            for pdf in rows:
+                n += len(pdf)
+                s = pdf["ts"]
+                if getattr(s.dtype, "tz", None) is not None:
+                    s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+                ts_us = (s.astype("datetime64[ns]").astype("int64") // 1000).tolist()
+                items.extend(zip(ts_us, pdf["event_id"].tolist()))
+                items = sorted(items, reverse=True)[:3]
+            self._top.put([(int(t), int(e)) for t, e in items])
+            self._n.update((n,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "processed_n": [n],
+                    "n_top": [len(items)],
+                    "ids_sum": [int(sum(e for _, e in items))],
+                    "latest_us": [int(items[0][0]) if items else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Top3(),
+        outputStructType=(
+            "user_id bigint, processed_n bigint, n_top bigint, "
+            "ids_sum bigint, latest_us bigint"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def type_counts_tws(stream: DataFrame) -> DataFrame:
+    """``transformWithState`` with MAP state: per user, a per-event-type
+    counter map updated incrementally — the typed-state form of a
+    grouped pivot, O(|types|) state per key. Emits the counts the
+    map holds after each batch; final emission per user = max
+    processed_n (ValueState row count, the q81 protocol)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", "t string", "n bigint")
+            self._n = handle.getValueState("processed", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (n,) = self._n.get() if self._n.exists() else (0,)
+            for pdf in rows:
+                n += len(pdf)
+                for t, c in pdf.groupby("event_type").size().items():
+                    prev = self._counts.getValue((t,)) if self._counts.containsKey((t,)) else None
+                    base = int(prev[0]) if prev is not None else 0
+                    self._counts.updateValue((t,), (base + int(c),))
+            self._n.update((n,))
+            kv = {k[0]: int(v[0]) for k, v in self._counts.iterator()}
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "processed_n": [n],
+                    "n_types": [len(kv)],
+                    "purchases": [kv.get("purchase", 0)],
+                    "clicks": [kv.get("click", 0)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType=(
+            "user_id bigint, processed_n bigint, n_types bigint, "
+            "purchases bigint, clicks bigint"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,
