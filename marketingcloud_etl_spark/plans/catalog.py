@@ -95,6 +95,8 @@ _PRIORITY = (
     "q142_tws_mapstate_counts",
     "q143_variant_json",
     "q144_observed_metrics",
+    "q145_recursive_cte_rollup",
+    "q147_statestore_read",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1665,3 +1665,60 @@ def q144_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["sum_price"], m["max_price"], m["n_null_qty"])],
         "n_rows bigint, sum_price double, max_price double, n_null_qty bigint",
     )
+
+
+@query(
+    "q145_recursive_cte_rollup",
+    oracle="""
+    WITH RECURSIVE tree AS (
+      SELECT doc_id,
+             CASE WHEN doc_id >= 2 THEN doc_id // 2 END AS parent
+      FROM documents WHERE doc_id BETWEEN 1 AND 127
+    ), anc(id, aid, depth) AS (
+      SELECT doc_id, doc_id, 0 FROM tree
+      UNION ALL
+      SELECT a.id, t.parent, a.depth + 1
+      FROM anc a JOIN tree t ON t.doc_id = a.aid
+      WHERE t.parent IS NOT NULL
+    )
+    SELECT a.id,
+           cast(max(a.depth) as int) AS depth,
+           cast(count(*) as bigint) AS n_ancestors,
+           cast(sum(d.n_chars) as bigint) AS lineage_chars
+    FROM anc a JOIN documents d ON d.doc_id = a.aid
+    GROUP BY a.id
+    """,
+    tags=("relational", "recursive"),
+)
+def q145_recursive_cte_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 RECURSIVE CTE — hierarchy traversal in PURE SQL (no
+    driver-side iteration loop): a 127-node binary tree derived from
+    doc ids (parent = id div 2) is walked to the root, rolling up each
+    node's ancestor count, depth, and lineage character total. The
+    recursion is UNION ALL over an acyclic parent relation, so it
+    terminates at the tree depth (7 levels); DuckDB runs the identical
+    recursion as the oracle. Complements operators/components.py,
+    which handles the CYCLIC (symmetrized-edge) closure Spark's
+    UNION-ALL-only recursion cannot express — together they cover both
+    recursive-query regimes."""
+    prep(spark)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("q145_documents")
+    return spark.sql("""
+      WITH RECURSIVE tree AS (
+        SELECT doc_id,
+               CASE WHEN doc_id >= 2 THEN doc_id DIV 2 END AS parent
+        FROM q145_documents WHERE doc_id BETWEEN 1 AND 127
+      ), anc(id, aid, depth) AS (
+        SELECT doc_id, doc_id, 0 FROM tree
+        UNION ALL
+        SELECT a.id, t.parent, a.depth + 1
+        FROM anc a JOIN tree t ON t.doc_id = a.aid
+        WHERE t.parent IS NOT NULL
+      )
+      SELECT a.id,
+             cast(max(a.depth) as int) AS depth,
+             count(*) AS n_ancestors,
+             cast(sum(d.n_chars) as bigint) AS lineage_chars
+      FROM anc a JOIN q145_documents d ON d.doc_id = a.aid
+      GROUP BY a.id
+    """)

@@ -517,3 +517,54 @@ def q123_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_lead_us"),
     )
+
+
+@query(
+    "q147_statestore_read",
+    oracle="""
+    SELECT event_type,
+           cast(count(*) as bigint) AS n_rows,
+           cast(sum(cast(round(value * 100) as bigint)) as bigint) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "observability"),
+)
+def q147_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state-store BATCH READER (``spark.read.format("statestore")``)
+    — operational introspection of a streaming checkpoint without
+    touching the running query. A tumbling aggregation runs to
+    completion over the replayed events, then its checkpoint's state
+    files are read back as a batch DataFrame (key struct + aggregation
+    buffer struct per partition) and the recovered per-type counters
+    must equal the batch aggregate — proving the on-disk state IS the
+    answer, the property checkpoint recovery (and this debugging
+    workflow at 100 TB) relies on."""
+    import tempfile
+
+    prep(spark)
+    from ..streaming.jobs import events_stream
+
+    ck = tempfile.mkdtemp(prefix="mcetl_q147_ckpt_")
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_cents"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q147_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ck)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_rows"),
+        F.col("value.sum").alias("total_cents"),
+    )
