@@ -96,6 +96,7 @@ _PRIORITY = (
     "q143_variant_json",
     "q144_observed_metrics",
     "q145_recursive_cte_rollup",
+    "q146_sql_scripting",
     "q147_statestore_read",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------

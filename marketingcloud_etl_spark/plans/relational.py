@@ -1722,3 +1722,42 @@ def q145_recursive_cte_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM anc a JOIN q145_documents d ON d.doc_id = a.aid
       GROUP BY a.id
     """)
+
+
+@query(
+    "q146_sql_scripting",
+    oracle="""
+    SELECT cast(sum(CASE WHEN event_type IN ('view','click','purchase')
+                         THEN 1 ELSE 0 END) as bigint) AS n_core_events,
+           cast(count(*) as bigint) AS n_all_events,
+           4 AS n_iterations
+    FROM events
+    """,
+    tags=("relational", "scripting"),
+)
+def q146_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE/SET) — procedural
+    control flow executing entirely engine-side, the re-expression of
+    the reference's driver-side CLI loop (R17–R19,
+    salesforce_lead_activity.py): a WHILE loop iterates the core event
+    types, accumulating counts through scalar subqueries into a
+    session variable, and the script's final SELECT returns the
+    accumulated state. The oracle recomputes the same totals
+    relationally — proving the loop visited every branch exactly
+    once."""
+    prep(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("q146_events")
+    return spark.sql("""
+      BEGIN
+        DECLARE total BIGINT DEFAULT 0;
+        DECLARE i INT DEFAULT 1;
+        WHILE i <= 3 DO
+          SET total = total + (SELECT count(*) FROM q146_events
+                               WHERE event_type = element_at(array('view','click','purchase'), i));
+          SET i = i + 1;
+        END WHILE;
+        SELECT total AS n_core_events,
+               (SELECT count(*) FROM q146_events) AS n_all_events,
+               i AS n_iterations;
+      END
+    """)
