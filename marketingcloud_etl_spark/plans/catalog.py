@@ -159,6 +159,7 @@ _PRIORITY = (
     "q105_ann_pq_topk",
     "q128_pagerank",
     "q138_ann_ivfpq_topk",
+    "q148_rest_stream_ingest",
 )
 
 

@@ -326,6 +326,58 @@ def q83_rest_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).orderBy("hash")
 
 
+@query("q148_rest_stream_ingest", oracle=None, tags=("etl", "source", "streaming", "rows-only"))
+def q148_rest_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REST source's STREAMING twin (rest_pages streamReader):
+    continuous ingestion of the count-monotonic paginated API with a
+    complete-pages offset protocol — the offset only advances to
+    count // page_size, so the still-filling tail page is never
+    fetched twice and no item duplicates (exactly-once without sink
+    dedup; the batch path instead re-reads the partial page and
+    anti-joins). 35 mock items / page size 10 → exactly 30 rows from
+    pages 1-3, page 4 deferred until it completes. Page fetches stay
+    one InputPartition each — a wide cluster drains a backlog in
+    parallel inside one micro-batch. Deterministic output; rows-only
+    (HTTP source has no DuckDB twin); restart-idempotence pinned in
+    tests/test_etl_rest.py."""
+    prep(spark)
+    import tempfile
+
+    from ..sources.mock_sfmc import PAGE_SIZE, MockSfmcServer
+    from ..sources.rest import register_rest_source
+
+    register_rest_source(spark)
+    base = tempfile.mkdtemp(prefix="mcetl_q148_")
+    out_dir, ck = f"{base}/rows", f"{base}/ck"
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    with MockSfmcServer(n_items=35) as server:
+        q = (
+            spark.readStream.format("rest_pages")
+            .options(
+                base_url=server.base_url,
+                auth_url=server.auth_url,
+                client_id="demo",
+                client_secret="demo",
+                page_size=PAGE_SIZE,
+            )
+            .load()
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select("keys.lead_id", "values.event_name", "page")
+        .orderBy("page", "lead_id")
+    )
+
+
 @query(
     "q87_scd2_versioning",
     oracle="""

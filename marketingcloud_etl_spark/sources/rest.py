@@ -32,7 +32,12 @@ import urllib.parse
 import urllib.request
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 ITEM_DDL = (
@@ -179,8 +184,52 @@ class _RestPagesReader(DataSourceReader):
             )
 
 
+class _RestPagesStreamReader(DataSourceStreamReader):
+    """Streaming form of the page reader: the OFFSET is the number of
+    COMPLETE pages ingested so far, advanced by probing the API's
+    ``count`` each micro-batch — continuous ingestion of a
+    count-monotonic paginated API (the reference ran this as a
+    scheduled batch job; the streaming twin removes the scheduler).
+
+    Exactly-once protocol: the offset only ever advances to
+    ``count // page_size`` — the still-filling tail page is NOT read
+    until it completes, so no page is fetched twice and no item is
+    duplicated (the batch reader instead re-fetches the partial page
+    and relies on the sink's anti-join). Page fetches stay one
+    InputPartition each, so a wide cluster drains a large backlog in
+    parallel within one micro-batch."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._batch = _RestPagesReader(schema, options)
+        self.page_size = self._batch.page_size
+        start_count = int(options.get("db_count", 0))
+        self._initial = {"complete_pages": start_count // self.page_size}
+
+    def initialOffset(self) -> dict:
+        return self._initial
+
+    def latestOffset(self) -> dict:
+        probe = self._batch._fetch(1)
+        api_count = int(probe.get("count", 0))
+        return {"complete_pages": api_count // self.page_size}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return [
+            _PagePartition(p)
+            for p in range(int(start["complete_pages"]) + 1, int(end["complete_pages"]) + 1)
+        ]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # no source-side bookkeeping: offsets fully define progress
+
+
 class RestPagesDataSource(DataSource):
-    """``spark.read.format("rest_pages").options(base_url=..., db_count=N)``"""
+    """``spark.read.format("rest_pages").options(base_url=..., db_count=N)``
+    (batch) or ``spark.readStream.format("rest_pages")...`` (streaming,
+    complete-pages offset protocol)."""
 
     @classmethod
     def name(cls) -> str:
@@ -191,6 +240,9 @@ class RestPagesDataSource(DataSource):
 
     def reader(self, schema: StructType) -> _RestPagesReader:
         return _RestPagesReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> _RestPagesStreamReader:
+        return _RestPagesStreamReader(schema, self.options)
 
 
 def register_rest_source(spark) -> None:

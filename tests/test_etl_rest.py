@@ -139,3 +139,58 @@ def test_partitioned_upsert_idempotent(spark, sf_dir, tmp_path):
     r2 = upsert_parquet(e, target, key="event_id", partition_cols=["event_type"])
     assert r2["inserted"] == 0
     assert spark.read.parquet(target).count() == r1["inserted"]
+
+
+def test_streaming_rest_source_complete_pages(spark, server, tmp_path):
+    """Streaming REST ingestion (rest_pages streamReader): the offset
+    advances by COMPLETE pages only, so with 35 items / page size 10
+    exactly 30 rows (pages 1-3) arrive and the still-filling page 4 is
+    never fetched — no duplicate fetch, no partial-page re-read. A
+    restart from the checkpoint ingests nothing new (offsets fully
+    define progress)."""
+    from marketingcloud_etl_spark.sources.rest import register_rest_source
+
+    register_rest_source(spark)
+    ck = str(tmp_path / "ck")
+
+    def run_once(name):
+        # memory sink refuses checkpoint recovery; foreachBatch +
+        # parquet-append supports it (same pattern as the tws test)
+        out_dir = str(tmp_path / name)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            spark.readStream.format("rest_pages")
+            .options(
+                base_url=server.base_url,
+                auth_url=server.auth_url,
+                client_id="id",
+                client_secret="secret",
+                page_size=PAGE_SIZE,
+            )
+            .load()
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(out_dir)
+        except Exception:
+            return spark.createDataFrame([], "page int")  # nothing written
+
+    out = run_once("rest_stream_1")
+    assert out.count() == 30  # 3 complete pages; partial page 4 deferred
+    pages = {r.page for r in out.select("page").distinct().collect()}
+    assert pages == {1, 2, 3}
+    # every page fetched exactly once: 30 raw rows, 29 distinct leads
+    # (the corpus plants item[10] = item[0] across the page boundary —
+    # the source delivers raw rows; dedup is the sink's job, R10/R12)
+    assert out.select("keys.lead_id").distinct().count() == 29
+
+    again = run_once("rest_stream_2")
+    assert again.count() == 0  # restart: offset already at 3 complete pages
