@@ -456,6 +456,29 @@ def train_pq_codebooks(
     return books
 
 
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    ivf_codebook: list,
+    pq_codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE narrow pass producing the scan-side index columns —
+    (id, coarse cell, PQ codes) — from literal-matrix expressions.
+    In production this frame is WRITTEN ONCE next to the corpus (it is
+    the index; ~5 bytes/vector at m=8, n_codes=16) and every search
+    reads it instead of re-encoding 100 TB of vectors per query."""
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(
+            _argmax_cell_sql(
+                vec_col, [_normalize([float(x) for x in c]) for _, c in ivf_codebook]
+            )
+        ).alias("cell"),
+        F.expr(_pq_encode_sql(vec_col, pq_codebooks)).alias("codes"),
+    )
+
+
 def ann_ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -469,6 +492,7 @@ def ann_ivf_pq_topk(
     vec_col: str = "embedding",
     ivf_codebook: list | None = None,
     pq_codebooks: list | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """The composed production vector index: IVF coarse cells restrict
     WHICH vectors are scanned (q66's cell equi-join — O(n·n_probe/
@@ -480,7 +504,10 @@ def ann_ivf_pq_topk(
     in only for the rerank join.
 
     Both codebooks train offline (:func:`train_ivf_codebook`,
-    :func:`train_pq_codebooks`) and are reused across queries."""
+    :func:`train_pq_codebooks`) and are reused across queries; pass a
+    pre-built ``index`` (:func:`build_ivf_pq_index`, typically read
+    back from its parquet materialization) to skip the per-call encode
+    pass entirely — the production search path."""
     spark = corpus.sparkSession
     if ivf_codebook is None:
         ivf_codebook = train_ivf_codebook(corpus, n_cells, 1, id_col, vec_col)
@@ -488,15 +515,9 @@ def ann_ivf_pq_topk(
         pq_codebooks = train_pq_codebooks(corpus, m, n_codes, 1, id_col, vec_col)
     d = len(pq_codebooks[0][0])
     cb, _ = _pq_literals(pq_codebooks)
-    norm_cents = [_normalize([float(x) for x in c]) for _, c in ivf_codebook]
 
-    # one narrow pass builds the scan-side index columns: coarse cell +
-    # PQ codes (both literal-matrix expressions; full vector dropped)
-    index = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.expr(_argmax_cell_sql(vec_col, norm_cents)).alias("cell"),
-        F.expr(_pq_encode_sql(vec_col, pq_codebooks)).alias("codes"),
-    )
+    if index is None:
+        index = build_ivf_pq_index(corpus, ivf_codebook, pq_codebooks, id_col, vec_col)
 
     cents = spark.createDataFrame(ivf_codebook, "cell int, cent_vec array<double>")
     lut_sql = (

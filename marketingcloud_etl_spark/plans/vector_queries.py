@@ -183,13 +183,19 @@ def q138_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED production vector index (q66 × q105): IVF cells
     restrict which vectors are scanned, PQ codes score the survivors
     via the m-byte ADC table walk, exact cosine reranks the top-50.
-    The hot working set per vector is (cell id + 8 codes) — full
-    vectors page in only for the rerank join. Codebooks train once per
-    process+dataset and are shared with q66/q105. Recall floor vs
-    brute force is driver-checked by q139."""
+    The index — (id, cell, codes), ~5 bytes/vector — is BUILT ONCE and
+    materialized to parquet (atomic cache, the same offline/online
+    split as the codebooks); every search scans the index file, never
+    re-encodes the corpus. Full vectors page in only for the rerank
+    join. Recall floor vs brute force is driver-checked by q139."""
     prep(spark)
+    import os
+    import tempfile
+
+    from ..io import atomic_cached_write, fixture_tag
     from ..operators.similarity import (
         ann_ivf_pq_topk,
+        build_ivf_pq_index,
         train_ivf_codebook,
         train_pq_codebooks,
     )
@@ -202,9 +208,19 @@ def q138_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_cb = _PQ_CODEBOOKS.get(sf_dir)
     if pq_cb is None:
         pq_cb = _PQ_CODEBOOKS[sf_dir] = train_pq_codebooks(e, m=8, n_codes=16)
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"mcetl_ivfpq_idx_{fixture_tag(sf_dir)}"
+    )
+    atomic_cached_write(
+        idx_dir,
+        lambda tmp: build_ivf_pq_index(e, ivf_cb, pq_cb)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
     return ann_ivf_pq_topk(
         e, q, k=5, n_cells=16, n_probe=6, rerank=50,
         ivf_codebook=ivf_cb, pq_codebooks=pq_cb,
+        index=spark.read.parquet(idx_dir),
     )
 
 
