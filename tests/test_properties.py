@@ -76,3 +76,44 @@ def test_canonical_exact_bigint_no_false_pass():
     f2 = pd.DataFrame({"v": pd.Series([1.25], dtype=object)})
     assert_frames_match(f1, f2, "fractional")
     assert canonical(f1)["v"].dtype == "float64"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    st.integers(1, 12),
+)
+def test_distributed_ntile_property(spark, keys, n_buckets):
+    """Hypothesis pin: for ANY key multiset (duplicates included — the
+    uid tiebreak completes the total order) and ANY bucket count, the
+    distributed ntile/row_number must equal Spark's own window
+    functions exactly."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from marketingcloud_etl_spark.operators.ranking import (
+        distributed_ntile,
+        global_row_number,
+        release_ranking_caches,
+    )
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "uid long, k long").coalesce(2)
+    order = [F.col("k").asc(), F.col("uid").asc()]
+    try:
+        want = df.select(
+            "uid",
+            F.ntile(n_buckets).over(W.orderBy(*order)).alias("want_nt"),
+            F.row_number().over(W.orderBy(*order)).alias("want_rn"),
+        )
+        got = (
+            distributed_ntile(df, n_buckets, order, "nt")
+            .select("uid", "nt")
+            .join(global_row_number(df, order, "rn").select("uid", "rn"), "uid")
+        )
+        bad = want.join(got, "uid").filter(
+            (F.col("nt") != F.col("want_nt")) | (F.col("rn") != F.col("want_rn"))
+        )
+        assert bad.count() == 0, bad.limit(5).collect()
+    finally:
+        release_ranking_caches()
