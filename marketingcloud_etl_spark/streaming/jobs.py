@@ -344,6 +344,94 @@ def type_counts_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+def session_close_tws(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """``transformWithState`` with EVENT-TIME TIMERS: gap-based session
+    closing. Gap detection happens in ``handleInputRows`` (a batch
+    whose events start > gap after the stored session's end closes it
+    and opens a new one — within a batch, timers fire AFTER input
+    processing, so waiting for the timer would merge across the gap);
+    the armed event-time timer is the "stream went quiet" FLUSH: it is
+    REPLACED on every extension (deleteTimer + registerTimer — a stale
+    timer would close the session at an old boundary) and fires only
+    when the watermark passes last_event + gap with no newer input —
+    emitting the final open session. O(1) state per key; the
+    session-window operator rebuilt from the raw timer primitive."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    class SessionClose(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._s = handle.getValueState(
+                "sess", "n bigint, first_us bigint, last_us bigint, timer_ms bigint"
+            )
+            self._h = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, first, last, timer = (
+                self._s.get() if self._s.exists() else (0, 0, 0, 0)
+            )
+            closed = []
+            times: list[int] = []
+            for pdf in rows:
+                s = pdf["ts"]
+                if getattr(s.dtype, "tz", None) is not None:
+                    s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+                times.extend((s.astype("datetime64[ns]").astype("int64") // 1000).tolist())
+            for t in sorted(times):
+                if n and t > last + gap_us:
+                    closed.append((n, first, last))
+                    n, first, last = 0, 0, 0
+                n += 1
+                first = first or t
+                last = max(last, t)
+            new_timer = last // 1000 + gap_us // 1000
+            if timer and timer != new_timer:
+                self._h.deleteTimer(timer)
+            if timer != new_timer:
+                self._h.registerTimer(new_timer)
+            self._s.update((n, first, last, new_timer))
+            for cn, cf, cl in closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [cn],
+                        "session_start_us": [cf],
+                        "session_end_us": [cl],
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._s.exists():
+                n, first, last, _ = self._s.get()
+                self._s.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "session_start_us": [first],
+                        "session_end_us": [last],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionClose(),
+        outputStructType=(
+            "user_id bigint, n_events bigint, "
+            "session_start_us bigint, session_end_us bigint"
+        ),
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -368,3 +368,104 @@ def test_checkpoint_recovery_no_duplicates(spark, sf_dir, tmp_path):
     assert got.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
     assert got.select(F.sum("event_id").cast("long")).collect()[0][0] == \
            want.select(F.sum("event_id").cast("long")).collect()[0][0]
+
+
+def test_transform_with_state_event_time_timers(spark, tmp_path):
+    """Event-time-timer sessionization (streaming/jobs.py::
+    session_close_tws), pinned on a controlled in-order stream:
+
+    * user 1 has two bursts separated by >30 min — the timer fires
+      when the watermark passes burst1_end + 30min, emitting session 1
+      with exactly its events; burst 2 re-opens state.
+    * a session whose gap timer is still beyond the final watermark
+      stays OPEN (no emission) — timers fire against the watermark,
+      never wall clock.
+    * re-arming must REPLACE the timer: burst 2 spans two batches
+      <30 min apart, and a stale first-batch timer would split it.
+    """
+    import glob
+    import os
+    import shutil
+    import time
+
+    import pyspark.sql.functions as F
+
+    from marketingcloud_etl_spark.streaming.jobs import (
+        RUN_ROCKSDB,
+        enable_transform_with_state,
+        session_close_tws,
+    )
+
+    if not enable_transform_with_state(spark):
+        pytest.skip("no protobuf available (real or bundled)")
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+
+    def write_one(rows, name, mtime):
+        staging = str(tmp_path / f"stage_{name}")
+        (
+            spark.createDataFrame(rows, "user_id long, ts_s string")
+            .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        part = glob.glob(f"{staging}/part-*.parquet")[0]
+        dest = f"{src}/{name}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = time.time()
+    # batch 0: user 1 burst 1 (3 events, 10:00-10:10)
+    write_one(
+        [(1, "2025-06-01 10:00:00"), (1, "2025-06-01 10:05:00"), (1, "2025-06-01 10:10:00")],
+        "f1", now - 90,
+    )
+    # batch 1: user 1 burst 2 part A (11:30) — >30min after burst 1, so
+    # the watermark (11:30 - 1min) passes 10:40 and closes session 1
+    write_one([(1, "2025-06-01 11:30:00")], "f2", now - 60)
+    # batch 2: burst 2 part B (11:45, <30min after part A — same session)
+    write_one([(1, "2025-06-01 11:45:00")], "f3", now - 30)
+    # batch 3: user 2 far in the future advances the watermark past
+    # burst 2's gap timer (12:15) and closes session 2; user 2's own
+    # session stays open (nothing after it)
+    write_one([(2, "2025-06-01 20:00:00")], "f4", now)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, RUN_ROCKSDB)
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "1 minute")
+        )
+        q = (
+            session_close_tws(stream, gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName("timer_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    rows = sorted(
+        spark.table("timer_sessions").collect(),
+        key=lambda r: (r.user_id, r.session_start_us),
+    )
+    def us(s):
+        import datetime
+        return int(datetime.datetime.fromisoformat(s + "+00:00").timestamp() * 1_000_000)
+
+    assert [(r.user_id, r.n_events, r.session_start_us, r.session_end_us) for r in rows] == [
+        (1, 3, us("2025-06-01 10:00:00"), us("2025-06-01 10:10:00")),
+        (1, 2, us("2025-06-01 11:30:00"), us("2025-06-01 11:45:00")),
+    ]
