@@ -98,6 +98,8 @@ _PRIORITY = (
     "q145_recursive_cte_rollup",
     "q146_sql_scripting",
     "q147_statestore_read",
+    "q149_lateral_topk",
+    "q150_transpose",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

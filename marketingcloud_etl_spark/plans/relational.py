@@ -1761,3 +1761,77 @@ def q146_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
                i AS n_iterations;
       END
     """)
+
+
+@query(
+    "q149_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey <= 10
+    """,
+    tags=("relational", "join", "lateral"),
+)
+def q149_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``DataFrame.lateralJoin`` — the correlated-subquery join
+    (SQL LATERAL): for each customer, its top-2 orders by price via a
+    per-outer-row ORDER BY + LIMIT inside the subquery, with
+    ``.outer()`` marking the correlated column. The shape a window
+    top-k can't express when the inner query is more than a ranking
+    (arbitrary correlated filters/limits); DuckDB runs the identical
+    LATERAL as the oracle. Tiebreak on o_orderkey makes the top-2
+    deterministic."""
+    prep(spark)
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 10)
+        .select("c_custkey", "c_name")
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return c.lateralJoin(
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(2)
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q150_transpose",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             cast(count(*) as double) AS n_rows,
+             cast(sum(cast(l_quantity as decimal(18,2))) as double) AS total_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'n_rows' AS key,
+           (SELECT n_rows FROM s WHERE l_returnflag = 'A') AS A,
+           (SELECT n_rows FROM s WHERE l_returnflag = 'N') AS N,
+           (SELECT n_rows FROM s WHERE l_returnflag = 'R') AS R
+    UNION ALL
+    SELECT 'total_qty',
+           (SELECT total_qty FROM s WHERE l_returnflag = 'A'),
+           (SELECT total_qty FROM s WHERE l_returnflag = 'N'),
+           (SELECT total_qty FROM s WHERE l_returnflag = 'R')
+    """,
+    tags=("relational", "reshape"),
+)
+def q150_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``DataFrame.transpose`` — rows↔columns flip of a small
+    aggregate frame (metric rows become columns keyed by the first
+    column's values), the report-shaping complement of pivot/unpivot.
+    Correct usage: ONLY on pre-aggregated driver-small frames — the
+    transposed width is the input row count, so transposing raw data
+    would build a 10⁹-column schema. The oracle reconstructs the same
+    flip with scalar subqueries."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+    )
+    return s.orderBy("l_returnflag").transpose()
