@@ -100,6 +100,7 @@ _PRIORITY = (
     "q147_statestore_read",
     "q149_lateral_topk",
     "q150_transpose",
+    "q151_bin_packing_ffd",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1097,3 +1097,74 @@ def q127_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_logprob"),
     )
+
+
+@query(
+    "q151_bin_packing_ffd",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, doc_id, len({_TOKS}) AS n_tokens FROM documents
+    )
+    SELECT source,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_tokens) as bigint) AS total_tokens,
+           true AS all_docs_packed_once,
+           true AS no_bin_overflow,
+           true AS ffd_halffull_ok
+    FROM sized GROUP BY source
+    """,
+    tags=("text", "llm-pipeline", "packing"),
+)
+def q151_bin_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document sequence packing via first-fit-decreasing
+    (operators/packing.py) — the q107 complement for objectives that
+    forbid splitting documents. Per-source (embarrassingly parallel)
+    FFD at capacity 256 tokens; the output row per source carries the
+    oracle-checkable exact values (doc count, token total — packing
+    must conserve both) plus the algorithm's own guarantees as
+    booleans: every doc in exactly one bin, no multi-doc bin over
+    capacity, and FFD's structural property that at most one
+    non-oversize bin per shard ends up under half capacity. A broken
+    fit loop, a dropped doc, or a capacity breach flips a flag."""
+    prep(spark)
+    from ..operators.packing import bin_pack_ffd
+
+    cap = 256
+    d = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    packed = bin_pack_ffd(d, capacity=cap, size_col="n_tokens")
+    per_bin = packed.groupBy("source", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.count(F.lit(1)).alias("bin_docs"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+    per_source_bins = per_bin.groupBy("source").agg(
+        (
+            F.min(
+                (
+                    (F.col("has_oversize") == 1)
+                    | (F.col("bin_tokens") <= cap)
+                ).cast("int")
+            )
+            == 1
+        ).alias("no_bin_overflow"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("has_oversize") == 0) & (F.col("bin_tokens") < cap / 2), 1
+                ).otherwise(0)
+            )
+            <= 1
+        ).alias("ffd_halffull_ok"),
+    )
+    per_source_docs = packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        # exactly-once: every input doc id appears once
+        (F.count(F.lit(1)) == F.countDistinct("doc_id")).alias("all_docs_packed_once"),
+    )
+    return per_source_docs.join(per_source_bins, "source").select(
+        "source", "n_docs", "total_tokens",
+        "all_docs_packed_once", "no_bin_overflow", "ffd_halffull_ok",
+    )

@@ -695,3 +695,26 @@ def test_ann_ivfpq_recall_and_membership(spark, sf_dir):
     assert recall >= 0.2, f"IVF-PQ recall {recall:.2f} below floor"
     top50 = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(e, q, k=50).collect()}
     assert got <= top50 | exact
+
+
+def test_bin_pack_ffd_known_case(spark):
+    """FFD on a hand-built case with a known packing: capacity 10,
+    sizes [7,6,4,3,3,2] → FFD bins {7,3}, {6,4}, {3,2} (3 bins, two
+    exactly full); an oversize item (12) gets a singleton flagged bin
+    and never absorbs others. Determinism: identical re-run."""
+    from marketingcloud_etl_spark.operators.packing import bin_pack_ffd
+
+    rows = [("s", i, sz) for i, sz in enumerate([7, 6, 4, 3, 3, 2, 12])]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    packed = {r.doc_id: r for r in bin_pack_ffd(df, capacity=10).collect()}
+    assert len(packed) == 7
+    # oversize item isolated + flagged
+    assert packed[6].oversize and sum(1 for r in packed.values() if r.bin_id == packed[6].bin_id) == 1
+    # FFD placement: sizes desc = 12,7,6,4,3,3,2
+    by_bin: dict = {}
+    for r in packed.values():
+        by_bin.setdefault(r.bin_id, []).append(r.n_tokens)
+    non_oversize = [sorted(v) for b, v in by_bin.items() if b != packed[6].bin_id]
+    assert sorted(map(tuple, non_oversize)) == [(2, 3), (3, 7), (4, 6)]
+    again = {r.doc_id: (r.bin_id, r.oversize) for r in bin_pack_ffd(df, capacity=10).collect()}
+    assert again == {k: (v.bin_id, v.oversize) for k, v in packed.items()}
