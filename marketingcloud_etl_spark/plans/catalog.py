@@ -101,6 +101,8 @@ _PRIORITY = (
     "q149_lateral_topk",
     "q150_transpose",
     "q151_bin_packing_ffd",
+    "q152_apply_in_arrow",
+    "q153_collation_group",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

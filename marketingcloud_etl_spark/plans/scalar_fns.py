@@ -290,3 +290,35 @@ def q143_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(F.col("v"), "$.amounts.price", "double").alias("price"),
         F.variant_get(F.col("v"), "$.o_orderpriority", "string").alias("priority"),
     )
+
+
+@query(
+    "q153_collation_group",
+    oracle="""
+    WITH mixed AS (
+      SELECT p_type AS t FROM part
+      UNION ALL
+      SELECT lower(p_type) FROM part
+    )
+    SELECT lower(t) AS type_ci, cast(count(*) as bigint) AS n
+    FROM mixed GROUP BY lower(t)
+    """,
+    tags=("scalar", "collation"),
+)
+def q153_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS: grouping under UTF8_LCASE treats case
+    variants as ONE key engine-side — no lower() rewrite of the data,
+    the comparison semantics live in the type. The fixture part types
+    are case-consistent, so the query manufactures variants (original ∪
+    lowercased) and groups by the collated column; every case pair must
+    collapse to a single group, which the oracle checks via the
+    explicit lower() formulation. Output key normalized to lower()
+    (the collated group representative is otherwise first-seen)."""
+    prep(spark)
+    p = table(spark, sf_dir, "part").select(F.col("p_type").alias("t"))
+    mixed = p.unionAll(p.select(F.lower("t").alias("t")))
+    return (
+        mixed.groupBy(F.expr("collate(t, 'UTF8_LCASE')").alias("tc"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("tc").cast("string")).alias("type_ci"), "n")
+    )

@@ -285,3 +285,45 @@ def q118_scalar_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev_lower("n_name").alias("rev_name"),
         str_len("n_name").alias("name_len"),
     )
+
+
+@query(
+    "q152_apply_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           cast(count(*) as bigint) AS n,
+           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS total_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("udf", "arrow"),
+)
+def q152_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInArrow`` — the zero-copy sibling of
+    applyInPandas (q63): each group arrives as a pyarrow.Table and the
+    aggregation runs entirely in pyarrow.compute kernels, no pandas
+    conversion on either side. The money sum goes through decimal128
+    inside Arrow (then one cast to double), matching the engine's
+    decimal-money protocol exactly — which the oracle value-checks."""
+    prep(spark)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def agg(tbl: "pa.Table") -> "pa.Table":
+        price = tbl["l_extendedprice"]
+        dec = pc.cast(price, pa.decimal128(18, 2))
+        return pa.table(
+            {
+                "l_returnflag": pa.array([tbl["l_returnflag"][0].as_py()], pa.string()),
+                "n": pa.array([tbl.num_rows], pa.int64()),
+                "total_price": pa.array(
+                    [float(pc.sum(dec).as_py())], pa.float64()
+                ),
+                "max_price": pa.array([pc.max(price).as_py()], pa.float64()),
+            }
+        )
+
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return li.groupBy("l_returnflag").applyInArrow(
+        agg, schema="l_returnflag string, n bigint, total_price double, max_price double"
+    )
