@@ -49,6 +49,9 @@ def atomic_cached_write(path: str, write_fn) -> str:
         return path
     import fcntl
 
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with open(f"{path}.lock", "a") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
         try:
