@@ -77,6 +77,14 @@ HEADLINE = (
     # composed IVF-PQ vector index (cells restrict scan, codes score)
     "q134_semantic_dedup_pipeline",
     "q138_ann_ivfpq_topk",
+    # round-5 wave: corpus line-dedup (chunk-keyed shuffle), iterative
+    # k-means (literal-centroid narrow passes), bitmap exact-distinct,
+    # and the z-order double-ranking layout — each a distinct physical
+    # family whose regressions would otherwise be invisible
+    "q161_line_dedup",
+    "q163_kmeans_clusters",
+    "q158_bitmap_distinct",
+    "q167_zorder_skipping",
 )
 
 

@@ -646,3 +646,82 @@ def ann_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rank")
     )
+
+
+def _sqdist_sql(vec_sql: str, cent: list[float]) -> str:
+    """Squared euclidean distance of ``vec_sql`` to a literal centroid."""
+    arr = "array(" + ", ".join(f"{float(x)!r}D" for x in cent) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, c) -> (cast(x as double) - c) "
+        f"* (cast(x as double) - c)), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _argmin_sqdist_sql(vec_sql: str, cents: list[list[float]]) -> str:
+    """Index of the nearest centroid (ties → lowest index)."""
+    pairs = ", ".join(
+        f"struct({_sqdist_sql(vec_sql, c)} as d, {i} as i)" for i, c in enumerate(cents)
+    )
+    return f"array_min(array({pairs})).i"
+
+
+def _min_sqdist_sql(vec_sql: str, cents: list[list[float]]) -> str:
+    dists = ", ".join(_sqdist_sql(vec_sql, c) for c in cents)
+    return f"array_min(array({dists}))"
+
+
+def kmeans_euclidean(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[float]]:
+    """Plain Lloyd's k-means (euclidean), DataFrame-native — the
+    topic-clustering / SemDeDup-pruning building block.
+
+    Per iteration: (1) assignment = argmin over the k centroid
+    LITERALS riding inside one codegen'd expression (a narrow map — no
+    crossJoin, no k-rows-per-vector shuffle); (2) inertia = one sum
+    aggregation of the min squared distance (the Lloyd invariant:
+    assignment-step inertia is non-increasing across iterations);
+    (3) update = element-wise means via posexplode + (cell, pos)
+    partial aggs. Only driver-sized results materialize (k × dim
+    means, one inertia scalar per round). Seeding is a deterministic
+    hash-ordered corpus sample, so runs are reproducible.
+
+    Returns ``(final_centroids, inertia_history)`` with one inertia
+    value per iteration, measured at assignment time.
+    """
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("__h", F.xxhash64(F.col("cid")))
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    seed_rows.sort(key=lambda r: r.cid)
+    cents: list[list[float]] = [[float(x) for x in r.cvec] for r in seed_rows]
+
+    vecs = corpus.select(F.col(vec_col).alias("__v"))
+    history: list[float] = []
+    for _ in range(iters):
+        inertia = vecs.agg(
+            F.sum(F.expr(_min_sqdist_sql("__v", cents))).alias("s")
+        ).collect()[0]["s"]
+        history.append(float(inertia))
+        means = (
+            vecs.withColumn("cell", F.expr(_argmin_sqdist_sql("__v", cents)))
+            .select("cell", F.posexplode(F.col("__v").cast("array<double>")).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()  # k × dim scalars — driver-sized
+        )
+        new_cents = [list(c) for c in cents]  # empty cells keep their centroid
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        for cell, pm in by_cell.items():
+            new_cents[cell] = [pm[p] for p in sorted(pm)]
+        cents = new_cents
+    return cents, history

@@ -103,6 +103,24 @@ _PRIORITY = (
     "q151_bin_packing_ffd",
     "q152_apply_in_arrow",
     "q153_collation_group",
+    # new round-5 queries needing first-time driver verdicts (33 + 15
+    # above = 48 oracle-able names ahead of the re-check block — still
+    # inside the driver's 50-query sample window)
+    "q154_window_distribution",
+    "q155_listagg",
+    "q156_xml_roundtrip",
+    "q157_interval_arithmetic",
+    "q158_bitmap_distinct",
+    "q159_hll_union_sketch",
+    "q160_mapinpandas_charge",
+    "q161_line_dedup",
+    "q162_weighted_sample",
+    "q163_kmeans_clusters",
+    "q164_countmin_heavy_hitters",
+    "q165_inverted_index",
+    "q166_time_decay_attribution",
+    "q167_zorder_skipping",
+    "q168_pydatasource_sink",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -752,3 +752,98 @@ def q129_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", ngram_set("text", 2).alias("toks"))
     )
     return setsim_join(d, threshold=0.5)
+
+
+@query(
+    "q159_hll_union_sketch",
+    oracle="""
+    WITH per_status AS (
+      SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_n
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, cast(exact_n as bigint) AS exact_n,
+           true AS within_bound,
+           (SELECT cast(count(DISTINCT o_custkey) as bigint) FROM orders)
+             AS exact_union,
+           true AS union_within_bound
+    FROM per_status
+    """,
+    tags=("sketch",),
+)
+def q159_hll_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL via Spark 4 ``hll_sketch_agg`` /
+    ``hll_union_agg`` — the MERGEABLE-sketch path q135's
+    approx_count_distinct (internal HLL++) can't give you: per-group
+    binary sketches are materialized once, then UNIONED to coarser
+    rollups without rescanning the fact table. At 100 TB that is the
+    distinct-count-cube strategy — one scan builds leaf sketches,
+    every rollup level is a sketch-merge of driver-small state. Bound
+    booleans: lgConfigK=14 → rse ≈ 1.04/√2¹⁴ ≈ 0.8%; 5σ ≈ 4% tolerance
+    against the exact counts (which the oracle value-checks)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderstatus").agg(
+        F.expr("hll_sketch_agg(o_custkey, 14)").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_n"),
+    )
+    # union the per-status leaf sketches → global distinct (no rescan)
+    uni = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("__union_est")
+    )
+    exact_union = o.agg(F.countDistinct("o_custkey").alias("exact_union"))
+    tol = 5 * 1.04 / (2 ** 14) ** 0.5
+    return (
+        per.select(
+            "o_orderstatus",
+            "exact_n",
+            F.expr("hll_sketch_estimate(sk)").alias("__est"),
+        )
+        .crossJoin(F.broadcast(uni))
+        .crossJoin(F.broadcast(exact_union))
+        .select(
+            "o_orderstatus",
+            "exact_n",
+            (F.abs(F.col("__est") - F.col("exact_n")) <= F.lit(tol) * F.col("exact_n")).alias(
+                "within_bound"
+            ),
+            "exact_union",
+            (
+                F.abs(F.col("__union_est") - F.col("exact_union"))
+                <= F.lit(tol) * F.col("exact_union")
+            ).alias("union_within_bound"),
+        )
+    )
+
+
+@query(
+    "q162_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln(({_H32_DUCK} + 1) / 4294967296.0) / n_chars AS wkey
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars FROM keyed
+    ORDER BY wkey DESC, doc_id LIMIT 50
+    """,
+    tags=("sampling",),
+)
+def q162_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each doc draws u ∈ (0,1] from its own content hash
+    (reproducible across runs/engines — no rand()), and the top-k by
+    key u^(1/w) ≡ ln(u)/w are the sample, weighted here by document
+    length. One narrow map + one top-k (TakeOrdered, no global sort
+    materialization) — the standard size-biased corpus subsampling
+    primitive at any scale. ln() and the division are single IEEE ops
+    on identical operands, so DuckDB agrees exactly."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (F.expr(_H32) + 1) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("wkey"))
+        .orderBy(F.col("wkey").desc(), "doc_id")
+        .limit(50)
+        .drop("wkey")
+    )

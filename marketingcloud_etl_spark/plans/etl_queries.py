@@ -964,3 +964,209 @@ def q125_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event"),
         F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "q156_xml_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_price,
+           min(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS first_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("etl", "source"),
+)
+def q156_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML file source/sink (Spark 4 built-in, formerly spark-xml):
+    write orders as row-tagged XML, read it back with an EXPLICIT
+    schema, and aggregate — the oracle computes the same aggregate from
+    parquet, so any round-trip drift (escaping, type re-inference,
+    timestamp formatting) breaks the hash. Timestamps cross the text
+    format as pinned strings (XML has no timestamp type); the explicit
+    read schema is the production posture — inference is a full extra
+    pass at scale. XML is the interchange the reference's SFMC world
+    (SOAP-era Salesforce APIs) still speaks."""
+    prep(spark)
+    base = f"/tmp/mcetl_xml_{fixture_tag(sf_dir)}"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate_s"),
+    )
+    atomic_cached_write(
+        base,
+        lambda tmp: o.write.format("xml").option("rowTag", "order").mode("overwrite").save(tmp),
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(
+            "o_orderkey bigint, o_orderpriority string, "
+            "o_totalprice double, o_orderdate_s string"
+        )
+        .load(base)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("total_price"),
+        F.min("o_orderdate_s").alias("first_order"),
+    )
+
+
+_Z16 = """
+cast(
+  (CASE WHEN (zx & 1)  > 0 THEN 1        ELSE 0 END) |
+  (CASE WHEN (zx & 2)  > 0 THEN 4        ELSE 0 END) |
+  (CASE WHEN (zx & 4)  > 0 THEN 16       ELSE 0 END) |
+  (CASE WHEN (zx & 8)  > 0 THEN 64       ELSE 0 END) |
+  (CASE WHEN (zx & 16) > 0 THEN 256      ELSE 0 END) |
+  (CASE WHEN (zx & 32) > 0 THEN 1024     ELSE 0 END) |
+  (CASE WHEN (zx & 64) > 0 THEN 4096     ELSE 0 END) |
+  (CASE WHEN (zx & 128) > 0 THEN 16384   ELSE 0 END) |
+  (CASE WHEN (zy & 1)  > 0 THEN 2        ELSE 0 END) |
+  (CASE WHEN (zy & 2)  > 0 THEN 8        ELSE 0 END) |
+  (CASE WHEN (zy & 4)  > 0 THEN 32       ELSE 0 END) |
+  (CASE WHEN (zy & 8)  > 0 THEN 128      ELSE 0 END) |
+  (CASE WHEN (zy & 16) > 0 THEN 512      ELSE 0 END) |
+  (CASE WHEN (zy & 32) > 0 THEN 2048     ELSE 0 END) |
+  (CASE WHEN (zy & 64) > 0 THEN 8192     ELSE 0 END) |
+  (CASE WHEN (zy & 128) > 0 THEN 32768   ELSE 0 END)
+as bigint)"""
+
+
+@query(
+    "q167_zorder_skipping",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             cast(o_custkey % 256 as int) AS zx,
+             cast(date_diff('day', DATE '1995-01-01',
+                            cast(o_orderdate as date)) % 256 as int) AS zy
+      FROM orders
+    ), keyed AS (
+      SELECT o_orderkey, zx, zy, {_Z16} AS zval FROM base
+    ), laid AS (
+      SELECT zx, zy,
+             ntile(64) OVER (ORDER BY zval, o_orderkey) AS zfile,
+             ntile(64) OVER (ORDER BY zx, o_orderkey)   AS lfile
+      FROM keyed
+    ), zstats AS (
+      SELECT 'zorder' AS layout, zfile AS file_id,
+             min(zx) AS min_x, max(zx) AS max_x,
+             min(zy) AS min_y, max(zy) AS max_y
+      FROM laid GROUP BY zfile
+      UNION ALL
+      SELECT 'linear', lfile, min(zx), max(zx), min(zy), max(zy)
+      FROM laid GROUP BY lfile
+    )
+    SELECT layout,
+           cast(count(*) as bigint) AS n_files,
+           cast(sum(CASE WHEN max_x >= 64 AND min_x <= 95
+                          AND max_y >= 128 AND min_y <= 159
+                     THEN 1 ELSE 0 END) as bigint) AS files_overlapping_box
+    FROM zstats GROUP BY layout
+    """,
+    tags=("etl", "layout", "scale"),
+)
+def q167_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-curve) layout for multi-column data skipping —
+    the clustering strategy behind Delta OPTIMIZE ZORDER BY: interleave
+    the bits of two filter columns (customer bucket × order-day bucket,
+    8 bits each) into one sort key, range-split into 64 'files', and
+    compare per-file min/max bounding boxes against a plain
+    single-column sort for a 2-D box predicate. The z-curve keeps BOTH
+    dimensions locally bounded per file, so far fewer files overlap the
+    box — the oracle reproduces the identical integer bit-math, ntile
+    file assignment (deterministic tiebreak on o_orderkey), and
+    overlap count, making the skipping advantage itself the verified
+    result. At 100 TB this ntile is `repartitionByRange(zval)` +
+    per-file parquet min/max stats; the plan here is the same two-pass
+    shape (distributed sort by interleaved key, then per-file stats)."""
+    from ..operators.ranking import distributed_ntile
+
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("int").alias("zx"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            % 256
+        ).cast("int").alias("zy"),
+    )
+    keyed = base.withColumn("zval", F.expr(_Z16))
+    laid = distributed_ntile(
+        distributed_ntile(keyed, 64, ["zval", "o_orderkey"], "zfile"),
+        64,
+        ["zx", "o_orderkey"],
+        "lfile",
+    ).select("zx", "zy", "zfile", "lfile")
+    zstats = (
+        laid.groupBy(F.lit("zorder").alias("layout"), F.col("zfile").alias("file_id"))
+        .agg(
+            F.min("zx").alias("min_x"), F.max("zx").alias("max_x"),
+            F.min("zy").alias("min_y"), F.max("zy").alias("max_y"),
+        )
+        .unionByName(
+            laid.groupBy(F.lit("linear").alias("layout"), F.col("lfile").alias("file_id")).agg(
+                F.min("zx").alias("min_x"), F.max("zx").alias("max_x"),
+                F.min("zy").alias("min_y"), F.max("zy").alias("max_y"),
+            )
+        )
+    )
+    overlap = (
+        (F.col("max_x") >= 64) & (F.col("min_x") <= 95)
+        & (F.col("max_y") >= 128) & (F.col("min_y") <= 159)
+    )
+    return zstats.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(overlap, 1).otherwise(0)).alias("files_overlapping_box"),
+    )
+
+
+@query(
+    "q168_pydatasource_sink",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(cast(value as decimal(14,2))) as double) AS total_value,
+           true AS manifest_matches
+    FROM events GROUP BY event_type
+    """,
+    tags=("etl", "sink"),
+)
+def q168_pydatasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (sinks/pydatasource.py): events
+    stream from every task into a staged JSON-lines sink, a two-phase
+    commit renames parts + writes a _SUCCESS manifest, and the query
+    READS THE SINK BACK and aggregates — so the oracle (the same
+    aggregate straight from parquet) verifies the full write→commit→
+    read loop, and the ``manifest_matches`` boolean pins the manifest's
+    committed row count against the re-read. Completes the DataSource
+    surface: batch reader (q83) + stream reader (q148) + this writer."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..sinks.pydatasource import JsonLinesSinkDataSource, read_manifest
+
+    try:
+        spark.dataSource.register(JsonLinesSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+    base = os.path.join(tempfile.gettempdir(), f"mcetl_pysink_{fixture_tag(sf_dir)}")
+    os.makedirs(base, exist_ok=True)
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e.write.format("mcetl_jsonl_sink").option("path", base).mode("overwrite").save()
+    manifest = read_manifest(base)
+    back = spark.read.schema("event_id bigint, event_type string, value double").json(
+        [os.path.join(base, f) for f in manifest["files"]]
+    )
+    agg = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
+    )
+    total = agg.agg(F.sum("n").alias("__t")).collect()[0]["__t"]
+    return agg.withColumn("manifest_matches", F.lit(manifest["n_rows"] == total))

@@ -274,3 +274,93 @@ def q133_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("rate_treatment"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@query(
+    "q166_time_decay_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, ts,
+             json_extract_string(props, '$.k')::int % 5 AS channel
+      FROM events WHERE event_type = 'click'
+    ), touches AS (
+      SELECT p.event_id AS p_id, p.value, c.channel,
+             1.0 / (1 << least(cast(floor((epoch_us(p.ts) - epoch_us(c.ts))
+                                          / 86400000000.0) as int), 10)) AS w
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 7 DAY
+    ), shared AS (
+      SELECT p_id, value, channel,
+             w / sum(w) OVER (PARTITION BY p_id) AS share
+      FROM touches
+    ), credited AS (
+      SELECT channel,
+             cast(round(value * share * 100) as bigint) AS credit_cents
+      FROM shared
+      UNION ALL
+      SELECT -1 AS channel, cast(round(value * 100) as bigint)
+      FROM p WHERE NOT EXISTS (SELECT 1 FROM touches t WHERE t.p_id = p.event_id)
+    )
+    SELECT channel,
+           cast(count(*) as bigint) AS n_credits,
+           cast(sum(credit_cents) as bigint) / 100.0 AS credited_revenue
+    FROM credited GROUP BY channel
+    """,
+    tags=("marketing", "analytic"),
+)
+def q166_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every click in the 7 days
+    before a purchase earns weight 2^(-floor(days_before)) (halving per
+    day, capped at 2^-10), normalized per purchase so credit shares sum
+    to 1; unmatched purchases credit channel -1 in full. Numeric
+    protocol for cross-engine exactness: weights are dyadic rationals
+    (1/2^d — each a single exact double), the share division and
+    value×share product are single IEEE ops on identical operands, and
+    the per-touch credit ROUNDS TO INTEGER CENTS before the final sum —
+    so aggregation order can't drift the total (q81's protocol). The
+    join is the bounded as-of shape (q131) with a window share
+    normalization keyed by purchase id."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        (F.get_json_object("props", "$.k").cast("int") % 5).alias("channel"),
+    )
+    d_days = F.floor(
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(86400000000.0)
+    ).cast("int")
+    touches = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .withColumn("d", F.least(d_days, F.lit(10)))
+        .withColumn("w", F.expr("1.0 / cast(shiftleft(1, d) as double)"))
+    )
+    share = F.col("w") / F.sum("w").over(W.partitionBy("p_id"))
+    credited = touches.select(
+        "channel",
+        F.round(F.col("value") * share * 100).cast("bigint").alias("credit_cents"),
+    )
+    unmatched = p.join(touches.select("p_id").distinct(), "p_id", "left_anti").select(
+        F.lit(-1).alias("channel"),
+        F.round(F.col("value") * 100).cast("bigint").alias("credit_cents"),
+    )
+    return (
+        credited.unionByName(unmatched)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            (F.sum("credit_cents") / F.lit(100.0)).alias("credited_revenue"),
+        )
+    )

@@ -1835,3 +1835,108 @@ def q150_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
     )
     return s.orderBy("l_returnflag").transpose()
+
+
+@query(
+    "q154_window_distribution",
+    oracle="""
+    SELECT c_custkey, n_name,
+           percent_rank() OVER w AS pr,
+           cume_dist()    OVER w AS cd,
+           ntile(4)       OVER w AS quartile
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("relational", "window"),
+)
+def q154_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ``percent_rank`` / ``cume_dist``
+    / ``ntile`` over account balance within nation. Completes the
+    ranking-family battery (q19–q22 cover row_number/rank/dense_rank/
+    lag): percent_rank = (rank-1)/(n-1) and cume_dist = rows≤cur/n are
+    exact small-integer ratios, so the IEEE doubles agree with DuckDB
+    bit-for-bit. Tiebreak on c_custkey pins ntile assignment. The
+    window partitions by nation — 25 balanced partitions, no
+    single-partition exchange."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "n_name",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+
+
+@query(
+    "q155_listagg",
+    oracle="""
+    SELECT n_name,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           cast(count(*) as bigint) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("relational", "agg"),
+)
+def q155_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0 ``listagg(... ) WITHIN GROUP (ORDER BY ...)`` — the
+    ANSI ordered string-concatenation aggregate (DuckDB: string_agg
+    with ORDER BY). The explicit WITHIN GROUP ordering is what makes
+    the result deterministic under distributed aggregation — an
+    unordered concat would vary with partition visit order. Only safe
+    on bounded groups (suppliers per nation); for unbounded groups use
+    collect+slice (q-family 18) so one group can't OOM an executor."""
+    prep(spark)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr("listagg(s_name, ',') within group (order by s_name)").alias("suppliers"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "q158_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           cast(count(DISTINCT o_custkey) as bigint) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("relational", "agg", "sketch"),
+)
+def q158_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark 4 bitmap aggregates — the
+    scale-path alternative to ``count(DISTINCT ...)``'s expand-and-
+    dedup: keys bucket by ``bitmap_bucket_number`` (32768-bit buckets),
+    each (group, bucket) folds to ONE roaring-style bitmap via
+    ``bitmap_construct_agg``, and popcounts sum per group. State per
+    group is O(keyspace/8) bits instead of O(distinct) rows, partial
+    aggregation is a bitmap OR (associative, map-side combinable), and
+    the result is exact — which is why the oracle is plain
+    COUNT(DISTINCT). The two-level groupBy shuffles (status, bucket)
+    pairs, never raw keys."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            "o_orderstatus",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_customers")
+    )

@@ -322,3 +322,42 @@ def q153_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lower(F.col("tc").cast("string")).alias("type_ci"), "n")
     )
+
+
+@query(
+    "q157_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           cast(cast(o_orderdate as date) + INTERVAL 30 DAY as date)   AS due_date,
+           cast(cast(o_orderdate as date) + INTERVAL 3 MONTH as date)  AS review_date,
+           last_day(cast(o_orderdate as date))                         AS month_end,
+           cast(date_trunc('quarter', o_orderdate) as date)            AS quarter_start,
+           strftime(o_orderdate, '%a')                                 AS day_name,
+           strftime(o_orderdate, '%b')                                 AS month_name,
+           cast(date_diff('day', cast(o_orderdate as date),
+                          DATE '2026-01-01') as int)                   AS days_to_ref
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    tags=("scalar", "datetime"),
+)
+def q157_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI interval arithmetic + date-part battery — day and month
+    interval addition (month addition clamps to end-of-month in both
+    engines: Jan 31 + 1 month = Feb 29), last_day, quarter truncation,
+    ENGLISH day/month names (Spark dayname/monthname ≡ DuckDB strftime
+    %a/%b three-letter forms), and exact day differences. All pure
+    codegen'd expressions — the date dimension of the scalar battery
+    q27–q32 left uncovered."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("due_date"),
+        F.add_months(d, 3).alias("review_date"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", F.col("o_orderdate")).cast("date").alias("quarter_start"),
+        F.dayname(d).alias("day_name"),
+        F.monthname(d).alias("month_name"),
+        F.datediff(F.lit("2026-01-01").cast("date"), d).alias("days_to_ref"),
+    )

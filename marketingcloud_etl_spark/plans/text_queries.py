@@ -1168,3 +1168,153 @@ def q151_bin_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "total_tokens",
         "all_docs_packed_once", "no_bin_overflow", "ffd_halffull_ok",
     )
+
+
+@query(
+    "q161_line_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    c AS (SELECT doc_id,
+                 unnest(range(0, cast(ceil(len(words)/10.0) as bigint))) AS pos,
+                 words
+          FROM w WHERE len(words) > 0),
+    chunks AS (SELECT doc_id, pos,
+                      array_to_string(list_slice(words, pos*10+1, pos*10+10), ' ') AS chunk
+               FROM c),
+    k AS (SELECT doc_id, pos, chunk,
+                 row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+          FROM chunks)
+    SELECT doc_id,
+           cast(count(*) as bigint) AS n_chunks,
+           cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           cast(sum(CASE WHEN rn = 1 THEN length(chunk) ELSE 0 END) as bigint) AS kept_chars
+    FROM k GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "llm"),
+)
+def q161_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level LINE dedup (RefinedWeb/CCNet-style): documents are
+    cut into fixed 10-word chunks (the fixture text has no newlines, so
+    chunk = line surrogate), and each chunk is kept only at its FIRST
+    occurrence across the whole corpus — boilerplate repeated across
+    pages (headers, nav, license blocks) dedups away while unique prose
+    survives. Keep-first is a chunk-keyed window ordered by (doc_id,
+    pos): one shuffle on the chunk hash, no all-pairs comparison, state
+    per chunk O(1) — at 100 TB this is a plain repartition-by-chunk,
+    the same shape exact dedup (q37) already scales with. Output per
+    doc: chunk counts + surviving chars (the rebuild is a groupBy
+    concat away; counts are what curation dashboards track)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunks = (
+        d.select("doc_id", words.alias("words"), n_chunks.alias("nc"))
+        .filter(F.size("words") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr("transform(sequence(0, nc - 1), i -> concat_ws(' ', slice(words, i*10+1, 10)))")
+            ).alias("pos", "chunk"),
+        )
+    )
+    rn = F.row_number().over(W.partitionBy("chunk").orderBy("doc_id", "pos"))
+    k = chunks.select("doc_id", "pos", "chunk", rn.alias("rn"))
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") == 1, F.length("chunk")).otherwise(0)).alias("kept_chars"),
+    )
+
+
+@query(
+    "q164_countmin_heavy_hitters",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT t AS word, cast(count(*) as bigint) AS n_exact
+      FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+      GROUP BY t
+    )
+    SELECT word, n_exact, true AS cms_ge_exact
+    FROM cnt ORDER BY n_exact DESC, word LIMIT 20
+    """,
+    tags=("text", "sketch"),
+)
+def q164_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch built NATIVELY as a distributed aggregation —
+    depth d=4 hash rows (xxhash64 salted by row index) x width w=2048
+    buckets; the grid is ONE groupBy over a posexploded 4-hash array
+    (one pass, map-side combinable, fixed d*w state regardless of
+    keyspace — the property that makes CMS the heavy-hitter sketch at
+    100 TB). Self-verified by the sketch's one-sided guarantee: CMS
+    never under-counts (collisions only add), so estimate =
+    min_i grid[i, h_i(word)] >= exact must hold for every word; a
+    broken hash or merge flips the boolean. The top-20 exact counts are
+    value-checked by the oracle; the driver-small grid (8192 rows)
+    broadcasts to the probe join."""
+    prep(spark)
+    _D, _W = 4, 2048
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("word"))
+    hashes = F.array(
+        *[F.pmod(F.xxhash64(F.lit(i), F.col("word")), F.lit(_W)) for i in range(_D)]
+    )
+    grid = (
+        toks.select(F.posexplode(hashes).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "word")
+        .limit(20)
+    )
+    probes = top.select("word", "n_exact", F.posexplode(hashes).alias("row", "bucket"))
+    est = (
+        probes.join(F.broadcast(grid), ["row", "bucket"])
+        .groupBy("word", "n_exact")
+        .agg(F.min("c").alias("__est"))
+    )
+    return est.select(
+        "word", "n_exact", (F.col("__est") >= F.col("n_exact")).alias("cms_ge_exact")
+    )
+
+
+@query(
+    "q165_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t AS word
+      FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+    )
+    SELECT word,
+           cast(count(*) as bigint) AS df_count,
+           list_slice(list_sort(list(doc_id)), 1, 5) AS posting_head
+    FROM toks GROUP BY word
+    ORDER BY df_count DESC, word LIMIT 50
+    """,
+    tags=("text", "search"),
+)
+def q165_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (token → document-frequency + posting list):
+    the search/retrieval primitive behind BM25 and deduplication-by-
+    query. Per-doc DISTINCT tokens (one explode + dedup), then a
+    token-keyed aggregation collecting the sorted posting head — the
+    full posting list would be collect_set per token (bounded here to
+    head-5 so wide tokens can't blow a row); df_count comes from the
+    same aggregation. One shuffle keyed by token; Zipf skew on common
+    tokens is exactly the shape AQE skew-split handles (and q42's
+    salted tf-idf is the manual alternative)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("word")).distinct()
+    return (
+        toks.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df_count"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5).alias("posting_head"),
+        )
+        .orderBy(F.col("df_count").desc(), "word")
+        .limit(50)
+    )

@@ -327,3 +327,59 @@ def q152_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").applyInArrow(
         agg, schema="l_returnflag string, n bigint, total_price double, max_price double"
     )
+
+
+@query(
+    "q160_mapinpandas_charge",
+    oracle="""
+    WITH per_row AS (
+      SELECT l_returnflag,
+             cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                  as bigint) AS charge_cents
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           cast(count(*) as bigint) AS n,
+           cast(sum(charge_cents) as bigint) / 100.0 AS total_charge
+    FROM per_row GROUP BY l_returnflag
+    """,
+    tags=("udf",),
+)
+def q160_mapinpandas_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInPandas`` — the Arrow-batched partition-wise transform (the
+    API the multimodal decode path q54/q73 rides, here with an
+    oracle-checkable computation): each task receives pandas batches of
+    lineitem, computes the TPC-H charge per row vectorized in numpy,
+    and rounds to integer cents HALF AWAY FROM ZERO (q81's protocol —
+    pandas' default .round() is banker's half-to-even, which drifts
+    from DuckDB/Spark round()) so the downstream Spark-side sum is an
+    exact integer aggregation regardless of partition order. Column
+    pruning still reaches the scan: only the four needed columns enter
+    the Arrow channel."""
+    import numpy as np
+
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount", "l_tax"
+    )
+
+    def per_batch(batches):
+        for pdf in batches:
+            c = (
+                pdf["l_extendedprice"].to_numpy()
+                * (1.0 - pdf["l_discount"].to_numpy())
+                * (1.0 + pdf["l_tax"].to_numpy())
+                * 100.0
+            )
+            yield pd.DataFrame(
+                {
+                    "l_returnflag": pdf["l_returnflag"],
+                    "charge_cents": (np.sign(c) * np.floor(np.abs(c) + 0.5)).astype("int64"),
+                }
+            )
+
+    per_row = li.mapInPandas(per_batch, "l_returnflag string, charge_cents bigint")
+    return per_row.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("charge_cents") / F.lit(100.0)).alias("total_charge"),
+    )

@@ -406,3 +406,82 @@ def q105_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cb is None:
         cb = _PQ_CODEBOOKS[sf_dir] = train_pq_codebooks(e, m=8, n_codes=16)
     return ann_pq_topk(e, q, k=5, m=8, n_codes=16, rerank=50, codebooks=cb)
+
+
+@query(
+    "q163_kmeans_clusters",
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_points,
+           8 AS k, 4 AS iters,
+           true AS inertia_nonincreasing,
+           true AS sizes_sum_ok,
+           true AS assignment_is_argmin
+    FROM embeddings
+    """,
+    tags=("vector", "llm"),
+)
+def q163_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (k=8, 4 iterations) —
+    topic clustering / SemDeDup-style cluster pruning. Self-verifying
+    invariant row in q134's style: (a) the Lloyd guarantee — inertia
+    measured at each assignment step never increases; (b) final cluster
+    sizes sum to the corpus size; (c) every point's stored cluster is
+    the argmin over the FINAL centroids recomputed independently in the
+    verification expression. n_points is value-checked by the oracle;
+    a broken update step, a dropped partition, or a wrong argmin flips
+    a boolean. All per-iteration passes are narrow maps with literal
+    centroids (operators/similarity.py::kmeans_euclidean)."""
+    prep(spark)
+    from ..operators.similarity import _argmin_sqdist_sql, kmeans_euclidean
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, history = kmeans_euclidean(emb, k=8, iters=4)
+    noninc = all(b <= a * (1 + 1e-12) for a, b in zip(history, history[1:]))
+
+    assigned = emb.select(
+        "vec_id",
+        F.col("embedding").alias("__v"),
+        F.expr(_argmin_sqdist_sql("embedding", cents)).alias("cell"),
+    )
+    # independent argmin recheck by a DIFFERENT formulation: centroids as
+    # ROWS (not literals), crossJoin + min_by over the 8 candidates, on a
+    # deterministic hash sample of <=200 points (audit path, not the
+    # production assignment path — at corpus scale you'd sample the same
+    # way)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "ci int, cvec array<double>",
+    )
+    audit = (
+        assigned.orderBy(F.xxhash64("vec_id")).limit(200)
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "__d",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__v").cast("array<double>"),
+                    "cvec",
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .groupBy("vec_id", "cell")
+        .agg(F.min_by("ci", F.struct("__d", "ci")).alias("cell2"))
+    )
+    argmin_ok = audit.agg(F.min(F.col("cell") == F.col("cell2")).alias("ok"))
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        assigned.agg(F.count(F.lit(1)).alias("n_points"))
+        .crossJoin(F.broadcast(argmin_ok.select(F.col("ok").alias("__argmin_ok"))))
+        .crossJoin(F.broadcast(sizes.agg(F.sum("n").alias("__size_sum"))))
+        .select(
+            "n_points",
+            F.lit(8).alias("k"),
+            F.lit(4).alias("iters"),
+            F.lit(bool(noninc)).alias("inertia_nonincreasing"),
+            (F.col("__size_sum") == F.col("n_points")).alias("sizes_sum_ok"),
+            F.col("__argmin_ok").alias("assignment_is_argmin"),
+        )
+    )

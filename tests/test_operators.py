@@ -718,3 +718,166 @@ def test_bin_pack_ffd_known_case(spark):
     assert sorted(map(tuple, non_oversize)) == [(2, 3), (3, 7), (4, 6)]
     again = {r.doc_id: (r.bin_id, r.oversize) for r in bin_pack_ffd(df, capacity=10).collect()}
     assert again == {k: (v.bin_id, v.oversize) for k, v in packed.items()}
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """Lloyd's k-means (operators/similarity.py::kmeans_euclidean) must
+    produce the SAME centroids and inertia history as a plain numpy
+    implementation seeded identically — pins assignment tie-breaks,
+    empty-cell handling, and the mean update."""
+    import numpy as np
+
+    from marketingcloud_etl_spark.operators.similarity import kmeans_euclidean
+
+    rng = np.random.RandomState(7)
+    pts = np.vstack(
+        [rng.normal(loc, 0.3, size=(20, 4)) for loc in (0.0, 5.0, 10.0)]
+    )
+    rows = [(int(i), [float(x) for x in pts[i]]) for i in range(len(pts))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    cents, history = kmeans_euclidean(df, k=3, iters=3)
+
+    # numpy twin with the same hash-ordered seeding
+    import pandas as pd
+
+    seed_order = (
+        df.selectExpr("vec_id", "xxhash64(vec_id) as h").orderBy("h").limit(3).collect()
+    )
+    seed_ids = sorted(r.vec_id for r in seed_order)
+    c = pts[seed_ids].astype(float)
+    hist_np = []
+    for _ in range(3):
+        d2 = ((pts[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        hist_np.append(float(d2.min(axis=1).sum()))
+        assign = d2.argmin(axis=1)  # ties -> lowest index, same as argmin expr
+        for j in range(3):
+            if (assign == j).any():
+                c[j] = pts[assign == j].mean(axis=0)
+    assert np.allclose(np.array(cents), c, rtol=1e-9, atol=1e-9)
+    assert np.allclose(np.array(history), np.array(hist_np), rtol=1e-9)
+    # the Lloyd invariant the catalog query relies on
+    assert all(b <= a * (1 + 1e-12) for a, b in zip(history, history[1:]))
+
+
+def test_countmin_never_undercounts_any_word(spark, sf_dir):
+    """The CMS grid built by q164's formulation must satisfy
+    estimate >= exact for EVERY word in the corpus (one-sided error),
+    not just the top-20 the catalog query reports."""
+    import pyspark.sql.functions as F
+
+    from marketingcloud_etl_spark.functions.text import tokens
+    from marketingcloud_etl_spark.io import table
+
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("word")
+    )
+    D, Wd = 4, 2048
+    hashes = F.array(
+        *[F.pmod(F.xxhash64(F.lit(i), F.col("word")), F.lit(Wd)) for i in range(D)]
+    )
+    grid = (
+        toks.select(F.posexplode(hashes).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = exact.select("word", "n_exact", F.posexplode(hashes).alias("row", "bucket"))
+    est = (
+        probes.join(F.broadcast(grid), ["row", "bucket"])
+        .groupBy("word", "n_exact")
+        .agg(F.min("c").alias("est"))
+    )
+    bad = est.filter(F.col("est") < F.col("n_exact")).count()
+    assert bad == 0
+
+
+def test_pydatasource_sink_commit_and_abort(spark, tmp_path):
+    """Two-phase commit of the custom Python DataSource writer: a
+    successful write is atomic + re-readable and overwrite replaces
+    committed parts; a failing write leaves NO _SUCCESS manifest."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from marketingcloud_etl_spark.sinks.pydatasource import (
+        JsonLinesSinkDataSource,
+        read_manifest,
+    )
+
+    try:
+        spark.dataSource.register(JsonLinesSinkDataSource)
+    except Exception:
+        pass
+    target = str(tmp_path / "sink")
+    os.makedirs(target, exist_ok=True)
+    df = spark.range(100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 3).cast("string").alias("k")
+    )
+    df.write.format("mcetl_jsonl_sink").option("path", target).mode("overwrite").save()
+    m1 = read_manifest(target)
+    assert m1["n_rows"] == 100
+    back = spark.read.schema("event_id bigint, k string").json(
+        [os.path.join(target, f) for f in m1["files"]]
+    )
+    assert back.count() == 100
+
+    # overwrite: commit replaces the old parts, manifest reflects only
+    # the new write
+    df.limit(40).write.format("mcetl_jsonl_sink").option("path", target).mode(
+        "overwrite"
+    ).save()
+    m2 = read_manifest(target)
+    assert m2["n_rows"] == 40
+    part_files = [f for f in os.listdir(target) if f.startswith("part-")]
+    assert sorted(part_files) == m2["files"]
+
+    # abort path: a task that throws must not publish a manifest
+    fail_target = str(tmp_path / "sink_fail")
+    os.makedirs(fail_target, exist_ok=True)
+    failing = spark.range(10).select(
+        F.udf(lambda x: (_ for _ in ()).throw(RuntimeError("boom")))(F.col("id")).alias("v")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        failing.write.format("mcetl_jsonl_sink").option("path", fail_target).mode(
+            "overwrite"
+        ).save()
+    assert not os.path.exists(os.path.join(fail_target, "_SUCCESS"))
+
+
+def test_zorder_layout_never_scans_more_than_linear(spark, sf_dir):
+    """The z-order layout's verified skipping metric: for the catalog
+    box predicate, the z-ordered layout must overlap no more files than
+    the single-column sort at every tested scale."""
+    from marketingcloud_etl_spark.plans.catalog import load_all
+
+    rows = {
+        r["layout"]: r["files_overlapping_box"]
+        for r in load_all()["q167_zorder_skipping"].fn(spark, sf_dir).collect()
+    }
+    assert rows["zorder"] <= rows["linear"]
+
+
+def test_weighted_sample_is_size_biased(spark, sf_dir):
+    """A-ES weighted sampling (q162): long documents must be sampled at
+    a higher rate than short ones — compare inclusion rates of the top
+    and bottom length terciles in the k=50 sample."""
+    import pyspark.sql.functions as F
+
+    from marketingcloud_etl_spark.io import table
+    from marketingcloud_etl_spark.plans.catalog import load_all
+
+    sample = load_all()["q162_weighted_sample"].fn(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    med = d.approxQuantile("n_chars", [0.5], 0.0)[0]
+    n_long_corpus = d.filter(F.col("n_chars") > med).count()
+    n_short_corpus = d.filter(F.col("n_chars") <= med).count()
+    s = sample.cache()
+    n_long = s.filter(F.col("n_chars") > med).count()
+    n_short = s.filter(F.col("n_chars") <= med).count()
+    s.unpersist()
+    assert n_long + n_short == 50
+    # size-biased: long-doc inclusion rate strictly exceeds short-doc rate
+    assert n_long / max(n_long_corpus, 1) > n_short / max(n_short_corpus, 1)
