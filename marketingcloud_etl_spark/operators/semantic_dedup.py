@@ -7,11 +7,17 @@
     split.
 
 This is the SemDeDup-family shape (cluster the embedding space, compare
-pairs only within cells): candidate generation is a cell-id equi-self-
-join whose shuffle is O(n·probes), never the n² cross product — the
-100 TB path. The cells come from the same IVF codebook the ANN search
-path trains (operators/similarity.train_ivf_codebook), so one offline
-training pass serves both search and dedup.
+pairs only within cells): the ONLY shuffle is a groupBy(cell) moving
+O(n·probes) unit vectors, and each ~corpus/n_cells-vector cell verifies
+its own pairs with one numpy gram matrix — never the n² cross product,
+never a candidate-pair join shuffling wide vectors. The cells come from
+the same IVF codebook the ANN search path trains
+(operators/similarity.train_ivf_codebook), so one offline training pass
+serves both search and dedup. Skew note: pair work is quadratic in cell
+size, so a pathologically popular cell concentrates work in one task —
+the adaptive cell count (≈ corpus/32, q134) is what bounds this; a
+production corpus with known hot regions would split oversized cells
+before verify.
 
 Every stage downstream of candidate generation is exact: pairs are
 verified with full-precision cosine, the transitive closure is
@@ -28,7 +34,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot
 from .components import dedup_clusters
 from .similarity import _normalize
 
@@ -37,43 +42,51 @@ from .similarity import _normalize
 _H32_OF = "cast(conv(substring(md5(cast({e} as string)), 1, 8), 16, 10) as bigint)"
 
 
-def _cell_scores_sql(vec_sql: str, norm_cents: list[list[float]]) -> str:
-    """ONE expression producing the array of dot products of a vector
-    against a LITERAL normalized-centroid matrix (argmax over dot ==
-    argmax over cosine; the vector's own norm scales every cell
-    identically). Same structural rules as similarity._argmax_cell_sql:
-    single F.expr, vector let-bound through a one-element transform so
-    it isn't re-evaluated per centroid after CollapseProject inlining."""
-    cents_lit = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"cast({x!r} as double)" for x in c) + ")"
-            for c in norm_cents
-        )
-        + ")"
-    )
-    return (
-        f"element_at(transform(array(cast({vec_sql} as array<double>)), v -> "
-        f"transform({cents_lit}, c -> "
-        f"aggregate(zip_with(v, c, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x))), 1)"
-    )
+def _probed_cells(
+    df: DataFrame,
+    codebook: list,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    with_unit: bool,
+) -> DataFrame:
+    """(id, cell[, unit-vector]) rows — each vector's ``n_probe``
+    highest-cosine cells, scored by an Arrow-batched numpy matmul.
+    Scoring EVERY centroid per vector is dense linear algebra, the case
+    where the vectorized kernel beats the interpreted zip_with fold by
+    ~5x at n_cells = corpus/32 (the SQL literal-matrix form,
+    similarity._argmax_cell_sql, remains the low-cell-count search
+    path). argsort (not argpartition) keeps the probe order
+    deterministic under score ties. With ``with_unit`` the row also
+    carries the unit-normalized vector (zero vectors pass through, the
+    functions.vectors.cosine convention) so the within-cell verify
+    needs no second corpus join."""
+    import numpy as np
+    import pandas as pd
 
+    norm_cents = [_normalize([float(x) for x in c]) for _, c in codebook]
+    CNT = np.asarray(norm_cents, dtype=np.float64).T
+    _np_probe = int(n_probe)
 
-def _unit_sql(vec_sql: str) -> str:
-    """ONE expression producing the unit-normalized double array (zero
-    vectors pass through unchanged — their dot with anything is 0, the
-    same "no directional similarity" convention as functions.vectors.
-    cosine). The norm fold is let-bound through single-element
-    transforms so it computes ONCE per vector, not once per element
-    after CollapseProject inlining. Normalizing up front turns the
-    per-PAIR verify cost from three folds (dot + two norms) into one
-    dot — the pair side is where the volume is."""
-    return (
-        f"element_at(transform(array(cast({vec_sql} as array<double>)), v -> "
-        f"element_at(transform(array("
-        f"aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)"
-        f"), nn -> if(nn > 0D, transform(v, x -> x / sqrt(nn)), v)), 1)), 1)"
-    )
+    def run(batches):
+        for pdf in batches:
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            S = X @ CNT
+            top = np.argsort(-S, axis=1, kind="stable")[:, :_np_probe]
+            ids = pdf[id_col].to_numpy()
+            out = {
+                "__id": np.repeat(ids, _np_probe),
+                "cell": top.reshape(-1).astype("int32"),
+            }
+            if with_unit:
+                norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+                U = np.where(norms > 0, X / np.where(norms == 0, 1.0, norms), X)
+                out["__u"] = list(np.repeat(U, _np_probe, axis=0))
+            yield pd.DataFrame(out)
+
+    schema = "__id bigint, cell int" + (", __u array<double>" if with_unit else "")
+    out = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, schema)
+    return out if with_unit else out.distinct()
 
 
 def cell_candidates(
@@ -90,30 +103,7 @@ def cell_candidates(
     vectors share at least one probed cell. The only shuffle is the
     cell-id equi-self-join: O(n·n_probe) rows in, within-cell pairs
     out."""
-    norm_cents = [_normalize([float(x) for x in c]) for _, c in codebook]
-    scored = df.select(
-        F.col(id_col).alias("__id"),
-        F.expr(_cell_scores_sql(vec_col, norm_cents)).alias("__s0"),
-    )
-    # peel off the top-n_probe cells: argmax, mask, argmax again — all
-    # codegen'd array expressions, no window, no shuffle
-    for i in range(n_probe):
-        scored = scored.withColumn(
-            f"__c{i}",
-            F.expr(f"cast(array_position(__s{i}, array_max(__s{i})) as int) - 1"),
-        )
-        if i + 1 < n_probe:
-            scored = scored.withColumn(
-                f"__s{i + 1}",
-                F.expr(
-                    f"transform(__s{i}, (x, j) -> "
-                    f"if(j = __c{i}, cast('-Infinity' as double), x))"
-                ),
-            )
-    cells = scored.select(
-        "__id",
-        F.explode(F.array(*[F.col(f"__c{i}") for i in range(n_probe)])).alias("cell"),
-    ).distinct()
+    cells = _probed_cells(df, codebook, n_probe, id_col, vec_col, with_unit=False)
     # cut the literal-centroid expression out of every downstream plan:
     # it is ~n_cells·dim literals of SQL text, and left inline it would
     # be re-analyzed, re-codegen'd (Janino on a 100 KB method), and
@@ -151,16 +141,38 @@ def semantic_dedup(
     * ``edges`` — the verified near-dup pairs (id_a, id_b, cos_sim),
       exact cosine ≥ ``threshold``, candidates only.
     """
-    cand = cell_candidates(df, codebook, n_probe, id_col, vec_col)
-    unit = df.select(F.col(id_col).alias("__id"), F.expr(_unit_sql(vec_col)).alias("__u"))
-    va = unit.select(F.col("__id").alias("id_a"), F.col("__u").alias("__va"))
-    vb = unit.select(F.col("__id").alias("id_b"), F.col("__u").alias("__vb"))
+    import numpy as np
+    import pandas as pd
+
+    # one Arrow pass probes cells AND normalizes; the ONLY shuffle is
+    # the groupBy(cell), and each ~corpus/n_cells-vector cell verifies
+    # its own pairs with a numpy gram matrix — the SemDeDup shape: pair
+    # work is bounded per cell, no candidate-pair join shuffling wide
+    # vectors across the cluster. A pair sharing two probed cells is
+    # emitted twice with the bitwise-identical similarity; the final
+    # distinct collapses it.
+    probed = _probed_cells(df, codebook, n_probe, id_col, vec_col, with_unit=True)
+    thr = float(threshold)
+
+    def within_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["__id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        U = np.vstack(pdf["__u"].to_numpy())
+        S = U @ U.T
+        iu = np.triu_indices(len(ids), k=1)
+        sims = S[iu]
+        m = sims >= thr
+        a, b = ids[iu[0][m]], ids[iu[1][m]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims[m]})
+
     edges = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cos_sim", dot("__va", "__vb"))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        probed.groupBy("cell")
+        .applyInPandas(within_cell, "id_a bigint, id_b bigint, cos_sim double")
+        .distinct()
     )
     # the verified edge set is tiny (near-dup pairs), but its lineage is
     # the expensive candidate-join + dot scan; materialize once so the

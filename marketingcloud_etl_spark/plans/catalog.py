@@ -121,6 +121,13 @@ _PRIORITY = (
     "q166_time_decay_attribution",
     "q167_zorder_skipping",
     "q168_pydatasource_sink",
+    # second round-5 wave (52 first-time oracle-able names now sit ahead
+    # of the re-check block; the driver's 50-sample window covers all
+    # but the last two, which carry to the next round)
+    "q169_crosstab",
+    "q170_sampleby_stratified",
+    "q171_try_arithmetic",
+    "q172_stream_foreach_sink",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

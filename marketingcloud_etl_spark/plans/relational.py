@@ -1940,3 +1940,89 @@ def q158_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderstatus").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_customers")
     )
+
+
+@query(
+    "q169_crosstab",
+    oracle="""
+    SELECT cast(c_nationkey as varchar) AS c_nationkey_c_mktsegment,
+           cast(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) as bigint) AS AUTOMOBILE,
+           cast(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) as bigint) AS BUILDING,
+           cast(sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) as bigint) AS FURNITURE,
+           cast(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) as bigint) AS HOUSEHOLD,
+           cast(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) as bigint) AS MACHINERY
+    FROM customer GROUP BY c_nationkey
+    """,
+    tags=("relational", "stat"),
+)
+def q169_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.crosstab`` — the pairwise contingency table (nation ×
+    market segment). Spark computes it as a pivoted count aggregation
+    whose column set is the distinct values of the second column, so
+    it is only safe when that cardinality is bounded (5 segments); the
+    oracle reproduces the same table with explicit conditional sums.
+    Sorted by the row key for a deterministic driver hash."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    ct = c.stat.crosstab("c_nationkey", "c_mktsegment")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return ct.select(
+        "c_nationkey_c_mktsegment", *[F.col(s).cast("bigint").alias(s) for s in segs]
+    )
+
+
+@query(
+    "q170_sampleby_stratified",
+    oracle="""
+    SELECT c_mktsegment,
+           cast(count(*) as bigint) AS n_corpus,
+           true AS rate_in_bounds,
+           true AS sample_is_subset
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("relational", "stat", "sampling"),
+)
+def q170_sampleby_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.sampleBy`` — per-stratum Bernoulli sampling with a
+    fixed seed (fractions 30%/10% by segment). The draw is engine-
+    internal (seeded rand — reproducible within Spark, not across
+    engines), so the oracle value-checks the exact per-stratum corpus
+    counts and the sample carries self-verifying booleans: the
+    realized rate sits within 5σ binomial bounds of its target
+    fraction, and every sampled row joins back to the corpus
+    (subset property, left_anti count == 0). q85/q86 are the
+    cross-engine-deterministic hash alternatives; sampleBy is the
+    API-parity entry."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    fracs = {
+        "AUTOMOBILE": 0.3, "BUILDING": 0.1, "FURNITURE": 0.3,
+        "HOUSEHOLD": 0.1, "MACHINERY": 0.3,
+    }
+    s = c.stat.sampleBy("c_mktsegment", fracs, seed=42)
+    not_in_corpus = s.join(c, "c_custkey", "left_anti").count()
+    per = (
+        c.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_corpus"))
+        .join(
+            s.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("__n_samp")),
+            "c_mktsegment",
+            "left",
+        )
+        .fillna(0, ["__n_samp"])
+    )
+    frac_col = F.create_map(
+        *[F.lit(x) for kv in fracs.items() for x in kv]
+    )[F.col("c_mktsegment")]
+    # 5σ binomial bound: |n_samp − n·p| ≤ 5·sqrt(n·p·(1−p)) + 1
+    bound = F.lit(5.0) * F.sqrt(
+        F.col("n_corpus") * frac_col * (F.lit(1.0) - frac_col)
+    ) + F.lit(1.0)
+    return per.select(
+        "c_mktsegment",
+        "n_corpus",
+        (
+            F.abs(F.col("__n_samp") - F.col("n_corpus") * frac_col) <= bound
+        ).alias("rate_in_bounds"),
+        F.lit(not_in_corpus == 0).alias("sample_is_subset"),
+    )

@@ -361,3 +361,45 @@ def q157_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.monthname(d).alias("month_name"),
         F.datediff(F.lit("2026-01-01").cast("date"), d).alias("days_to_ref"),
     )
+
+
+@query(
+    "q171_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber = 0 THEN NULL
+                ELSE cast(cast(l_extendedprice as decimal(18,2)) as double) / l_linenumber
+           END AS safe_unit_price,
+           try_cast(l_returnflag AS int) AS flag_as_int,
+           try_cast(concat('20', l_returnflag) AS date) AS bad_date,
+           9223372036854775807 + CASE WHEN l_orderkey < 0 THEN 1 ELSE 0 END
+             AS near_overflow
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    tags=("scalar", "ansi"),
+)
+def q171_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_*`` function battery — the error-handling
+    surface for dirty data: try_divide (NULL on zero divisor instead
+    of an ANSI error), try_cast on non-numeric and malformed-date
+    strings (NULL, the reference's null-on-parse-failure semantic
+    R9 generalized), and bigint arithmetic at the overflow boundary
+    (the CASE keeps it un-taken, pinning that the engines agree on the
+    representable edge). The division runs in DOUBLE on an exactly-decimal-quantized
+    numerator — one IEEE op on identical operands (decimal division
+    result-scale rules differ between engines, money.py's warning)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice").cast("decimal(18,2)").cast("double"), F.col("l_linenumber")).alias(
+            "safe_unit_price"
+        ),
+        F.expr("try_cast(l_returnflag as int)").alias("flag_as_int"),
+        F.expr("try_cast(concat('20', l_returnflag) as date)").alias("bad_date"),
+        (
+            F.lit(9223372036854775807).cast("bigint")
+            + F.when(F.col("l_orderkey") < 0, 1).otherwise(0)
+        ).alias("near_overflow"),
+    )

@@ -568,3 +568,76 @@ def q147_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n_rows"),
         F.col("value.sum").alias("total_cents"),
     )
+
+
+@query(
+    "q172_stream_foreach_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n_rows,
+           cast(sum(cast(round(value * 100) as bigint)) as bigint) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "sink"),
+)
+def q172_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreach`` (per-ROW) streaming sink — the lowest-level sink
+    protocol, for targets with no batch API (the per-record REST POST
+    the reference's world speaks): a ForeachWriter opens per
+    (partition, epoch), streams rows into a JSON-lines part file, and
+    publishes it atomically on close. The (partition, epoch) file name
+    is the idempotence key — a retried task overwrites its own file,
+    never duplicates it — so the re-read equals the source exactly and
+    the oracle value-checks the full loop. foreachBatch (q75) is the
+    set-based fast path; this is the row-protocol twin. Cents are
+    per-row-rounded integers, order-proof."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    prep(spark)
+    from ..streaming.jobs import events_stream
+
+    tag = fixture_tag(sf_dir)
+    target = f"/tmp/mcetl_feach_{tag}"
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(f"{target}_ckpt", ignore_errors=True)
+    os.makedirs(target, exist_ok=True)
+
+    class RowWriter:
+        def open(self, partition_id: int, epoch_id: int) -> bool:
+            self.path = os.path.join(target, f"p{partition_id}-e{epoch_id}.jsonl")
+            self.tmp = self.path + ".tmp"
+            self.f = open(self.tmp, "w")
+            return True
+
+        def process(self, row) -> None:
+            cents = int(row.value * 100 + (0.5 if row.value >= 0 else -0.5))
+            self.f.write(
+                json.dumps({"event_type": row.event_type, "cents": cents}) + "\n"
+            )
+
+        def close(self, error) -> None:
+            self.f.close()
+            if error is None:
+                os.replace(self.tmp, self.path)  # atomic publish per task
+            else:
+                os.remove(self.tmp)
+
+    q = (
+        events_stream(spark, sf_dir)
+        .select("event_type", "value")
+        .writeStream.foreach(RowWriter())
+        .option("checkpointLocation", f"{target}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(f"{target}_ckpt", ignore_errors=True)
+    back = spark.read.schema("event_type string, cents bigint").json(
+        sorted(glob.glob(os.path.join(target, "*.jsonl")))
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("total_cents"),
+    )

@@ -5,6 +5,8 @@ LSH-bucketed ANN (rows-only), and the multimodal mapInPandas pipeline
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -424,13 +426,16 @@ def q163_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding corpus (k=8, 4 iterations) —
     topic clustering / SemDeDup-style cluster pruning. Self-verifying
     invariant row in q134's style: (a) the Lloyd guarantee — inertia
-    measured at each assignment step never increases; (b) final cluster
-    sizes sum to the corpus size; (c) every point's stored cluster is
-    the argmin over the FINAL centroids recomputed independently in the
-    verification expression. n_points is value-checked by the oracle;
-    a broken update step, a dropped partition, or a wrong argmin flips
-    a boolean. All per-iteration passes are narrow maps with literal
-    centroids (operators/similarity.py::kmeans_euclidean)."""
+    measured at each assignment step never increases; (b) final
+    cluster sizes sum to the corpus size; (c) on a deterministic
+    200-point audit sample, the production assignment (numpy kernel
+    inside the Arrow batch, operators/similarity.py) agrees with an
+    INDEPENDENT flat-SQL argmin over the same final centroids — two
+    formulations, two runtimes, same answer. n_points is value-checked
+    by the oracle; a broken update step, a dropped partition, or a
+    wrong argmin flips a boolean."""
+    import numpy as np
+
     prep(spark)
     from ..operators.similarity import _argmin_sqdist_sql, kmeans_euclidean
 
@@ -438,44 +443,32 @@ def q163_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, history = kmeans_euclidean(emb, k=8, iters=4)
     noninc = all(b <= a * (1 + 1e-12) for a, b in zip(history, history[1:]))
 
-    assigned = emb.select(
-        "vec_id",
-        F.col("embedding").alias("__v"),
-        F.expr(_argmin_sqdist_sql("embedding", cents)).alias("cell"),
-    )
-    # independent argmin recheck by a DIFFERENT formulation: centroids as
-    # ROWS (not literals), crossJoin + min_by over the 8 candidates, on a
-    # deterministic hash sample of <=200 points (audit path, not the
-    # production assignment path — at corpus scale you'd sample the same
-    # way)
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "ci int, cvec array<double>",
-    )
-    audit = (
-        assigned.orderBy(F.xxhash64("vec_id")).limit(200)
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn(
-            "__d",
-            F.aggregate(
-                F.zip_with(
-                    F.col("__v").cast("array<double>"),
-                    "cvec",
-                    lambda x, c: (x - c) * (x - c),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        .groupBy("vec_id", "cell")
-        .agg(F.min_by("ci", F.struct("__d", "ci")).alias("cell2"))
-    )
-    argmin_ok = audit.agg(F.min(F.col("cell") == F.col("cell2")).alias("ok"))
+    C = np.asarray(cents, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    assigned = emb.select("vec_id", "embedding", assign("embedding").alias("cell"))
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    totals = sizes.agg(
+        F.sum("n").alias("__size_sum"), F.count(F.lit(1)).alias("__n_cells")
+    )
+    # independent recheck: flat codegen'd argmin expression on a
+    # deterministic hash sample — cheap (200 rows) and a genuinely
+    # different code path from the Arrow kernel
+    audit = (
+        assigned.orderBy(F.xxhash64("vec_id"))
+        .limit(200)
+        .withColumn("cell2", F.expr(_argmin_sqdist_sql("embedding", cents)))
+    )
+    argmin_ok = audit.agg(F.min(F.col("cell") == F.col("cell2")).alias("__argmin_ok"))
+    n_points = emb.agg(F.count(F.lit(1)).alias("n_points"))
     return (
-        assigned.agg(F.count(F.lit(1)).alias("n_points"))
-        .crossJoin(F.broadcast(argmin_ok.select(F.col("ok").alias("__argmin_ok"))))
-        .crossJoin(F.broadcast(sizes.agg(F.sum("n").alias("__size_sum"))))
+        n_points.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(argmin_ok))
         .select(
             "n_points",
             F.lit(8).alias("k"),
