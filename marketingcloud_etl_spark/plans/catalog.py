@@ -103,9 +103,11 @@ _PRIORITY = (
     "q151_bin_packing_ffd",
     "q152_apply_in_arrow",
     "q153_collation_group",
-    # new round-5 queries needing first-time driver verdicts (33 + 15
-    # above = 48 oracle-able names ahead of the re-check block — still
-    # inside the driver's 50-query sample window)
+    # new round-5 queries needing first-time driver verdicts. With the
+    # round-4 artifacts never produced, 58 first-time oracle-able names
+    # now precede the re-check block; the driver's 50-name window covers
+    # the oldest 50 and the newest 8 carry to the next round (ordering
+    # discipline pinned by tests/test_plan_quality.py)
     "q154_window_distribution",
     "q155_listagg",
     "q156_xml_roundtrip",
@@ -121,13 +123,16 @@ _PRIORITY = (
     "q166_time_decay_attribution",
     "q167_zorder_skipping",
     "q168_pydatasource_sink",
-    # second round-5 wave (52 first-time oracle-able names now sit ahead
-    # of the re-check block; the driver's 50-sample window covers all
-    # but the last two, which carry to the next round)
+    # second round-5 wave
     "q169_crosstab",
     "q170_sampleby_stratified",
     "q171_try_arithmetic",
     "q172_stream_foreach_sink",
+    "q173_substring_dup_spans",
+    "q174_int8_quantization",
+    "q175_shuffle_hash_join",
+    "q176_dynamic_partition_pruning",
+    "q177_modern_agg_battery",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

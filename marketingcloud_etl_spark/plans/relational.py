@@ -2026,3 +2026,144 @@ def q170_sampleby_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rate_in_bounds"),
         F.lit(not_in_corpus == 0).alias("sample_is_subset"),
     )
+
+
+@query(
+    "q175_shuffle_hash_join",
+    oracle="""
+    SELECT o_orderpriority,
+           cast(count(*) as bigint) AS n_items,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "join", "hint"),
+)
+def q175_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE_HASH join-strategy hint — the third physical join
+    strategy after broadcast (q70-family) and the sort-merge default:
+    both sides shuffle on the key but the smaller side builds an
+    in-memory hash table instead of sorting, the right call when one
+    side is too big to broadcast yet small enough to hash per
+    partition (a fact⋈mid-size-dim at 100 TB). Results are identical
+    to any strategy — the hint is physical only, which is exactly what
+    the oracle checks; the plan-level assertion (ShuffledHashJoin,
+    no SortMergeJoin) lives in tests/test_plan_quality.py."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").hint("shuffle_hash")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_quantity", 18, 2)).cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q176_dynamic_partition_pruning",
+    oracle="""
+    SELECT cast(extract(year from o_orderdate) as int) AS order_year,
+           cast(count(*) as bigint) AS n_orders,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_price
+    FROM orders
+    WHERE extract(year from o_orderdate) IN (
+      SELECT DISTINCT extract(year from o_orderdate) FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND extract(year from o_orderdate) <= 1996
+    )
+    GROUP BY order_year
+    """,
+    tags=("relational", "scan", "scale"),
+)
+def q176_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the scan optimization static pruning
+    (q34) can't give you: the fact table is LAID OUT partitioned by
+    order_year (a one-time hive-style write), the pruning years come
+    from a runtime subquery (the dimension side of a join), and Spark
+    injects the dimension's year set into the fact scan as a runtime
+    filter, so only the matching year directories are read. At 100 TB
+    partition layout + DPP is the difference between scanning 7 years
+    and scanning 2. The oracle reproduces the semantic result; the
+    plan assertion (``dynamicpruningexpression`` on the scan) lives in
+    tests/test_plan_quality.py."""
+    prep(spark)
+    from ..io import atomic_cached_write, fixture_tag
+
+    base = f"/tmp/mcetl_part_orders_{fixture_tag(sf_dir)}"
+    o = table(spark, sf_dir, "orders")
+    atomic_cached_write(
+        base,
+        lambda tmp: o.withColumn("order_year", F.year("o_orderdate"))
+        .write.partitionBy("order_year")
+        .mode("overwrite")
+        .parquet(tmp),
+    )
+    fact = spark.read.parquet(base)
+    years = (
+        fact.filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("order_year") <= 1996)
+        )
+        .select("order_year")
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(years), "order_year")
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("total_price"),
+        )
+        .select(
+            F.col("order_year").cast("int").alias("order_year"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "q177_modern_agg_battery",
+    oracle="""
+    SELECT l_returnflag,
+           max_by(l_orderkey, cast(round(l_extendedprice * 100) as bigint) * 10000000
+                                + l_orderkey) AS priciest_order,
+           min_by(l_orderkey, cast(round(l_extendedprice * 100) as bigint) * 10000000
+                                + l_orderkey) AS cheapest_order,
+           mode(l_linestatus) AS common_status,
+           cast(count_if(l_discount > 0.05) as bigint) AS n_high_discount,
+           cast(bool_and(l_quantity > 0) as boolean) AS all_positive_qty,
+           cast(bool_or(l_tax > 0.07) as boolean) AS any_high_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg"),
+)
+def q177_modern_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern aggregate battery — ``max_by``/``min_by`` (argmax/
+    argmin without a window or self-join: ONE hash-agg pass replaces
+    the rank-then-filter shape where only the extremum row is wanted),
+    ``mode`` (most frequent value), ``count_if``, ``bool_and``/
+    ``bool_or``. Determinism protocol: max_by/min_by tie behavior is
+    engine-arbitrary, so the ordering key packs (cents, orderkey) into
+    ONE exact bigint — the key itself carries the tiebreak. All
+    partial-aggregable — no shuffle beyond the group key."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    # self-tiebreaking scalar key: exact integer (cents, orderkey) pack —
+    # max_by/min_by tie behavior is engine-arbitrary, so the key itself
+    # carries the tiebreak (cents <= ~1.1e7, x1e7 + orderkey stays well
+    # under 2^53, exact in either engine's bigint)
+    price_key = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.lit(10000000)
+        + F.col("l_orderkey")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", price_key).alias("priciest_order"),
+        F.min_by("l_orderkey", price_key).alias("cheapest_order"),
+        F.mode("l_linestatus").alias("common_status"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_high_discount"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+    )

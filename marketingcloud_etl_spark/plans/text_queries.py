@@ -1318,3 +1318,75 @@ def q165_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df_count").desc(), "word")
         .limit(50)
     )
+
+
+@query(
+    "q173_substring_dup_spans",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    win AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(words) - 7, 0))) AS pos,
+             words
+      FROM w
+    ), spans AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(words, pos + 1, pos + 8), ' ') AS span
+      FROM win
+    ), freq AS (
+      SELECT span, count(*) AS c FROM spans GROUP BY span
+    )
+    SELECT s.doc_id,
+           cast(count(*) as bigint) AS n_windows,
+           cast(sum(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_windows,
+           cast(sum(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) as double) / count(*)
+             AS dup_fraction
+    FROM spans s JOIN freq f ON s.span = f.span
+    GROUP BY s.doc_id
+    """,
+    tags=("text", "dedup", "llm"),
+)
+def q173_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level duplication detection (the Lee et al. 2022
+    'Deduplicating Training Data' family, window-approximated): every
+    stride-1 8-word window of every document is checked for repetition
+    ANYWHERE in the corpus, and each doc reports its duplicated-window
+    fraction — the signal substring-dedup pipelines threshold to drop
+    or trim boilerplate-heavy documents. q161's chunk dedup is the
+    coarse (stride-10, removal) form; this is the fine-grained
+    detection form: stride-1 windows catch duplicated spans at ANY
+    alignment, which chunking misses. Two shuffles: windows group by
+    their own content (corpus-wide frequency), then rejoin to
+    per-doc rollup — no all-pairs, same partition-by-content scale
+    shape as q37/q161. Docs shorter than 8 words contribute (and
+    report) zero windows, dropping out of the grouped join on both
+    engines identically."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    spans = (
+        d.select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(words) - 8), "
+                    "i -> concat_ws(' ', slice(words, i + 1, 8)))"
+                )
+            ).alias("pos", "span"),
+        )
+    )
+    freq = spans.groupBy("span").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        spans.join(freq, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_windows"),
+            (
+                F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_fraction"),
+        )
+    )

@@ -478,3 +478,83 @@ def q163_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__argmin_ok").alias("assignment_is_argmin"),
         )
     )
+
+
+@query(
+    "q174_int8_quantization",
+    oracle="""
+    WITH x AS (
+      SELECT cast(unnest(embedding) as double) AS x,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ), stats AS (
+      SELECT pos, min(x) AS dim_min, max(x) AS dim_max,
+             (max(x) - min(x)) / 255.0 AS scale
+      FROM x GROUP BY pos
+    ), q AS (
+      SELECT x.pos, s.dim_min, s.dim_max, s.scale,
+             CASE WHEN s.scale > 0
+                  THEN abs(x.x - (s.dim_min + round((x.x - s.dim_min) / s.scale) * s.scale))
+                  ELSE 0.0 END AS abs_err,
+             CASE WHEN s.scale > 0
+                  THEN round((x.x - s.dim_min) / s.scale)
+                  ELSE 0.0 END AS code
+      FROM x JOIN stats s ON x.pos = s.pos
+    )
+    SELECT pos, dim_min, dim_max,
+           cast(count(*) as bigint) AS n,
+           max(abs_err) AS max_abs_err,
+           cast(min(CASE WHEN abs_err <= scale * 0.5000001 THEN 1 ELSE 0 END) = 1
+                as boolean) AS within_half_step,
+           cast(min(CASE WHEN code >= 0 AND code <= 255 THEN 1 ELSE 0 END) = 1
+                as boolean) AS codes_in_range
+    FROM q GROUP BY pos, dim_min, dim_max
+    """,
+    tags=("vector", "llm", "compression"),
+)
+def q174_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar INT8 quantization of the embedding corpus — the 4x
+    storage/bandwidth reduction every large vector store applies before
+    ANN (PQ's 32x cousin, q105/q138, trades more error): per-DIMENSION
+    min/max train the affine code (code = round((x-min)/scale),
+    scale = range/255), and the query verifies the scheme's exact
+    guarantees per dimension — reconstruction error never exceeds half
+    a step, codes stay in [0, 255] — alongside the value-checked
+    min/max/error stats. Two aggregations over the posexploded corpus
+    (train stats, then verify vs the broadcast 64-row stats table);
+    everything is closed-form IEEE arithmetic on identical operands,
+    so DuckDB reproduces the floats bit-for-bit."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    stats = x.groupBy("pos").agg(
+        F.min("x").alias("dim_min"),
+        F.max("x").alias("dim_max"),
+        ((F.max("x") - F.min("x")) / F.lit(255.0)).alias("scale"),
+    )
+    code = F.when(
+        F.col("scale") > 0, F.round((F.col("x") - F.col("dim_min")) / F.col("scale"))
+    ).otherwise(F.lit(0.0))
+    dq = F.col("dim_min") + code * F.col("scale")
+    abs_err = F.when(F.col("scale") > 0, F.abs(F.col("x") - dq)).otherwise(F.lit(0.0))
+    q = x.join(F.broadcast(stats), "pos").select(
+        "pos", "dim_min", "dim_max", "scale", abs_err.alias("abs_err"), code.alias("code")
+    )
+    return q.groupBy("pos", "dim_min", "dim_max").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("abs_err").alias("max_abs_err"),
+        (
+            F.min(
+                F.when(F.col("abs_err") <= F.col("scale") * 0.5000001, 1).otherwise(0)
+            )
+            == 1
+        ).alias("within_half_step"),
+        (
+            F.min(
+                F.when((F.col("code") >= 0) & (F.col("code") <= 255), 1).otherwise(0)
+            )
+            == 1
+        ).alias("codes_in_range"),
+    )

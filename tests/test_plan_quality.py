@@ -214,26 +214,31 @@ def test_priority_front_slots_cover_unevidenced_backlog():
     deferred = [
         n for n in oracle_order if n not in green and n not in first50
     ]
-    # When one round registers more than 50 net-new oracle queries, some
-    # MUST overflow the window — that is new work outrunning the
-    # driver's sample rate, not the rounds-2/3 failure mode (aged debt
-    # parked behind re-checks). So the invariant is: every deferred name
-    # is NEWER (higher catalog position) than every unevidenced name
-    # inside the window — i.e. the priority order pays oldest debt
-    # first — and the overflow is small.
-    pos = {n: i for i, n in enumerate(oracle_order)}
-    in_window_unevidenced = [n for n in oracle_order[:50] if n not in green]
-    if deferred and in_window_unevidenced:
+    # When unevidenced names outnumber the 50-slot window (a round that
+    # registers more net-new queries than the driver samples — also the
+    # r4-artifacts-never-written case), overflow is arithmetic, not the
+    # rounds-2/3 failure mode (aged debt parked behind re-checks). The
+    # meaningful invariants are then:
+    #  1. the window is FULLY packed with unevidenced names — no
+    #     already-green re-check occupies a slot while a first-timer
+    #     waits outside;
+    #  2. the order pays oldest debt first — every deferred name is
+    #     NEWER (higher catalog position) than every unevidenced name
+    #     inside the window.
+    if deferred:
+        stale_slots = [n for n in oracle_order[:50] if n in green]
+        assert not stale_slots, (
+            "already-verified queries hold window slots while unevidenced "
+            f"ones wait outside: inside={stale_slots} deferred={deferred}"
+        )
+        pos = {n: i for i, n in enumerate(oracle_order)}
+        in_window_unevidenced = [n for n in oracle_order[:50] if n not in green]
         oldest_deferred = min(pos[n] for n in deferred)
         newest_inside = max(pos[n] for n in in_window_unevidenced)
         assert oldest_deferred > newest_inside, (
             "priority order defers OLDER unevidenced queries while newer "
             f"ones occupy window slots: {deferred}"
         )
-    assert len(deferred) <= 5, (
-        f"too many unevidenced oracle queries outside the driver's "
-        f"50-name sample: {deferred}"
-    )
 
 
 def test_no_unpartitioned_window_in_plans():
@@ -297,3 +302,20 @@ def test_global_row_ids_plan_free_of_single_partition(spark, sf_dir):
     df.collect()
     plan = _plan(df)
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_shuffle_hash_hint_plans_shuffled_hash_join(spark, sf_dir):
+    """q175's SHUFFLE_HASH hint must produce a ShuffledHashJoin — if
+    Catalyst silently falls back to sort-merge, the query stops
+    covering the strategy it exists to demonstrate."""
+    plan = _plan(REGISTRY["q175_shuffle_hash_join"].fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dpp_scan_carries_runtime_pruning_filter(spark, sf_dir):
+    """q176's partitioned-fact scan must carry a dynamic-pruning
+    runtime filter on the partition column (the subquery-driven
+    directory skip the query exists to demonstrate)."""
+    plan = _plan(REGISTRY["q176_dynamic_partition_pruning"].fn(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
