@@ -133,6 +133,8 @@ _PRIORITY = (
     "q175_shuffle_hash_join",
     "q176_dynamic_partition_pruning",
     "q177_modern_agg_battery",
+    "q178_parameterized_sql",
+    "q179_csv_corrupt_records",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

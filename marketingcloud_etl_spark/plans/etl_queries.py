@@ -1170,3 +1170,74 @@ def q168_pydatasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = agg.agg(F.sum("n").alias("__t")).collect()[0]["__t"]
     return agg.withColumn("manifest_matches", F.lit(manifest["n_rows"] == total))
+
+
+@query(
+    "q179_csv_corrupt_records",
+    oracle="""
+    WITH src AS (SELECT event_id, value FROM events WHERE event_id < 2000)
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(sum(CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END) as bigint)
+             AS n_corrupt,
+           cast(sum(CASE WHEN event_id % 50 <> 0 THEN 1 ELSE 0 END) as bigint)
+             AS n_valid,
+           cast(sum(CASE WHEN event_id % 50 <> 0
+                         THEN cast(round(value * 100) as bigint) ELSE 0 END) as bigint)
+             AS valid_cents
+    FROM src
+    """,
+    tags=("etl", "source", "quality"),
+)
+def q179_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV malformed-record handling (PERMISSIVE +
+    ``columnNameOfCorruptRecord``) — the ingest posture for dirty
+    feeds: a fixture CSV is planted with a malformed numeric on every
+    50th event, the read captures each bad line in the corrupt-record
+    column INSTEAD of failing the job (FAILFAST) or silently dropping
+    rows (DROPMALFORMED), and the aggregate proves nothing was lost:
+    corrupt + valid = total, and the valid-side cents match the
+    oracle's reconstruction of the same planted rule. The quarantine
+    router (q125) is the downstream consumer of exactly this column."""
+    import os
+
+    prep(spark)
+    base = f"/tmp/mcetl_badcsv_{fixture_tag(sf_dir)}"
+    src = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "value")
+    )
+
+    def write_fixture(tmp: str) -> None:
+        # plant the corruption while WRITING the text lines (driver-side
+        # — this builds a small source fixture, the same role as the
+        # mock REST server), then mark completion the way the atomic
+        # cache protocol expects
+        os.makedirs(tmp, exist_ok=True)
+        rows = src.collect()
+        with open(os.path.join(tmp, "part-0.csv"), "w") as f:
+            for r in rows:
+                if r.event_id % 50 == 0:
+                    f.write(f"{r.event_id},notanumber\n")
+                else:
+                    f.write(f"{r.event_id},{r.value!r}\n")
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    atomic_cached_write(base, write_fixture)
+    back = (
+        spark.read.schema("event_id bigint, value double, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(os.path.join(base, "part-0.csv"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0)).alias("n_valid"),
+        F.sum(
+            F.when(
+                F.col("_corrupt").isNull(),
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(0)
+        ).alias("valid_cents"),
+    )

@@ -2167,3 +2167,37 @@ def q177_modern_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
     )
+
+
+@query(
+    "q178_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           cast(count(*) as bigint) AS n,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_price
+    FROM orders
+    WHERE o_totalprice > 50000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "sql"),
+)
+def q178_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+/4 ``spark.sql(sql, args=...)``) —
+    named parameter markers bound server-side, the injection-safe way
+    to template queries (vs string interpolation, which breaks on
+    quoting and poisons the plan cache with one plan per literal).
+    The parameters arrive typed (double, string), the plan is identical
+    to the literal query — which is what the oracle checks."""
+    prep(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_178")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_price
+        FROM v_orders_178
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 50000.0, "status": "F"},
+    )

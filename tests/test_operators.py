@@ -881,3 +881,110 @@ def test_weighted_sample_is_size_biased(spark, sf_dir):
     assert n_long + n_short == 50
     # size-biased: long-doc inclusion rate strictly exceeds short-doc rate
     assert n_long / max(n_long_corpus, 1) > n_short / max(n_short_corpus, 1)
+
+
+def test_line_dedup_keeps_first_occurrence_only(spark):
+    """Planted case for the q161 protocol: a boilerplate chunk repeated
+    across documents survives only in the earliest (doc_id, pos) home;
+    unique prose is untouched."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    boiler = " ".join(f"nav{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq_a}"),
+            (2, f"{boiler} {uniq_b}"),
+            (3, boiler),
+        ],
+        "doc_id bigint, text string",
+    )
+    words = F.split(F.col("text"), " ")
+    chunks = docs.select(
+        "doc_id",
+        F.size(words).alias("nw"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(split(text, ' '))/10.0) as int) - 1), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i*10+1, 10)))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    rn = F.row_number().over(W.partitionBy("chunk").orderBy("doc_id", "pos"))
+    kept = chunks.select("doc_id", "pos", "chunk", rn.alias("rn")).filter(F.col("rn") == 1)
+    rows = {(r.doc_id, r.pos): r.chunk for r in kept.collect()}
+    assert (1, 0) in rows and rows[(1, 0)] == boiler  # first home keeps it
+    assert (1, 1) in rows and (2, 1) in rows  # unique chunks survive
+    assert (2, 0) not in rows and (3, 0) not in rows  # later copies dedup
+
+
+def test_substring_dup_spans_planted_case(spark):
+    """q173's protocol on a constructed corpus: a 10-word span shared
+    by two docs at DIFFERENT alignments is caught (stride-1), while a
+    fully unique doc reports zero duplicated windows."""
+    import pyspark.sql.functions as F
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 x2 x3 {shared} x4"),
+            (2, f"{shared} y1 y2"),
+            (3, " ".join(f"z{i}" for i in range(12))),
+        ],
+        "doc_id bigint, text string",
+    )
+    words = F.split(F.col("text"), " ")
+    spans = (
+        docs.select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(words) - 8), "
+                    "i -> concat_ws(' ', slice(words, i + 1, 8)))"
+                )
+            ).alias("pos", "span"),
+        )
+    )
+    freq = spans.groupBy("span").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = {
+        r.doc_id: (r.n, r.dups)
+        for r in spans.join(freq, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("dups"),
+        )
+        .collect()
+    }
+    # shared 10-word run yields three 8-grams entirely inside it; both
+    # docs carry them despite different offsets
+    assert per_doc[1][1] == 3 and per_doc[2][1] == 3
+    assert per_doc[3][1] == 0  # unique doc: zero duplicated windows
+
+
+def test_int8_quantization_bounds_hold_on_extremes(spark):
+    """q174's guarantees on a hand-built dimension containing the exact
+    min/max and a constant (zero-range) dimension: codes span [0, 255],
+    endpoints reconstruct exactly, and the degenerate dimension takes
+    the scale=0 branch with zero error."""
+    from marketingcloud_etl_spark.plans.catalog import load_all
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 7.5]) for i in range(256)],
+        "vec_id bigint, embedding array<float>",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = load_all()["q174_int8_quantization"].fn(spark, d).toPandas()
+    out = out.set_index("pos")
+    assert bool(out.loc[0, "within_half_step"]) and bool(out.loc[0, "codes_in_range"])
+    # dim 0 is exactly the 256 code points: reconstruction is exact
+    assert out.loc[0, "max_abs_err"] == 0.0
+    # dim 1 is constant: scale=0 branch, zero error, in-range codes
+    assert out.loc[1, "max_abs_err"] == 0.0 and bool(out.loc[1, "within_half_step"])
