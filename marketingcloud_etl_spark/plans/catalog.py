@@ -135,6 +135,18 @@ _PRIORITY = (
     "q177_modern_agg_battery",
     "q178_parameterized_sql",
     "q179_csv_corrupt_records",
+    # third round-5 wave: provenance / runtime-filter / SQL-surface /
+    # URL / time-hierarchy / incremental-merge / JL-projection /
+    # chained-stateful additions
+    "q180_file_provenance",
+    "q181_bloom_filter_join",
+    "q182_hof_battery",
+    "q183_group_by_all_union_by_name",
+    "q184_url_canonicalize",
+    "q185_time_hierarchy_rollup",
+    "q186_incremental_agg_merge",
+    "q187_jl_random_projection",
+    "q188_chained_stateful_stream",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1241,3 +1241,100 @@ def q179_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("valid_cents"),
     )
+
+
+@query(
+    "q180_file_provenance",
+    oracle="""
+    SELECT cast(extract(year from o_orderdate) as int) AS order_year,
+           cast(count(*) as bigint) AS n_rows,
+           true AS has_files, true AS paths_consistent
+    FROM orders GROUP BY order_year
+    """,
+    tags=("etl", "scan", "lineage"),
+)
+def q180_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file-provenance columns — per-row lineage
+    back to the physical file, free at scan time (no extra column in
+    the data). Over the hive-partitioned orders layout (q176's cache),
+    the query proves partition-layout integrity file by file: every
+    file's rows carry exactly the partition value its directory
+    encodes (``paths_consistent``), and per-partition row counts equal
+    the logical group-by — which is what the oracle checks. At 100 TB
+    this is the debugging primitive for bad-file isolation (find the
+    one corrupt file among 10⁵ by provenance, reprocess only it)."""
+    prep(spark)
+    base = f"/tmp/mcetl_part_orders_{fixture_tag(sf_dir)}"
+    o = table(spark, sf_dir, "orders")
+    atomic_cached_write(
+        base,
+        lambda tmp: o.withColumn("order_year", F.year("o_orderdate"))
+        .write.partitionBy("order_year")
+        .mode("overwrite")
+        .parquet(tmp),
+    )
+    fact = spark.read.parquet(base)
+    return (
+        fact.select("order_year", F.col("_metadata.file_path").alias("fp"))
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("fp").alias("n_files"),
+            F.min(
+                F.col("fp").contains(
+                    F.concat(F.lit("order_year="), F.col("order_year").cast("string"))
+                )
+            ).alias("paths_consistent"),
+        )
+        .select(
+            F.col("order_year").cast("int").alias("order_year"),
+            "n_rows",
+            (F.col("n_files") >= 1).alias("has_files"),
+            "paths_consistent",
+        )
+    )
+
+
+@query(
+    "q186_incremental_agg_merge",
+    oracle="""
+    SELECT user_id, cast(count(*) as bigint) AS n_events,
+           cast(sum(cast(round(value*100) as bigint)) as bigint) AS total_cents,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events GROUP BY user_id
+    """,
+    tags=("etl", "agg", "incremental"),
+)
+def q186_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the summary-table pattern:
+    yesterday's stored per-user partials (count / exact-cents sum /
+    max-ts) merge with the new day's partials by ALGEBRAIC merge
+    (sum+sum, max+max) instead of rescanning history. Here the fixture
+    is split at a date cutoff into "stored" and "arriving" halves,
+    each aggregated independently, then merged; the oracle computes
+    the same totals from the full table in one pass — equality proves
+    the merge is lossless. At 100 TB this is the difference between
+    scanning one day and scanning three years; every aggregate in the
+    merged schema must stay algebraic (no raw AVG — keep (sum, n))."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    stored = partials(ev.filter(F.col("ts") < cutoff))
+    arriving = partials(ev.filter(F.col("ts") >= cutoff))
+    return (
+        stored.unionByName(arriving)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+            F.date_format(F.max("last_ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        )
+    )

@@ -2201,3 +2201,158 @@ def q178_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 50000.0, "status": "F"},
     )
+
+
+@query(
+    "q181_bloom_filter_join",
+    oracle="""
+    SELECT l_returnflag, cast(count(*) as bigint) AS n_items,
+           cast(sum(cast(round(l_extendedprice*100) as bigint)) as bigint) AS price_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "join", "scale"),
+)
+def q181_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime BLOOM-FILTER join pruning — when the dimension side is
+    too big to broadcast (broadcast disabled here to force the case),
+    Catalyst builds a bloom filter over the join keys of the filtered
+    creation side and injects ``might_contain`` into the fact scan, so
+    non-matching fact rows die at the scan instead of shuffling. A
+    bloom filter has NO false negatives, so results are exactly the
+    plain join's — which is what the oracle checks; the plan-level
+    assertion (``might_contain`` present in the physical plan) lives
+    in tests/test_plan_quality.py via bloom_join_frame. At 100 TB this
+    is the shuffle-side complement to DPP (q176): DPP prunes
+    directories, the bloom filter prunes rows within the files that
+    survive."""
+    prep(spark)
+    out, restore = bloom_join_frame(spark, sf_dir)
+    try:
+        # physical planning (and so the runtime-filter rewrite) happens
+        # at ACTION time under the session confs then in force — so the
+        # rows are materialized here while the bloom confs are held, and
+        # the caller gets a conf-independent checkpointed frame back
+        return out.localCheckpoint(eager=True)
+    finally:
+        restore()
+
+
+def bloom_join_frame(spark: SparkSession, sf_dir: str):
+    """Build the q181 join frame with the runtime-bloom-filter confs set,
+    returning ``(frame, restore_fn)`` — shared by the query (which
+    materializes under the confs) and the plan-quality test (which
+    inspects the physical plan before restoring)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # the fixture sides are far below the default 10 MB creation
+        # threshold / 10 GB application threshold — force the rewrite
+        # so the plan exercised locally is the one a 100 TB join gets
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+
+    def restore() -> None:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    out = (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "price_cents"
+            ),
+        )
+    )
+    return out, restore
+
+
+@query(
+    "q183_group_by_all_union_by_name",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             cast(round(o_totalprice*100) as bigint) AS cents FROM orders
+      UNION ALL
+      SELECT o_orderpriority, NULL, cast(round(o_totalprice*100) as bigint)
+      FROM orders WHERE o_totalprice > 100000
+    )
+    SELECT priority, status, cast(count(*) as bigint) AS n,
+           cast(sum(cents) as bigint) AS total_cents
+    FROM u GROUP BY ALL
+    """,
+    tags=("relational", "sql"),
+)
+def q183_group_by_all_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant SQL surface: ``unionByName(...,
+    allowMissingColumns=True)`` aligns two sources by COLUMN NAME (one
+    is missing ``status`` and has a different column order — position
+    union would silently mis-assign), then ``GROUP BY ALL`` groups on
+    every non-aggregate column without re-listing them. Both are the
+    modern idioms for multi-source ingestion where upstream schemas
+    evolve independently; the oracle is the same shape in DuckDB's
+    dialect (which also supports GROUP BY ALL)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    b = o.filter(F.col("o_totalprice") > 100000).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    u.createOrReplaceTempView("v_u183")
+    return spark.sql(
+        """
+        SELECT priority, status, count(*) AS n, sum(cents) AS total_cents
+        FROM v_u183 GROUP BY ALL
+        """
+    )
+
+
+@query(
+    "q185_time_hierarchy_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 1 THEN 'day' ELSE 'hour' END AS grain,
+           cast(count(*) as bigint) AS n,
+           cast(sum(cast(round(value*100) as bigint)) as bigint) AS total_cents
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts)), (date_trunc('day', ts), date_trunc('hour', ts)))
+    """,
+    tags=("relational", "agg", "timeseries"),
+)
+def q185_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-
+    aggregate shape): hour AND day grains materialized from ONE scan
+    via GROUPING SETS on ``date_trunc`` expressions, with a ``grain``
+    discriminator from ``grouping()``. The alternative — one scan per
+    resolution — multiplies 100 TB reads by the number of grains;
+    grouping sets share the scan and the partial aggregation, and
+    every aggregate is algebraic so map-side combine still applies."""
+    prep(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("v_ev185")
+    return spark.sql(
+        """
+        SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+               CASE WHEN grouping(date_trunc('hour', ts)) = 1 THEN 'day' ELSE 'hour' END AS grain,
+               count(*) AS n, sum(cast(round(value*100) as bigint)) AS total_cents
+        FROM v_ev185
+        GROUP BY GROUPING SETS ((date_trunc('day', ts)), (date_trunc('day', ts), date_trunc('hour', ts)))
+        """
+    )

@@ -403,3 +403,124 @@ def q171_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("l_orderkey") < 0, 1).otherwise(0)
         ).alias("near_overflow"),
     )
+
+
+@query(
+    "q182_hof_battery",
+    oracle="""
+    SELECT l_orderkey,
+           cast(sum(cast(l_quantity as bigint) * 2) as bigint) AS sum_qty_doubled,
+           cast(count(*) FILTER (WHERE cast(round(l_extendedprice*100) as bigint) > 500000) as int) AS n_pricey,
+           bool_or(l_discount > 0.05) AS any_high_disc,
+           bool_and(cast(l_quantity as bigint) > 0) AS all_pos_qty,
+           cast(sum(cast(round(l_extendedprice*100) as bigint) * cast(l_quantity as bigint)) as bigint) AS dot_cents
+    FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey
+    """,
+    tags=("scalar", "array", "hof"),
+)
+def q182_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function battery — the lambda surface over arrays
+    stays entirely JVM-side (no Python UDF): ``transform`` (map),
+    ``filter``, ``exists``/``forall`` (short-circuiting any/all),
+    ``aggregate`` (sequential fold) and ``zip_with`` (elementwise
+    combine → the fold gives a dot product). Arrays are built per
+    order with ``array_sort(collect_list(struct))`` so the fold order
+    is deterministic; money stays exact integer cents. The oracle
+    verifies the same values from the raw rows with plain SQL — the
+    HOF pipeline must agree with the relational computation it
+    re-expresses. At scale the lambdas run inside whole-stage codegen;
+    this is the idiom for nested (array-typed) columns without
+    exploding 100 TB into rows."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    arr = (
+        li.select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.col("l_discount"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("price_c", "qty"))).alias("items"),
+            F.collect_list("l_discount").alias("discs"),
+        )
+    )
+    return arr.select(
+        "l_orderkey",
+        F.aggregate(
+            F.transform("items", lambda s: s["qty"] * 2),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("sum_qty_doubled"),
+        F.size(F.filter("items", lambda s: s["price_c"] > 500000)).alias("n_pricey"),
+        F.exists("discs", lambda d: d > 0.05).alias("any_high_disc"),
+        F.forall("items", lambda s: s["qty"] > 0).alias("all_pos_qty"),
+        F.aggregate(
+            F.zip_with(
+                F.transform("items", lambda s: s["price_c"]),
+                F.transform("items", lambda s: s["qty"]),
+                lambda p, q: p * q,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("dot_cents"),
+    )
+
+
+@query(
+    "q184_url_canonicalize",
+    oracle="""
+    SELECT 'shop.example.com' AS host,
+           replace(lower(substring(o_orderpriority, 3, 15)), ' ', '-') AS section,
+           cast(count(*) as bigint) AS n_urls,
+           cast(sum(o_orderkey) as bigint) AS sum_ids,
+           true AS ids_roundtrip
+    FROM orders GROUP BY section
+    """,
+    tags=("scalar", "string", "url"),
+)
+def q184_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + canonicalization (the web-corpus curation
+    primitive): deterministic URLs are synthesized from orders, then
+    ``parse_url`` extracts HOST / PATH / individual QUERY params
+    JVM-side, the host is case-folded, the tracking param
+    (``utm_source``) is ignored, and the path section + id param are
+    recovered. ``ids_roundtrip`` proves the id survives the full
+    synthesize→parse→cast round trip for every row; the oracle
+    recomputes host/section/counts from the source columns directly.
+    At 100 TB URL canonicalization is the key-normalization step
+    before host-level dedup/aggregation — all built-ins, no UDF."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    urls = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("https://Shop.Example.COM/"),
+            F.translate(F.lower(F.substring("o_orderpriority", 3, 15)), " ", "-"),
+            F.lit("/item?id="),
+            F.col("o_orderkey").cast("string"),
+            F.lit("&utm_source=mail&cust="),
+            F.col("o_custkey").cast("string"),
+        ).alias("url"),
+    )
+    parsed = urls.select(
+        "o_orderkey",
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).cast("bigint").alias("id_param"),
+    )
+    return (
+        parsed.select(
+            "o_orderkey",
+            "host",
+            F.regexp_extract("path", r"^/([^/]+)/", 1).alias("section"),
+            "id_param",
+        )
+        .groupBy("host", "section")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum("id_param").alias("sum_ids"),
+            F.min(F.col("id_param") == F.col("o_orderkey")).alias("ids_roundtrip"),
+        )
+    )

@@ -641,3 +641,39 @@ def q172_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@query(
+    "q188_chained_stateful_stream",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           cast(count(*) as bigint) AS n
+    FROM events GROUP BY day, event_type
+    """,
+    tags=("streaming", "stateful", "chained"),
+)
+def q188_chained_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in ONE streaming query (the
+    Spark 4 multi-stateful pipeline): exactly-once ingestion of an
+    at-least-once feed without a landing rewrite. The replayed stream
+    is unioned with itself so every event arrives twice, a watermarked
+    ``dropDuplicates`` on the event id restores exactly-once, and the
+    surviving rows flow DIRECTLY into a tumbling-window count — dedup
+    state and window state live in the same query, no intermediate
+    sink. The watermark exceeds the fixture's whole span because the
+    replay files arrive time-unordered (q59's protocol; a production
+    feed uses its real disorder bound). The oracle is the batch
+    aggregate of the ORIGINAL events — dedup must exactly cancel the
+    doubling for every window."""
+    prep(spark)
+    from ..streaming.jobs import events_stream, run_to_memory
+
+    s = events_stream(spark, sf_dir)
+    doubled = s.unionByName(s)
+    dd = doubled.withWatermark("ts", "3650 days").dropDuplicates(["event_id"])
+    win = (
+        dd.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "event_type", "n")
+    )
+    return run_to_memory(win, "q188_out", output_mode="complete")

@@ -319,3 +319,43 @@ def test_dpp_scan_carries_runtime_pruning_filter(spark, sf_dir):
     directory skip the query exists to demonstrate)."""
     plan = _plan(REGISTRY["q176_dynamic_partition_pruning"].fn(spark, sf_dir))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_bloom_filter_join_injects_might_contain(spark, sf_dir):
+    """q181: with broadcast disabled and the runtime-filter thresholds
+    forced, the fact-side scan must carry the injected bloom-filter
+    predicate (might_contain) — no false negatives, so results are
+    unchanged (the oracle checks that); this pins the PLAN property."""
+    from marketingcloud_etl_spark.plans.relational import bloom_join_frame
+
+    frame, restore = bloom_join_frame(spark, sf_dir)
+    try:
+        plan = _plan(frame)
+        assert "might_contain" in plan.lower()
+        assert "SortMergeJoin" in plan  # broadcast really was disabled
+    finally:
+        restore()
+
+
+def test_file_provenance_reads_metadata_not_data(spark, sf_dir):
+    """q180: the provenance aggregation must not read any payload
+    column beyond the partition value — _metadata comes from the scan
+    node itself."""
+    plan = _plan(REGISTRY["q180_file_provenance"].fn(spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans and all("o_totalprice" not in s and "o_custkey" not in s for s in scans)
+
+
+def test_time_hierarchy_rollup_single_scan(spark, sf_dir):
+    """q185: both grains must come from ONE events scan — grouping
+    sets share the read, the whole point vs one scan per resolution."""
+    plan = _plan(REGISTRY["q185_time_hierarchy_rollup"].fn(spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, f"expected 1 scan, got {len(scans)}"
+
+
+def test_jl_projection_is_narrow(spark, sf_dir):
+    """q187: the projection itself must be shuffle-free — the only
+    exchange is the final single-row aggregation."""
+    plan = _plan(REGISTRY["q187_jl_random_projection"].fn(spark, sf_dir))
+    assert plan.lower().count("exchange") <= 2  # partial->final agg only
