@@ -147,6 +147,12 @@ _PRIORITY = (
     "q186_incremental_agg_merge",
     "q187_jl_random_projection",
     "q188_chained_stateful_stream",
+    # fourth wave: winnowing fingerprints, the composed training-mix
+    # pipeline, null-safe join, array set-ops
+    "q189_winnowing_fingerprints",
+    "q190_training_mix_pipeline",
+    "q191_null_safe_join",
+    "q192_array_setops_battery",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

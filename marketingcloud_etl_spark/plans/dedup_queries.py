@@ -847,3 +847,94 @@ def q162_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("wkey")
     )
+
+
+@query(
+    "q190_training_mix_pipeline",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs, sqrt(cast(count(*) as double)) AS w_raw
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT list_reduce(list_sort(list(w_raw)), (a, b) -> a + b) AS w_sum FROM per_source
+    ), quota AS (
+      SELECT p.source, p.n_docs,
+             greatest(1, cast(floor(p.w_raw / t.w_sum * 200) as int)) AS n_quota
+      FROM per_source p CROSS JOIN tot t
+    ), ranked AS (
+      SELECT d.*, row_number() OVER (PARTITION BY source ORDER BY {{h32}}, doc_id) AS rn
+      FROM documents d
+    ), picked AS (
+      SELECT r.* FROM ranked r JOIN quota q USING (source) WHERE r.rn <= q.n_quota
+    )
+    SELECT q.source,
+           cast(q.n_docs as bigint) AS n_docs,
+           cast(q.n_quota as bigint) AS n_quota,
+           cast(count(p.doc_id) as bigint) AS n_selected,
+           count(p.doc_id) = q.n_quota AS quota_met,
+           cast(sum(len({{toks}})) as bigint) AS sel_tokens,
+           cast(sum(p.n_chars) as bigint) AS sel_chars
+    FROM picked p JOIN quota q USING (source)
+    GROUP BY q.source, q.n_docs, q.n_quota
+    """.format(h32=_H32_DUCK, toks=tokens_sql("p.text")),
+    tags=("sampling", "pipeline"),
+)
+def q190_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED training-mix construction — the three sampling
+    primitives as one run, the way a real data-curation job executes
+    them: temperature mixture weights (q111's count^0.5 rebalancing)
+    → per-source document quotas against a 200-doc target → DETERMINISTIC
+    per-source selection (top-quota by the content-hash order, q162's
+    reproducible-sampling protocol — no rand(), identical under retry)
+    → per-source audit row (quota met, exact selected token/char
+    budget, q82's whitespace token counts). Every stage is
+    hash-checked end-to-end by the oracle. Scale shape: weights/quotas
+    are one partial-agg pass + a source-count-sized broadcast; the
+    selection window partitions BY SOURCE (parallel across sources,
+    never a global sort); skewed mega-sources range-balance within
+    their partition only."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    from ..functions.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sqrt(F.count(F.lit(1)).cast("double")).alias("w_raw"),
+    )
+    tot = per_source.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("w_raw")), F.lit(0.0), lambda a, x: a + x
+        ).alias("w_sum")
+    )
+    quota = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.greatest(
+            F.lit(1), F.floor(F.col("w_raw") / F.col("w_sum") * 200).cast("int")
+        ).alias("n_quota"),
+    )
+    sel_w = W.partitionBy("source").orderBy(F.expr(_H32), "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(sel_w))
+    picked = ranked.join(F.broadcast(quota), "source").filter(
+        F.col("rn") <= F.col("n_quota")
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum(F.size(tokens("text"))).cast("bigint").alias("sel_tokens"),
+            F.sum("n_chars").cast("bigint").alias("sel_chars"),
+        )
+        .join(quota.select("source", "n_docs", "n_quota"), "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_quota").cast("long").alias("n_quota"),
+            "n_selected",
+            (F.col("n_selected") == F.col("n_quota")).alias("quota_met"),
+            "sel_tokens",
+            "sel_chars",
+        )
+    )

@@ -2356,3 +2356,41 @@ def q185_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((date_trunc('day', ts)), (date_trunc('day', ts), date_trunc('hour', ts)))
         """
     )
+
+
+@query(
+    "q191_null_safe_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+      FROM customer
+    )
+    SELECT cast(a.nk as int) AS nation_key, cast(count(*) as bigint) AS n_pairs
+    FROM c a JOIN c b ON a.nk IS NOT DISTINCT FROM b.nk
+    GROUP BY a.nk
+    """,
+    tags=("relational", "join"),
+)
+def q191_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (``eqNullSafe`` / SQL ``<=>``): ordinary
+    equality silently DROPS every null-keyed row (null = null is not
+    true), the classic bug when joining on an optional foreign key;
+    ``<=>`` treats the null group as a real join key. Crucially it is
+    still planned as a HASH join (the null-safe comparison is
+    sargable), not a theta-join — so the 100 TB cost profile is the
+    same as a plain equi-join, with the usual caveat that a fat null
+    group is a skew key (operators/skew.py's salting applies). The
+    fixture nulls every 7th customer's nation key; the oracle is
+    DuckDB's IS NOT DISTINCT FROM."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer").withColumn(
+        "nk",
+        F.when(F.col("c_custkey") % 7 == 0, None).otherwise(F.col("c_nationkey")),
+    )
+    c2 = c.select(F.col("c_custkey").alias("k2"), F.col("nk").alias("nk2"))
+    return (
+        c.join(c2, c["nk"].eqNullSafe(c2["nk2"]))
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("nk").cast("int").alias("nation_key"), "n_pairs")
+    )

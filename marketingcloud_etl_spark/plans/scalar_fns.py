@@ -524,3 +524,49 @@ def q184_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("id_param") == F.col("o_orderkey")).alias("ids_roundtrip"),
         )
     )
+
+
+@query(
+    "q192_array_setops_battery",
+    oracle="""
+    WITH pa AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_partkey) AS n_all,
+             count(DISTINCT l_partkey) FILTER (WHERE l_quantity < 25) AS n_low
+      FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           cast(n_all as int) AS n_union,
+           cast(n_low as int) AS n_intersect,
+           cast(n_all - n_low as int) AS n_except,
+           n_low > 0 AS has_low
+    FROM pa
+    """,
+    tags=("scalar", "array"),
+)
+def q192_array_setops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array SET-operation battery — ``array_union`` / ``array_intersect``
+    / ``array_except`` / ``arrays_overlap`` over per-order part-key
+    sets (one a subset of the other by construction, so every set
+    identity is independently recomputable from two DISTINCT counts —
+    which is exactly what the oracle does). The conditional
+    ``collect_list(when(...))`` builds the filtered set in the SAME
+    aggregation pass as the full set: one shuffle for both arrays,
+    the idiom for set-valued columns (tags, token vocabularies,
+    audience segments) without a second scan or an explode round
+    trip."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    pa = li.groupBy("l_orderkey").agg(
+        F.array_distinct(F.collect_list("l_partkey")).alias("all_parts"),
+        F.array_distinct(
+            F.collect_list(F.when(F.col("l_quantity") < 25, F.col("l_partkey")))
+        ).alias("low_parts"),
+    )
+    return pa.select(
+        "l_orderkey",
+        F.size(F.array_union("all_parts", "low_parts")).alias("n_union"),
+        F.size(F.array_intersect("all_parts", "low_parts")).alias("n_intersect"),
+        F.size(F.array_except("all_parts", "low_parts")).alias("n_except"),
+        F.arrays_overlap("all_parts", "low_parts").alias("has_low"),
+    )

@@ -1390,3 +1390,76 @@ def q173_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+@query(
+    "q189_winnowing_fingerprints",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform({_TOKS}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS h
+      FROM documents WHERE doc_id < 300
+    ), w AS (
+      SELECT doc_id,
+             list_transform(range(1, len(h) - 2),
+                            i -> list_reduce(h[i : i + 3],
+                                             (acc, x) -> (acc * 257 + x) % 2147483647)) AS wh
+      FROM th WHERE len(h) >= 7
+    ), s AS (
+      SELECT doc_id, wh,
+             list_distinct(list_transform(range(1, len(wh) - 2),
+                            i -> list_min(wh[i : i + 3]))) AS fp
+      FROM w
+    )
+    SELECT doc_id,
+           cast(len(wh) as bigint) AS n_windows,
+           cast(len(fp) as bigint) AS n_fingerprints,
+           list_min(fp) AS min_fp,
+           cast(list_reduce(fp, (a, x) -> a + x) as bigint) AS fp_sum
+    FROM s
+    """,
+    tags=("text", "dedup"),
+)
+def q189_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm) on top of q79's Rabin-Karp window hashes: from
+    each window of w=4 consecutive k-gram hashes keep the MINIMUM, then
+    distinct — guaranteeing at least one shared fingerprint for any
+    match of length ≥ w+k-1 tokens while storing a small, position-
+    robust subset (the local-min property q46's single global min-hash
+    lacks). All exact integer arithmetic on the shared md5-prefix token
+    hash protocol, so the full fingerprint table (count, min, sum)
+    hash-matches the oracle. Scale shape: per-document array exprs in
+    one narrow map — no shuffle until the final (tiny) projection;
+    fingerprint→doc inversion for cross-doc matching is then one
+    explode + groupBy, the q161/q173 shape."""
+    prep(spark)
+    k, b, p, wsel = 4, 257, (1 << 31) - 1, 4
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    th = F.transform(
+        tokens("text"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    d = d.withColumn("h", th).filter(F.size("h") >= k + wsel - 1)
+    wh = F.transform(
+        F.sequence(F.lit(1), F.size("h") - (k - 1)),
+        lambda i: F.aggregate(
+            F.slice("h", i, k),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: F.pmod(acc * b + x, F.lit(p)),
+        ),
+    )
+    d = d.withColumn("wh", wh)
+    fp = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("wh") - (wsel - 1)),
+            lambda i: F.array_min(F.slice("wh", i, wsel)),
+        )
+    )
+    return d.withColumn("fp", fp).select(
+        "doc_id",
+        F.size("wh").cast("bigint").alias("n_windows"),
+        F.size("fp").cast("bigint").alias("n_fingerprints"),
+        F.array_min("fp").alias("min_fp"),
+        F.aggregate("fp", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("fp_sum"),
+    )

@@ -359,3 +359,25 @@ def test_jl_projection_is_narrow(spark, sf_dir):
     exchange is the final single-row aggregation."""
     plan = _plan(REGISTRY["q187_jl_random_projection"].fn(spark, sf_dir))
     assert plan.lower().count("exchange") <= 2  # partial->final agg only
+
+
+def test_training_mix_selection_is_source_partitioned(spark, sf_dir):
+    """q190: the selection window must partition by source — a global
+    (unpartitioned) ranking window would single-partition the corpus.
+    (The w_sum fold legitimately single-partitions its ≤|sources|-row
+    aggregate; the corpus-sized window must not.)"""
+    plan = _plan(REGISTRY["q190_training_mix_pipeline"].fn(spark, sf_dir))
+    assert "windowspecdefinition(source" in plan
+    # the single-partition exchanges may only feed the zero-key folds
+    # over the per-source frame, never a Window
+    for chunk in plan.split("Exchange SinglePartition")[1:]:
+        head = chunk.splitlines()[1] if len(chunk.splitlines()) > 1 else ""
+        assert "Window" not in head
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    """q191: <=> must plan as a hash join (broadcast or shuffled), not
+    fall back to BroadcastNestedLoopJoin — the null-safe comparison is
+    sargable and the 100 TB cost profile must match a plain equi-join."""
+    plan = _plan(REGISTRY["q191_null_safe_join"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan and "HashJoin" in plan
