@@ -85,6 +85,11 @@ HEADLINE = (
     "q163_kmeans_clusters",
     "q158_bitmap_distinct",
     "q167_zorder_skipping",
+    # round-4 wave 6/7: runtime-bloom-filter join (third runtime-filter
+    # physical family after broadcast + DPP) and the composed
+    # training-mix pipeline (source-partitioned selection window)
+    "q181_bloom_filter_join",
+    "q190_training_mix_pipeline",
 )
 
 

@@ -153,6 +153,10 @@ _PRIORITY = (
     "q190_training_mix_pipeline",
     "q191_null_safe_join",
     "q192_array_setops_battery",
+    # fifth wave: nearest-asof, polymorphic UDTF, sorted layout
+    "q193_asof_nearest",
+    "q194_udtf_analyze",
+    "q195_sorted_layout",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

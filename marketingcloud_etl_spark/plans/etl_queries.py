@@ -1338,3 +1338,71 @@ def q186_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.max("last_ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
         )
     )
+
+
+@query(
+    "q195_sorted_layout",
+    oracle="""
+    SELECT (SELECT count(*) FROM orders) AS total_rows,
+           true AS multi_file, true AS files_disjoint
+    """,
+    tags=("etl", "layout", "scale"),
+)
+def q195_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR sort-ordered table layout with verified data-skipping
+    structure — the 1-D complement of q167's Z-order: orders written
+    via ``repartitionByRange(o_orderdate) + sortWithinPartitions``, so
+    each output file owns a DISJOINT date range and any date-predicate
+    scan can skip every non-overlapping file on parquet footer min/max
+    alone. The disjointness is not assumed — the query reads the
+    layout back, derives per-file (min, max) from ``_metadata`` +
+    aggregation, counts overlapping file pairs declaratively (a
+    file-count-sized self-join, no driver loop), and emits it as a
+    checked boolean beside exact row conservation. At 100 TB this
+    layout decision (which column to range-sort on) is the single
+    biggest scan-cost lever after partitioning."""
+    prep(spark)
+    base = f"/tmp/mcetl_sorted_orders_v2_{fixture_tag(sf_dir)}"
+    o = table(spark, sf_dir, "orders")
+    # range-partition on the sort column ALONE: the range partitioner
+    # sends equal keys to one partition, so no date can straddle two
+    # files (adding a tiebreak key to the range would let a boundary
+    # date appear in two adjacent files and break disjointness); the
+    # tiebreak still orders rows WITHIN each file for determinism.
+    # One dominant date → one fat partition is the accepted skew
+    # tradeoff of any value-disjoint layout.
+    atomic_cached_write(
+        base,
+        lambda tmp: o.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate", "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    rb = spark.read.parquet(base)
+    fstats = rb.groupBy(F.col("_metadata.file_name").alias("fname")).agg(
+        F.min("o_orderdate").alias("lo"),
+        F.max("o_orderdate").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a, b = fstats.alias("a"), fstats.alias("b")
+    n_overlap = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.fname") < F.col("b.fname"))
+            & (F.col("a.lo") <= F.col("b.hi"))
+            & (F.col("b.lo") <= F.col("a.hi")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        fstats.agg(
+            F.sum("n").alias("total_rows"),
+            F.count(F.lit(1)).alias("n_files"),
+        )
+        .crossJoin(F.broadcast(n_overlap))
+        .select(
+            "total_rows",
+            (F.col("n_files") >= 2).alias("multi_file"),
+            (F.col("n_overlap") == 0).alias("files_disjoint"),
+        )
+    )

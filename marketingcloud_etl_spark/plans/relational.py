@@ -2394,3 +2394,94 @@ def q191_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .select(F.col("nk").cast("int").alias("nation_key"), "n_pairs")
     )
+
+
+@query(
+    "q193_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events WHERE event_type='purchase'),
+         c AS (SELECT user_id, event_id AS c_id, ts AS c_ts FROM events WHERE event_type='click')
+    SELECT p.p_id, t.c_id, t.diff_s
+    FROM p, LATERAL (
+      SELECT c.c_id,
+             cast(floor(abs(date_diff('microsecond', c.c_ts, p.p_ts)) / 1000000.0) as bigint) AS diff_s,
+             abs(date_diff('microsecond', c.c_ts, p.p_ts)) AS adiff_us
+      FROM c WHERE c.user_id = p.user_id
+      ORDER BY adiff_us, c.c_ts, c.c_id LIMIT 1
+    ) t
+    WHERE t.adiff_us <= 7200000000
+    """,
+    tags=("relational", "join", "asof"),
+)
+def q193_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction with tolerance — the variant q11
+    (backward) can't express: each purchase matches its temporally
+    CLOSEST click either side, within a 2-hour tolerance, ties broken
+    toward the earlier click deterministically. Computed per user via
+    ONE grouped Arrow pass running pandas ``merge_asof`` in both
+    directions and taking the argmin — both frames arrive through the
+    same groupBy(user) shuffle, sorted in-batch; no range join, no
+    window over the union. Equal-timestamp candidates keep the
+    smallest event id, matching the oracle's (|Δt|, ts, id) LATERAL
+    argmin exactly. Scale: per-user groups are small and the pass is
+    one shuffle of (user, ts, id) triples; a mega-user hot key would
+    salt by time range (operators/skew.py)."""
+    prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("eid"), "ts", F.lit("p").alias("kind")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("eid"), "ts", F.lit("c").alias("kind")
+    )
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "p_id": pd.Series(dtype="int64"),
+                "c_id": pd.Series(dtype="int64"),
+                "diff_s": pd.Series(dtype="int64"),
+            }
+        )
+        pp = (
+            pdf[pdf["kind"] == "p"][["eid", "ts"]]
+            .sort_values(["ts", "eid"])
+            .rename(columns={"eid": "p_id"})
+        )
+        cc = (
+            pdf[pdf["kind"] == "c"][["eid", "ts"]]
+            .sort_values(["ts", "eid"])
+            .rename(columns={"eid": "c_id"})
+        )
+        # equal-ts candidates: keep the smallest id (the oracle's
+        # (adiff, c_ts, c_id) tiebreak picks the same row)
+        cc = cc.drop_duplicates(subset="ts", keep="first")
+        if pp.empty or cc.empty:
+            return empty
+        cc = cc.assign(c_ts=cc["ts"])
+        b = pd.merge_asof(pp, cc, on="ts", direction="backward")
+        f = pd.merge_asof(pp, cc, on="ts", direction="forward")
+        bdiff = (pp["ts"].values - b["c_ts"].values) / np.timedelta64(1, "s")
+        fdiff = (f["c_ts"].values - pp["ts"].values) / np.timedelta64(1, "s")
+        bdiff = np.where(np.isnan(bdiff), np.inf, bdiff)
+        fdiff = np.where(np.isnan(fdiff), np.inf, fdiff)
+        take_b = bdiff <= fdiff  # tie -> backward (earlier right ts)
+        cid = np.where(take_b, b["c_id"].values, f["c_id"].values)
+        diff = np.where(take_b, bdiff, fdiff)
+        ok = diff <= 7200.0
+        return pd.DataFrame(
+            {
+                "p_id": pp["p_id"].values[ok],
+                "c_id": cid[ok].astype("int64"),
+                "diff_s": np.floor(diff[ok]).astype("int64"),
+            }
+        )
+
+    return (
+        p.unionByName(c)
+        .groupBy("user_id")
+        .applyInPandas(per_user, "p_id bigint, c_id bigint, diff_s bigint")
+    )

@@ -383,3 +383,56 @@ def q160_mapinpandas_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum("charge_cents") / F.lit(100.0)).alias("total_charge"),
     )
+
+
+@query(
+    "q194_udtf_analyze",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id, toks[1] AS tok_0, toks[2] AS tok_1, toks[3] AS tok_2,
+           cast(len(toks) as bigint) AS n_tokens
+    FROM t
+    """,
+    tags=("udf", "udtf"),
+)
+def q194_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 static ``analyze``): the output
+    schema is computed AT PLAN TIME from the constant-folded width
+    argument — tok_0..tok_{n-1} columns exist because analyze() said
+    so, not because a static returnType was declared (q65's fixed-
+    schema UDTF can't do this). The eval side pads/truncates each
+    document's whitespace tokens to the analyzed width. Used via SQL
+    LATERAL correlation, one UDTF call per document row; the oracle
+    recomputes the same token columns with list indexing."""
+    prep(spark)
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            width = int(n.value)
+            st = StructType()
+            for i in range(width):
+                st = st.add(f"tok_{i}", StringType())
+            st = st.add("n_tokens", LongType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, n: int):
+            toks = [t for t in (text or "").split() if t]
+            row = [toks[i] if i < len(toks) else None for i in range(n)]
+            yield (*row, len(toks))
+
+    spark.udtf.register("split_fixed", SplitFixed)
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "v_d194"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.tok_0, s.tok_1, s.tok_2, s.n_tokens "
+        "FROM v_d194 d, LATERAL split_fixed(d.text, 3) s"
+    )
