@@ -157,6 +157,11 @@ _PRIORITY = (
     "q193_asof_nearest",
     "q194_udtf_analyze",
     "q195_sorted_layout",
+    # sixth wave: outer stream-stream join, text-log source, dynamic
+    # partition overwrite
+    "q196_stream_stream_left_outer",
+    "q197_text_source_logparse",
+    "q198_dynamic_partition_overwrite",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1406,3 +1406,118 @@ def q195_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_overlap") == 0).alias("files_disjoint"),
         )
     )
+
+
+@query(
+    "q197_text_source_logparse",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           cast(count(*) as bigint) AS n,
+           cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint) AS total_cents,
+           true AS keys_parsed
+    FROM orders GROUP BY priority
+    """,
+    tags=("etl", "source", "text"),
+)
+def q197_text_source_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured ``text`` source + regex field extraction — the raw
+    log-file ingestion path (one line = one row, schema recovered by
+    ``regexp_extract``, exact integer cents). A deterministic log
+    fixture is rendered once from orders; the parse must recover every
+    key and amount exactly — the oracle recomputes the aggregate from
+    the structured source, and ``keys_parsed`` pins that no line
+    failed extraction (null key). The 100 TB shape: text scan is
+    splittable by line, the regexes run inside codegen, and the
+    aggregate is the only shuffle."""
+    prep(spark)
+    import os
+
+    base = f"/tmp/mcetl_textlog_{fixture_tag(sf_dir)}"
+    o = table(spark, sf_dir, "orders")
+
+    def write_logs(tmp: str) -> None:
+        import math
+
+        os.makedirs(tmp, exist_ok=True)
+        rows = o.select("o_orderkey", "o_orderpriority", "o_totalprice").collect()
+        with open(os.path.join(tmp, "part-0.log"), "w") as f:
+            for r in rows:
+                # half-AWAY-from-zero cents (prices non-negative), the
+                # DuckDB/Spark round() convention — python round() is
+                # half-to-even and would drift on exact half cents
+                cents = math.floor(r.o_totalprice * 100 + 0.5)
+                f.write(
+                    f"[{r.o_orderpriority}] order={r.o_orderkey} "
+                    f"amount_cents={cents}\n"
+                )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    atomic_cached_write(base, write_logs)
+    lines = spark.read.text(os.path.join(base, "part-0.log"))
+    parsed = lines.select(
+        F.regexp_extract("value", r"^\[([^\]]+)\]", 1).alias("priority"),
+        F.nullif(F.regexp_extract("value", r"order=(\d+)", 1), F.lit(""))
+        .cast("bigint")
+        .alias("okey"),
+        F.regexp_extract("value", r"amount_cents=(-?\d+)", 1).cast("bigint").alias("cents"),
+    )
+    return parsed.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.min(F.col("okey").isNotNull()).alias("keys_parsed"),
+    )
+
+
+@query(
+    "q198_dynamic_partition_overwrite",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           cast(count(*) as bigint) AS n,
+           cast(sum(CASE WHEN date_trunc('day', ts) = timestamp '2024-01-10'
+                    THEN cast(round(value*2*100) as bigint)
+                    ELSE cast(round(value*100) as bigint) END) as bigint) AS cents
+    FROM events GROUP BY day
+    """,
+    tags=("etl", "sink", "partitioned"),
+)
+def q198_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the warehouse backfill primitive:
+    rewriting one bad day must replace ONLY the partitions present in
+    the incoming frame, never truncate the table (static overwrite
+    semantics would). The fixture lands events day-partitioned, then a
+    corrected 2024-01-10 (values doubled) is overwritten dynamically;
+    the read-back per-day aggregate must show exactly one day changed
+    and every other day byte-identical — which is what the oracle
+    encodes. At 100 TB this is how daily reprocessing avoids rewriting
+    three years of history. Conf is scoped and restored; the overwrite
+    itself is atomic per partition directory."""
+    prep(spark)
+    import shutil
+
+    base = f"/tmp/mcetl_dpo_{fixture_tag(sf_dir)}"
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        # rebuilt per call: the query IS the write protocol under test
+        shutil.rmtree(base, ignore_errors=True)
+        ev.write.partitionBy("day").mode("overwrite").parquet(base)
+        patch = ev.filter(F.col("day") == "2024-01-10").withColumn(
+            "value", F.col("value") * 2
+        )
+        patch.write.partitionBy("day").mode("overwrite").parquet(base)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    back = spark.read.parquet(base)
+    return (
+        back.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "n", "cents")
+    )

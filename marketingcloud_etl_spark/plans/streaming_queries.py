@@ -677,3 +677,81 @@ def q188_chained_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "event_type", "n")
     )
     return run_to_memory(win, "q188_out", output_mode="complete")
+
+
+@query(
+    "q196_stream_stream_left_outer",
+    oracle="""
+    WITH cut AS (
+      SELECT least(max(ts) FILTER (WHERE event_type='purchase'),
+                   max(ts) FILTER (WHERE event_type='click')) AS cut
+      FROM events),
+    p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events, cut
+      WHERE event_type = 'purchase' AND ts < cut - INTERVAL 95 MINUTES),
+    c AS (SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts FROM events
+      WHERE event_type = 'click')
+    SELECT p.user_id, p.p_id, cast(count(c.c_id) as bigint) AS n_clicks_30m,
+           count(c.c_id) = 0 AS unmatched
+    FROM p LEFT JOIN c ON p.user_id = c.c_user
+     AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTES AND c.c_ts <= p.p_ts
+    GROUP BY p.user_id, p.p_id
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def q196_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream LEFT OUTER join — the semantics q123 (inner)
+    cannot give: a purchase with NO click in its 30-minute lookback
+    still emits, with nulls, once BOTH watermarks pass its join
+    horizon (state for it can provably never match again). Runs on the
+    event-time-ORDERED replay (jobs.ordered_replay_dir) — outer joins
+    are the watermark-sensitive case where arrival order is
+    semantics-bearing, exactly as in production. The oracle is the
+    batch left join restricted to purchases whose outer decision is
+    FINAL at stream end: p_ts < min(max purchase ts, max click ts) −
+    (30 min join bound + 60 min watermark + 5 min slack) — the same
+    cutoff applied to the streamed result, so the compare covers both
+    matched multiplicities and the null emissions."""
+    prep(spark)
+    from ..streaming.jobs import events_stream_ordered, run_to_memory
+
+    s = events_stream_ordered(spark, sf_dir)
+    p = (
+        s.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    out = run_to_memory(
+        j.select("user_id", "p_id", "p_ts", "c_id"), "q196_out", output_mode="append"
+    )
+    ev = table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        ).alias("cut")
+    )
+    return (
+        out.join(F.broadcast(cut), F.lit(True))
+        .filter(F.col("p_ts") < F.col("cut") - F.expr("INTERVAL 95 MINUTES"))
+        .groupBy("user_id", "p_id")
+        .agg(
+            F.count("c_id").alias("n_clicks_30m"),
+            F.max(F.col("c_id").isNull()).alias("unmatched"),
+        )
+    )

@@ -63,6 +63,62 @@ def events_stream(spark: SparkSession, sf_dir: str, files_per_trigger: int = 2) 
     )
 
 
+def ordered_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Materialize events as n parquet files in EVENT-TIME order (file i
+    holds time slice i, file mtimes strictly increasing) so the file
+    source — which lists oldest-modified first — replays the feed
+    roughly in order, the shape a production log/queue delivers. The
+    watermark-sensitive operators (stream-stream OUTER joins, append-
+    mode aggregations) need this: under :func:`replay_dir`'s random
+    file order the watermark races ahead and drops whole files as
+    late. Cached like replay_dir."""
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    tag = f"{os.path.basename(abs_dir)}_{hashlib.sha1(abs_dir.encode()).hexdigest()[:10]}"
+    out = os.path.join(tempfile.gettempdir(), f"mcetl_replay_ord_{tag}_{n_files}")
+
+    def build(tmp: str) -> None:
+        ev = table(spark, sf_dir, "events")
+        # epoch-µs bounds computed IN Spark: a naive-datetime round trip
+        # through Python .timestamp() would re-interpret in host-local TZ
+        lo_us, hi_us = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        span_us = max(int(hi_us) - int(lo_us), 1) + 1
+        bucket = F.floor(
+            (F.unix_micros("ts") - F.lit(int(lo_us))) * n_files / F.lit(span_us)
+        )
+        # sequential per-slice writes: one file per slice, mtimes pinned
+        # afterwards so the listing order equals event-time order even
+        # on coarse-mtime filesystems
+        os.makedirs(tmp, exist_ok=True)
+        import time as _time
+
+        now = _time.time()
+        for i in range(n_files):
+            sub = os.path.join(tmp, f"slice={i:02d}")
+            ev.filter(bucket == i).coalesce(1).write.mode("overwrite").parquet(sub)
+            for name in os.listdir(sub):
+                if name.endswith(".parquet"):
+                    os.utime(os.path.join(sub, name), (now + i, now + i))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return atomic_cached_write(out, build)
+
+
+def events_stream_ordered(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    src = ordered_replay_dir(spark, sf_dir)
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+
+
 def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "30 minutes") -> DataFrame:
     """Watermarked tumbling-window counts per event type."""
     return (
