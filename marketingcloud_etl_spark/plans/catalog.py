@@ -162,6 +162,9 @@ _PRIORITY = (
     "q196_stream_stream_left_outer",
     "q197_text_source_logparse",
     "q198_dynamic_partition_overwrite",
+    # seventh wave: distributed PCA + behavioral transition matrix
+    "q199_distributed_pca",
+    "q200_event_transition_matrix",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

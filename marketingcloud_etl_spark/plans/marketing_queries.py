@@ -364,3 +364,54 @@ def q166_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("credit_cents") / F.lit(100.0)).alias("credited_revenue"),
         )
     )
+
+
+@query(
+    "q200_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), tr AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT from_type, sum(n) AS n_from FROM tr GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, cast(t.n as bigint) AS n,
+           round(cast(t.n as double) / tot.n_from, 6) AS p
+    FROM tr t JOIN tot USING (from_type)
+    """,
+    tags=("marketing", "analytic", "sequence"),
+)
+def q200_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    user's time-ordered event sequence, count (state → next-state)
+    transitions via ``lead`` over a USER-partitioned window (parallel
+    across users — never a global sort), then normalize rows to
+    probabilities. The journey-analysis primitive behind funnel (q121)
+    and attribution (q131/q166): those fix a path, this surfaces ALL
+    paths. The (ts, event_id) order key is total, so ties are
+    deterministic; the |types|² matrix is tiny by construction at any
+    corpus scale."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return tr.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
+    )

@@ -624,3 +624,85 @@ def q187_jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("mean_r") - 1) < 0.05).alias("mean_ratio_ok"),
         (F.col("frac_in") > 0.85).alias("norm_frac_ok"),
     )
+
+
+@query(
+    "q199_distributed_pca",
+    oracle="""
+    SELECT (SELECT count(*) FROM embeddings) AS n_vectors, 8 AS k,
+           true AS evr_consistent, true AS above_isotropic, true AS reduces_error
+    """,
+    tags=("vector", "projection", "scale"),
+)
+def q199_distributed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA — the data-ADAPTIVE dimensionality reduction
+    complementing q187's data-oblivious JL projection. Pass 1 computes
+    exact covariance sufficient statistics per partition (count, sum
+    vector, D×D gram matrix) via mapInPandas numpy — each partition
+    emits ONE row of D+D² doubles regardless of row count, so the
+    collect is partition-count-sized (the IVF-codebook protocol), and
+    the 64×64 eigendecomposition is a driver no-op. Pass 2 verifies
+    the model ON-CLUSTER: the rank-k reconstruction residual fraction
+    must equal 1 − explained-variance-ratio to 1e-3 (the Eckart-Young
+    identity — wrong eigenvectors or a wrong mean break it), and the
+    explained ratio must exceed k/D (guaranteed above-isotropic: the
+    top-k eigenvalues of any covariance sum to ≥ k/D of the trace).
+    Two narrow passes, zero shuffles beyond the one-row aggregates."""
+    prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    D, K = 64, 8
+    emb = table(spark, sf_dir, "embeddings")
+
+    def partial_stats(batches):
+        n = 0
+        s = np.zeros(D)
+        g = np.zeros((D, D))
+        for pdf in batches:
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            g += X.T @ X
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]})
+
+    rows = (
+        emb.select("embedding")
+        .mapInPandas(partial_stats, "n bigint, s array<double>, g array<double>")
+        .collect()
+    )
+    n_tot = sum(r.n for r in rows)
+    s_tot = np.sum([np.array(r.s) for r in rows], axis=0)
+    g_tot = np.sum([np.array(r.g).reshape(D, D) for r in rows], axis=0)
+    mu = s_tot / n_tot
+    cov = g_tot / n_tot - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    W_mat = evecs[:, ::-1][:, :K]
+    explained = float(evals[::-1][:K].sum()) / float(np.trace(cov))
+
+    def recon_err(batches):
+        sse_p, sse_t, n = 0.0, 0.0, 0
+        for pdf in batches:
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64) - mu
+            P = (X @ W_mat) @ W_mat.T
+            sse_p += float(((X - P) ** 2).sum())
+            sse_t += float((X**2).sum())
+            n += X.shape[0]
+        yield pd.DataFrame({"n": [n], "sse_resid": [sse_p], "sse_tot": [sse_t]})
+
+    rc = emb.select("embedding").mapInPandas(
+        recon_err, "n bigint, sse_resid double, sse_tot double"
+    )
+    return rc.agg(
+        F.sum("n").alias("n_vectors"),
+        F.sum("sse_resid").alias("resid"),
+        F.sum("sse_tot").alias("tot"),
+    ).select(
+        "n_vectors",
+        F.lit(K).alias("k"),
+        (F.abs(F.col("resid") / F.col("tot") - F.lit(1.0 - explained)) < 0.001).alias(
+            "evr_consistent"
+        ),
+        F.lit(explained >= K / D).alias("above_isotropic"),
+        (F.col("resid") / F.col("tot") < 1.0).alias("reduces_error"),
+    )
