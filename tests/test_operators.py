@@ -988,3 +988,120 @@ def test_int8_quantization_bounds_hold_on_extremes(spark):
     assert out.loc[0, "max_abs_err"] == 0.0
     # dim 1 is constant: scale=0 branch, zero error, in-range codes
     assert out.loc[1, "max_abs_err"] == 0.0 and bool(out.loc[1, "within_half_step"])
+
+
+def test_winnowing_guarantees_shared_fingerprint_on_planted_overlap(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing any substring of >= w+k-1 = 7 tokens MUST share at least
+    one selected fingerprint — that is the property that makes the
+    scheme usable for dedup (no false-negative window). Planted case:
+    distinct cover texts around an identical 9-token span."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "alpha beta gamma " + shared + " delta epsilon",
+                    "one two three four " + shared + " five six seven eight nine",
+                ],
+            }
+        )
+    )
+    k, b, p, wsel = 4, 257, (1 << 31) - 1, 4
+    from marketingcloud_etl_spark.functions.text import tokens
+
+    th = F.transform(
+        tokens("text"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    d = docs.withColumn("h", th)
+    wh = F.transform(
+        F.sequence(F.lit(1), F.size("h") - (k - 1)),
+        lambda i: F.aggregate(
+            F.slice("h", i, k),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: F.pmod(acc * b + x, F.lit(p)),
+        ),
+    )
+    fp = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("wh") - (wsel - 1)),
+            lambda i: F.array_min(F.slice("wh", i, wsel)),
+        )
+    )
+    rows = d.withColumn("wh", wh).withColumn("fp", fp).select("doc_id", "fp").collect()
+    fps = {r.doc_id: set(r.fp) for r in rows}
+    assert fps[1] & fps[2], "planted 9-token overlap must share a fingerprint"
+
+
+def test_distributed_pca_recovers_low_rank_subspace_exactly(spark):
+    """On data lying in a 3-dim subspace of R^64, the K=8 principal
+    subspace must absorb ALL variance: rank-k residual ~ 0. Pins the
+    sufficient-statistics merge and the eigenvector math end-to-end
+    (the q199 booleans only bound it)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    basis = rng.normal(size=(3, 64))
+    coef = rng.normal(size=(500, 3))
+    X = coef @ basis + 5.0  # constant offset exercises mean-centering
+    pdf = pd.DataFrame({"vec_id": range(500), "embedding": list(X.astype("float64"))})
+    emb = spark.createDataFrame(pdf)
+
+    D = 64
+
+    def partial_stats(batches):
+        n, s, g = 0, np.zeros(D), np.zeros((D, D))
+        for b in batches:
+            M = np.vstack(b["embedding"].to_numpy()).astype(np.float64)
+            n += M.shape[0]
+            s += M.sum(axis=0)
+            g += M.T @ M
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]})
+
+    rows = emb.select("embedding").mapInPandas(
+        partial_stats, "n bigint, s array<double>, g array<double>"
+    ).collect()
+    n_tot = sum(r.n for r in rows)
+    s_tot = np.sum([np.array(r.s) for r in rows], axis=0)
+    g_tot = np.sum([np.array(r.g).reshape(D, D) for r in rows], axis=0)
+    mu = s_tot / n_tot
+    cov = g_tot / n_tot - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    W = evecs[:, ::-1][:, :8]
+    Xc = X - mu
+    resid = Xc - (Xc @ W) @ W.T
+    assert float((resid**2).sum()) / float((Xc**2).sum()) < 1e-9
+
+
+def test_ordered_replay_files_arrive_in_event_time_order(spark, sf_dir):
+    """ordered_replay_dir: listing the replay by mtime must yield files
+    whose event-time ranges are non-overlapping and increasing — the
+    property the outer stream-stream join (q196) depends on."""
+    import os
+
+    from marketingcloud_etl_spark.streaming.jobs import ordered_replay_dir
+
+    src = ordered_replay_dir(spark, sf_dir)
+    files = []
+    for root, _dirs, names in os.walk(src):
+        for n in names:
+            if n.endswith(".parquet"):
+                files.append(os.path.join(root, n))
+    files.sort(key=lambda f: os.path.getmtime(f))
+    assert len(files) >= 2
+    prev_hi = None
+    for f in files:
+        lo, hi = (
+            spark.read.parquet(f)
+            .selectExpr("min(ts)", "max(ts)")
+            .first()
+        )
+        if prev_hi is not None:
+            assert lo >= prev_hi, f"file {f} overlaps the previous slice"
+        prev_hi = hi
