@@ -165,6 +165,8 @@ _PRIORITY = (
     # seventh wave: distributed PCA + behavioral transition matrix
     "q199_distributed_pca",
     "q200_event_transition_matrix",
+    "q201_sparse_tfidf_simjoin",
+    "q202_equidepth_histogram",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -2485,3 +2485,43 @@ def q193_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(per_user, "p_id bigint, c_id bigint, diff_s bigint")
     )
+
+
+@query(
+    "q202_equidepth_histogram",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, cast(count(*) as bigint) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM r GROUP BY bucket
+    """,
+    tags=("relational", "stats", "scale"),
+)
+def q202_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (equal row count per bucket, the optimizer-
+    statistics shape) — q102's equal-WIDTH complement: bucket
+    boundaries adapt to the distribution, so heavy-tailed measures get
+    resolution where the mass is. Built on operators/ranking.py's
+    distributed ntile (range-partition → local rank → broadcast
+    offsets), so unlike the SQL window oracle it never materializes a
+    single-partition sort — the exact boundary-value semantics are
+    identical row for row under the total (price, key) order."""
+    prep(spark)
+    from ..operators.ranking import distributed_ntile
+
+    o = table(spark, sf_dir, "orders")
+    bkt = distributed_ntile(
+        o.select("o_orderkey", "o_totalprice"),
+        10,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey")],
+        "bucket",
+    )
+    return bkt.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

@@ -1463,3 +1463,71 @@ def q189_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fp").alias("min_fp"),
         F.aggregate("fp", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("fp_sum"),
     )
+
+
+@query(
+    "q201_sparse_tfidf_simjoin",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, t.tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents WHERE doc_id < 400) t(doc_id, tok)
+      GROUP BY doc_id, t.tok
+    ), dfreq AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY tok
+    ), w AS (
+      SELECT tf.doc_id, tf.tok,
+             cast(round(tf.tf * ln((SELECT count(*) FROM documents WHERE doc_id < 400)
+                                   / cast(df AS double)) * 1000000) as bigint) AS wq
+      FROM tf JOIN dfreq USING (tok) WHERE df <= 20
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(sum(a.wq * b.wq) as bigint) AS dot_q,
+           cast(count(*) as bigint) AS n_shared
+    FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+    ORDER BY dot_q DESC, id_a, id_b LIMIT 25
+    """,
+    tags=("text", "similarity", "join"),
+)
+def q201_sparse_tfidf_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE lexical similarity join — the inverted-index complement
+    of the dense-embedding paths (q48/q134): documents pair through
+    the tokens they share, scored by the tf-idf dot product over RARE
+    tokens only (df ≤ 20). The df cutoff is the standard scale trick
+    (stop-word-frequency tokens would each fan out df² pair rows and
+    contribute ~zero idf weight anyway): shuffle size is Σ df² over
+    rare tokens, never |docs|². Weights are quantized to exact integer
+    micro-units BEFORE the pair sum, so the aggregation is
+    order-independent and hash-matches the oracle bit for bit; ln()
+    on identical operands is IEEE-identical across engines (q162's
+    protocol). Top-25 with full tiebreak."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.count()  # one driver scalar: the corpus size in the idf
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(dfreq, "tok")
+        .filter(F.col("df") <= 20)
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000)
+            .cast("bigint")
+            .alias("wq"),
+        )
+    )
+    a = w.select(F.col("doc_id").alias("id_a"), "tok", F.col("wq").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "tok", F.col("wq").alias("wb"))
+    return (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot_q"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+        .orderBy(F.col("dot_q").desc(), "id_a", "id_b")
+        .limit(25)
+    )
