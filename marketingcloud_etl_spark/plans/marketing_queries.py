@@ -415,3 +415,66 @@ def q200_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
     )
+
+
+@query(
+    "q204_propensity_lift_chart",
+    oracle="""
+    WITH eng AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS clicks,
+             sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS views,
+             max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), dec AS (
+      SELECT *, ntile(5) OVER (ORDER BY clicks*3 + views DESC, user_id) AS decile
+      FROM eng
+    ), per AS (
+      SELECT decile, count(*) AS n_users, sum(converted) AS n_conv
+      FROM dec GROUP BY decile
+    ), tot AS (SELECT sum(n_users) AS nt, sum(n_conv) AS ct FROM per)
+    SELECT decile, cast(n_users as bigint) AS n_users, cast(n_conv as bigint) AS n_conv,
+           round((cast(n_conv as double)/n_users) / (cast(ct as double)/nt), 6) AS lift
+    FROM per, tot
+    """,
+    tags=("marketing", "analytic", "scale"),
+)
+def q204_propensity_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity LIFT chart — the campaign-targeting evaluation: users
+    are quintiled by a deterministic engagement score (clicks×3 +
+    views), and each band's conversion rate is compared to the
+    population base rate. A useful model concentrates conversions in
+    the top bands (lift > 1). The banding runs on operators/ranking.py's
+    distributed ntile — at 10⁹ users the SQL-window oracle's global
+    ORDER BY would single-partition; this path never does, while
+    reproducing its bucket boundaries row for row under the total
+    (score desc, user_id) order."""
+    prep(spark)
+    from ..operators.ranking import distributed_ntile
+
+    eng = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("views"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "converted"
+            ),
+        )
+        .withColumn("score", F.col("clicks") * 3 + F.col("views"))
+    )
+    dec = distributed_ntile(eng, 5, [F.col("score").desc(), F.col("user_id")], "decile")
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_conv"),
+    )
+    tot = per.agg(F.sum("n_users").alias("nt"), F.sum("n_conv").alias("ct"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_users",
+        "n_conv",
+        F.round((F.col("n_conv") / F.col("n_users")) / (F.col("ct") / F.col("nt")), 6).alias(
+            "lift"
+        ),
+    )
