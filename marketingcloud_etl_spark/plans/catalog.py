@@ -169,6 +169,10 @@ _PRIORITY = (
     "q202_equidepth_histogram",
     "q203_targeted_delete",
     "q204_propensity_lift_chart",
+    "q205_arrow_interop_roundtrip",
+    "q206_pandas_api_on_spark",
+    "q207_logistic_regression_gd",
+    "q208_triangle_count",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

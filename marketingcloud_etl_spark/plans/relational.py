@@ -2525,3 +2525,50 @@ def q202_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "q208_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey AND a.l_orderkey <= 600 AND b.l_orderkey <= 600
+    )
+    SELECT (SELECT count(*) FROM e) AS n_edges,
+           cast(count(*) as bigint) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+    """,
+    tags=("graph", "join"),
+)
+def q208_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE counting on the part co-occurrence graph (parts sharing
+    an order) — the third graph primitive after connected components
+    (q95) and PageRank (q128). Edges are canonically oriented u < v,
+    so each triangle is counted exactly once by the standard two-join
+    wedge-close plan: e1(u,v) ⋈ e2(v,w) builds wedges, e3 closes
+    them. Orientation is also the scale lever — directing edges by id
+    bounds wedge fan-out by out-degree, the classic mitigation for
+    high-degree skew (a production corpus would orient by ascending
+    degree instead). The edge set is localCheckpoint-pinned: three
+    self-join consumers, one materialization."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 600)
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)

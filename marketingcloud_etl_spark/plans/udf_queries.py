@@ -436,3 +436,83 @@ def q194_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.tok_0, s.tok_1, s.tok_2, s.n_tokens "
         "FROM v_d194 d, LATERAL split_fixed(d.text, 3) s"
     )
+
+
+@query(
+    "q205_arrow_interop_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, cast(count(*) as bigint) AS n,
+           cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint) AS total_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("udf", "arrow", "interop"),
+)
+def q205_arrow_interop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow interop round trip (Spark 4 ``DataFrame.toArrow`` /
+    ``createDataFrame(pyarrow.Table)``): a projection leaves Spark as
+    one Arrow table, a pyarrow.compute kernel derives exact integer
+    cents columnar-side, and the table re-enters Spark for the final
+    aggregation — zero row-wise Python, values bit-identical to the
+    all-Spark path (which is what the oracle checks). This is the
+    hand-off boundary to the Arrow ecosystem (polars/duckdb/feature
+    stores); the driver materialization scopes it to dimension-sized
+    frames — corpus-scale exchange goes through mapInArrow (q103)."""
+    prep(spark)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    at = o.toArrow()
+    cents = pc.cast(pc.round(pc.multiply(at["o_totalprice"], 100)), pa.int64())
+    at2 = at.set_column(at.schema.get_field_index("o_totalprice"), "cents", cents)
+    back = spark.createDataFrame(at2)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+@query(
+    "q206_pandas_api_on_spark",
+    oracle="""
+    SELECT l_returnflag, cast(count(*) as bigint) AS n,
+           cast(sum(cast(l_quantity as bigint)) as bigint) AS qty,
+           cast(sum(cast(round(l_extendedprice*100) as bigint)) as bigint) AS cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("udf", "pandas-api"),
+)
+def q206_pandas_api_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark (``pyspark.pandas``) — the drop-in pandas
+    surface compiled to the same Catalyst plans: ``assign`` /
+    ``groupby().agg(named aggs)`` over lineitem, then ``to_spark``.
+    Proves a pandas-habituated user gets DISTRIBUTED execution with
+    values identical to the SQL path (the oracle) — including the
+    exact-cents protocol expressed pandas-style (round→astype)."""
+    prep(spark)
+    import warnings
+
+    import pyspark.pandas as ps  # noqa: F401
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        psdf = (
+            table(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_quantity", "l_extendedprice")
+            .pandas_api()
+        )
+        psdf = psdf.assign(cents=(psdf["l_extendedprice"] * 100).round().astype("int64"))
+        g = (
+            psdf.groupby("l_returnflag")
+            .agg(n=("l_quantity", "count"), qty=("l_quantity", "sum"), cents=("cents", "sum"))
+            .reset_index()
+        )
+        out = g.to_spark()
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("qty").cast("bigint").alias("qty"),
+        F.col("cents").cast("bigint").alias("cents"),
+    )

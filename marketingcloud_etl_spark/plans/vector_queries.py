@@ -706,3 +706,106 @@ def q199_distributed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(explained >= K / D).alias("above_isotropic"),
         (F.col("resid") / F.col("tot") < 1.0).alias("reduces_error"),
     )
+
+
+@query(
+    "q207_logistic_regression_gd",
+    oracle="""
+    SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+           true AS loss_improved, true AS below_zero_model, true AS beats_base_rate
+    """,
+    tags=("ml", "iterative", "scale"),
+)
+def q207_logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LOGISTIC REGRESSION by full-batch gradient descent —
+    the iterative-optimization template: 8 rounds, each ONE narrow
+    mapInPandas pass emitting a per-partition (n, loss, gradient)
+    partial (one row of D+2 doubles per partition regardless of row
+    count — the q199/IVF sufficient-statistics protocol), merged on
+    the driver, weights re-broadcast through the next pass's closure.
+    Predicts high-value conversion (purchase ≥ 100) from log1p
+    engagement counts; the feature frame is localCheckpoint-pinned so
+    iterations don't recompute the aggregation. Verified in-query:
+    training loss improves over the zero-init and ends below the
+    zero-model ln 2, and held-in accuracy is at least the base rate.
+    (Fixed LR=0.5 full-batch — monotonicity per step is NOT claimed;
+    the convergence bounds above are step-size-robust.)"""
+    prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    D, LR, ITERS = 4, 0.5, 8
+    feats = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.log1p(
+                F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            ).alias("x1"),
+            F.log1p(
+                F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ).alias("x2"),
+            F.log1p(
+                F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            ).alias("x3"),
+            F.max(
+                F.when((F.col("event_type") == "purchase") & (F.col("value") >= 100), 1)
+                .otherwise(0)
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .localCheckpoint()
+    )
+
+    def grad_pass(wv):
+        def run(batches):
+            g = np.zeros(D)
+            loss, n = 0.0, 0
+            for pdf in batches:
+                X = np.column_stack(
+                    [np.ones(len(pdf)), pdf["x1"], pdf["x2"], pdf["x3"]]
+                )
+                y = pdf["y"].to_numpy()
+                p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+                eps = 1e-12
+                loss += float(-(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum())
+                g += X.T @ (p - y)
+                n += len(pdf)
+            yield pd.DataFrame({"n": [n], "loss": [loss], "g": [g.tolist()]})
+
+        return run
+
+    w = np.zeros(D)
+    losses = []
+    for _ in range(ITERS):
+        rows = feats.mapInPandas(
+            grad_pass(w.copy()), "n bigint, loss double, g array<double>"
+        ).collect()
+        n_tot = sum(r.n for r in rows)
+        losses.append(sum(r.loss for r in rows) / n_tot)
+        w = w - LR * np.sum([np.array(r.g) for r in rows], axis=0) / n_tot
+
+    wf = w.copy()
+
+    def eval_pass(batches):
+        n, correct, pos = 0, 0, 0
+        for pdf in batches:
+            X = np.column_stack([np.ones(len(pdf)), pdf["x1"], pdf["x2"], pdf["x3"]])
+            y = pdf["y"].to_numpy()
+            p = 1.0 / (1.0 + np.exp(-(X @ wf)))
+            correct += int(((p >= 0.5) == (y == 1)).sum())
+            pos += int(y.sum())
+            n += len(pdf)
+        yield pd.DataFrame({"n": [n], "correct": [correct], "pos": [pos]})
+
+    ev = feats.mapInPandas(eval_pass, "n bigint, correct bigint, pos bigint").collect()
+    n_tot = sum(r.n for r in ev)
+    acc = sum(r.correct for r in ev) / n_tot
+    base = max(sum(r.pos for r in ev) / n_tot, 1 - sum(r.pos for r in ev) / n_tot)
+    return spark.range(1).select(
+        F.lit(n_tot).alias("n_users"),
+        F.lit(bool(losses[-1] < losses[0])).alias("loss_improved"),
+        F.lit(bool(losses[-1] < float(np.log(2)))).alias("below_zero_model"),
+        F.lit(bool(acc >= base - 1e-9)).alias("beats_base_rate"),
+    )
