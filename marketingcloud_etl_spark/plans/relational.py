@@ -2572,3 +2572,55 @@ def q208_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+
+
+@query(
+    "q209_bucketized_range_join",
+    oracle="""
+    WITH err AS (SELECT event_id AS e_id, ts AS e_ts FROM events WHERE event_type='error'),
+         pur AS (SELECT event_id AS p_id, ts AS p_ts FROM events WHERE event_type='purchase')
+    SELECT e_id, cast(count(*) as bigint) AS n_purchases_near
+    FROM err JOIN pur ON abs(date_diff('microsecond', p_ts, e_ts)) <= 600000000
+    GROUP BY e_id
+    """,
+    tags=("relational", "join", "scale"),
+)
+def q209_bucketized_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETIZED range join — the scale rewrite of the interval theta
+    join (which Spark can only plan as a nested-loop cross product):
+    to pair every error with every purchase within ±10 minutes across
+    ALL users, both sides are assigned 10-minute time buckets, the
+    probe side explodes to its bucket ±1 (any qualifying pair must
+    then share a bucket, since |Δt| ≤ one bucket width), the join runs
+    as a plain EQUI-join on the bucket id, and the exact predicate
+    refines the candidates. Cost drops from |A|·|B| to Σ per-bucket
+    products — the standard range-join optimization. The oracle is the
+    naive theta join; the plan test pins that no NestedLoop survives."""
+    prep(spark)
+    W_US = 10 * 60 * 1_000_000
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.unix_micros("ts").alias("e_us")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.unix_micros("ts").alias("p_us")
+    )
+    purb = pur.withColumn("bkt", F.floor(F.col("p_us") / W_US))
+    errb = err.select(
+        "e_id",
+        "e_us",
+        F.explode(
+            F.array(
+                F.floor(F.col("e_us") / W_US) - 1,
+                F.floor(F.col("e_us") / W_US),
+                F.floor(F.col("e_us") / W_US) + 1,
+            )
+        ).alias("bkt"),
+    )
+    pairs = (
+        errb.join(purb, "bkt")
+        .filter(F.abs(F.col("e_us") - F.col("p_us")) <= W_US)
+        .select("e_id", "p_id")
+        .distinct()
+    )
+    return pairs.groupBy("e_id").agg(F.count(F.lit(1)).alias("n_purchases_near"))

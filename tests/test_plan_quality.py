@@ -381,3 +381,12 @@ def test_null_safe_join_stays_hash_join(spark, sf_dir):
     sargable and the 100 TB cost profile must match a plain equi-join."""
     plan = _plan(REGISTRY["q191_null_safe_join"].fn(spark, sf_dir))
     assert "NestedLoop" not in plan and "HashJoin" in plan
+
+
+def test_bucketized_range_join_avoids_nested_loop(spark, sf_dir):
+    """q209: the interval pairing must plan as an equi-join on the time
+    bucket — a NestedLoop (the naive theta-join physical plan) defeats
+    the whole rewrite."""
+    plan = _plan(REGISTRY["q209_bucketized_range_join"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
