@@ -173,6 +173,8 @@ _PRIORITY = (
     "q206_pandas_api_on_spark",
     "q207_logistic_regression_gd",
     "q208_triangle_count",
+    "q209_bucketized_range_join",
+    "q210_sql_pipe_syntax",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -2624,3 +2624,33 @@ def q209_bucketized_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.groupBy("e_id").agg(F.count(F.lit(1)).alias("n_purchases_near"))
+
+
+@query(
+    "q210_sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority, cast(count(*) as bigint) AS n,
+           cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint) AS cents
+    FROM orders WHERE o_totalprice > 50000
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "sql"),
+)
+def q210_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4 ``|>`` operators, SQL:2023-adjacent):
+    the linear FROM → WHERE → AGGREGATE form that reads in execution
+    order instead of inside-out nesting, composed with ``SELECT *
+    EXCEPT`` column exclusion. Semantically identical to the classic
+    query the oracle runs — pipes are pure surface syntax over the
+    same Catalyst plan, which is exactly what the compare proves."""
+    prep(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_o210")
+    return spark.sql(
+        """
+        FROM (SELECT * EXCEPT (o_orderdate, o_custkey) FROM v_o210)
+        |> WHERE o_totalprice > 50000
+        |> AGGREGATE count(*) AS n,
+                     sum(cast(round(o_totalprice*100) as bigint)) AS cents
+           GROUP BY o_orderpriority
+        """
+    )
