@@ -469,3 +469,86 @@ def test_transform_with_state_event_time_timers(spark, tmp_path):
         (1, 3, us("2025-06-01 10:00:00"), us("2025-06-01 10:10:00")),
         (1, 2, us("2025-06-01 11:30:00"), us("2025-06-01 11:45:00")),
     ]
+
+
+def test_chained_stateful_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """q188's chained pipeline (dedup → windowed agg) must carry BOTH
+    operators' state across a restart from the checkpoint alone: run
+    the doubled feed's first half, stop, add the rest, restart with
+    the same checkpoint — final per-window counts must equal the
+    batch aggregate of the UN-doubled source (dedup state surviving
+    the restart is what cancels the doubling; window state surviving
+    is what keeps earlier counts)."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from marketingcloud_etl_spark.io import table
+    from marketingcloud_etl_spark.streaming.jobs import replay_dir
+
+    full = replay_dir(spark, sf_dir)
+    files = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    src = str(tmp_path / "src"); os.makedirs(src)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(full).schema
+
+    def run_stream():
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        doubled = s.unionByName(s)
+        win = (
+            doubled.withWatermark("ts", "3650 days")
+            .dropDuplicates(["event_id"])
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd").alias("day"), "event_type", "n"
+            )
+        )
+
+        def sink_fn(bdf, epoch_id):
+            bdf.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(sink)
+
+        q = (
+            win.writeStream.foreachBatch(sink_fn)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in files[:4]:
+        shutil.copy(os.path.join(full, f), src)
+    run_stream()
+    for f in files[4:]:
+        shutil.copy(os.path.join(full, f), src)
+    run_stream()
+
+    out = spark.read.parquet(sink)
+    from pyspark.sql.window import Window as W
+
+    last = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("day", "event_type").orderBy(F.col("epoch").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("day", "event_type", "n")
+    )
+    want = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert last.exceptAll(want).count() == 0 and want.exceptAll(last).count() == 0
