@@ -175,6 +175,9 @@ _PRIORITY = (
     "q208_triangle_count",
     "q209_bucketized_range_join",
     "q210_sql_pipe_syntax",
+    "q211_market_basket_rules",
+    "q212_scd2_asof_lookup",
+    "q213_session_append_finalized",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1584,3 +1584,52 @@ def q203_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents_after",
         F.lit(n_hit < n_days_total).alias("partial_rewrite"),
     )
+
+
+@query(
+    "q212_scd2_asof_lookup",
+    oracle="""
+    WITH scd AS (
+      SELECT user_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             event_type AS state
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    )
+    SELECT user_id, strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS since, state
+    FROM scd
+    WHERE valid_from <= timestamp '2024-01-15 00:00:00'
+      AND (valid_to IS NULL OR valid_to > timestamp '2024-01-15 00:00:00')
+    """,
+    tags=("etl", "scd", "temporal"),
+)
+def q212_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME (AS OF) lookup over the SCD2 dimension q87 builds:
+    reconstruct every entity's state as it was at an arbitrary past
+    instant by half-open [valid_from, valid_to) interval containment —
+    the query that makes dimension history USEFUL (training-data
+    time-travel, audit reconstruction, "what did the model see"). At
+    most one version per entity matches by construction; the validity
+    predicate is sargable, so a valid_from-sorted layout (q195) skips
+    every file newer than the as-of instant."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    AS_OF = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    scd = e.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.col("event_type").alias("state"),
+    )
+    return scd.filter(
+        (F.col("valid_from") <= AS_OF)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > AS_OF))
+    ).select(
+        "user_id",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("since"),
+        "state",
+    )

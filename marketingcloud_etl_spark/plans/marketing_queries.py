@@ -478,3 +478,67 @@ def q204_propensity_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift"
         ),
     )
+
+
+@query(
+    "q211_market_basket_rules",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    supp AS (SELECT l_partkey, count(*) AS supp FROM items GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS supp_xy
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY x, y HAVING count(*) >= 2
+    )
+    SELECT x, y, cast(supp_xy as bigint) AS supp_xy,
+           round(cast(supp_xy as double) / sx.supp, 6) AS conf_x_to_y,
+           round(cast(supp_xy as double) * (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+                 / (sx.supp * sy.supp), 6) AS lift
+    FROM pair JOIN supp sx ON pair.x = sx.l_partkey
+              JOIN supp sy ON pair.y = sy.l_partkey
+    ORDER BY lift DESC, x, y LIMIT 50
+    """,
+    tags=("marketing", "analytic", "association"),
+)
+def q211_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association rules (co-purchase mining): item-pair
+    support via the canonically-oriented basket self-join (the q208
+    edge shape), then confidence P(y|x) and lift P(x,y)/(P(x)P(y))
+    against broadcast single-item supports. The support-2 floor prunes
+    the pair tail BEFORE the stats join — the Apriori downward-closure
+    trick that keeps rule generation bounded by frequent pairs, not
+    all pairs; at 100 TB the same floor applies map-side via the
+    pre-aggregated pair counts. Top-50 by lift, full tiebreak."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    n_orders = li.select("l_orderkey").distinct().count()
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("x"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("y"))
+    pair = (
+        a.join(b, "o")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("supp_xy"))
+        .filter(F.col("supp_xy") >= 2)
+    )
+    sx = supp.select(F.col("l_partkey").alias("x"), F.col("supp").alias("supp_x"))
+    sy = supp.select(F.col("l_partkey").alias("y"), F.col("supp").alias("supp_y"))
+    return (
+        pair.join(F.broadcast(sx), "x")
+        .join(F.broadcast(sy), "y")
+        .select(
+            "x",
+            "y",
+            "supp_xy",
+            F.round(F.col("supp_xy") / F.col("supp_x"), 6).alias("conf_x_to_y"),
+            F.round(
+                (F.col("supp_xy") * F.lit(float(n_orders)))
+                / (F.col("supp_x") * F.col("supp_y")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "x", "y")
+        .limit(50)
+    )

@@ -755,3 +755,71 @@ def q196_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max(F.col("c_id").isNull()).alias("unmatched"),
         )
     )
+
+
+@query(
+    "q213_session_append_finalized",
+    oracle="""
+    WITH cut AS (SELECT max(ts) - INTERVAL 95 MINUTES AS cut FROM events),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) >= 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), spans AS (
+      SELECT user_id, sid, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTES AS s_end,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, cast(count(*) as bigint) AS n_sessions,
+           cast(sum(n_events) as bigint) AS n_events
+    FROM spans, cut WHERE s_end <= cut
+    GROUP BY user_id
+    """,
+    tags=("streaming", "session", "append"),
+)
+def q213_session_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode session windows — the production emission semantics
+    q59's complete-mode workaround sidesteps: a session row is emitted
+    exactly once, when the watermark proves no further event can
+    extend it (watermark past session end + gap). Runs on the
+    event-time-ORDERED replay with a REAL 1-hour watermark (q59 needed
+    an unbounded one). The oracle recomputes gap-sessionization in SQL
+    (new session on gap ≥ 30 min, session end = last event + gap —
+    Spark's session_window definition) and restricts both sides to
+    sessions provably finalized at stream end (end ≤ max ts − 95 min:
+    60 watermark + 30 gap + 5 slack)."""
+    prep(spark)
+    from ..streaming.jobs import events_stream_ordered, run_to_memory
+
+    s = events_stream_ordered(spark, sf_dir)
+    sw = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("s_start"),
+            F.col("sw.end").alias("s_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    out = run_to_memory(sw, "q213_out", output_mode="append")
+    cut = table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 95 MINUTES")).alias("cut")
+    )
+    return (
+        out.join(F.broadcast(cut), F.lit(True))
+        .filter(F.col("s_end") <= F.col("cut"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
