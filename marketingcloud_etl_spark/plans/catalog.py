@@ -178,6 +178,7 @@ _PRIORITY = (
     "q211_market_basket_rules",
     "q212_scd2_asof_lookup",
     "q213_session_append_finalized",
+    "q214_dq_expectations",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1633,3 +1633,88 @@ def q212_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("since"),
         "state",
     )
+
+
+@query(
+    "q214_dq_expectations",
+    oracle="""
+    SELECT 'orders_key_not_null' AS expectation,
+           cast(count(*) FILTER (WHERE o_orderkey IS NULL) as bigint) AS n_violations,
+           count(*) FILTER (WHERE o_orderkey IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'orders_key_unique',
+           cast((SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) as bigint),
+           (SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) = 0
+    UNION ALL
+    SELECT 'orders_status_accepted',
+           cast(count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')) as bigint),
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders_price_non_negative',
+           cast(count(*) FILTER (WHERE o_totalprice < 0) as bigint),
+           count(*) FILTER (WHERE o_totalprice < 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_order_fk',
+           cast((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) as bigint),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+    """,
+    tags=("etl", "quality"),
+)
+def q214_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY expectations suite (the dbt-tests / Great-
+    Expectations contract shape): one audited row per expectation —
+    not-null key, key uniqueness, accepted status values, value
+    bounds, and lineitem→orders referential integrity — each with its
+    exact violation count, so a failure is immediately sized, not just
+    flagged. Plan shape: the three row-level checks share ONE orders
+    scan (conditional aggregates in a single pass), uniqueness is one
+    self-groupBy, and the FK check is a broadcast-key anti-join —
+    nothing scans a table more than the contract requires; at 100 TB
+    the suite rides the scans the load job already pays for (q144's
+    observe() is the zero-extra-pass variant for inline metrics)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    def row(name, viol_col):
+        return F.struct(F.lit(name).alias("expectation"), viol_col.alias("n_violations"))
+
+    # three row-level expectations in ONE pass over orders
+    scans = o.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("v_null"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("v_status"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("v_price"),
+    )
+    dup = o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") > 1
+    ).agg(F.count(F.lit(1)).alias("v_dup"))
+    orphan = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v_fk"))
+    )
+    wide = scans.crossJoin(F.broadcast(dup)).crossJoin(F.broadcast(orphan))
+    report = wide.select(
+        F.explode(
+            F.array(
+                row("orders_key_not_null", F.col("v_null").cast("bigint")),
+                row("orders_key_unique", F.col("v_dup").cast("bigint")),
+                row("orders_status_accepted", F.col("v_status").cast("bigint")),
+                row("orders_price_non_negative", F.col("v_price").cast("bigint")),
+                row("lineitem_order_fk", F.col("v_fk").cast("bigint")),
+            )
+        ).alias("e")
+    )
+    return report.select(
+        F.col("e.expectation").alias("expectation"),
+        F.col("e.n_violations").alias("n_violations"),
+        (F.col("e.n_violations") == 0).alias("passed"),
+    )
