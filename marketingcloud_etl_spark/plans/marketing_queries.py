@@ -511,8 +511,11 @@ def q211_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregated pair counts. Top-50 by lift, full tiebreak."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
-    n_orders = li.select("l_orderkey").distinct().count()
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # four consumers (supp, both self-join sides, n_orders) — one
+    # materialization of the distinct basket projection (q208's
+    # protocol), not four lineitem scans + distinct shuffles
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    n_orders = items.select("l_orderkey").distinct().count()
     supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
     a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("x"))
     b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("y"))

@@ -2264,18 +2264,27 @@ def bloom_join_frame(spark: SparkSession, sf_dir: str):
             else:
                 spark.conf.set(k, v)
 
-    li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    out = (
-        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
-                "price_cents"
-            ),
+    # a failure while building the frame must not leak the confs into
+    # the long-lived session (broadcast stays disabled for every later
+    # query otherwise) — restore and re-raise
+    try:
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
         )
-    )
+        out = (
+            li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                    "price_cents"
+                ),
+            )
+        )
+    except BaseException:
+        restore()
+        raise
     return out, restore
 
 
@@ -2617,11 +2626,14 @@ def q209_bucketized_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bkt"),
     )
+    # no distinct needed: a purchase has exactly ONE bucket and the
+    # probe side's three exploded buckets are distinct, so a qualifying
+    # pair is produced exactly once — a dedup here would re-shuffle the
+    # whole candidate set for nothing
     pairs = (
         errb.join(purb, "bkt")
         .filter(F.abs(F.col("e_us") - F.col("p_us")) <= W_US)
         .select("e_id", "p_id")
-        .distinct()
     )
     return pairs.groupBy("e_id").agg(F.count(F.lit(1)).alias("n_purchases_near"))
 

@@ -1478,7 +1478,7 @@ def q189_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tf.doc_id, tf.tok,
              cast(round(tf.tf * ln((SELECT count(*) FROM documents WHERE doc_id < 400)
                                    / cast(df AS double)) * 1000000) as bigint) AS wq
-      FROM tf JOIN dfreq USING (tok) WHERE df <= 20
+      FROM tf JOIN dfreq USING (tok) WHERE df <= 50
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            cast(sum(a.wq * b.wq) as bigint) AS dot_q,
@@ -1493,7 +1493,7 @@ def q201_sparse_tfidf_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARSE lexical similarity join — the inverted-index complement
     of the dense-embedding paths (q48/q134): documents pair through
     the tokens they share, scored by the tf-idf dot product over RARE
-    tokens only (df ≤ 20). The df cutoff is the standard scale trick
+    tokens only (df ≤ 50). The df cutoff is the standard scale trick
     (stop-word-frequency tokens would each fan out df² pair rows and
     contribute ~zero idf weight anyway): shuffle size is Σ df² over
     rare tokens, never |docs|². Weights are quantized to exact integer
@@ -1509,7 +1509,7 @@ def q201_sparse_tfidf_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = (
         tf.join(dfreq, "tok")
-        .filter(F.col("df") <= 20)
+        .filter(F.col("df") <= 50)
         .select(
             "doc_id",
             "tok",

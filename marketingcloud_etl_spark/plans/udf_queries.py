@@ -465,7 +465,13 @@ def q205_arrow_interop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     at = o.toArrow()
-    cents = pc.cast(pc.round(pc.multiply(at["o_totalprice"], 100)), pa.int64())
+    cents = pc.cast(
+        # half-AWAY-from-zero, the repo cents protocol: pyarrow's
+        # default round_mode is half_to_even and would drift vs the
+        # oracle on exact half cents
+        pc.round(pc.multiply(at["o_totalprice"], 100), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
     at2 = at.set_column(at.schema.get_field_index("o_totalprice"), "cents", cents)
     back = spark.createDataFrame(at2)
     return back.groupBy("o_orderpriority").agg(

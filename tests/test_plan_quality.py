@@ -369,10 +369,18 @@ def test_training_mix_selection_is_source_partitioned(spark, sf_dir):
     plan = _plan(REGISTRY["q190_training_mix_pipeline"].fn(spark, sf_dir))
     assert "windowspecdefinition(source" in plan
     # the single-partition exchanges may only feed the zero-key folds
-    # over the per-source frame, never a Window
-    for chunk in plan.split("Exchange SinglePartition")[1:]:
-        head = chunk.splitlines()[1] if len(chunk.splitlines()) > 1 else ""
-        assert "Window" not in head
+    # over the per-source frame, never a Window. In the plan string the
+    # CONSUMER of an exchange is printed on the lines ABOVE it, so look
+    # upward from each Exchange SinglePartition for the nearest
+    # operator — it must be an aggregate, not a Window/Sort
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        above = [l for l in lines[max(0, i - 3) : i] if l.strip()]
+        assert above and not any("Window" in l or "Sort " in l for l in above), (
+            f"single-partition exchange feeds a Window/Sort:\n" + "\n".join(above)
+        )
 
 
 def test_null_safe_join_stays_hash_join(spark, sf_dir):
