@@ -179,6 +179,8 @@ _PRIORITY = (
     "q212_scd2_asof_lookup",
     "q213_session_append_finalized",
     "q214_dq_expectations",
+    "q215_temporal_enrich",
+    "q216_trending_leaderboard",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

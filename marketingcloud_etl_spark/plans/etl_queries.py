@@ -1718,3 +1718,62 @@ def q214_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.n_violations").alias("n_violations"),
         (F.col("e.n_violations") == 0).alias("passed"),
     )
+
+
+@query(
+    "q215_temporal_enrich",
+    oracle="""
+    WITH scd AS (
+      SELECT user_id AS d_user, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             event_type AS state
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT coalesce(s.state, 'none') AS state_at_click,
+           cast(count(*) as bigint) AS n_clicks
+    FROM clicks c LEFT JOIN scd s
+      ON c.user_id = s.d_user AND c.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR c.ts < s.valid_to)
+    GROUP BY state_at_click
+    """,
+    tags=("etl", "temporal", "join"),
+)
+def q215_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL enrichment — join every fact row to the dimension
+    version that was valid AT ITS OWN event time (q212 answers one
+    instant; this answers all of them at once): clicks left-join the
+    SCD2 state table on user + half-open interval containment, clicks
+    before any version get the explicit 'none' state (the LEFT join
+    semantics a naive inner temporal join silently drops). The join is
+    EQUI on user_id — the interval predicate only filters within a
+    user's handful of versions, so there is no range-join blowup; at
+    100 TB both sides shuffle once on the user key (or co-locate via
+    bucketing, q70) and the per-key interval scan is O(versions)."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    dim = ev.filter(F.col("event_type").isin("signup", "purchase"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    scd = dim.select(
+        F.col("user_id").alias("d_user"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.col("event_type").alias("state"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        clicks.join(
+            scd,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+            "left",
+        )
+        .groupBy(F.coalesce(F.col("state"), F.lit("none")).alias("state_at_click"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )

@@ -545,3 +545,48 @@ def q211_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "x", "y")
         .limit(50)
     )
+
+
+@query(
+    "q216_trending_leaderboard",
+    oracle="""
+    WITH daily AS (
+      SELECT extract(year from o_orderdate) AS yr, l_partkey, count(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY yr, l_partkey
+    ), ranked AS (
+      SELECT cast(yr as int) AS yr, l_partkey, cast(n as bigint) AS n,
+             row_number() OVER (PARTITION BY yr ORDER BY n DESC, l_partkey) AS rk
+      FROM daily
+    )
+    SELECT yr, cast(rk as int) AS rk, l_partkey, n FROM ranked WHERE rk <= 3
+    """,
+    tags=("marketing", "analytic", "window"),
+)
+def q216_trending_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-period TRENDING leaderboard — top-3 parts by line count for
+    every order year: pre-aggregate to (period, item) counts FIRST
+    (the cardinality reducer — rank runs over items-per-period rows,
+    never raw facts), then rank within each period partition with a
+    deterministic count-desc/key tiebreak. The window partitions by
+    period, so periods rank in parallel; the per-period top-k is what
+    feeds 'trending now' surfaces and the q22 global top-k cannot
+    express per-group."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    daily = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("yr", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wl = W.partitionBy("yr").orderBy(F.col("n").desc(), "l_partkey")
+    return (
+        daily.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= 3)
+        .select("yr", "rk", "l_partkey", "n")
+    )
