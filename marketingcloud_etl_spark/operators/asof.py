@@ -166,3 +166,58 @@ def asof_join_cogroup(
         .cogroup(right_b.groupBy("__bkt"))
         .applyInPandas(lambda lp, rp: merge(lp, rp), schema=out_schema)
     )
+
+
+def nearest_asof_merge(pdf: "pd.DataFrame", tolerance_s: float) -> "pd.DataFrame":
+    """One key-group's NEAREST-direction as-of match (q193's kernel,
+    module-level so the tie/tolerance semantics are property-testable
+    against a brute-force reference without Spark):
+
+    input columns (one group, any order): ``eid``, ``ts``, ``kind``
+    ('p' = probe row, 'c' = candidate row). Each probe matches the
+    candidate minimizing |Δt|, ties broken toward the EARLIER
+    candidate then the smaller candidate id, dropped beyond
+    ``tolerance_s``. Implemented as both-direction ``merge_asof`` +
+    argmin — O(n log n) per group vs the brute force's O(n·m)."""
+    import numpy as np
+
+    empty = pd.DataFrame(
+        {
+            "p_id": pd.Series(dtype="int64"),
+            "c_id": pd.Series(dtype="int64"),
+            "diff_s": pd.Series(dtype="int64"),
+        }
+    )
+    pp = (
+        pdf[pdf["kind"] == "p"][["eid", "ts"]]
+        .sort_values(["ts", "eid"])
+        .rename(columns={"eid": "p_id"})
+    )
+    cc = (
+        pdf[pdf["kind"] == "c"][["eid", "ts"]]
+        .sort_values(["ts", "eid"])
+        .rename(columns={"eid": "c_id"})
+    )
+    # equal-ts candidates: keep the smallest id (the (|Δt|, ts, id)
+    # tiebreak picks the same row)
+    cc = cc.drop_duplicates(subset="ts", keep="first")
+    if pp.empty or cc.empty:
+        return empty
+    cc = cc.assign(c_ts=cc["ts"])
+    b = pd.merge_asof(pp, cc, on="ts", direction="backward")
+    f = pd.merge_asof(pp, cc, on="ts", direction="forward")
+    bdiff = (pp["ts"].values - b["c_ts"].values) / np.timedelta64(1, "s")
+    fdiff = (f["c_ts"].values - pp["ts"].values) / np.timedelta64(1, "s")
+    bdiff = np.where(np.isnan(bdiff), np.inf, bdiff)
+    fdiff = np.where(np.isnan(fdiff), np.inf, fdiff)
+    take_b = bdiff <= fdiff  # tie -> backward (earlier candidate ts)
+    cid = np.where(take_b, b["c_id"].values, f["c_id"].values)
+    diff = np.where(take_b, bdiff, fdiff)
+    ok = diff <= tolerance_s
+    return pd.DataFrame(
+        {
+            "p_id": pp["p_id"].values[ok],
+            "c_id": cid[ok].astype("int64"),
+            "diff_s": np.floor(diff[ok]).astype("int64"),
+        }
+    )

@@ -2436,8 +2436,7 @@ def q193_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle of (user, ts, id) triples; a mega-user hot key would
     salt by time range (operators/skew.py)."""
     prep(spark)
-    import numpy as np
-    import pandas as pd
+    from ..operators.asof import nearest_asof_merge
 
     ev = table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
@@ -2447,47 +2446,8 @@ def q193_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("event_id").alias("eid"), "ts", F.lit("c").alias("kind")
     )
 
-    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "p_id": pd.Series(dtype="int64"),
-                "c_id": pd.Series(dtype="int64"),
-                "diff_s": pd.Series(dtype="int64"),
-            }
-        )
-        pp = (
-            pdf[pdf["kind"] == "p"][["eid", "ts"]]
-            .sort_values(["ts", "eid"])
-            .rename(columns={"eid": "p_id"})
-        )
-        cc = (
-            pdf[pdf["kind"] == "c"][["eid", "ts"]]
-            .sort_values(["ts", "eid"])
-            .rename(columns={"eid": "c_id"})
-        )
-        # equal-ts candidates: keep the smallest id (the oracle's
-        # (adiff, c_ts, c_id) tiebreak picks the same row)
-        cc = cc.drop_duplicates(subset="ts", keep="first")
-        if pp.empty or cc.empty:
-            return empty
-        cc = cc.assign(c_ts=cc["ts"])
-        b = pd.merge_asof(pp, cc, on="ts", direction="backward")
-        f = pd.merge_asof(pp, cc, on="ts", direction="forward")
-        bdiff = (pp["ts"].values - b["c_ts"].values) / np.timedelta64(1, "s")
-        fdiff = (f["c_ts"].values - pp["ts"].values) / np.timedelta64(1, "s")
-        bdiff = np.where(np.isnan(bdiff), np.inf, bdiff)
-        fdiff = np.where(np.isnan(fdiff), np.inf, fdiff)
-        take_b = bdiff <= fdiff  # tie -> backward (earlier right ts)
-        cid = np.where(take_b, b["c_id"].values, f["c_id"].values)
-        diff = np.where(take_b, bdiff, fdiff)
-        ok = diff <= 7200.0
-        return pd.DataFrame(
-            {
-                "p_id": pp["p_id"].values[ok],
-                "c_id": cid[ok].astype("int64"),
-                "diff_s": np.floor(diff[ok]).astype("int64"),
-            }
-        )
+    def per_user(pdf):
+        return nearest_asof_merge(pdf, tolerance_s=7200.0)
 
     return (
         p.unionByName(c)

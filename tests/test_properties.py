@@ -117,3 +117,47 @@ def test_distributed_ntile_property(spark, keys, n_buckets):
         assert bad.count() == 0, bad.limit(5).collect()
     finally:
         release_ranking_caches()
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=100_000), min_size=0, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=100_000), min_size=0, max_size=30),
+)
+def test_nearest_asof_merge_matches_bruteforce(p_secs, c_secs):
+    """operators/asof.nearest_asof_merge (q193's kernel) vs the O(n·m)
+    brute force: every probe must match the candidate minimizing
+    (|Δt|, candidate ts, candidate id), dropped beyond tolerance —
+    including duplicate-timestamp candidates and empty sides. Pure
+    pandas, no Spark session needed."""
+    import numpy as np
+    import pandas as pd
+
+    from marketingcloud_etl_spark.operators.asof import nearest_asof_merge
+
+    TOL = 600.0
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i, s in enumerate(p_secs):
+        rows.append({"eid": 1000 + i, "ts": base + pd.Timedelta(seconds=s), "kind": "p"})
+    for i, s in enumerate(c_secs):
+        rows.append({"eid": 2000 + i, "ts": base + pd.Timedelta(seconds=s), "kind": "c"})
+    pdf = pd.DataFrame(rows, columns=["eid", "ts", "kind"]).astype(
+        {"eid": "int64", "kind": "object"}
+    )
+    got = nearest_asof_merge(pdf, tolerance_s=TOL)
+    got = set(map(tuple, got[["p_id", "c_id", "diff_s"]].to_numpy().tolist()))
+
+    want = set()
+    cands = [(base + pd.Timedelta(seconds=s), 2000 + i) for i, s in enumerate(c_secs)]
+    for i, s in enumerate(p_secs):
+        pts = base + pd.Timedelta(seconds=s)
+        if not cands:
+            continue
+        best = min(
+            cands, key=lambda c: (abs((c[0] - pts).total_seconds()), c[0], c[1])
+        )
+        d = abs((best[0] - pts).total_seconds())
+        if d <= TOL:
+            want.add((1000 + i, best[1], int(np.floor(d))))
+    assert got == want
