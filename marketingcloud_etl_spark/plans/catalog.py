@@ -181,6 +181,8 @@ _PRIORITY = (
     "q214_dq_expectations",
     "q215_temporal_enrich",
     "q216_trending_leaderboard",
+    "q217_chi_square_independence",
+    "q218_weighted_median",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -2626,3 +2626,124 @@ def q210_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "q217_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT user_id % 2 AS seg, event_type, count(*) AS obs
+      FROM events GROUP BY seg, event_type
+    ), rt AS (SELECT seg, sum(obs) AS row_n FROM cells GROUP BY seg),
+       ct AS (SELECT event_type, sum(obs) AS col_n FROM cells GROUP BY event_type),
+       nt AS (SELECT sum(obs) AS n FROM cells),
+       terms AS (
+      SELECT pow(obs - (row_n * col_n / cast(n as double)), 2)
+               / (row_n * col_n / cast(n as double)) AS term, n
+      FROM cells JOIN rt USING (seg) JOIN ct USING (event_type) CROSS JOIN nt
+    )
+    SELECT round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6) AS chi2,
+           cast(count(*) as int) AS n_cells,
+           cast(any_value(n) as bigint) AS n_total
+    FROM terms
+    """,
+    tags=("stats", "analytic"),
+)
+def q217_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of INDEPENDENCE (segment × event-type) — the
+    categorical complement of q133's two-proportion z-test: observed
+    contingency cells vs the row×col/n expectation, χ² = Σ(o−e)²/e.
+    The contingency table and marginals are tiny by construction
+    (|segments|×|types|), so everything after the one groupBy is
+    broadcast arithmetic; the χ² sum folds the per-cell terms in
+    SORTED order (q111's protocol) so float addition order can never
+    drift the 6-dp rounded statistic between engines."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    cells = (
+        ev.select((F.col("user_id") % 2).alias("seg"), "event_type")
+        .groupBy("seg", "event_type")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rt = cells.groupBy("seg").agg(F.sum("obs").alias("row_n"))
+    ct = cells.groupBy("event_type").agg(F.sum("obs").alias("col_n"))
+    nt = cells.agg(F.sum("obs").alias("n"))
+    exp = F.col("row_n") * F.col("col_n") / F.col("n")
+    terms = (
+        cells.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "event_type")
+        .crossJoin(F.broadcast(nt))
+        .select(((F.col("obs") - exp) ** 2 / exp).alias("term"), "n")
+    )
+    return terms.agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("chi2"),
+        F.count(F.lit(1)).cast("int").alias("n_cells"),
+        F.first("n").cast("long").alias("n_total"),
+    )
+
+
+@query(
+    "q218_weighted_median",
+    oracle="""
+    WITH rows_ AS (
+      SELECT l_returnflag,
+             cast(round(l_extendedprice*100) as bigint) AS price_c,
+             cast(l_quantity as bigint) AS wgt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, price_c, wgt,
+             sum(wgt) OVER (PARTITION BY l_returnflag
+                            ORDER BY price_c, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cum_w,
+             sum(wgt) OVER (PARTITION BY l_returnflag) AS tot_w
+      FROM rows_
+    )
+    SELECT l_returnflag,
+           cast(min(price_c) as bigint) AS wmedian_cents,
+           cast(any_value(tot_w) as bigint) AS total_weight
+    FROM cum WHERE cum_w * 2 >= tot_w
+    GROUP BY l_returnflag
+    """,
+    tags=("stats", "window"),
+)
+def q218_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median per group (lower weighted median: first
+    value whose cumulative weight reaches half the total) — the
+    quantity-weighted price q119's unweighted median can't express.
+    One running-weight window per group partition in a deterministic
+    total order, exact integer cents and integer weights throughout —
+    no float crosses the engines. Groups sort in parallel (the window
+    partitions by group); a billion-row single group would switch to
+    a weight-aware GK sketch (q112's family) — this is the exact
+    verified baseline."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("wgt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wspec = W.partitionBy("l_returnflag").orderBy(
+        "price_c", "l_orderkey", "l_linenumber"
+    )
+    cum = rows.withColumn("cum_w", F.sum("wgt").over(wspec))
+    tot = rows.groupBy("l_returnflag").agg(F.sum("wgt").alias("tot_w"))
+    return (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_c").alias("wmedian_cents"),
+            F.first("tot_w").cast("long").alias("total_weight"),
+        )
+    )
