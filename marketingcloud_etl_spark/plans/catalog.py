@@ -183,6 +183,8 @@ _PRIORITY = (
     "q216_trending_leaderboard",
     "q217_chi_square_independence",
     "q218_weighted_median",
+    "q219_stream_temporal_enrich",
+    "q220_binary_hamming_ann",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

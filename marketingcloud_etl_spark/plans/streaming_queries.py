@@ -823,3 +823,64 @@ def q213_session_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("n_events").alias("n_events"),
         )
     )
+
+
+@query(
+    "q219_stream_temporal_enrich",
+    oracle="""
+    WITH scd AS (
+      SELECT user_id AS d_user, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             event_type AS state
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT coalesce(s.state, 'none') AS state_at_click,
+           cast(count(*) as bigint) AS n_clicks
+    FROM clicks c LEFT JOIN scd s
+      ON c.user_id = s.d_user AND c.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR c.ts < s.valid_to)
+    GROUP BY state_at_click
+    """,
+    tags=("streaming", "join", "temporal"),
+)
+def q219_stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING temporal enrichment — q215's event-time SCD join with
+    the fact side arriving as a stream: each streamed click left-joins
+    the STATIC SCD2 dimension on user + interval containment. Stream-
+    static joins are stateless (each row enriches and leaves — no
+    watermark, no join state), so this is the cheap, exactly-per-row
+    way to stamp dimension context onto a live feed; the stateful
+    machinery (q123/q196) is only needed when BOTH sides move. The
+    oracle is the batch q215 aggregate — stream and batch enrichment
+    must agree row-for-row."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    from ..streaming.jobs import events_stream, run_to_memory
+
+    ev = table(spark, sf_dir, "events")
+    dim = ev.filter(F.col("event_type").isin("signup", "purchase"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    scd = dim.select(
+        F.col("user_id").alias("d_user"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.col("event_type").alias("state"),
+    )
+    s = events_stream(spark, sf_dir)
+    clicks = s.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    enr = clicks.join(
+        scd,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    ).select(
+        "event_id", F.coalesce(F.col("state"), F.lit("none")).alias("state_at_click")
+    )
+    out = run_to_memory(enr, "q219_out", output_mode="append")
+    return out.groupBy("state_at_click").agg(F.count(F.lit(1)).alias("n_clicks"))

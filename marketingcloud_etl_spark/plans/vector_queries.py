@@ -809,3 +809,87 @@ def q207_logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(losses[-1] < float(np.log(2)))).alias("below_zero_model"),
         F.lit(bool(acc >= base - 1e-9)).alias("beats_base_rate"),
     )
+
+
+@query(
+    "q220_binary_hamming_ann",
+    oracle="""
+    WITH codes AS (
+      SELECT vec_id,
+             list_reduce(list_transform(range(31, -1, -1),
+               i -> CASE WHEN embedding[i + 1] > 0 THEN 1::BIGINT ELSE 0::BIGINT END),
+               (a, b) -> a * 2 + b) AS c_lo,
+             list_reduce(list_transform(range(63, 31, -1),
+               i -> CASE WHEN embedding[i + 1] > 0 THEN 1::BIGINT ELSE 0::BIGINT END),
+               (a, b) -> a * 2 + b) AS c_hi
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, c_lo AS q_lo, c_hi AS q_hi FROM codes WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.q_id, c.vec_id,
+             bit_count(xor(c.c_lo, q.q_lo)) + bit_count(xor(c.c_hi, q.q_hi)) AS hamming,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY bit_count(xor(c.c_lo, q.q_lo)) + bit_count(xor(c.c_hi, q.q_hi)), c.vec_id) AS rk
+      FROM codes c CROSS JOIN q WHERE c.vec_id != q.q_id
+    )
+    SELECT q_id, cast(rk as int) AS rk, vec_id, cast(hamming as int) AS hamming
+    FROM scored WHERE rk <= 10
+    """,
+    tags=("vector", "quantization", "scale"),
+)
+def q220_binary_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY quantization + Hamming top-k — the most aggressive
+    vector compression tier after int8 (q174) and PQ (q105): each
+    64-dim float vector becomes 64 SIGN BITS packed into two bigint
+    words (an exact integer fold — acc·2 + bit — identical in both
+    engines, 32 bits per word so no signed overflow anywhere), and
+    similarity is Hamming distance = popcount(xor), pure codegen'd
+    integer ops at 32x fewer bytes than float32. The top-10 per query
+    with full (distance, id) tiebreak hash-matches the oracle. At
+    scale the packed codes are the in-memory filter tier: scan
+    billions of codes cheaply, rerank survivors in float (the
+    q138/q139 protocol)."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def _pack(lo: int, hi: int):
+        # fold high->low: acc*2 + signbit; 32 bits per word keeps the
+        # value positive in both engines (a 64-bit shift would wrap
+        # differently under DuckDB's checked arithmetic)
+        return F.aggregate(
+            F.sequence(F.lit(hi), F.lit(lo), F.lit(-1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc * 2
+            + F.when(F.element_at("embedding", i + 1) > 0, 1)
+            .otherwise(0)
+            .cast("bigint"),
+        )
+
+    codes = emb.select(
+        "vec_id", _pack(0, 31).alias("c_lo"), _pack(32, 63).alias("c_hi")
+    )
+    q = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("c_lo").alias("q_lo"),
+        F.col("c_hi").alias("q_hi"),
+    )
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("c_lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("c_hi").bitwiseXOR(F.col("q_hi")))
+            ).alias("hamming"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("q_id").orderBy("hamming", "vec_id")),
+        )
+        .filter(F.col("rk") <= 10)
+        .select("q_id", "rk", "vec_id", "hamming")
+    )
