@@ -528,9 +528,11 @@ def q211_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sx = supp.select(F.col("l_partkey").alias("x"), F.col("supp").alias("supp_x"))
     sy = supp.select(F.col("l_partkey").alias("y"), F.col("supp").alias("supp_y"))
+    # item supports are part-dimension-sized — leave the join strategy
+    # to AQE (broadcast at fixture scale, shuffle at catalog scale)
     return (
-        pair.join(F.broadcast(sx), "x")
-        .join(F.broadcast(sy), "y")
+        pair.join(sx, "x")
+        .join(sy, "y")
         .select(
             "x",
             "y",
@@ -579,8 +581,11 @@ def q216_trending_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").alias("yr")
     )
+    # no broadcast hint: orders is a FACT table — at 100 TB this is a
+    # key-shuffle (or bucketed) join; AQE still broadcasts it at
+    # fixture scale on its own
     daily = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("yr", "l_partkey")
         .agg(F.count(F.lit(1)).alias("n"))
     )
