@@ -185,6 +185,8 @@ _PRIORITY = (
     "q218_weighted_median",
     "q219_stream_temporal_enrich",
     "q220_binary_hamming_ann",
+    "q221_quantile_normalize",
+    "q222_kfold_assignment",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -938,3 +938,50 @@ def q190_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sel_chars",
         )
     )
+
+
+@query(
+    "q222_kfold_assignment",
+    oracle=f"""
+    WITH folds AS (
+      SELECT doc_id, cast({_H32_DUCK} % 5 as int) AS fold FROM documents
+    ), per AS (
+      SELECT fold, count(*) AS n_docs FROM folds GROUP BY fold
+    ), tot AS (
+      SELECT sum(n_docs) AS n_total, max(n_docs) AS mx, min(n_docs) AS mn,
+             count(*) AS n_folds FROM per
+    )
+    SELECT fold, cast(n_docs as bigint) AS n_docs,
+           n_folds = 5 AS all_folds_present,
+           mx - mn < n_total * 0.2 AS balanced
+    FROM per, tot
+    """,
+    tags=("sampling", "ml"),
+)
+def q222_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-FOLD cross-validation assignment (k=5) by content hash — the
+    deterministic fold map every CV loop needs: reproducible across
+    runs and engines (no rand()), every document in exactly one fold
+    by construction (hash mod k is a partition), fold sizes verified
+    balanced within 20 % of the corpus. The per-fold counts are
+    value-checked exactly; q110's cluster-aware split is the
+    leakage-safe variant when near-duplicates exist — this is the
+    plain i.i.d. protocol."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    folds = d.select(
+        "doc_id", F.pmod(F.expr(_H32), F.lit(5)).cast("int").alias("fold")
+    )
+    per = folds.groupBy("fold").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.max("n_docs").alias("mx"),
+        F.min("n_docs").alias("mn"),
+        F.count(F.lit(1)).alias("n_folds"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        "n_docs",
+        (F.col("n_folds") == 5).alias("all_folds_present"),
+        (F.col("mx") - F.col("mn") < F.col("n_total") * 0.2).alias("balanced"),
+    )

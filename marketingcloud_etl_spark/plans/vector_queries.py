@@ -893,3 +893,45 @@ def q220_binary_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("q_id", "rk", "vec_id", "hamming")
     )
+
+
+@query(
+    "q221_quantile_normalize",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, i - 1 AS dim, embedding[i] AS x
+      FROM embeddings, unnest(range(1, 5)) AS t(i)
+    ), ranked AS (
+      SELECT vec_id, dim,
+             percent_rank() OVER (PARTITION BY dim ORDER BY x, vec_id) AS p
+      FROM dims
+    )
+    SELECT vec_id, cast(dim as int) AS dim, round(p, 6) AS pnorm
+    FROM ranked WHERE vec_id < 20
+    """,
+    tags=("vector", "preprocessing"),
+)
+def q221_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension QUANTILE NORMALIZATION (rank-to-uniform feature
+    remap, the distribution-robust alternative to z-scoring): each
+    dimension's values are replaced by their percent-rank within that
+    dimension — outliers land at 1.0 instead of dragging the scale.
+    posexplode turns the array into (dim, value) rows, the rank
+    window partitions BY DIMENSION (64 independent parallel sorts —
+    the corpus is never globally sorted), and the (value, vec_id)
+    order is total so ranks are deterministic. First-4-dims /
+    first-20-vectors projection keeps the verified output bounded;
+    the plan is identical for all 64."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("dim", "x")
+    )
+    wq = W.partitionBy("dim").orderBy("x", "vec_id")
+    return (
+        dims.withColumn("p", F.percent_rank().over(wq))
+        .filter(F.col("vec_id") < 20)
+        .select("vec_id", "dim", F.round("p", 6).alias("pnorm"))
+    )
