@@ -187,6 +187,8 @@ _PRIORITY = (
     "q220_binary_hamming_ann",
     "q221_quantile_normalize",
     "q222_kfold_assignment",
+    "q223_event_debounce",
+    "q224_cumulative_unique_users",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

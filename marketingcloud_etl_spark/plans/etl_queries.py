@@ -1777,3 +1777,48 @@ def q215_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("state"), F.lit("none")).alias("state_at_click"))
         .agg(F.count(F.lit(1)).alias("n_clicks"))
     )
+
+
+@query(
+    "q223_event_debounce",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_type,
+           cast(count(*) as bigint) AS n_kept,
+           cast(sum(CASE WHEN prev_ts IS NOT NULL
+                          AND date_diff('second', prev_ts, ts) < 60
+                     THEN 1 ELSE 0 END) as bigint) AS n_bounced
+    FROM lagged GROUP BY event_type
+    """,
+    tags=("etl", "dedup", "timeseries"),
+)
+def q223_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event DEBOUNCE — the double-fire filter for click/sensor feeds:
+    an event is a bounce when the previous event of the same
+    (user, type) landed under 60 seconds earlier (lag semantics:
+    distance to the previous RAW event — the one-pass variant;
+    chain-collapsing to the previous KEPT event is q161's iterative
+    family). One window per (user, type) partition, total order, and
+    the per-type keep/bounce counts are exact. At scale this is one
+    key-partitioned window pass — the dedup cousin of q61's streaming
+    watermark dedup, with time distance instead of key identity."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    bounced = F.when(
+        F.col("prev_ts").isNotNull()
+        & ((F.unix_micros("ts") - F.unix_micros("prev_ts")) < 60_000_000),
+        1,
+    ).otherwise(0)
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(bounced).alias("n_bounced"),
+    )

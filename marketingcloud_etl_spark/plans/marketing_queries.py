@@ -595,3 +595,48 @@ def q216_trending_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("yr", "rk", "l_partkey", "n")
     )
+
+
+@query(
+    "q224_cumulative_unique_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, cast(min(ts) as date) AS first_day FROM events GROUP BY user_id
+    ), daily_new AS (
+      SELECT first_day AS day, count(*) AS n_new FROM first_seen GROUP BY first_day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           cast(n_new as bigint) AS n_new,
+           cast(sum(n_new) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) as bigint) AS cum_users
+    FROM daily_new
+    """,
+    tags=("marketing", "analytic", "timeseries"),
+)
+def q224_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE unique users over time — the growth curve: a naive
+    running COUNT(DISTINCT) over expanding windows re-scans history
+    per day; the scale shape computes each user's FIRST-seen day
+    once (one groupBy), reduces to per-day new-user counts (one more
+    groupBy, day-cardinality rows), and only the final cumulative sum
+    runs as an ordered window over that TINY daily frame — the
+    single-partition window is over |days| rows by construction, the
+    documented bounded-frame exception (q114's protocol)."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    daily_new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    # |days|-row frame: the unpartitioned window is bounded by calendar
+    # size, never corpus size
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)  # global-window-ok: |days|-row frame (calendar-bounded, not corpus-bounded)
+    return daily_new.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        F.sum("n_new").over(wc).alias("cum_users"),
+    )
