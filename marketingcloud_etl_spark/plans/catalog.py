@@ -189,6 +189,7 @@ _PRIORITY = (
     "q222_kfold_assignment",
     "q223_event_debounce",
     "q224_cumulative_unique_users",
+    "q225_rolling_anomaly",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1822,3 +1822,69 @@ def q223_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(bounced).alias("n_bounced"),
     )
+
+
+@query(
+    "q225_rolling_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, cast(date_trunc('day', ts) as date) AS day,
+             sum(cast(round(value*100) as bigint)) AS cents
+      FROM events GROUP BY event_type, day
+    ), roll AS (
+      SELECT event_type, day, cents,
+             count(*) OVER w AS sz,
+             sum(cents) OVER w AS s1,
+             sum(cents * cents) OVER w AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cast(cents as bigint) AS cents,
+           cast(sz as int) AS window_n,
+           CASE WHEN sz >= 3 THEN
+             (cents*sz - s1) * (cents*sz - s1) * (sz - 1) > 4 * sz * (sz*s2 - s1*s1)
+           ELSE false END AS is_anomaly
+    FROM roll
+    """,
+    tags=("etl", "timeseries", "quality"),
+)
+def q225_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window ANOMALY flags on daily revenue — the monitoring
+    sentinel: each (type, day) is compared to its trailing-7-day mean
+    ± 2 sample standard deviations. The test is evaluated in EXACT
+    integer algebra — (x·n − Σx)²·(n−1) > 4·n·(n·Σx² − (Σx)²) is
+    |x−μ| > 2σ cleared of divisions — so the boolean can never flip
+    on a float last-ulp between engines (the failure mode a rounded
+    stddev comparison invites). One bounded-frame window per type
+    partition over day-cardinality rows; warm-up days (n < 3) are
+    never flagged."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    wf = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    roll = daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        F.count(F.lit(1)).over(wf).alias("sz"),
+        F.sum("cents").over(wf).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(wf).alias("s2"),
+    )
+    dev = F.col("cents") * F.col("sz") - F.col("s1")
+    return roll.select(
+        "event_type",
+        "day",
+        "cents",
+        F.col("sz").cast("int").alias("window_n"),
+        F.when(
+            F.col("sz") >= 3,
+            (dev * dev * (F.col("sz") - 1))
+            > (4 * F.col("sz") * (F.col("sz") * F.col("s2") - F.col("s1") * F.col("s1"))),
+        )
+        .otherwise(False)
+        .alias("is_anomaly"),
+    )
