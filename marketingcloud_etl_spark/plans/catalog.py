@@ -190,6 +190,8 @@ _PRIORITY = (
     "q223_event_debounce",
     "q224_cumulative_unique_users",
     "q225_rolling_anomaly",
+    "q226_key_skew_report",
+    "q227_experiment_layers",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

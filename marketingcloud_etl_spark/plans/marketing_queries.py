@@ -640,3 +640,47 @@ def q224_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(wc).alias("cum_users"),
     )
+
+
+@query(
+    "q227_experiment_layers",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    assigned AS (
+      SELECT user_id,
+             cast(('0x' || substr(md5('layer1:' || cast(user_id as varchar)), 1, 8))::BIGINT % 2 as int) AS exp1,
+             cast(('0x' || substr(md5('layer2:' || cast(user_id as varchar)), 1, 8))::BIGINT % 2 as int) AS exp2
+      FROM users
+    )
+    SELECT exp1, exp2, cast(count(*) as bigint) AS n_users
+    FROM assigned GROUP BY exp1, exp2
+    """,
+    tags=("marketing", "experiment"),
+)
+def q227_experiment_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORTHOGONAL experiment layers — two concurrent A/B experiments
+    whose assignments must not correlate: each layer hashes the user
+    id under its own SALT ('layer1:', 'layer2:'), so the two coin
+    flips are independent functions of the same id and every (arm,
+    arm) cell gets its fair quarter. Deterministic (no rand() — a
+    user re-assigns identically forever, the sticky-bucketing
+    requirement), and the exact cell counts are the oracle; q133's
+    z-test consumes arms produced exactly this way. This is the
+    layered-experimentation infrastructure pattern: adding a layer
+    never reshuffles existing ones."""
+    prep(spark)
+    H1 = (
+        "cast(conv(substring(md5(concat('layer1:', cast(user_id as string))), 1, 8),"
+        " 16, 10) as bigint)"
+    )
+    H2 = (
+        "cast(conv(substring(md5(concat('layer2:', cast(user_id as string))), 1, 8),"
+        " 16, 10) as bigint)"
+    )
+    users = table(spark, sf_dir, "events").select("user_id").distinct()
+    assigned = users.select(
+        "user_id",
+        F.pmod(F.expr(H1), F.lit(2)).cast("int").alias("exp1"),
+        F.pmod(F.expr(H2), F.lit(2)).cast("int").alias("exp2"),
+    )
+    return assigned.groupBy("exp1", "exp2").agg(F.count(F.lit(1)).alias("n_users"))

@@ -2747,3 +2747,60 @@ def q218_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("tot_w").cast("long").alias("total_weight"),
         )
     )
+
+
+@query(
+    "q226_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+    ), ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt, l_orderkey) AS rnk FROM per_key
+    )
+    SELECT cast(count(*) as bigint) AS n_keys,
+           cast(sum(cnt) as bigint) AS n_rows,
+           cast(max(cnt) as bigint) AS max_key_rows,
+           round(2.0 * sum(rnk * cnt) / (count(*) * sum(cnt))
+                 - (count(*) + 1.0) / count(*), 6) AS gini,
+           round(cast(max(cnt) as double) * count(*) / sum(cnt), 6) AS hot_key_factor
+    FROM ranked
+    """,
+    tags=("relational", "diagnostics", "scale"),
+)
+def q226_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-SKEW diagnostic report — the measurement that decides
+    between a plain shuffle, salting (operators/skew.py), and AQE
+    skew splitting: per-key row counts reduced to a Gini coefficient
+    of the key distribution (0 = uniform, →1 = one hot key owns
+    everything) plus the hot-key factor (max key size vs fair share).
+    The Gini's rank term comes from operators/ranking.py's
+    distributed global row number over the count-sorted keys — the
+    key-cardinality frame is itself big at 100 TB, so the diagnostic
+    must not single-partition-sort what it is diagnosing. The SQL
+    window oracle reproduces the identical ranks under the total
+    (cnt, key) order."""
+    prep(spark)
+    from ..operators.ranking import global_row_number
+
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = global_row_number(per_key, ["cnt", "l_orderkey"], out_col="rnk")
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        F.sum(F.col("rnk").cast("bigint") * F.col("cnt")).alias("iws"),
+    )
+    return g.select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        F.round(
+            (2.0 * F.col("iws")) / (F.col("n_keys") * F.col("n_rows"))
+            - (F.col("n_keys") + 1) / F.col("n_keys"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows"), 6).alias(
+            "hot_key_factor"
+        ),
+    )
