@@ -37,7 +37,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-__all__ = ["global_row_number", "distributed_ntile", "release_ranking_caches"]
+__all__ = [
+    "global_row_number",
+    "distributed_ntile",
+    "global_prefix_sum",
+    "release_ranking_caches",
+]
 
 _PID = "__mcetl_pid"
 _LRN = "__mcetl_lrn"
@@ -145,3 +150,53 @@ def distributed_ntile(
         r + F.floor((rn - 1 - big) / F.greatest(q, F.lit(1))) + 1
     )
     return ranked.withColumn(out_col, bucket.cast("int")).drop("__mcetl_rn", _N)
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    out_col: str = "cum",
+    *,
+    with_total: bool = False,
+) -> DataFrame:
+    """Running total of ``value_col`` over a global total order —
+    ``SUM(v) OVER (ORDER BY ...)`` without the Exchange SinglePartition
+    that window would plan. Identical two-phase machinery to
+    :func:`global_row_number`: range-partition on the order keys,
+    per-partition local prefix sums (a window partitioned by the range
+    bucket id), then each partition's START offset = the sum of all
+    earlier partitions' totals via the same P²-row broadcast self-join
+    of per-partition aggregates. The prefix-sum primitive behind CDF
+    curves, Pareto/ABC decompositions, and capacity/quota allocation.
+    ``order_cols`` must be a total order for a deterministic result.
+    With ``with_total=True`` the grand total rides along in
+    ``__mcetl_n`` (one broadcast value, column dropped otherwise)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    _PINNED.append(part)
+    sums = part.groupBy(_PID).agg(F.sum(value_col).alias("__psum"))
+    x, y = sums.alias("x"), sums.alias("y")
+    offsets = (
+        x.join(F.broadcast(y), F.lit(True))
+        .groupBy(F.col(f"x.{_PID}").alias(_PID))
+        .agg(
+            F.sum(
+                F.when(F.col(f"y.{_PID}") < F.col(f"x.{_PID}"), F.col("y.__psum")).otherwise(0)
+            ).alias(_OFF),
+            F.sum(F.col("y.__psum")).alias(_N),
+        )
+    )
+    w_local = W.partitionBy(_PID).orderBy(*cols).rowsBetween(W.unboundedPreceding, W.currentRow)
+    summed = (
+        part.withColumn(_LRN, F.sum(value_col).over(w_local))
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, F.col(_OFF) + F.col(_LRN))
+    )
+    if not with_total:
+        summed = summed.drop(_N)
+    return summed.drop(_PID, _LRN, _OFF)

@@ -192,6 +192,7 @@ _PRIORITY = (
     "q225_rolling_anomaly",
     "q226_key_skew_report",
     "q227_experiment_layers",
+    "q228_pareto_abc",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -2804,3 +2804,69 @@ def q226_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hot_key_factor"
         ),
     )
+
+
+@query(
+    "q228_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, sum(cast(round(l_extendedprice*100) as bigint)) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             sum(cents) OVER () AS tot
+      FROM rev
+    ), classed AS (
+      SELECT CASE WHEN (cum_cents - cents) * 100 < tot * 80 THEN 'A'
+                  WHEN (cum_cents - cents) * 100 < tot * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM ranked
+    )
+    SELECT abc_class,
+           cast(count(*) as bigint) AS n_parts,
+           cast(sum(cents) as bigint) AS class_cents
+    FROM classed GROUP BY abc_class
+    """,
+    tags=("relational", "analytic", "scale"),
+)
+def q228_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO / ABC decomposition — which parts carry 80 / 95 / 100 %
+    of revenue: per-part cents ranked by revenue desc with a GLOBAL
+    running total from operators/ranking.py's ``global_prefix_sum``
+    (the distributed prefix-sum primitive this query introduces: range
+    partition → local cumsums → broadcast partition-total offsets —
+    never the Exchange SinglePartition a ``SUM OVER (ORDER BY)``
+    window plans). Class boundaries use the PRE-item cumulative
+    ((cum − own) < 80 % ⇒ A), so the item straddling a boundary lands
+    in the earlier class deterministically, in exact integer
+    arithmetic. The classic inventory/revenue-concentration readout at
+    any key cardinality."""
+    prep(spark)
+    from ..operators.ranking import global_prefix_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents")
+    )
+    ranked = global_prefix_sum(
+        rev,
+        [F.col("cents").desc(), F.col("l_partkey")],
+        "cents",
+        out_col="cum_cents",
+        with_total=True,
+    )
+    prior = F.col("cum_cents") - F.col("cents")
+    classed = ranked.select(
+        "cents",
+        F.when(prior * 100 < F.col("__mcetl_n") * 80, "A")
+        .when(prior * 100 < F.col("__mcetl_n") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("class_cents"),
+    )

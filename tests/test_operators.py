@@ -1105,3 +1105,39 @@ def test_ordered_replay_files_arrive_in_event_time_order(spark, sf_dir):
         if prev_hi is not None:
             assert lo >= prev_hi, f"file {f} overlaps the previous slice"
         prev_hi = hi
+
+
+def test_global_prefix_sum_matches_window_cumsum(spark):
+    """operators/ranking.global_prefix_sum must reproduce
+    SUM(v) OVER (ORDER BY ...) exactly on a frame spread across many
+    range partitions, including the grand-total passenger column."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from marketingcloud_etl_spark.operators.ranking import (
+        global_prefix_sum,
+        release_ranking_caches,
+    )
+
+    n = 5000
+    pdf = pd.DataFrame(
+        {"k": [(i * 2654435761) % 100003 for i in range(n)], "v": [(i % 97) + 1 for i in range(n)]}
+    )
+    df = spark.createDataFrame(pdf).repartition(16)
+    got = global_prefix_sum(df, [F.col("k"), F.lit(0)], "v", out_col="cum", with_total=True)
+    rows = {r["k"]: (r["cum"], r["__mcetl_n"]) for r in got.collect()}
+    release_ranking_caches()
+    want = (
+        df.withColumn(
+            "cum",
+            F.sum("v").over(
+                W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .collect()
+    )
+    tot = sum(p for p in pdf["v"])
+    for r in want:
+        assert rows[r.k][0] == r.cum, r.k
+        assert rows[r.k][1] == tot
