@@ -193,6 +193,12 @@ _PRIORITY = (
     "q226_key_skew_report",
     "q227_experiment_layers",
     "q228_pareto_abc",
+    # round-6 wave: sketch-prefiltered top-k, reshape/explosion
+    # batteries, exact percentile conventions
+    "q229_threshold_topk",
+    "q230_stack_wide_long",
+    "q231_explode_outer_empty",
+    "q232_percentile_exact_battery",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -2870,3 +2870,228 @@ def q228_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("cents").alias("class_cents"),
     )
+
+
+@query(
+    "q229_threshold_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           cast(round(l_extendedprice * 100) as bigint) AS price_cents
+    FROM lineitem
+    ORDER BY price_cents DESC, l_orderkey, l_linenumber
+    LIMIT 1000
+    """,
+    tags=("relational", "topk", "scale"),
+)
+def q229_threshold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGE-k global top-k via SKETCH-PREFILTERED selection — the
+    scale path when k is too big for ``TakeOrderedAndProject``'s
+    per-partition size-k heaps (k=10⁶ × 1000 partitions = 10⁹ buffered
+    rows): a Greenwald-Khanna quantile sketch picks a conservative
+    threshold (target rank n−k shifted down by 2εn, so the GK rank
+    guarantee |rank(q̂)−target| ≤ εn proves at least k survivors), one
+    codegen'd filter keeps only ~k+3εn rows, and the exact ordered
+    selection runs on that sliver. Every top-k member has value ≥ any
+    non-member's, so the survivor set provably contains the true top-k;
+    the final (value, key) total order makes the selected SET identical
+    to the oracle's global ORDER BY LIMIT."""
+    prep(spark)
+    k, acc = 1000, 10000
+    eps = 1.0 / acc
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    n = li.count()  # one narrow count pass; n parameterizes the sketch target
+    if n <= k:
+        return li.orderBy(
+            F.col("price_cents").desc(), "l_orderkey", "l_linenumber"
+        ).limit(k)
+    q = max(0.0, 1.0 - (k + 1.0) / n - 2.0 * eps)
+    thr = li.agg(
+        F.percentile_approx("price_cents", F.lit(q), F.lit(acc)).alias("__thr")
+    )
+    survivors = li.join(F.broadcast(thr), F.lit(True)).filter(
+        F.col("price_cents") >= F.col("__thr")
+    )
+    return (
+        survivors.select("l_orderkey", "l_linenumber", "price_cents")
+        .orderBy(F.col("price_cents").desc(), "l_orderkey", "l_linenumber")
+        .limit(k)
+    )
+
+
+@query(
+    "q230_stack_wide_long",
+    oracle="""
+    WITH wide AS (
+      SELECT n.n_name,
+             sum(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                      THEN cast(round(o.o_totalprice * 100) as bigint) ELSE 0 END) AS auto_cents,
+             sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                      THEN cast(round(o.o_totalprice * 100) as bigint) ELSE 0 END) AS bld_cents,
+             sum(CASE WHEN c.c_mktsegment = 'MACHINERY'
+                      THEN cast(round(o.o_totalprice * 100) as bigint) ELSE 0 END) AS mach_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, segment, cents FROM (
+      SELECT n_name, 'AUTOMOBILE' AS segment, auto_cents AS cents FROM wide
+      UNION ALL SELECT n_name, 'BUILDING', bld_cents FROM wide
+      UNION ALL SELECT n_name, 'MACHINERY', mach_cents FROM wide
+    )
+    """,
+    tags=("relational", "reshape"),
+)
+def q230_stack_wide_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDE→LONG reshape with ``stack()`` — the generator-expression
+    complement of q99's ``unpivot``: one conditional-aggregation pass
+    builds the wide frame (3 segment columns per nation), then stack
+    emits 3 long rows per input row inside the SAME projection — an
+    Expand node, zero extra shuffles (the oracle needs 3 UNION ALL
+    branches to say the same thing). Money stays in integer cents."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def seg(name: str) -> F.Column:
+        return F.sum(F.when(F.col("c_mktsegment") == name, cents).otherwise(F.lit(0)))
+
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            seg("AUTOMOBILE").alias("auto_cents"),
+            seg("BUILDING").alias("bld_cents"),
+            seg("MACHINERY").alias("mach_cents"),
+        )
+    )
+    return wide.selectExpr(
+        "n_name",
+        "stack(3, 'AUTOMOBILE', auto_cents, 'BUILDING', bld_cents, "
+        "'MACHINERY', mach_cents) AS (segment, cents)",
+    )
+
+
+@query(
+    "q231_explode_outer_empty",
+    oracle="""
+    WITH rich AS (
+      SELECT c_nationkey, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name) - 1 AS pos
+      FROM customer WHERE c_acctbal > 9900
+    )
+    SELECT n.n_name, r.pos, r.c_name AS rich_customer
+    FROM nation n LEFT JOIN rich r ON n.n_nationkey = r.c_nationkey
+    """,
+    tags=("relational", "explode"),
+)
+def q231_explode_outer_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-preserving explosion — ``posexplode_outer`` over arrays that
+    are legitimately EMPTY for some groups (nations with no customer
+    over the 9900 balance cut): the plain ``explode`` would silently
+    drop those nations (the classic inner-join-flavored data-loss bug);
+    the OUTER variant keeps them as a (NULL pos, NULL element) row.
+    Array order is pinned by ``array_sort`` so the emitted positions
+    match the oracle's window rank exactly."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rich = (
+        c.filter(F.col("c_acctbal") > 9900)
+        .groupBy("c_nationkey")
+        .agg(F.array_sort(F.collect_list("c_name")).alias("names"))
+    )
+    j = n.join(
+        F.broadcast(rich), n.n_nationkey == rich.c_nationkey, "left"
+    ).select("n_name", "names")
+    return j.select(
+        "n_name",
+        F.posexplode_outer("names").alias("pos", "rich_customer"),
+    )
+
+
+@query(
+    "q232_percentile_exact_battery",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag AS flag,
+             cast(round(l_extendedprice * 100) as bigint) AS c
+      FROM lineitem
+    ), cont AS (
+      SELECT flag,
+             quantile_cont(c, 0.25) AS p25_cont,
+             quantile_cont(c, 0.50) AS p50_cont,
+             quantile_cont(c, 0.75) AS p75_cont,
+             median(c) AS med,
+             cast(count(*) as bigint) AS n
+      FROM cents GROUP BY flag
+    ), vc AS (
+      SELECT flag, c, count(*) AS cnt FROM cents GROUP BY flag, c
+    ), cum AS (
+      SELECT flag, c,
+             sum(cnt) OVER (PARTITION BY flag ORDER BY c
+                            ROWS UNBOUNDED PRECEDING) AS cum_cnt
+      FROM vc
+    ), disc AS (
+      SELECT m.flag,
+             min(CASE WHEN d.cum_cnt >= ceil(0.25 * m.n) THEN d.c END) AS p25_disc,
+             min(CASE WHEN d.cum_cnt >= ceil(0.50 * m.n) THEN d.c END) AS p50_disc,
+             min(CASE WHEN d.cum_cnt >= ceil(0.75 * m.n) THEN d.c END) AS p75_disc
+      FROM cont m JOIN cum d ON m.flag = d.flag
+      GROUP BY m.flag
+    )
+    SELECT c.flag, c.n, c.p25_cont, c.p50_cont, c.p75_cont, c.med,
+           d.p25_disc, d.p50_disc, d.p75_disc
+    FROM cont c JOIN disc d ON c.flag = d.flag
+    """,
+    tags=("relational", "stats"),
+)
+def q232_percentile_exact_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile battery — both conventions side by side:
+    CONTINUOUS (Spark's ``percentile`` ≡ DuckDB ``quantile_cont``,
+    linear interpolation at (n−1)·q — state is a value→count map, so
+    memory scales with DISTINCT values per group, not rows) and
+    DISCRETE (nearest-rank-lower: smallest element whose cumulative
+    count reaches ⌈q·n⌉ — computed distributively from per-(group,
+    value) counts + a partitioned running sum, the formulation that
+    survives groups too big to collect; the oracle spells out the SAME
+    rank rule rather than trusting ``quantile_disc``'s convention).
+    Integer cents make every interpolated quartile an exact binary
+    fraction — no float tolerance anywhere."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    cont = li.groupBy("flag").agg(
+        F.percentile("c", F.lit(0.25)).alias("p25_cont"),
+        F.percentile("c", F.lit(0.50)).alias("p50_cont"),
+        F.percentile("c", F.lit(0.75)).alias("p75_cont"),
+        F.median("c").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    vc = li.groupBy("flag", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("flag").orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+    cum = vc.withColumn("cum_cnt", F.sum("cnt").over(w))
+    d = cum.join(F.broadcast(cont.select("flag", "n")), "flag")
+
+    def disc(p: float) -> F.Column:
+        return F.min(
+            F.when(F.col("cum_cnt") >= F.ceil(F.lit(p) * F.col("n")), F.col("c"))
+        )
+
+    disc_agg = d.groupBy("flag").agg(
+        disc(0.25).alias("p25_disc"),
+        disc(0.50).alias("p50_disc"),
+        disc(0.75).alias("p75_disc"),
+    )
+    return cont.join(disc_agg, "flag").select(
+        "flag", "n", "p25_cont", "p50_cont", "p75_cont", "med",
+        "p25_disc", "p50_disc", "p75_disc",
+    )
