@@ -199,6 +199,10 @@ _PRIORITY = (
     "q230_stack_wide_long",
     "q231_explode_outer_empty",
     "q232_percentile_exact_battery",
+    "q233_string_fn_battery2",
+    "q234_minhash_bound_check",
+    "q235_cdc_chunk_dedup",
+    "q236_watermark_late_drop",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

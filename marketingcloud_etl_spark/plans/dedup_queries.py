@@ -985,3 +985,115 @@ def q222_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_folds") == 5).alias("all_folds_present"),
         (F.col("mx") - F.col("mn") < F.col("n_total") * 0.2).alias("balanced"),
     )
+
+
+_SH3 = (
+    "list_distinct(list_transform(range(1, len({t}) - 1), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
+)
+_VAR_TOKS = "list_select({t}, list_filter(range(1, len({t}) + 1), i -> i % 5 != 0))"
+
+
+@query(
+    "q234_minhash_bound_check",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks
+      FROM documents WHERE doc_id < 200
+    ), pairs AS (
+      SELECT doc_id AS id_a, doc_id AS id_b, 'self_thinned' AS kind,
+             toks AS ta, {_VAR_TOKS.format(t='toks')} AS tb
+      FROM base
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, 'unrelated',
+             a.toks, {tokens_sql('b.text')}
+      FROM base a JOIN documents b ON b.doc_id = a.doc_id + 250
+    ), sh AS (
+      SELECT id_a, id_b, kind,
+             {_SH3.format(t='ta')} AS ga, {_SH3.format(t='tb')} AS gb
+      FROM pairs
+    ), j AS (
+      SELECT id_a, id_b, kind,
+             cast(len(ga) as bigint) AS n_sh_a,
+             cast(len(gb) as bigint) AS n_sh_b,
+             len(list_filter(ga, x -> list_contains(gb, x))) AS inter,
+             len(list_distinct(list_concat(ga, gb))) AS uni
+      FROM sh
+    )
+    SELECT id_a, id_b, kind, n_sh_a, n_sh_b,
+           round(CASE WHEN uni = 0 THEN 1.0
+                      ELSE cast(inter as double) / uni END, 6) AS j_exact,
+           true AS within_bound
+    FROM j
+    """,
+    tags=("dedup", "sketch"),
+)
+def q234_minhash_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q50's MinHash made driver-checkable — the q135 protocol applied
+    to Jaccard estimation: for planted pairs (each doc vs itself with
+    every 5th token dropped → high overlap; each doc vs an unrelated
+    doc 250 ids away → background overlap) compute the k=128 signature
+    agreement AND the exact shingle-set Jaccard side by side, and emit
+    ``within_bound`` = |est − J| ≤ 5·max(√(J(1−J)/k), 0.02) — five
+    binomial standard errors with a floor covering the degenerate J≈0/1
+    regimes and 32-bit fingerprint collisions. The exact J (value-
+    checked by the oracle, which re-derives the same 3-word shingle
+    sets in list algebra) pins the semantics; the boolean carries the
+    sketch evidence a rows-only check can't. Everything is one
+    self-join-free pass for the planted pairs plus one equi-join for
+    the unrelated ones — no all-pairs anywhere."""
+    prep(spark)
+    from ..functions.text import tokens
+    from ..operators.dedup import minhash_signature, word_shingles
+
+    k = 128
+    d = table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 200)
+    thin = F.concat_ws(
+        " ", F.filter(tokens("text"), lambda t, i: (i + 1) % 5 != 0)
+    )
+    p1 = base.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.lit("self_thinned").alias("kind"),
+        F.col("text").alias("ta"),
+        thin.alias("tb"),
+    )
+    other = d.select(F.col("doc_id").alias("__bid"), F.col("text").alias("__btext"))
+    p2 = (
+        base.join(other, base.doc_id + 250 == F.col("__bid"))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.col("__bid").alias("id_b"),
+            F.lit("unrelated").alias("kind"),
+            F.col("text").alias("ta"),
+            F.col("__btext").alias("tb"),
+        )
+    )
+    pairs = p1.unionByName(p2)
+    pairs = minhash_signature(pairs, "ta", num_perm=k, sig_col="__sa")
+    pairs = minhash_signature(pairs, "tb", num_perm=k, sig_col="__sb")
+    ga = F.array_distinct(word_shingles("ta", 3))
+    gb = F.array_distinct(word_shingles("tb", 3))
+    est = (
+        F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda b: b))
+        / F.lit(float(k))
+    )
+    pairs = pairs.select(
+        "id_a", "id_b", "kind",
+        F.size(ga).cast("bigint").alias("n_sh_a"),
+        F.size(gb).cast("bigint").alias("n_sh_b"),
+        F.size(F.array_intersect(ga, gb)).alias("__inter"),
+        F.size(F.array_union(ga, gb)).alias("__uni"),
+        est.alias("__est"),
+    )
+    j = F.when(F.col("__uni") == 0, F.lit(1.0)).otherwise(
+        F.col("__inter") / F.col("__uni")
+    )
+    sigma = F.sqrt(j * (1 - j) / F.lit(float(k)))
+    bound = F.lit(5.0) * F.greatest(sigma, F.lit(0.02))
+    return pairs.select(
+        "id_a", "id_b", "kind", "n_sh_a", "n_sh_b",
+        F.round(j, 6).alias("j_exact"),
+        (F.abs(F.col("__est") - j) <= bound).alias("within_bound"),
+    )

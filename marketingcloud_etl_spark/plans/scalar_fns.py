@@ -570,3 +570,50 @@ def q192_array_setops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_except("all_parts", "low_parts")).alias("n_except"),
         F.arrays_overlap("all_parts", "low_parts").alias("has_low"),
     )
+
+
+@query(
+    "q233_string_fn_battery2",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+           cast(instr(p_name, 'al') as bigint) AS pos_al,
+           lpad(cast(p_size as varchar), 4, '0') AS size_lpad,
+           rpad(p_brand, 12, '.') AS brand_rpad,
+           repeat(left(p_brand, 2), 3) AS brand_rep,
+           reverse(p_type) AS type_rev,
+           right(p_name, 6) AS name_tail,
+           cast(levenshtein(p_brand, left(p_type, 8)) as bigint) AS lev_bt,
+           printf('%03d:%s', p_size, p_brand) AS size_fmt,
+           cast(len(regexp_extract_all(p_name, '[aeiou]')) as bigint) AS n_vowels,
+           substr(p_name, 1, 2) || '__' || substr(p_name, 5) AS name_overlay
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def q233_string_fn_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery — the positional/edit-distance surface
+    q27 leaves uncovered: translate (char map), instr (1-based find,
+    0 = absent on BOTH engines), lpad/rpad, repeat, reverse,
+    left/right slicing, levenshtein (the fuzzy-match verify kernel
+    q115 uses in anger), printf-style formatting, regexp occurrence
+    COUNT (Spark ``regexp_count`` ≡ DuckDB ``len(regexp_extract_all)``)
+    and overlay (DuckDB spells it substr||..||substr — the oracle
+    proves the splice semantics, not the function name). All codegen'd
+    builtins — per-row Python never enters the picture."""
+    prep(spark)
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_tr"),
+        F.instr("p_name", "al").cast("bigint").alias("pos_al"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.repeat(F.left("p_brand", F.lit(2)), 3).alias("brand_rep"),
+        F.reverse("p_type").alias("type_rev"),
+        F.right("p_name", F.lit(6)).alias("name_tail"),
+        F.levenshtein("p_brand", F.left("p_type", F.lit(8))).cast("bigint").alias("lev_bt"),
+        F.format_string("%03d:%s", "p_size", "p_brand").alias("size_fmt"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).cast("bigint").alias("n_vowels"),
+        F.overlay("p_name", F.lit("__"), 3, 2).alias("name_overlay"),
+    )

@@ -884,3 +884,87 @@ def q219_stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(enr, "q219_out", output_mode="append")
     return out.groupBy("state_at_click").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+@query(
+    "q236_watermark_late_drop",
+    oracle="""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS lo,
+             max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span
+      FROM events
+    ), e AS (
+      SELECT event_type,
+             make_timestamp(epoch_us(ts)
+                            - CASE WHEN event_id % 97 = 0
+                                   THEN 432000000000 ELSE 0 END) AS ts2,
+             cast(floor((epoch_us(ts) - b.lo) * 8.0 / b.span) as bigint) AS slice
+      FROM events, b
+    ), sm AS (
+      -- Spark tracks max event time in MILLISECONDS (EventTimeStats),
+      -- so the watermark floor-truncates any µs component
+      SELECT slice,
+             make_timestamp((epoch_us(max(ts2)) // 1000) * 1000) AS m
+      FROM e GROUP BY slice
+    ), wm AS (
+      -- the late-record filter LAGS the watermark by one batch
+      -- (verified empirically on Spark 4.1): rows of batch i are
+      -- filtered against the watermark computed from batches ≤ i−2
+      SELECT slice,
+             max(m) OVER (ORDER BY slice
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - INTERVAL 30 MINUTES AS wm_before
+      FROM sm
+    ), kept AS (
+      SELECT e.event_type, e.ts2
+      FROM e JOIN wm USING (slice)
+      WHERE wm.wm_before IS NULL
+         OR date_trunc('hour', e.ts2) + INTERVAL 1 HOUR > wm.wm_before
+    ), fin AS (
+      SELECT make_timestamp((epoch_us(max(ts2)) // 1000) * 1000)
+               - INTERVAL 30 MINUTES AS final_wm
+      FROM e
+    )
+    SELECT date_trunc('hour', ts2) AS window_start, event_type,
+           cast(count(*) as bigint) AS n
+    FROM kept, fin
+    WHERE date_trunc('hour', ts2) + INTERVAL 1 HOUR <= final_wm
+    GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "watermark"),
+)
+def q236_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA DROP, driver-checkable — the semantics q58's
+    rows-only check could only smoke-test: a replay with PLANTED late
+    rows (every 97th event's time shifted back 120h, arrival position
+    unchanged — jobs.late_replay_dir) runs through a 30-minute
+    watermark + 1h tumbling append aggregation, and the oracle
+    SIMULATES the engine rule in SQL: batch i's watermark is the max
+    event time over batches < i minus the delay; a row is dropped iff
+    its window end ≤ that watermark; a window is emitted iff its end ≤
+    the final watermark. Batch membership is recomputable because the
+    replay slices on the exact µs bucket arithmetic the writer used.
+    In-order rows always survive (their window end is ahead of any
+    earlier-batch watermark by construction); the planted rows whose shift
+    overshoots the lagged watermark are provably dropped — the oracle
+    counts must agree exactly, proving drop semantics, not just
+    plumbing."""
+    prep(spark)
+    from ..streaming.jobs import late_replay_dir, run_to_memory
+
+    src = late_replay_dir(spark, sf_dir, shift_hours=120)
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return run_to_memory(agg, "q236_out", output_mode="append")

@@ -1531,3 +1531,102 @@ def q201_sparse_tfidf_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dot_q").desc(), "id_a", "id_b")
         .limit(25)
     )
+
+
+@query(
+    "q235_cdc_chunk_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 10 = 0
+    ), th AS (
+      SELECT doc_id, source,
+             list_transform({_TOKS},
+                            t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS h
+      FROM corpus
+    ), ends AS (
+      SELECT doc_id, source, h,
+             list_filter(range(1, len(h) + 1),
+                         i -> h[i] % 8 = 0 OR i = len(h)) AS e
+      FROM th WHERE len(h) >= 1
+    ), chunks AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(e) + 1),
+               j -> struct_pack(
+                 ch := list_reduce(h[(CASE WHEN j = 1 THEN 1 ELSE e[j-1] + 1 END) : e[j]],
+                                   (acc, x) -> (acc * 257 + x) % 2147483647),
+                 ln := e[j] - (CASE WHEN j = 1 THEN 1 ELSE e[j-1] + 1 END) + 1))) AS c
+      FROM ends
+    ), flat AS (
+      SELECT source, c.ch AS chunk_hash, c.ln AS chunk_len,
+             count(*) OVER (PARTITION BY c.ch) AS occ
+      FROM chunks
+    )
+    SELECT source,
+           cast(count(*) as bigint) AS n_chunks,
+           cast(count(DISTINCT chunk_hash) as bigint) AS n_distinct_in_source,
+           cast(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_instances,
+           cast(sum(CASE WHEN occ > 1 THEN chunk_len ELSE 0 END) as bigint) AS dup_token_mass
+    FROM flat GROUP BY source
+    """,
+    tags=("text", "dedup", "scale"),
+)
+def q235_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup (FastCDC family) — the dedup
+    granularity between q161's fixed 10-word lines and q37's whole-doc
+    hash: chunk boundaries are set by the CONTENT (token hash ≡ 0
+    mod 8), so an insertion early in a document shifts only the chunk
+    it lands in — fixed-width chunking would shift every boundary after
+    it and miss all downstream duplication. Planted exact-duplicate
+    docs (every 10th doc re-enters under a shifted id) prove the
+    counting: their chunks all land in occ>1. Per-token 32-bit md5
+    hashes and the Rabin polynomial fold are the exact integer protocol
+    q79 established, so the whole per-source chunk accounting
+    hash-matches the oracle. One chunk-keyed shuffle (the occ window),
+    never all-pairs; chunk construction is a narrow per-doc pass."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = d.unionByName(planted)
+    th = F.transform(
+        tokens("text"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    c = corpus.withColumn("h", th).filter(F.size("h") >= 1)
+    n = F.size("h")
+    c = c.withColumn(
+        "e",
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (F.element_at("h", i) % 8 == 0) | (i == n),
+        ),
+    )
+    b, p = 257, (1 << 31) - 1
+    start = lambda j: F.when(j == 1, F.lit(1)).otherwise(  # noqa: E731
+        F.element_at("e", (j - 1).cast("int")) + 1
+    )
+    chunk = lambda j: F.struct(  # noqa: E731
+        F.aggregate(
+            F.slice("h", start(j), F.element_at("e", j.cast("int")) - start(j) + 1),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: F.pmod(acc * b + x, F.lit(p)),
+        ).alias("ch"),
+        (F.element_at("e", j.cast("int")) - start(j) + 1).alias("ln"),
+    )
+    chunks = c.select(
+        "source",
+        F.explode(F.transform(F.sequence(F.lit(1), F.size("e")), chunk)).alias("c"),
+    ).select("source", F.col("c.ch").alias("chunk_hash"), F.col("c.ln").alias("chunk_len"))
+    occ = W.partitionBy("chunk_hash")
+    flat = chunks.withColumn("occ", F.count(F.lit(1)).over(occ))
+    return flat.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("chunk_hash").alias("n_distinct_in_source"),
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dup_instances"),
+        F.sum(F.when(F.col("occ") > 1, F.col("chunk_len")).otherwise(0)).alias(
+            "dup_token_mass"
+        ),
+    )

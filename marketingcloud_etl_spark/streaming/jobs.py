@@ -105,6 +105,59 @@ def ordered_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> st
     return atomic_cached_write(out, build)
 
 
+def late_replay_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 8,
+    shift_hours: int = 24,
+    late_mod: int = 97,
+) -> str:
+    """:func:`ordered_replay_dir` with PLANTED LATE DATA: every row
+    whose ``event_id % late_mod == 0`` has its event time shifted back
+    ``shift_hours`` while keeping its ARRIVAL position (slicing uses
+    the original timestamp) — the out-of-order feed shape watermark
+    semantics exist for. Slice boundaries reuse ordered_replay_dir's
+    exact µs bucket arithmetic so an oracle can recompute batch
+    membership, and therefore the watermark at each batch, in SQL."""
+    abs_dir = os.path.abspath(os.path.normpath(sf_dir))
+    tag = f"{os.path.basename(abs_dir)}_{hashlib.sha1(abs_dir.encode()).hexdigest()[:10]}"
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"mcetl_replay_late_{tag}_{n_files}_{shift_hours}_{late_mod}",
+    )
+
+    def build(tmp: str) -> None:
+        ev = table(spark, sf_dir, "events")
+        lo_us, hi_us = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        span_us = max(int(hi_us) - int(lo_us), 1) + 1
+        bucket = F.floor(
+            (F.unix_micros("ts") - F.lit(int(lo_us))) * n_files / F.lit(span_us)
+        )
+        os.makedirs(tmp, exist_ok=True)
+        import time as _time
+
+        now = _time.time()
+        for i in range(n_files):
+            sub = os.path.join(tmp, f"slice={i:02d}")
+            # bucket references the ORIGINAL ts via the pre-shift frame:
+            # filter on ev's bucket, then apply the shift projection
+            ev.filter(bucket == i).withColumn(
+                "ts",
+                F.when(
+                    F.col("event_id") % late_mod == 0,
+                    F.col("ts") - F.expr(f"INTERVAL {shift_hours} HOURS"),
+                ).otherwise(F.col("ts")),
+            ).coalesce(1).write.mode("overwrite").parquet(sub)
+            for name in os.listdir(sub):
+                if name.endswith(".parquet"):
+                    os.utime(os.path.join(sub, name), (now + i, now + i))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return atomic_cached_write(out, build)
+
+
 def events_stream_ordered(
     spark: SparkSession, sf_dir: str, files_per_trigger: int = 1
 ) -> DataFrame:
