@@ -203,6 +203,15 @@ _PRIORITY = (
     "q234_minhash_bound_check",
     "q235_cdc_chunk_dedup",
     "q236_watermark_late_drop",
+    "q237_sql_udf",
+    "q238_sample_bound_check",
+    "q239_interval_range_frame",
+    "q240_aes_roundtrip",
+    "q241_sql_pivot",
+    "q242_hll_intersection",
+    "q243_update_mode_timeline",
+    "q244_simhash_exact_parity",
+    "q245_grouped_hash_reservoir",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1097,3 +1097,106 @@ def q234_minhash_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(j, 6).alias("j_exact"),
         (F.abs(F.col("__est") - j) <= bound).alias("within_bound"),
     )
+
+
+@query(
+    "q242_hll_intersection",
+    oracle="""
+    WITH s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT cast((SELECT count(*) FROM s) as bigint) AS exact_a,
+           cast((SELECT count(*) FROM p) as bigint) AS exact_b,
+           cast((SELECT count(*) FROM s JOIN p USING (user_id)) as bigint)
+             AS exact_inter,
+           true AS inter_within_bound
+    """,
+    tags=("sketch", "dedup"),
+)
+def q242_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT-set INTERSECTION from mergeable sketches — the audience
+    -overlap readout (users who signed up AND purchased) computed by
+    inclusion-exclusion over DataSketches HLL: |A∩B| ≈ Â + B̂ − (A∪B)^
+    where the union sketch is a lossless merge of the per-segment
+    sketches q159 already maintains — no rescan of either side. The
+    estimate compounds three ±2σ terms, so the bound is
+    5·rsd·(Â+B̂+Û) with rsd = 1.04/√2¹² (lgK=12) — generous, and a
+    broken merge or estimator still lands far outside it. Exact
+    counts are value-checked by the oracle; the boolean carries the
+    sketch evidence (q135 protocol)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    sk = ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "event_type", "user_id"
+    )
+    sk.createOrReplaceTempView("__q242_ev")
+    est = spark.sql(
+        """
+        WITH per AS (
+          SELECT event_type, hll_sketch_agg(user_id, 12) AS sk
+          FROM __q242_ev GROUP BY event_type
+        ), u AS (
+          SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est_u FROM per
+        ), ab AS (
+          SELECT
+            max(CASE WHEN event_type = 'signup' THEN hll_sketch_estimate(sk) END) AS est_a,
+            max(CASE WHEN event_type = 'purchase' THEN hll_sketch_estimate(sk) END) AS est_b
+          FROM per
+        )
+        SELECT est_a, est_b, est_u FROM ab, u
+        """
+    )
+    ex = spark.sql(
+        """
+        WITH s AS (SELECT DISTINCT user_id FROM __q242_ev WHERE event_type = 'signup'),
+        p AS (SELECT DISTINCT user_id FROM __q242_ev WHERE event_type = 'purchase')
+        SELECT (SELECT count(*) FROM s) AS exact_a,
+               (SELECT count(*) FROM p) AS exact_b,
+               (SELECT count(*) FROM s JOIN p USING (user_id)) AS exact_inter
+        """
+    )
+    j = ex.join(est, F.lit(True))
+    rsd = 1.04 / (2 ** 6)  # 1.04/sqrt(2^12)
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    bound = F.lit(5.0 * rsd) * (F.col("est_a") + F.col("est_b") + F.col("est_u"))
+    return j.select(
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+        (F.abs(est_inter - F.col("exact_inter")) <= bound).alias("inter_within_bound"),
+    )
+
+
+@query(
+    "q245_grouped_hash_reservoir",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(cast(doc_id as varchar)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, cast(rk as bigint) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+    tags=("dedup", "sampling"),
+)
+def q245_grouped_hash_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group k-sample (hash-order reservoir) — the
+    reproducible complement of q162's weighted global sample: rank
+    rows inside each group by a content hash of the key and keep the
+    first k. Because the order is a pure function of the data, the
+    sample is stable across runs, executors, and engines (both sides
+    value-match every selected row — no bound booleans needed), and
+    adding rows only perturbs the selection locally — the property
+    seeded ``sample()`` can't give under repartitioning. Per-group
+    partitioned window: many small parallel sorts."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "doc_id", F.col("rk").cast("bigint").alias("rk"))
+    )

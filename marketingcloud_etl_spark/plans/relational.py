@@ -3095,3 +3095,187 @@ def q232_percentile_exact_battery(spark: SparkSession, sf_dir: str) -> DataFrame
         "flag", "n", "p25_cont", "p50_cont", "p75_cont", "med",
         "p25_disc", "p50_disc", "p75_disc",
     )
+
+
+@query(
+    "q237_sql_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           cast(sum(cast(round(o_totalprice * 100) as bigint)
+                    * CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END) as bigint)
+             AS weighted_cents,
+           cast(count(*) as bigint) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "sql-udf"),
+)
+def q237_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs (Spark 4.1 ``CREATE FUNCTION … RETURN expr``) —
+    engine-side scalar abstraction with NONE of the Python-UDF tax: the
+    body is inlined into the plan at analysis time, so it codegens like
+    any builtin and Catalyst can push/fold through it. The reference's
+    per-row transform helpers (salesforce_extractor.py:153-181) are the
+    shape this replaces at scale. The oracle inlines the same
+    expressions — which is exactly what the engine does internally."""
+    prep(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION mcetl_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN cast(round(x * 100) as bigint)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION mcetl_status_weight(s STRING) "
+        "RETURNS INT RETURN CASE WHEN s = 'F' THEN 2 ELSE 1 END"
+    )
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__q237_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               cast(sum(mcetl_cents(o_totalprice)
+                        * mcetl_status_weight(o_orderstatus)) as bigint)
+                 AS weighted_cents,
+               count(*) AS n
+        FROM __q237_orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q238_sample_bound_check",
+    oracle="""
+    SELECT l_returnflag,
+           cast(count(*) as bigint) AS n_total,
+           true AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "sampling"),
+)
+def q238_sample_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.sample`` made driver-checkable (q135 protocol): the seeded
+    Bernoulli sample's per-group size must land within 5 binomial
+    standard errors of p·n (a broken sampler — wrong p, correlated
+    draws, partition-dependent seeding — flips the flag; a correct one
+    passes with overwhelming margin). Exact group totals are
+    value-checked; the sample itself is engine-specific, so the
+    boolean carries the evidence. Complements q170's sampleBy
+    (stratified) with the plain-fraction path."""
+    prep(spark)
+    p = 0.2
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag")
+    tot = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_total"))
+    samp = (
+        li.sample(fraction=p, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_samp"))
+    )
+    j = tot.join(samp, "l_returnflag", "left").na.fill({"n_samp": 0})
+    sigma = F.sqrt(F.col("n_total") * p * (1 - p))
+    ok = F.abs(F.col("n_samp") - F.col("n_total") * p) <= F.lit(5.0) * sigma
+    return j.select("l_returnflag", "n_total", ok.alias("within_bound"))
+
+
+@query(
+    "q239_interval_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           cast(count(*) OVER w as bigint) AS n_7d,
+           cast(sum(cast(round(o_totalprice * 100) as bigint)) OVER w as bigint)
+             AS cents_7d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    """,
+    tags=("relational", "window"),
+)
+def q239_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based RANGE frame — trailing 7-day order count and spend
+    per customer via ``RANGE BETWEEN INTERVAL 7 DAYS PRECEDING``: the
+    frame boundary is a TIME offset, not a row count, so it is
+    tie-stable by construction (peers share a frame) and deterministic
+    with no tiebreak column — the property ROWS frames can't give on
+    a timestamp order with duplicates. Partitioned by customer: many
+    small parallel frames, never a global sort."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__q239_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               count(*) OVER w AS n_7d,
+               sum(cast(round(o_totalprice * 100) as bigint)) OVER w AS cents_7d
+        FROM __q239_orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@query(
+    "q240_aes_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_name,
+           cast((length(p_name) // 16 + 1) * 16 as bigint) AS cipher_len,
+           true AS roundtrip_ok
+    FROM part
+    """,
+    tags=("relational", "crypto"),
+)
+def q240_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption round trip — ``aes_encrypt``/
+    ``aes_decrypt`` (the at-rest protection layer a PII pipeline wraps
+    around q97's redaction): decrypt(encrypt(x)) must return x exactly,
+    and the ECB ciphertext length must equal the PKCS7 padding
+    arithmetic (16·(⌊len/16⌋+1)) — both VALUE-checked by the oracle,
+    which computes the same padding math without needing AES. ECB keeps
+    the check deterministic; production uses GCM (random IV), same
+    expressions."""
+    prep(spark)
+    key = "0123456789abcdef"
+    p = table(spark, sf_dir, "part")
+    enc = F.expr(f"aes_encrypt(p_name, '{key}', 'ECB')")
+    dec = F.expr(
+        f"cast(aes_decrypt(aes_encrypt(p_name, '{key}', 'ECB'), '{key}', 'ECB') as string)"
+    )
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.length(enc).cast("bigint").alias("cipher_len"),
+        (dec == F.col("p_name")).alias("roundtrip_ok"),
+    )
+
+
+@query(
+    "q241_sql_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) as bigint) AS n_open,
+           cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) as bigint) AS n_finished,
+           cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) as bigint) AS n_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "reshape"),
+)
+def q241_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT syntax (q33 covers the DataFrame ``.pivot()`` API;
+    this is the ANSI-ish surface) — long→wide with an explicit IN list,
+    which is what keeps it scale-safe: the output width is DECLARED,
+    not discovered, so no extra distinct-scan pass and no unbounded
+    column explosion. Counts land in one hash aggregate, same plan as
+    the oracle's conditional sums."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__q241_orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_orderpriority, o_orderstatus FROM __q241_orders
+        ) PIVOT (
+          count(*) FOR o_orderstatus IN ('O' AS n_open, 'F' AS n_finished, 'P' AS n_pending)
+        )
+        """
+    ).select(
+        "o_orderpriority",
+        F.coalesce("n_open", F.lit(0)).alias("n_open"),
+        F.coalesce("n_finished", F.lit(0)).alias("n_finished"),
+        F.coalesce("n_pending", F.lit(0)).alias("n_pending"),
+    )

@@ -968,3 +968,44 @@ def q236_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
     return run_to_memory(agg, "q236_out", output_mode="append")
+
+
+@query(
+    "q243_update_mode_timeline",
+    oracle="""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS lo,
+             max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span
+      FROM events
+    ), e AS (
+      SELECT event_type,
+             cast(floor((epoch_us(ts) - b.lo) * 8.0 / b.span) as bigint) AS slice
+      FROM events, b
+    ), per AS (
+      SELECT event_type, slice, count(*) AS cnt
+      FROM e GROUP BY event_type, slice
+    )
+    SELECT event_type,
+           cast(sum(cnt) OVER (PARTITION BY event_type ORDER BY slice
+                               ROWS UNBOUNDED PRECEDING) as bigint) AS n
+    FROM per
+    """,
+    tags=("streaming", "update-mode"),
+)
+def q243_update_mode_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode, emission-timeline-checkable — q81 checks
+    final state; this checks every INTERMEDIATE emission: an unwindowed
+    per-type running count emits, in each micro-batch, one row per key
+    touched in that batch carrying the cumulative count so far. Batch =
+    time slice (ordered replay, 1 file/trigger), so the full emitted
+    MULTISET is deterministic and the oracle reconstructs it as a
+    running sum over per-(type, slice) counts — if the engine emitted
+    stale state, skipped an update, or double-counted a batch, some
+    row's total would drift. No watermark: state is O(|keys|), the
+    shape dashboard counters run at scale."""
+    prep(spark)
+    from ..streaming.jobs import events_stream_ordered, run_to_memory
+
+    s = events_stream_ordered(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_memory(agg, "q243_out", output_mode="update")

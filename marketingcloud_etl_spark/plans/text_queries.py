@@ -1630,3 +1630,85 @@ def q235_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_token_mass"
         ),
     )
+
+
+def _simhash32_duck(h: str) -> str:
+    """DuckDB 32-bit simhash over a bigint token-hash list — per-bit
+    majority vote unrolled to 32 generated terms (DuckDB's list_reduce
+    can't carry a list accumulator, so the single-pass fold Spark uses
+    is spelled as 32 list passes; same integers, same result)."""
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({h}, "
+        f"x -> ((x >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"({terms})"
+
+
+_TH32 = (
+    "list_transform({t}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+)
+
+
+@query(
+    "q244_simhash_exact_parity",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id,
+             {_TH32.format(t=_TOKS)} AS h
+      FROM documents WHERE doc_id < 300
+    ), sim AS (
+      SELECT doc_id, {_simhash32_duck('h')} AS sh
+      FROM th WHERE len(h) >= 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sh AS sim_a,
+           cast(bit_count(xor(a.sh, b.sh)) as bigint) AS hamming
+    FROM sim a JOIN sim b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("text", "dedup"),
+)
+def q244_simhash_exact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash VALUE parity — the q51 family upgraded from rows-only to
+    full oracle check: a 32-bit simhash built from the shared md5
+    token-hash protocol (q79/q235) is computed bit-for-bit in BOTH
+    engines (Spark: one single-pass fold with an array<bigint>
+    accumulator — the operators/dedup.py:216 shape; DuckDB: the same
+    majority vote unrolled to 32 generated list passes), then adjacent
+    docs are paired and their Hamming distance taken via
+    bit_count(xor). Every simhash VALUE and distance hash-matches —
+    far stronger evidence than q51's candidate-bucket smoke test. The
+    production 64-bit xxhash64 variant differs only in hash source and
+    width."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    th = F.transform(
+        tokens("text"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    d = d.withColumn("h", th).filter(F.size("h") >= 1)
+    votes = (
+        "aggregate(h, array_repeat(cast(0 as bigint), 32), "
+        "(acc, x) -> zip_with(acc, sequence(0, 31), "
+        "(c, b) -> c + (shiftright(x, b) & 1) * 2 - 1))"
+    )
+    sh = (
+        f"aggregate(zip_with({votes}, sequence(0, 31), "
+        f"(v, b) -> if(v > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    sim = d.select("doc_id", F.expr(sh).alias("sh"))
+    a = sim.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sim_a"))
+    b = sim.select(F.col("doc_id").alias("__b_id"), F.col("sh").alias("__b_sh"))
+    return (
+        a.join(b, F.col("__b_id") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            F.col("__b_id").alias("id_b"),
+            "sim_a",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("__b_sh")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
