@@ -212,6 +212,9 @@ _PRIORITY = (
     "q243_update_mode_timeline",
     "q244_simhash_exact_parity",
     "q245_grouped_hash_reservoir",
+    "q246_window_analytic_battery",
+    "q247_source_drift_monitor",
+    "q248_udtf_table_arg",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1888,3 +1888,98 @@ def q225_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(False)
         .alias("is_anomaly"),
     )
+
+
+@query(
+    "q247_source_drift_monitor",
+    oracle="""
+    WITH ref AS (
+      SELECT source, count(*) AS n_ref FROM documents GROUP BY source
+    ), cur AS (
+      SELECT source, count(*) AS n_cur FROM documents
+      WHERE doc_id % 5 = 0 GROUP BY source
+    ), tot AS (
+      SELECT (SELECT sum(n_ref) FROM ref) AS t_ref,
+             (SELECT sum(n_cur) FROM cur) AS t_cur
+    ), terms AS (
+      SELECT r.source,
+             cast(coalesce(c.n_cur, 0) as bigint) AS n_cur,
+             cast(r.n_ref as bigint) AS n_ref,
+             (coalesce(c.n_cur, 0) / cast(t.t_cur as double)) AS p_cur,
+             (r.n_ref / cast(t.t_ref as double)) AS p_ref
+      FROM ref r LEFT JOIN cur c USING (source) CROSS JOIN tot t
+    ), folded AS (
+      SELECT
+        list_reduce(list_sort(list(CASE WHEN p_cur > 0
+                                        THEN p_cur * ln(p_cur / p_ref)
+                                        ELSE 0.0 END)), (a, b) -> a + b) AS kl,
+        list_reduce(list_sort(list((p_cur - p_ref) * ln(
+              CASE WHEN p_cur > 0 THEN p_cur ELSE 1e-12 END / p_ref))),
+            (a, b) -> a + b) AS psi
+      FROM terms
+    )
+    SELECT (SELECT cast(count(*) as bigint) FROM terms) AS n_sources,
+           round(kl, 9) AS kl_divergence,
+           round(psi, 9) AS psi,
+           psi < 0.25 AS stable
+    FROM folded
+    """,
+    tags=("etl", "quality", "monitoring"),
+)
+def q247_source_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-MIX DRIFT monitor — the pipeline-health check that runs
+    before every training-data refresh: KL divergence and PSI
+    (population stability index, the industry drift score with its
+    conventional 0.25 alarm line) between the incoming batch's source
+    distribution (here the deterministic doc_id%5 slice) and the
+    reference corpus distribution. Two count aggregations (one per
+    distribution — the reference side would be a stored profile in
+    production, q186's incremental-merge shape), a broadcast join of
+    the ~|sources| rows, and the float log terms folded in sorted
+    order (q217's float-order-proof protocol) so both engines sum
+    identically."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    ref = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_ref"))
+    cur = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    j = ref.join(cur, "source", "left").na.fill({"n_cur": 0})
+    tots = j.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    t = j.join(F.broadcast(tots), F.lit(True)).select(
+        "source",
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        (F.col("n_cur") / F.col("t_cur").cast("double")).alias("p_cur"),
+        (F.col("n_ref") / F.col("t_ref").cast("double")).alias("p_ref"),
+    )
+    kl_term = F.when(
+        F.col("p_cur") > 0, F.col("p_cur") * F.log(F.col("p_cur") / F.col("p_ref"))
+    ).otherwise(F.lit(0.0))
+    psi_term = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        F.when(F.col("p_cur") > 0, F.col("p_cur")).otherwise(F.lit(1e-12))
+        / F.col("p_ref")
+    )
+    folded = t.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.aggregate(
+            F.array_sort(F.collect_list(kl_term)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("kl"),
+        F.aggregate(
+            F.array_sort(F.collect_list(psi_term)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("psi"),
+    )
+    return folded.select(
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        F.round("kl", 9).alias("kl_divergence"),
+        F.round("psi", 9).alias("psi"),
+        (F.col("psi") < 0.25).alias("stable"),
+    )

@@ -3279,3 +3279,67 @@ def q241_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_finished", F.lit(0)).alias("n_finished"),
         F.coalesce("n_pending", F.lit(0)).alias("n_pending"),
     )
+
+
+@query(
+    "q246_window_analytic_battery",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey, o_orderkey,
+             cast(round(o_totalprice * 100) as bigint) AS cents,
+             CASE WHEN o_orderstatus = 'F'
+                  THEN cast(round(o_totalprice * 100) as bigint) END AS f_cents
+      FROM orders
+    )
+    SELECT o_orderkey,
+           cast(nth_value(o_orderkey, 2)
+                  OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                as bigint) AS second_biggest_order,
+           first_value(f_cents IGNORE NULLS)
+             OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS top_finished_cents,
+           lag(f_cents IGNORE NULLS)
+             OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey)
+             AS prev_finished_cents,
+           lag(cents, 1, -1)
+             OVER (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey)
+             AS prev_cents_or_default
+    FROM x
+    """,
+    tags=("relational", "window"),
+)
+def q246_window_analytic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytic battery 2 — the IGNORE NULLS / nth_value surface
+    q20's lag-lead battery leaves uncovered: nth_value over the full
+    frame (the per-group second-place readout), first_value/lag with
+    IGNORE NULLS (carry the latest non-null measurement past gaps —
+    the sparse-sensor idiom) and lag with an explicit default. Every
+    frame is customer-partitioned under a unique (cents, key) total
+    order, so NULL-skipping semantics are deterministic and both
+    engines agree bit-for-bit."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__q246_orders")
+    # lag(... IGNORE NULLS) has no PySpark Column API — SQL surface
+    return spark.sql(
+        """
+        WITH x AS (
+          SELECT o_custkey, o_orderkey,
+                 cast(round(o_totalprice * 100) as bigint) AS cents,
+                 CASE WHEN o_orderstatus = 'F'
+                      THEN cast(round(o_totalprice * 100) as bigint) END AS f_cents
+          FROM __q246_orders
+        )
+        SELECT o_orderkey,
+               cast(nth_value(o_orderkey, 2) OVER wf as bigint) AS second_biggest_order,
+               first_value(f_cents) IGNORE NULLS OVER wf AS top_finished_cents,
+               lag(f_cents) IGNORE NULLS OVER w AS prev_finished_cents,
+               lag(cents, 1, -1) OVER w AS prev_cents_or_default
+        FROM x
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """
+    )

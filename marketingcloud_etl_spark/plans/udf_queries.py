@@ -522,3 +522,85 @@ def q206_pandas_api_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qty").cast("bigint").alias("qty"),
         F.col("cents").cast("bigint").alias("cents"),
     )
+
+
+@query(
+    "q248_udtf_table_arg",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), spans AS (
+      SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           cast(count(*) as bigint) AS n_sessions,
+           cast(sum(n) as bigint) AS n_events,
+           cast(max(n) as bigint) AS max_session_events
+    FROM spans GROUP BY user_id
+    """,
+    tags=("udf", "udtf", "session"),
+)
+def q248_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF over a TABLE ARGUMENT with PARTITION BY / ORDER BY (Spark
+    3.5+/4) — the engine feeds each user's rows, time-ordered, to a
+    fresh UDTF instance and calls terminate() at partition end: custom
+    per-key streaming-style logic (here gap-sessionization statistics,
+    q56's semantics) WITHOUT applyInPandas materializing each group as
+    a DataFrame. The partitioning/ordering contract lives in the SQL,
+    so Catalyst plans the shuffle+sort and the Python side stays a
+    10-line accumulator. Oracle = the q56 lag/cumsum formulation plus
+    per-session maxima."""
+    prep(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id: bigint, n_sessions: bigint, n_events: bigint, "
+        "max_session_events: bigint"
+    )
+    class SessionStats:
+        def __init__(self):
+            self.user = None
+            self.last = None
+            self.n = 0
+            self.sessions = 0
+            self.cur = 0
+            self.best = 0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            self.n += 1
+            ts = row["ts"]
+            if self.last is None or (ts - self.last).total_seconds() >= 1800:
+                self.sessions += 1
+                if self.cur > self.best:
+                    self.best = self.cur
+                self.cur = 1
+            else:
+                self.cur += 1
+            self.last = ts
+
+        def terminate(self):
+            if self.cur > self.best:
+                self.best = self.cur
+            if self.user is not None:
+                yield self.user, self.sessions, self.n, self.best
+
+    spark.udtf.register("mcetl_session_stats", SessionStats)
+    table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    ).createOrReplaceTempView("__q248_ev")
+    return spark.sql(
+        "SELECT s.user_id, s.n_sessions, s.n_events, s.max_session_events "
+        "FROM mcetl_session_stats(TABLE(__q248_ev) "
+        "PARTITION BY user_id ORDER BY (ts, event_id)) s"
+    )
