@@ -1,0 +1,203 @@
+"""Behavioral pins for the round-6 wave (q229–q248) beyond oracle
+parity: the threshold-top-k superset guarantee under adversarial ties,
+CDC chunking's boundary-shift locality, watermark-drop non-triviality,
+simhash identity/locality, reservoir stability under repartitioning,
+and the UDTF-table-arg vs window-sessionization equivalence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from marketingcloud_etl_spark.io import table
+from marketingcloud_etl_spark.plans.catalog import load_all
+
+REG = load_all()
+
+
+def test_threshold_topk_survives_adversarial_ties(spark):
+    """All-equal values: the GK threshold degenerates to the tied value
+    and the (value, key) tiebreak must still select a deterministic
+    exact-k set."""
+    n, k = 5000, 1000
+    df = spark.range(n).select(
+        F.col("id").alias("l_orderkey"),
+        F.lit(1).cast("int").alias("l_linenumber"),
+        F.lit(42.0).alias("l_extendedprice"),
+    )
+    acc = 10000
+    thr = df.agg(
+        F.percentile_approx(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+            F.lit(max(0.0, 1.0 - (k + 1.0) / n - 2.0 / acc)),
+            F.lit(acc),
+        ).alias("t")
+    ).first()["t"]
+    cents = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    survivors = cents.filter(F.col("price_cents") >= thr)
+    assert survivors.count() >= k  # superset guarantee holds under ties
+    top = survivors.orderBy(
+        F.col("price_cents").desc(), "l_orderkey", "l_linenumber"
+    ).limit(k)
+    rows = top.collect()
+    assert len(rows) == k
+    # deterministic tiebreak: lowest k orderkeys at the tied value
+    assert {r.l_orderkey for r in rows} == set(range(k))
+
+
+def test_cdc_chunking_localizes_an_early_edit(spark):
+    """THE content-defined-chunking property: prepending a word to a
+    document changes only the first chunk's hash — every chunk after
+    the first content-defined boundary is identical. A fixed-width
+    chunker shifts every boundary and shares ~nothing."""
+    text = " ".join(f"tok{i % 97}x{i % 13}" for i in range(120))
+    edited = "inserted " + text
+    df = spark.createDataFrame([(1, text), (2, edited)], "doc_id int, text string")
+    th = F.transform(
+        F.filter(F.split("text", r"\s+"), lambda t: t != ""),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    c = df.withColumn("h", th)
+    n = F.size("h")
+    c = c.withColumn(
+        "e",
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (F.element_at("h", i) % 8 == 0) | (i == n),
+        ),
+    )
+    b, p = 257, (1 << 31) - 1
+    start = lambda j: F.when(j == 1, F.lit(1)).otherwise(  # noqa: E731
+        F.element_at("e", (j - 1).cast("int")) + 1
+    )
+    chunk = lambda j: F.aggregate(  # noqa: E731
+        F.slice("h", start(j), F.element_at("e", j.cast("int")) - start(j) + 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * b + x, F.lit(p)),
+    )
+    chunks = c.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(1), F.size("e")), chunk).alias("chunks"),
+    ).collect()
+    by_id = {r.doc_id: r.chunks for r in chunks}
+    orig, edit = by_id[1], by_id[2]
+    # all original chunks except (possibly) the first reappear verbatim
+    assert orig[1:] == edit[len(edit) - len(orig) + 1 :]
+    assert set(orig[1:]).issubset(set(edit))
+
+
+def test_watermark_late_drop_is_nontrivial(spark, sf_dir, duck):
+    """Guard against the evidence degenerating: the oracle's simulated
+    drop set must be non-empty at the fixture scale (if a fixture or
+    slice-count change made every planted row survive, q236 would
+    silently stop testing drops)."""
+    dropped = duck.sql(
+        """
+        WITH b AS (SELECT min(epoch_us(ts)) AS lo,
+                          max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span
+                   FROM events),
+        e AS (SELECT event_id,
+                 make_timestamp(epoch_us(ts) - CASE WHEN event_id % 97 = 0
+                                THEN 432000000000 ELSE 0 END) AS ts2,
+                 cast(floor((epoch_us(ts) - b.lo) * 8.0 / b.span) as bigint) AS slice
+              FROM events, b),
+        sm AS (SELECT slice, make_timestamp((epoch_us(max(ts2)) // 1000) * 1000) AS m
+               FROM e GROUP BY slice),
+        wm AS (SELECT slice,
+                      max(m) OVER (ORDER BY slice
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                        - INTERVAL 30 MINUTES AS wm_before
+               FROM sm)
+        SELECT count(*) FROM e JOIN wm USING (slice)
+        WHERE wm.wm_before IS NOT NULL
+          AND date_trunc('hour', e.ts2) + INTERVAL 1 HOUR <= wm.wm_before
+        """
+    ).fetchone()[0]
+    assert dropped > 0
+
+
+def test_simhash_identity_and_locality(spark):
+    """Identical docs → identical simhash (hamming 0); a one-word edit
+    moves few bits; unrelated random docs move many."""
+    base = " ".join(f"w{i % 53}q{i % 7}" for i in range(80))
+    near = base.replace("w1q1", "CHANGED", 1)
+    far = " ".join(f"z{i * 17 % 101}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], "doc_id int, text string"
+    )
+    th = F.transform(
+        F.filter(F.split("text", r"\s+"), lambda t: t != ""),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    votes = (
+        "aggregate(h, array_repeat(cast(0 as bigint), 32), "
+        "(acc, x) -> zip_with(acc, sequence(0, 31), "
+        "(c, b) -> c + (shiftright(x, b) & 1) * 2 - 1))"
+    )
+    sh_expr = (
+        f"aggregate(zip_with({votes}, sequence(0, 31), "
+        f"(v, b) -> if(v > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    sh = {
+        r.doc_id: r.sh
+        for r in df.withColumn("h", th).select("doc_id", F.expr(sh_expr).alias("sh")).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sh[1], sh[2]) == 0
+    assert ham(sh[1], sh[3]) <= 10
+    assert ham(sh[1], sh[4]) >= 8
+
+
+def test_grouped_reservoir_is_repartition_stable(spark, sf_dir):
+    """The hash-ordered per-group sample must not depend on physical
+    layout: 1-partition and 16-partition inputs select identical
+    rows."""
+    fn = REG["q245_grouped_hash_reservoir"].fn
+    base = {(r.lang, r.doc_id) for r in fn(spark, sf_dir).collect()}
+    d = table(spark, sf_dir, "documents").repartition(16)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    again = {
+        (r.lang, r.doc_id)
+        for r in d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    assert base == again
+
+
+def test_udtf_table_arg_matches_window_sessionization(spark, sf_dir):
+    """q248's per-partition UDTF must agree with q56's window/cumsum
+    formulation on session counts for every user."""
+    udtf_rows = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in REG["q248_udtf_table_arg"].fn(spark, sf_dir).collect()
+    }
+    q56_rows = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in REG["q56_sessionization"].fn(spark, sf_dir).collect()
+    }
+    assert udtf_rows == q56_rows
+
+
+def test_update_mode_final_rows_equal_batch_counts(spark, sf_dir):
+    """The LAST emission per key in q243's timeline must equal the
+    plain batch aggregate (the timeline's fixed point)."""
+    timeline = REG["q243_update_mode_timeline"].fn(spark, sf_dir)
+    final = {
+        r.event_type: r.n
+        for r in timeline.groupBy("event_type").agg(F.max("n").alias("n")).collect()
+    }
+    batch = {
+        r.event_type: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == batch
