@@ -90,6 +90,14 @@ HEADLINE = (
     # training-mix pipeline (source-partitioned selection window)
     "q181_bloom_filter_join",
     "q190_training_mix_pipeline",
+    # round-6 wave: sketch-prefiltered large-k selection, CDC chunk
+    # dedup (chunk-keyed shuffle + per-doc HOF chunk build), interval
+    # RANGE frames, and the dual-engine simhash fold — four new
+    # physical families
+    "q229_threshold_topk",
+    "q235_cdc_chunk_dedup",
+    "q239_interval_range_frame",
+    "q244_simhash_exact_parity",
 )
 
 
