@@ -215,6 +215,9 @@ _PRIORITY = (
     "q246_window_analytic_battery",
     "q247_source_drift_monitor",
     "q248_udtf_table_arg",
+    "q249_map_hof_battery",
+    "q250_stream_stream_full_outer",
+    "q251_binary_header_parse",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1983,3 +1983,73 @@ def q247_source_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("psi", 9).alias("psi"),
         (F.col("psi") < 0.25).alias("stable"),
     )
+
+
+@query(
+    "q251_binary_header_parse",
+    oracle="""
+    WITH built AS (
+      SELECT vec_id,
+             1280 + (vec_id % 8) * 80 AS width,
+             720 + (vec_id % 8) * 45 AS height,
+             24 + vec_id % 5 AS n_frames,
+             (vec_id % 7 + 1) AS n_blocks,
+             lower('4D434156'
+               || lpad(hex(1280 + (vec_id % 8) * 80), 8, '0')
+               || lpad(hex(720 + (vec_id % 8) * 45), 8, '0')
+               || lpad(hex(24 + vec_id % 5), 8, '0')
+               || repeat(md5(cast(vec_id as varchar)), vec_id % 7 + 1)) AS hx
+      FROM embeddings
+    )
+    SELECT vec_id, 'MCAV' AS magic,
+           cast(width as bigint) AS width,
+           cast(height as bigint) AS height,
+           cast(n_frames as bigint) AS n_frames,
+           cast(16 + n_blocks * 16 as bigint) AS payload_bytes,
+           md5(hx) AS payload_digest
+    FROM built
+    """,
+    tags=("etl", "multimodal", "binary"),
+)
+def q251_binary_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY column construct→parse→digest round trip — the multimodal
+    plumbing (q54/q73/q140) with a full VALUE oracle: a synthetic
+    video-container payload (4-byte magic + 3 big-endian u32 header
+    fields + a repeated 16-byte body block) is BUILT as a real
+    BinaryType value (unhex), then the header is PARSED back out of
+    the bytes (substring on binary + hex + conv — the typed-metadata
+    extraction a real decoder front-end does before handing frames to
+    mapInPandas), and the whole payload is digest-fingerprinted. The
+    oracle reproduces every field and the digest from pure string
+    arithmetic — it never needs a BLOB, which is the point: the Spark
+    side's binary plumbing is what's under test. At scale this is the
+    narrow per-row stage before q73's frame sampling; no shuffle."""
+    prep(spark)
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    width = F.lit(1280) + (F.col("vec_id") % 8) * 80
+    height = F.lit(720) + (F.col("vec_id") % 8) * 45
+    n_frames = F.lit(24) + F.col("vec_id") % 5
+    n_blocks = F.col("vec_id") % 7 + 1
+
+    def be32(c):
+        return F.lpad(F.hex(c), 8, "0")
+
+    hx = F.concat(
+        F.lit("4D434156"),
+        be32(width),
+        be32(height),
+        be32(n_frames),
+        F.repeat(F.md5(F.col("vec_id").cast("string")), n_blocks.cast("int")),
+    )
+    payload = F.unhex(hx)
+    b = e.select("vec_id", payload.alias("payload"))
+    # parse the header back OUT of the binary value
+    return b.select(
+        "vec_id",
+        F.decode(F.substring("payload", 1, 4), "UTF-8").alias("magic"),
+        F.conv(F.hex(F.substring("payload", 5, 4)), 16, 10).cast("bigint").alias("width"),
+        F.conv(F.hex(F.substring("payload", 9, 4)), 16, 10).cast("bigint").alias("height"),
+        F.conv(F.hex(F.substring("payload", 13, 4)), 16, 10).cast("bigint").alias("n_frames"),
+        F.octet_length("payload").cast("bigint").alias("payload_bytes"),
+        F.md5(F.lower(F.hex("payload"))).alias("payload_digest"),
+    )

@@ -617,3 +617,69 @@ def q233_string_fn_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("p_name", F.lit("[aeiou]")).cast("bigint").alias("n_vowels"),
         F.overlay("p_name", F.lit("__"), 3, 2).alias("name_overlay"),
     )
+
+
+@query(
+    "q249_map_hof_battery",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ), tot AS (
+      SELECT user_id, sum(n) AS total FROM counts GROUP BY user_id
+    )
+    SELECT c.user_id, c.event_type,
+           cast(c.n as bigint) AS n,
+           round(c.n / cast(t.total as double), 6) AS share,
+           c.n >= 3 AS is_frequent
+    FROM counts c JOIN tot t USING (user_id)
+    """,
+    tags=("scalar", "map"),
+)
+def q249_map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP higher-order functions (q74's map basics + the lambda
+    surface): per-user event-type counts built as a MAP via
+    map_from_entries(array_sort(...)) — deterministic entry order —
+    then transform_values (count → share of the user total, computed
+    INSIDE the map without exploding), map_filter (≥3 threshold kept
+    as a map-level predicate result) and map_zip_with (counts ⊗
+    shares → struct values). The final explode back to rows is only
+    for the oracle compare; the point is the per-row map algebra — the
+    no-shuffle idiom for nested per-entity aggregates at scale (one
+    map column per user instead of T rows/user downstream). DuckDB
+    models the same algebra relationally."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("cnt_map")
+    )
+    total = F.aggregate(
+        F.map_values("cnt_map"), F.lit(0).cast("bigint"), lambda a, b: a + b
+    )
+    m = m.withColumn("total", total)
+    share_map = F.transform_values(
+        "cnt_map", lambda k, v: F.round(v / F.col("total").cast("double"), 6)
+    )
+    freq_map = F.transform_values("cnt_map", lambda k, v: v >= 3)
+    m = m.withColumn(
+        "zipped",
+        F.map_zip_with(
+            F.map_zip_with("cnt_map", share_map, lambda k, n, s: F.struct(n.alias("n"), s.alias("share"))),
+            freq_map,
+            lambda k, ns, fr: F.struct(
+                ns["n"].alias("n"), ns["share"].alias("share"), fr.alias("is_frequent")
+            ),
+        ),
+    )
+    return m.select(
+        "user_id", F.explode("zipped").alias("event_type", "v")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("v.n").cast("bigint").alias("n"),
+        F.col("v.share").alias("share"),
+        F.col("v.is_frequent").alias("is_frequent"),
+    )

@@ -1009,3 +1009,113 @@ def q243_update_mode_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream_ordered(spark, sf_dir)
     agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return run_to_memory(agg, "q243_out", output_mode="update")
+
+
+@query(
+    "q250_stream_stream_full_outer",
+    oracle="""
+    WITH cut AS (
+      SELECT least(max(ts) FILTER (WHERE event_type='purchase'),
+                   max(ts) FILTER (WHERE event_type='click')) AS cut
+      FROM events),
+    p_all AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+              WHERE event_type = 'purchase'),
+    c_all AS (SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts FROM events
+              WHERE event_type = 'click'),
+    p_fin AS (SELECT p_all.* FROM p_all, cut WHERE p_ts < cut - INTERVAL 125 MINUTES),
+    c_fin AS (SELECT c_all.* FROM c_all, cut WHERE c_ts < cut - INTERVAL 155 MINUTES),
+    p_side AS (
+      SELECT 'p' AS side, p.user_id, p.p_id AS anchor_id,
+             cast(count(c.c_id) as bigint) AS n_matches,
+             count(c.c_id) = 0 AS unmatched
+      FROM p_fin p LEFT JOIN c_all c ON p.user_id = c.c_user
+        AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTES AND c.c_ts <= p.p_ts
+      GROUP BY p.user_id, p.p_id
+    ), c_side AS (
+      SELECT 'c' AS side, c.c_user AS user_id, c.c_id AS anchor_id,
+             cast(0 as bigint) AS n_matches, true AS unmatched
+      FROM c_fin c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p_all p WHERE p.user_id = c.c_user
+          AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTES)
+    )
+    SELECT * FROM p_side UNION ALL SELECT * FROM c_side
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def q250_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream FULL OUTER join — completes the join-mode matrix
+    (inner q123, left q196): BOTH sides emit null-padded rows once
+    their watermark proves no partner can still arrive. Finality is
+    side-specific and cascades through the join bound, so the compare
+    universe is layered: a purchase is decided once the click
+    watermark passes its (30 min-lookback) horizon → p_ts < cut−125;
+    an unmatched click needs the purchase watermark past c_ts+30 →
+    c_ts < cut−155. Each anchor row is judged against the FULL other
+    side (matches are never truncated by the other side's cutoff —
+    the asymmetry that makes naive symmetric-cutoff oracles wrong).
+    Matched multiplicities, null-padded purchases AND null-padded
+    clicks all hash-match the batch reconstruction."""
+    prep(spark)
+    from ..streaming.jobs import events_stream_ordered, run_to_memory
+
+    s = events_stream_ordered(spark, sf_dir)
+    p = (
+        s.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "fullOuter",
+    )
+    out = run_to_memory(
+        j.select("user_id", "p_id", "p_ts", "c_user", "c_id", "c_ts"),
+        "q250_out",
+        output_mode="append",
+    )
+    ev = table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        ).alias("cut")
+    )
+    o = out.join(F.broadcast(cut), F.lit(True))
+    p_rows = (
+        o.filter(
+            F.col("p_id").isNotNull()
+            & (F.col("p_ts") < F.col("cut") - F.expr("INTERVAL 125 MINUTES"))
+        )
+        .groupBy(F.col("user_id"), F.col("p_id").alias("anchor_id"))
+        .agg(
+            F.count("c_id").alias("n_matches"),
+            F.max(F.col("c_id").isNull()).alias("unmatched"),
+        )
+        .select(
+            F.lit("p").alias("side"), "user_id", "anchor_id", "n_matches", "unmatched"
+        )
+    )
+    c_rows = o.filter(
+        F.col("p_id").isNull()
+        & (F.col("c_ts") < F.col("cut") - F.expr("INTERVAL 155 MINUTES"))
+    ).select(
+        F.lit("c").alias("side"),
+        F.col("c_user").alias("user_id"),
+        F.col("c_id").alias("anchor_id"),
+        F.lit(0).cast("bigint").alias("n_matches"),
+        F.lit(True).alias("unmatched"),
+    )
+    return p_rows.unionByName(c_rows)
