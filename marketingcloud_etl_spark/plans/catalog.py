@@ -218,6 +218,11 @@ _PRIORITY = (
     "q249_map_hof_battery",
     "q250_stream_stream_full_outer",
     "q251_binary_header_parse",
+    "q252_unicode_text_battery",
+    "q253_number_format_parse",
+    "q254_timestamp_ntz_battery",
+    "q255_array_mutation_battery",
+    "q256_inline_structs",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -683,3 +683,236 @@ def q249_map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.share").alias("share"),
         F.col("v.is_frequent").alias("is_frequent"),
     )
+
+
+@query(
+    "q252_unicode_text_battery",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'café' WHEN 1 THEN '中文数据'
+                             WHEN 2 THEN 'straße' ELSE 'naïve' END AS s
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id, s,
+           cast(length(s) as bigint) AS n_chars,
+           cast(strlen(s) as bigint) AS n_bytes,
+           upper(CASE WHEN doc_id % 4 = 2 THEN 'grün' ELSE s END) AS s_upper,
+           substr(s, 2, 3) AS s_mid,
+           reverse(s) AS s_rev,
+           s || '—' || s AS s_joined
+    FROM u
+    """,
+    tags=("scalar", "string", "unicode"),
+)
+def q252_unicode_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE string semantics — the multibyte correctness surface a
+    multilingual corpus pipeline lives on: char_length vs OCTET length
+    (é=2 bytes, 中=3, ß=2 in UTF-8), CHARACTER-addressed substr (a
+    byte-addressed implementation would split a codepoint and emit
+    mojibake), locale-independent upper (ß and CJK pass through),
+    codepoint-wise reverse, and concat with a multibyte separator.
+    Both engines operate on UTF-8 with character semantics — verified
+    value-for-value, not assumed. One REAL divergence found and
+    excluded: full case mapping of ß (Spark upper('straße') =
+    'STRASSE', DuckDB = 'STRAẞE' capital sharp s) — the upper column
+    therefore tests a ß-free value on that row."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    s = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("café"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("中文数据"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("straße"))
+        .otherwise(F.lit("naïve"))
+    )
+    u = d.select("doc_id", s.alias("s"))
+    return u.select(
+        "doc_id",
+        "s",
+        F.char_length("s").cast("bigint").alias("n_chars"),
+        F.octet_length("s").cast("bigint").alias("n_bytes"),
+        F.upper(
+            F.when(F.col("doc_id") % 4 == 2, F.lit("grün")).otherwise(F.col("s"))
+        ).alias("s_upper"),
+        F.substring("s", 2, 3).alias("s_mid"),
+        F.reverse("s").alias("s_rev"),
+        F.concat_ws("—", "s", "s").alias("s_joined"),
+    )
+
+
+@query(
+    "q253_number_format_parse",
+    oracle="""
+    SELECT p_partkey,
+           printf('%,d', cast(round(p_retailprice * 100) as bigint)) AS cents_grouped,
+           round(try_cast(replace('1,234.5', ',', '') as double), 2) AS parsed_ok,
+           try_cast('12x34' as double) AS parsed_bad
+    FROM part
+    """,
+    tags=("scalar", "string", "format"),
+)
+def q253_number_format_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale-style NUMBER formatting and format-directed parsing —
+    the CSV/report-ingestion edge the reference's null-on-bad-parse
+    semantics (R9) extends to numerics: grouped thousands formatting
+    of exact cents, ``to_number`` parsing a grouped literal under an
+    explicit format mask, and ``try_to_number`` returning NULL (not
+    an error) on malformed input. Spark's format-mask functions have
+    no DuckDB twin, so the oracle reproduces the VALUES via printf
+    grouping and strip-and-cast — same results, different spelling,
+    which is exactly the cross-engine check."""
+    prep(spark)
+    p = table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    return p.select(
+        "p_partkey",
+        F.format_number(cents, 0).alias("cents_grouped"),
+        F.round(
+            F.expr("cast(to_number('1,234.5', '9,999.9') as double)"), 2
+        ).alias("parsed_ok"),
+        F.expr("cast(try_to_number('12x34', '99999') as double)").alias("parsed_bad"),
+    )
+
+
+@query(
+    "q254_timestamp_ntz_battery",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, ts,
+             CASE WHEN month(ts) BETWEEN 4 AND 10 THEN 4 ELSE 5 END AS ny_off
+      FROM events WHERE event_id < 500
+    )
+    SELECT event_id,
+           ts AS ntz_ts,
+           ts - to_hours(ny_off) AS ny_wall,
+           make_timestamp(2024, 3, 15, 10, 30, 0.0) AS constructed,
+           cast(floor((epoch_us(ts)
+                       - epoch_us(make_timestamp(2024, 3, 15, 10, 30, 0.0)))
+                      / 3600000000.0) as bigint) AS hours_since
+    FROM t
+    """,
+    tags=("scalar", "timestamp"),
+)
+def q254_timestamp_ntz_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP_NTZ semantics — the wall-clock type that stays put
+    when the session timezone moves (DuckDB timestamps ARE ntz, which
+    makes this the one Spark type whose oracle comparison is exact by
+    construction): ntz from the µs fixture values, convert_timezone
+    UTC→America/New_York (the fixture's January/June dates sit far
+    from DST transitions, so the oracle can pin the −5/−4 offsets
+    explicitly rather than trusting two engines' tz databases to
+    agree), make_timestamp_ntz construction, and ntz differencing.
+    session.prep()'s UTC pin means ltz↔ntz conversion is identity for
+    the fixture columns — asserted by the ntz_ts column itself."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ntz = F.to_timestamp_ntz("ts")
+    return e.select(
+        "event_id",
+        ntz.alias("ntz_ts"),
+        F.expr(
+            "convert_timezone('UTC', 'America/New_York', to_timestamp_ntz(ts))"
+        ).alias("ny_wall"),
+        F.expr("make_timestamp_ntz(2024, 3, 15, 10, 30, 0)").alias("constructed"),
+        F.floor(
+            (F.unix_micros(ntz.cast("timestamp"))
+             - F.unix_micros(F.expr("timestamp'2024-03-15 10:30:00'")))
+            / F.lit(3600000000.0)
+        ).cast("bigint").alias("hours_since"),
+    )
+
+
+@query(
+    "q255_array_mutation_battery",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')[1:6] AS a
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           a[1:2] || ['INS'] || a[3:] AS a_inserted,
+           ['HEAD'] || a AS a_prepended,
+           a || ['TAIL'] AS a_appended,
+           list_filter(a, x -> x != 'the') AS a_removed,
+           a[9] AS missing_elem,
+           cast(len(a) as bigint) AS n
+    FROM base
+    """,
+    tags=("scalar", "array"),
+)
+def q255_array_mutation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY mutation battery (Spark 3.4+ surface q31 predates):
+    array_insert at a position, prepend/append, array_remove,
+    try_element_at past the end (NULL, not an error — ANSI-safe
+    indexing) — the list-editing idiom feature pipelines use on token
+    arrays. DuckDB spells each mutation with slice concatenation,
+    which doubles as documentation of what the function actually
+    does."""
+    prep(spark)
+    from ..functions.text import tokens
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    base = d.select("doc_id", F.slice(tokens("text"), 1, 6).alias("a"))
+    return base.select(
+        "doc_id",
+        F.array_insert("a", 3, F.lit("INS")).alias("a_inserted"),
+        F.array_prepend("a", F.lit("HEAD")).alias("a_prepended"),
+        F.array_append("a", F.lit("TAIL")).alias("a_appended"),
+        F.array_remove("a", "the").alias("a_removed"),
+        F.try_element_at("a", F.lit(9)).alias("missing_elem"),
+        F.size("a").cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "q256_inline_structs",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey,
+             list_sort(list(struct_pack(k := o_orderkey,
+                                        cents := cast(round(o_totalprice*100) as bigint)))) AS orders_arr
+      FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey
+    ), allc AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0
+    )
+    SELECT a.c_custkey,
+           u.x.k AS o_orderkey, u.x.cents AS cents
+    FROM allc a
+    LEFT JOIN (SELECT o_custkey, unnest(orders_arr) AS x FROM agg) u
+      ON a.c_custkey = u.o_custkey
+    """,
+    tags=("scalar", "array", "explode"),
+)
+def q256_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``inline_outer`` — exploding an array of STRUCTS directly into
+    columns (no per-field element_at projection), with the OUTER
+    variant keeping customers whose pending-order array is absent as a
+    single all-NULL row. The nested-to-flat hinge for struct-array
+    columns (order lists, span annotations); array_sort pins struct
+    ordering so both engines emit identical rows."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    agg = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("o_orderkey").alias("k"),
+                        F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")
+                        .alias("cents"),
+                    )
+                )
+            ).alias("orders_arr")
+        )
+    )
+    j = c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey", "orders_arr"
+    )
+    return j.select(
+        "c_custkey", F.inline_outer("orders_arr")
+    ).select("c_custkey", F.col("k").alias("o_orderkey"), "cents")
