@@ -201,3 +201,93 @@ def test_update_mode_final_rows_equal_batch_counts(spark, sf_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_stream_outer_join_survives_restart(spark, sf_dir, tmp_path):
+    """Outer-join STATE must survive a checkpoint restart: run the
+    q250 full-outer join over the first half of the ordered replay,
+    stop, add the rest, restart from the SAME checkpoint — the union
+    of emissions across both phases must equal a single uninterrupted
+    run (same matched pairs, same null-padded rows, no duplicates):
+    buffered not-yet-matched rows live in the join state, so a lost or
+    double-restored state store would change the multiset."""
+    import os
+    import shutil
+
+    from marketingcloud_etl_spark.streaming.jobs import ordered_replay_dir
+
+    full = ordered_replay_dir(spark, sf_dir)
+    slices = sorted(d for d in os.listdir(full) if d.startswith("slice="))
+
+    def run(src: str, ckpt: str, out_dir: str):
+        schema = (
+            spark.read.option("recursiveFileLookup", "true").parquet(full).schema
+        )
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        p = (
+            s.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "1 hour")
+        )
+        c = (
+            s.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("c_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        j = p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "fullOuter",
+        ).select("user_id", "p_id", "c_user", "c_id")
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            j.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def rows(out_dir: str):
+        if not os.path.isdir(out_dir):
+            return []
+        df = spark.read.parquet(out_dir)
+        out = []
+        for r in df.collect():
+            out.append((r.user_id, r.p_id, r.c_user, r.c_id))
+        return sorted(out, key=lambda t: tuple(-1 if v is None else v for v in t))
+
+    # phased run: 4 slices, restart, all 8
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for sl in slices[:4]:
+        shutil.copytree(os.path.join(full, sl), os.path.join(src, sl))
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run(src, ckpt, out_dir)
+    for sl in slices[4:]:
+        shutil.copytree(os.path.join(full, sl), os.path.join(src, sl))
+    run(src, ckpt, out_dir)
+
+    # uninterrupted reference run
+    ref_out = str(tmp_path / "ref_out")
+    run(full, str(tmp_path / "ref_ckpt"), ref_out)
+
+    phased, single = rows(out_dir), rows(ref_out)
+    assert phased == single and len(single) > 0
