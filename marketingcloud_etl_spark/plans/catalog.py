@@ -223,6 +223,9 @@ _PRIORITY = (
     "q254_timestamp_ntz_battery",
     "q255_array_mutation_battery",
     "q256_inline_structs",
+    "q257_batch_session_window",
+    "q258_table_checksum",
+    "q259_lambda_reconciliation",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

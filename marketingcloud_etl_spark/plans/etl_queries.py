@@ -2053,3 +2053,124 @@ def q251_binary_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("payload").cast("bigint").alias("payload_bytes"),
         F.md5(F.lower(F.hex("payload"))).alias("payload_digest"),
     )
+
+
+@query(
+    "q258_table_checksum",
+    oracle="""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(
+               cast(l_orderkey as varchar) || '\x1f' ||
+               cast(l_linenumber as varchar) || '\x1f' ||
+               cast(cast(round(l_extendedprice * 100) as bigint) as varchar) || '\x1f' ||
+               l_returnflag), 1, 15))::BIGINT AS rh
+      FROM lineitem
+    )
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(sum(rh) % 2305843009213693951 as bigint) AS checksum_sum,
+           cast(bit_xor(rh) as bigint) AS checksum_xor,
+           cast(min(rh) as bigint) AS min_hash,
+           cast(max(rh) as bigint) AS max_hash
+    FROM h
+    """,
+    tags=("etl", "integrity"),
+)
+def q258_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INDEPENDENT table checksum — the reconciliation primitive
+    for cross-system copies (did the JDBC load, the parquet export and
+    the source table all carry the same rows?): a 60-bit md5 prefix
+    per row folded with BOTH a modular SUM and an XOR (sum catches
+    value drift, xor catches duplicate-pair insertion that a sum can
+    cancel only with probability 2⁻⁶⁰; together with count they make
+    silent corruption detectable without moving any data between
+    systems — each side computes its own digest). Commutative folds ⇒
+    partition-order-proof, one aggregation, no shuffle beyond the
+    final combine. The reference's R10 content hash lifted from row to
+    TABLE granularity."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "\x1f",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
+        F.col("l_returnflag"),
+    )
+    rh = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    h = li.select(rh.alias("rh"))
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.col("rh").cast("decimal(38,0)")) % F.lit((1 << 61) - 1))
+        .cast("bigint")
+        .alias("checksum_sum"),
+        F.bit_xor("rh").cast("bigint").alias("checksum_xor"),
+        F.min("rh").alias("min_hash"),
+        F.max("rh").alias("max_hash"),
+    )
+
+
+@query(
+    "q259_lambda_reconciliation",
+    oracle="""
+    WITH cutoff AS (
+      SELECT date_trunc('day', max(ts)) - INTERVAL 3 DAYS AS cut FROM events
+    ), batch_hist AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             count(*) AS n,
+             sum(cast(round(value * 100) as bigint)) AS cents
+      FROM events, cutoff WHERE ts < cut
+      GROUP BY day, event_type
+    ), speed AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             count(*) AS n,
+             sum(cast(round(value * 100) as bigint)) AS cents
+      FROM events, cutoff WHERE ts >= cut
+      GROUP BY day, event_type
+    ), merged AS (
+      SELECT day, event_type, n, cents, 'batch' AS layer FROM batch_hist
+      UNION ALL
+      SELECT day, event_type, n, cents, 'speed' AS layer FROM speed
+    )
+    SELECT day, event_type,
+           cast(sum(n) as bigint) AS n,
+           cast(sum(cents) as bigint) AS cents,
+           min(layer) AS layer
+    FROM merged GROUP BY day, event_type
+    """,
+    tags=("etl", "lambda", "incremental"),
+)
+def q259_lambda_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAMBDA-architecture serving merge — the batch layer owns every
+    day strictly before the reprocessing cutoff (max day − 3), the
+    speed layer owns the live tail, and the serving view is their
+    disjoint UNION with per-(day, type) totals. The cutoff day itself
+    can straddle both layers (the batch run started mid-day) — the
+    merge SUMS the partials, which is only correct because count/cents
+    are algebraic merges (q186's property); the `layer` column
+    ('batch' when any batch partial exists) makes ownership auditable.
+    At scale the batch side reads a pre-aggregated table, not history
+    — both sides here derive from events so the oracle can see the
+    same world."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    cut = e.agg(
+        (F.date_trunc("day", F.max("ts")) - F.expr("INTERVAL 3 DAYS")).alias("cut")
+    )
+    ec = e.join(F.broadcast(cut), F.lit(True))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+
+    def layer(df, name):
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")
+        ).withColumn("layer", F.lit(name))
+
+    batch_hist = layer(ec.filter(F.col("ts") < F.col("cut")), "batch")
+    speed = layer(ec.filter(F.col("ts") >= F.col("cut")), "speed")
+    merged = batch_hist.unionByName(speed)
+    return merged.groupBy("day", "event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("cents").alias("cents"),
+        F.min("layer").alias("layer"),
+    )

@@ -1119,3 +1119,51 @@ def q250_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(True).alias("unmatched"),
     )
     return p_rows.unionByName(c_rows)
+
+
+@query(
+    "q257_batch_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTES AS session_end,
+           cast(count(*) as bigint) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session", "batch-twin"),
+)
+def q257_batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` run in BATCH mode — the operator itself (not
+    a lag/cumsum re-derivation) with a full value oracle: Spark's
+    session merge must produce EXACTLY the spans the SQL gap
+    formulation defines (start = first event, end = last event + gap,
+    new session at gap ≥ 30 min). q56 verifies per-user session
+    counts; this pins every span boundary, which is what q59/q213's
+    streaming runs then inherit. Batch session_window is one
+    partitioned aggregation — no state store, no watermark — so it's
+    also the cheap backfill twin of the streaming job."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
