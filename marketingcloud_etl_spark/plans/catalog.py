@@ -226,6 +226,9 @@ _PRIORITY = (
     "q257_batch_session_window",
     "q258_table_checksum",
     "q259_lambda_reconciliation",
+    "q260_cuped_adjustment",
+    "q261_hyperplane_balanced_sample",
+    "q262_freshness_monitor",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

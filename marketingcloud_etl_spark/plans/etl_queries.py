@@ -2174,3 +2174,48 @@ def q259_lambda_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("cents"),
         F.min("layer").alias("layer"),
     )
+
+
+@query(
+    "q262_freshness_monitor",
+    oracle="""
+    WITH now_proxy AS (
+      SELECT max(ts) AS now_ts FROM events
+    ), per_type AS (
+      SELECT event_type, max(ts) AS last_seen, count(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type,
+           cast(p.n as bigint) AS n,
+           p.last_seen,
+           cast(floor((epoch_us(n.now_ts) - epoch_us(p.last_seen))
+                      / 60000000.0) as bigint) AS lag_minutes,
+           (epoch_us(n.now_ts) - epoch_us(p.last_seen)) > 43200000000 AS stale_12h
+    FROM per_type p CROSS JOIN now_proxy n
+    """,
+    tags=("etl", "monitoring"),
+)
+def q262_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEED-FRESHNESS monitor — the dead-man's switch every ingestion
+    pipeline needs (the reference's incremental mode assumes the feed
+    is alive; this is what tells you it isn't): per-source-type last
+    event time and staleness lag against a now-proxy (the corpus max —
+    in production, current_timestamp; a data-derived proxy keeps the
+    check deterministic and oracle-able). One aggregation, a broadcast
+    of the 1-row now-proxy, exact µs lag arithmetic, and a 12-hour
+    alarm boolean per feed."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    now = e.agg(F.max("ts").alias("now_ts"))
+    pt = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_seen"), F.count(F.lit(1)).alias("n")
+    )
+    j = pt.join(F.broadcast(now), F.lit(True))
+    lag_us = F.unix_micros("now_ts") - F.unix_micros("last_seen")
+    return j.select(
+        "event_type",
+        "n",
+        "last_seen",
+        F.floor(lag_us / F.lit(60000000.0)).cast("bigint").alias("lag_minutes"),
+        (lag_us > F.lit(43200000000)).alias("stale_12h"),
+    )

@@ -684,3 +684,103 @@ def q227_experiment_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.expr(H2), F.lit(2)).cast("int").alias("exp2"),
     )
     return assigned.groupBy("exp1", "exp2").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "q260_cuped_adjustment",
+    oracle="""
+    WITH cut AS (
+      SELECT make_timestamp(min(epoch_us(ts))
+               + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2) AS mid
+      FROM events
+    ), per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             sum(CASE WHEN ts < mid THEN cast(round(value * 100) as bigint)
+                      ELSE 0 END) AS x_cents,
+             sum(CASE WHEN ts >= mid THEN cast(round(value * 100) as bigint)
+                      ELSE 0 END) AS y_cents
+      FROM events, cut GROUP BY user_id
+    ), moments AS (
+      SELECT cast(count(*) as bigint) AS n,
+             cast(sum(x_cents) as bigint) AS sx,
+             cast(sum(y_cents) as bigint) AS sy,
+             cast(sum(x_cents * x_cents) as bigint) AS sxx,
+             cast(sum(x_cents * y_cents) as bigint) AS sxy
+      FROM per_user
+    ), theta AS (
+      SELECT n, sx,
+             (sxy - cast(sx as double) * sy / n)
+               / (sxx - cast(sx as double) * sx / n) AS th
+      FROM moments
+    )
+    SELECT p.arm,
+           cast(count(*) as bigint) AS n_users,
+           round(avg(cast(p.y_cents as double)), 6) AS mean_y,
+           round(avg(p.y_cents - t.th * (p.x_cents - cast(t.sx as double) / t.n)), 6)
+             AS mean_y_cuped,
+           round(any_value(t.th), 9) AS theta
+    FROM per_user p CROSS JOIN theta t
+    GROUP BY p.arm
+    """,
+    tags=("marketing", "experiment", "stats"),
+)
+def q260_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, the industry-standard
+    experiment-sensitivity trick q133's plain z-test leaves on the
+    table): per-user PRE-period spend X is a covariate for POST-period
+    spend Y; θ = cov(X,Y)/var(X) fitted on ALL users (arm-agnostic, so
+    it cannot bias the contrast), adjusted metric Y' = Y − θ(X − X̄).
+    Every moment is an EXACT integer sum (cents; q100's power-sum
+    protocol) and θ and the adjusted means are one fixed IEEE
+    expression tree over those exact sums — bit-reproducible in both
+    engines. Per-arm adjusted means are what the experimenter reads;
+    a broken θ or a per-arm θ fit would shift them."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    # interval halving in pure timestamp algebra differs between
+    # engines; compute mid identically: min + (max-min)//2 via epoch µs
+    cut = e.agg(
+        F.timestamp_micros(
+            (F.unix_micros(F.min("ts"))
+             + F.floor((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 2)
+             .cast("bigint"))
+        ).alias("mid")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pu = (
+        e.join(F.broadcast(cut), F.lit(True))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("mid"), cents).otherwise(0)).alias("x_cents"),
+            F.sum(F.when(F.col("ts") >= F.col("mid"), cents).otherwise(0)).alias("y_cents"),
+        )
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    m = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_cents").alias("sx"),
+        F.sum("y_cents").alias("sy"),
+        F.sum(F.col("x_cents") * F.col("x_cents")).alias("sxx"),
+        F.sum(F.col("x_cents") * F.col("y_cents")).alias("sxy"),
+    )
+    th = m.select(
+        "n",
+        "sx",
+        (
+            (F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+        ).alias("th"),
+    )
+    j = pu.join(F.broadcast(th), F.lit(True))
+    return j.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg(F.col("y_cents").cast("double")), 6).alias("mean_y"),
+        F.round(
+            F.avg(
+                F.col("y_cents")
+                - F.col("th") * (F.col("x_cents") - F.col("sx").cast("double") / F.col("n"))
+            ),
+            6,
+        ).alias("mean_y_cuped"),
+        F.round(F.any_value("th"), 9).alias("theta"),
+    )

@@ -935,3 +935,78 @@ def q221_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 20)
         .select("vec_id", "dim", F.round("p", 6).alias("pnorm"))
     )
+
+
+def _hp_proj_duck(i: int) -> str:
+    """Sequential left-fold projection onto deterministic ±1 hyperplane
+    ``i`` — identical fold order to the Spark expression, so the double
+    (and therefore the sign) is bit-identical."""
+    return (
+        f"list_reduce(list_transform(range(1, 65), "
+        f"d -> embedding[d]::DOUBLE * (CASE WHEN (d * {i + 3}) % 7 < 3 "
+        f"THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)"
+    )
+
+
+@query(
+    "q261_hyperplane_balanced_sample",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id,
+             ((CASE WHEN {_hp_proj_duck(0)} > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN {_hp_proj_duck(1)} > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN {_hp_proj_duck(2)} > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN {_hp_proj_duck(3)} > 0 THEN 8 ELSE 0 END)) AS bucket
+      FROM embeddings
+    ), ranked AS (
+      SELECT bucket, vec_id,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY md5(cast(vec_id as varchar)), vec_id) AS rk,
+             count(*) OVER (PARTITION BY bucket) AS n_in_bucket
+      FROM proj
+    )
+    SELECT cast(bucket as bigint) AS bucket, vec_id,
+           cast(rk as bigint) AS rk,
+           cast(n_in_bucket as bigint) AS n_in_bucket
+    FROM ranked WHERE rk <= 8
+    """,
+    tags=("vector", "sampling", "dedup"),
+)
+def q261_hyperplane_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSITY-BALANCED embedding sampling — the cheap SemDeDup
+    alternative when you want coverage, not dedup: 4 deterministic ±1
+    hyperplanes bucket the space into 16 sign cells (the q52 LSH shape
+    with a closed-form hyperplane so BOTH engines can compute it), and
+    a per-cell hash-ordered quota (q245's reservoir) takes 8 vectors
+    per cell — dense regions are capped, sparse regions are kept
+    whole. The projection is a sequential left fold in both engines
+    (bit-identical doubles, so borderline signs can't diverge). One
+    narrow projection pass + one per-cell window; at corpus scale the
+    cells shard the shuffle."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def proj(i: int):
+        return F.expr(
+            f"aggregate(sequence(1, 64), cast(0.0 as double), "
+            f"(acc, d) -> acc + cast(element_at(embedding, d) as double) "
+            f"* (CASE WHEN (d * {i + 3}) % 7 < 3 THEN 1.0 ELSE -1.0 END))"
+        )
+
+    bucket = (
+        F.when(proj(0) > 0, 1).otherwise(0)
+        + F.when(proj(1) > 0, 2).otherwise(0)
+        + F.when(proj(2) > 0, 4).otherwise(0)
+        + F.when(proj(3) > 0, 8).otherwise(0)
+    )
+    p = e.select("vec_id", bucket.cast("bigint").alias("bucket"))
+    w = W.partitionBy("bucket").orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    ranked = p.select(
+        "bucket",
+        "vec_id",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("bucket")).cast("bigint").alias("n_in_bucket"),
+    )
+    return ranked.filter(F.col("rk") <= 8)
