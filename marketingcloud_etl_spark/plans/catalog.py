@@ -229,6 +229,8 @@ _PRIORITY = (
     "q260_cuped_adjustment",
     "q261_hyperplane_balanced_sample",
     "q262_freshness_monitor",
+    "q263_pandas_udf_iter",
+    "q264_pandas_udaf_window",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

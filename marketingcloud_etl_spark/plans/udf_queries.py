@@ -19,8 +19,12 @@ from __future__ import annotations
 
 import pandas as pd
 
+import pandas as pd  # noqa: F401 — pandas_udf resolves string annotations in module globals
+from typing import Iterator  # noqa: F401 — same (q263's Iterator[pd.Series] signature)
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 from pyspark.sql.types import DoubleType
 
 from ..io import table
@@ -603,4 +607,82 @@ def q248_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.user_id, s.n_sessions, s.n_events, s.max_session_events "
         "FROM mcetl_session_stats(TABLE(__q248_ev) "
         "PARTITION BY user_id ORDER BY (ts, event_id)) s"
+    )
+
+
+@query(
+    "q263_pandas_udf_iter",
+    oracle="""
+    SELECT o_orderkey,
+           cast(round(o_totalprice * 100) as bigint) * 3 + 7 AS scored_cents
+    FROM orders
+    """,
+    tags=("udf", "arrow"),
+)
+def q263_pandas_udf_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-of-batches pandas UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``) — the model-serving idiom: expensive
+    per-worker setup (tokenizer load, ONNX session, codebook mmap)
+    runs ONCE per partition before the batch loop, instead of once per
+    Arrow batch like a plain SCALAR UDF would. Here the 'model' is a
+    deterministic affine stub (w=3, b=7 — loaded in the setup block to
+    prove the lifecycle); the arithmetic is exact integer cents so the
+    oracle reproduces it in SQL. Same Arrow transfer as q62, different
+    execution contract."""
+    prep(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # per-partition setup: runs once, before any batch
+        model = {"w": 3, "b": 7}
+        for cents in batches:
+            yield cents * model["w"] + model["b"]
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        "o_orderkey", score(cents).alias("scored_cents")
+    )
+
+
+@query(
+    "q264_pandas_udaf_window",
+    oracle="""
+    SELECT o_orderkey,
+           cast(sum(cast(round(o_totalprice * 100) as bigint))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as bigint)
+             AS trailing3_cents
+    FROM orders
+    """,
+    tags=("udf", "arrow", "window"),
+)
+def q264_pandas_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF evaluated OVER A WINDOW FRAME — the
+    custom-aggregate-in-a-window surface (q64 uses the UDAF in
+    groupBy; windows re-evaluate it per frame): a trailing-3-row sum
+    per customer computed by a pandas reducer on each frame slice.
+    Exact integer cents make the pandas int64 sum equal the SQL window
+    sum bit-for-bit. The frame must be BOUNDED (Spark requirement for
+    pandas window UDFs) — which is also the only shape that scales:
+    each frame ships ≤3 values over Arrow."""
+    prep(spark)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def frame_sum(cents: pd.Series) -> int:
+        return int(cents.sum())
+
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        frame_sum(cents).over(w).alias("trailing3_cents"),
     )
