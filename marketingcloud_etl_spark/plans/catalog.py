@@ -231,6 +231,9 @@ _PRIORITY = (
     "q262_freshness_monitor",
     "q263_pandas_udf_iter",
     "q264_pandas_udaf_window",
+    "q265_nested_schema_merge",
+    "q266_readability_scores",
+    "q267_oov_rate",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

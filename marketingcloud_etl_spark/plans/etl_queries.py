@@ -2219,3 +2219,76 @@ def q262_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(lag_us / F.lit(60000000.0)).cast("bigint").alias("lag_minutes"),
         (lag_us > F.lit(43200000000)).alias("stale_12h"),
     )
+
+
+@query(
+    "q265_nested_schema_merge",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, 'v1' AS src,
+             cast(round(o_totalprice * 100) as bigint) AS cents,
+             NULL AS channel
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), v2 AS (
+      SELECT o_orderkey, 'v2' AS src,
+             cast(round(o_totalprice * 100) as bigint) AS cents,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'app' END AS channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderkey, src, cents, channel FROM v1
+    UNION ALL SELECT o_orderkey, src, cents, channel FROM v2
+    """,
+    tags=("etl", "schema-evolution"),
+)
+def q265_nested_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED schema evolution — q106 covers adding a TOP-LEVEL column;
+    this evolves a field INSIDE a struct: v1 files carry
+    meta:struct<cents>, v2 files add meta.channel, and a mergeSchema
+    read must unify the STRUCT TYPE itself (not just the column list),
+    back-filling v1's missing nested field with NULL — the failure
+    mode that silently truncates structs in naive readers. The writes
+    go to a content-keyed cache dir (one-time, like io.py's events
+    normalization); the read flattens the merged struct so the oracle
+    can reproduce it relationally."""
+    prep(spark)
+    import os
+    import tempfile
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    out = os.path.join(
+        tempfile.gettempdir(), f"mcetl_nested_evo_{fixture_tag(sf_dir)}"
+    )
+
+    def build(tmp: str) -> None:
+        v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.lit("v1").alias("src"),
+            F.struct(cents.alias("cents")).alias("meta"),
+        )
+        v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            F.lit("v2").alias("src"),
+            F.struct(
+                cents.alias("cents"),
+                F.when(F.col("o_orderkey") % 3 == 0, "web")
+                .otherwise("app")
+                .alias("channel"),
+            ).alias("meta"),
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(tmp, "part=v1"))
+        v2.write.mode("overwrite").parquet(os.path.join(tmp, "part=v2"))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    path = atomic_cached_write(out, build)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    return merged.select(
+        "o_orderkey",
+        "src",
+        F.col("meta.cents").alias("cents"),
+        F.col("meta.channel").alias("channel"),
+    )

@@ -1712,3 +1712,128 @@ def q244_simhash_exact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hamming"),
         )
     )
+
+
+@query(
+    "q266_readability_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ), w AS (
+      SELECT doc_id, source,
+             cast(len(toks) as bigint) AS n_words,
+             cast(list_sum(list_transform(toks,
+                 w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+               as bigint) AS n_syll,
+             cast(len(list_filter(toks,
+                 w -> len(regexp_extract_all(w, '[aeiouy]+')) >= 3))
+               as bigint) AS n_poly
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT source,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_words) as bigint) AS words,
+           cast(sum(n_syll) as bigint) AS syllables,
+           round(206.835 - 1.015 * (sum(n_words) / cast(count(*) as double))
+                         - 84.6 * (sum(n_syll) / cast(sum(n_words) as double)), 6)
+             AS flesch_proxy,
+           round(sum(n_poly) / cast(sum(n_words) as double), 6) AS poly_ratio
+    FROM w GROUP BY source
+    """,
+    tags=("text", "quality"),
+)
+def q266_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABILITY scoring (Flesch-family) — the classic text-quality
+    feature the Gopher/CCNet batteries (q45/q96/q127) don't carry: a
+    vowel-group syllable proxy per word (max(groups,1) so
+    consonant-only tokens count one), per-source words-per-doc and
+    syllables-per-word folded into the Flesch formula (one-doc
+    'sentence' granularity — a word-soup corpus has no sentence
+    boundaries, so the doc is the unit), plus the polysyllable ratio
+    (SMOG's input). All counts are exact integers; the two ratios and
+    the affine formula are single IEEE expressions — hash-stable.
+    One pass, no shuffle beyond the source aggregation."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    syll = lambda w: F.greatest(  # noqa: E731
+        F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))), F.lit(1)
+    )
+    base = d.withColumn("toks", toks).filter(F.size("toks") > 0)
+    per_doc = base.select(
+        "source",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform("toks", syll), F.lit(0).cast("bigint"), lambda a, b: a + b
+        ).alias("n_syll"),
+        F.size(F.filter("toks", lambda w: syll(w) >= 3)).cast("bigint").alias("n_poly"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_syll").alias("syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.sum("n_words") / F.count(F.lit(1)).cast("double"))
+            - F.lit(84.6) * (F.sum("n_syll") / F.sum("n_words").cast("double")),
+            6,
+        ).alias("flesch_proxy"),
+        F.round(F.sum("n_poly") / F.sum("n_words").cast("double"), 6).alias("poly_ratio"),
+    )
+
+
+@query(
+    "q267_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKS}) AS t FROM documents
+    ), vocab AS (
+      SELECT t FROM (
+        SELECT t, count(*) AS n FROM toks GROUP BY t
+        ORDER BY n DESC, t LIMIT 30
+      )
+    ), scored AS (
+      SELECT k.doc_id, k.source,
+             count(*) AS n_tokens,
+             sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM toks k LEFT JOIN vocab v ON k.t = v.t
+      GROUP BY k.doc_id, k.source
+    )
+    SELECT source,
+           cast(sum(n_tokens) as bigint) AS tokens,
+           cast(sum(n_oov) as bigint) AS oov_tokens,
+           round(sum(n_oov) / cast(sum(n_tokens) as double), 6) AS oov_rate
+    FROM scored GROUP BY source
+    """,
+    tags=("text", "quality"),
+)
+def q267_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-VOCABULARY rate — the tokenizer-coverage diagnostic run
+    before committing a vocab: train a top-30 frequency vocabulary
+    from the corpus itself (one agg + deterministic (count, token)
+    tiebreak), broadcast it back (a vocab is always driver-small
+    relative to the corpus — the canonical broadcast-join shape), and
+    measure the per-source fraction of tokens falling outside it.
+    High OOV → the tokenizer will fragment that source into bytes.
+    Two shuffles total (vocab agg, source rollup); the vocab join is
+    broadcast so the corpus never re-shuffles."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.explode(tokens("text")).alias("t"))
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t")
+        .limit(30)
+        .select("t", F.lit(True).alias("__in_vocab"))
+    )
+    j = toks.join(F.broadcast(vocab), "t", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias("oov_tokens"),
+        F.round(
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
