@@ -291,3 +291,138 @@ def test_stream_stream_outer_join_survives_restart(spark, sf_dir, tmp_path):
 
     phased, single = rows(out_dir), rows(ref_out)
     assert phased == single and len(single) > 0
+
+
+def test_value_state_ttl_expires_across_phases(spark, sf_dir, tmp_path):
+    """State TTL (Spark 4 transformWithState ttlDurationMs): a per-user
+    counter with a 500ms processing-time TTL accumulates within a
+    phase, but after a 2s pause and a restart from the same
+    checkpoint, the expired state must READ AS ABSENT — users seen in
+    both phases restart from zero in phase 2 (the bounded-state
+    guarantee TTL exists for), unlike the no-TTL recovery test where
+    totals are cumulative."""
+    import os
+    import shutil
+    import time
+
+    import pandas as pd
+    import pytest
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from marketingcloud_etl_spark.streaming.jobs import (
+        RUN_ROCKSDB,
+        enable_transform_with_state,
+        replay_dir,
+    )
+
+    if not enable_transform_with_state(spark):
+        pytest.skip("no protobuf available (real or bundled)")
+
+    class TTLCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint", ttlDurationMs=500)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (n,) = self._n.get() if self._n.exists() else (0,)
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    full = replay_dir(spark, sf_dir)
+    files = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(full).schema
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RUN_ROCKSDB)
+    try:
+
+        def run_phase(name: str):
+            out_dir = str(tmp_path / name)
+
+            def sink(batch_df, batch_id):
+                batch_df.write.mode("append").parquet(out_dir)
+
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", len(files))
+                .parquet(src)
+            )
+            q = (
+                stream.groupBy("user_id")
+                .transformWithStateInPandas(
+                    statefulProcessor=TTLCount(),
+                    outputStructType="user_id bigint, n_events bigint",
+                    outputMode="Update",
+                    timeMode="ProcessingTime",
+                )
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            # ProcessingTime + TTL + availableNow keeps scheduling
+            # "cleaning up state" no-data batches indefinitely, so the
+            # trigger never self-terminates — wait until the DATA batch
+            # has committed to the sink, then stop explicitly
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if os.path.isdir(out_dir) and any(
+                    f.endswith(".parquet") for f in os.listdir(out_dir)
+                ):
+                    progress = q.recentProgress
+                    if progress and all(
+                        p["numInputRows"] == 0 for p in progress[-2:]
+                    ) and len(progress) >= 2:
+                        break
+                time.sleep(0.5)
+            q.stop()
+            q.awaitTermination()
+            return out_dir
+
+        half = len(files) // 2
+        for f in files[:half]:
+            shutil.copy(os.path.join(full, f), os.path.join(src, f))
+        p1 = run_phase("p1")
+        time.sleep(2.0)  # > 500ms TTL
+        for f in files[half:]:
+            shutil.copy(os.path.join(full, f), os.path.join(src, f))
+        p2 = run_phase("p2")
+
+        import pyspark.sql.functions as F
+
+        phase1 = {r.user_id: r.n_events for r in spark.read.parquet(p1).collect()}
+        phase2 = {r.user_id: r.n_events for r in spark.read.parquet(p2).collect()}
+        # ground truth: rows per user in each half
+        src_files = [os.path.join(full, f) for f in files]
+        h1 = {
+            r.user_id: r.n
+            for r in spark.read.parquet(*src_files[:half])
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        h2 = {
+            r.user_id: r.n
+            for r in spark.read.parquet(*src_files[half:])
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert phase1 == h1  # phase 1 accumulates normally
+        dual = set(h1) & set(h2)
+        assert dual
+        # expired state reads as absent: phase-2 counts restart at zero
+        for u in dual:
+            assert phase2[u] == h2[u], (u, phase2[u], h2[u])
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
