@@ -234,6 +234,9 @@ _PRIORITY = (
     "q265_nested_schema_merge",
     "q266_readability_scores",
     "q267_oov_rate",
+    "q268_cooccurrence_pmi",
+    "q269_time_to_convert",
+    "q270_cusum_changepoint",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

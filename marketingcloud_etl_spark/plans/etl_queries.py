@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.hashing import content_hash, content_hash_sql
 from ..functions.money import dec
@@ -2291,4 +2292,65 @@ def q265_nested_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src",
         F.col("meta.cents").alias("cents"),
         F.col("meta.channel").alias("channel"),
+    )
+
+
+@query(
+    "q270_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY event_type, day
+    ), base AS (
+      SELECT event_type,
+             sum(n) FILTER (WHERE rk <= 10) AS sum10
+      FROM (SELECT event_type, n,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk
+            FROM daily)
+      GROUP BY event_type
+    ), cusum AS (
+      SELECT d.event_type, d.day, d.n, b.sum10,
+             sum(10 * d.n - b.sum10)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily d JOIN base b USING (event_type)
+    )
+    SELECT event_type, day, cast(n as bigint) AS n,
+           cast(s as bigint) AS cusum_scaled,
+           abs(s) >= 2 * sum10 AS drift_alarm
+    FROM cusum
+    """,
+    tags=("etl", "monitoring", "stats"),
+)
+def q270_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection — q225 flags single-day spikes; CUSUM
+    catches the SLOW drift a per-day test never trips on: cumulative
+    sum of (day count − baseline mean), alarming when the cumulated
+    deviation crosses a multiple of the baseline. Everything is EXACT
+    integer algebra (the mean is kept as sum10/10 by scaling the
+    deviation by 10 — q225's no-float-ulp discipline), so the alarm
+    boolean cannot flip between engines. Baseline = first 10 days per
+    type; per-type ordered windows over the tiny daily frame."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rk = W.partitionBy("event_type").orderBy("day")
+    base = (
+        daily.withColumn("rk", F.row_number().over(rk))
+        .groupBy("event_type")
+        .agg(F.sum(F.when(F.col("rk") <= 10, F.col("n"))).alias("sum10"))
+    )
+    j = daily.join(F.broadcast(base), "event_type")
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    c = j.withColumn("s", F.sum(10 * F.col("n") - F.col("sum10")).over(w))
+    return c.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("bigint").alias("cusum_scaled"),
+        (F.abs("s") >= 2 * F.col("sum10")).alias("drift_alarm"),
     )

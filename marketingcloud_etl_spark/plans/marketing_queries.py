@@ -784,3 +784,68 @@ def q260_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_y_cuped"),
         F.round(F.any_value("th"), 9).alias("theta"),
     )
+
+
+@query(
+    "q269_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_buy
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), d AS (
+      SELECT p.user_id,
+             (epoch_us(p.t_buy) - epoch_us(v.t_view)) // 60000000 AS mins
+      FROM p JOIN v USING (user_id)
+    )
+    SELECT cast(count(*) as bigint) AS n_converters,
+           cast(min(mins) as bigint) AS min_mins,
+           quantile_cont(mins, 0.25) AS p25_mins,
+           quantile_cont(mins, 0.50) AS p50_mins,
+           quantile_cont(mins, 0.75) AS p75_mins,
+           cast(max(mins) as bigint) AS max_mins
+    FROM d
+    """,
+    tags=("marketing", "funnel", "stats"),
+)
+def q269_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT distribution — q121 counts who converts; this
+    measures HOW LONG it takes (the latency the marketing team actually
+    tunes against): per user, minutes between first view and first
+    subsequent purchase (floor-division µs arithmetic, q254's
+    convention), reduced to exact interpolated quartiles (q232's
+    percentile protocol — integer minutes make every quartile an exact
+    binary fraction). Two keyed min-aggregations + one broadcast-scale
+    join; the quantile state is a value→count map over the bounded
+    minute domain."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    d = p.join(v, "user_id").select(
+        F.floor(
+            (F.unix_micros("t_buy") - F.unix_micros("t_view")) / F.lit(60000000.0)
+        ).cast("bigint").alias("mins")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.min("mins").alias("min_mins"),
+        F.percentile("mins", F.lit(0.25)).alias("p25_mins"),
+        F.percentile("mins", F.lit(0.50)).alias("p50_mins"),
+        F.percentile("mins", F.lit(0.75)).alias("p75_mins"),
+        F.max("mins").alias("max_mins"),
+    )

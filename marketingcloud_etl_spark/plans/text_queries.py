@@ -1837,3 +1837,104 @@ def q267_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_rate"),
     )
+
+
+@query(
+    "q268_cooccurrence_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               flatten(list_transform(range(1, len(t)),
+                 i -> [struct_pack(a := least(t[i], t[i+1]),
+                                   b := greatest(t[i], t[i+1]))])),
+               p -> p.a != p.b)) AS p
+      FROM toks WHERE len(t) >= 2
+    ), pc AS (
+      SELECT p.a AS wa, p.b AS wb, count(*) AS n_ab
+      FROM pairs GROUP BY p.a, p.b
+    ), uni AS (
+      SELECT t AS w, count(*) AS n FROM (SELECT unnest(t) AS t FROM toks) GROUP BY t
+    ), tot AS (
+      SELECT (SELECT sum(n_ab) FROM pc) AS n_pairs
+    )
+    SELECT wa, wb, cast(n_ab as bigint) AS n_ab,
+           round(ln(n_ab * cast(t.n_pairs as double) / (ua.n * cast(ub.n as double))), 6)
+             AS pmi
+    FROM pc JOIN uni ua ON pc.wa = ua.w
+            JOIN uni ub ON pc.wb = ub.w
+            CROSS JOIN tot t
+    WHERE n_ab >= 20
+    ORDER BY pmi DESC, wa, wb LIMIT 50
+    """,
+    tags=("text", "stats"),
+)
+def q268_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over ADJACENT token pairs — the
+    collocation statistic (word2vec's ancestor, still the phrase-mining
+    workhorse): unordered adjacent bigrams (canonical (min,max) order
+    so 'a b' and 'b a' pool), unigram counts, and PMI = ln(n_ab·N /
+    (n_a·n_b)) with a min-support floor (the Apriori-style cut that
+    bounds the pair table). One pair-keyed shuffle + two broadcast-able
+    unigram joins; the PMI expression is a single IEEE tree over exact
+    counts. Top-50 by (pmi, pair) total order."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    pairs = (
+        d.select(F.col("doc_id"), t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 1),
+                        lambda i: F.struct(
+                            F.least(
+                                F.element_at("t", i.cast("int")),
+                                F.element_at("t", (i + 1).cast("int")),
+                            ).alias("a"),
+                            F.greatest(
+                                F.element_at("t", i.cast("int")),
+                                F.element_at("t", (i + 1).cast("int")),
+                            ).alias("b"),
+                        ),
+                    ),
+                    lambda p: p["a"] != p["b"],
+                )
+            ).alias("p")
+        )
+    )
+    pc = pairs.groupBy(
+        F.col("p.a").alias("wa"), F.col("p.b").alias("wb")
+    ).agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = (
+        d.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pc.agg(F.sum("n_ab").alias("n_pairs"))
+    j = (
+        pc.filter(F.col("n_ab") >= 20)
+        .join(F.broadcast(uni.withColumnRenamed("w", "wa").withColumnRenamed("n", "na")), "wa")
+        .join(F.broadcast(uni.withColumnRenamed("w", "wb").withColumnRenamed("n", "nb")), "wb")
+        .join(F.broadcast(tot), F.lit(True))
+    )
+    return (
+        j.select(
+            "wa",
+            "wb",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.col("n_pairs").cast("double")
+                    / (F.col("na") * F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "wa", "wb")
+        .limit(50)
+    )
