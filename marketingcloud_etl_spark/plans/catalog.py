@@ -237,6 +237,8 @@ _PRIORITY = (
     "q268_cooccurrence_pmi",
     "q269_time_to_convert",
     "q270_cusum_changepoint",
+    "q271_retrieval_metrics",
+    "q272_bootstrap_ci",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

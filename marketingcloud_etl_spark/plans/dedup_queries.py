@@ -1200,3 +1200,66 @@ def q245_grouped_hash_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("lang", "doc_id", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+@query(
+    "q272_bootstrap_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, sum(cast(round(value * 100) as bigint)) AS cents
+      FROM events GROUP BY user_id
+    ), reps AS (
+      SELECT u.user_id, u.cents, b.b,
+             ('0x' || substr(md5(cast(u.user_id as varchar) || '_'
+                                 || cast(b.b as varchar)), 1, 4))::BIGINT % 3 AS w
+      FROM per_user u CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+    )
+    SELECT cast(b as bigint) AS replicate,
+           cast(sum(w * cents) as bigint) AS w_cents,
+           cast(sum(w) as bigint) AS w_n,
+           round(sum(w * cents) / cast(sum(w) as double), 6) AS rep_mean_cents
+    FROM reps GROUP BY b
+    """,
+    tags=("stats", "sampling"),
+)
+def q272_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC multiplier bootstrap — confidence intervals for a
+    mean WITHOUT resampling shuffles or RNG state: every (user,
+    replicate) pair gets an integer weight in {0,1,2} (mean 1) derived
+    from md5, so all 32 replicate statistics are pure functions of the
+    data — reproducible across runs, engines, and partitionings (the
+    property seeded ``sample()`` loses under repartitioning, q245's
+    point, now applied to UNCERTAINTY estimation). One explode (×32)
+    + one replicate-keyed aggregation of exact integer sums; each
+    replicate mean is a single IEEE division. The reader takes the
+    spread of the 32 rows as the CI — classic Poisson-bootstrap shape
+    (Chamandy et al., Google) with a bounded multiplier."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    reps = per_user.select(
+        "user_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).withColumn(
+        "w",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("user_id").cast("string"), F.col("b").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 3,
+    )
+    return reps.groupBy(F.col("b").cast("bigint").alias("replicate")).agg(
+        F.sum(F.col("w") * F.col("cents")).alias("w_cents"),
+        F.sum("w").alias("w_n"),
+        F.round(
+            F.sum(F.col("w") * F.col("cents")) / F.sum("w").cast("double"), 6
+        ).alias("rep_mean_cents"),
+    )

@@ -1010,3 +1010,74 @@ def q261_hyperplane_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).over(W.partitionBy("bucket")).cast("bigint").alias("n_in_bucket"),
     )
     return ranked.filter(F.col("rk") <= 8)
+
+
+@query(
+    "q271_retrieval_metrics",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20
+    ), scored AS (
+      SELECT b.vec_id AS query_id, b.label AS q_label,
+             a.vec_id AS neighbor_id, a.label AS n_label,
+             {cosine_sql('b.embedding', 'a.embedding')} AS cos_raw
+      FROM embeddings a CROSS JOIN q b
+      WHERE a.vec_id != b.vec_id
+    ), ranked AS (
+      SELECT query_id, q_label, n_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id,
+           cast(sum(CASE WHEN rank <= 5 AND n_label = q_label THEN 1 ELSE 0 END)
+                as bigint) AS n_rel_at5,
+           cast(min(CASE WHEN n_label = q_label THEN rank END) as bigint)
+             AS first_rel_rank
+    FROM ranked WHERE rank <= 20
+    GROUP BY query_id
+    """,
+    tags=("vector", "eval"),
+)
+def q271_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL EVALUATION as a first-class query — the harness every
+    ANN index (q52/q66/q105/q138/q220) is ultimately judged by, run
+    over the exact ranking so the metrics themselves are deterministic:
+    per query (vec_id < 20), precision@5 numerator and the rank of the
+    first same-LABEL neighbor (MRR's input) within the top-20 under
+    the exact (cosine, id) total order. Per-query INTEGER outputs —
+    the macro averages involve /5 and /rank fractions whose float
+    summation order would be engine-dependent, so the aggregation
+    stays with the reader and every emitted value is exact. Broadcast
+    query side, one pass over the corpus (q49's physical shape)."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            F.col("label").alias("n_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("q_emb", "embedding").alias("cos_raw"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "neighbor_id")
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 20
+    )
+    rel = F.col("n_label") == F.col("q_label")
+    return ranked.groupBy("query_id").agg(
+        F.sum(F.when((F.col("rank") <= 5) & rel, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel_at5"),
+        F.min(F.when(rel, F.col("rank"))).cast("bigint").alias("first_rel_rank"),
+    )
