@@ -239,6 +239,10 @@ _PRIORITY = (
     "q270_cusum_changepoint",
     "q271_retrieval_metrics",
     "q272_bootstrap_ci",
+    "q273_chained_window_agg",
+    "q274_cdc_apply_deletes",
+    "q275_source_similarity",
+    "q276_embedding_drift",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -2354,3 +2354,85 @@ def q270_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("bigint").alias("cusum_scaled"),
         (F.abs("s") >= 2 * F.col("sum10")).alias("drift_alarm"),
     )
+
+
+@query(
+    "q274_cdc_apply_deletes",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey, o_orderstatus,
+             cast(round(o_totalprice * 100) as bigint) AS cents
+      FROM orders WHERE o_orderkey % 7 != 0
+    ), changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+                  WHEN o_orderkey % 7 = 0 THEN 'I'
+                  WHEN o_orderkey % 5 = 0 THEN 'U' END AS op,
+             o_orderstatus,
+             cast(round(o_totalprice * 100) as bigint) + 500 AS new_cents
+      FROM orders
+      WHERE o_orderkey % 11 = 0 OR o_orderkey % 7 = 0 OR o_orderkey % 5 = 0
+    ), applied AS (
+      SELECT coalesce(c.o_orderkey, s.o_orderkey) AS k,
+             coalesce(c.o_orderstatus, s.o_orderstatus) AS status,
+             CASE WHEN c.op = 'D' THEN NULL
+                  WHEN c.op IN ('I', 'U') THEN c.new_cents
+                  ELSE s.cents END AS cents
+      FROM snap s FULL JOIN changes c ON s.o_orderkey = c.o_orderkey
+    )
+    SELECT status AS o_orderstatus,
+           cast(count(*) as bigint) AS n_rows,
+           cast(sum(cents) as bigint) AS total_cents
+    FROM applied WHERE cents IS NOT NULL
+    GROUP BY status
+    """,
+    tags=("etl", "cdc", "merge"),
+)
+def q274_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL CDC APPLY — q122 classifies a diff, q124 merges upserts;
+    this applies a mixed insert/update/DELETE batch to a snapshot in
+    one full-outer-join pass (the plan-level MERGE WHEN MATCHED THEN
+    DELETE): deletes drop the row, updates replace the payload,
+    inserts add previously-absent keys, untouched rows pass through.
+    Tombstones matter because they're what RTBF (q203) and source
+    hard-deletes emit — an upsert-only pipeline silently resurrects
+    them. Result summarized per status in exact cents; the key-keyed
+    shuffle is the only wide op."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    snap = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents")
+    )
+    changes = (
+        o.filter(
+            (F.col("o_orderkey") % 11 == 0)
+            | (F.col("o_orderkey") % 7 == 0)
+            | (F.col("o_orderkey") % 5 == 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("c_key"),
+            F.when(F.col("o_orderkey") % 11 == 0, "D")
+            .when(F.col("o_orderkey") % 7 == 0, "I")
+            .when(F.col("o_orderkey") % 5 == 0, "U")
+            .alias("op"),
+            F.col("o_orderstatus").alias("c_status"),
+            (cents + 500).alias("new_cents"),
+        )
+    )
+    j = snap.join(changes, snap.o_orderkey == changes.c_key, "full")
+    applied = j.select(
+        F.coalesce("c_status", "o_orderstatus").alias("status"),
+        F.when(F.col("op") == "D", F.lit(None).cast("bigint"))
+        .when(F.col("op").isin("I", "U"), F.col("new_cents"))
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    return (
+        applied.filter(F.col("cents").isNotNull())
+        .groupBy(F.col("status").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )

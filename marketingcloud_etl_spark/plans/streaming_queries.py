@@ -1167,3 +1167,57 @@ def q257_batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q273_chained_window_agg",
+    oracle="""
+    WITH fin AS (
+      SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
+               - INTERVAL 30 MINUTES AS final_wm
+      FROM events
+    ), hourly AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS h,
+             count(*) AS n
+      FROM events GROUP BY event_type, h
+    )
+    SELECT date_trunc('day', h.h) AS day, h.event_type,
+           cast(max(h.n) as bigint) AS peak_hourly,
+           cast(sum(h.n) as bigint) AS day_total
+    FROM hourly h, fin
+    WHERE date_trunc('day', h.h) + INTERVAL 1 DAY <= fin.final_wm
+    GROUP BY day, h.event_type
+    """,
+    tags=("streaming", "window", "multi-stateful"),
+)
+def q273_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL AGGREGATIONS (Spark 4 multi-stateful): hourly
+    counts re-aggregated into per-day PEAK-hour and total inside ONE
+    streaming query — window-of-window, the continuous-rollup shape
+    that previously needed an intermediate sink (q188 chains
+    dedup→agg; this chains agg→agg, the case where the second
+    operator's input is the first's APPEND output). The inner window's
+    event time column carries into the outer day window via
+    ``window_time``; emission finality for a day needs the watermark
+    past day end (oracle cutoff = final watermark, ms-truncated —
+    q236's arithmetic). Peak-hour-of-day is the classic capacity
+    metric; both levels are exact integers."""
+    prep(spark)
+    from ..streaming.jobs import events_stream_ordered, run_to_memory
+
+    s = events_stream_ordered(spark, sf_dir)
+    hourly = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("hw"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.withColumn("ht", F.window_time("hw"))
+        .groupBy(F.window("ht", "1 day").alias("dw"), "event_type")
+        .agg(F.max("n").alias("peak_hourly"), F.sum("n").alias("day_total"))
+        .select(
+            F.col("dw.start").alias("day"), "event_type", "peak_hourly", "day_total"
+        )
+    )
+    return run_to_memory(daily, "q273_out", output_mode="append")

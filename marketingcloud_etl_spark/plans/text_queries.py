@@ -1938,3 +1938,73 @@ def q268_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "wa", "wb")
         .limit(50)
     )
+
+
+@query(
+    "q275_source_similarity",
+    oracle=f"""
+    WITH v AS (
+      SELECT DISTINCT source, t
+      FROM (SELECT source, unnest({_TOKS}) AS t FROM documents)
+    ), sz AS (
+      SELECT source, count(*) AS n FROM v GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           cast(i.n_common as bigint) AS n_common,
+           cast(sa.n as bigint) AS n_a,
+           cast(sb.n as bigint) AS n_b,
+           round(i.n_common / cast(sa.n + sb.n - i.n_common as double), 6)
+             AS jaccard
+    FROM inter i JOIN sz sa ON i.src_a = sa.source
+                 JOIN sz sb ON i.src_b = sb.source
+    """,
+    tags=("text", "stats", "dedup"),
+)
+def q275_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-LEVEL vocabulary similarity matrix — which corpus slices
+    are redundant with each other (the input to q111's mixture
+    weighting: near-identical sources shouldn't both get full weight):
+    distinct (source, token) pairs, a token-keyed self-join counting
+    shared vocabulary per canonically-ordered source pair, and exact
+    Jaccard from the three integer counts. The token join carries
+    |sources|² pair weight per SHARED token — bounded, because the
+    distinct-vocab frame is tiny relative to the corpus (the
+    projection is the point: compare PROFILES, not documents)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    v = d.select("source", F.explode(tokens("text")).alias("t")).distinct()
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "t")
+    b = v.select(F.col("source").alias("src_b"), "t")
+    inter = (
+        a.join(b, "t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.withColumnRenamed("source", "src_a").withColumnRenamed("n", "n_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sz.withColumnRenamed("source", "src_b").withColumnRenamed("n", "n_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

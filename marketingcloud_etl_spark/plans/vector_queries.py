@@ -1081,3 +1081,92 @@ def q271_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rel_at5"),
         F.min(F.when(rel, F.col("rank"))).cast("bigint").alias("first_rel_rank"),
     )
+
+
+@query(
+    "q276_embedding_drift",
+    oracle="""
+    WITH halves AS (
+      SELECT CASE WHEN vec_id < 250 THEN 'a' ELSE 'b' END AS half,
+             unnest(list_transform(range(1, 65),
+               d -> struct_pack(dim := d,
+                                v := cast(round(embedding[d] * 1000000) as bigint)))) AS e
+      FROM embeddings
+    ), per_dim AS (
+      SELECT half, e.dim AS dim, sum(e.v) AS s, count(*) AS n
+      FROM halves GROUP BY half, e.dim
+    ), vecs AS (
+      SELECT half,
+             list(s / cast(n as double) ORDER BY dim) AS m,
+             any_value(n) AS n
+      FROM per_dim GROUP BY half
+    ), pair AS (
+      SELECT a.m AS ma, b.m AS mb, a.n AS n_a, b.n AS n_b
+      FROM vecs a JOIN vecs b ON a.half = 'a' AND b.half = 'b'
+    )
+    SELECT cast(n_a as bigint) AS n_a, cast(n_b as bigint) AS n_b,
+           round(
+             list_reduce(list_transform(range(1, 65), d -> ma[d] * mb[d]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, 65), d -> ma[d] * ma[d]), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, 65), d -> mb[d] * mb[d]), (x, y) -> x + y))),
+             6) AS mean_cosine
+    FROM pair
+    """,
+    tags=("vector", "monitoring"),
+)
+def q276_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-DISTRIBUTION drift — q247 monitors the categorical
+    source mix; this monitors the VECTOR space (a model swap or
+    preprocessing change moves the embedding centroid even when the
+    source mix is stable): per-dimension means of two corpus halves
+    from EXACT scaled-integer sums (×10⁶, the only order-sensitive
+    step made order-free), then the cosine between the two mean
+    vectors via dimension-ORDERED sequential folds — bit-identical in
+    both engines. A cosine well below 1.0 is the alarm. One explode +
+    one (half, dim)-keyed aggregation (128 output rows), then
+    driver-scale arithmetic."""
+    prep(spark)
+    e = table(spark, sf_dir, "embeddings")
+    half = F.when(F.col("vec_id") < 250, "a").otherwise("b")
+    exploded = e.select(
+        half.alias("half"),
+        F.posexplode("embedding").alias("dim0", "v"),
+    ).select(
+        "half",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("v"),
+    )
+    per_dim = exploded.groupBy("half", "dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    vecs = per_dim.groupBy("half").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("dim", (F.col("s") / F.col("n").cast("double")).alias("mv")))
+            ),
+            lambda st: st["mv"],
+        ).alias("m"),
+        F.any_value("n").alias("n"),
+    )
+    a = vecs.filter(F.col("half") == "a").select(
+        F.col("m").alias("ma"), F.col("n").alias("n_a")
+    )
+    b = vecs.filter(F.col("half") == "b").select(
+        F.col("m").alias("mb"), F.col("n").alias("n_b")
+    )
+    pair = a.join(b, F.lit(True))
+
+    def fold(expr: str) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(sequence(1, 64), d -> {expr}), "
+            f"cast(0.0 as double), (x, y) -> x + y)"
+        )
+
+    dot = fold("element_at(ma, d) * element_at(mb, d)")
+    na = fold("element_at(ma, d) * element_at(ma, d)")
+    nb = fold("element_at(mb, d) * element_at(mb, d)")
+    return pair.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6).alias("mean_cosine"),
+    )
