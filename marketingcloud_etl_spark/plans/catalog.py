@@ -243,6 +243,7 @@ _PRIORITY = (
     "q274_cdc_apply_deletes",
     "q275_source_similarity",
     "q276_embedding_drift",
+    "q277_bpe_train",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

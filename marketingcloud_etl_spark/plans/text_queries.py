@@ -2008,3 +2008,115 @@ def q275_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def _bpe_duck_oracle(k: int) -> str:
+    """Unrolled k-iteration BPE trainer in DuckDB SQL. Vocabulary state
+    is a '·'-bounded, '··'-separated symbol string per word (pattern
+    '·a··b·' → '·ab·' is greedy-left non-overlapping — the separator
+    doubling makes consecutive pairs independently matchable)."""
+    sql = f"""
+    WITH vocab0 AS (
+      SELECT w, count(*) AS cnt, '·' || array_to_string(string_split(w, ''), '··') || '·' AS s
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z0-9]+$')
+      GROUP BY w
+    )"""
+    prev = "vocab0"
+    selects = []
+    for i in range(1, k + 1):
+        sql += f""",
+    pairs{i} AS (
+      SELECT p.a, p.b, sum(cnt) AS n FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(sy)),
+                 j -> struct_pack(a := sy[j], b := sy[j+1]))) AS p
+        FROM (SELECT cnt,
+                     string_split(trim(s, '·'), '··') AS sy
+              FROM {prev})
+      ) GROUP BY p.a, p.b
+    ),
+    best{i} AS (
+      SELECT a, b, n FROM pairs{i} ORDER BY n DESC, a, b LIMIT 1
+    ),
+    vocab{i} AS (
+      SELECT v.w, v.cnt,
+             replace(v.s, '·' || bb.a || '··' || bb.b || '·',
+                     '·' || bb.a || bb.b || '·') AS s
+      FROM {prev} v CROSS JOIN best{i} bb
+    )"""
+        prev = f"vocab{i}"
+        selects.append(
+            f"SELECT {i} AS iteration, a AS left_sym, b AS right_sym, "
+            f"cast(n as bigint) AS pair_count FROM best{i}"
+        )
+    sql += "\n    " + "\n    UNION ALL ".join(selects)
+    return sql
+
+
+@query(
+    "q277_bpe_train",
+    oracle=_bpe_duck_oracle(3),
+    tags=("text", "tokenizer", "iterative"),
+)
+def q277_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING — the real iterative merge loop (Sennrich
+    et al. 2016), not just q116's one-shot pair count: per iteration,
+    count adjacent symbol pairs over the word-frequency vocabulary,
+    pick the max under the deterministic (count desc, pair) order, and
+    MERGE it corpus-wide; repeat. Merging uses a '·'-bounded,
+    '··'-separated symbol string so one non-overlapping string replace
+    ('·a··b·' → '·ab·') IS the greedy-left BPE merge — and because
+    it's pure string algebra, the DuckDB oracle replays the ENTIRE
+    algorithm (3 unrolled iterations) and every chosen merge must
+    match exactly. The per-iteration argmax is a one-row collect
+    (driver-small, the codebook-training pattern); everything else is
+    distributed: pair explode + merge map over the vocab frame, whose
+    size is |distinct words| — at corpus scale the loop cost is
+    iterations × one narrow pass, the standard offline-train shape."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = words.select(
+        "w",
+        "cnt",
+        F.concat(
+            F.lit("·"),
+            F.array_join(F.split("w", ""), "··"),
+            F.lit("·"),
+        ).alias("s"),
+    )
+    out = []
+    for i in range(1, 4):
+        syms = F.expr("filter(split(trim(BOTH '·' FROM s), '··'), x -> x != '')")
+        pairs = (
+            vocab.select("cnt", syms.alias("sy"))
+            .filter(F.size("sy") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("sy") - 1),
+                        lambda j: F.struct(
+                            F.element_at("sy", j.cast("int")).alias("a"),
+                            F.element_at("sy", (j + 1).cast("int")).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).first()
+        out.append((i, best["a"], best["b"], int(best["n"])))
+        pat = f"·{best['a']}··{best['b']}·"
+        rep = f"·{best['a']}{best['b']}·"
+        vocab = vocab.withColumn("s", F.replace(F.col("s"), F.lit(pat), F.lit(rep)))
+    return spark.createDataFrame(
+        out, "iteration int, left_sym string, right_sym string, pair_count bigint"
+    )
