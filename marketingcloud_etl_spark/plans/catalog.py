@@ -244,6 +244,8 @@ _PRIORITY = (
     "q275_source_similarity",
     "q276_embedding_drift",
     "q277_bpe_train",
+    "q278_bm25_search",
+    "q279_winsorized_stats",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -3343,3 +3343,83 @@ def q246_window_analytic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         """
     )
+
+
+@query(
+    "q279_winsorized_stats",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag AS flag,
+             cast(round(l_extendedprice * 100) as bigint) AS c
+      FROM lineitem
+    ), vc AS (
+      SELECT flag, c, count(*) AS cnt FROM cents GROUP BY flag, c
+    ), cum AS (
+      SELECT flag, c, cnt,
+             sum(cnt) OVER (PARTITION BY flag ORDER BY c
+                            ROWS UNBOUNDED PRECEDING) AS cum_cnt
+      FROM vc
+    ), n AS (
+      SELECT flag, sum(cnt) AS n FROM vc GROUP BY flag
+    ), cuts AS (
+      SELECT n.flag,
+             min(CASE WHEN cum.cum_cnt >= ceil(0.05 * n.n) THEN cum.c END) AS lo,
+             min(CASE WHEN cum.cum_cnt >= ceil(0.95 * n.n) THEN cum.c END) AS hi
+      FROM n JOIN cum ON n.flag = cum.flag GROUP BY n.flag
+    )
+    SELECT c.flag,
+           cast(count(*) as bigint) AS n,
+           cast(k.lo as bigint) AS lo_cents,
+           cast(k.hi as bigint) AS hi_cents,
+           cast(sum(least(greatest(c.c, k.lo), k.hi)) as bigint)
+             AS winsorized_cents,
+           cast(sum(CASE WHEN c.c < k.lo OR c.c > k.hi THEN 1 ELSE 0 END)
+                as bigint) AS n_clipped
+    FROM cents c JOIN cuts k ON c.flag = k.flag
+    GROUP BY c.flag, k.lo, k.hi
+    """,
+    tags=("relational", "stats", "robust"),
+)
+def q279_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED robust statistics — q119 FLAGS outliers; winsorizing
+    CLIPS them (the feature-engineering standard when you must keep
+    every row but tame the tail): per-group p05/p95 cut points from
+    the count-based DISCRETE percentile (q232's ⌈q·n⌉ rule — data
+    values, so clipping stays in exact integer cents), then the
+    clipped sum and clip count in one broadcast-join pass. The
+    winsorized total is order-proof integer arithmetic end to end —
+    no float mean anywhere."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    vc = li.groupBy("flag", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("flag").orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+    cum = vc.withColumn("cum_cnt", F.sum("cnt").over(w))
+    n = vc.groupBy("flag").agg(F.sum("cnt").alias("n"))
+    j = cum.join(F.broadcast(n), "flag")
+
+    def cut(p: float) -> F.Column:
+        return F.min(
+            F.when(F.col("cum_cnt") >= F.ceil(F.lit(p) * F.col("n")), F.col("c"))
+        )
+
+    cuts = j.groupBy("flag").agg(cut(0.05).alias("lo"), cut(0.95).alias("hi"))
+    clipped = li.join(F.broadcast(cuts), "flag")
+    return clipped.groupBy("flag", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))).alias(
+            "winsorized_cents"
+        ),
+        F.sum(
+            F.when((F.col("c") < F.col("lo")) | (F.col("c") > F.col("hi")), 1).otherwise(0)
+        ).alias("n_clipped"),
+    ).select(
+        "flag",
+        "n",
+        F.col("lo").cast("bigint").alias("lo_cents"),
+        F.col("hi").cast("bigint").alias("hi_cents"),
+        "winsorized_cents",
+        "n_clipped",
+    )

@@ -2120,3 +2120,106 @@ def q277_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "iteration int, left_sym string, right_sym string, pair_count bigint"
     )
+
+
+@query(
+    "q278_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT sum(len) FROM dl) AS total_len
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks
+      WHERE t IN ('spark', 'stream', 'window') GROUP BY doc_id, t
+    ), idf AS (
+      SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t
+    ), scored AS (
+      SELECT tf.doc_id, tf.t,
+             ln(1 + (s.n_docs - i.df + 0.5) / (i.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * d.len
+                                 / (s.total_len / cast(s.n_docs as double))))
+               AS term_score
+      FROM tf JOIN idf i ON tf.t = i.t
+              JOIN dl d ON tf.doc_id = d.doc_id
+              CROSS JOIN stats s
+    ), agg AS (
+      SELECT doc_id,
+             list_reduce(list_sort(list(term_score)), (x, y) -> x + y) AS bm25,
+             count(*) AS n_terms_hit
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, round(bm25, 6) AS bm25,
+           cast(n_terms_hit as bigint) AS n_terms_hit
+    FROM agg ORDER BY bm25 DESC, doc_id LIMIT 25
+    """,
+    tags=("text", "search"),
+)
+def q278_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking — the lexical-retrieval scorer q42's raw tf-idf and
+    q165's inverted index feed into (and the hybrid-search complement
+    of the vector path q49/q52): per (doc, query-term) Robertson idf ×
+    saturated tf with length normalization (k1=1.2, b=0.75), per-doc
+    term scores folded in sorted order (q217's float protocol) and the
+    top-25 taken under the (score, doc) total order. The query-term
+    filter prunes the token stream BEFORE the tf aggregation — at
+    corpus scale this is an inverted-index probe, not a scan-and-score
+    of every document."""
+    prep(spark)
+    terms = ("spark", "stream", "window")
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).join(
+        dl.agg(F.sum("len").alias("total_len")), F.lit(True)
+    )
+    tf = (
+        toks.filter(F.col("t").isin(*terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(idf), "t")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats), F.lit(True))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf") * F.lit(2.2)
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75) * F.col("len")
+                        / (F.col("total_len") / F.col("n_docs").cast("double"))
+                    )
+                )
+            ).alias("term_score"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("term_score")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    return (
+        agg.select(
+            "doc_id", F.round("bm25", 6).alias("bm25"),
+            F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(25)
+    )
