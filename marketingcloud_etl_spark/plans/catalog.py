@@ -246,6 +246,9 @@ _PRIORITY = (
     "q277_bpe_train",
     "q278_bm25_search",
     "q279_winsorized_stats",
+    "q280_path_analysis",
+    "q281_dow_seasonality",
+    "q282_numeric_drift_bins",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

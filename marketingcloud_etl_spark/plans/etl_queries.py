@@ -2436,3 +2436,95 @@ def q274_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+@query(
+    "q282_numeric_drift_bins",
+    oracle="""
+    WITH halves AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'ref' ELSE 'cur' END AS half,
+             least(cast(floor(o_totalprice / 25000.0) as bigint), 9) AS bin
+      FROM orders
+    ), counts AS (
+      SELECT half, bin, count(*) AS n FROM halves GROUP BY half, bin
+    ), tot AS (
+      SELECT half, sum(n) AS t FROM counts GROUP BY half
+    ), grid AS (
+      SELECT unnest(range(0, 10)) AS bin
+    ), probs AS (
+      SELECT g.bin,
+             coalesce(r.n, 0) / cast(rt.t as double) AS p_ref,
+             coalesce(c.n, 0) / cast(ct.t as double) AS p_cur
+      FROM grid g
+      LEFT JOIN counts r ON r.half = 'ref' AND r.bin = g.bin
+      LEFT JOIN counts c ON c.half = 'cur' AND c.bin = g.bin
+      CROSS JOIN (SELECT t FROM tot WHERE half = 'ref') rt
+      CROSS JOIN (SELECT t FROM tot WHERE half = 'cur') ct
+    )
+    SELECT cast(count(*) as bigint) AS n_bins,
+           round(list_reduce(list_sort(list(
+             (p_cur - p_ref) * ln((p_cur + 1e-6) / (p_ref + 1e-6)))),
+             (a, b) -> a + b), 9) AS psi,
+           round(list_reduce(list_sort(list(abs(p_cur - p_ref))),
+             (a, b) -> a + b) / 2, 9) AS tv_distance
+    FROM probs
+    """,
+    tags=("etl", "monitoring", "stats"),
+)
+def q282_numeric_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUMERIC-feature drift — q247 covers categorical mix, q276 the
+    embedding space; this covers continuous measures (price, latency,
+    length): fixed-width bins (clamped top bin) over two cohorts, PSI
+    with ε-smoothing (bins can be EMPTY on one side — the case
+    unsmoothed KL blows up on, handled by the same +1e-6 both
+    engines), plus total-variation distance. A fixed bin GRID (0..9)
+    joins both sides so absent bins contribute their full probability
+    mass instead of silently vanishing. Sorted-fold float protocol
+    throughout."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    half = F.when(F.col("o_orderkey") % 2 == 0, "ref").otherwise("cur")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 25000.0).cast("bigint"), F.lit(9))
+    counts = o.select(half.alias("half"), bin_.alias("bin")).groupBy(
+        "half", "bin"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("half").agg(F.sum("n").alias("t"))
+    grid = table(spark, sf_dir, "region").sparkSession.range(0, 10).select(
+        F.col("id").alias("bin")
+    )
+    r = counts.filter(F.col("half") == "ref").select("bin", F.col("n").alias("rn"))
+    c = counts.filter(F.col("half") == "cur").select("bin", F.col("n").alias("cn"))
+    rt = tot.filter(F.col("half") == "ref").select(F.col("t").alias("rt"))
+    ct = tot.filter(F.col("half") == "cur").select(F.col("t").alias("ct"))
+    probs = (
+        grid.join(F.broadcast(r), "bin", "left")
+        .join(F.broadcast(c), "bin", "left")
+        .join(F.broadcast(rt), F.lit(True))
+        .join(F.broadcast(ct), F.lit(True))
+        .select(
+            "bin",
+            (F.coalesce("rn", F.lit(0)) / F.col("rt").cast("double")).alias("p_ref"),
+            (F.coalesce("cn", F.lit(0)) / F.col("ct").cast("double")).alias("p_cur"),
+        )
+    )
+    psi_term = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        (F.col("p_cur") + 1e-6) / (F.col("p_ref") + 1e-6)
+    )
+    return probs.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(psi_term)), F.lit(0.0), lambda a, b: a + b
+            ),
+            9,
+        ).alias("psi"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.abs(F.col("p_cur") - F.col("p_ref")))),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / 2,
+            9,
+        ).alias("tv_distance"),
+    )

@@ -849,3 +849,110 @@ def q269_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("mins", F.lit(0.75)).alias("p75_mins"),
         F.max("mins").alias("max_mins"),
     )
+
+
+@query(
+    "q280_path_analysis",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+      FROM events
+    ), paths AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY rk), ' > ') AS path3
+      FROM ranked WHERE rk <= 3 GROUP BY user_id
+    )
+    SELECT path3, cast(count(*) as bigint) AS n_users
+    FROM paths GROUP BY path3
+    ORDER BY n_users DESC, path3 LIMIT 20
+    """,
+    tags=("marketing", "funnel", "sequence"),
+)
+def q280_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONBOARDING PATH analysis — the top first-3-event sequences
+    (q121 asks 'did they convert', q200 asks 'what follows what'; this
+    asks 'what JOURNEYS actually happen', the Sankey-diagram feed):
+    per-user first three events under the (ts, id) total order,
+    concatenated into a path string, counted, top-20. One user-
+    partitioned window + one path-keyed count — both shuffles keyed on
+    high-cardinality columns."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            " > ",
+        ).alias("path3")
+    )
+    return (
+        paths.groupBy("path3")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path3")
+        .limit(20)
+    )
+
+
+@query(
+    "q281_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             dayofweek(ts) AS dow,
+             count(*) AS n
+      FROM events GROUP BY day, dow
+    ), prof AS (
+      SELECT dow,
+             cast(sum(n) as bigint) AS dow_events,
+             cast(count(*) as bigint) AS dow_days
+      FROM daily GROUP BY dow
+    ), tot AS (
+      SELECT sum(dow_events) AS all_events, sum(dow_days) AS all_days FROM prof
+    )
+    SELECT p.dow,
+           p.dow_events, p.dow_days,
+           round((p.dow_events / cast(p.dow_days as double))
+                 / (t.all_events / cast(t.all_days as double)), 6)
+             AS seasonality_index
+    FROM prof p CROSS JOIN tot t
+    """,
+    tags=("marketing", "timeseries"),
+)
+def q281_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-OF-WEEK seasonality index — the normalization every
+    anomaly rule (q225/q270) should divide by before alarming: average
+    events per day-of-week over the average day, as a ratio of two
+    exact-integer rates (one IEEE division each). Index > 1 = busy
+    day. DuckDB's dayofweek is 0=Sunday; Spark's dayofweek is
+    1=Sunday — the Spark side subtracts 1 to pin the same convention."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    prof = daily.groupBy("dow").agg(
+        F.sum("n").alias("dow_events"), F.count(F.lit(1)).alias("dow_days")
+    )
+    tot = prof.agg(
+        F.sum("dow_events").alias("all_events"), F.sum("dow_days").alias("all_days")
+    )
+    return prof.join(F.broadcast(tot), F.lit(True)).select(
+        "dow",
+        "dow_events",
+        "dow_days",
+        F.round(
+            (F.col("dow_events") / F.col("dow_days").cast("double"))
+            / (F.col("all_events") / F.col("all_days").cast("double")),
+            6,
+        ).alias("seasonality_index"),
+    )
