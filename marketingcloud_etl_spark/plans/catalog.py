@@ -249,6 +249,7 @@ _PRIORITY = (
     "q280_path_analysis",
     "q281_dow_seasonality",
     "q282_numeric_drift_bins",
+    "q283_dedup_burden_report",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

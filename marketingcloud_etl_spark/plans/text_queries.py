@@ -2223,3 +2223,136 @@ def q278_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(25)
     )
+
+
+@query(
+    "q283_dedup_burden_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), doc_level AS (
+      SELECT 'doc_exact' AS granularity,
+             count(*) AS n_units,
+             count(DISTINCT md5(text)) AS n_distinct
+      FROM documents
+    ), lines AS (
+      SELECT array_to_string(t[(j - 1) * 10 + 1 : j * 10], ' ') AS unit
+      FROM toks, unnest(range(1, cast(ceil(len(t) / 10.0) as bigint) + 1)) AS u(j)
+      WHERE len(t) >= 1
+    ), line_level AS (
+      SELECT 'line_10w' AS granularity,
+             count(*) AS n_units,
+             count(DISTINCT unit) AS n_distinct
+      FROM lines
+    ), th AS (
+      SELECT doc_id,
+             list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
+      FROM toks WHERE len(t) >= 1
+    ), ends AS (
+      SELECT doc_id, h,
+             list_filter(range(1, len(h) + 1),
+                         i -> h[i] % 8 = 0 OR i = len(h)) AS e
+      FROM th
+    ), chunks AS (
+      SELECT unnest(list_transform(range(1, len(e) + 1),
+               j -> list_reduce(h[(CASE WHEN j = 1 THEN 1 ELSE e[j-1] + 1 END) : e[j]],
+                                (acc, x) -> (acc * 257 + x) % 2147483647))) AS ch
+      FROM ends
+    ), chunk_level AS (
+      SELECT 'chunk_cdc' AS granularity,
+             count(*) AS n_units,
+             count(DISTINCT ch) AS n_distinct
+      FROM chunks
+    ), unioned AS (
+      SELECT * FROM doc_level UNION ALL
+      SELECT * FROM line_level UNION ALL
+      SELECT * FROM chunk_level
+    )
+    SELECT granularity,
+           cast(n_units as bigint) AS n_units,
+           cast(n_distinct as bigint) AS n_distinct,
+           cast(n_units - n_distinct as bigint) AS redundant_units,
+           round((n_units - n_distinct) / cast(n_units as double), 6)
+             AS redundant_fraction
+    FROM unioned
+    """,
+    tags=("text", "dedup", "report"),
+)
+def q283_dedup_burden_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS REDUNDANCY REPORT — the one-page answer to 'how much
+    would dedup save?', measured at all three granularities the
+    catalog implements: whole-document (q37's md5), fixed 10-word
+    lines (q161's unit), and content-defined chunks (q235's mod-8
+    Rabin protocol). Each row is units / distinct / redundant /
+    fraction — the numbers that decide WHICH dedup pass is worth its
+    shuffle before anything runs at scale. Three independent
+    aggregations over one corpus scan lineage; every hash protocol is
+    shared with its parent query so the report stays consistent with
+    what the dedup passes would actually do."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    doc_level = d.agg(
+        F.lit("doc_exact").alias("granularity"),
+        F.count(F.lit(1)).alias("n_units"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+    )
+    t = tokens("text")
+    lines = (
+        d.select(t.alias("t"))
+        .filter(F.size("t") >= 1)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.ceil(F.size("t") / F.lit(10.0)).cast("int")),
+                    lambda j: F.array_join(
+                        F.slice("t", ((j - 1) * 10 + 1).cast("int"), 10), " "
+                    ),
+                )
+            ).alias("unit")
+        )
+    )
+    line_level = lines.agg(
+        F.lit("line_10w").alias("granularity"),
+        F.count(F.lit(1)).alias("n_units"),
+        F.countDistinct("unit").alias("n_distinct"),
+    )
+    th = F.transform(
+        t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
+    )
+    c = d.select(th.alias("h")).filter(F.size("h") >= 1)
+    n = F.size("h")
+    c = c.withColumn(
+        "e",
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (F.element_at("h", i) % 8 == 0) | (i == n),
+        ),
+    )
+    b, p = 257, (1 << 31) - 1
+    start = lambda j: F.when(j == 1, F.lit(1)).otherwise(  # noqa: E731
+        F.element_at("e", (j - 1).cast("int")) + 1
+    )
+    chunk = lambda j: F.aggregate(  # noqa: E731
+        F.slice("h", start(j), F.element_at("e", j.cast("int")) - start(j) + 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * b + x, F.lit(p)),
+    )
+    chunks = c.select(
+        F.explode(F.transform(F.sequence(F.lit(1), F.size("e")), chunk)).alias("ch")
+    )
+    chunk_level = chunks.agg(
+        F.lit("chunk_cdc").alias("granularity"),
+        F.count(F.lit(1)).alias("n_units"),
+        F.countDistinct("ch").alias("n_distinct"),
+    )
+    u = doc_level.unionByName(line_level).unionByName(chunk_level)
+    return u.select(
+        "granularity",
+        F.col("n_units").cast("bigint").alias("n_units"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        (F.col("n_units") - F.col("n_distinct")).cast("bigint").alias("redundant_units"),
+        F.round(
+            (F.col("n_units") - F.col("n_distinct")) / F.col("n_units").cast("double"),
+            6,
+        ).alias("redundant_fraction"),
+    )
