@@ -250,6 +250,9 @@ _PRIORITY = (
     "q281_dow_seasonality",
     "q282_numeric_drift_bins",
     "q283_dedup_burden_report",
+    "q284_spearman_rank_corr",
+    "q285_negative_sampling",
+    "q286_target_encoding",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1263,3 +1263,76 @@ def q272_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w") * F.col("cents")) / F.sum("w").cast("double"), 6
         ).alias("rep_mean_cents"),
     )
+
+
+@query(
+    "q285_negative_sampling",
+    oracle="""
+    WITH maxp AS (SELECT max(p_partkey) AS mp FROM part),
+    pos AS (
+      SELECT l_orderkey, l_partkey AS pos_part
+      FROM lineitem WHERE l_orderkey % 37 = 0 AND l_linenumber = 1
+    ), negs AS (
+      SELECT p.l_orderkey, p.pos_part, k.k AS neg_slot,
+             ('0x' || substr(md5(cast(p.l_orderkey as varchar) || ':'
+                                 || cast(k.k as varchar)), 1, 8))::BIGINT
+               % m.mp + 1 AS neg_part
+      FROM pos p
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+      CROSS JOIN maxp m
+    )
+    SELECT l_orderkey, pos_part, cast(neg_slot as bigint) AS neg_slot,
+           cast(neg_part as bigint) AS neg_part,
+           neg_part = pos_part AS is_collision
+    FROM negs
+    """,
+    tags=("sampling", "training"),
+)
+def q285_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE SAMPLING for contrastive training pairs — the
+    recommender/embedding-training data-prep step: for each positive
+    (order, part) interaction, draw 4 deterministic uniform negatives
+    from the item universe via md5(anchor:slot) mod |items| (q272's
+    hash-randomness discipline — reproducible under any partitioning,
+    no RNG state to coordinate across executors). Accidental
+    positives are FLAGGED, not silently redrawn, so the collision rate
+    (≈ 4/|items|) stays auditable — the standard in-batch-negatives
+    trade-off. The item-universe bound is one broadcast scalar; the
+    explode is ×4, all narrow."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    mp = table(spark, sf_dir, "part").agg(F.max("p_partkey").alias("mp"))
+    pos = li.filter(
+        (F.col("l_orderkey") % 37 == 0) & (F.col("l_linenumber") == 1)
+    ).select("l_orderkey", F.col("l_partkey").alias("pos_part"))
+    negs = (
+        pos.select("l_orderkey", "pos_part", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("neg_slot"))
+        .join(F.broadcast(mp), F.lit(True))
+        .withColumn(
+            "neg_part",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("neg_slot").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("mp")
+            + 1,
+        )
+    )
+    return negs.select(
+        "l_orderkey",
+        "pos_part",
+        F.col("neg_slot").cast("bigint").alias("neg_slot"),
+        "neg_part",
+        (F.col("neg_part") == F.col("pos_part")).alias("is_collision"),
+    )

@@ -3423,3 +3423,118 @@ def q279_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "winsorized_cents",
         "n_clipped",
     )
+
+
+@query(
+    "q284_spearman_rank_corr",
+    oracle="""
+    WITH r AS (
+      SELECT p_partkey,
+             row_number() OVER (ORDER BY p_retailprice, p_partkey) AS rp,
+             row_number() OVER (ORDER BY p_size, p_partkey) AS rs
+      FROM part
+    )
+    SELECT cast(count(*) as bigint) AS n,
+           round(1 - 6.0 * sum((rp - rs) * (rp - rs))
+                     / (count(*) * (cast(count(*) as double) * count(*) - 1)), 9)
+             AS spearman_rho
+    FROM r
+    """,
+    tags=("relational", "stats"),
+)
+def q284_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation — the monotone-association measure
+    q100's Pearson misses (robust to any monotone transform and to
+    outliers): both variables reduced to ranks under deterministic
+    (value, key) total orders, then ρ = 1 − 6Σd²/(n(n²−1)) — Σd² is an
+    exact integer, the formula one IEEE expression. Rank windows are
+    global here for the closed-form tie-free formula (fixture keys
+    break all ties); the billion-row path ranks via
+    operators/ranking.py's distributed global row number — same
+    semantics, no single-partition sort — and q226 already exercises
+    exactly that substitution."""
+    prep(spark)
+    from ..operators.ranking import global_row_number
+
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    rp = global_row_number(p, ["p_retailprice", "p_partkey"], out_col="rp")
+    rs = global_row_number(
+        p.select("p_partkey", "p_size"), ["p_size", "p_partkey"], out_col="rs"
+    )
+    r = rp.select("p_partkey", "rp").join(rs.select("p_partkey", "rs"), "p_partkey")
+    return r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            1
+            - 6.0
+            * F.sum((F.col("rp") - F.col("rs")) * (F.col("rp") - F.col("rs")))
+            / (
+                F.count(F.lit(1))
+                * (F.count(F.lit(1)).cast("double") * F.count(F.lit(1)) - 1)
+            ),
+            9,
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "q286_target_encoding",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority AS cat,
+             cast(round(o_totalprice * 100) as bigint) AS y
+      FROM orders
+    ), stats AS (
+      SELECT cat, sum(y) AS s, count(*) AS n FROM base GROUP BY cat
+    ), prior AS (
+      SELECT sum(y) / cast(count(*) as double) AS mu FROM base
+    )
+    SELECT b.o_orderkey, b.cat,
+           round((s.s + 20 * p.mu) / (s.n + 20.0), 6) AS smoothed_enc,
+           round(CASE WHEN s.n > 1
+                      THEN (s.s - b.y) / cast(s.n - 1 as double) END, 6)
+             AS loo_enc
+    FROM base b JOIN stats s ON b.cat = s.cat CROSS JOIN prior p
+    WHERE b.o_orderkey % 11 = 0
+    """,
+    tags=("relational", "feature-eng"),
+)
+def q286_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGET ENCODING — the categorical-feature workhorse with its two
+    leakage defenses side by side: SMOOTHED encoding ((Σy + m·μ)/(n+m),
+    m=20 — shrinks rare categories toward the global prior) and
+    LEAVE-ONE-OUT ((Σy − y_i)/(n−1) — removes the row's own target
+    from its feature, the direct leakage fix). Category stats are one
+    aggregation broadcast back onto the rows; every numerator is an
+    exact integer and each encoding is a single IEEE division —
+    deterministic without any fold ordering concern."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    stats = base.groupBy("cat").agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("n"))
+    prior = base.agg(
+        (F.sum("y") / F.count(F.lit(1)).cast("double")).alias("mu")
+    )
+    j = (
+        base.filter(F.col("o_orderkey") % 11 == 0)
+        .join(F.broadcast(stats), "cat")
+        .join(F.broadcast(prior), F.lit(True))
+    )
+    return j.select(
+        "o_orderkey",
+        "cat",
+        F.round((F.col("s") + 20 * F.col("mu")) / (F.col("n") + F.lit(20.0)), 6).alias(
+            "smoothed_enc"
+        ),
+        F.round(
+            F.when(
+                F.col("n") > 1,
+                (F.col("s") - F.col("y")) / (F.col("n") - 1).cast("double"),
+            ),
+            6,
+        ).alias("loo_enc"),
+    )
