@@ -253,6 +253,8 @@ _PRIORITY = (
     "q284_spearman_rank_corr",
     "q285_negative_sampling",
     "q286_target_encoding",
+    "q287_kaplan_meier",
+    "q288_containment_check",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1336,3 +1336,100 @@ def q285_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_part",
         (F.col("neg_part") == F.col("pos_part")).alias("is_collision"),
     )
+
+
+_SH3Q = (
+    "list_distinct(list_transform(range(1, len({t}) - 1), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
+)
+
+
+@query(
+    "q288_containment_check",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks
+      FROM documents WHERE doc_id < 200
+    ), pairs AS (
+      SELECT doc_id AS id_a, doc_id AS id_b, 'prefix' AS kind,
+             toks AS ta,
+             toks[1 : greatest(cast(floor(len(toks) * 0.6) as bigint), 3)] AS tb
+      FROM base
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, 'unrelated',
+             a.toks, {tokens_sql('b.text')}
+      FROM base a JOIN documents b ON b.doc_id = a.doc_id + 250
+    ), sh AS (
+      SELECT id_a, id_b, kind,
+             {_SH3Q.format(t='ta')} AS ga, {_SH3Q.format(t='tb')} AS gb
+      FROM pairs
+    ), m AS (
+      SELECT id_a, id_b, kind,
+             len(list_filter(gb, x -> list_contains(ga, x))) AS inter,
+             len(gb) AS nb,
+             len(list_distinct(list_concat(ga, gb))) AS uni
+      FROM sh WHERE len(gb) > 0
+    )
+    SELECT id_a, id_b, kind,
+           round(cast(inter as double) / nb, 6) AS containment_b_in_a,
+           round(cast(inter as double) / uni, 6) AS jaccard,
+           cast(inter as double) / nb >= cast(inter as double) / uni
+             AS containment_ge_jaccard,
+           (kind = 'prefix') = (cast(inter as double) / nb = 1.0)
+             AS prefix_fully_contained
+    FROM m
+    """,
+    tags=("dedup", "similarity"),
+)
+def q288_containment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHINGLE CONTAINMENT — the ASYMMETRIC similarity Jaccard hides:
+    a short document quoted inside a long one has containment(B⊂A)=1
+    but Jaccard ≈ |B|/|A| (tiny), so symmetric dedup misses every
+    quote/excerpt. Planted prefix pairs (B = A's first 60% of tokens →
+    every 3-shingle of B appears in A, containment EXACTLY 1.0) and
+    unrelated pairs prove both regimes; the containment ≥ jaccard
+    identity and the prefix⇔full-containment biconditional ride along
+    as per-row booleans. Same shingle algebra as q234 — candidate
+    generation at scale is the banded MinHash path; this is the
+    verify-stage metric."""
+    prep(spark)
+    from ..functions.text import tokens
+    from ..operators.dedup import word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 200)
+    toks = tokens("text")
+    prefix_len = F.greatest(F.floor(F.size(toks) * 0.6).cast("bigint"), F.lit(3))
+    p1 = base.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.lit("prefix").alias("kind"),
+        F.col("text").alias("ta"),
+        F.array_join(F.slice(toks, 1, prefix_len.cast("int")), " ").alias("tb"),
+    )
+    other = d.select(F.col("doc_id").alias("__bid"), F.col("text").alias("__btext"))
+    p2 = base.join(other, base.doc_id + 250 == F.col("__bid")).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("__bid").alias("id_b"),
+        F.lit("unrelated").alias("kind"),
+        F.col("text").alias("ta"),
+        F.col("__btext").alias("tb"),
+    )
+    pairs = p1.unionByName(p2)
+    ga = F.array_distinct(word_shingles("ta", 3))
+    gb = F.array_distinct(word_shingles("tb", 3))
+    m = pairs.select(
+        "id_a", "id_b", "kind",
+        F.size(F.array_intersect(gb, ga)).alias("inter"),
+        F.size(gb).alias("nb"),
+        F.size(F.array_union(ga, gb)).alias("uni"),
+    ).filter(F.col("nb") > 0)
+    cont = F.col("inter") / F.col("nb").cast("double")
+    jac = F.col("inter") / F.col("uni").cast("double")
+    return m.select(
+        "id_a", "id_b", "kind",
+        F.round(cont, 6).alias("containment_b_in_a"),
+        F.round(jac, 6).alias("jaccard"),
+        (cont >= jac).alias("containment_ge_jaccard"),
+        ((F.col("kind") == "prefix") == (cont == 1.0)).alias("prefix_fully_contained"),
+    )

@@ -956,3 +956,102 @@ def q281_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonality_index"),
     )
+
+
+@query(
+    "q287_kaplan_meier",
+    oracle="""
+    WITH bounds AS (
+      SELECT max(ts) AS end_ts FROM events
+    ), subj AS (
+      SELECT user_id,
+             cast(floor((epoch_us(coalesce(
+                    min(CASE WHEN event_type = 'purchase' THEN ts END), b.end_ts))
+                  - epoch_us(min(ts))) / 3600000000.0) as bigint) AS dur_hours,
+             CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+                  THEN 1 ELSE 0 END AS converted
+      FROM events, bounds b GROUP BY user_id, b.end_ts
+    ), at_t AS (
+      SELECT dur_hours AS t, sum(converted) AS d, count(*) AS leave_n
+      FROM subj GROUP BY dur_hours
+    ), risk AS (
+      SELECT t, d,
+             sum(leave_n) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+      FROM at_t
+    ), ordered AS (
+      SELECT t, d, n_risk,
+             row_number() OVER (ORDER BY t) AS idx
+      FROM risk
+    ), arr AS (
+      SELECT list(1 - d / cast(n_risk as double) ORDER BY t) AS fs FROM ordered
+    )
+    SELECT o.t AS t_hours,
+           cast(o.n_risk as bigint) AS n_risk,
+           cast(o.d as bigint) AS n_events,
+           round(list_reduce(fs[1 : o.idx], (a, b) -> a * b), 6) AS survival
+    FROM ordered o CROSS JOIN arr
+    """,
+    tags=("marketing", "stats", "survival"),
+)
+def q287_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER time-to-event with right-censoring — time from a
+    user's first activity to FIRST PURCHASE, the canonical conversion-
+    latency survival setup (q269 reports quartiles over CONVERTERS
+    only — the biased view; KM counts never-converters as censored at
+    corpus end, which is the fix). S(t) = Π(1 − dᵢ/nᵢ)
+    over ordered event times — the product folds SEQUENTIALLY over the
+    time-ordered factor array (multiplication is IEEE-deterministic;
+    no exp(Σln) round trip through libm), so both engines agree
+    bit-for-bit. The at-risk counts come from a descending cumulative
+    sum; the whole curve lives on a ≤|distinct-tenure| frame."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "events")
+    cut = e.agg(F.max("ts").alias("end_ts"))
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    subj = (
+        e.join(F.broadcast(cut), F.lit(True))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (
+                    F.unix_micros(F.coalesce(first_purchase, F.first("end_ts")))
+                    - F.unix_micros(F.min("ts"))
+                )
+                / F.lit(3600000000.0)
+            )
+            .cast("bigint")
+            .alias("dur_hours"),
+            first_purchase.isNotNull().cast("int").alias("converted"),
+        )
+    )
+    at_t = subj.groupBy(F.col("dur_hours").alias("t")).agg(
+        F.sum("converted").alias("d"), F.count(F.lit(1)).alias("leave_n")
+    )
+    w_desc = W.orderBy(F.col("t").desc()).rowsBetween(W.unboundedPreceding, 0)
+    w_asc = W.orderBy("t")
+    # ≤ |distinct tenures| rows (bounded by the observation window in
+    # days) — global windows on this frame are driver-scale by design
+    risk = at_t.withColumn("n_risk", F.sum("leave_n").over(w_desc))
+    ordered = risk.withColumn("idx", F.row_number().over(w_asc))
+    arr = ordered.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("t", (1 - F.col("d") / F.col("n_risk").cast("double")).alias("f"))
+                )
+            ),
+            lambda s: s["f"],
+        ).alias("fs")
+    )
+    j = ordered.join(F.broadcast(arr), F.lit(True))
+    surv = F.aggregate(
+        F.slice("fs", 1, F.col("idx").cast("int")), F.lit(1.0), lambda a, b: a * b
+    )
+    return j.select(
+        F.col("t").alias("t_hours"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.round(surv, 6).alias("survival"),
+    )
