@@ -1029,8 +1029,8 @@ def q287_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     at_t = subj.groupBy(F.col("dur_hours").alias("t")).agg(
         F.sum("converted").alias("d"), F.count(F.lit(1)).alias("leave_n")
     )
-    w_desc = W.orderBy(F.col("t").desc()).rowsBetween(W.unboundedPreceding, 0)
-    w_asc = W.orderBy("t")
+    w_desc = W.orderBy(F.col("t").desc()).rowsBetween(W.unboundedPreceding, 0)  # global-window-ok: frame = distinct tenure-hours, bounded by the observation window (~720 rows)
+    w_asc = W.orderBy("t")  # global-window-ok: same bounded distinct-tenure frame
     # ≤ |distinct tenures| rows (bounded by the observation window in
     # days) — global windows on this frame are driver-scale by design
     risk = at_t.withColumn("n_risk", F.sum("leave_n").over(w_desc))
