@@ -255,6 +255,9 @@ _PRIORITY = (
     "q286_target_encoding",
     "q287_kaplan_meier",
     "q288_containment_check",
+    "q289_schema_contract",
+    "q290_adstock_decay",
+    "q291_power_analysis",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -2528,3 +2528,46 @@ def q282_numeric_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("tv_distance"),
     )
+
+
+@query(
+    "q289_schema_contract",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('event_id',  'bigint',    true),
+      ('ts',        'timestamp', true),
+      ('user_id',   'bigint',    true),
+      ('event_type','string',    true),
+      ('value',     'double',    true),
+      ('props',     'string',    true)
+    ) AS t(col_name, spark_type, contract_ok)
+    """,
+    tags=("etl", "contract", "schema"),
+)
+def q289_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA CONTRACT check — the producer/consumer handshake run as a
+    query: the events table's ACTUAL schema (name, Spark type, column
+    order) is emitted row-per-column and compared against the declared
+    contract (the oracle's literal table IS the contract document).
+    Any renamed, retyped, reordered, added or dropped column breaks
+    the hash match — which is precisely the alert a contract check
+    exists to raise. Zero data rows are read (schema comes from the
+    parquet footer); pairs with q125's row-level validation and
+    q106/q265's evolution handling."""
+    prep(spark)
+    df = table(spark, sf_dir, "events")
+    contract = {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    }
+    rows = [
+        (f.name, f.dataType.simpleString(), contract.get(f.name) == f.dataType.simpleString())
+        for f in df.schema.fields
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, spark_type string, contract_ok boolean"
+    )

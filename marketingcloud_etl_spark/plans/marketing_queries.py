@@ -1055,3 +1055,145 @@ def q287_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("bigint").alias("n_events"),
         F.round(surv, 6).alias("survival"),
     )
+
+
+@query(
+    "q290_adstock_decay",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS wk,
+             sum(cast(round(value * 100) as bigint)) AS cents
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type, wk
+    ), arr AS (
+      SELECT event_type,
+             list(wk ORDER BY wk) AS wks,
+             list(cents ORDER BY wk) AS cs
+      FROM weekly GROUP BY event_type
+    ), idx AS (
+      SELECT event_type, wks, cs, unnest(range(1, len(cs) + 1)) AS i
+      FROM arr
+    )
+    SELECT event_type, wks[i] AS wk,
+           cast(cs[i] as bigint) AS cents,
+           list_reduce(list_transform(cs[1 : i], x -> x::DOUBLE), (acc, x) -> acc / 2 + x) AS adstock_cents
+    FROM idx
+    """,
+    tags=("marketing", "timeseries"),
+)
+def q290_adstock_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADSTOCK (geometric carry-over) — the media-mix-modeling
+    transform: this week's effective pressure = spend + λ·last week's
+    pressure, an IIR filter that a window function cannot express
+    (each value depends on the previous OUTPUT, not previous inputs).
+    Computed as a sequential left fold over the week-ordered series —
+    and with λ = 1/2 every step is an exact binary operation on
+    integer-cents-derived values, so the recursion is bit-identical in
+    both engines (DuckDB's seeded list_reduce ≡ the fold from the
+    first element; acc/2 + x agrees because the Spark side folds the
+    identical slice). Per-channel series are driver-small (weeks ×
+    channels); the weekly aggregation underneath is the only wide
+    op — the universal shape for distributed recursive filters."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    weekly = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type", F.date_trunc("week", "ts").alias("wk"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    )
+    arr = weekly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("wk", "cents"))), lambda s: s["wk"]
+        ).alias("wks"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("wk", "cents"))), lambda s: s["cents"]
+        ).alias("cs"),
+    )
+    idx = arr.select(
+        "event_type",
+        "wks",
+        "cs",
+        F.posexplode(F.col("cs")).alias("i0", "__v"),
+    ).select("event_type", "wks", "cs", (F.col("i0") + 1).alias("i"))
+    # DuckDB's list_reduce seeds with the first element; mirror by
+    # folding the tail with the head as init
+    adstock = F.when(
+        F.col("i") == 1, F.element_at("cs", 1).cast("double")
+    ).otherwise(
+        F.aggregate(
+            F.slice("cs", 2, (F.col("i") - 1).cast("int")),
+            F.element_at("cs", 1).cast("double"),
+            lambda acc, x: acc / 2 + x,
+        )
+    )
+    return idx.select(
+        "event_type",
+        F.element_at("wks", F.col("i").cast("int")).alias("wk"),
+        F.element_at("cs", F.col("i").cast("int")).cast("bigint").alias("cents"),
+        adstock.alias("adstock_cents"),
+    )
+
+
+@query(
+    "q291_power_analysis",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id % 2 AS arm, user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY arm, user_id
+    ), rates AS (
+      SELECT cast(count(*) as bigint) AS n_users,
+             cast(sum(converted) as bigint) AS n_conv,
+             sum(converted) / cast(count(*) as double) AS p_base
+      FROM arms
+    )
+    SELECT n_users, n_conv, round(p_base, 6) AS p_base,
+           cast(ceil(2 * 7.849 * p_base * (1 - p_base)
+                     / pow(greatest(p_base * 0.05, 1e-9), 2)) as bigint)
+             AS n_per_arm_mde5pct,
+           cast(ceil(2 * 7.849 * p_base * (1 - p_base)
+                     / pow(greatest(p_base * 0.10, 1e-9), 2)) as bigint)
+             AS n_per_arm_mde10pct,
+           n_users >= 2 * cast(ceil(2 * 7.849 * p_base * (1 - p_base)
+                     / pow(greatest(p_base * 0.10, 1e-9), 2)) as bigint)
+             AS powered_for_10pct
+    FROM rates
+    """,
+    tags=("marketing", "experiment", "stats"),
+)
+def q291_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPERIMENT POWER / sample-size analysis — the question to answer
+    BEFORE q133's z-test and q260's CUPED: with the observed base
+    conversion rate, how many users per arm does a 5%/10% relative
+    MDE need at α=0.05, power=0.8?  n = 2(z₀.₉₇₅+z₀.₈)²·p̄(1−p̄)/δ²
+    with (1.96+0.8416)² = 7.849 folded as a literal (no erf needed on
+    either engine), δ = relative MDE × p̄, plus the go/no-go boolean
+    against the population actually available. One aggregation; the
+    sizing formula is a single IEEE expression over exact counts."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    arms = e.groupBy((F.col("user_id") % 2).alias("arm"), "user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    rates = arms.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_conv"),
+        (F.sum("converted") / F.count(F.lit(1)).cast("double")).alias("p_base"),
+    )
+
+    def n_req(mde: float) -> F.Column:
+        delta = F.greatest(F.col("p_base") * mde, F.lit(1e-9))
+        return F.ceil(
+            2 * 7.849 * F.col("p_base") * (1 - F.col("p_base")) / F.pow(delta, 2)
+        ).cast("bigint")
+
+    return rates.select(
+        "n_users",
+        "n_conv",
+        F.round("p_base", 6).alias("p_base"),
+        n_req(0.05).alias("n_per_arm_mde5pct"),
+        n_req(0.10).alias("n_per_arm_mde10pct"),
+        (F.col("n_users") >= 2 * n_req(0.10)).alias("powered_for_10pct"),
+    )
