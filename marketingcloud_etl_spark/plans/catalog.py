@@ -258,6 +258,7 @@ _PRIORITY = (
     "q289_schema_contract",
     "q290_adstock_decay",
     "q291_power_analysis",
+    "q292_dataset_card",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -2356,3 +2356,62 @@ def q283_dedup_burden_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("redundant_fraction"),
     )
+
+
+@query(
+    "q292_dataset_card",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars, {_TOKS} AS toks, md5(text) AS h
+      FROM documents
+    )
+    SELECT cast(count(*) as bigint) AS n_docs,
+           cast(count(DISTINCT lang) as bigint) AS n_langs,
+           cast(count(DISTINCT source) as bigint) AS n_sources,
+           cast(sum(len(toks)) as bigint) AS total_tokens,
+           cast(sum(n_chars) as bigint) AS total_chars,
+           cast(min(len(toks)) as bigint) AS min_tokens,
+           cast(max(len(toks)) as bigint) AS max_tokens,
+           round(sum(len(toks)) / cast(count(*) as double), 6) AS mean_tokens,
+           cast(count(*) - count(DISTINCT h) as bigint) AS exact_dup_docs,
+           round((count(*) - count(DISTINCT h)) / cast(count(*) as double), 6)
+             AS dup_fraction
+    FROM t
+    """,
+    tags=("text", "report"),
+)
+def q292_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD — the one-row summary a dataset release ships with
+    (Gebru et al.'s datasheets, operationalized): document/language/
+    source cardinalities, token and char totals, length extremes and
+    mean, and the exact-duplicate burden — every number derived in one
+    aggregation pass over the corpus with the same token and hash
+    protocols the rest of the catalog uses (so the card can't disagree
+    with the pipelines it describes). The detailed breakdowns live in
+    q283 (dedup granularities), q247 (source mix), q266 (readability),
+    q267 (OOV) — this is their cover page."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", "source", "n_chars",
+        F.size(tokens("text")).alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_toks").cast("bigint").alias("min_tokens"),
+        F.max("n_toks").cast("bigint").alias("max_tokens"),
+        F.round(F.sum("n_toks") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "mean_tokens"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("exact_dup_docs"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("h"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_fraction"),
+    )
