@@ -32,6 +32,7 @@ _PLAN_MODULES = (
     "marketingcloud_etl_spark.plans.streaming_queries",
     "marketingcloud_etl_spark.plans.udf_queries",
     "marketingcloud_etl_spark.plans.marketing_queries",
+    "marketingcloud_etl_spark.plans.tpch_queries",
 )
 
 
@@ -259,6 +260,18 @@ _PRIORITY = (
     "q290_adstock_decay",
     "q291_power_analysis",
     "q292_dataset_card",
+    # round-4 continuation: TPC-H completion battery (Q7/Q8/Q9/Q13/Q14/
+    # Q15/Q17/Q18/Q19/Q22 shapes over the reduced fixture schema)
+    "q293_volume_shipping",
+    "q294_market_share",
+    "q295_product_profit",
+    "q296_order_count_distribution",
+    "q297_promo_share",
+    "q298_top_supplier",
+    "q299_small_qty_avg",
+    "q300_large_orders",
+    "q301_disjunctive_revenue",
+    "q302_dormant_customers",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

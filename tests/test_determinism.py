@@ -23,6 +23,7 @@ INVARIANCE_QUERIES = (
     "q108_token_entropy",       # sorted-fold (ln terms)
     "q111_mixture_weights",     # sorted-fold (sqrt terms)
     "q119_median_mad_outliers", # exact percentile interpolation
+    "q295_product_profit",      # decimal revenue-minus-cost mix (Q9 shape)
 )
 
 
