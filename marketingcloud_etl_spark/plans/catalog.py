@@ -272,6 +272,13 @@ _PRIORITY = (
     "q300_large_orders",
     "q301_disjunctive_revenue",
     "q302_dormant_customers",
+    # round-4 continuation wave 2: subquery surface, incremental view
+    # maintenance, feature hashing, temporal CV, position attribution
+    "q303_subquery_battery",
+    "q304_ivm_join_delta",
+    "q305_feature_hashing",
+    "q306_time_series_cv",
+    "q307_position_attribution",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1433,3 +1433,94 @@ def q288_containment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cont >= jac).alias("containment_ge_jaccard"),
         ((F.col("kind") == "prefix") == (cont == 1.0)).alias("prefix_fully_contained"),
     )
+
+
+@query(
+    "q306_time_series_cv",
+    oracle="""
+    WITH bounds AS (
+      SELECT cast(min(ts) as date) AS dmin, cast(max(ts) as date) AS dmax FROM events
+    ), spec AS (
+      SELECT dmin, dmax,
+             cast(ceil((date_diff('day', dmin, dmax) + 1) / 5.0) as int) AS step
+      FROM bounds
+    ), folds AS (
+      SELECT cast(k as int) AS fold,
+             dmin + cast(k * step as int) AS train_end,
+             least(dmin + cast((k + 1) * step as int), dmax + 1) AS test_end
+      FROM spec, range(1, 5) r(k)
+    ), day_counts AS (
+      SELECT cast(ts as date) AS day, count(*) AS n FROM events GROUP BY day
+    )
+    SELECT fold, train_end, test_end,
+           cast(sum(CASE WHEN day < train_end THEN n ELSE 0 END) as bigint) AS n_train,
+           cast(sum(CASE WHEN day >= train_end AND day < test_end THEN n ELSE 0 END)
+                as bigint) AS n_test,
+           max(CASE WHEN day < train_end THEN day END) AS max_train_day,
+           min(CASE WHEN day >= train_end AND day < test_end THEN day END)
+             AS min_test_day,
+           max(CASE WHEN day < train_end THEN day END)
+             < min(CASE WHEN day >= train_end AND day < test_end THEN day END)
+             AS temporally_ordered
+    FROM folds CROSS JOIN day_counts
+    GROUP BY fold, train_end, test_end
+    ORDER BY fold
+    """,
+    tags=("split", "ml-prep"),
+)
+def q306_time_series_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPANDING-WINDOW time-series cross-validation — the split
+    protocol that respects temporal causality where q222's k-fold
+    cannot (a random fold leaks the future into training): fold k
+    trains on everything before boundary k and tests on the next
+    window. Boundaries derive from the data's own day span (integer
+    day arithmetic, no floats). The fact table is first collapsed to
+    per-day counts — a few thousand rows at ANY corpus scale — so the
+    fold × day cross join and the per-fold aggregation never touch the
+    raw events again; the temporally_ordered flag re-verifies from the
+    actual day extrema that no training day reaches the test window."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    day_counts = (
+        e.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spec = day_counts.agg(
+        F.min("day").alias("dmin"),
+        F.max("day").alias("dmax"),
+    ).select(
+        "dmin",
+        "dmax",
+        F.ceil((F.datediff("dmax", "dmin") + 1) / F.lit(5.0)).cast("int").alias("step"),
+    )
+    folds = spec.select(
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("fold"), "dmin", "dmax", "step"
+    ).select(
+        "fold",
+        F.date_add(F.col("dmin"), F.col("fold") * F.col("step")).alias("train_end"),
+        F.least(
+            F.date_add(F.col("dmin"), (F.col("fold") + 1) * F.col("step")),
+            F.date_add(F.col("dmax"), 1),
+        ).alias("test_end"),
+    )
+    in_test = (F.col("day") >= F.col("train_end")) & (F.col("day") < F.col("test_end"))
+    return (
+        F.broadcast(folds)
+        .crossJoin(day_counts)
+        .groupBy("fold", "train_end", "test_end")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("train_end"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(in_test, F.col("n")).otherwise(0)).cast("bigint").alias("n_test"),
+            F.max(F.when(F.col("day") < F.col("train_end"), F.col("day"))).alias(
+                "max_train_day"
+            ),
+            F.min(F.when(in_test, F.col("day"))).alias("min_test_day"),
+        )
+        .withColumn(
+            "temporally_ordered", F.col("max_train_day") < F.col("min_test_day")
+        )
+        .orderBy("fold")
+    )

@@ -2571,3 +2571,131 @@ def q289_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col_name string, spark_type string, contract_ok boolean"
     )
+
+
+_IVM_VOL = (
+    "cast(l_extendedprice as decimal(12,2)) * (1.00 - cast(l_discount as decimal(4,2)))"
+)
+
+
+@query(
+    "q304_ivm_join_delta",
+    oracle=f"""
+    WITH a_old AS (SELECT * FROM orders   WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+         a_new AS (SELECT * FROM orders   WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+         b_old AS (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'),
+         b_new AS (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'),
+         v1 AS (
+           SELECT o_orderpriority AS prio, sum({_IVM_VOL}) AS rev, count(*) AS n
+           FROM a_old JOIN b_old ON o_orderkey = l_orderkey GROUP BY prio
+         ),
+         dv AS (
+           SELECT o_orderpriority AS prio, sum({_IVM_VOL}) AS rev, count(*) AS n
+           FROM (
+             SELECT o_orderpriority, l_extendedprice, l_discount
+             FROM a_old JOIN b_new ON o_orderkey = l_orderkey
+             UNION ALL
+             SELECT o_orderpriority, l_extendedprice, l_discount
+             FROM a_new JOIN b_old ON o_orderkey = l_orderkey
+             UNION ALL
+             SELECT o_orderpriority, l_extendedprice, l_discount
+             FROM a_new JOIN b_new ON o_orderkey = l_orderkey
+           ) GROUP BY prio
+         ),
+         v2_inc AS (
+           SELECT coalesce(v1.prio, dv.prio) AS prio,
+                  coalesce(v1.rev, 0) + coalesce(dv.rev, 0) AS rev,
+                  coalesce(v1.n, 0) + coalesce(dv.n, 0) AS n
+           FROM v1 FULL OUTER JOIN dv ON v1.prio = dv.prio
+         ),
+         v2_full AS (
+           SELECT o_orderpriority AS prio, sum({_IVM_VOL}) AS rev, count(*) AS n
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY prio
+         )
+    SELECT f.prio AS o_orderpriority,
+           cast(f.rev as double) AS full_revenue,
+           cast(i.rev as double) AS inc_revenue,
+           cast(f.n as bigint) AS full_lines,
+           cast(i.n as bigint) AS inc_lines,
+           (f.rev = i.rev AND f.n = i.n) AS ivm_consistent
+    FROM v2_full f JOIN v2_inc i ON f.prio = i.prio
+    ORDER BY o_orderpriority
+    """,
+    tags=("etl", "incremental"),
+)
+def q304_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE of a join view — the delta-join
+    algebra that keeps a materialized join aggregate current without
+    recomputing it: with base snapshots A,B and arriving deltas dA,dB,
+    the view delta is dV = A⋈dB ∪ dA⋈B ∪ dA⋈dB, merged into V by an
+    algebraic partial-sum full-outer merge (the same mergeability the
+    lambda serving layer q259 exploits). Both the incrementally
+    maintained view AND the full recompute are produced, and the
+    ivm_consistent flag compares them in EXACT decimal — the query is
+    its own proof of correctness. At 100 TB only the deltas (and the
+    delta-side of each join) are new work per refresh; every join keys
+    on o_orderkey, so the three delta joins reuse one partitioning."""
+    prep(spark)
+    cutoff = "2000-01-01"
+    vol = dec("l_extendedprice", 12, 2) * (
+        F.lit(1.00).cast("decimal(4,2)") - dec("l_discount", 4, 2)
+    )
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    a_old = o.filter(F.col("o_orderdate") < cutoff)
+    a_new = o.filter(F.col("o_orderdate") >= cutoff)
+    b_old = li.filter(F.col("l_shipdate") < cutoff)
+    b_new = li.filter(F.col("l_shipdate") >= cutoff)
+
+    def view(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, a.o_orderkey == b.l_orderkey)
+            .groupBy(F.col("o_orderpriority").alias("prio"))
+            .agg(F.sum(vol).alias("rev"), F.count(F.lit(1)).alias("n"))
+        )
+
+    proj = ["o_orderpriority", "l_extendedprice", "l_discount"]
+    delta_rows = (
+        a_old.join(b_new, a_old.o_orderkey == b_new.l_orderkey).select(*proj)
+        .unionAll(a_new.join(b_old, a_new.o_orderkey == b_old.l_orderkey).select(*proj))
+        .unionAll(a_new.join(b_new, a_new.o_orderkey == b_new.l_orderkey).select(*proj))
+    )
+    dv = delta_rows.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.sum(vol).alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    v1 = view(a_old, b_old)
+    zero_rev = F.lit(0).cast(dict(v1.dtypes)["rev"])
+    v2_inc = (
+        v1.withColumnsRenamed({"prio": "p1", "rev": "r1", "n": "n1"})
+        .join(
+            dv.withColumnsRenamed({"prio": "p2", "rev": "r2", "n": "n2"}),
+            F.col("p1") == F.col("p2"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("p1", "p2").alias("prio"),
+            (
+                F.coalesce(F.col("r1"), zero_rev) + F.coalesce(F.col("r2"), zero_rev)
+            ).alias("rev"),
+            (
+                F.coalesce(F.col("n1"), F.lit(0)) + F.coalesce(F.col("n2"), F.lit(0))
+            ).alias("n"),
+        )
+    )
+    v2_full = view(o, li)
+    f = v2_full.withColumnsRenamed({"prio": "fp", "rev": "frev", "n": "fn"})
+    i = v2_inc.withColumnsRenamed({"prio": "ip", "rev": "irev", "n": "in_"})
+    return (
+        f.join(i, F.col("fp") == F.col("ip"))
+        .select(
+            F.col("fp").alias("o_orderpriority"),
+            F.col("frev").cast("double").alias("full_revenue"),
+            F.col("irev").cast("double").alias("inc_revenue"),
+            F.col("fn").cast("bigint").alias("full_lines"),
+            F.col("in_").cast("bigint").alias("inc_lines"),
+            ((F.col("frev") == F.col("irev")) & (F.col("fn") == F.col("in_"))).alias(
+                "ivm_consistent"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

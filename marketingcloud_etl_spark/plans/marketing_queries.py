@@ -1197,3 +1197,100 @@ def q291_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_req(0.10).alias("n_per_arm_mde10pct"),
         (F.col("n_users") >= 2 * n_req(0.10)).alias("powered_for_10pct"),
     )
+
+
+@query(
+    "q307_position_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, ts,
+             json_extract_string(props, '$.k')::int % 5 AS channel
+      FROM events WHERE event_type = 'click'
+    ), ranked AS (
+      SELECT p.event_id AS p_id, p.value, c.channel,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts ASC, c.event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY p.event_id) AS n
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 7 DAY
+    ), credited AS (
+      SELECT channel,
+             cast(round(value * 100) as bigint)
+               * (CASE WHEN n = 1 THEN 1000000
+                       WHEN n = 2 THEN 500000
+                       WHEN rn = 1 OR rn = n THEN 400000
+                       ELSE (400000 + (n - 2)) // (2 * (n - 2)) END) AS contrib
+      FROM ranked
+      UNION ALL
+      SELECT -1 AS channel, cast(round(value * 100) as bigint) * 1000000 AS contrib
+      FROM p WHERE NOT EXISTS (
+        SELECT 1 FROM c WHERE c.user_id = p.user_id
+          AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 7 DAY)
+    )
+    SELECT channel,
+           cast(count(*) as bigint) AS n_credits,
+           cast(sum(contrib) as bigint) AS credited_micro_cents
+    FROM credited GROUP BY channel ORDER BY channel
+    """,
+    tags=("marketing", "analytic"),
+)
+def q307_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped) attribution — completes the model
+    family (last-touch q131, time-decay q166, linear path-credit): the
+    first and last qualifying click each take 40% of a purchase's
+    value, the middle touches split the remaining 20%. All credit is
+    EXACT integer micro-units — the middle share is the round-half-up
+    integer division (400000+(n-2)) // (2(n-2)) — so no float ever
+    crosses an aggregation and the per-channel totals are bit-identical
+    under any partitioning. Orphan purchases (no click in the 7-day
+    lookback) credit channel -1 in full, so total credited value is
+    conserved. Same user-keyed bounded lookback join as q131."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        (F.get_json_object("props", "$.k").cast("int") % 5).alias("channel"),
+    )
+    in_window = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    joined = p.join(c, in_window, "left")
+    wp = W.partitionBy("p_id")
+    ranked = joined.withColumn(
+        "rn", F.row_number().over(wp.orderBy(F.col("c_ts").asc_nulls_last(), F.col("c_id").asc_nulls_last()))
+    ).withColumn("n", F.count("c_id").over(wp))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    micro = (
+        F.when(F.col("n") == 0, 1000000)  # orphan purchase: full credit
+        .when(F.col("n") == 1, 1000000)
+        .when(F.col("n") == 2, 500000)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 400000)
+        .otherwise(
+            # integral `div`, not `/`: float division + cast truncates the
+            # nearest-double, which can round up across an integer at
+            # extreme n; div is exact at any scale
+            F.expr("(400000 + (n - 2)) div (2 * (n - 2))")
+        )
+    )
+    credited = ranked.select(
+        F.coalesce("channel", F.lit(-1)).alias("channel"),
+        (cents * micro).alias("contrib"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("contrib").cast("bigint").alias("credited_micro_cents"),
+        )
+        .orderBy("channel")
+    )

@@ -3538,3 +3538,67 @@ def q286_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("loo_enc"),
     )
+
+
+@query(
+    "q303_subquery_battery",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_acctbal > (SELECT cast(sum(cast(c_acctbal as decimal(12,2))) as double)
+                                 / count(*) FROM customer))            AS n_above_global,
+      (SELECT count(*) FROM customer c
+       WHERE c_acctbal > (SELECT cast(sum(cast(c2.c_acctbal as decimal(12,2))) as double)
+                                 / count(*)
+                          FROM customer c2
+                          WHERE c2.c_nationkey = c.c_nationkey))       AS n_above_nation,
+      (SELECT count(*) FROM customer
+       WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                             WHERE n_regionkey = 2))                   AS n_in_region2,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                               WHERE o_orderdate >= TIMESTAMP '2000-06-01')) AS n_dormant,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                                           ELSE o_custkey END
+                               FROM orders
+                               WHERE o_orderdate >= TIMESTAMP '2000-06-01')) AS n_notin_with_nulls
+    """,
+    tags=("sql", "subquery"),
+)
+def q303_subquery_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL subquery battery — the five predicate-subquery forms on one
+    row of counts: uncorrelated scalar (global average), CORRELATED
+    scalar (same-nation average, decorrelated by Catalyst into an
+    aggregate + join), uncorrelated IN, NOT IN over a null-free list
+    (null-aware anti join), and NOT IN over a list CONTAINING NULLs —
+    which by three-valued logic can never be true, so its count is
+    provably 0 in both engines; the battery pins that Spark and DuckDB
+    agree on that trap. Averages use the decimal-money protocol."""
+    prep(spark)
+    for t in ("customer", "nation", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM v_customer
+           WHERE c_acctbal > (SELECT cast(sum(cast(c_acctbal as decimal(12,2))) as double)
+                                     / count(*) FROM v_customer))      AS n_above_global,
+          (SELECT count(*) FROM v_customer c
+           WHERE c_acctbal > (SELECT cast(sum(cast(c2.c_acctbal as decimal(12,2))) as double)
+                                     / count(*)
+                              FROM v_customer c2
+                              WHERE c2.c_nationkey = c.c_nationkey))   AS n_above_nation,
+          (SELECT count(*) FROM v_customer
+           WHERE c_nationkey IN (SELECT n_nationkey FROM v_nation
+                                 WHERE n_regionkey = 2))               AS n_in_region2,
+          (SELECT count(*) FROM v_customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM v_orders
+                                   WHERE o_orderdate >= TIMESTAMP '2000-06-01')) AS n_dormant,
+          (SELECT count(*) FROM v_customer
+           WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                                               ELSE o_custkey END
+                                   FROM v_orders
+                                   WHERE o_orderdate >= TIMESTAMP '2000-06-01')) AS n_notin_with_nulls
+        """
+    )

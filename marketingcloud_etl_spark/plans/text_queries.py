@@ -2415,3 +2415,54 @@ def q292_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_fraction"),
     )
+
+
+@query(
+    "q305_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ), hashed AS (
+      SELECT t,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS bucket,
+             CASE WHEN (('0x' || substr(md5(t), 1, 8))::BIGINT // 64) % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM toks
+    )
+    SELECT bucket,
+           cast(sum(sign) as bigint) AS signed_total,
+           count(*) AS n_tokens,
+           cast(count(DISTINCT t) as bigint) AS n_distinct_tokens
+    FROM hashed GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("text", "ml-prep"),
+)
+def q305_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE HASHING (the hashing trick, Weinberger et al. 2009):
+    tokens map to a fixed 64-bucket feature space through the catalog's
+    md5-prefix integer protocol, with a second hash bit supplying the
+    ± sign that makes collisions cancel in expectation. No vocabulary
+    pass, no dictionary broadcast — the property that lets the encoder
+    run on an unbounded token stream at 100 TB. Output is the corpus-
+    level signed bucket profile (64 rows regardless of scale) plus
+    per-bucket collision pressure (distinct tokens per bucket)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("t"))
+    h32 = F.expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)")
+    hashed = tok.select(
+        F.col("t"),
+        (h32 % 64).alias("bucket"),
+        F.when((h32 / 64).cast("bigint") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.sum("sign").cast("bigint").alias("signed_total"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("t").alias("n_distinct_tokens"),
+        )
+        .orderBy("bucket")
+    )
