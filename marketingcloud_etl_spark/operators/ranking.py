@@ -41,6 +41,7 @@ __all__ = [
     "global_row_number",
     "distributed_ntile",
     "global_prefix_sum",
+    "global_prefix_max",
     "release_ranking_caches",
 ]
 
@@ -200,3 +201,55 @@ def global_prefix_sum(
     if not with_total:
         summed = summed.drop(_N)
     return summed.drop(_PID, _LRN, _OFF)
+
+
+def global_prefix_max(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    out_col: str = "run_max",
+    *,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Running maximum of ``value_col`` over a global total order —
+    ``MAX(v) OVER (ORDER BY ...)`` without the single-partition window,
+    via the same two-phase machinery as :func:`global_prefix_sum`:
+    range-partition on the order keys, per-partition local running max,
+    then each partition's carry-in = the max of all earlier partitions'
+    maxima (P²-row broadcast self-join — never data-sized).
+
+    With ``exclusive=True`` the frame is ``(UNBOUNDED PRECEDING, -1
+    ROW)`` — the value the CURRENT row competes against, which is what
+    dominance tests (skyline/Pareto-front staircases) need; the global
+    first row gets NULL, matching SQL window semantics on an empty
+    frame. ``order_cols`` must be a total order for a deterministic
+    result."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    _PINNED.append(part)
+    maxes = part.groupBy(_PID).agg(F.max(value_col).alias("__pmax"))
+    x, y = maxes.alias("x"), maxes.alias("y")
+    offsets = (
+        x.join(F.broadcast(y), F.lit(True))
+        .groupBy(F.col(f"x.{_PID}").alias(_PID))
+        .agg(
+            F.max(
+                F.when(F.col(f"y.{_PID}") < F.col(f"x.{_PID}"), F.col("y.__pmax"))
+            ).alias(_OFF)
+        )
+    )
+    upper = -1 if exclusive else W.currentRow
+    w_local = W.partitionBy(_PID).orderBy(*cols).rowsBetween(W.unboundedPreceding, upper)
+    # greatest() skips NULLs, so an empty local frame (exclusive first
+    # row of a partition) falls back to the carry-in alone, and the
+    # global first row — NULL carry-in AND empty frame — stays NULL.
+    return (
+        part.withColumn(_LRN, F.max(value_col).over(w_local))
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, F.greatest(F.col(_OFF), F.col(_LRN)))
+        .drop(_PID, _LRN, _OFF)
+    )

@@ -279,6 +279,12 @@ _PRIORITY = (
     "q305_feature_hashing",
     "q306_time_series_cv",
     "q307_position_attribution",
+    # round-4 continuation wave 3: skyline staircase, CBO histogram
+    # estimation, WOE encoding, manifest time travel
+    "q308_skyline_pareto_front",
+    "q309_join_cardinality_estimate",
+    "q310_woe_encoding",
+    "q311_manifest_snapshot_read",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

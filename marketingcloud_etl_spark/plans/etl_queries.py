@@ -2699,3 +2699,72 @@ def q304_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q311_manifest_snapshot_read",
+    oracle="""
+    SELECT event_type,
+           cast(count(*) as bigint) AS n,
+           cast(sum(cast(event_id as bigint)) as bigint) AS id_sum,
+           cast(sum(cast(coalesce(value, 0.0) as decimal(14,2))) as double)
+             AS total_value,
+           2 AS snapshot_version
+    FROM events
+    WHERE event_id % 3 <= 1
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("etl", "lakehouse"),
+)
+def q311_manifest_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-PINNED SNAPSHOT READ — the lakehouse time-travel
+    primitive (Iceberg/Delta snapshot isolation reduced to its
+    essence): each commit appends a data file AND a new manifest
+    listing exactly the files visible at that version; a reader binds
+    to ONE manifest and scans only its files, so concurrent appends
+    can never tear a query. Three deterministic commits are staged
+    (batch k = events with event_id ≡ k mod 3); the query reads AS OF
+    version 2 by loading that manifest (driver-side metadata, bytes not
+    data) and scanning only its two files. The oracle recomputes the
+    same snapshot from the predicate — any file over- or under-read
+    breaks the hash. At 100 TB the manifest read stays O(files) on the
+    driver while the data scan parallelizes over exactly the pinned
+    files."""
+    import json
+    import os
+
+    prep(spark)
+    base = f"/tmp/mcetl_manifest_{fixture_tag(sf_dir)}"
+
+    def _stage(tmp: str) -> None:
+        e = table(spark, sf_dir, "events")
+        files = []
+        for k in range(3):
+            path = os.path.join(tmp, f"batch_{k}.parquet")
+            e.filter(F.col("event_id") % 3 == k).write.mode("overwrite").parquet(path)
+            files.append(f"batch_{k}.parquet")
+            with open(os.path.join(tmp, f"manifest_v{k + 1}.json"), "w") as fh:
+                json.dump({"version": k + 1, "files": list(files)}, fh)
+        # top-level completeness marker: atomic_cached_write treats a dir
+        # without _SUCCESS as a stale partial and rebuilds it every call
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    root = atomic_cached_write(base, _stage)
+    with open(os.path.join(root, "manifest_v2.json")) as fh:
+        manifest = json.load(fh)
+    snap = spark.read.parquet(
+        *[os.path.join(root, f) for f in manifest["files"]]
+    )
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("event_id").cast("bigint")).cast("bigint").alias("id_sum"),
+            F.sum(dec(F.coalesce(F.col("value"), F.lit(0.0)), 14, 2))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .withColumn("snapshot_version", F.lit(manifest["version"]))
+        .orderBy("event_type")
+    )

@@ -1294,3 +1294,106 @@ def q307_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q310_woe_encoding",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             cast(count(CASE WHEN event_type = 'click' THEN 1 END) as bigint) AS clicks,
+             cast(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                    THEN cast(round(value * 100) as bigint) END), 0)
+                  as bigint) AS cents
+      FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT cast(count(*) as bigint) AS n_users,
+             cast(sum(cents) as bigint) AS total_cents
+      FROM base
+    ), labeled AS (
+      SELECT user_id, clicks,
+             CASE WHEN cents * n_users > total_cents THEN 1 ELSE 0 END AS good,
+             ntile(5) OVER (ORDER BY clicks, user_id) AS bin
+      FROM base, tot
+    ), bins AS (
+      SELECT bin, count(*) AS n_users,
+             cast(sum(good) as bigint) AS n_good,
+             cast(count(*) - sum(good) as bigint) AS n_bad
+      FROM labeled GROUP BY bin
+    ), g AS (
+      SELECT cast(sum(n_good) as bigint) AS total_good,
+             cast(sum(n_bad) as bigint) AS total_bad
+      FROM bins
+    )
+    SELECT bin, n_users, n_good, n_bad,
+           round(ln(((n_good + 0.5) * total_bad) / ((n_bad + 0.5) * total_good)), 6)
+             AS woe
+    FROM bins, g ORDER BY bin
+    """,
+    tags=("marketing", "ml-prep"),
+)
+def q310_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-OF-EVIDENCE encoding — the credit-scoring-lineage
+    categorical/binned-feature transform: engagement (click count) is
+    cut into 5 equal-frequency bins by the DISTRIBUTED ntile (no
+    single-partition window), the binary target is 'above-average
+    buyer' decided by the PURE-INTEGER comparison cents·n > Σcents (no
+    float threshold anywhere), and each bin's WOE is one IEEE
+    expression over exact integer counts with ±0.5 Laplace smoothing
+    so an empty cell can't produce ±∞. Bin boundaries, counts, and the
+    6-decimal-rounded WOE are all value-matched across engines."""
+    from ..operators.ranking import distributed_ntile
+
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    base = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("cents"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n_users_t"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    labeled = (
+        base.join(F.broadcast(tot), F.lit(True))
+        .withColumn(
+            "good",
+            F.when(F.col("cents") * F.col("n_users_t") > F.col("total_cents"), 1)
+            .otherwise(0),
+        )
+    )
+    binned = distributed_ntile(labeled, 5, ["clicks", "user_id"], "bin")
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("good").cast("bigint").alias("n_good"),
+        (F.count(F.lit(1)) - F.sum("good")).cast("bigint").alias("n_bad"),
+    )
+    g = bins.agg(
+        F.sum("n_good").cast("bigint").alias("total_good"),
+        F.sum("n_bad").cast("bigint").alias("total_bad"),
+    )
+    return (
+        bins.join(F.broadcast(g), F.lit(True))
+        .select(
+            "bin",
+            "n_users",
+            "n_good",
+            "n_bad",
+            F.round(
+                F.log(
+                    ((F.col("n_good") + 0.5) * F.col("total_bad"))
+                    / ((F.col("n_bad") + 0.5) * F.col("total_good"))
+                ),
+                6,
+            ).alias("woe"),
+        )
+        .orderBy("bin")
+    )

@@ -3602,3 +3602,159 @@ def q303_subquery_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    WHERE o_orderdate >= TIMESTAMP '2000-06-01')) AS n_notin_with_nulls
         """
     )
+
+
+@query(
+    "q308_skyline_pareto_front",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p.p_partkey
+    """,
+    tags=("analytic", "skyline"),
+)
+def q308_skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE / Pareto-front operator (Börzsönyi et al., ICDE 2001) —
+    the non-dominated set under (minimize price, maximize size). The
+    oracle is the O(n²) NOT-EXISTS dominance definition; the Spark plan
+    is the scalable staircase formulation: collapse to one row per
+    distinct price with the group's max size (domain-sized, not
+    data-sized), run a DISTRIBUTED exclusive prefix-max over the price
+    order (operators/ranking.py::global_prefix_max — no single-partition
+    window), and a point survives iff its size equals its price-group
+    maximum AND that maximum strictly beats every strictly-cheaper
+    group's best. Equal (price,size) duplicates all survive — dominance
+    requires strictness somewhere — which the staircase reproduces
+    exactly. Cost at 100 TB: one domain-sized aggregation, one
+    range-partitioned scan of that domain, one broadcast join back."""
+    from ..operators.ranking import global_prefix_max
+
+    prep(spark)
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    per_price = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("msize")
+    )
+    stair = global_prefix_max(
+        per_price, ["price"], "msize", "best_cheaper", exclusive=True
+    )
+    frontier = stair.filter(
+        F.col("best_cheaper").isNull() | (F.col("msize") > F.col("best_cheaper"))
+    )
+    return (
+        p.join(
+            F.broadcast(frontier),
+            (p.p_retailprice == F.col("price")) & (p.p_size == F.col("msize")),
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q309_join_cardinality_estimate",
+    oracle="""
+    WITH spec AS (
+      SELECT cast(ceil(max(c_custkey) / 16.0) as bigint) AS width FROM customer
+    ), o_stats AS (
+      SELECT cast((o_custkey - 1) // width as int) AS bucket,
+             count(*) AS n_orders,
+             cast(count(DISTINCT o_custkey) as bigint) AS d_orders
+      FROM orders, spec GROUP BY bucket
+    ), c_stats AS (
+      SELECT cast((c_custkey - 1) // width as int) AS bucket,
+             count(*) AS n_cust,
+             cast(count(DISTINCT c_custkey) as bigint) AS d_cust
+      FROM customer, spec
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY bucket
+    ), actual AS (
+      SELECT cast((o_custkey - 1) // width as int) AS bucket, count(*) AS n_actual
+      FROM orders JOIN customer ON o_custkey = c_custkey, spec
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY bucket
+    )
+    SELECT o.bucket, o.n_orders, o.d_orders, c.n_cust,
+           cast(o.n_orders as double) * c.n_cust
+             / greatest(o.d_orders, c.d_cust) AS est_rows,
+           coalesce(a.n_actual, 0) AS actual_rows
+    FROM o_stats o
+    JOIN c_stats c ON o.bucket = c.bucket
+    LEFT JOIN actual a ON o.bucket = a.bucket
+    ORDER BY o.bucket
+    """,
+    tags=("analytic", "optimizer-stats"),
+)
+def q309_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM-BASED JOIN CARDINALITY ESTIMATION — the cost-based-
+    optimizer primitive (System R lineage; Spark's CBO keeps the same
+    per-column histograms via ANALYZE TABLE): both join sides are
+    summarized into aligned 16-bucket equi-width key histograms
+    (rows + distinct keys per bucket), the per-bucket containment
+    estimate n₁·n₂ / max(d₁,d₂) is one IEEE expression over exact
+    integers, and the TRUE per-bucket join size rides alongside so the
+    estimator's error is itself the verified output. The stats passes
+    are narrow aggregations (histograms are bucket-sized, not
+    data-sized); only the ground-truth join touches full data."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    width = c.agg(
+        F.ceil(F.max("c_custkey") / F.lit(16.0)).cast("bigint").alias("width")
+    )
+    cb = c.filter(F.col("c_mktsegment") == "BUILDING")
+    o_stats = (
+        o.join(F.broadcast(width), F.lit(True))
+        .groupBy(
+            F.expr("cast((o_custkey - 1) div width as int)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("d_orders"),
+        )
+    )
+    c_stats = (
+        cb.join(F.broadcast(width), F.lit(True))
+        .groupBy(
+            F.expr("cast((c_custkey - 1) div width as int)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.countDistinct("c_custkey").alias("d_cust"),
+        )
+    )
+    actual = (
+        o.join(cb, o.o_custkey == cb.c_custkey)
+        .join(F.broadcast(width), F.lit(True))
+        .groupBy(
+            F.expr("cast((o_custkey - 1) div width as int)").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_actual"))
+    )
+    stats = o_stats.alias("o").join(
+        c_stats.withColumnsRenamed({"bucket": "cb_"}), F.col("bucket") == F.col("cb_")
+    )
+    return (
+        stats.join(
+            actual.withColumnsRenamed({"bucket": "ab_"}),
+            F.col("bucket") == F.col("ab_"),
+            "left",
+        )
+        .select(
+            "bucket",
+            "n_orders",
+            "d_orders",
+            "n_cust",
+            (
+                F.col("n_orders").cast("double")
+                * F.col("n_cust")
+                / F.greatest("d_orders", "d_cust")
+            ).alias("est_rows"),
+            F.coalesce("n_actual", F.lit(0)).alias("actual_rows"),
+        )
+        .orderBy("bucket")
+    )

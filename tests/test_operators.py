@@ -1141,3 +1141,56 @@ def test_global_prefix_sum_matches_window_cumsum(spark):
     for r in want:
         assert rows[r.k][0] == r.cum, r.k
         assert rows[r.k][1] == tot
+
+
+@pytest.mark.parametrize("n_rows", [1, 2, 7, 97, 1000])
+def test_global_prefix_max_matches_window(spark, n_rows):
+    """global_prefix_max must reproduce MAX(v) OVER (ORDER BY ...) for
+    both the inclusive and the exclusive (UNBOUNDED PRECEDING, -1)
+    frame — including the NULL first row of the exclusive form —
+    compared against Spark's own single-partition window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from marketingcloud_etl_spark.operators.ranking import global_prefix_max
+
+    df = spark.range(n_rows).select(
+        F.col("id").alias("uid"),
+        ((F.col("id") * 37) % 11).alias("k"),
+        ((F.col("id") * 13) % 29).alias("v"),
+    )
+    order = [F.col("k").asc(), F.col("uid").asc()]
+    expect = df.select(
+        "uid",
+        F.max("v").over(W.orderBy(*order)).alias("want_inc"),
+        F.max("v")
+        .over(W.orderBy(*order).rowsBetween(W.unboundedPreceding, -1))
+        .alias("want_exc"),
+    )
+    got_inc = global_prefix_max(df, order, "v", "inc")
+    got_exc = global_prefix_max(df, order, "v", "exc", exclusive=True)
+    joined = (
+        expect.join(got_inc.select("uid", "inc"), "uid")
+        .join(got_exc.select("uid", "exc"), "uid")
+    )
+    bad = joined.filter(
+        (F.col("inc") != F.col("want_inc"))
+        | ~(
+            F.col("exc").eqNullSafe(F.col("want_exc"))
+        )
+    )
+    assert bad.count() == 0, bad.limit(10).collect()
+
+
+def test_global_prefix_max_plan_has_no_single_partition(spark):
+    """The staircase operator must never plan Exchange SinglePartition."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.operators.ranking import global_prefix_max
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("uid"), (F.col("id") % 997).alias("v")
+    )
+    got = global_prefix_max(df, [F.col("uid").asc()], "v", "m", exclusive=True)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
