@@ -285,6 +285,12 @@ _PRIORITY = (
     "q309_join_cardinality_estimate",
     "q310_woe_encoding",
     "q311_manifest_snapshot_read",
+    # round-4 continuation wave 4: Neyman allocation, Benford audit,
+    # cross-table integrity, per-node clustering coefficient
+    "q312_neyman_allocation",
+    "q313_benford_first_digit",
+    "q314_referential_integrity_audit",
+    "q315_clustering_coefficient",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -1524,3 +1524,79 @@ def q306_time_series_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "q312_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             cast(count(*) as bigint) AS n_h,
+             cast(sum(cast(round(coalesce(value, 0.0) * 100) as bigint)) as decimal(19,0)) AS s1,
+             cast(sum(cast(round(coalesce(value, 0.0) * 100) as bigint)
+                      * cast(round(coalesce(value, 0.0) * 100) as bigint)) as decimal(19,0)) AS s2
+      FROM events GROUP BY event_type
+    ), terms AS (
+      SELECT event_type, n_h,
+             sqrt(cast(cast(n_h as decimal(19,0)) * s2 - s1 * s1 as double)) AS term
+      FROM s
+    ), tot AS (
+      SELECT list_reduce(list_sort(list(term)), (a, b) -> a + b) AS term_sum
+      FROM terms
+    )
+    SELECT t.event_type, t.n_h,
+           round(t.term / t.n_h, 6) AS sigma_h,
+           round(t.term / x.term_sum, 6) AS alloc_share,
+           cast(floor(1000.0 * t.term / x.term_sum + 0.5) as bigint) AS n_alloc
+    FROM terms t CROSS JOIN tot x
+    ORDER BY t.event_type
+    """,
+    tags=("sampling", "statistics"),
+)
+def q312_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN (optimal) ALLOCATION for stratified sampling — the
+    variance-minimizing upgrade over q86's proportional split: stratum
+    h of a 1000-row sample gets n·N_hσ_h/ΣN_kσ_k rows. The key exact
+    identity: N_hσ_h = √(N_hΣx² − (Σx)²), ONE sqrt of an exact integer
+    (cents power sums in decimal(19,0) — bigint s1² would overflow
+    beyond sf0.1), so the cross-stratum normalizer is the q111
+    sorted-fold of bitwise-identical sqrt terms, never a raw
+    SUM(double). Allocations round half-up via explicit floor(x+0.5).
+    One partial-agg pass over the facts; everything after is
+    stratum-sized."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("bigint")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(cents).cast("decimal(19,0)").alias("s1"),
+        F.sum(cents * cents).cast("decimal(19,0)").alias("s2"),
+    )
+    terms = s.select(
+        "event_type",
+        "n_h",
+        F.sqrt(
+            (
+                F.col("n_h").cast("decimal(19,0)") * F.col("s2")
+                - F.col("s1") * F.col("s1")
+            ).cast("double")
+        ).alias("term"),
+    )
+    tot = terms.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x
+        ).alias("term_sum")
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_h",
+            F.round(F.col("term") / F.col("n_h"), 6).alias("sigma_h"),
+            F.round(F.col("term") / F.col("term_sum"), 6).alias("alloc_share"),
+            F.floor(F.lit(1000.0) * F.col("term") / F.col("term_sum") + 0.5)
+            .cast("bigint")
+            .alias("n_alloc"),
+        )
+        .orderBy("event_type")
+    )

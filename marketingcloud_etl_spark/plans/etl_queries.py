@@ -2768,3 +2768,144 @@ def q311_manifest_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("snapshot_version", F.lit(manifest["version"]))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q313_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+      SELECT cast(substr(cast(cast(round(o_totalprice * 100) as bigint) as varchar), 1, 1)
+                  as int) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ), counts AS (
+      SELECT digit, cast(count(*) as bigint) AS n FROM digits GROUP BY digit
+    ), tot AS (
+      SELECT cast(sum(n) as bigint) AS total FROM counts
+    )
+    SELECT d.digit, coalesce(c.n, 0) AS n,
+           coalesce(c.n, 0) * 1000000 // t.total AS observed_ppm,
+           round(log10(1.0 + 1.0 / d.digit), 6) AS benford_p,
+           round(abs(cast(coalesce(c.n, 0) as double) / t.total
+                     - log10(1.0 + 1.0 / d.digit)), 6) AS abs_dev
+    FROM range(1, 10) AS d(digit)
+    LEFT JOIN counts c ON c.digit = d.digit
+    CROSS JOIN tot t
+    ORDER BY d.digit
+    """,
+    tags=("etl", "forensics"),
+)
+def q313_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit — the fraud/data-forensics
+    screen for fabricated or truncated monetary columns: the observed
+    first-significant-digit distribution of order totals against the
+    log10(1+1/d) reference. Digits come from exact integer cents (no
+    float formatting), observed shares are integer ppm (exact integer
+    division), and the only floats are one log10 and one division per
+    OUTPUT row (9 rows) — the digit spine is generated so digits with
+    zero observations still appear. One partial-agg pass; everything
+    downstream is 9 rows at any scale."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    return (
+        spine.join(F.broadcast(counts), spine.d == counts.digit, "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.expr("coalesce(n, 0) * 1000000 div total").alias("observed_ppm"),
+            F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_p"),
+            F.round(
+                F.abs(
+                    F.coalesce("n", F.lit(0)).cast("double") / F.col("total")
+                    - F.log10(1.0 + 1.0 / F.col("d"))
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "q314_referential_integrity_audit",
+    oracle="""
+    SELECT 'orphan_lineitems' AS check_name,
+           cast((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) as bigint)
+             AS n_violations
+    UNION ALL
+    SELECT 'childless_orders',
+           cast((SELECT count(*) FROM orders
+                 WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)) as bigint)
+    UNION ALL
+    SELECT 'orders_bad_custkey',
+           cast((SELECT count(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) as bigint)
+    UNION ALL
+    SELECT 'lineitem_dup_composite_key',
+           cast((SELECT count(*) FROM (
+              SELECT l_orderkey, l_linenumber FROM lineitem
+              GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)) as bigint)
+    UNION ALL
+    SELECT 'orders_fd_orderkey_custkey',
+           cast((SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING count(DISTINCT o_custkey) > 1)) as bigint)
+    ORDER BY check_name
+    """,
+    tags=("etl", "data-quality"),
+)
+def q314_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE referential-integrity audit — q214 checks live
+    inside one table (nulls, uniqueness, ranges); this suite checks the
+    contracts BETWEEN tables that silently corrupt joins at scale:
+    foreign-key orphans in both directions (anti-joins on the join
+    keys), duplicate composite primary keys, and the functional
+    dependency o_orderkey → o_custkey whose violation turns every
+    downstream join into a fan-out. Each check is one anti-join or
+    grouped HAVING — the same shuffle keys the production joins use, so
+    the audit costs no more than the joins it protects."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+
+    def one(name: str, n_col: F.Column) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(name).alias("check_name"), n_col.alias("n_violations")
+        )
+
+    orphan_li = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count()
+    childless = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").count()
+    bad_cust = o.join(c, o.o_custkey == c.c_custkey, "left_anti").count()
+    dup_key = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    fd_viol = (
+        o.groupBy("o_orderkey")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .filter(F.col("d") > 1)
+        .count()
+    )
+    out = (
+        one("childless_orders", F.lit(childless).cast("bigint"))
+        .unionByName(one("lineitem_dup_composite_key", F.lit(dup_key).cast("bigint")))
+        .unionByName(one("orders_bad_custkey", F.lit(bad_cust).cast("bigint")))
+        .unionByName(one("orders_fd_orderkey_custkey", F.lit(fd_viol).cast("bigint")))
+        .unionByName(one("orphan_lineitems", F.lit(orphan_li).cast("bigint")))
+    )
+    return out.orderBy("check_name")

@@ -3758,3 +3758,93 @@ def q309_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q315_clustering_coefficient",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey AND a.l_orderkey <= 600 AND b.l_orderkey <= 600
+    ), deg AS (
+      SELECT node, cast(count(*) as bigint) AS degree
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node
+    ), tri_nodes AS (
+      SELECT node, cast(count(*) as bigint) AS n_tri
+      FROM (
+        SELECT unnest([e1.u, e1.v, e2.v]) AS node
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+                  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+      )
+      GROUP BY node
+    )
+    SELECT d.node, d.degree, coalesce(t.n_tri, 0) AS n_triangles,
+           round(2.0 * coalesce(t.n_tri, 0) / (d.degree * (d.degree - 1)), 6)
+             AS clustering_coeff
+    FROM deg d LEFT JOIN tri_nodes t ON d.node = t.node
+    WHERE d.degree >= 2
+    ORDER BY d.degree DESC, d.node
+    LIMIT 20
+    """,
+    tags=("graph", "join"),
+)
+def q315_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT (Watts–Strogatz) per node —
+    completes the per-node view q208's global triangle count lacks:
+    cc(v) = 2·T(v) / deg(v)(deg(v)−1), how close each part's
+    co-purchase neighborhood is to a clique. Same canonically-oriented
+    (u<v) edge set and wedge-close join as q208, but every triangle is
+    EXPLODED back to its three corners before a per-node count; degrees
+    come from one union-all aggregation. The coefficient is one IEEE
+    division per output row over exact integers. Top-20 under a
+    (degree, node) total order."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 600)
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri_nodes = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("e1.u"), F.col("e1.v"), F.col("e2.v"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(tri_nodes, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                2.0
+                * F.coalesce("n_tri", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(F.col("degree").desc(), "node")
+        .limit(20)
+    )
