@@ -98,6 +98,12 @@ HEADLINE = (
     "q235_cdc_chunk_dedup",
     "q239_interval_range_frame",
     "q244_simhash_exact_parity",
+    # round-4 continuation: TPC-H snowflake (7-table, two dim roles),
+    # incremental view maintenance (3 delta joins + algebraic merge),
+    # and the distributed prefix-max skyline staircase
+    "q294_market_share",
+    "q304_ivm_join_delta",
+    "q308_skyline_pareto_front",
 )
 
 

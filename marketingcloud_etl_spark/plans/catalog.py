@@ -291,6 +291,7 @@ _PRIORITY = (
     "q313_benford_first_digit",
     "q314_referential_integrity_audit",
     "q315_clustering_coefficient",
+    "q316_rollup_topk_window",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -3848,3 +3848,68 @@ def q315_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("degree").desc(), "node")
         .limit(20)
     )
+
+
+@query(
+    "q316_rollup_topk_window",
+    oracle="""
+    WITH g AS (
+      SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+             coalesce(o_orderpriority, 'ALL') AS prio,
+             grouping(c_mktsegment) * 2 + grouping(o_orderpriority) AS gid,
+             sum(cast(o_totalprice as decimal(14,2))) AS rev,
+             count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+    ), ranked AS (
+      SELECT gid, seg, prio, rev, n_orders,
+             row_number() OVER (PARTITION BY gid
+                                ORDER BY rev DESC, seg, prio) AS rnk
+      FROM g
+    )
+    SELECT gid, seg, prio, cast(rev as double) AS revenue, n_orders, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY gid, rnk
+    """,
+    tags=("agg", "window"),
+)
+def q316_rollup_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOW-OVER-ROLLUP top-k (the TPC-DS Q67 shape): one ROLLUP
+    pass produces every grouping level, then a rank window PARTITIONED
+    BY grouping_id selects the top groups WITHIN each level — best
+    (segment, priority) cells, best segments, and the grand total, all
+    from a single aggregation. The window partitions are
+    grouping-level-sized (bounded by the dimension domains, never
+    data-sized); revenue is compared for ranking in EXACT decimal and
+    cast to double only on output; rolled-up NULLs are canonicalized to
+    'ALL' so both engines agree on tiebreak ordering."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(dec("o_totalprice", 14, 2)).alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "gid",
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("seg"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+            "rev",
+            "n_orders",
+        )
+    )
+    w = W.partitionBy("gid").orderBy(F.col("rev").desc(), "seg", "prio")
+    return (
+        g.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "gid", "seg", "prio",
+            F.col("rev").cast("double").alias("revenue"),
+            "n_orders", "rnk",
+        )
+        .orderBy("gid", "rnk")
+    )

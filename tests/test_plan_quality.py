@@ -398,3 +398,49 @@ def test_bucketized_range_join_avoids_nested_loop(spark, sf_dir):
     plan = _plan(REGISTRY["q209_bucketized_range_join"].fn(spark, sf_dir))
     assert "NestedLoop" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join mitigation must actually engage on a planted hot
+    key: a join where one key owns ~90% of the probe side is executed
+    with thresholds lowered to fixture scale, and the FINAL adaptive
+    plan must mark the sort-merge join as skew-handled (skew=true) —
+    the runtime defense operators/skew.py's manual salting exists to
+    complement. Broadcast is disabled so the join can't sidestep the
+    shuffle; all touched confs are restored."""
+    from pyspark.sql import functions as F
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        probe = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("pay"),
+        )
+        build = spark.range(50_000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        joined = probe.join(build, "k").groupBy().count()
+        [row] = joined.collect()
+        assert row["count"] > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
