@@ -292,6 +292,10 @@ _PRIORITY = (
     "q314_referential_integrity_audit",
     "q315_clustering_coefficient",
     "q316_rollup_topk_window",
+    # round-4 continuation wave 5: conflation, late dims, PoP reporting
+    "q317_source_priority_conflation",
+    "q318_late_arriving_dimension",
+    "q319_mom_growth_report",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

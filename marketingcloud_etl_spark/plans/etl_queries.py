@@ -1098,20 +1098,24 @@ def q167_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("zy"),
     )
     keyed = base.withColumn("zval", F.expr(_Z16))
-    laid = distributed_ntile(
-        distributed_ntile(keyed, 64, ["zval", "o_orderkey"], "zfile"),
-        64,
-        ["zx", "o_orderkey"],
-        "lfile",
-    ).select("zx", "zy", "zfile", "lfile")
+    # independent branches, NOT a chained ntile: chaining made the union
+    # below re-run BOTH range exchanges in each branch (laid had two
+    # consumers), and the second sort pointlessly re-shuffled the first
+    # label column. Branched, each layout's ntile runs exactly once.
+    zlaid = distributed_ntile(keyed, 64, ["zval", "o_orderkey"], "zfile").select(
+        "zx", "zy", "zfile"
+    )
+    llaid = distributed_ntile(keyed, 64, ["zx", "o_orderkey"], "lfile").select(
+        "zx", "zy", "lfile"
+    )
     zstats = (
-        laid.groupBy(F.lit("zorder").alias("layout"), F.col("zfile").alias("file_id"))
+        zlaid.groupBy(F.lit("zorder").alias("layout"), F.col("zfile").alias("file_id"))
         .agg(
             F.min("zx").alias("min_x"), F.max("zx").alias("max_x"),
             F.min("zy").alias("min_y"), F.max("zy").alias("max_y"),
         )
         .unionByName(
-            laid.groupBy(F.lit("linear").alias("layout"), F.col("lfile").alias("file_id")).agg(
+            llaid.groupBy(F.lit("linear").alias("layout"), F.col("lfile").alias("file_id")).agg(
                 F.min("zx").alias("min_x"), F.max("zx").alias("max_x"),
                 F.min("zy").alias("min_y"), F.max("zy").alias("max_y"),
             )
@@ -2909,3 +2913,126 @@ def q314_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFr
         .unionByName(one("orphan_lineitems", F.lit(orphan_li).cast("bigint")))
     )
     return out.orderBy("check_name")
+
+
+@query(
+    "q317_source_priority_conflation",
+    oracle="""
+    WITH multi AS (
+      SELECT c_custkey, 1 AS prio, 'crm' AS src, c_name AS name
+      FROM customer WHERE c_custkey % 3 != 0
+      UNION ALL
+      SELECT c_custkey, 2, 'warehouse', 'wh_' || c_name FROM customer
+      UNION ALL
+      SELECT c_custkey, 3, 'legacy', 'lg_' || c_name
+      FROM customer WHERE c_custkey % 5 = 0
+    ), golden AS (
+      SELECT c_custkey,
+             arg_min(src, prio) AS chosen_source,
+             arg_min(name, prio) AS name
+      FROM multi GROUP BY c_custkey
+    )
+    SELECT chosen_source, cast(count(*) as bigint) AS n_records,
+           min(c_custkey) AS min_key, max(c_custkey) AS max_key
+    FROM golden GROUP BY chosen_source ORDER BY chosen_source
+    """,
+    tags=("etl", "conflation"),
+)
+def q317_source_priority_conflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SOURCE GOLDEN-RECORD CONFLATION — the master-data pattern
+    behind every warehouse that ingests the same entity from several
+    systems: three overlapping feeds carry explicit priorities (CRM
+    beats warehouse beats legacy) and the golden record takes every
+    attribute from the highest-priority source that has the key —
+    min_by/arg_min keyed on priority, ONE aggregation, no N-way
+    left-join ladder (the naive formulation that adds a shuffle per
+    source). Priorities are unique per (key, source) so the pick is
+    deterministic without a tiebreak."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    multi = (
+        c.filter(F.col("c_custkey") % 3 != 0).select(
+            "c_custkey", F.lit(1).alias("prio"), F.lit("crm").alias("src"),
+            F.col("c_name").alias("name"),
+        )
+        .unionByName(
+            c.select(
+                "c_custkey", F.lit(2).alias("prio"), F.lit("warehouse").alias("src"),
+                F.concat(F.lit("wh_"), F.col("c_name")).alias("name"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 5 == 0).select(
+                "c_custkey", F.lit(3).alias("prio"), F.lit("legacy").alias("src"),
+                F.concat(F.lit("lg_"), F.col("c_name")).alias("name"),
+            )
+        )
+    )
+    golden = multi.groupBy("c_custkey").agg(
+        F.min_by("src", "prio").alias("chosen_source"),
+        F.min_by("name", "prio").alias("name"),
+    )
+    return (
+        golden.groupBy("chosen_source")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("chosen_source")
+    )
+
+
+@query(
+    "q318_late_arriving_dimension",
+    oracle="""
+    WITH phase AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN o_custkey % 4 != 0 THEN 1 ELSE 2 END AS resolved_phase
+      FROM orders
+    )
+    SELECT p.resolved_phase, c.c_mktsegment,
+           cast(count(*) as bigint) AS n_orders,
+           cast(sum(cast(o_totalprice as decimal(14,2))) as double) AS revenue
+    FROM phase p JOIN customer c ON p.o_custkey = c.c_custkey
+    GROUP BY p.resolved_phase, c.c_mktsegment
+    ORDER BY p.resolved_phase, c.c_mktsegment
+    """,
+    tags=("etl", "incremental"),
+)
+def q318_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-ARRIVING DIMENSION handling — the early-facts problem: facts
+    referencing dimension keys the warehouse hasn't loaded yet must not
+    be dropped OR block the pipeline. Tranche 1 of the dimension (¾ of
+    customers) joins normally; the orphans are PARKED via the same
+    anti-join, and when tranche 2 lands the parked facts are
+    re-processed against it — the final union is provably complete
+    because the oracle recomputes both phases from the tranche
+    predicate. The park-and-retry runs the identical custkey-keyed
+    shuffle as the main join (no extra partitioning), and each fact is
+    joined exactly once per phase it's alive in."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    dim1 = c.filter(F.col("c_custkey") % 4 != 0)
+    dim2 = c.filter(F.col("c_custkey") % 4 == 0)
+    matched1 = o.join(dim1, o.o_custkey == dim1.c_custkey).select(
+        F.lit(1).alias("resolved_phase"),
+        "c_mktsegment",
+        "o_totalprice",
+    )
+    parked = o.join(dim1, o.o_custkey == dim1.c_custkey, "left_anti")
+    matched2 = parked.join(dim2, parked.o_custkey == dim2.c_custkey).select(
+        F.lit(2).alias("resolved_phase"),
+        "c_mktsegment",
+        "o_totalprice",
+    )
+    return (
+        matched1.unionByName(matched2)
+        .groupBy("resolved_phase", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("revenue"),
+        )
+        .orderBy("resolved_phase", "c_mktsegment")
+    )

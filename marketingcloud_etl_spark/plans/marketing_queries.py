@@ -1397,3 +1397,62 @@ def q310_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "q319_mom_growth_report",
+    oracle="""
+    WITH monthly AS (
+      SELECT c_mktsegment AS seg,
+             cast(date_trunc('month', o_orderdate) as date) AS month,
+             cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS rev_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY seg, month
+    )
+    SELECT seg, month, rev_cents,
+           lag(rev_cents) OVER (PARTITION BY seg ORDER BY month) AS prev_cents,
+           round(cast(rev_cents - lag(rev_cents) OVER (PARTITION BY seg ORDER BY month)
+                      as double)
+                 / lag(rev_cents) OVER (PARTITION BY seg ORDER BY month), 6)
+             AS mom_growth
+    FROM monthly
+    ORDER BY seg, month
+    """,
+    tags=("marketing", "analytic"),
+)
+def q319_mom_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONTH-OVER-MONTH growth report — the period-over-period
+    comparison every revenue dashboard leads with: monthly segment
+    revenue in EXACT integer cents, the prior period via lag() over a
+    (segment)-partitioned month order (parallel per-segment windows,
+    month count bounds the frame), growth as one IEEE division of
+    exact integers rounded to 6 — first month of each segment stays
+    NULL rather than a fake 0. The windowed frame is month-domain-
+    sized per segment at any fact scale because aggregation precedes
+    the window."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = W.partitionBy("seg").orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "seg",
+        "month",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.round((F.col("rev_cents") - prev).cast("double") / prev, 6).alias(
+            "mom_growth"
+        ),
+    ).orderBy("seg", "month")
