@@ -296,6 +296,12 @@ _PRIORITY = (
     "q317_source_priority_conflation",
     "q318_late_arriving_dimension",
     "q319_mom_growth_report",
+    # round-4 continuation wave 6: LTV curve, SLA percentiles, ABC×XYZ,
+    # Gini concentration
+    "q320_cohort_ltv_curve",
+    "q321_shipping_sla_report",
+    "q322_abc_xyz_matrix",
+    "q323_gini_concentration",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

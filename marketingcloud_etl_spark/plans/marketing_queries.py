@@ -1456,3 +1456,70 @@ def q319_mom_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_growth"
         ),
     ).orderBy("seg", "month")
+
+
+@query(
+    "q320_cohort_ltv_curve",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, cast(date_trunc('week', min(ts)) as date) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), rev AS (
+      SELECT s.cohort_week,
+             cast(date_diff('day', s.cohort_week,
+                            cast(date_trunc('week', e.ts) as date)) // 7 as int)
+               AS week_offset,
+             cast(sum(cast(round(e.value * 100) as bigint)) as bigint) AS rev_cents
+      FROM events e JOIN signup s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND cast(date_trunc('week', e.ts) as date) >= s.cohort_week
+      GROUP BY s.cohort_week, week_offset
+    )
+    SELECT cohort_week, week_offset, rev_cents,
+           cast(sum(rev_cents) OVER (PARTITION BY cohort_week ORDER BY week_offset)
+                as bigint) AS cum_rev_cents
+    FROM rev
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("marketing", "analytic"),
+)
+def q320_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV CURVE — the revenue companion to q130's retention
+    triangle: cumulative purchase value per signup cohort as a function
+    of weeks since signup, the curve payback-period and CAC decisions
+    read from. Revenue stays in exact integer cents; the cumulative is
+    a window over the (cohort × offset) AGGREGATE — a few dozen rows
+    per cohort at any fact scale, because the user-grain aggregation
+    happens first on the same user_id-keyed shuffle as the funnel."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("p_week"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    rev = (
+        p.join(signup, "user_id")
+        .filter(F.col("p_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff("p_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    w = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return rev.select(
+        "cohort_week",
+        "week_offset",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+    ).orderBy("cohort_week", "week_offset")

@@ -3913,3 +3913,220 @@ def q316_rollup_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "rnk")
     )
+
+
+@query(
+    "q321_shipping_sla_report",
+    oracle="""
+    WITH lateness AS (
+      SELECT o_orderpriority,
+             date_diff('day', cast(o_orderdate as date), cast(l_shipdate as date))
+               AS days_to_ship
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= o_orderdate
+    )
+    SELECT o_orderpriority,
+           cast(count(*) as bigint) AS n_lines,
+           round(quantile_cont(days_to_ship, 0.5), 6) AS p50_days,
+           round(quantile_cont(days_to_ship, 0.95), 6) AS p95_days,
+           cast(max(days_to_ship) as bigint) AS max_days,
+           cast(count(*) FILTER (WHERE days_to_ship <= 30) * 1000000 // count(*)
+                as bigint) AS within_30d_ppm
+    FROM lateness GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("agg", "sla"),
+)
+def q321_shipping_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-TO-SHIP SLA report — the operational percentile dashboard
+    per priority class: p50/p95 days-to-ship (exact interpolated
+    percentiles over INTEGER day diffs — the (n-1)p convention q119
+    verified bitwise-identical across engines), worst case, and the
+    30-day attainment rate in exact integer ppm. One orderkey-keyed
+    join and one grouped percentile pass; priorities bound the group
+    count at any scale."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    lateness = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("days_to_ship"),
+        )
+    )
+    return (
+        lateness.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.percentile("days_to_ship", 0.5), 6).alias("p50_days"),
+            F.round(F.percentile("days_to_ship", 0.95), 6).alias("p95_days"),
+            F.max("days_to_ship").cast("bigint").alias("max_days"),
+            F.expr(
+                "count_if(days_to_ship <= 30) * 1000000 div count(*)"
+            ).alias("within_30d_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q322_abc_xyz_matrix",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, cents,
+             cast(sum(cents) OVER (ORDER BY cents DESC, l_partkey) as bigint) AS cum,
+             cast(sum(cents) OVER () as bigint) AS total
+      FROM rev
+    ), abc AS (
+      SELECT l_partkey,
+             CASE WHEN (cum - cents) * 100 < total * 80 THEN 'A'
+                  WHEN (cum - cents) * 100 < total * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    ), weekly AS (
+      SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+             cast(sum(cast(l_quantity as bigint)) as bigint) AS q
+      FROM lineitem GROUP BY l_partkey, wk
+    ), var_stats AS (
+      SELECT l_partkey,
+             cast(count(*) as bigint) AS n_wk,
+             cast(sum(q) as bigint) AS s1,
+             cast(sum(q * q) as bigint) AS s2
+      FROM weekly GROUP BY l_partkey
+    ), xyz AS (
+      SELECT l_partkey,
+             CASE WHEN 4 * (n_wk * s2 - s1 * s1) < s1 * s1 THEN 'X'
+                  WHEN (n_wk * s2 - s1 * s1) < s1 * s1 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM var_stats
+    )
+    SELECT a.abc_class, x.xyz_class,
+           cast(count(*) as bigint) AS n_parts
+    FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey
+    GROUP BY a.abc_class, x.xyz_class
+    ORDER BY a.abc_class, x.xyz_class
+    """,
+    tags=("analytic", "inventory"),
+)
+def q322_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ CLASSIFICATION MATRIX — the inventory-planning grid
+    crossing q228's value concentration (A/B/C by pre-item cumulative
+    revenue share, distributed prefix-sum, exact integers) with demand
+    VARIABILITY (X/Y/Z by coefficient of variation of weekly
+    quantities). The CV thresholds never touch a float: cv < ½ ⟺
+    4(nΣq²−(Σq)²) < (Σq)², cv < 1 ⟺ nΣq²−(Σq)² < (Σq)² — pure integer
+    inequalities from exact power sums. Two narrow aggregation passes
+    + one partkey-aligned join; the 9-cell output is constant-size at
+    any scale."""
+    prep(spark)
+    from ..operators.ranking import global_prefix_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents")
+    )
+    ranked = global_prefix_sum(
+        rev,
+        [F.col("cents").desc(), F.col("l_partkey")],
+        "cents",
+        out_col="cum",
+        with_total=True,
+    )
+    prior = F.col("cum") - F.col("cents")
+    abc = ranked.select(
+        "l_partkey",
+        F.when(prior * 100 < F.col("__mcetl_n") * 80, "A")
+        .when(prior * 100 < F.col("__mcetl_n") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    weekly = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("wk")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    var_stats = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_wk"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
+    )
+    num = F.col("n_wk") * F.col("s2") - F.col("s1") * F.col("s1")
+    xyz = var_stats.select(
+        "l_partkey",
+        F.when(4 * num < F.col("s1") * F.col("s1"), "X")
+        .when(num < F.col("s1") * F.col("s1"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+@query(
+    "q323_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM rev
+    ), sums AS (
+      SELECT cast(count(*) as bigint) AS n,
+             cast(sum(cents) as decimal(38,0)) AS t,
+             cast(sum(cast(i as decimal(38,0)) * cents) as decimal(38,0)) AS s1
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           cast(t as bigint) AS total_cents,
+           round(2.0 * cast(s1 as double) / (n * cast(t as double))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM sums
+    """,
+    tags=("analytic", "statistics"),
+)
+def q323_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of revenue concentration — the single-number
+    skew readout behind 'top 1% of customers drive X%' claims (and the
+    same shape as token-frequency concentration in corpus analysis):
+    G = 2Σᵢ i·xᵢ/(nΣx) − (n+1)/n over ascending per-customer cents.
+    Ranks come from the DISTRIBUTED global row number (total order:
+    cents, custkey); Σi·xᵢ accumulates in decimal(38,0) — exact far
+    past the bigint overflow point of rank×cents products at cluster
+    scale — and the final formula is one IEEE expression per the
+    one-row output."""
+    prep(spark)
+    from ..operators.ranking import global_row_number
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    ranked = global_row_number(rev, [F.col("cents").asc(), F.col("o_custkey").asc()], "i")
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("t"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+    )
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        F.col("t").cast("bigint").alias("total_cents"),
+        F.round(
+            2.0 * F.col("s1").cast("double") / (F.col("n") * F.col("t").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
