@@ -302,6 +302,7 @@ _PRIORITY = (
     "q321_shipping_sla_report",
     "q322_abc_xyz_matrix",
     "q323_gini_concentration",
+    "q324_activity_streaks",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

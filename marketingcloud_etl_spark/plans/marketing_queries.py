@@ -1523,3 +1523,64 @@ def q320_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
     ).orderBy("cohort_week", "week_offset")
+
+
+@query(
+    "q324_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, cast(ts as date) AS day FROM events
+    ), islands AS (
+      SELECT user_id, day,
+             day - cast(row_number() OVER (PARTITION BY user_id ORDER BY day) as int)
+               AS grp
+      FROM days
+    ), streaks AS (
+      SELECT user_id, grp,
+             cast(count(*) as bigint) AS streak_days,
+             min(day) AS streak_start
+      FROM islands GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           cast(max(streak_days) as bigint) AS longest_streak,
+           cast(count(*) as bigint) AS n_streaks,
+           min(streak_start) AS first_active_day
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY longest_streak DESC, user_id
+    LIMIT 20
+    """,
+    tags=("marketing", "analytic"),
+)
+def q324_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS consecutive-day streaks — the engagement
+    metric behind 'current streak' badges, via the classic
+    row-number-difference trick: within a user, consecutive days share
+    the constant (day − rank), so one per-user window + one GROUP BY
+    finds every island without self-joins or recursion. Windows are
+    user-partitioned (parallel, day-domain-bounded frames); the
+    calendar arithmetic is exact integer day math. Top-20 longest
+    streaks under a (streak, user) total order. Complements q56:
+    sessionization cuts on TIME GAPS within a day, this finds runs of
+    DISTINCT CALENDAR DAYS."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").alias("streak_start"),
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("streak_days").cast("bigint").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.min("streak_start").alias("first_active_day"),
+        )
+        .orderBy(F.col("longest_streak").desc(), "user_id")
+        .limit(20)
+    )

@@ -161,3 +161,45 @@ def test_nearest_asof_merge_matches_bruteforce(p_secs, c_secs):
         if d <= TOL:
             want.add((1000 + i, best[1], int(np.floor(d))))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_staircase_matches_bruteforce(spark, pts):
+    """The q308 staircase formulation (per-key max collapse + exclusive
+    distributed prefix-max) must equal the O(n²) dominance definition
+    of the skyline — minimize x, maximize y, strictness somewhere —
+    on arbitrary point multisets including duplicates and total ties."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.operators.ranking import global_prefix_max
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "pid int, x int, y int").coalesce(2)
+
+    per_x = df.groupBy("x").agg(F.max("y").alias("my"))
+    stair = global_prefix_max(per_x, ["x"], "my", "best_cheaper", exclusive=True)
+    frontier = stair.filter(
+        F.col("best_cheaper").isNull() | (F.col("my") > F.col("best_cheaper"))
+    )
+    got = {
+        r["pid"]
+        for r in df.join(
+            frontier, (df.x == frontier.x) & (df.y == F.col("my"))
+        ).collect()
+    }
+
+    want = {
+        i
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y)) for x2, y2 in pts
+        )
+    }
+    assert got == want, (sorted(got), sorted(want), pts)
