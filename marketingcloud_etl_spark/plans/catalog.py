@@ -303,6 +303,9 @@ _PRIORITY = (
     "q322_abc_xyz_matrix",
     "q323_gini_concentration",
     "q324_activity_streaks",
+    # round-4 continuation wave 7: synthetic datagen, composed DAG
+    "q325_synthetic_data_generator",
+    "q326_end_to_end_revenue_pipeline",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

@@ -3036,3 +3036,144 @@ def q318_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("resolved_phase", "c_mktsegment")
     )
+
+
+@query(
+    "q325_synthetic_data_generator",
+    oracle="""
+    WITH gen AS (
+      SELECT r.range AS id,
+             ('0x' || substr(md5(cast(r.range as varchar) || ':cat'), 1, 8))::BIGINT % 7
+               AS category,
+             ('0x' || substr(md5(cast(r.range as varchar) || ':amt'), 1, 8))::BIGINT % 100000
+               AS amount_cents,
+             DATE '2024-01-01'
+               + cast(('0x' || substr(md5(cast(r.range as varchar) || ':day'), 1, 8))::BIGINT % 365
+                      as int) AS event_date
+      FROM range(0, 100000) r
+    )
+    SELECT category,
+           cast(count(*) as bigint) AS n,
+           cast(sum(amount_cents) as bigint) AS total_cents,
+           min(event_date) AS first_date,
+           max(event_date) AS last_date,
+           cast(count(DISTINCT event_date) as bigint) AS n_days
+    FROM gen GROUP BY category ORDER BY category
+    """,
+    tags=("etl", "datagen", "scale"),
+)
+def q325_synthetic_data_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC SYNTHETIC DATA GENERATION at scale — the
+    load-test / staging-seed capability (dbldatagen's niche): columns
+    are PURE FUNCTIONS of a distributed `range()` id through the
+    catalog's md5-prefix integer protocol, so any cluster generates
+    bit-identical data with NO seed coordination, no driver-side
+    randomness, and embarrassing parallelism (range splits across
+    executors; at 100 TB you raise the row count, nothing else
+    changes). The oracle regenerates the same 100k rows from the same
+    hash algebra and checks the grouped checksums — proving generator
+    determinism across engines, not just across runs."""
+    prep(spark)
+    n_rows = 100_000
+    g = spark.range(0, n_rows)
+
+    def h(salt: str) -> F.Column:
+        return F.expr(
+            f"cast(conv(substring(md5(concat(cast(id as string), ':{salt}')), 1, 8), 16, 10) as bigint)"
+        )
+
+    gen = g.select(
+        F.col("id"),
+        (h("cat") % 7).alias("category"),
+        (h("amt") % 100000).alias("amount_cents"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (h("day") % 365).cast("int")).alias(
+            "event_date"
+        ),
+    )
+    return (
+        gen.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount_cents").cast("bigint").alias("total_cents"),
+            F.min("event_date").alias("first_date"),
+            F.max("event_date").alias("last_date"),
+            F.countDistinct("event_date").alias("n_days"),
+        )
+        .orderBy("category")
+    )
+
+
+@query(
+    "q326_end_to_end_revenue_pipeline",
+    oracle="""
+    WITH deduped AS (
+      SELECT * FROM (
+        SELECT e.*, row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+        FROM events e WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ), enriched AS (
+      SELECT d.user_id, cast(d.ts as date) AS day,
+             cast(round(d.value * 100) as bigint) AS cents,
+             CASE WHEN d.user_id % 10 < 2 THEN 'vip'
+                  WHEN d.user_id % 10 < 6 THEN 'regular'
+                  ELSE 'casual' END AS tier
+      FROM deduped d
+    ), rollup_t AS (
+      SELECT tier, day,
+             cast(count(*) as bigint) AS n_purchases,
+             cast(sum(cents) as bigint) AS rev_cents
+      FROM enriched GROUP BY tier, day
+    ), audit AS (
+      SELECT cast(sum(rev_cents) as bigint) AS rolled_total FROM rollup_t
+    ), direct AS (
+      SELECT cast(sum(cents) as bigint) AS direct_total FROM enriched
+    )
+    SELECT r.tier, r.day, r.n_purchases, r.rev_cents,
+           (a.rolled_total = d.direct_total) AS reconciled
+    FROM rollup_t r CROSS JOIN audit a CROSS JOIN direct d
+    ORDER BY r.tier, r.day
+    """,
+    tags=("etl", "pipeline", "headline"),
+)
+def q326_end_to_end_revenue_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END revenue pipeline COMPOSITION — ingest → idempotent
+    dedup (keep-first by event id, the reference's R12 semantics) →
+    tier enrichment (derived dimension, no extra shuffle: a pure
+    expression) → daily tier rollup → RECONCILIATION: the rolled-up
+    grand total must equal the pre-rollup total, and that equality
+    rides every output row as a boolean — the conservation audit
+    production finance pipelines bolt on, here inside the query
+    itself. One user-grain shuffle for dedup, one (tier, day) shuffle
+    for the rollup; the audit sides are one-row broadcasts. The text
+    twin is q90's curation pipeline; this is the revenue DAG."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("event_id").orderBy("ts", "user_id")
+    deduped = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    enriched = deduped.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("user_id") % 10 < 2, "vip")
+        .when(F.col("user_id") % 10 < 6, "regular")
+        .otherwise("casual")
+        .alias("tier"),
+    )
+    rollup_t = enriched.groupBy("tier", "day").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+    )
+    audit = rollup_t.agg(F.sum("rev_cents").cast("bigint").alias("rolled_total"))
+    direct = enriched.agg(F.sum("cents").cast("bigint").alias("direct_total"))
+    return (
+        rollup_t.crossJoin(F.broadcast(audit))
+        .crossJoin(F.broadcast(direct))
+        .select(
+            "tier",
+            "day",
+            "n_purchases",
+            "rev_cents",
+            (F.col("rolled_total") == F.col("direct_total")).alias("reconciled"),
+        )
+        .orderBy("tier", "day")
+    )

@@ -444,3 +444,29 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cached_frame_reuses_inmemory_scan(spark, sf_dir):
+    """Explicit caching must actually serve downstream consumers from
+    the in-memory columnar store: a cached aggregate consumed by two
+    branches plans InMemoryTableScan in BOTH, and the cache is dropped
+    afterwards (no block leakage into later tests)."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.io import table
+
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    try:
+        agg.count()  # materialize
+        a = agg.filter(F.col("n") > 0)
+        b = agg.agg(F.sum("n").alias("t"))
+        for df in (a, b):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan, plan[:2000]
+    finally:
+        agg.unpersist(blocking=True)
