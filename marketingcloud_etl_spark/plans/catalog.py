@@ -306,6 +306,8 @@ _PRIORITY = (
     # round-4 continuation wave 7: synthetic datagen, composed DAG
     "q325_synthetic_data_generator",
     "q326_end_to_end_revenue_pipeline",
+    "q327_bitemporal_asof",
+    "q328_csv_multiline_roundtrip",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

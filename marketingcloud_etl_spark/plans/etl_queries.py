@@ -3177,3 +3177,153 @@ def q326_end_to_end_revenue_pipeline(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("tier", "day")
     )
+
+
+@query(
+    "q327_bitemporal_asof",
+    oracle="""
+    WITH versions AS (
+      SELECT c_custkey, c_mktsegment, c_name AS name,
+             DATE '1995-01-01' AS valid_from, DATE '2000-01-01' AS valid_to,
+             DATE '1995-01-01' AS tx_from
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, 'v2_' || c_name,
+             DATE '2000-01-01', DATE '9999-12-31', DATE '2000-01-01'
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, 'fix_' || c_name,
+             DATE '2000-01-01', DATE '9999-12-31', DATE '2001-01-01'
+      FROM customer WHERE c_custkey % 7 = 0
+    ), pick AS (
+      SELECT c_custkey, c_mktsegment, name,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY tx_from DESC, name) AS rn
+      FROM versions
+      WHERE valid_from <= DATE '2000-06-15' AND DATE '2000-06-15' < valid_to
+        AND tx_from <= DATE '2001-06-15'
+    )
+    SELECT c_mktsegment,
+           cast(count(*) as bigint) AS n_entities,
+           cast(count(*) FILTER (WHERE name LIKE 'fix_%') as bigint) AS n_corrected,
+           cast(count(*) FILTER (WHERE name LIKE 'v2_%') as bigint) AS n_v2
+    FROM pick WHERE rn = 1
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("etl", "temporal"),
+)
+def q327_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL AS-OF query — the two-axis temporal model q212's
+    SCD2 (one axis) can't answer: 'what did we BELIEVE on tx-date T
+    about the state VALID on date V?'. The version store carries
+    valid-time intervals AND transaction-time stamps (v1, v2, and a
+    later CORRECTION of v2 for some entities); the as-of read filters
+    both axes then takes the latest-known record per entity
+    (tx_from DESC with a deterministic tiebreak). Reproducible
+    auditing/backtesting: moving T replays exactly what any past
+    report saw. One custkey-partitioned window over the ~2–3 rows per
+    entity that survive the interval filters."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    d = lambda s: F.lit(s).cast("date")  # noqa: E731
+    v1 = c.select(
+        "c_custkey", "c_mktsegment", F.col("c_name").alias("name"),
+        d("1995-01-01").alias("valid_from"), d("2000-01-01").alias("valid_to"),
+        d("1995-01-01").alias("tx_from"),
+    )
+    v2 = c.select(
+        "c_custkey", "c_mktsegment", F.concat(F.lit("v2_"), "c_name").alias("name"),
+        d("2000-01-01").alias("valid_from"), d("9999-12-31").alias("valid_to"),
+        d("2000-01-01").alias("tx_from"),
+    )
+    fix = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_mktsegment", F.concat(F.lit("fix_"), "c_name").alias("name"),
+        d("2000-01-01").alias("valid_from"), d("9999-12-31").alias("valid_to"),
+        d("2001-01-01").alias("tx_from"),
+    )
+    versions = v1.unionByName(v2).unionByName(fix)
+    valid_at, known_at = d("2000-06-15"), d("2001-06-15")
+    qualifying = versions.filter(
+        (F.col("valid_from") <= valid_at)
+        & (valid_at < F.col("valid_to"))
+        & (F.col("tx_from") <= known_at)
+    )
+    w = W.partitionBy("c_custkey").orderBy(F.col("tx_from").desc(), "name")
+    pick = qualifying.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pick.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.count_if(F.col("name").like("fix_%")).cast("bigint").alias("n_corrected"),
+            F.count_if(F.col("name").like("v2_%")).cast("bigint").alias("n_v2"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q328_csv_multiline_roundtrip",
+    oracle="""
+    WITH noted AS (
+      SELECT c_custkey, c_mktsegment,
+             c_name || chr(10) || '"' || c_mktsegment || '";tail' AS note
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           cast(count(*) as bigint) AS n,
+           cast(sum(length(note)) as bigint) AS note_chars,
+           cast(count(*) FILTER (WHERE contains(note, chr(10))) as bigint)
+             AS n_multiline,
+           cast(sum(c_custkey) as bigint) AS key_sum
+    FROM noted GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("etl", "io"),
+)
+def q328_csv_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV MULTILINE/QUOTING round trip — the parser path q67's plain
+    round trip never exercises: every note field embeds a literal
+    NEWLINE, a RFC-4180 doubled QUOTE, and the ';' delimiter itself,
+    written with quoteAll + quote-escape and read back with
+    multiLine=true (the whole-file parse mode that cannot split
+    records on newlines — per-FILE parallelism instead of per-split,
+    the documented scale trade-off of quoted-newline CSV). The oracle
+    recomputes the aggregates from the SOURCE derivation, so any
+    mis-quoted, split, or dropped record breaks count, char-length
+    sum, and key checksum."""
+    prep(spark)
+    base = f"/tmp/mcetl_csvml_{fixture_tag(sf_dir)}"
+    c = table(spark, sf_dir, "customer")
+    noted = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.concat(
+            F.col("c_name"), F.lit("\n\""), F.col("c_mktsegment"), F.lit("\";tail")
+        ).alias("note"),
+    )
+    atomic_cached_write(
+        base,
+        lambda tmp: noted.write.mode("overwrite")
+        .option("header", "true")
+        .option("delimiter", ";")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(tmp),
+    )
+    back = (
+        spark.read.option("header", "true")
+        .option("delimiter", ";")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("c_custkey bigint, c_mktsegment string, note string")
+        .csv(base)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("note")).cast("bigint").alias("note_chars"),
+            F.count_if(F.col("note").contains("\n")).cast("bigint").alias("n_multiline"),
+            F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
