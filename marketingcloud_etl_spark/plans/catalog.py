@@ -308,6 +308,8 @@ _PRIORITY = (
     "q326_end_to_end_revenue_pipeline",
     "q327_bitemporal_asof",
     "q328_csv_multiline_roundtrip",
+    "q329_linear_counting",
+    "q330_seasonal_naive_backtest",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

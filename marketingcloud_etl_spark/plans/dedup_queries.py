@@ -1600,3 +1600,72 @@ def q312_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q329_linear_counting",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT ('0x' || substr(md5(cast(o_custkey as varchar)), 1, 8))::BIGINT % 4096
+               AS bucket
+      FROM orders
+    ), occ AS (
+      SELECT cast(count(*) as bigint) AS occupied FROM hashed
+    ), truth AS (
+      SELECT cast(count(DISTINCT o_custkey) as bigint) AS exact_distinct FROM orders
+    )
+    SELECT occupied,
+           4096 - occupied AS empty_buckets,
+           cast(floor(-4096.0 * ln((4096.0 - occupied) / 4096.0) + 0.5) as bigint)
+             AS lc_estimate,
+           exact_distinct,
+           abs(cast(floor(-4096.0 * ln((4096.0 - occupied) / 4096.0) + 0.5) as bigint)
+               - exact_distinct) * 1000000 // exact_distinct <= 50000 AS within_5pct
+    FROM occ CROSS JOIN truth
+    """,
+    tags=("sketch", "statistics"),
+)
+def q329_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR COUNTING (Whang et al. 1990) — the third distinct-count
+    estimator beside HLL (q60) and the exact bitmap (q158), and the
+    one that BEATS HLL's error in the small-cardinality regime every
+    per-group count lands in: n̂ = −m·ln(V₀/m) from the number of
+    empty hash buckets. Bucket occupancy is exact integers through the
+    md5-prefix protocol (a DISTINCT on the bucket domain, m=4096 rows
+    max at any scale); the estimate is one ln + one explicit half-up
+    floor, and the ±5% acceptance flag is an exact-integer ppm
+    comparison against the true distinct count computed alongside —
+    the estimator's own quality is the verified output (q135
+    protocol)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    m = 4096
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(o_custkey as string)), 1, 8), 16, 10) as bigint)"
+    ) % m
+    occ = (
+        o.select(bucket.alias("bucket"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("occupied"))
+    )
+    truth = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    est = F.floor(
+        -float(m) * F.log((F.lit(float(m)) - F.col("occupied")) / float(m)) + 0.5
+    ).cast("bigint")
+    return occ.crossJoin(F.broadcast(truth)).select(
+        "occupied",
+        (F.lit(m) - F.col("occupied")).cast("bigint").alias("empty_buckets"),
+        est.alias("lc_estimate"),
+        "exact_distinct",
+        # floored ppm to mirror the oracle's integer `//`: with exact
+        # integer operands below 2^53 and a non-integer quotient at
+        # least 1/q from any integer, floor(a/b) == a // b exactly
+        (
+            F.floor(
+                F.abs(est - F.col("exact_distinct"))
+                * 1000000
+                / F.col("exact_distinct")
+            ).cast("bigint")
+            <= 50000
+        ).alias("within_5pct"),
+    )

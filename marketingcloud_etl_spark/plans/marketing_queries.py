@@ -1584,3 +1584,57 @@ def q324_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("longest_streak").desc(), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "q330_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT cast(ts as date) AS day,
+             cast(sum(cast(round(value * 100) as bigint)) as bigint) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY day
+    ), paired AS (
+      SELECT day, cents,
+             lag(cents, 7) OVER (ORDER BY day) AS forecast
+      FROM daily
+    )
+    SELECT cast(count(*) as bigint) AS n_days_scored,
+           cast(sum(abs(cents - forecast)) as bigint) AS abs_err_cents,
+           cast(sum(abs(cents - forecast)) // count(*) as bigint) AS mae_cents,
+           cast(max(abs(cents - forecast)) as bigint) AS worst_cents,
+           round(cast(sum(abs(cents - forecast)) as double) / sum(cents), 6)
+             AS wape
+    FROM paired WHERE forecast IS NOT NULL
+    """,
+    tags=("marketing", "forecast"),
+)
+def q330_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTEST against the seasonal-naive baseline — the
+    floor every demand-forecasting model must beat before it ships:
+    predict each day's purchase revenue with the same weekday one week
+    earlier (lag 7 on the DAILY AGGREGATE, so the window frame is
+    day-domain-sized at any fact scale; the one global lag is over
+    that bounded spine). Errors stay exact integer cents — MAE via
+    integer division, WAPE as one IEEE division of exact sums —
+    because a backtest harness that introduces its own float noise
+    can't adjudicate models. The first 7 days score NULL and are
+    excluded, not zero-filled."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    w = W.orderBy("day")  # global-window-ok: per-day aggregate spine, calendar-domain-bounded (~365 rows/yr at any fact scale)
+    paired = daily.withColumn("forecast", F.lag("cents", 7).over(w)).filter(
+        F.col("forecast").isNotNull()
+    )
+    err = F.abs(F.col("cents") - F.col("forecast"))
+    return paired.agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.sum(err).cast("bigint").alias("abs_err_cents"),
+        F.expr(
+            "cast(sum(abs(cents - forecast)) div count(*) as bigint)"
+        ).alias("mae_cents"),
+        F.max(err).cast("bigint").alias("worst_cents"),
+        F.round(F.sum(err).cast("double") / F.sum("cents"), 6).alias("wape"),
+    )
