@@ -310,6 +310,8 @@ _PRIORITY = (
     "q328_csv_multiline_roundtrip",
     "q329_linear_counting",
     "q330_seasonal_naive_backtest",
+    "q331_knn_classifier_eval",
+    "q332_record_linkage_fs",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

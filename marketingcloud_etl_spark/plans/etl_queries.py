@@ -3327,3 +3327,117 @@ def q328_csv_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# Fellegi-Sunter integer log-weights (×10⁶, precomputed from declared
+# m/u probabilities so the score is EXACT integer arithmetic):
+#   name:    m=0.95 u=0.05 → agree ln(19)=+2944439   disagree ln(1/19)=−2944439
+#   segment: m=0.90 u=0.20 → agree ln(4.5)=+1504077  disagree ln(0.125)=−2079442
+#   balance: m=0.85 u=0.01 → agree ln(85)=+4442651   disagree ln(0.1515…)=−1887070
+_FS_W = {
+    "name": (2944439, -2944439),
+    "seg": (1504077, -2079442),
+    "bal": (4442651, -1887070),
+}
+
+
+@query(
+    "q332_record_linkage_fs",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT c_custkey AS r_id, c_nationkey,
+             CASE WHEN c_custkey % 4 = 0 THEN upper(c_name) ELSE c_name END AS r_name,
+             CASE WHEN c_custkey % 9 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS r_seg,
+             CASE WHEN c_custkey % 6 = 0
+                  THEN cast(round(c_acctbal / 100) * 10000 as bigint)
+                  ELSE cast(round(c_acctbal * 100) as bigint) END AS r_cents
+      FROM customer
+    ), clean AS (
+      SELECT c_custkey, c_nationkey, c_name, c_mktsegment,
+             cast(round(c_acctbal * 100) as bigint) AS cents
+      FROM customer
+    ), pairs AS (
+      SELECT c.c_custkey, d.r_id,
+             (CASE WHEN c.c_name = d.r_name THEN {_FS_W["name"][0]} ELSE {_FS_W["name"][1]} END
+              + CASE WHEN c.c_mktsegment = d.r_seg THEN {_FS_W["seg"][0]} ELSE {_FS_W["seg"][1]} END
+              + CASE WHEN c.cents = d.r_cents THEN {_FS_W["bal"][0]} ELSE {_FS_W["bal"][1]} END)
+               AS score
+      FROM clean c JOIN dirty d ON c.c_nationkey = d.c_nationkey
+    ), classed AS (
+      SELECT c_custkey, r_id, score,
+             CASE WHEN score >= 3000000 THEN 'match'
+                  WHEN score >= 0 THEN 'review'
+                  ELSE 'non-match' END AS decision
+      FROM pairs
+    )
+    SELECT decision,
+           cast(count(*) as bigint) AS n_pairs,
+           cast(count(*) FILTER (WHERE c_custkey = r_id) as bigint) AS n_true,
+           cast(min(score) as bigint) AS min_score,
+           cast(max(score) as bigint) AS max_score
+    FROM classed GROUP BY decision ORDER BY decision
+    """,
+    tags=("etl", "entity-resolution"),
+)
+def q332_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI–SUNTER probabilistic record linkage — the principled
+    upgrade over q115's edit-distance fuzzy match: field agreements
+    weighted by ln(m/u) log-likelihood ratios (m/u declared per field;
+    production systems EM-estimate them) and summed into a match
+    score, thresholded into match / review / non-match. Weights are
+    pre-scaled INTEGER micro-nats, so scoring, thresholds, and class
+    extrema are exact integer arithmetic end to end. Candidate pairs
+    come from nation blocking — the quadratic all-pairs stays inside
+    blocks (the standard ER scale lever, same role as LSH bands in
+    q50); the dirty side is a deterministic perturbation of the clean
+    side so ground truth (id equality) rides along and the class
+    purity is itself verified."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    dirty = c.select(
+        F.col("c_custkey").alias("r_id"),
+        F.col("c_nationkey").alias("r_nat"),
+        F.when(F.col("c_custkey") % 4 == 0, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("r_name"),
+        F.when(F.col("c_custkey") % 9 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("r_seg"),
+        F.when(
+            F.col("c_custkey") % 6 == 0,
+            (F.round(F.col("c_acctbal") / 100) * 10000).cast("bigint"),
+        )
+        .otherwise(cents)
+        .alias("r_cents"),
+    )
+    clean = c.select(
+        "c_custkey", "c_nationkey", "c_name", "c_mktsegment", cents.alias("cents")
+    )
+    wn, ws, wb = _FS_W["name"], _FS_W["seg"], _FS_W["bal"]
+    score = (
+        F.when(F.col("c_name") == F.col("r_name"), wn[0]).otherwise(wn[1])
+        + F.when(F.col("c_mktsegment") == F.col("r_seg"), ws[0]).otherwise(ws[1])
+        + F.when(F.col("cents") == F.col("r_cents"), wb[0]).otherwise(wb[1])
+    )
+    pairs = clean.join(dirty, clean.c_nationkey == dirty.r_nat).select(
+        "c_custkey", "r_id", score.alias("score")
+    )
+    classed = pairs.withColumn(
+        "decision",
+        F.when(F.col("score") >= 3000000, "match")
+        .when(F.col("score") >= 0, "review")
+        .otherwise("non-match"),
+    )
+    return (
+        classed.groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_if(F.col("c_custkey") == F.col("r_id"))
+            .cast("bigint")
+            .alias("n_true"),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+        )
+        .orderBy("decision")
+    )

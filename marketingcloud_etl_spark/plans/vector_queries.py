@@ -1170,3 +1170,91 @@ def q276_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").cast("bigint").alias("n_b"),
         F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6).alias("mean_cosine"),
     )
+
+
+@query(
+    "q331_knn_classifier_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 25 = 0
+    ), corpus AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 25 != 0
+    ), scored AS (
+      SELECT b.vec_id AS query_id, b.label AS true_label, a.label AS n_label,
+             row_number() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY {cosine_sql('b.embedding', 'a.embedding')} DESC, a.vec_id
+             ) AS rank
+      FROM corpus a CROSS JOIN q b
+    ), votes AS (
+      SELECT query_id, true_label, n_label, count(*) AS v
+      FROM scored WHERE rank <= 5
+      GROUP BY query_id, true_label, n_label
+    ), pred AS (
+      SELECT query_id, true_label,
+             -- scalar vote key: labels live in [0,10), so
+             -- n_label - v*1000 orders by (votes DESC, label ASC)
+             arg_min(n_label, n_label - v * 1000) AS predicted
+      FROM votes GROUP BY query_id, true_label
+    )
+    SELECT true_label,
+           cast(count(*) as bigint) AS n_queries,
+           cast(count(*) FILTER (WHERE predicted = true_label) as bigint) AS n_correct,
+           cast(count(*) FILTER (WHERE predicted = true_label) * 1000000 // count(*)
+                as bigint) AS accuracy_ppm
+    FROM pred GROUP BY true_label ORDER BY true_label
+    """,
+    tags=("vector", "ml-eval"),
+)
+def q331_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN CLASSIFIER EVALUATION over the embedding space — the
+    leave-out accuracy readout that turns the similarity stack into a
+    measured classifier: a held-out query slice is scored against the
+    rest (exact cosine, the engines' bit-identical sequential fold),
+    top-5 neighbors vote, majority label with a deterministic
+    (votes desc, label) tiebreak, per-class accuracy in exact integer
+    ppm. The same broadcast-small-query-side shape as q49 — |Q|·|C|
+    scoring parallelizes over the corpus; votes and accuracy are
+    query-sized. Complements q271 (retrieval metrics) with the
+    CLASSIFICATION quality lens the `label` column exists for."""
+    prep(spark)
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    corpus = e.filter(F.col("vec_id") % 25 != 0).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("nv"),
+        F.col("label").alias("n_label"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        cosine("qv", "nv").desc(), F.col("n_id").asc()
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    votes = scored.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    pred = votes.groupBy("query_id", "true_label").agg(
+        F.min_by("n_label", F.col("n_label") - F.col("v") * 1000).alias("predicted")
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.count_if(F.col("predicted") == F.col("true_label"))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.expr(
+                "cast(count_if(predicted = true_label) * 1000000 div count(*) as bigint)"
+            ).alias("accuracy_ppm"),
+        )
+        .orderBy("true_label")
+    )
