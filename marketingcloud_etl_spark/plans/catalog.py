@@ -312,6 +312,8 @@ _PRIORITY = (
     "q330_seasonal_naive_backtest",
     "q331_knn_classifier_eval",
     "q332_record_linkage_fs",
+    "q333_wilson_ctr_ranking",
+    "q334_ks_two_sample",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

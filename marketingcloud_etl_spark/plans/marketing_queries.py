@@ -1638,3 +1638,58 @@ def q330_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(err).cast("bigint").alias("worst_cents"),
         F.round(F.sum(err).cast("double") / F.sum("cents"), 6).alias("wape"),
     )
+
+
+@query(
+    "q333_wilson_ctr_ranking",
+    oracle="""
+    WITH by_channel AS (
+      SELECT json_extract_string(props, '$.k')::int % 5 AS channel,
+             cast(count(*) as bigint) AS n_clicks,
+             cast(count(*) FILTER (WHERE value > 5.0) as bigint) AS n_conv
+      FROM events WHERE event_type = 'click'
+      GROUP BY channel
+    )
+    SELECT channel, n_clicks, n_conv,
+           round(cast(n_conv as double) / n_clicks, 6) AS naive_rate,
+           round((cast(n_conv as double) / n_clicks + 1.9208 / n_clicks
+                  - 1.96 * sqrt((cast(n_conv as double) / n_clicks)
+                                * (1.0 - cast(n_conv as double) / n_clicks) / n_clicks
+                                + 0.9604 / (n_clicks * cast(n_clicks as double)))
+                 ) / (1.0 + 3.8416 / n_clicks), 6) AS wilson_lb
+    FROM by_channel
+    ORDER BY wilson_lb DESC, channel
+    """,
+    tags=("marketing", "statistics"),
+)
+def q333_wilson_ctr_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON SCORE LOWER BOUND ranking — the statistically honest way
+    to order channels by conversion rate when sample sizes differ (a
+    2/2 channel must NOT outrank a 180/200 one, which the naive rate
+    does): the 95% Wilson interval's lower bound, z=1.96 pre-squared
+    into literal constants so both engines evaluate the identical IEEE
+    tree over exact integer counts. Naive rate rides alongside to show
+    the re-ranking. One partial-agg pass; channel-domain-sized output."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    by_channel = e.groupBy(
+        (F.get_json_object("props", "$.k").cast("int") % 5).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count_if(F.col("value") > 5.0).cast("bigint").alias("n_conv"),
+    )
+    p = F.col("n_conv").cast("double") / F.col("n_clicks")
+    n = F.col("n_clicks")
+    wilson = (
+        p
+        + F.lit(1.9208) / n
+        - F.lit(1.96)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + F.lit(0.9604) / (n * n.cast("double")))
+    ) / (F.lit(1.0) + F.lit(3.8416) / n)
+    return by_channel.select(
+        "channel",
+        "n_clicks",
+        "n_conv",
+        F.round(p, 6).alias("naive_rate"),
+        F.round(wilson, 6).alias("wilson_lb"),
+    ).orderBy(F.col("wilson_lb").desc(), "channel")

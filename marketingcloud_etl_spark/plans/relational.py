@@ -4130,3 +4130,95 @@ def q323_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q334_ks_two_sample",
+    oracle="""
+    WITH a AS (
+      SELECT cast(round(o_totalprice * 100) as bigint) AS v FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ), b AS (
+      SELECT cast(round(o_totalprice * 100) as bigint) AS v FROM orders
+      WHERE o_orderpriority = '5-LOW'
+    ), na AS (SELECT cast(count(*) as bigint) AS n1 FROM a),
+       nb AS (SELECT cast(count(*) as bigint) AS n2 FROM b),
+    counts AS (
+      SELECT v,
+             cast(count(*) FILTER (WHERE side = 'a') as bigint) AS ca,
+             cast(count(*) FILTER (WHERE side = 'b') as bigint) AS cb
+      FROM (SELECT v, 'a' AS side FROM a UNION ALL SELECT v, 'b' FROM b)
+      GROUP BY v
+    ), cum AS (
+      SELECT v,
+             cast(sum(ca) OVER (ORDER BY v) as bigint) AS cum_a,
+             cast(sum(cb) OVER (ORDER BY v) as bigint) AS cum_b
+      FROM counts
+    )
+    SELECT n1 AS n_urgent, n2 AS n_low,
+           cast(max(abs(cum_a * n2 - cum_b * n1)) as bigint) AS d_numerator,
+           round(cast(max(abs(cum_a * n2 - cum_b * n1)) as double) / (n1 * n2), 6)
+             AS ks_d,
+           round(1.36 * sqrt((n1 + cast(n2 as double)) / (n1 * cast(n2 as double))), 6)
+             AS crit_05,
+           cast(max(abs(cum_a * n2 - cum_b * n1)) as double) / (n1 * n2)
+             > 1.36 * sqrt((n1 + cast(n2 as double)) / (n1 * cast(n2 as double)))
+             AS reject_same_dist
+    FROM cum CROSS JOIN na CROSS JOIN nb
+    GROUP BY n1, n2
+    """,
+    tags=("analytic", "statistics"),
+)
+def q334_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST, computed EXACTLY — the
+    distribution-free companion to the binned drift metrics (PSI q282,
+    TV, KL q247): D = max|F₁−F₂| found in pure integers by
+    cross-multiplying cumulative counts (|cum₁·n₂ − cum₂·n₁|, one max,
+    ONE division at the end), so the supremum over every jump point is
+    exact — no binning approximation, no float accumulation. The ECDFs
+    ride the DISTRIBUTED prefix-sum over the per-value count table
+    (value-domain-sized, cents ≤ 10⁷ distinct at any fact scale); the
+    α=0.05 asymptotic critical value and reject flag are one IEEE
+    expression on the one-row output."""
+    prep(spark)
+    from ..operators.ranking import global_prefix_sum
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(cents.alias("v"))
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select(cents.alias("v"))
+    counts = (
+        a.withColumn("side", F.lit("a"))
+        .unionByName(b.withColumn("side", F.lit("b")))
+        .groupBy("v")
+        .agg(
+            F.count_if(F.col("side") == "a").cast("bigint").alias("ca"),
+            F.count_if(F.col("side") == "b").cast("bigint").alias("cb"),
+        )
+    )
+    cum = global_prefix_sum(
+        global_prefix_sum(counts, ["v"], "ca", out_col="cum_a"),
+        ["v"],
+        "cb",
+        out_col="cum_b",
+    )
+    na = a.agg(F.count(F.lit(1)).alias("n1"))
+    nb = b.agg(F.count(F.lit(1)).alias("n2"))
+    dnum = F.max(F.abs(F.col("cum_a") * F.col("n2") - F.col("cum_b") * F.col("n1")))
+    base = (
+        cum.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .groupBy("n1", "n2")
+        .agg(dnum.cast("bigint").alias("d_numerator"))
+    )
+    n1d, n2d = F.col("n1"), F.col("n2").cast("double")
+    ks_d = F.col("d_numerator").cast("double") / (F.col("n1") * F.col("n2"))
+    crit = F.lit(1.36) * F.sqrt((F.col("n1") + n2d) / (F.col("n1") * n2d))
+    return base.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n2").alias("n_low"),
+        "d_numerator",
+        F.round(ks_d, 6).alias("ks_d"),
+        F.round(crit, 6).alias("crit_05"),
+        (ks_d > crit).alias("reject_same_dist"),
+    )
