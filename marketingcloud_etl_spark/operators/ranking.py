@@ -156,8 +156,8 @@ def distributed_ntile(
 def global_prefix_sum(
     df: DataFrame,
     order_cols: Sequence[Column | str],
-    value_col: str,
-    out_col: str = "cum",
+    value_col: str | Sequence[str],
+    out_col: str | Sequence[str] = "cum",
     *,
     with_total: bool = False,
 ) -> DataFrame:
@@ -171,8 +171,17 @@ def global_prefix_sum(
     of per-partition aggregates. The prefix-sum primitive behind CDF
     curves, Pareto/ABC decompositions, and capacity/quota allocation.
     ``order_cols`` must be a total order for a deterministic result.
-    With ``with_total=True`` the grand total rides along in
-    ``__mcetl_n`` (one broadcast value, column dropped otherwise)."""
+
+    ``value_col``/``out_col`` accept parallel LISTS to run several
+    prefix sums over the same order in ONE range exchange (paired ECDFs
+    for a KS statistic, multi-measure CDFs) — chaining single-column
+    calls would re-partition identically-ordered data once per measure.
+    With ``with_total=True`` the grand total of the FIRST value column
+    rides along in ``__mcetl_n`` (one broadcast value)."""
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(ocols):
+        raise ValueError("value_col and out_col lists must pair up")
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     part = (
         df.repartitionByRange(*cols)
@@ -180,27 +189,35 @@ def global_prefix_sum(
         .persist()
     )
     _PINNED.append(part)
-    sums = part.groupBy(_PID).agg(F.sum(value_col).alias("__psum"))
+    sums = part.groupBy(_PID).agg(
+        *[F.sum(v).alias(f"__psum{i}") for i, v in enumerate(vcols)]
+    )
     x, y = sums.alias("x"), sums.alias("y")
+    off_aggs = [
+        F.sum(
+            F.when(
+                F.col(f"y.{_PID}") < F.col(f"x.{_PID}"), F.col(f"y.__psum{i}")
+            ).otherwise(0)
+        ).alias(f"{_OFF}{i}")
+        for i in range(len(vcols))
+    ]
     offsets = (
         x.join(F.broadcast(y), F.lit(True))
         .groupBy(F.col(f"x.{_PID}").alias(_PID))
-        .agg(
-            F.sum(
-                F.when(F.col(f"y.{_PID}") < F.col(f"x.{_PID}"), F.col("y.__psum")).otherwise(0)
-            ).alias(_OFF),
-            F.sum(F.col("y.__psum")).alias(_N),
-        )
+        .agg(*off_aggs, F.sum(F.col("y.__psum0")).alias(_N))
     )
     w_local = W.partitionBy(_PID).orderBy(*cols).rowsBetween(W.unboundedPreceding, W.currentRow)
-    summed = (
-        part.withColumn(_LRN, F.sum(value_col).over(w_local))
-        .join(F.broadcast(offsets), _PID)
-        .withColumn(out_col, F.col(_OFF) + F.col(_LRN))
-    )
+    summed = part
+    for i, v in enumerate(vcols):
+        summed = summed.withColumn(f"{_LRN}{i}", F.sum(v).over(w_local))
+    summed = summed.join(F.broadcast(offsets), _PID)
+    drop = [_PID]
+    for i, out in enumerate(ocols):
+        summed = summed.withColumn(out, F.col(f"{_OFF}{i}") + F.col(f"{_LRN}{i}"))
+        drop += [f"{_OFF}{i}", f"{_LRN}{i}"]
     if not with_total:
         summed = summed.drop(_N)
-    return summed.drop(_PID, _LRN, _OFF)
+    return summed.drop(*drop)
 
 
 def global_prefix_max(

@@ -4196,12 +4196,8 @@ def q334_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("side") == "b").cast("bigint").alias("cb"),
         )
     )
-    cum = global_prefix_sum(
-        global_prefix_sum(counts, ["v"], "ca", out_col="cum_a"),
-        ["v"],
-        "cb",
-        out_col="cum_b",
-    )
+    # both ECDFs in ONE range exchange (multi-column prefix sum)
+    cum = global_prefix_sum(counts, ["v"], ["ca", "cb"], out_col=["cum_a", "cum_b"])
     na = a.agg(F.count(F.lit(1)).alias("n1"))
     nb = b.agg(F.count(F.lit(1)).alias("n2"))
     dnum = F.max(F.abs(F.col("cum_a") * F.col("n2") - F.col("cum_b") * F.col("n1")))

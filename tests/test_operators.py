@@ -1194,3 +1194,31 @@ def test_global_prefix_max_plan_has_no_single_partition(spark):
     got = global_prefix_max(df, [F.col("uid").asc()], "v", "m", exclusive=True)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_global_prefix_sum_multi_column_matches_window(spark):
+    """The multi-measure prefix sum (one range exchange for N running
+    totals) must equal per-column SUM OVER (ORDER BY) windows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from marketingcloud_etl_spark.operators.ranking import global_prefix_sum
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 11).alias("b"),
+    )
+    got = global_prefix_sum(df, [F.col("k")], ["a", "b"], out_col=["ca", "cb"])
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = df.select(
+        "k",
+        F.sum("a").over(w).alias("wa"),
+        F.sum("b").over(w).alias("wb"),
+    )
+    bad = (
+        got.select("k", "ca", "cb")
+        .join(want, "k")
+        .filter((F.col("ca") != F.col("wa")) | (F.col("cb") != F.col("wb")))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
