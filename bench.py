@@ -104,6 +104,10 @@ HEADLINE = (
     "q294_market_share",
     "q304_ivm_join_delta",
     "q308_skyline_pareto_front",
+    # round-4 continuation waves 5-9: the dual-measure distributed
+    # prefix-sum ECDF (KS) and the prefix-share + integer-CV matrix
+    "q322_abc_xyz_matrix",
+    "q334_ks_two_sample",
 )
 
 

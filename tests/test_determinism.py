@@ -24,6 +24,9 @@ INVARIANCE_QUERIES = (
     "q111_mixture_weights",     # sorted-fold (sqrt terms)
     "q119_median_mad_outliers", # exact percentile interpolation
     "q295_product_profit",      # decimal revenue-minus-cost mix (Q9 shape)
+    "q312_neyman_allocation",   # sorted-fold of sqrt power-sum terms
+    "q323_gini_concentration",  # distributed ranks × decimal(38,0) sums
+    "q334_ks_two_sample",       # integer ECDF cross-multiplication
 )
 
 
