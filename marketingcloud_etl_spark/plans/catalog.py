@@ -314,6 +314,8 @@ _PRIORITY = (
     "q332_record_linkage_fs",
     "q333_wilson_ctr_ranking",
     "q334_ks_two_sample",
+    "q335_k_anonymity",
+    "q336_seasonal_decomposition",
     # ---- already driver-green (r1∪r2∪r3) — re-checks fill the remaining
     # sample slots; order mirrors family grouping for readability --------
     "q41_tokenize_wordcount",

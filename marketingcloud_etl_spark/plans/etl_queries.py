@@ -3441,3 +3441,87 @@ def q332_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decision")
     )
+
+
+@query(
+    "q335_k_anonymity",
+    oracle="""
+    WITH base AS (
+      SELECT c_mktsegment, c_nationkey,
+             cast(round(c_acctbal * 100) as bigint) AS cents
+      FROM customer
+    ), leveled AS (
+      SELECT 0 AS level, c_mktsegment, c_nationkey,
+             cast(floor(cents / 10000.0) as bigint) AS bal_bucket
+      FROM base
+      UNION ALL
+      SELECT 1, c_mktsegment, c_nationkey, cast(floor(cents / 100000.0) as bigint)
+      FROM base
+      UNION ALL
+      SELECT 2, c_mktsegment, c_nationkey,
+             CASE WHEN cents >= 0 THEN 1 ELSE -1 END
+      FROM base
+    ), groups AS (
+      SELECT level, c_mktsegment, c_nationkey, bal_bucket,
+             cast(count(*) as bigint) AS grp_size
+      FROM leveled GROUP BY level, c_mktsegment, c_nationkey, bal_bucket
+    )
+    SELECT level,
+           cast(count(*) as bigint) AS n_groups,
+           cast(sum(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END) as bigint)
+             AS n_rows_at_risk,
+           cast(min(grp_size) as bigint) AS min_group,
+           sum(CASE WHEN grp_size < 5 THEN 1 ELSE 0 END) = 0 AS k5_satisfied
+    FROM groups GROUP BY level ORDER BY level
+    """,
+    tags=("etl", "privacy"),
+)
+def q335_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY AUDIT with a generalization ladder — the
+    release-gate check that complements q97 (PII redaction) and q203
+    (RTBF deletion): every quasi-identifier combination (segment ×
+    nation × balance bucket) must describe at least k=5 people, and
+    when it doesn't, the balance axis is GENERALIZED one rung (100-unit
+    → 1000-unit → sign-only) until it does. All three rungs are
+    audited in one pass (rows-at-risk, smallest group, the k-satisfied
+    verdict per rung) so the query outputs exactly how much
+    generalization this release needs. Bucketing is explicit floor()
+    on exact cents — truncating integer division would disagree
+    between engines on negative balances."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    base = c.select("c_mktsegment", "c_nationkey", cents.alias("cents"))
+
+    def rung(level: int, bucket: F.Column) -> DataFrame:
+        return base.select(
+            F.lit(level).alias("level"),
+            "c_mktsegment",
+            "c_nationkey",
+            bucket.cast("bigint").alias("bal_bucket"),
+        )
+
+    leveled = (
+        rung(0, F.floor(F.col("cents") / 10000.0))
+        .unionByName(rung(1, F.floor(F.col("cents") / 100000.0)))
+        .unionByName(
+            rung(2, F.when(F.col("cents") >= 0, F.lit(1)).otherwise(F.lit(-1)))
+        )
+    )
+    groups = leveled.groupBy(
+        "level", "c_mktsegment", "c_nationkey", "bal_bucket"
+    ).agg(F.count(F.lit(1)).alias("grp_size"))
+    return (
+        groups.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("grp_size") < 5, F.col("grp_size")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+            F.min("grp_size").cast("bigint").alias("min_group"),
+            (F.sum(F.when(F.col("grp_size") < 5, 1).otherwise(0)) == 0).alias(
+                "k5_satisfied"
+            ),
+        )
+        .orderBy("level")
+    )

@@ -1693,3 +1693,95 @@ def q333_wilson_ctr_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("naive_rate"),
         F.round(wilson, 6).alias("wilson_lb"),
     ).orderBy(F.col("wilson_lb").desc(), "channel")
+
+
+@query(
+    "q336_seasonal_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT cast(ts as date) AS day,
+             cast(sum(cast(round(value * 100) as bigint)) as bigint) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY day
+    ), trended AS (
+      SELECT day, cents,
+             CASE WHEN count(*) OVER w = 7
+                  THEN cast(floor(sum(cents) OVER w / 7.0) as bigint) END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), detrended AS (
+      SELECT day, cents, trend, cents - trend AS detrended,
+             cast(dayofweek(day) as int) AS dow
+      FROM trended WHERE trend IS NOT NULL
+    ), seasonal AS (
+      SELECT dow,
+             -- explicit floor: DuckDB `//` TRUNCATES toward zero on
+             -- integers, which diverges from floor on negative sums
+             cast(floor(sum(detrended) / (count(*) * 1.0)) as bigint) AS seasonal_cents
+      FROM detrended GROUP BY dow
+    )
+    SELECT d.day, d.cents, d.trend, s.seasonal_cents,
+           d.cents - d.trend - s.seasonal_cents AS residual_cents
+    FROM detrended d JOIN seasonal s ON d.dow = s.dow
+    ORDER BY d.day
+    """,
+    tags=("marketing", "timeseries"),
+)
+def q336_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL SEASONAL DECOMPOSITION (trend + seasonal + residual)
+    of daily revenue — the structure-finding step before any anomaly
+    threshold (q225/q270 flag deviations; this explains them): trend =
+    centered 7-day moving average (full windows only — edges stay out
+    rather than biased), seasonal = per-weekday mean of the detrended
+    series, residual = the rest. EVERY component stays in exact
+    integer cents via floored integer division, so the decomposition
+    is bit-stable under any partitioning — a float MA would drift.
+    Windows ride the per-day aggregate spine (calendar-bounded); the
+    weekday convention is normalized through dayofweek on both
+    engines."""
+    prep(spark)
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)  # global-window-ok: per-day aggregate spine, calendar-domain-bounded
+    trended = daily.select(
+        "day",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            # explicit floor on BOTH engines: DuckDB's integer `//`
+            # TRUNCATES toward zero (found empirically), so floor is
+            # the only sign-robust shared convention
+            F.floor(
+                F.sum("cents").over(w) / F.lit(7.0)
+            ).cast("bigint"),
+        ).alias("trend"),
+    )
+    detrended = trended.filter(F.col("trend").isNotNull()).select(
+        "day",
+        "cents",
+        "trend",
+        (F.col("cents") - F.col("trend")).alias("detrended"),
+        F.dayofweek("day").cast("int").alias("dow"),
+    )
+    seasonal = detrended.groupBy("dow").agg(
+        # detrended sums go NEGATIVE and integer division conventions
+        # diverge there (Spark `div` and DuckDB `//` both truncate,
+        # floor() floors) — spell floor explicitly on both engines
+        F.floor(F.sum("detrended") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("seasonal_cents")
+    )
+    return (
+        detrended.join(F.broadcast(seasonal), "dow")
+        .select(
+            "day",
+            "cents",
+            "trend",
+            "seasonal_cents",
+            (F.col("cents") - F.col("trend") - F.col("seasonal_cents")).alias(
+                "residual_cents"
+            ),
+        )
+        .orderBy("day")
+    )
