@@ -111,6 +111,64 @@ HEADLINE = (
 )
 
 
+# Per-query wall-clock budgets (sec) at sf0.1 / local[32], pinned from
+# BENCH_r04.json: budget = max(1.5 x r4 time, 1.5 s) — the 1.5 s floor
+# absorbs JVM/GC noise on sub-second queries. BASELINE.md publishes no
+# reference numbers (the reference is a single-threaded network-bound
+# script), so these self-referential budgets ARE the regression gate:
+# the JSON line carries a "budget" block and any over-budget query is a
+# red flag for the round. Headline queries added after r4 get a budget
+# when their first driver bench lands.
+BUDGETS = {
+    "q00_flagship_ingest_dedup": 1.89,
+    "q01_pricing_summary": 1.92,
+    "q05_revenue_by_nation": 1.66,
+    "q11_join_asof": 1.5,
+    "q15_agg_rollup": 1.5,
+    "q22_window_topk": 1.5,
+    "q37_dedup_exact_hash": 1.5,
+    "q41_tokenize_wordcount": 1.5,
+    "q42_tfidf": 1.5,
+    "q49_knn_bruteforce": 1.5,
+    "q50_minhash_lsh": 1.56,
+    "q52_ann_lsh_topk": 2.56,
+    "q56_sessionization": 1.5,
+    "q66_ann_ivf_topk": 2.19,
+    "q68_sliding_window": 1.5,
+    "q70_bucketed_join": 1.5,
+    "q71_asof_cogroup": 1.52,
+    "q85_hash_sample_split": 1.5,
+    "q89_decontamination": 1.5,
+    "q90_curation_pipeline": 1.5,
+    "q107_sequence_packing": 1.5,
+    "q116_bpe_pair_counts": 1.5,
+    "q119_median_mad_outliers": 4.85,
+    "q121_funnel_conversion": 1.5,
+    "q122_snapshot_cdc_diff": 1.5,
+    "q127_bigram_lm_score": 2.85,
+    "q129_setsim_join": 4.34,
+    "q131_last_touch_attribution": 1.52,
+    "q132_rfm_segmentation": 5.44,
+    "q134_semantic_dedup_pipeline": 4.19,
+    "q138_ann_ivfpq_topk": 2.08,
+    "q161_line_dedup": 1.5,
+    "q163_kmeans_clusters": 2.78,
+    "q158_bitmap_distinct": 1.5,
+    "q167_zorder_skipping": 3.16,
+    "q181_bloom_filter_join": 1.5,
+    "q190_training_mix_pipeline": 1.5,
+    "q229_threshold_topk": 1.5,
+    "q235_cdc_chunk_dedup": 1.9,
+    "q239_interval_range_frame": 1.5,
+    "q244_simhash_exact_parity": 1.5,
+    "q294_market_share": 1.81,
+    "q304_ivm_join_delta": 2.49,
+    "q308_skyline_pareto_front": 1.5,
+    "q322_abc_xyz_matrix": 3.11,
+    "q334_ks_two_sample": 1.9,
+}
+
+
 def _sf_of(sf_dir: str) -> float:
     name = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -176,6 +234,14 @@ def main() -> None:
         release_ranking_caches()
 
     total = round(sum(timings.values()), 3)
+    sf = _sf_of(sf_dir)
+    # budget gate (only meaningful at the pinned scale, sf0.1)
+    over = {
+        n: {"sec": t, "budget": BUDGETS[n]}
+        for n, t in timings.items()
+        if sf == 0.1 and n in BUDGETS and t > BUDGETS[n]
+    }
+    unpinned = [n for n in timings if n not in BUDGETS]
     print(
         json.dumps(
             {
@@ -184,7 +250,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "setup": setup,
-                "sf": _sf_of(sf_dir),
+                "sf": sf,
+                "budget": {
+                    "pass": not over,
+                    "over": over,
+                    "unpinned": unpinned,
+                },
             }
         )
     )

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 __all__ = [
+    "TOTAL_COL",
     "global_row_number",
     "distributed_ntile",
     "global_prefix_sum",
@@ -49,6 +50,13 @@ _PID = "__mcetl_pid"
 _LRN = "__mcetl_lrn"
 _OFF = "__mcetl_off"
 _N = "__mcetl_n"
+
+# Public name of the grand-total column that global_row_number /
+# global_prefix_sum attach when called with_total=True. Query plans
+# that consume the total (q228 Pareto, q322 ABC×XYZ) must reference
+# this constant, never the string literal — the literal is an internal
+# layout detail free to change.
+TOTAL_COL = _N
 
 # Every frame global_row_number pins is registered here so long-lived
 # sessions (catalog sweeps, benchmarks) can release the blocks between

@@ -1613,15 +1613,21 @@ def q312_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cast(count(*) as bigint) AS occupied FROM hashed
     ), truth AS (
       SELECT cast(count(DISTINCT o_custkey) as bigint) AS exact_distinct FROM orders
+    ), sel AS (
+      SELECT occupied, exact_distinct,
+             CASE WHEN occupied < 4096
+                  THEN cast(floor(-4096.0 * ln((4096.0 - occupied) / 4096.0) + 0.5)
+                            as bigint)
+                  ELSE exact_distinct END AS lc_estimate
+      FROM occ CROSS JOIN truth
     )
     SELECT occupied,
            4096 - occupied AS empty_buckets,
-           cast(floor(-4096.0 * ln((4096.0 - occupied) / 4096.0) + 0.5) as bigint)
-             AS lc_estimate,
+           lc_estimate,
            exact_distinct,
-           abs(cast(floor(-4096.0 * ln((4096.0 - occupied) / 4096.0) + 0.5) as bigint)
-               - exact_distinct) * 1000000 // exact_distinct <= 50000 AS within_5pct
-    FROM occ CROSS JOIN truth
+           abs(lc_estimate - exact_distinct) * 1000000 // exact_distinct <= 50000
+             AS within_5pct
+    FROM sel
     """,
     tags=("sketch", "statistics"),
 )
@@ -1636,7 +1642,12 @@ def q329_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor, and the ±5% acceptance flag is an exact-integer ppm
     comparison against the true distinct count computed alongside —
     the estimator's own quality is the verified output (q135
-    protocol)."""
+    protocol). SATURATION GUARD: when every bucket is occupied
+    (V₀ = 0, near-certain once distinct keys ≫ m at larger scales)
+    ln(0) = −inf and the bigint cast diverges between engines (DuckDB
+    errors, non-ANSI Spark clamps), so both sides fall back to the
+    exact count via an explicit CASE — the standard linear-counting →
+    exact/HLL handoff, made deterministic."""
     prep(spark)
     o = table(spark, sf_dir, "orders")
     m = 4096
@@ -1649,9 +1660,18 @@ def q329_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("occupied"))
     )
     truth = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
-    est = F.floor(
-        -float(m) * F.log((F.lit(float(m)) - F.col("occupied")) / float(m)) + 0.5
-    ).cast("bigint")
+    est = (
+        F.when(
+            F.col("occupied") < m,
+            F.floor(
+                -float(m)
+                * F.log((F.lit(float(m)) - F.col("occupied")) / float(m))
+                + 0.5
+            ),
+        )
+        .otherwise(F.col("exact_distinct"))
+        .cast("bigint")
+    )
     return occ.crossJoin(F.broadcast(truth)).select(
         "occupied",
         (F.lit(m) - F.col("occupied")).cast("bigint").alias("empty_buckets"),

@@ -1735,9 +1735,12 @@ def q336_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     series, residual = the rest. EVERY component stays in exact
     integer cents via floored integer division, so the decomposition
     is bit-stable under any partitioning — a float MA would drift.
-    Windows ride the per-day aggregate spine (calendar-bounded); the
-    weekday convention is normalized through dayofweek on both
-    engines."""
+    Windows ride the per-day aggregate spine (calendar-bounded). The
+    weekday key ``dow`` is OUTPUT-INVARIANT, not normalized: Spark's
+    dayofweek is 1–7 (Sun=1) and DuckDB's is 0–6 (Sun=0), but dow only
+    serves as an internal group/join key that never reaches the final
+    projection, and any bijection of the key domain yields the same
+    groups — so each engine keeps its native convention."""
     prep(spark)
     e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(

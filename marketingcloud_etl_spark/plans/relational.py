@@ -2845,7 +2845,7 @@ def q228_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic. The classic inventory/revenue-concentration readout at
     any key cardinality."""
     prep(spark)
-    from ..operators.ranking import global_prefix_sum
+    from ..operators.ranking import TOTAL_COL, global_prefix_sum
 
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -2861,8 +2861,8 @@ def q228_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = F.col("cum_cents") - F.col("cents")
     classed = ranked.select(
         "cents",
-        F.when(prior * 100 < F.col("__mcetl_n") * 80, "A")
-        .when(prior * 100 < F.col("__mcetl_n") * 95, "B")
+        F.when(prior * 100 < F.col(TOTAL_COL) * 80, "A")
+        .when(prior * 100 < F.col(TOTAL_COL) * 95, "B")
         .otherwise("C")
         .alias("abc_class"),
     )
@@ -4026,7 +4026,7 @@ def q322_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one partkey-aligned join; the 9-cell output is constant-size at
     any scale."""
     prep(spark)
-    from ..operators.ranking import global_prefix_sum
+    from ..operators.ranking import TOTAL_COL, global_prefix_sum
 
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -4042,8 +4042,8 @@ def q322_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = F.col("cum") - F.col("cents")
     abc = ranked.select(
         "l_partkey",
-        F.when(prior * 100 < F.col("__mcetl_n") * 80, "A")
-        .when(prior * 100 < F.col("__mcetl_n") * 95, "B")
+        F.when(prior * 100 < F.col(TOTAL_COL) * 80, "A")
+        .when(prior * 100 < F.col(TOTAL_COL) * 95, "B")
         .otherwise("C")
         .alias("abc_class"),
     )

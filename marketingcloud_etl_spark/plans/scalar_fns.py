@@ -831,10 +831,10 @@ def q254_timestamp_ntz_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id < 300
     )
     SELECT doc_id,
-           a[1:2] || ['INS'] || a[3:] AS a_inserted,
-           ['HEAD'] || a AS a_prepended,
-           a || ['TAIL'] AS a_appended,
-           list_filter(a, x -> x != 'the') AS a_removed,
+           array_to_string(a[1:2] || ['INS'] || a[3:], ' ') AS a_inserted,
+           array_to_string(['HEAD'] || a, ' ') AS a_prepended,
+           array_to_string(a || ['TAIL'], ' ') AS a_appended,
+           array_to_string(list_filter(a, x -> x != 'the'), ' ') AS a_removed,
            a[9] AS missing_elem,
            cast(len(a) as bigint) AS n
     FROM base
@@ -848,7 +848,10 @@ def q255_array_mutation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexing) — the list-editing idiom feature pipelines use on token
     arrays. DuckDB spells each mutation with slice concatenation,
     which doubles as documentation of what the function actually
-    does."""
+    does. Each mutated array is stringified (space-joined) in the
+    final projection — the driver's comparator cannot sort raw array
+    columns (q165's round-4 failure class), and the join preserves the
+    full element sequence, so nothing is lost to the fold."""
     prep(spark)
     from ..functions.text import tokens
 
@@ -856,10 +859,10 @@ def q255_array_mutation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", F.slice(tokens("text"), 1, 6).alias("a"))
     return base.select(
         "doc_id",
-        F.array_insert("a", 3, F.lit("INS")).alias("a_inserted"),
-        F.array_prepend("a", F.lit("HEAD")).alias("a_prepended"),
-        F.array_append("a", F.lit("TAIL")).alias("a_appended"),
-        F.array_remove("a", "the").alias("a_removed"),
+        F.array_join(F.array_insert("a", 3, F.lit("INS")), " ").alias("a_inserted"),
+        F.array_join(F.array_prepend("a", F.lit("HEAD")), " ").alias("a_prepended"),
+        F.array_join(F.array_append("a", F.lit("TAIL")), " ").alias("a_appended"),
+        F.array_join(F.array_remove("a", "the"), " ").alias("a_removed"),
         F.try_element_at("a", F.lit(9)).alias("missing_elem"),
         F.size("a").cast("bigint").alias("n"),
     )

@@ -1290,7 +1290,8 @@ def q164_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT word,
            cast(count(*) as bigint) AS df_count,
-           list_slice(list_sort(list(doc_id)), 1, 5) AS posting_head
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',')
+             AS posting_head
     FROM toks GROUP BY word
     ORDER BY df_count DESC, word LIMIT 50
     """,
@@ -1302,8 +1303,9 @@ def q165_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     query. Per-doc DISTINCT tokens (one explode + dedup), then a
     token-keyed aggregation collecting the sorted posting head — the
     full posting list would be collect_set per token (bounded here to
-    head-5 so wide tokens can't blow a row); df_count comes from the
-    same aggregation. One shuffle keyed by token; Zipf skew on common
+    head-5 so wide tokens can't blow a row, and stringified — the
+    driver's hasher cannot sort raw array columns); df_count comes from
+    the same aggregation. One shuffle keyed by token; Zipf skew on common
     tokens is exactly the shape AQE skew-split handles (and q42's
     salted tf-idf is the manual alternative)."""
     prep(spark)
@@ -1313,7 +1315,9 @@ def q165_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("word")
         .agg(
             F.count(F.lit(1)).alias("df_count"),
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5).alias("posting_head"),
+            F.concat_ws(
+                ",", F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5)
+            ).alias("posting_head"),
         )
         .orderBy(F.col("df_count").desc(), "word")
         .limit(50)

@@ -470,3 +470,38 @@ def test_cached_frame_reuses_inmemory_scan(spark, sf_dir):
             assert "InMemoryTableScan" in plan, plan[:2000]
     finally:
         agg.unpersist(blocking=True)
+
+
+def test_oracle_query_outputs_are_driver_hashable(spark, sf_dir):
+    """Every oracle-able query's FINAL projection must be scalar-only
+    (string/numeric/bool/date/timestamp). The driver's comparator sorts
+    a pandas frame by every column before hashing; a raw array / map /
+    struct / binary cell raises `TypeError: unhashable type` inside its
+    canonicalizer — q165's round-4 failure mode. List-shaped results
+    must fold to a scalar (sorted-fold protocol, q108/q217/q282) or
+    stringify (concat_ws, the q18/q165 pattern) BEFORE the final
+    projection. Rows-only queries (no oracle) are exempt — the driver
+    only counts their rows."""
+    from pyspark.sql import types as T
+
+    scalar_ok = (
+        T.StringType, T.BooleanType, T.DateType, T.TimestampType,
+        T.TimestampNTZType, T.ByteType, T.ShortType, T.IntegerType,
+        T.LongType, T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    bad = {}
+    for name, qd in REGISTRY.items():
+        if qd.oracle is None:
+            continue
+        schema = qd.fn(spark, sf_dir).schema
+        hazards = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in schema.fields
+            if not isinstance(f.dataType, scalar_ok)
+        ]
+        names = [f.name for f in schema.fields]
+        if len(set(names)) != len(names):
+            hazards.append(f"duplicate column names {names}")
+        if hazards:
+            bad[name] = hazards
+    assert not bad, f"driver-comparator hazards in final projections: {bad}"
