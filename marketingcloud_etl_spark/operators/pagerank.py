@@ -62,3 +62,62 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """EXACT PageRank in integer fixed-point micro-units: every rank is
+    a bigint fraction of ``scale``, contributions are floor-divided by
+    out-degree, and the damping mix is integer percent arithmetic —
+    so the result is bit-identical under ANY partitioning or
+    aggregation order (integer addition is associative; float
+    power iteration is not), which makes the iterative-graph family
+    driver-hashable (q342) instead of rows-only like float q128.
+    Mass shrinks by the floor remainders each round — deterministic
+    and identical on any engine that floors the same way; ranking
+    order matches float PageRank to ~1e-12 relative.
+
+    Same Spark shape as :func:`pagerank`: one join + one aggregation
+    per iteration, lineage cut each round, loop-invariant edge/degree
+    frames checkpointed once."""
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # one driver scalar, not data
+    if n == 0:
+        return nodes.select("id", F.lit(0).cast("bigint").alias("rank_micro"))
+    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    e = edges.join(out_deg, src).select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), "__deg"
+    ).localCheckpoint()
+    base = (scale * (100 - damping_pct) // 100) // n
+    ranks = nodes.select(
+        "id", F.lit(scale // n).cast("bigint").alias("rank_micro")
+    ).localCheckpoint()
+    for _ in range(iters):
+        contribs = e.join(ranks, e["__src"] == ranks["id"]).select(
+            F.col("__dst").alias("id"),
+            F.expr("rank_micro div __deg").alias("c"),
+        )
+        sums = contribs.groupBy("id").agg(F.sum("c").cast("bigint").alias("s"))
+        ranks = (
+            nodes.join(sums, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("bigint").alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -713,6 +713,80 @@ def q128_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q342_pagerank_exact",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), edges AS (  -- bipartite part-supplier graph, fed symmetrically;
+                   -- disjoint id spaces via 2p / 2s+1
+      SELECT p * 2 AS src, s * 2 + 1 AS dst FROM e0
+      UNION ALL
+      SELECT s * 2 + 1 AS src, p * 2 AS dst FROM e0
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges  -- symmetric: src set = node set
+    ), deg AS (
+      SELECT src, cast(count(*) as bigint) AS deg FROM edges GROUP BY src
+    ), nn AS (
+      SELECT cast(count(*) as bigint) AS n FROM nodes
+    ), r0 AS (
+      SELECT id, 1000000000000 // n AS r FROM nodes CROSS JOIN nn
+    ), c1 AS (
+      SELECT e.dst AS id, cast(sum(r.r // d.deg) as bigint) AS s
+      FROM edges e JOIN r0 r ON e.src = r.id JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT nodes.id,
+             (150000000000 // n) + (85 * coalesce(c1.s, 0)) // 100 AS r
+      FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id
+    ), c2 AS (
+      SELECT e.dst AS id, cast(sum(r.r // d.deg) as bigint) AS s
+      FROM edges e JOIN r1 r ON e.src = r.id JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT nodes.id,
+             (150000000000 // n) + (85 * coalesce(c2.s, 0)) // 100 AS r
+      FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id
+    ), c3 AS (
+      SELECT e.dst AS id, cast(sum(r.r // d.deg) as bigint) AS s
+      FROM edges e JOIN r2 r ON e.src = r.id JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT nodes.id,
+             (150000000000 // n) + (85 * coalesce(c3.s, 0)) // 100 AS r
+      FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id
+    )
+    SELECT id, cast(r as bigint) AS rank_micro FROM r3
+    """,
+    tags=("graph", "iterative", "parity"),
+)
+def q342_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified TWIN of rows-only q128: PageRank in EXACT integer
+    fixed-point (operators/pagerank.py::pagerank_fixed_point) over the
+    symmetric bipartite part-supplier graph — every rank a bigint
+    micro-unit, contributions floor-divided by degree, damping as
+    integer percent math, so the full three-iteration power method is
+    bit-identical under any partitioning/aggregation order and the
+    driver hashes EVERY node's rank (float q128 stays rows-only by
+    contract because double addition is order-dependent). The oracle
+    unrolls the same three iterations as chained CTEs — all operands
+    non-negative, so Python/Spark floor `div` and DuckDB's truncating
+    `//` agree. Same scale shape as q128: one join + one aggregation
+    per iteration, lineage cut per round, no driver-side data."""
+    prep(spark)
+    from ..operators.pagerank import pagerank_fixed_point
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    e0 = li.select(
+        (F.col("l_partkey") * 2).alias("id_a"),
+        (F.col("l_suppkey") * 2 + 1).alias("id_b"),
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    return pagerank_fixed_point(sym, iters=3).select("id", "rank_micro")
+
+
+@query(
     "q129_setsim_join",
     oracle=f"""
     WITH ds AS (

@@ -500,6 +500,245 @@ def q93_jdbc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q339_jdbc_merge_readback",
+    oracle="""
+    SELECT event_type,
+           cast(count(*) as bigint) AS n,
+           cast(sum(cast(value as decimal(14,2))) as double) AS total_value,
+           true AS idempotent
+    FROM events WHERE event_id < 500
+    GROUP BY event_type
+    """,
+    tags=("etl", "sink", "parity"),
+)
+def q339_jdbc_merge_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified TWIN of rows-only q93: the staging-table merge
+    upsert (reference R12, salesforce_extractor.py:211-221) runs TWICE
+    against a live SQL database, then the query READS THE TARGET BACK
+    and aggregates — the oracle computes the identical aggregate
+    straight from parquet, so any row the merge dropped, duplicated,
+    or mutated breaks the value hash, and the ``idempotent`` flag
+    pins that the second identical merge was a no-op (the reference's
+    unique-key insert-ignore invariant). The read-back streams through
+    a bounded driver cursor (500 keyed rows by construction — the
+    merge battery's declared fixture size; production read-back is the
+    JDBC source). Same q168 pattern as the custom-writer sink."""
+    prep(spark)
+    import sqlite3
+    import tempfile
+
+    from ..functions.hashing import content_hash
+    from ..sinks.jdbc_merge import merge_upsert
+
+    db = tempfile.mkdtemp(prefix="mcetl_q339_") + "/wh.db"
+
+    def stage_writer(batch, tbl):
+        import pyarrow.dataset as ds
+
+        stage_dir = tempfile.mkdtemp(prefix="mcetl_q339_stage_")
+        batch.write.mode("overwrite").parquet(stage_dir)
+        con = sqlite3.connect(db)
+        try:
+            cols = batch.columns
+            con.execute(f'DROP TABLE IF EXISTS "{tbl}"')
+            con.execute(f'CREATE TABLE "{tbl}" ({", ".join(cols)})')
+            ins = f'INSERT INTO "{tbl}" VALUES ({",".join("?" * len(cols))})'
+            for rb in ds.dataset(stage_dir, format="parquet").to_batches(
+                batch_size=10_000, columns=cols
+            ):
+                con.executemany(
+                    ins, zip(*(rb.column(c).to_pylist() for c in cols))
+                )
+            con.commit()
+        finally:
+            con.close()
+
+    def statement_runner(stmts):
+        con = sqlite3.connect(db)
+        try:
+            for s in stmts:
+                con.execute(s)
+            con.commit()
+        finally:
+            con.close()
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    batch = e.select(
+        content_hash(["event_id", "user_id", "event_type"]).alias("hash"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+    kw = dict(url="jdbc:sqlite:unused", target_table="events_mart",
+              key_cols=("hash",), dialect="sqlite",
+              stage_writer=stage_writer, statement_runner=statement_runner)
+    merge_upsert(batch, **kw)
+    n1_con = sqlite3.connect(db)
+    try:
+        n1 = n1_con.execute("SELECT count(*) FROM events_mart").fetchone()[0]
+    finally:
+        n1_con.close()
+    merge_upsert(batch, **kw)  # idempotence: second pass must be a no-op
+    con = sqlite3.connect(db)
+    try:
+        rows = con.execute(
+            "SELECT event_type, value FROM events_mart"
+        ).fetchall()
+    finally:
+        con.close()
+    back = spark.createDataFrame(rows, "event_type string, value double")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
+    ).withColumn("idempotent", F.lit(len(rows) == n1))
+
+
+@query(
+    "q340_rest_flatten_parity",
+    oracle="""
+    WITH nums AS (
+      SELECT unnest(range(0, 35)) AS slot
+    ), src AS (  -- corpus(): slot 10 re-serves item 0 (cross-page dup)
+      SELECT CASE WHEN slot = 10 THEN 0 ELSE slot END AS i FROM nums
+    ), raw AS (
+      SELECT i,
+             'L-' || lpad(cast(i as varchar), 5, '0') AS lead_id,
+             'https://x.test/p' || i || '?utm=1' AS url,
+             CASE WHEN i % 11 = 0 THEN NULL ELSE 'S-' || (i % 7) END
+               AS session_id,
+             CASE WHEN i % 11 = 0 THEN NULL ELSE cast(i % 3 as varchar) END
+               AS order_key,
+             'T' || (i % 5) AS type_id,
+             'web' AS event_category,
+             CASE WHEN i % 13 = 0 THEN repeat('x', 300) || '?trailing'
+                  ELSE 'page_view_' || i || '?utm_source=mail&x=y' END
+               AS raw_event_name,
+             CASE WHEN i % 17 = 0 THEN 'not-a-date'
+                  ELSE ((i % 12) + 1) || '/' || ((i % 27) + 1) || '/2025 '
+                       || ((i % 12) + 1) || ':07:09 PM' END AS raw_date
+      FROM src
+    ), dedup AS (
+      SELECT DISTINCT * FROM raw
+    )
+    SELECT lead_id, url,
+           coalesce(session_id, '') AS session_id,
+           coalesce(order_key, '') AS order_key,
+           try_strptime(raw_date, '%-m/%-d/%Y %-I:%M:%S %p') AS event_date,
+           type_id, event_category,
+           substr(string_split(raw_event_name, '?')[1], 1, 256) AS event_name
+    FROM dedup
+    """,
+    tags=("etl", "source", "parity"),
+)
+def q340_rest_flatten_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified TWIN of rows-only q83: the FULL reference dataflow
+    — Bearer-auth paginated REST DataSource (one InputPartition per
+    page) → nested flatten with missing-key defaults → query-string
+    strip + 256-char cap → null-safe date parse → content-hash dedup
+    across the page-boundary duplicate — value-hashed by the driver
+    against an INDEPENDENT oracle that regenerates the mock corpus
+    formulaically in SQL (sources/mock_sfmc.py:24-54 is pure modular
+    arithmetic) and applies the reference's cleaning rules
+    (salesforce_extractor.py:138-181) in DuckDB. 35 items minus the
+    planted duplicate = 34 rows; every R5-R10 edge (missing keys,
+    oversized names, unparseable dates, 12-hour date format) lands in
+    the hashed values. The hash column itself stays internal (engine-
+    specific digest); dedup-by-hash equals dedup-by-content because
+    the hash is a pure function of the raw fields."""
+    prep(spark)
+    import tempfile
+
+    from ..etl.lead_activity import flatten_lead_activity, read_lead_activity
+    from ..sources.mock_sfmc import PAGE_SIZE, MockSfmcServer
+
+    out = tempfile.mkdtemp(prefix="mcetl_q340_") + "/flat"
+    with MockSfmcServer(n_items=35) as server:
+        items = read_lead_activity(
+            spark,
+            base_url=server.base_url,
+            auth_url=server.auth_url,
+            client_id="demo",
+            client_secret="demo",
+            page_size=PAGE_SIZE,
+        )
+        flat = flatten_lead_activity(items).dropDuplicates(["hash"]).select(
+            "lead_id", "url", "session_id",
+            F.col("order").alias("order_key"),
+            F.col("date").alias("event_date"),
+            "type_id", "event_category", "event_name",
+        )
+        flat.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "q341_rest_stream_parity",
+    oracle="""
+    WITH nums AS (
+      SELECT unnest(range(0, 30)) AS slot  -- pages 1-3 only: the
+        -- still-filling page 4 (items 30-34) is deferred by the
+        -- complete-pages offset protocol
+    ), src AS (
+      SELECT slot, CASE WHEN slot = 10 THEN 0 ELSE slot END AS i FROM nums
+    )
+    SELECT 'L-' || lpad(cast(i as varchar), 5, '0') AS lead_id,
+           CASE WHEN i % 13 = 0 THEN repeat('x', 300) || '?trailing'
+                ELSE 'page_view_' || i || '?utm_source=mail&x=y' END
+             AS event_name,
+           cast(slot // 10 + 1 as int) AS page
+    FROM src
+    """,
+    tags=("etl", "source", "streaming", "parity"),
+)
+def q341_rest_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified TWIN of rows-only q148: the STREAMING REST source
+    end-to-end (availableNow micro-batches, complete-pages offset
+    protocol, foreachBatch parquet sink) value-hashed against an
+    oracle that regenerates the servable corpus formulaically. The
+    protocol's exactly-once claim becomes hashed evidence: exactly 30
+    rows (pages 1-3), the still-filling page 4 never fetched, the
+    cross-page duplicate at slot 10 present ONCE AS A ROW (page-level
+    exactly-once, not content dedup — that's the batch path's
+    anti-join, q340), raw uncleaned event_name proving the stream
+    carries source fidelity."""
+    prep(spark)
+    import tempfile
+
+    from ..sources.mock_sfmc import PAGE_SIZE, MockSfmcServer
+    from ..sources.rest import register_rest_source
+
+    register_rest_source(spark)
+    base = tempfile.mkdtemp(prefix="mcetl_q341_")
+    out_dir, ck = f"{base}/rows", f"{base}/ck"
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    with MockSfmcServer(n_items=35) as server:
+        q = (
+            spark.readStream.format("rest_pages")
+            .options(
+                base_url=server.base_url,
+                auth_url=server.auth_url,
+                client_id="demo",
+                client_secret="demo",
+                page_size=PAGE_SIZE,
+            )
+            .load()
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "keys.lead_id",
+        F.col("values.event_name").alias("event_name"),
+        F.col("page").cast("int").alias("page"),
+    )
+
+
+@query(
     "q98_orc_roundtrip",
     oracle="""
     SELECT o_orderstatus,

@@ -180,6 +180,95 @@ def q73_frame_sample_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q337_multimodal_feature_parity",
+    oracle="""
+    SELECT doc_id,
+           'image/fake' AS media_type,
+           cast(octet_length(encode(text)) as bigint) AS n_bytes,
+           md5(text) AS payload_digest,
+           cast(('0x' || substr(md5(text), 1, 4))::int % 1920 + 1 as int) AS width,
+           cast(('0x' || substr(md5(text), 5, 4))::int % 1080 + 1 as int) AS height,
+           ('0x' || substr(md5(text), 9, 8))::bigint / 4294967295.0 AS feat_mean
+    FROM documents
+    WHERE doc_id < 300 AND octet_length(encode(text)) = length(text)
+    """,
+    tags=("multimodal", "parity"),
+)
+def q337_multimodal_feature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified TWIN of rows-only q54: the REAL multimodal path —
+    binary payload attach → Arrow-batched mapInPandas decode-stub
+    feature extraction (operators/multimodal.py:50) — emitted per-doc
+    so the driver value-hashes every field the Python stage computes.
+    The stub derives width/height/feat_mean from md5(payload), and the
+    fixture payload is the utf-8 text bytes, so DuckDB recomputes the
+    identical values in pure SQL (md5 + hex-substring arithmetic):
+    bit-exact including the raw IEEE division for feat_mean (same
+    integer operands, same constant divisor on both engines). The
+    ASCII guard (octet_length = length, applied on BOTH sides) keeps
+    the byte/char equivalence explicit rather than assumed. This makes
+    the mapInPandas batch boundary itself driver-evidence — q54 stays
+    as the rollup form over the full corpus."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300)
+        & (F.octet_length("text") == F.length("text"))
+    )
+    return extract_features(attach_binary_payload(d)).select(
+        "doc_id", "media_type", "n_bytes", "payload_digest",
+        "width", "height", "feat_mean",
+    )
+
+
+@query(
+    "q338_frame_sample_parity",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS len,
+             least(8, greatest(1, length(text) // 64)) AS n_frames
+      FROM documents
+      WHERE doc_id < 200 AND octet_length(encode(text)) = length(text)
+    ), strided AS (
+      SELECT doc_id, text, n_frames,
+             CASE WHEN n_frames > 1
+                  THEN greatest(1, (len - 64) // (n_frames - 1))
+                  ELSE 0 END AS stride
+      FROM base
+    ), frames AS (
+      SELECT doc_id, unnest(range(0, n_frames)) AS frame_no, stride, text
+      FROM strided
+    )
+    SELECT doc_id,
+           cast(frame_no as int) AS frame_no,
+           cast(frame_no * stride as bigint) AS frame_offset,
+           md5(substr(text, cast(frame_no * stride + 1 as int), 64)) AS frame_digest
+    FROM frames
+    """,
+    tags=("multimodal", "parity"),
+)
+def q338_frame_sample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified TWIN of rows-only q73: the REAL one-to-many
+    mapInPandas frame sampler (operators/multimodal.py:82) emitted
+    per-frame, so the driver value-hashes every offset and digest the
+    Python fan-out stage produces. The sampler slices up to 8
+    fixed-width 64-byte windows evenly across the payload
+    (n = min(8, max(1, len//64)); stride = max(1, (len-64)//(n-1)));
+    DuckDB regenerates the same windows with range() + substr and
+    md5-digests them — the ASCII guard (both sides) makes byte-window
+    == char-window exact. Positive operands make Python floor division
+    and DuckDB's truncating // identical here."""
+    prep(spark)
+    from ..operators.multimodal import frame_sample
+
+    d = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200)
+        & (F.octet_length("text") == F.length("text"))
+    )
+    return frame_sample(attach_binary_payload(d)).select(
+        "doc_id", "frame_no", "frame_offset", "frame_digest"
+    )
+
+
 @query("q138_ann_ivfpq_topk", oracle=None, tags=("vector", "ann", "rows-only"))
 def q138_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED production vector index (q66 × q105): IVF cells
