@@ -1222,3 +1222,43 @@ def test_global_prefix_sum_multi_column_matches_window(spark):
         .filter((F.col("ca") != F.col("wa")) | (F.col("cb") != F.col("wb")))
     )
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_pagerank_fixed_point_matches_integer_reference(spark):
+    """pagerank_fixed_point vs a pure-Python integer power iteration on
+    the same graph: EXACT equality (the operator's whole point is
+    bit-identical integer arithmetic under any partitioning), plus
+    rank-order agreement with the float operator."""
+    from marketingcloud_etl_spark.operators.pagerank import (
+        pagerank,
+        pagerank_fixed_point,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 2), (2, 6)]
+    edges = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {
+        r.id: r.rank_micro
+        for r in pagerank_fixed_point(edges, iters=3).collect()
+    }
+
+    scale, n, dpct = 1_000_000_000_000, 7, 85
+    out_deg = {}
+    for a, _ in pairs:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    r = {i: scale // n for i in range(n)}
+    base = (scale * (100 - dpct) // 100) // n
+    for _ in range(3):
+        s = {i: 0 for i in range(n)}
+        for a, b in pairs:
+            s[b] += r[a] // out_deg[a]
+        r = {i: base + (dpct * s[i]) // 100 for i in range(n)}
+    assert got == r, (got, r)
+
+    # order agreement with the float operator at the same iteration count
+    f = {x.id: x.rank for x in pagerank(edges, iters=3).collect()}
+    order_int = sorted(range(n), key=lambda i: (-got[i], i))
+    order_flt = sorted(range(n), key=lambda i: (-f[i], i))
+    assert order_int == order_flt
+
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert pagerank_fixed_point(empty).count() == 0
