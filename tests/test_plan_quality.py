@@ -505,3 +505,14 @@ def test_oracle_query_outputs_are_driver_hashable(spark, sf_dir):
         if hazards:
             bad[name] = hazards
     assert not bad, f"driver-comparator hazards in final projections: {bad}"
+
+
+def test_bench_budgets_cover_headline():
+    """Every pinned budget must name a current headline query (a rename
+    would silently orphan its budget → phantom 'unpinned' pass), and
+    the budgeted set must stay inside HEADLINE."""
+    import bench
+
+    orphaned = [n for n in bench.BUDGETS if n not in bench.HEADLINE]
+    assert not orphaned, f"budgets for non-headline queries: {orphaned}"
+    assert all(b > 0 for b in bench.BUDGETS.values())
