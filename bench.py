@@ -108,6 +108,15 @@ HEADLINE = (
     # prefix-sum ECDF (KS) and the prefix-share + integer-CV matrix
     "q322_abc_xyz_matrix",
     "q334_ks_two_sample",
+    # round-5 wave: Arrow mapInPandas stages emitted per-row (feature
+    # extraction + one-to-many frame fan-out) and the integer
+    # fixed-point PageRank — the Python-boundary and iterative-graph
+    # physical families, previously invisible to the bench. (The other
+    # round-5 twins q339-q341 are mock-HTTP / sqlite driver-bound, not
+    # data-scale-dependent — benching them would measure the fixture.)
+    "q337_multimodal_feature_parity",
+    "q338_frame_sample_parity",
+    "q342_pagerank_exact",
 )
 
 

