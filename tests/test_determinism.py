@@ -27,6 +27,9 @@ INVARIANCE_QUERIES = (
     "q312_neyman_allocation",   # sorted-fold of sqrt power-sum terms
     "q323_gini_concentration",  # distributed ranks × decimal(38,0) sums
     "q334_ks_two_sample",       # integer ECDF cross-multiplication
+    "q342_pagerank_exact",      # fixed-point iterative graph op: the
+                                # operator's whole claim is bitwise
+                                # invariance under re-partitioning
 )
 
 
