@@ -1417,6 +1417,68 @@ def q168_pydatasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q343_pydatasource_stream_sink",
+    oracle="""
+    SELECT event_type,
+           cast(count(*) as bigint) AS n,
+           cast(sum(cast(value as decimal(14,2))) as double) AS total_value,
+           true AS manifest_matches
+    FROM events GROUP BY event_type
+    """,
+    tags=("etl", "sink", "streaming"),
+)
+def q343_pydatasource_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource STREAM WRITER — the last cell of the
+    DataSource matrix (batch reader q83 / stream reader q148 / batch
+    writer q168 / this): events replay as a file stream and land in
+    the JSON-lines sink through the per-micro-batch two-phase commit
+    (``sinks/pydatasource.py::_JsonLinesStreamWriter`` — batchId is
+    the idempotence key, ``_SUCCESS.<batchId>`` manifests gate
+    visibility). The query reads the MANIFESTED files back and
+    aggregates; the oracle computes the identical aggregate straight
+    from parquet, so a dropped batch, duplicated re-run, or
+    half-visible commit breaks the hash, and ``manifest_matches`` pins
+    the summed per-batch manifest counts against the re-read. The
+    reference's closest analogue is its per-2500-row INSERT loop
+    (salesforce_extractor.py:197-230) — here each epoch is one
+    distributed transactional append."""
+    import os
+    import shutil
+
+    prep(spark)
+    from ..sinks.pydatasource import JsonLinesSinkDataSource, read_stream_manifests
+    from ..streaming.jobs import events_stream
+
+    try:
+        spark.dataSource.register(JsonLinesSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+    base = f"/tmp/mcetl_pystreamsink_{fixture_tag(sf_dir)}"
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(f"{base}_ckpt", ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src = events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        src.writeStream.format("mcetl_jsonl_sink")
+        .option("path", base)
+        .option("checkpointLocation", f"{base}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    manifest = read_stream_manifests(base)
+    back = spark.read.schema("event_id bigint, event_type string, value double").json(
+        [os.path.join(base, f) for f in manifest["files"]]
+    )
+    agg = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
+    )
+    total = agg.agg(F.sum("n").alias("__t")).collect()[0]["__t"]
+    return agg.withColumn("manifest_matches", F.lit(manifest["n_rows"] == total))
+
+
+@query(
     "q179_csv_corrupt_records",
     oracle="""
     WITH src AS (SELECT event_id, value FROM events WHERE event_id < 2000)

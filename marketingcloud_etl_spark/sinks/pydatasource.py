@@ -35,9 +35,14 @@ import uuid
 from dataclasses import dataclass
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
-__all__ = ["JsonLinesSinkDataSource", "read_manifest"]
+__all__ = ["JsonLinesSinkDataSource", "read_manifest", "read_stream_manifests"]
 
 
 @dataclass
@@ -85,9 +90,67 @@ class _JsonLinesWriter(DataSourceWriter):
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
 
 
+class _JsonLinesStreamWriter(DataSourceStreamWriter):
+    """STREAMING half of the sink (Spark 4 ``streamWriter``): the same
+    stage-then-commit protocol per MICRO-BATCH, with the batch id as
+    the idempotence key — exactly the contract a transactional target
+    (DB transaction per epoch, bulk-API job per epoch) sits behind.
+
+    - ``write(iterator)`` per task: rows stage under ``_staging``.
+    - ``commit(messages, batchId)`` on the driver once per successful
+      batch: any files from a PREVIOUS attempt of this batchId are
+      removed first (restart after a commit-crash re-runs the batch —
+      replace, don't duplicate), staged parts rename to
+      ``batch-<id>-part-*`` and a ``_SUCCESS.<id>`` manifest publishes
+      them. Readers trust only manifested files, so a crash anywhere
+      leaves the previous batches fully visible and the failed batch
+      fully invisible — exactly-once end to end.
+    - ``abort(messages, batchId)`` drops staging only.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path") or options["target"]
+
+    def write(self, iterator: Iterator) -> _PartCommit:  # executor-side
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        part = os.path.join(staging, f"spart-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str, sort_keys=True))
+                f.write("\n")
+                n += 1
+        return _PartCommit(staged_path=part, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:  # driver-side
+        for name in os.listdir(self.path):  # replace a re-run batch
+            if name.startswith(f"batch-{batchId}-part-"):
+                os.remove(os.path.join(self.path, name))
+        files, total = [], 0
+        for i, m in enumerate(msg for msg in messages if msg is not None):
+            final = os.path.join(self.path, f"batch-{batchId}-part-{i:05d}.jsonl")
+            os.rename(m.staged_path, final)
+            files.append(os.path.basename(final))
+            total += m.n_rows
+        manifest = {"batch_id": batchId, "files": sorted(files), "n_rows": total}
+        tmp = os.path.join(self.path, f"_SUCCESS.{batchId}.tmp{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, os.path.join(self.path, f"_SUCCESS.{batchId}"))
+        # micro-batches are sequential per stream: staging is empty of
+        # other batches' parts once this one committed
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
 class JsonLinesSinkDataSource(DataSource):
-    """``df.write.format("mcetl_jsonl_sink").option("path", dir)`` —
-    register with ``spark.dataSource.register(JsonLinesSinkDataSource)``."""
+    """``df.write.format("mcetl_jsonl_sink").option("path", dir)`` (batch)
+    or ``df.writeStream.format("mcetl_jsonl_sink")`` (per-micro-batch
+    two-phase commit) — register with
+    ``spark.dataSource.register(JsonLinesSinkDataSource)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -96,8 +159,26 @@ class JsonLinesSinkDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> _JsonLinesWriter:
         return _JsonLinesWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> _JsonLinesStreamWriter:
+        return _JsonLinesStreamWriter(self.options)
+
 
 def read_manifest(path: str) -> dict:
     """Read the ``_SUCCESS`` manifest of a committed sink directory."""
     with open(os.path.join(path, "_SUCCESS")) as f:
         return json.load(f)
+
+
+def read_stream_manifests(path: str) -> dict:
+    """Union the per-batch ``_SUCCESS.<batchId>`` manifests of a
+    streaming sink directory: only manifested files count (uncommitted
+    parts are invisible by contract)."""
+    files, total, batches = [], 0, []
+    for name in sorted(os.listdir(path)):
+        if name.startswith("_SUCCESS.") and not name.endswith("tmp"):
+            with open(os.path.join(path, name)) as f:
+                m = json.load(f)
+            files.extend(m["files"])
+            total += m["n_rows"]
+            batches.append(m["batch_id"])
+    return {"files": sorted(files), "n_rows": total, "batches": sorted(batches)}

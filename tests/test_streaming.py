@@ -552,3 +552,71 @@ def test_chained_stateful_checkpoint_recovery(spark, sf_dir, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert last.exceptAll(want).count() == 0 and want.exceptAll(last).count() == 0
+
+
+def test_pydatasource_stream_sink_restart_idempotent(spark, sf_dir, tmp_path):
+    """The custom streaming writer's exactly-once contract: (1) an
+    availableNow run lands every source row exactly once across
+    per-batch manifests; (2) restarting from the same checkpoint with
+    no new data commits nothing new; (3) re-committing the SAME batch
+    id (the crash-between-commit-and-offset-ack case) replaces that
+    batch's files instead of duplicating them."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.sinks.pydatasource import (
+        JsonLinesSinkDataSource,
+        _JsonLinesStreamWriter,
+        _PartCommit,
+        read_stream_manifests,
+    )
+    from marketingcloud_etl_spark.streaming.jobs import events_stream
+
+    try:
+        spark.dataSource.register(JsonLinesSinkDataSource)
+    except Exception:
+        pass
+    base, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    os.makedirs(base, exist_ok=True)
+
+    def run():
+        q = (
+            events_stream(spark, sf_dir)
+            .select("event_id", "event_type", "value")
+            .writeStream.format("mcetl_jsonl_sink")
+            .option("path", base)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    m1 = read_stream_manifests(base)
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert m1["n_rows"] == n_src
+    assert len(m1["batches"]) >= 2  # maxFilesPerTrigger=2 → multi-batch
+    back = spark.read.json([os.path.join(base, f) for f in m1["files"]])
+    assert back.count() == n_src
+    assert back.select("event_id").distinct().count() == n_src
+
+    run()  # restart, no new source files → no new manifests
+    m2 = read_stream_manifests(base)
+    assert m2 == m1
+
+    # driver-side re-commit of an existing batch id replaces its files
+    bid = m1["batches"][0]
+    before = sorted(f for f in os.listdir(base) if f.startswith(f"batch-{bid}-part-"))
+    w = _JsonLinesStreamWriter({"path": base})
+    staged = os.path.join(base, "_staging")
+    os.makedirs(staged, exist_ok=True)
+    p = os.path.join(staged, "spart-retry.jsonl")
+    with open(p, "w") as f:
+        f.write(json.dumps({"event_id": -1, "event_type": "retry", "value": 0.0}) + "\n")
+    w.commit([_PartCommit(staged_path=p, n_rows=1)], bid)
+    after = sorted(f for f in os.listdir(base) if f.startswith(f"batch-{bid}-part-"))
+    assert after == [f"batch-{bid}-part-00000.jsonl"]  # replaced, not appended
+    rewritten = json.load(open(os.path.join(base, f"_SUCCESS.{bid}")))
+    assert rewritten["n_rows"] == 1 and rewritten["batch_id"] == bid
