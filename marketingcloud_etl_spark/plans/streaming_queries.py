@@ -680,6 +680,50 @@ def q188_chained_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q344_dedup_within_watermark",
+    oracle="""
+    SELECT event_type,
+           cast(count(*) as bigint) AS n,
+           cast(sum(cast(round(value * 100) as bigint)) as bigint) AS cents
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "stateful", "dedup"),
+)
+def q344_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` hash-verified (the API's only
+    other appearance, q61, is rows-only): the replayed stream unioned
+    with itself — every event arrives twice — and the within-watermark
+    dedup on event id must exactly cancel the doubling, because each
+    duplicate lands inside its original's watermark horizon. Unlike
+    plain watermarked ``dropDuplicates`` (q188), this operator EXPIRES
+    a key's state one watermark-delta after that key's LAST duplicate
+    rather than keeping it forever — the contract that bounds dedup
+    state at 100 TB feed scale (state size tracks the disorder window,
+    not the corpus). The oracle is the batch aggregate of the ORIGINAL
+    events; per-row-rounded integer cents make the sum order-proof."""
+    prep(spark)
+    from ..streaming.jobs import events_stream, run_to_memory
+
+    s = events_stream(spark, sf_dir)
+    doubled = s.unionByName(s)
+    dd = doubled.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_to_memory(
+        dd.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ),
+        "q344_out",
+        output_mode="append",
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+
+
+@query(
     "q196_stream_stream_left_outer",
     oracle="""
     WITH cut AS (
