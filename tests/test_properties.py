@@ -203,3 +203,41 @@ def test_skyline_staircase_matches_bruteforce(spark, pts):
         )
     }
     assert got == want, (sorted(got), sorted(want), pts)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda es: any(a != b for a, b in es)),
+    st.integers(1, 4),
+)
+def test_pagerank_fixed_point_property(spark, edge_pairs, iters):
+    """On ARBITRARY small directed graphs, pagerank_fixed_point equals
+    the sequential pure-Python integer power iteration exactly — the
+    distributed join/agg pipeline cannot drift from the scalar spec on
+    any input, at any iteration count."""
+    from marketingcloud_etl_spark.operators.pagerank import pagerank_fixed_point
+
+    edges = sorted({(a, b) for a, b in edge_pairs if a != b})
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        r.id: r.rank_micro for r in pagerank_fixed_point(df, iters=iters).collect()
+    }
+
+    scale, dpct = 1_000_000_000_000, 85
+    node_ids = sorted({x for e in edges for x in e})
+    n = len(node_ids)
+    out_deg = {}
+    for a, _ in edges:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    r = {i: scale // n for i in node_ids}
+    base = (scale * (100 - dpct) // 100) // n
+    for _ in range(iters):
+        s = {i: 0 for i in node_ids}
+        for a, b in edges:
+            s[b] += r[a] // out_deg[a]
+        r = {i: base + (dpct * s[i]) // 100 for i in node_ids}
+    assert got == r
