@@ -1262,3 +1262,18 @@ def test_pagerank_fixed_point_matches_integer_reference(spark):
 
     empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert pagerank_fixed_point(empty).count() == 0
+
+
+def test_io_table_error_contracts(spark, sf_dir):
+    """The fixture-loader's failure modes stay clean: unknown table →
+    KeyError naming the valid set (not a cryptic path error); bad
+    sf_dir → Spark's PATH_NOT_FOUND AnalysisException."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from marketingcloud_etl_spark.io import table
+
+    with pytest.raises(KeyError, match="unknown fixture table"):
+        table(spark, sf_dir, "nope")
+    with pytest.raises(AnalysisException):
+        table(spark, "/root/testdata/does-not-exist", "orders").count()
