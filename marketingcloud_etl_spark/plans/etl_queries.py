@@ -431,46 +431,10 @@ def q93_jdbc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..functions.hashing import content_hash
-    from ..sinks.jdbc_merge import merge_upsert
+    from ..sinks.jdbc_merge import merge_upsert, sqlite_standins
 
     db = tempfile.mkdtemp(prefix="mcetl_q93_") + "/wh.db"
-
-    def stage_writer(batch, tbl):
-        # sqlite is a single-file target, so the stand-in can't take the
-        # production path's parallel executor connections — but it must
-        # still never materialize the batch on the driver in one piece.
-        # Stage to parquet (distributed write), then stream bounded
-        # record batches into sqlite: peak driver memory is one 10k-row
-        # Arrow batch regardless of batch size.
-        import pyarrow.dataset as ds
-
-        stage_dir = tempfile.mkdtemp(prefix="mcetl_q93_stage_")
-        batch.write.mode("overwrite").parquet(stage_dir)
-        con = sqlite3.connect(db)
-        try:
-            cols = batch.columns
-            con.execute(f'DROP TABLE IF EXISTS "{tbl}"')
-            con.execute(f'CREATE TABLE "{tbl}" ({", ".join(cols)})')
-            ins = f'INSERT INTO "{tbl}" VALUES ({",".join("?" * len(cols))})'
-            for rb in ds.dataset(stage_dir, format="parquet").to_batches(
-                batch_size=10_000, columns=cols
-            ):
-                con.executemany(
-                    ins,
-                    zip(*(rb.column(c).to_pylist() for c in cols)),
-                )
-            con.commit()
-        finally:
-            con.close()
-
-    def statement_runner(stmts):
-        con = sqlite3.connect(db)
-        try:
-            for s in stmts:
-                con.execute(s)
-            con.commit()
-        finally:
-            con.close()
+    stage_writer, statement_runner = sqlite_standins(db)
 
     e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     batch = e.select(
@@ -528,39 +492,10 @@ def q339_jdbc_merge_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..functions.hashing import content_hash
-    from ..sinks.jdbc_merge import merge_upsert
+    from ..sinks.jdbc_merge import merge_upsert, sqlite_standins
 
     db = tempfile.mkdtemp(prefix="mcetl_q339_") + "/wh.db"
-
-    def stage_writer(batch, tbl):
-        import pyarrow.dataset as ds
-
-        stage_dir = tempfile.mkdtemp(prefix="mcetl_q339_stage_")
-        batch.write.mode("overwrite").parquet(stage_dir)
-        con = sqlite3.connect(db)
-        try:
-            cols = batch.columns
-            con.execute(f'DROP TABLE IF EXISTS "{tbl}"')
-            con.execute(f'CREATE TABLE "{tbl}" ({", ".join(cols)})')
-            ins = f'INSERT INTO "{tbl}" VALUES ({",".join("?" * len(cols))})'
-            for rb in ds.dataset(stage_dir, format="parquet").to_batches(
-                batch_size=10_000, columns=cols
-            ):
-                con.executemany(
-                    ins, zip(*(rb.column(c).to_pylist() for c in cols))
-                )
-            con.commit()
-        finally:
-            con.close()
-
-    def statement_runner(stmts):
-        con = sqlite3.connect(db)
-        try:
-            for s in stmts:
-                con.execute(s)
-            con.commit()
-        finally:
-            con.close()
+    stage_writer, statement_runner = sqlite_standins(db)
 
     e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     batch = e.select(

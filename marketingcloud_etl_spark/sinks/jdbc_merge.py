@@ -198,3 +198,49 @@ def merge_upsert(
         ]
     )
     return {"staged_table": staging, "target_table": target_table}
+
+
+def sqlite_standins(db_path: str) -> tuple:
+    """(stage_writer, statement_runner) pair backed by a sqlite file —
+    the sandbox stand-in for the production JDBC staging path (no JDBC
+    driver jar here; the statement pipeline is identical). sqlite is a
+    single-file target, so the stand-in can't take the production
+    path's parallel executor connections — but it never materializes
+    the batch on the driver in one piece either: the batch stages to
+    parquet (distributed write), then streams into sqlite in bounded
+    Arrow record batches, so peak driver memory is one 10k-row batch
+    regardless of batch size. Used by q93 / q339."""
+    import sqlite3
+    import tempfile
+
+    def stage_writer(batch: DataFrame, tbl: str) -> None:
+        import pyarrow.dataset as ds
+
+        stage_dir = tempfile.mkdtemp(prefix="mcetl_jdbc_stage_")
+        batch.write.mode("overwrite").parquet(stage_dir)
+        con = sqlite3.connect(db_path)
+        try:
+            cols = batch.columns
+            con.execute(f'DROP TABLE IF EXISTS "{tbl}"')
+            con.execute(f'CREATE TABLE "{tbl}" ({", ".join(cols)})')
+            ins = f'INSERT INTO "{tbl}" VALUES ({",".join("?" * len(cols))})'
+            for rb in ds.dataset(stage_dir, format="parquet").to_batches(
+                batch_size=10_000, columns=cols
+            ):
+                con.executemany(
+                    ins, zip(*(rb.column(c).to_pylist() for c in cols))
+                )
+            con.commit()
+        finally:
+            con.close()
+
+    def statement_runner(stmts) -> None:
+        con = sqlite3.connect(db_path)
+        try:
+            for s in stmts:
+                con.execute(s)
+            con.commit()
+        finally:
+            con.close()
+
+    return stage_writer, statement_runner
