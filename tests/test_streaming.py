@@ -620,3 +620,42 @@ def test_pydatasource_stream_sink_restart_idempotent(spark, sf_dir, tmp_path):
     assert after == [f"batch-{bid}-part-00000.jsonl"]  # replaced, not appended
     rewritten = json.load(open(os.path.join(base, f"_SUCCESS.{bid}")))
     assert rewritten["n_rows"] == 1 and rewritten["batch_id"] == bid
+
+
+def test_rocksdb_state_store_matches_batch(spark, sf_dir):
+    """The RocksDB state store provider — the state backend that keeps
+    100 TB-scale streaming state off the executor heap (spill to local
+    disk, changelog checkpointing) — produces the same windowed counts
+    as the default HDFS-backed provider and the batch aggregate. This
+    pins that nothing in the engine assumes provider-specific
+    semantics, so a production deployment can flip the conf."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.io import table
+    from marketingcloud_etl_spark.streaming.jobs import events_stream, run_to_memory
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        agg = (
+            events_stream(spark, sf_dir)
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+        got = run_to_memory(agg, "rocksdb_tumbling", output_mode="complete")
+        want = (
+            table(spark, sf_dir, "events")
+            .groupBy(F.date_trunc("day", "ts").alias("ws"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
