@@ -173,9 +173,14 @@ def read_stream_manifests(path: str) -> dict:
     """Union the per-batch ``_SUCCESS.<batchId>`` manifests of a
     streaming sink directory: only manifested files count (uncommitted
     parts are invisible by contract)."""
+    import re
+
     files, total, batches = [], 0, []
     for name in sorted(os.listdir(path)):
-        if name.startswith("_SUCCESS.") and not name.endswith("tmp"):
+        # strict match: `_SUCCESS.<batchId>` only — a crash between the
+        # tmp write and its rename leaves `_SUCCESS.<id>.tmp<pid>`
+        # behind, which must stay invisible
+        if re.fullmatch(r"_SUCCESS\.\d+", name):
             with open(os.path.join(path, name)) as f:
                 m = json.load(f)
             files.extend(m["files"])
