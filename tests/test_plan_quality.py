@@ -490,10 +490,12 @@ def test_oracle_query_outputs_are_driver_hashable(spark, sf_dir):
         T.LongType, T.FloatType, T.DoubleType, T.DecimalType,
     )
     bad = {}
+    cartesian = []
     for name, qd in REGISTRY.items():
         if qd.oracle is None:
             continue
-        schema = qd.fn(spark, sf_dir).schema
+        df = qd.fn(spark, sf_dir)
+        schema = df.schema
         hazards = [
             f"{f.name}:{f.dataType.simpleString()}"
             for f in schema.fields
@@ -504,7 +506,16 @@ def test_oracle_query_outputs_are_driver_hashable(spark, sf_dir):
             hazards.append(f"duplicate column names {names}")
         if hazards:
             bad[name] = hazards
+        # piggybacked catalog-wide plan invariant (the frame is already
+        # built — inspecting the physical plan costs nothing extra): no
+        # query may plan a CartesianProduct. The deliberate crossJoins
+        # all broadcast one-row/domain-sized frames and must plan as
+        # BroadcastNestedLoopJoin; a CartesianProduct means a broadcast
+        # hint got lost and the pair space explodes at scale.
+        if "CartesianProduct" in _plan(df):
+            cartesian.append(name)
     assert not bad, f"driver-comparator hazards in final projections: {bad}"
+    assert not cartesian, f"CartesianProduct planned in: {cartesian}"
 
 
 def test_bench_budgets_cover_headline():
