@@ -1378,7 +1378,7 @@ def q343_pydatasource_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     (salesforce_extractor.py:197-230) — here each epoch is one
     distributed transactional append."""
     import os
-    import shutil
+    import tempfile
 
     prep(spark)
     from ..sinks.pydatasource import JsonLinesSinkDataSource, read_stream_manifests
@@ -1388,10 +1388,10 @@ def q343_pydatasource_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.dataSource.register(JsonLinesSinkDataSource)
     except Exception:
         pass  # already registered in this session
-    base = f"/tmp/mcetl_pystreamsink_{fixture_tag(sf_dir)}"
-    shutil.rmtree(base, ignore_errors=True)
-    shutil.rmtree(f"{base}_ckpt", ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
+    # Per-invocation dir (not fixture-keyed): a driver verification run
+    # and a concurrent pytest run on the same fixture must not rmtree
+    # each other's in-flight sink/checkpoint dirs.
+    base = tempfile.mkdtemp(prefix="mcetl_pystreamsink_")
     src = events_stream(spark, sf_dir).select("event_id", "event_type", "value")
     q = (
         src.writeStream.format("mcetl_jsonl_sink")

@@ -222,7 +222,8 @@ def sqlite_standins(db_path: str) -> tuple:
         try:
             cols = batch.columns
             con.execute(f'DROP TABLE IF EXISTS "{tbl}"')
-            con.execute(f'CREATE TABLE "{tbl}" ({", ".join(cols)})')
+            quoted = ", ".join(f'"{c}"' for c in cols)
+            con.execute(f'CREATE TABLE "{tbl}" ({quoted})')
             ins = f'INSERT INTO "{tbl}" VALUES ({",".join("?" * len(cols))})'
             for rb in ds.dataset(stage_dir, format="parquet").to_batches(
                 batch_size=10_000, columns=cols

@@ -1276,4 +1276,4 @@ def test_io_table_error_contracts(spark, sf_dir):
     with pytest.raises(KeyError, match="unknown fixture table"):
         table(spark, sf_dir, "nope")
     with pytest.raises(AnalysisException):
-        table(spark, "/root/testdata/does-not-exist", "orders").count()
+        table(spark, sf_dir.rstrip("/") + "-does-not-exist", "orders").count()
