@@ -175,6 +175,10 @@ BUDGETS = {
     "q308_skyline_pareto_front": 1.5,
     "q322_abc_xyz_matrix": 3.11,
     "q334_ks_two_sample": 1.9,
+    # pinned from BENCH_r05.json (first driver bench for these three)
+    "q337_multimodal_feature_parity": 1.5,
+    "q338_frame_sample_parity": 1.5,
+    "q342_pagerank_exact": 7.23,
 }
 
 

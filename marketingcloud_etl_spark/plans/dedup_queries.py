@@ -1763,3 +1763,201 @@ def q329_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 50000
         ).alias("within_5pct"),
     )
+
+
+@query(
+    "q347_hits_fixed_point",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), a1r AS (
+      SELECT s, cast(count(*) as bigint) * 1000000 AS raw FROM e GROUP BY s
+    ), a1m AS (SELECT max(raw) AS mx FROM a1r),
+    a1 AS (SELECT s, cast((raw * 1000000) // mx as bigint) AS v
+           FROM a1r CROSS JOIN a1m),
+    h1r AS (SELECT e.p, cast(sum(a1.v) as bigint) AS raw
+            FROM e JOIN a1 ON e.s = a1.s GROUP BY e.p),
+    h1m AS (SELECT max(raw) AS mx FROM h1r),
+    h1 AS (SELECT p, cast((raw * 1000000) // mx as bigint) AS v
+           FROM h1r CROSS JOIN h1m),
+    a2r AS (SELECT e.s, cast(sum(h1.v) as bigint) AS raw
+            FROM e JOIN h1 ON e.p = h1.p GROUP BY e.s),
+    a2m AS (SELECT max(raw) AS mx FROM a2r),
+    a2 AS (SELECT s, cast((raw * 1000000) // mx as bigint) AS v
+           FROM a2r CROSS JOIN a2m),
+    h2r AS (SELECT e.p, cast(sum(a2.v) as bigint) AS raw
+            FROM e JOIN a2 ON e.s = a2.s GROUP BY e.p),
+    h2m AS (SELECT max(raw) AS mx FROM h2r),
+    h2 AS (SELECT p, cast((raw * 1000000) // mx as bigint) AS v
+           FROM h2r CROSS JOIN h2m),
+    ta AS (SELECT 'authority' AS kind, s AS node_id, v AS score_micro
+           FROM a2 ORDER BY v DESC, s LIMIT 10),
+    th AS (SELECT 'hub' AS kind, p AS node_id, v AS score_micro
+           FROM h2 ORDER BY v DESC, p LIMIT 10)
+    SELECT kind, cast(node_id as bigint) AS node_id,
+           cast(score_micro as bigint) AS score_micro
+    FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+    """,
+    tags=("graph", "iterative", "parity"),
+)
+def q347_hits_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over the bipartite
+    part→supplier graph — the mutually-recursive centrality that
+    complements q342's PageRank (one global random-surfer score) with
+    TWO role-specific scores: a part is a good hub when it links to
+    authoritative suppliers, a supplier authoritative when linked by
+    good hubs. Like q342, the whole two-iteration power method runs in
+    EXACT integer fixed-point micro-units: uniform hub seed 10^6,
+    auth(s) = Σ hub over in-edges, hub(p) = Σ auth over out-edges,
+    each pass max-normalized with (raw·10^6) div max — all operands
+    non-negative so Spark `div` and DuckDB's truncating `//` floor
+    identically, and every intermediate stays < 2·10^16 << 2^63.
+
+    Scale shape: edges localCheckpoint once (loop-invariant); each
+    half-iteration is one shuffle join on the edge key plus one
+    keyed aggregation; the max normalizer is a ONE-ROW broadcast
+    (never a single-partition exchange of the score frame). Iteration
+    count fixed ⇒ plan depth fixed; lineage does not grow with data.
+    Reference has no graph surface; this extends SURVEY §2's iterative
+    family (components / PageRank / triangles)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    e = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).localCheckpoint()
+    SC = 1_000_000
+
+    def norm(raw_df: DataFrame, id_col: str) -> DataFrame:
+        mx = raw_df.agg(F.max("raw").alias("mx"))
+        return raw_df.crossJoin(F.broadcast(mx)).select(
+            id_col,
+            F.expr(f"(raw * {SC}) div mx").cast("bigint").alias("v"),
+        )
+
+    # a1 -> h1 -> a2 -> h2, exactly the four passes the oracle unrolls
+    a1 = norm(e.groupBy("s").agg((F.count(F.lit(1)) * SC).alias("raw")), "s")
+    h1 = norm(e.join(a1, "s").groupBy("p").agg(F.sum("v").alias("raw")), "p")
+    a2 = norm(e.join(h1, "p").groupBy("s").agg(F.sum("v").alias("raw")), "s")
+    h2 = norm(e.join(a2, "s").groupBy("p").agg(F.sum("v").alias("raw")), "p")
+    ta = (
+        a2.orderBy(F.col("v").desc(), "s")
+        .limit(10)
+        .select(
+            F.lit("authority").alias("kind"),
+            F.col("s").cast("bigint").alias("node_id"),
+            F.col("v").cast("bigint").alias("score_micro"),
+        )
+    )
+    th = (
+        h2.orderBy(F.col("v").desc(), "p")
+        .limit(10)
+        .select(
+            F.lit("hub").alias("kind"),
+            F.col("p").cast("bigint").alias("node_id"),
+            F.col("v").cast("bigint").alias("score_micro"),
+        )
+    )
+    return ta.unionByName(th)
+
+
+@query(
+    "q348_training_shard_manifest",
+    oracle="""
+    WITH per AS (
+      SELECT ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::BIGINT % 16
+               AS shard,
+             ('0x' || substr(md5(
+                cast(doc_id as varchar) || '\x1f' || source || '\x1f' ||
+                lang || '\x1f' || cast(n_chars as varchar) || '\x1f' ||
+                md5(text)), 1, 15))::BIGINT AS rh,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t != '')) AS ntok,
+             n_chars
+      FROM documents
+    ), agg AS (
+      SELECT shard,
+             cast(count(*) as bigint) AS n_docs,
+             cast(sum(ntok) as bigint) AS n_tokens,
+             cast(sum(n_chars) as bigint) AS n_chars,
+             cast(sum(rh) % 2305843009213693951 as bigint) AS checksum_sum,
+             cast(bit_xor(rh) as bigint) AS checksum_xor
+      FROM per GROUP BY shard
+    ), tot AS (SELECT sum(n_docs) AS total FROM agg)
+    SELECT cast(shard as int) AS shard, n_docs, n_tokens, n_chars,
+           checksum_sum, checksum_xor,
+           cast((abs(n_docs * 16 - total) * 1000000) // total as bigint)
+             AS skew_ppm
+    FROM agg CROSS JOIN tot
+    """,
+    tags=("sampling", "etl", "pipeline"),
+)
+def q348_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data SHARD MANIFEST — the release step every curation
+    pipeline (q90/q190) ends with: deterministically shuffle the corpus
+    into 16 hash shards (pmod of the content-hash-derived h32, so shard
+    membership is stable across runs, engines and executor counts — no
+    rand(), no order dependence) and emit the per-shard manifest row a
+    downstream trainer validates against: doc/token/char counts, the
+    q258 order-independent checksum pair (modular SUM + XOR of 60-bit
+    row digests covering id, source, lang, length AND the full text via
+    md5), and a skew audit in ppm against the ideal shard size. A
+    dropped doc, a duplicated shard write, or a text mutation each flip
+    a checksum; skew_ppm is the load-balance gate before the shards hit
+    a 1000-GPU input pipeline.
+
+    Scale shape: one narrow map (hashing is per-row, codegen'd) + ONE
+    hash-keyed aggregation into 16 groups; the ideal-size normalizer is
+    a one-row broadcast. At 100 TB the same plan writes the shards with
+    partitionBy('shard') — the manifest aggregation is this query."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    rh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("doc_id").cast("string"),
+                    F.col("source"),
+                    F.col("lang"),
+                    F.col("n_chars").cast("string"),
+                    F.md5("text"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    from ..functions.text import tokens
+
+    per = d.select(
+        F.pmod(h32, F.lit(16)).cast("int").alias("shard"),
+        rh.alias("rh"),
+        F.size(tokens("text")).alias("ntok"),
+        "n_chars",
+    )
+    agg = per.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        (F.sum(F.col("rh").cast("decimal(38,0)")) % F.lit((1 << 61) - 1))
+        .cast("bigint")
+        .alias("checksum_sum"),
+        F.bit_xor("rh").cast("bigint").alias("checksum_xor"),
+    )
+    tot = agg.agg(F.sum("n_docs").alias("total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "checksum_sum",
+        "checksum_xor",
+        F.expr("(abs(n_docs * 16 - total) * 1000000) div total")
+        .cast("bigint")
+        .alias("skew_ppm"),
+    )

@@ -2014,11 +2014,13 @@ def q275_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_duck_oracle(k: int) -> str:
-    """Unrolled k-iteration BPE trainer in DuckDB SQL. Vocabulary state
-    is a '·'-bounded, '··'-separated symbol string per word (pattern
-    '·a··b·' → '·ab·' is greedy-left non-overlapping — the separator
-    doubling makes consecutive pairs independently matchable)."""
+def _bpe_train_ctes(k: int) -> str:
+    """The unrolled k-iteration BPE-training CTE chain (ends after
+    ``vocab{k}``) shared by the q277 trainer oracle and the q345
+    encoder oracle. Vocabulary state is a '·'-bounded, '··'-separated
+    symbol string per word (pattern '·a··b·' → '·ab·' is greedy-left
+    non-overlapping — the separator doubling makes consecutive pairs
+    independently matchable)."""
     sql = f"""
     WITH vocab0 AS (
       SELECT w, count(*) AS cnt, '·' || array_to_string(string_split(w, ''), '··') || '·' AS s
@@ -2027,7 +2029,6 @@ def _bpe_duck_oracle(k: int) -> str:
       GROUP BY w
     )"""
     prev = "vocab0"
-    selects = []
     for i in range(1, k + 1):
         sql += f""",
     pairs{i} AS (
@@ -2050,12 +2051,17 @@ def _bpe_duck_oracle(k: int) -> str:
       FROM {prev} v CROSS JOIN best{i} bb
     )"""
         prev = f"vocab{i}"
-        selects.append(
-            f"SELECT {i} AS iteration, a AS left_sym, b AS right_sym, "
-            f"cast(n as bigint) AS pair_count FROM best{i}"
-        )
-    sql += "\n    " + "\n    UNION ALL ".join(selects)
     return sql
+
+
+def _bpe_duck_oracle(k: int) -> str:
+    """q277 trainer oracle: the training chain + the chosen merges."""
+    selects = [
+        f"SELECT {i} AS iteration, a AS left_sym, b AS right_sym, "
+        f"cast(n as bigint) AS pair_count FROM best{i}"
+        for i in range(1, k + 1)
+    ]
+    return _bpe_train_ctes(k) + "\n    " + "\n    UNION ALL ".join(selects)
 
 
 @query(
@@ -2079,6 +2085,20 @@ def q277_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     size is |distinct words| — at corpus scale the loop cost is
     iterations × one narrow pass, the standard offline-train shape."""
     prep(spark)
+    _, out = _bpe_train_frames(spark, sf_dir, k=3)
+    return spark.createDataFrame(
+        out, "iteration int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def _bpe_train_frames(spark: SparkSession, sf_dir: str, k: int = 3):
+    """Run the k-iteration BPE merge loop (q277's algorithm) and return
+    ``(vocab, merges)``: the post-merge vocabulary frame
+    ``(w, cnt, s)`` with the '·'-protocol symbol string, and the chosen
+    merges ``[(iteration, left, right, pair_count), ...]``. The
+    per-iteration argmax is a one-row collect (the codebook-training
+    pattern); everything else is distributed over the |distinct words|
+    vocab frame."""
     d = table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(tokens("text")).alias("w"))
@@ -2096,7 +2116,7 @@ def q277_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     out = []
-    for i in range(1, 4):
+    for i in range(1, k + 1):
         syms = F.expr("filter(split(trim(BOTH '·' FROM s), '··'), x -> x != '')")
         pairs = (
             vocab.select("cnt", syms.alias("sy"))
@@ -2121,9 +2141,7 @@ def q277_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         pat = f"·{best['a']}··{best['b']}·"
         rep = f"·{best['a']}{best['b']}·"
         vocab = vocab.withColumn("s", F.replace(F.col("s"), F.lit(pat), F.lit(rep)))
-    return spark.createDataFrame(
-        out, "iteration int, left_sym string, right_sym string, pair_count bigint"
-    )
+    return vocab, out
 
 
 @query(
@@ -2469,4 +2487,75 @@ def q305_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("t").alias("n_distinct_tokens"),
         )
         .orderBy("bucket")
+    )
+
+
+@query(
+    "q345_bpe_encode_apply",
+    oracle=_bpe_train_ctes(3)
+    + f""",
+    ws AS (
+      SELECT source, w, count(*) AS cnt
+      FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z0-9]+$')
+      GROUP BY source, w
+    )
+    SELECT ws.source,
+           cast(count(*) as bigint) AS n_words,
+           cast(sum(ws.cnt) as bigint) AS n_tokens,
+           cast(sum(ws.cnt * len(v.w)) as bigint) AS syms_before,
+           cast(sum(ws.cnt * len(string_split(trim(v.s, '·'), '··')))
+                as bigint) AS syms_after,
+           cast((sum(ws.cnt * len(string_split(trim(v.s, '·'), '··')))
+                 * 1000000) // sum(ws.cnt * len(v.w)) as bigint)
+             AS compression_ppm
+    FROM ws JOIN vocab3 v ON ws.w = v.w
+    GROUP BY ws.source
+    """,
+    tags=("text", "tokenizer", "pipeline"),
+)
+def q345_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — applying q277's trained merges back to the corpus
+    (train is half a tokenizer; every LLM pipeline then ENCODES with
+    it): re-run the 3-iteration merge loop, then join the merged
+    vocabulary onto per-source word counts and report what the
+    tokenizer bought — symbol counts before (= characters) and after
+    the merges, and the per-source compression in ppm. The oracle
+    replays the ENTIRE train+encode pipeline (the q277 CTE chain plus
+    a per-source encode join), so a wrong merge choice, a wrong
+    greedy-left application, or a miscounted symbol all break the
+    hash. Integer counts throughout; the ppm ratio floors identically
+    ((a·10⁶) div b vs DuckDB `//`, operands non-negative).
+
+    Scale shape: training cost is iterations × one narrow pass over
+    the |distinct words| vocab (q277); encoding is ONE broadcast join
+    of that bounded vocab onto per-source word counts — the corpus is
+    touched once for counting and never re-scanned per merge. At
+    100 TB the vocab frame is vocabulary-bounded (≪ corpus), exactly
+    the asymmetry a broadcast join wants."""
+    prep(spark)
+    vocab, _ = _bpe_train_frames(spark, sf_dir, k=3)
+    d = table(spark, sf_dir, "documents")
+    ws = (
+        d.select("source", F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_syms = F.size(F.expr("split(trim(BOTH '·' FROM s), '··')"))
+    enc = ws.join(F.broadcast(vocab.select("w", "s")), "w").select(
+        "source",
+        "cnt",
+        F.length("w").alias("n_chars_w"),
+        n_syms.alias("n_syms_w"),
+    )
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("n_chars_w")).cast("bigint").alias("syms_before"),
+        F.sum(F.col("cnt") * F.col("n_syms_w")).cast("bigint").alias("syms_after"),
+        F.expr(
+            "cast((sum(cnt * n_syms_w) * 1000000) div sum(cnt * n_chars_w)"
+            " as bigint)"
+        ).alias("compression_ppm"),
     )
