@@ -1788,3 +1788,388 @@ def q336_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q346_event_pattern_match",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type AS et,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS i
+      FROM events
+    ), n AS (
+      SELECT user_id, cast(count(*) as int) AS cnt FROM ev GROUP BY user_id
+    ), st AS (
+      -- the same 3-state automaton, stepped one event per recursion level
+      -- (DuckDB 1.0's list_reduce is nondeterministic over grouped
+      -- struct lists, so the oracle iterates instead of folding)
+      SELECT user_id, 0 AS i, 0 AS stage, cast(0 as bigint) AS anchor,
+             0 AS matches
+      FROM n
+      UNION ALL
+      SELECT s.user_id, s.i + 1,
+             CASE WHEN e.et = 'view' THEN 1
+                  WHEN e.et = 'click' AND s.stage = 1
+                       AND e.us - s.anchor <= 86400000000 THEN 2
+                  WHEN e.et = 'purchase' AND s.stage = 2
+                       AND e.us - s.anchor <= 259200000000 THEN 0
+                  ELSE s.stage END,
+             CASE WHEN e.et = 'view' THEN e.us
+                  WHEN e.et = 'click' AND s.stage = 1
+                       AND e.us - s.anchor <= 86400000000 THEN e.us
+                  WHEN e.et = 'purchase' AND s.stage = 2
+                       AND e.us - s.anchor <= 259200000000
+                    THEN cast(0 as bigint)
+                  ELSE s.anchor END,
+             s.matches + CASE WHEN e.et = 'purchase' AND s.stage = 2
+                              AND e.us - s.anchor <= 259200000000
+                              THEN 1 ELSE 0 END
+      FROM st s JOIN ev e ON e.user_id = s.user_id AND e.i = s.i + 1
+    )
+    SELECT cast(s.matches as int) AS n_matches,
+           cast(count(*) as bigint) AS n_users,
+           cast(sum(s.matches) as bigint) AS total_matches
+    FROM st s JOIN n ON s.user_id = n.user_id AND s.i = n.cnt
+    GROUP BY s.matches
+    """,
+    tags=("marketing", "sequence"),
+)
+def q346_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern matching — count
+    NON-OVERLAPPING view→click→purchase episodes per user with time
+    constraints (click ≤24h after its view, purchase ≤72h after that
+    click), a shape neither joins (q121's funnel keeps only the FIRST
+    conversion) nor windows (frames can't carry match state) express.
+    Spark has no MATCH_RECOGNIZE; the general scale-safe compilation
+    is per-key ordered fold: ONE shuffle groups each user's events,
+    array_sort fixes the (ts, event_id) total order, and a single
+    `aggregate` HOF runs the 3-state automaton (stage, anchor-ts in
+    exact µs, match count) left-to-right — greedy semantics pinned:
+    a view always (re)anchors, a late click/purchase leaves state
+    unchanged. The DuckDB oracle replays the identical automaton as a
+    recursive CTE stepping one event per level (found and dodged:
+    DuckDB 1.0's list_reduce is NONDETERMINISTIC over grouped struct
+    lists), so every transition rule is hash-verified. Integer µs
+    arithmetic end to end.
+
+    Scale: state per user is O(1); per-user sequences are
+    session-scale (the q56 regime) — for multi-million-event users
+    the same automaton runs incrementally in transformWithState
+    (q141's path) instead of one collected array."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("et"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts_us", "eid", "et"))).alias("s")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          s,
+          struct(0 as stage, cast(0 as bigint) as anchor, 0 as matches),
+          (acc, x) -> struct(
+            CASE
+              WHEN x.et = 'view' THEN 1
+              WHEN x.et = 'click' AND acc.stage = 1
+                   AND x.ts_us - acc.anchor <= 86400000000 THEN 2
+              WHEN x.et = 'purchase' AND acc.stage = 2
+                   AND x.ts_us - acc.anchor <= 259200000000 THEN 0
+              ELSE acc.stage END as stage,
+            CASE
+              WHEN x.et = 'view' THEN x.ts_us
+              WHEN x.et = 'click' AND acc.stage = 1
+                   AND x.ts_us - acc.anchor <= 86400000000 THEN x.ts_us
+              WHEN x.et = 'purchase' AND acc.stage = 2
+                   AND x.ts_us - acc.anchor <= 259200000000
+                THEN cast(0 as bigint)
+              ELSE acc.anchor END as anchor,
+            acc.matches + CASE
+              WHEN x.et = 'purchase' AND acc.stage = 2
+                   AND x.ts_us - acc.anchor <= 259200000000 THEN 1
+              ELSE 0 END as matches)
+        ).matches
+        """
+    )
+    folded = seq.select(fold.alias("m"))
+    return folded.groupBy(F.col("m").cast("int").alias("n_matches")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("m").cast("bigint").alias("total_matches"),
+    )
+
+
+def _markov_oracle(k: int) -> str:
+    """Unrolled k-step Markov removal-effect attribution in DuckDB SQL
+    — shares every protocol with the Spark side: journeys truncate at
+    the FIRST purchase, transition probabilities are ppb integers
+    (cnt·10⁹ // per-source total), each power step floors per-edge
+    products before summing, and removal redirects a channel's inbound
+    edges to the NULL absorber while keeping source totals intact."""
+    sql = """
+    WITH ev AS (
+      SELECT user_id, event_type AS et,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), fp AS (
+      SELECT user_id, min(rn) AS frn FROM ev WHERE et = 'purchase'
+      GROUP BY user_id
+    ), j AS (
+      SELECT e.user_id, e.rn,
+             CASE WHEN e.rn = f.frn THEN 'CONV' ELSE e.et END AS m,
+             f.frn
+      FROM ev e LEFT JOIN fp f USING (user_id)
+      WHERE f.frn IS NULL OR e.rn <= f.frn
+    ), mid AS (
+      SELECT user_id, rn, m, frn,
+             lag(m) OVER (PARTITION BY user_id ORDER BY rn) AS pm,
+             max(rn) OVER (PARTITION BY user_id) AS lastrn
+      FROM j
+    ), edges AS (
+      SELECT 'START' AS src, m AS dst FROM mid WHERE rn = 1
+      UNION ALL
+      SELECT pm AS src, m AS dst FROM mid WHERE pm IS NOT NULL
+      UNION ALL
+      SELECT m AS src, 'NULL' AS dst FROM mid
+      WHERE frn IS NULL AND rn = lastrn
+    ), cnts AS (
+      SELECT src, dst, cast(count(*) as bigint) AS cnt
+      FROM edges GROUP BY src, dst
+    ), removals AS (
+      SELECT unnest(['none', 'view', 'click', 'signup', 'error']) AS removed
+    ), red AS (
+      SELECT removed, src, dst2 AS dst, cast(sum(cnt) as bigint) AS cnt
+      FROM (
+        SELECT r.removed, c.src,
+               CASE WHEN c.dst = r.removed THEN 'NULL' ELSE c.dst END AS dst2,
+               c.cnt
+        FROM cnts c CROSS JOIN removals r
+      ) GROUP BY removed, src, dst2
+    ), tot AS (
+      SELECT removed, src, cast(sum(cnt) as bigint) AS tot
+      FROM red GROUP BY removed, src
+    ), mx AS (
+      SELECT red.removed, red.src, red.dst,
+             cast((red.cnt * 1000000000) // t.tot as bigint) AS p
+      FROM red JOIN tot t ON red.removed = t.removed AND red.src = t.src
+      UNION ALL
+      SELECT removed, s, s, cast(1000000000 as bigint)
+      FROM removals CROSS JOIN (SELECT unnest(['CONV', 'NULL']) AS s)
+    ), v0 AS (
+      SELECT removed, 'START' AS state, cast(1000000000 as bigint) AS mass
+      FROM removals
+    )"""
+    prev = "v0"
+    for i in range(1, k + 1):
+        sql += f""",
+    v{i} AS (
+      SELECT v.removed, m.dst AS state,
+             cast(sum((v.mass * m.p) // 1000000000) as bigint) AS mass
+      FROM {prev} v JOIN mx m
+        ON v.removed = m.removed AND v.state = m.src
+      GROUP BY v.removed, m.dst
+    )"""
+        prev = f"v{i}"
+    sql += f""",
+    conv AS (
+      SELECT r.removed, coalesce(v.mass, 0) AS conv_ppb
+      FROM removals r LEFT JOIN {prev} v
+        ON r.removed = v.removed AND v.state = 'CONV'
+    ), full_c AS (
+      SELECT conv_ppb AS full_ppb FROM conv WHERE removed = 'none'
+    ), eff AS (
+      SELECT c.removed AS channel, f.full_ppb,
+             c.conv_ppb, f.full_ppb - c.conv_ppb AS effect
+      FROM conv c CROSS JOIN full_c f WHERE c.removed != 'none'
+    ), se AS (SELECT sum(effect) AS s FROM eff)
+    SELECT channel,
+           cast(full_ppb as bigint) AS conv_full_ppb,
+           cast(conv_ppb as bigint) AS conv_removed_ppb,
+           cast(effect as bigint) AS removal_effect_ppb,
+           cast(CASE WHEN se.s > 0 THEN (effect * 1000000) // se.s
+                     ELSE 0 END as bigint) AS attribution_ppm
+    FROM eff CROSS JOIN se
+    """
+    return sql
+
+
+@query(
+    "q349_markov_attribution",
+    oracle=_markov_oracle(6),
+    tags=("marketing", "attribution", "iterative"),
+)
+def q349_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al.'s data-driven
+    alternative to the positional heuristics q131/q166/q307): model
+    journeys as a first-order chain over touch channels, then credit
+    each channel by how much total conversion probability disappears
+    when it is removed (its inbound edges redirected to the NULL
+    absorber). Journeys truncate at the FIRST purchase (START → … →
+    CONV) or end in NULL for non-converters. The absorption
+    probability is computed by a k=6 power iteration in EXACT ppb
+    fixed-point — transition probs are cnt·10⁹ div source-total, every
+    step floors per-edge products before the integer sum — so the
+    whole pipeline is bit-identical under any partitioning and the
+    driver hashes all four channels' attribution shares. The oracle
+    unrolls the same six steps as chained CTEs.
+
+    Scale shape: ONE shuffle builds per-user ordered journeys (lag
+    window over user partitions — the q131 pattern); transition counts
+    aggregate to a CHANNEL-cardinality frame (≤ |states|², data-scale
+    independent), and the 5-removal × 6-step iteration runs entirely
+    on that domain-sized matrix — broadcast-tier frames, never the
+    event log again. The corpus is touched exactly once however many
+    channels or steps."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("et"),
+    )
+    wu = W.partitionBy("user_id").orderBy("us", "eid")
+    r = ev.withColumn("rn", F.row_number().over(wu))
+    fp = (
+        r.filter(F.col("et") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("frn"))
+    )
+    j = (
+        r.join(fp, "user_id", "left")
+        .filter(F.col("frn").isNull() | (F.col("rn") <= F.col("frn")))
+        .withColumn(
+            "m",
+            F.when(F.col("rn") == F.col("frn"), F.lit("CONV")).otherwise(
+                F.col("et")
+            ),
+        )
+    )
+    wj = W.partitionBy("user_id").orderBy("rn")
+    mid = j.select(
+        "user_id",
+        "rn",
+        "m",
+        "frn",
+        F.lag("m").over(wj).alias("pm"),
+        F.max("rn").over(W.partitionBy("user_id")).alias("lastrn"),
+    )
+    # one pass over the journey rows: each row emits its 0-2 edges as an
+    # array and explodes — the event log is scanned once, not once per
+    # edge kind (a union of three filters would re-run the window thrice)
+    empty = F.array().cast("array<struct<src:string,dst:string>>")
+    edge = lambda s, d: F.array(F.struct(s.alias("src"), d.alias("dst")))  # noqa: E731
+    edges = mid.select(
+        F.explode(
+            F.concat(
+                F.when(F.col("rn") == 1, edge(F.lit("START"), F.col("m"))).otherwise(
+                    empty
+                ),
+                F.when(
+                    F.col("pm").isNotNull(), edge(F.col("pm"), F.col("m"))
+                ).otherwise(empty),
+                F.when(
+                    F.col("frn").isNull() & (F.col("rn") == F.col("lastrn")),
+                    edge(F.col("m"), F.lit("NULL")),
+                ).otherwise(empty),
+            )
+        ).alias("e")
+    )
+    cnts = edges.groupBy(
+        F.col("e.src").alias("src"), F.col("e.dst").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    channels = ["view", "click", "signup", "error"]
+    removals = spark.createDataFrame(
+        [(c,) for c in ["none", *channels]], "removed string"
+    )
+    red = (
+        cnts.crossJoin(F.broadcast(removals))
+        .select(
+            "removed",
+            "src",
+            F.when(F.col("dst") == F.col("removed"), F.lit("NULL"))
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "cnt",
+        )
+        .groupBy("removed", "src", "dst")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    tot = red.groupBy("removed", "src").agg(
+        F.sum("cnt").cast("bigint").alias("tot")
+    )
+    mx = (
+        red.join(tot, ["removed", "src"])
+        .select(
+            F.col("removed").alias("mremoved"),
+            "src",
+            "dst",
+            F.expr("(cnt * 1000000000) div tot").cast("bigint").alias("p"),
+        )
+        .unionByName(
+            removals.crossJoin(
+                spark.createDataFrame([("CONV",), ("NULL",)], "s string")
+            ).select(
+                F.col("removed").alias("mremoved"),
+                F.col("s").alias("src"),
+                F.col("s").alias("dst"),
+                F.lit(1_000_000_000).cast("bigint").alias("p"),
+            )
+        )
+        # domain-sized (≤ |removals|·|states|² rows): materialize once so
+        # the 6-step loop broadcasts a tiny local frame instead of
+        # re-deriving the event-scale lineage every iteration
+        .localCheckpoint()
+    )
+    v = removals.select(
+        "removed",
+        F.lit("START").alias("state"),
+        F.lit(1_000_000_000).cast("bigint").alias("mass"),
+    )
+    for _ in range(6):
+        v = (
+            v.join(
+                F.broadcast(mx),
+                (F.col("removed") == F.col("mremoved"))
+                & (F.col("state") == F.col("src")),
+            )
+            .select(
+                "removed",
+                F.col("dst").alias("state2"),
+                F.expr("(mass * p) div 1000000000").alias("contrib"),
+            )
+            .groupBy("removed", F.col("state2").alias("state"))
+            .agg(F.sum("contrib").cast("bigint").alias("mass"))
+        )
+    conv = removals.join(
+        v.filter(F.col("state") == "CONV").select("removed", "mass"),
+        "removed",
+        "left",
+    ).select("removed", F.coalesce("mass", F.lit(0)).alias("conv_ppb"))
+    full_c = conv.filter(F.col("removed") == "none").select(
+        F.col("conv_ppb").alias("full_ppb")
+    )
+    eff = (
+        conv.filter(F.col("removed") != "none")
+        .crossJoin(F.broadcast(full_c))
+        .select(
+            F.col("removed").alias("channel"),
+            "full_ppb",
+            "conv_ppb",
+            (F.col("full_ppb") - F.col("conv_ppb")).alias("effect"),
+        )
+    )
+    se = eff.agg(F.sum("effect").alias("s"))
+    return eff.crossJoin(F.broadcast(se)).select(
+        "channel",
+        F.col("full_ppb").cast("bigint").alias("conv_full_ppb"),
+        F.col("conv_ppb").cast("bigint").alias("conv_removed_ppb"),
+        F.col("effect").cast("bigint").alias("removal_effect_ppb"),
+        F.expr(
+            "cast(CASE WHEN s > 0 THEN (effect * 1000000) div s"
+            " ELSE 0 END as bigint)"
+        ).alias("attribution_ppm"),
+    )
