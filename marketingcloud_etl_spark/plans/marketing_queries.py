@@ -2018,12 +2018,15 @@ def q349_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the same six steps as chained CTEs.
 
     Scale shape: ONE shuffle builds per-user ordered journeys (lag
-    window over user partitions — the q131 pattern); transition counts
+    window over user partitions — the q131 pattern) and each journey
+    row emits its edges in a single explode pass; transition counts
     aggregate to a CHANNEL-cardinality frame (≤ |states|², data-scale
-    independent), and the 5-removal × 6-step iteration runs entirely
-    on that domain-sized matrix — broadcast-tier frames, never the
-    event log again. The corpus is touched exactly once however many
-    channels or steps."""
+    independent). Each removal variant then carries its whole matrix
+    as one sorted edge array and the 6-step power iteration runs as a
+    single HOF fold per row — zero per-iteration shuffles or stages
+    (a join+agg loop on these tiny frames costs seconds of pure
+    stage scheduling at ANY data scale). The event log is touched
+    exactly once however many channels or steps."""
     prep(spark)
     ev = table(spark, sf_dir, "events").select(
         "user_id",
@@ -2111,7 +2114,9 @@ def q349_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             removals.crossJoin(
-                spark.createDataFrame([("CONV",), ("NULL",)], "s string")
+                F.broadcast(
+                    spark.createDataFrame([("CONV",), ("NULL",)], "s string")
+                )
             ).select(
                 F.col("removed").alias("mremoved"),
                 F.col("s").alias("src"),
@@ -2119,36 +2124,45 @@ def q349_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1_000_000_000).cast("bigint").alias("p"),
             )
         )
-        # domain-sized (≤ |removals|·|states|² rows): materialize once so
-        # the 6-step loop broadcasts a tiny local frame instead of
-        # re-deriving the event-scale lineage every iteration
+    )
+    # One removal variant = one row carrying its whole (channel-cardinality)
+    # transition matrix as a sorted edge array; the 6-step power iteration
+    # then runs as a single HOF fold per row — ZERO per-iteration shuffles
+    # or stages (a join+agg loop on these tiny frames spent ~9 s of pure
+    # stage-scheduling overhead at any data scale). Integer products and
+    # sums, so the result is bit-identical to the join formulation and to
+    # the oracle's unrolled CTEs whatever the edge order.
+    per = mx.groupBy(F.col("mremoved").alias("removed")).agg(
+        F.array_sort(F.collect_list(F.struct("src", "dst", "p"))).alias("edges")
+    )
+    v_final = F.expr(
+        """
+        aggregate(
+          sequence(1, 6),
+          map('START', cast(1000000000 as bigint)),
+          (acc, i) -> map_from_entries(
+            transform(
+              array_distinct(transform(edges, e -> e.dst)),
+              d -> struct(d, aggregate(
+                     filter(edges, e -> e.dst = d),
+                     cast(0 as bigint),
+                     (s, e) -> s + (coalesce(element_at(acc, e.src),
+                                             cast(0 as bigint)) * e.p)
+                               div 1000000000)))))
+        """
+    )
+    # tiny (5 rows) but feeds two consumers (baseline + per-channel rows):
+    # materialize once so the event-scale lineage isn't derived twice
+    conv = (
+        per.select(
+            "removed",
+            F.coalesce(F.element_at(v_final, F.lit("CONV")), F.lit(0))
+            .cast("bigint")
+            .alias("conv_ppb"),
+        )
+        .coalesce(1)
         .localCheckpoint()
     )
-    v = removals.select(
-        "removed",
-        F.lit("START").alias("state"),
-        F.lit(1_000_000_000).cast("bigint").alias("mass"),
-    )
-    for _ in range(6):
-        v = (
-            v.join(
-                F.broadcast(mx),
-                (F.col("removed") == F.col("mremoved"))
-                & (F.col("state") == F.col("src")),
-            )
-            .select(
-                "removed",
-                F.col("dst").alias("state2"),
-                F.expr("(mass * p) div 1000000000").alias("contrib"),
-            )
-            .groupBy("removed", F.col("state2").alias("state"))
-            .agg(F.sum("contrib").cast("bigint").alias("mass"))
-        )
-    conv = removals.join(
-        v.filter(F.col("state") == "CONV").select("removed", "mass"),
-        "removed",
-        "left",
-    ).select("removed", F.coalesce("mass", F.lit(0)).alias("conv_ppb"))
     full_c = conv.filter(F.col("removed") == "none").select(
         F.col("conv_ppb").alias("full_ppb")
     )
