@@ -117,6 +117,13 @@ HEADLINE = (
     "q337_multimodal_feature_parity",
     "q338_frame_sample_parity",
     "q342_pagerank_exact",
+    # round-6 wave: BPE train+encode (iterative trainer + broadcast
+    # vocab apply), the MATCH_RECOGNIZE-style per-key ordered-fold
+    # automaton, and the Markov removal-effect HOF matrix iteration —
+    # three new physical families
+    "q345_bpe_encode_apply",
+    "q346_event_pattern_match",
+    "q349_markov_attribution",
 )
 
 
@@ -179,6 +186,12 @@ BUDGETS = {
     "q337_multimodal_feature_parity": 1.5,
     "q338_frame_sample_parity": 1.5,
     "q342_pagerank_exact": 7.23,
+    # round-6 additions, pinned from local sf0.1 best-of-2 on the same
+    # machine (1.5x measured, 1.5 s floor); refreshed when their first
+    # driver bench lands
+    "q345_bpe_encode_apply": 4.31,
+    "q346_event_pattern_match": 1.5,
+    "q349_markov_attribution": 2.64,
 }
 
 

@@ -153,9 +153,11 @@ def _banded_candidates(buckets: DataFrame) -> DataFrame:
     docs colliding in any band become a pair, counted across bands.
     The input is persisted because the self-join reads it twice —
     without it the producing pipeline executes once per join side.
-    (The cache block lives until session end or LRU eviction; tiny —
-    docs×bands rows of three scalars.)"""
-    buckets = buckets.persist()
+    (Registered with the session release point so sweeps can drop the
+    block after materializing; docs×bands rows of three scalars.)"""
+    from .ranking import pin_cache
+
+    buckets = pin_cache(buckets)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

@@ -43,6 +43,7 @@ __all__ = [
     "distributed_ntile",
     "global_prefix_sum",
     "global_prefix_max",
+    "pin_cache",
     "release_ranking_caches",
 ]
 
@@ -66,11 +67,25 @@ TOTAL_COL = _N
 _PINNED: list[DataFrame] = []
 
 
+def pin_cache(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for the next
+    :func:`release_ranking_caches` — the session-wide release point for
+    every multi-consumer frame a catalog query persists (ranking
+    partitions, LSH bucket tables, bigram streams). Without the
+    registry each benchmarked query would leave its MEMORY_AND_DISK
+    blocks pinned for the session lifetime, and a long sweep slowly
+    squeezes execution memory (q119 ran 1.8× slower mid-bench than
+    fresh before q50/q127 released their caches)."""
+    df = df.persist()
+    _PINNED.append(df)
+    return df
+
+
 def release_ranking_caches(blocking: bool = False) -> int:
-    """Unpersist every frame pinned by :func:`global_row_number` since
-    the last release. Call after the consuming action has materialized
-    its result (unpersisting earlier just re-runs the range exchange).
-    Returns the number of frames released."""
+    """Unpersist every frame pinned by :func:`global_row_number` or
+    :func:`pin_cache` since the last release. Call after the consuming
+    action has materialized its result (unpersisting earlier just
+    re-runs the producing exchange). Returns the number released."""
     n = len(_PINNED)
     while _PINNED:
         _PINNED.pop().unpersist(blocking=blocking)

@@ -1790,9 +1790,11 @@ def q336_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q346_event_pattern_match",
-    oracle="""
+# q346's automaton oracle, shared verbatim by the streaming twin
+# q350_stream_pattern_match (plans/streaming_queries.py): the ordered
+# slice-per-batch replay makes the incremental fold equal the batch fold
+# exactly, so both queries hash against the same reference.
+PATTERN_MATCH_ORACLE = """
     WITH RECURSIVE ev AS (
       SELECT user_id, epoch_us(ts) AS us, event_type AS et,
              row_number() OVER (PARTITION BY user_id
@@ -1832,7 +1834,12 @@ def q336_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(sum(s.matches) as bigint) AS total_matches
     FROM st s JOIN n ON s.user_id = n.user_id AND s.i = n.cnt
     GROUP BY s.matches
-    """,
+    """
+
+
+@query(
+    "q346_event_pattern_match",
+    oracle=PATTERN_MATCH_ORACLE,
     tags=("marketing", "sequence"),
 )
 def q346_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:

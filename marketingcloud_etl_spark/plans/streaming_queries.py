@@ -1265,3 +1265,80 @@ def q273_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(daily, "q273_out", output_mode="append")
+
+
+def _register_q350() -> None:
+    """Register q350 with q346's oracle (imported lazily so
+    marketing_queries and streaming_queries stay cycle-free at module
+    import time), gated like q104 on a resolvable protobuf runtime."""
+    from .marketing_queries import PATTERN_MATCH_ORACLE
+
+    deco = (
+        query(
+            "q350_stream_pattern_match",
+            oracle=PATTERN_MATCH_ORACLE,
+            tags=("streaming", "stateful", "sequence"),
+        )
+        if _pb.resolvable()
+        else (lambda fn: fn)
+    )
+
+    @deco
+    def q350_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAMING twin of q346: the same 3-state view→click→purchase
+        automaton run INCREMENTALLY over the ordered slice-per-batch
+        replay via transformWithState (streaming/jobs.py::
+        pattern_match_tws) — one ValueState row per user, each batch
+        folds its time-slice of events into the carried state. Because
+        slices partition event time (equal timestamps never straddle a
+        batch) the incremental fold equals the batch fold EXACTLY, so
+        this query hashes against the IDENTICAL recursive-CTE oracle as
+        q346: cross-batch state carry, per-batch re-sorting, and
+        update-mode emission semantics all become driver-hashed
+        evidence. `matches` is nondecreasing per user, so the final
+        per-user value is max over that user's update emissions.
+
+        Scale: unlike batch q346's collected per-user arrays, state
+        here is O(1) per user on an UNBOUNDED feed — this is the shape
+        the operator runs at production scale; RocksDB state store,
+        checkpoint-recoverable like q104/q141/q142."""
+        prep(spark)
+        from ..streaming.jobs import (
+            RUN_ROCKSDB,
+            enable_transform_with_state,
+            events_stream_ordered,
+            pattern_match_tws,
+            run_to_memory,
+        )
+
+        if not enable_transform_with_state(spark):
+            raise RuntimeError(
+                "transformWithState needs protobuf; neither a real "
+                "distribution nor the _pbcompat bundled runtime is available"
+            )
+        src = events_stream_ordered(spark, sf_dir).select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+        )
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, RUN_ROCKSDB)
+        try:
+            out = run_to_memory(
+                pattern_match_tws(src), "q350_out", output_mode="update"
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        final = out.groupBy("user_id").agg(F.max("matches").alias("m"))
+        return final.groupBy(F.col("m").cast("int").alias("n_matches")).agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("m").cast("bigint").alias("total_matches"),
+        )
+
+
+_register_q350()

@@ -1078,8 +1078,12 @@ def q127_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers (bigram counts, head counts, score probe) read the
     # tokenize+explode stream — persist one materialization instead of
     # re-tokenizing the corpus per consumer (q50's accepted pattern; at
-    # 100 TB this becomes a checkpoint table between the two jobs)
-    bg = bg.persist()
+    # 100 TB this becomes a checkpoint table between the two jobs).
+    # Registered with the session release point (pin_cache) so bench
+    # sweeps drop the block after the query materializes.
+    from ..operators.ranking import pin_cache
+
+    bg = pin_cache(bg)
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     scored = (

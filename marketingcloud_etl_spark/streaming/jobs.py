@@ -566,3 +566,71 @@ def stream_stream_join(
     return l.withWatermark(left_ts, left_watermark).join(
         r.withWatermark(right_ts, right_watermark), cond, "inner"
     )
+
+
+def pattern_match_tws(stream: DataFrame) -> DataFrame:
+    """q346's 3-state pattern automaton run INCREMENTALLY via
+    ``transformWithState``: one tiny ValueState row per user carries
+    (stage, anchor-µs, matches) across micro-batches; each batch's rows
+    sort by (ts_us, event_id) before folding. Correct whenever batches
+    arrive in event-time slices (ordered replay here; an event-time-
+    ordered log/queue in production) — then the incremental fold equals
+    the batch fold EXACTLY, which is what lets the streaming query hash
+    against the same oracle as batch q346. State is O(1) per user
+    however long the stream runs — the property the collected-array
+    batch formulation can't offer on an unbounded feed.
+
+    Callers run :func:`enable_transform_with_state` first and start
+    the query under the RocksDB state store provider (see q350)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    CLICK_US = 86_400_000_000
+    PURCHASE_US = 259_200_000_000
+
+    class PatternAutomaton(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "autom", "stage int, anchor bigint, matches int"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            stage, anchor, m = (
+                self._st.get() if self._st.exists() else (0, 0, 0)
+            )
+            evs: list[tuple[int, int, str]] = []
+            for pdf in rows:
+                evs.extend(
+                    zip(
+                        (int(v) for v in pdf["ts_us"]),
+                        (int(v) for v in pdf["eid"]),
+                        pdf["et"],
+                    )
+                )
+            evs.sort()
+            for us, _eid, et in evs:
+                if et == "view":
+                    stage, anchor = 1, us
+                elif et == "click" and stage == 1 and us - anchor <= CLICK_US:
+                    stage, anchor = 2, us
+                elif (
+                    et == "purchase"
+                    and stage == 2
+                    and us - anchor <= PURCHASE_US
+                ):
+                    stage, anchor, m = 0, 0, m + 1
+            self._st.update((stage, anchor, m))
+            yield pd.DataFrame({"user_id": [key[0]], "matches": [m]})
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=PatternAutomaton(),
+        outputStructType="user_id bigint, matches int",
+        outputMode="Update",
+        timeMode="None",
+    )

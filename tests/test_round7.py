@@ -232,3 +232,22 @@ def test_bpe_encode_monotone_and_consistent(spark, sf_dir):
             r["compression_ppm"]
             == r["syms_after"] * 10**6 // r["syms_before"]
         )
+
+
+def test_stream_pattern_match_equals_batch(spark, sf_dir):
+    """q350 (incremental transformWithState automaton over the ordered
+    replay) must produce EXACTLY q346's batch result — cross-batch
+    state carry and per-batch sorting cannot drift the fold."""
+    if "q350_stream_pattern_match" not in REG:
+        import pytest
+
+        pytest.skip("no protobuf runtime: transformWithState unavailable")
+    batch = {
+        (int(r["n_matches"]), int(r["n_users"]), int(r["total_matches"]))
+        for r in REG["q346_event_pattern_match"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        (int(r["n_matches"]), int(r["n_users"]), int(r["total_matches"]))
+        for r in REG["q350_stream_pattern_match"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch
