@@ -659,3 +659,124 @@ def test_rocksdb_state_store_matches_batch(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_pattern_automaton_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """q350's pattern automaton must survive a restart from the RocksDB
+    checkpoint alone: fold the FIRST half of the time-ordered slices,
+    stop, add the rest, restart on the SAME checkpoint — the carried
+    (stage, anchor, matches) state must stitch the two halves into
+    exactly the batch fold (a view in phase 1 whose click lands in
+    phase 2 still completes a match; dropped state would undercount,
+    replayed batches would overcount)."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from marketingcloud_etl_spark.io import table
+    from marketingcloud_etl_spark.streaming.jobs import (
+        RUN_ROCKSDB,
+        enable_transform_with_state,
+        ordered_replay_dir,
+        pattern_match_tws,
+    )
+
+    if not enable_transform_with_state(spark):
+        pytest.skip("no protobuf available (real or bundled)")
+
+    full = ordered_replay_dir(spark, sf_dir)
+    slices = sorted(d for d in os.listdir(full) if d.startswith("slice="))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(full).schema
+    )
+
+    def run_phase(name: str):
+        out_dir = str(tmp_path / name)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .option("latestFirst", "false")
+            .parquet(src)
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            )
+        )
+        q = (
+            pattern_match_tws(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, RUN_ROCKSDB)
+    try:
+        for d in slices[: len(slices) // 2]:
+            shutil.copytree(os.path.join(full, d), os.path.join(src, d))
+        run_phase("pat_ck1").localCheckpoint()
+        for d in slices[len(slices) // 2 :]:
+            shutil.copytree(os.path.join(full, d), os.path.join(src, d))
+        p2 = run_phase("pat_ck2").localCheckpoint()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    # matches is nondecreasing, so max over all emissions = final state
+    got = {
+        r["user_id"]: r["m"]
+        for r in p2.groupBy("user_id").agg(F.max("matches").alias("m")).collect()
+    }
+    # batch reference: the q346 fold over the full table
+    ev = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r["user_id"]].append((r["ts_us"], r["eid"], r["et"]))
+    V, P = 86_400_000_000, 259_200_000_000
+    want = {}
+    for u, s in seqs.items():
+        stage = anchor = m = 0
+        for us, _eid, et in sorted(s):
+            if et == "view":
+                stage, anchor = 1, us
+            elif et == "click" and stage == 1 and us - anchor <= V:
+                stage, anchor = 2, us
+            elif et == "purchase" and stage == 2 and us - anchor <= P:
+                stage, anchor, m = 0, 0, m + 1
+        want[u] = m
+    # phase 2 only re-emits users its slices touched, but each emission
+    # carries the CUMULATIVE count — equality with the full-table batch
+    # fold proves phase-1 state survived the restart (dropped state
+    # undercounts, a replayed batch overcounts)
+    for u, m in got.items():
+        assert m == want[u], (u, m, want[u])
+    assert got, "phase 2 emitted nothing"
