@@ -30,6 +30,9 @@ INVARIANCE_QUERIES = (
     "q342_pagerank_exact",      # fixed-point iterative graph op: the
                                 # operator's whole claim is bitwise
                                 # invariance under re-partitioning
+    "q347_hits_fixed_point",    # fixed-point HITS: same claim as q342
+    "q348_training_shard_manifest",  # hash shards + modular checksums
+    "q349_markov_attribution",  # ppb fixed-point HOF power iteration
 )
 
 
