@@ -2194,3 +2194,131 @@ def q349_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END as bigint)"
         ).alias("attribution_ppm"),
     )
+
+
+@query(
+    "q351_sprt_sequential_test",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS c_us, event_id AS c_eid
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT c.c_us, c.c_eid,
+             max(CASE WHEN p.p_us > c.c_us
+                      AND p.p_us <= c.c_us + 86400000000
+                      THEN 1 ELSE 0 END) AS success
+      FROM c LEFT JOIN p ON c.user_id = p.user_id
+      GROUP BY c.c_us, c.c_eid
+    ), pre AS (
+      SELECT success,
+             row_number() OVER (ORDER BY c_us, c_eid) AS n,
+             sum(success) OVER (ORDER BY c_us, c_eid
+                                ROWS UNBOUNDED PRECEDING) AS k
+      FROM t
+    ), l AS (
+      SELECT n, k,
+             k * ln(cast(0.45 as double)/cast(0.3 as double)) + (n - k) * ln(cast(0.55 as double)/cast(0.7 as double)) AS llr,
+             ln(cast(0.8 as double)/cast(0.05 as double)) AS up, ln(cast(0.2 as double)/cast(0.95 as double)) AS lo
+      FROM pre
+    )
+    SELECT cast(coalesce(max(n), 0) as bigint) AS n_total,
+           cast(coalesce(max(k), 0) as bigint) AS k_total,
+           coalesce(min_by(CASE WHEN llr >= up THEN 'reject_h0'
+                                ELSE 'accept_h0' END, n)
+                      FILTER (WHERE llr >= up OR llr <= lo),
+                    'continue') AS decision,
+           cast(coalesce(min(n) FILTER (WHERE llr >= up OR llr <= lo), 0)
+                as bigint) AS n_at_decision,
+           cast(coalesce(min_by(k, n)
+                           FILTER (WHERE llr >= up OR llr <= lo), 0)
+                as bigint) AS k_at_decision,
+           round(coalesce(min_by(llr, n)
+                            FILTER (WHERE llr >= up OR llr <= lo), 0.0), 6)
+             AS llr_at_decision
+    FROM l
+    """,
+    tags=("marketing", "stats", "sequential"),
+)
+def q351_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD SPRT — sequential probability-ratio testing, the
+    peeking-safe alternative to q133's fixed-horizon z-test (and the
+    question q291's power analysis sizes in advance): trials are
+    clicks in time order, success = a purchase by the same user within
+    24h; after each trial the log-likelihood ratio
+    k·ln(p₁/p₀) + (n−k)·ln((1−p₁)/(1−p₀)) (H₀ p=0.30 vs H₁ p=0.45)
+    is compared to Wald's boundaries ln((1−β)/α), ln(β/(1−α)) and the
+    FIRST crossing decides. The sequential scan is NOT a driver loop:
+    (n, k) come from ONE multi-measure `global_prefix_sum` pass (two
+    running sums in a single range exchange, no Exchange
+    SinglePartition), the LLR is a per-row IEEE expression over those
+    exact integers, and first-crossing selection is a min_by/FILTER
+    aggregation — the whole decision timeline in three shuffles at any
+    scale. The oracle replays trial construction, both boundaries and
+    the argmin selection. Found and pinned: bare literals like
+    0.45/0.3 parse as DECIMAL division in BOTH engines but at
+    different scales (DuckDB truncates (1−0.45)/(1−0.3) to 0.785714
+    before ln — a 6e-6 LLR drift), so every ratio casts to double
+    explicitly and both engines take ln of the identical IEEE value.
+    """
+    prep(spark)
+    from ..operators.ranking import global_prefix_sum
+
+    DAY_US = 86_400_000_000
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("et"),
+    )
+    c = ev.filter(F.col("et") == "click").select(
+        "user_id", F.col("us").alias("c_us"), F.col("eid").alias("c_eid")
+    )
+    p = ev.filter(F.col("et") == "purchase").select(
+        "user_id", F.col("us").alias("p_us")
+    )
+    t = (
+        c.join(p, "user_id", "left")
+        .groupBy("c_us", "c_eid")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("p_us") > F.col("c_us"))
+                    & (F.col("p_us") <= F.col("c_us") + DAY_US),
+                    1,
+                ).otherwise(0)
+            ).alias("success")
+        )
+        .withColumn("one", F.lit(1))
+    )
+    pre = global_prefix_sum(t, ["c_us", "c_eid"], ["one", "success"], ["n", "k"])
+    l = pre.select(
+        "n",
+        "k",
+        F.expr("k * ln(cast(0.45 as double)/cast(0.3 as double)) + (n - k) * ln(cast(0.55 as double)/cast(0.7 as double))").alias("llr"),
+        F.expr("ln(cast(0.8 as double)/cast(0.05 as double))").alias("up"),
+        F.expr("ln(cast(0.2 as double)/cast(0.95 as double))").alias("lo"),
+    )
+    return l.agg(
+        F.expr("cast(coalesce(max(n), 0) as bigint)").alias("n_total"),
+        F.expr("cast(coalesce(max(k), 0) as bigint)").alias("k_total"),
+        F.expr(
+            "coalesce(min_by(CASE WHEN llr >= up THEN 'reject_h0'"
+            " ELSE 'accept_h0' END, n)"
+            " FILTER (WHERE llr >= up OR llr <= lo), 'continue')"
+        ).alias("decision"),
+        F.expr(
+            "cast(coalesce(min(n) FILTER (WHERE llr >= up OR llr <= lo), 0)"
+            " as bigint)"
+        ).alias("n_at_decision"),
+        F.expr(
+            "cast(coalesce(min_by(k, n)"
+            " FILTER (WHERE llr >= up OR llr <= lo), 0) as bigint)"
+        ).alias("k_at_decision"),
+        F.expr(
+            "round(coalesce(min_by(llr, n)"
+            " FILTER (WHERE llr >= up OR llr <= lo), 0.0), 6)"
+        ).alias("llr_at_decision"),
+    )

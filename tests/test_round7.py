@@ -251,3 +251,43 @@ def test_stream_pattern_match_equals_batch(spark, sf_dir):
         for r in REG["q350_stream_pattern_match"].fn(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_sprt_equals_python_reference(spark, sf_dir, duck):
+    """q351's integer surface (trial order, prefix counts, first
+    crossing index, decision) vs a pure-Python sequential replay; the
+    LLR itself is float so it is compared to 1e-9 (the engines pin
+    each other bitwise via the oracle — this guards the ALGORITHM)."""
+    import math
+
+    rows = duck.sql(
+        """
+        WITH c AS (SELECT user_id, epoch_us(ts) us, event_id eid
+                   FROM events WHERE event_type='click'),
+        p AS (SELECT user_id, epoch_us(ts) us FROM events
+              WHERE event_type='purchase')
+        SELECT c.us, c.eid,
+               max(CASE WHEN p.us > c.us AND p.us <= c.us + 86400000000
+                   THEN 1 ELSE 0 END) AS s
+        FROM c LEFT JOIN p ON c.user_id = p.user_id
+        GROUP BY c.us, c.eid ORDER BY c.us, c.eid
+        """
+    ).fetchall()
+    c1 = math.log(0.45 / 0.3)
+    c2 = math.log(0.55 / 0.7)
+    up, lo = math.log(0.8 / 0.05), math.log(0.2 / 0.95)
+    n = k = 0
+    dec, n_dec, k_dec, llr_dec = "continue", 0, 0, 0.0
+    for _us, _eid, s in rows:
+        n += 1
+        k += s
+        llr = k * c1 + (n - k) * c2
+        if dec == "continue" and (llr >= up or llr <= lo):
+            dec = "reject_h0" if llr >= up else "accept_h0"
+            n_dec, k_dec, llr_dec = n, k, llr
+    got = REG["q351_sprt_sequential_test"].fn(spark, sf_dir).collect()[0]
+    assert (
+        got["n_total"], got["k_total"], got["decision"],
+        got["n_at_decision"], got["k_at_decision"],
+    ) == (n, k, dec, n_dec, k_dec)
+    assert abs(got["llr_at_decision"] - round(llr_dec, 6)) < 1e-9
