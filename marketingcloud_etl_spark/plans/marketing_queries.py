@@ -1790,11 +1790,36 @@ def q336_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# q346's automaton oracle, shared verbatim by the streaming twin
-# q350_stream_pattern_match (plans/streaming_queries.py): the ordered
-# slice-per-batch replay makes the incremental fold equal the batch fold
-# exactly, so both queries hash against the same reference.
-PATTERN_MATCH_ORACLE = """
+def _pattern_oracle(stages: tuple[str, ...], gaps_us: tuple[int, ...]) -> str:
+    """DuckDB oracle for ``operators/patterns.py::sequential_pattern_count``
+    over events: a recursive CTE steps the SAME generated k-state
+    automaton one event per level (DuckDB 1.0's list_reduce is
+    nondeterministic over grouped struct lists, so the oracle iterates
+    instead of folding), then histograms per-user match counts."""
+    k = len(stages)
+    adv = [
+        f"e.et = '{stages[i]}' AND s.stage = {i} "
+        f"AND e.us - s.anchor <= {gaps_us[i - 1]}"
+        for i in range(1, k)
+    ]
+    stage_case = (
+        f"CASE WHEN e.et = '{stages[0]}' THEN 1 "
+        + " ".join(
+            f"WHEN {w} THEN {0 if i == k - 1 else i + 1}"
+            for i, w in zip(range(1, k), adv)
+        )
+        + " ELSE s.stage END"
+    )
+    anchor_case = (
+        f"CASE WHEN e.et = '{stages[0]}' THEN e.us "
+        + " ".join(
+            f"WHEN {w} THEN "
+            f"{'cast(0 as bigint)' if i == k - 1 else 'e.us'}"
+            for i, w in zip(range(1, k), adv)
+        )
+        + " ELSE s.anchor END"
+    )
+    return f"""
     WITH RECURSIVE ev AS (
       SELECT user_id, epoch_us(ts) AS us, event_type AS et,
              row_number() OVER (PARTITION BY user_id
@@ -1803,30 +1828,14 @@ PATTERN_MATCH_ORACLE = """
     ), n AS (
       SELECT user_id, cast(count(*) as int) AS cnt FROM ev GROUP BY user_id
     ), st AS (
-      -- the same 3-state automaton, stepped one event per recursion level
-      -- (DuckDB 1.0's list_reduce is nondeterministic over grouped
-      -- struct lists, so the oracle iterates instead of folding)
       SELECT user_id, 0 AS i, 0 AS stage, cast(0 as bigint) AS anchor,
              0 AS matches
       FROM n
       UNION ALL
       SELECT s.user_id, s.i + 1,
-             CASE WHEN e.et = 'view' THEN 1
-                  WHEN e.et = 'click' AND s.stage = 1
-                       AND e.us - s.anchor <= 86400000000 THEN 2
-                  WHEN e.et = 'purchase' AND s.stage = 2
-                       AND e.us - s.anchor <= 259200000000 THEN 0
-                  ELSE s.stage END,
-             CASE WHEN e.et = 'view' THEN e.us
-                  WHEN e.et = 'click' AND s.stage = 1
-                       AND e.us - s.anchor <= 86400000000 THEN e.us
-                  WHEN e.et = 'purchase' AND s.stage = 2
-                       AND e.us - s.anchor <= 259200000000
-                    THEN cast(0 as bigint)
-                  ELSE s.anchor END,
-             s.matches + CASE WHEN e.et = 'purchase' AND s.stage = 2
-                              AND e.us - s.anchor <= 259200000000
-                              THEN 1 ELSE 0 END
+             {stage_case},
+             {anchor_case},
+             s.matches + CASE WHEN {adv[-1]} THEN 1 ELSE 0 END
       FROM st s JOIN ev e ON e.user_id = s.user_id AND e.i = s.i + 1
     )
     SELECT cast(s.matches as int) AS n_matches,
@@ -1835,6 +1844,15 @@ PATTERN_MATCH_ORACLE = """
     FROM st s JOIN n ON s.user_id = n.user_id AND s.i = n.cnt
     GROUP BY s.matches
     """
+
+
+# q346's automaton oracle, shared verbatim by the streaming twin
+# q350_stream_pattern_match (plans/streaming_queries.py): the ordered
+# slice-per-batch replay makes the incremental fold equal the batch fold
+# exactly, so both queries hash against the same reference.
+PATTERN_MATCH_ORACLE = _pattern_oracle(
+    ("view", "click", "purchase"), (86_400_000_000, 259_200_000_000)
+)
 
 
 @query(
@@ -1863,46 +1881,69 @@ def q346_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state per user is O(1); per-user sequences are
     session-scale (the q56 regime) — for multi-million-event users
     the same automaton runs incrementally in transformWithState
-    (q141's path) instead of one collected array."""
+    (q350's path) instead of one collected array."""
     prep(spark)
+    from ..operators.patterns import sequential_pattern_count
+
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         F.col("event_id").alias("eid"),
         F.col("event_type").alias("et"),
     )
-    seq = ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(F.struct("ts_us", "eid", "et"))).alias("s")
+    folded = sequential_pattern_count(
+        ev,
+        "user_id",
+        "ts_us",
+        "et",
+        stages=("view", "click", "purchase"),
+        gaps_us=(86_400_000_000, 259_200_000_000),
+        tiebreak_col="eid",
+        out_col="m",
     )
-    fold = F.expr(
-        """
-        aggregate(
-          s,
-          struct(0 as stage, cast(0 as bigint) as anchor, 0 as matches),
-          (acc, x) -> struct(
-            CASE
-              WHEN x.et = 'view' THEN 1
-              WHEN x.et = 'click' AND acc.stage = 1
-                   AND x.ts_us - acc.anchor <= 86400000000 THEN 2
-              WHEN x.et = 'purchase' AND acc.stage = 2
-                   AND x.ts_us - acc.anchor <= 259200000000 THEN 0
-              ELSE acc.stage END as stage,
-            CASE
-              WHEN x.et = 'view' THEN x.ts_us
-              WHEN x.et = 'click' AND acc.stage = 1
-                   AND x.ts_us - acc.anchor <= 86400000000 THEN x.ts_us
-              WHEN x.et = 'purchase' AND acc.stage = 2
-                   AND x.ts_us - acc.anchor <= 259200000000
-                THEN cast(0 as bigint)
-              ELSE acc.anchor END as anchor,
-            acc.matches + CASE
-              WHEN x.et = 'purchase' AND acc.stage = 2
-                   AND x.ts_us - acc.anchor <= 259200000000 THEN 1
-              ELSE 0 END as matches)
-        ).matches
-        """
+    return folded.groupBy(F.col("m").cast("int").alias("n_matches")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("m").cast("bigint").alias("total_matches"),
     )
-    folded = seq.select(fold.alias("m"))
+
+
+@query(
+    "q352_pattern_4stage",
+    oracle=_pattern_oracle(
+        ("view", "click", "signup", "purchase"),
+        (86_400_000_000, 172_800_000_000, 259_200_000_000),
+    ),
+    tags=("marketing", "sequence"),
+)
+def q352_pattern_4stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pattern operator GENERALIZED — the same
+    ``sequential_pattern_count`` automaton over a 4-stage funnel
+    (view→click→signup→purchase with 24h/48h/72h per-transition
+    bounds), proving the operator's stage machinery is parametric, not
+    a hand-rolled 3-state special case: both the Spark fold and the
+    DuckDB recursive-CTE oracle are GENERATED from the same
+    (stages, gaps) spec, so any drift between the generator's CASE
+    chains and the documented semantics breaks the hash. Same scale
+    shape as q346: one shuffle, O(1) state per key, codegen'd fold."""
+    prep(spark)
+    from ..operators.patterns import sequential_pattern_count
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("et"),
+    )
+    folded = sequential_pattern_count(
+        ev,
+        "user_id",
+        "ts_us",
+        "et",
+        stages=("view", "click", "signup", "purchase"),
+        gaps_us=(86_400_000_000, 172_800_000_000, 259_200_000_000),
+        tiebreak_col="eid",
+        out_col="m",
+    )
     return folded.groupBy(F.col("m").cast("int").alias("n_matches")).agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("m").cast("bigint").alias("total_matches"),

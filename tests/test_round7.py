@@ -291,3 +291,34 @@ def test_sprt_equals_python_reference(spark, sf_dir, duck):
         got["n_at_decision"], got["k_at_decision"],
     ) == (n, k, dec, n_dec, k_dec)
     assert abs(got["llr_at_decision"] - round(llr_dec, 6)) < 1e-9
+
+
+def _pattern_fold_k(seq, stages, gaps):
+    stage = anchor = m = 0
+    for us, _eid, et in seq:
+        if et == stages[0]:
+            stage, anchor = 1, us
+        elif 1 <= stage < len(stages) and et == stages[stage] and us - anchor <= gaps[stage - 1]:
+            if stage == len(stages) - 1:
+                stage, anchor, m = 0, 0, m + 1
+            else:
+                stage, anchor = stage + 1, us
+    return m
+
+
+def test_pattern_4stage_equals_python_automaton(spark, sf_dir, duck):
+    """q352 (generator-produced 4-state automaton) vs the generalized
+    Python fold on the real fixture."""
+    seqs = defaultdict(list)
+    for u, us, eid, et in _event_rows(duck):
+        seqs[u].append((us, eid, et))
+    stages = ("view", "click", "signup", "purchase")
+    gaps = (86_400_000_000, 172_800_000_000, 259_200_000_000)
+    hist = Counter(
+        _pattern_fold_k(sorted(s), stages, gaps) for s in seqs.values()
+    )
+    got = {
+        int(r["n_matches"]): (int(r["n_users"]), int(r["total_matches"]))
+        for r in REG["q352_pattern_4stage"].fn(spark, sf_dir).collect()
+    }
+    assert got == {m: (n, m * n) for m, n in hist.items()}
