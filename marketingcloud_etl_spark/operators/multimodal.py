@@ -125,3 +125,55 @@ def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
         .withColumn("out_h", F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int"))
         .withColumn("is_noop", (F.col("out_w") == F.col("width")) & (F.col("out_h") == F.col("height")))
     )
+
+
+def pcm_window_energy(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    payload_col: str = "payload",
+    window_samples: int = 64,
+    quiet_below_milli: int = 18_918_000,
+) -> DataFrame:
+    """Windowed RMS energy over little-endian 16-bit PCM payloads — the
+    audio half of the multimodal surface (images go through
+    extract_features/frame_sample): each binary payload is decoded
+    with ``np.frombuffer`` inside mapInPandas (the real Arrow-batched
+    decode path a soundfile/ffmpeg front-end would use), split into
+    fixed windows, and each window emits floor(1000·rms) plus a
+    silence flag — the voice-activity-style pre-filter an audio
+    curation pipeline runs before expensive transcription.
+
+    Exactness contract (what lets q354 hash against a SQL oracle):
+    squares and their sum are integers < 2⁵³, so float64 addition is
+    exact in ANY order; /window_samples is a power-of-two division
+    (exact); IEEE sqrt is correctly rounded — both engines produce the
+    identical double, and floor(×1000) the identical integer. Per-row
+    narrow stage, no shuffle; batches stream through Arrow."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} bigint, window_idx int, energy_milli bigint, "
+        "is_quiet boolean, n_samples int"
+    )
+
+    def gen(batches):
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for vid, payload in zip(pdf[id_col], pdf[payload_col]):
+                s = np.frombuffer(bytes(payload), dtype="<i2").astype(np.float64)
+                n_win = len(s) // window_samples
+                for w in range(n_win):
+                    chunk = s[w * window_samples : (w + 1) * window_samples]
+                    rms = math.sqrt(float(np.sum(chunk * chunk)) / window_samples)
+                    em = math.floor(rms * 1000.0)
+                    rows.append((int(vid), w, em, em < quiet_below_milli, window_samples))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "window_idx", "energy_milli", "is_quiet", "n_samples"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)

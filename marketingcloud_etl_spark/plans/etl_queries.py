@@ -3761,3 +3761,68 @@ def q335_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+@query(
+    "q354_audio_energy_windows",
+    oracle="""
+    WITH s AS (
+      SELECT v.vec_id, cast(t.i as bigint) AS i,
+             ('0x' || substr(md5(cast(v.vec_id * 100000 + t.i as varchar)),
+                             1, 8))::BIGINT % 65536 - 32768 AS smp
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id < 64) v,
+           unnest(range(0, 256)) AS t(i)
+    ), w AS (
+      SELECT vec_id, cast(i // 64 as int) AS window_idx,
+             sum(smp * smp) AS ss
+      FROM s GROUP BY vec_id, i // 64
+    )
+    SELECT vec_id, window_idx,
+           cast(floor(sqrt(ss / 64.0) * 1000.0) as bigint) AS energy_milli,
+           floor(sqrt(ss / 64.0) * 1000.0) < 18918000 AS is_quiet,
+           64 AS n_samples
+    FROM w
+    """,
+    tags=("multimodal", "audio", "parity"),
+)
+def q354_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO multimodal end-to-end: a 256-sample little-endian 16-bit
+    PCM payload per vec_id is BUILT as a real BinaryType value (sample
+    i = md5-derived h32 mod 2¹⁶ − 2¹⁵, hex-assembled byte-swapped,
+    unhex — q251's container protocol applied to audio), then DECODED
+    byte-for-byte with np.frombuffer inside mapInPandas
+    (operators/multimodal.py::pcm_window_energy) into 64-sample RMS
+    energy windows with a silence flag — the voice-activity prefilter
+    an audio curation pipeline runs before transcription. The oracle
+    regenerates every sample from the md5 formula and recomputes each
+    window in SQL: integer squares sum exactly in float64 (< 2⁵³, so
+    addition order can't matter), /64 is a power-of-two division, IEEE
+    sqrt is correctly rounded — both engines floor the identical
+    double, so a single mis-decoded byte, swapped endianness, or
+    off-by-one window boundary breaks the hash. 64 payloads × 4
+    windows; the decode stage is per-row narrow, no shuffle."""
+    prep(spark)
+    from ..operators.multimodal import pcm_window_energy
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    # u(i) = h32(vec_id·1e5 + i) mod 65536; payload = LE bytes of u − 32768
+    hx = F.expr(
+        """
+        array_join(
+          transform(sequence(0, 255), i ->
+            concat(
+              substring(lpad(hex(
+                (cast(conv(substring(md5(cast(vec_id * 100000 + i as string)),
+                                    1, 8), 16, 10) as bigint) % 65536
+                 + 32768) % 65536), 4, '0'),
+                3, 2),
+              substring(lpad(hex(
+                (cast(conv(substring(md5(cast(vec_id * 100000 + i as string)),
+                                    1, 8), 16, 10) as bigint) % 65536
+                 + 32768) % 65536), 4, '0'),
+                1, 2))),
+          '')
+        """
+    )
+    b = e.select("vec_id", F.unhex(hx).alias("payload"))
+    return pcm_window_energy(b, id_col="vec_id", payload_col="payload")

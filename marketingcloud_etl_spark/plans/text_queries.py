@@ -2563,3 +2563,100 @@ def q345_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("compression_ppm"),
     )
+
+
+@query(
+    "q353_phrase_search",
+    oracle=f"""
+    WITH toks AS (
+      -- DuckDB 1.0 has no WITH ORDINALITY; index the array explicitly
+      SELECT doc_id, ws[cast(i as int)] AS w, cast(i as bigint) AS pos
+      FROM (SELECT doc_id, {_TOKS} AS ws FROM documents),
+           unnest(range(1, len(ws) + 1)) AS t(i)
+    ), bg AS (
+      SELECT a.w AS w1, b.w AS w2, count(*) AS n
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.w, b.w
+    ), top AS (
+      SELECT w1, w2 FROM bg ORDER BY n DESC, w1, w2 LIMIT 1
+    ), p1 AS (
+      SELECT t.doc_id, list_sort(list(t.pos)) AS ps
+      FROM toks t JOIN top ON t.w = top.w1 GROUP BY t.doc_id
+    ), p2 AS (
+      SELECT t.doc_id, list_sort(list(t.pos)) AS ps
+      FROM toks t JOIN top ON t.w = top.w2 GROUP BY t.doc_id
+    ), hits AS (
+      SELECT p1.doc_id,
+             len(list_intersect(list_transform(p1.ps, p -> p + 1), p2.ps))
+               AS n_occurrences
+      FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+    )
+    SELECT h.doc_id, cast(h.n_occurrences as int) AS n_occurrences,
+           top.w1, top.w2
+    FROM hits h CROSS JOIN top
+    WHERE h.n_occurrences > 0
+    ORDER BY h.n_occurrences DESC, h.doc_id LIMIT 20
+    """,
+    tags=("text", "search"),
+)
+def q353_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE SEARCH over a POSITIONAL inverted index — the adjacency
+    query q165's document-level postings and q278's bag-of-words BM25
+    cannot answer ("w1 w2" as consecutive tokens, not co-occurrence):
+    posexplode keeps token positions, the corpus's top bigram (count
+    desc, pair asc — data-derived, deterministic) becomes the query
+    phrase via a one-row broadcast, each term's postings fold to a
+    sorted per-doc position array, and phrase occurrences =
+    |intersect(positions(w1)+1, positions(w2))| — the classic
+    positional-index merge, here as array_intersect on two
+    position-list columns. Top-20 docs under the (count, doc) total
+    order; exact integers end to end.
+
+    Scale shape: the positional index is (term, doc, positions) —
+    exactly what the postings join shuffles on (term first via the
+    broadcast phrase filter, then doc); position arrays are
+    doc-length-bounded. The expensive top-bigram discovery is the
+    q116 aggregation and would be replaced by a user-supplied phrase
+    in an interactive deployment."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "w")
+    ).select("doc_id", "w", (F.col("pos0") + 1).cast("bigint").alias("pos"))
+    bg = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = bg.orderBy(F.col("n").desc(), "w1", "w2").limit(1).select("w1", "w2")
+    p1 = (
+        toks.join(F.broadcast(top), toks["w"] == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps1"))
+    )
+    p2 = (
+        toks.join(F.broadcast(top), toks["w"] == F.col("w2"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps2"))
+    )
+    hits = p1.join(p2, "doc_id").select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.transform("ps1", lambda p: p + 1), F.col("ps2")
+            )
+        ).alias("n_occurrences"),
+    )
+    return (
+        hits.filter(F.col("n_occurrences") > 0)
+        .crossJoin(F.broadcast(top))
+        .orderBy(F.col("n_occurrences").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.col("n_occurrences").cast("int"), "w1", "w2")
+    )

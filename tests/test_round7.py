@@ -322,3 +322,56 @@ def test_pattern_4stage_equals_python_automaton(spark, sf_dir, duck):
         for r in REG["q352_pattern_4stage"].fn(spark, sf_dir).collect()
     }
     assert got == {m: (n, m * n) for m, n in hist.items()}
+
+
+def test_phrase_search_equals_python_reference(spark, sf_dir, duck):
+    """q353 vs a direct Python positional scan: same top bigram (count
+    desc, pair asc), same per-doc adjacent-occurrence counts, same
+    top-20 under the (count, doc) order."""
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    toks = {d: [t for t in txt.split() if t] for d, txt in docs}
+    bg = Counter()
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            bg[(a, b)] += 1
+    (w1, w2), _ = min(bg.items(), key=lambda kv: (-kv[1], kv[0]))
+    per_doc = {
+        d: sum(1 for a, b in zip(ws, ws[1:]) if (a, b) == (w1, w2))
+        for d, ws in toks.items()
+    }
+    want = sorted(
+        ((n, d) for d, n in per_doc.items() if n > 0),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    rows = REG["q353_phrase_search"].fn(spark, sf_dir).collect()
+    assert all(r["w1"] == w1 and r["w2"] == w2 for r in rows)
+    got = [(int(r["n_occurrences"]), int(r["doc_id"])) for r in rows]
+    assert got == want
+
+
+def test_audio_energy_equals_numpy_reference(spark, sf_dir):
+    """q354 vs a direct numpy replay of the generation + decode +
+    windowed RMS — every energy integer must match exactly (the
+    float64 path is exact by construction)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    rows = REG["q354_audio_energy_windows"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64 * 4
+    got = {(r["vec_id"], r["window_idx"]): (r["energy_milli"], r["is_quiet"]) for r in rows}
+    for vid in range(64):
+        s = np.array(
+            [
+                int(hashlib.md5(str(vid * 100000 + i).encode()).hexdigest()[:8], 16)
+                % 65536
+                - 32768
+                for i in range(256)
+            ],
+            dtype=np.float64,
+        )
+        for w in range(4):
+            chunk = s[w * 64 : (w + 1) * 64]
+            em = math.floor(math.sqrt(float(np.sum(chunk * chunk)) / 64) * 1000.0)
+            assert got[(vid, w)] == (em, em < 18_918_000), (vid, w)
