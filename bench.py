@@ -245,6 +245,9 @@ def main() -> None:
         "q66_ann_ivf_topk",
         "q134_semantic_dedup_pipeline",
         "q138_ann_ivfpq_topk",
+        # first run trains + caches the BPE merges (the offline-train /
+        # online-apply split); the timed pass measures steady-state encode
+        "q345_bpe_encode_apply",
     ):
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).collect()

