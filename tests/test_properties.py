@@ -241,3 +241,96 @@ def test_pagerank_fixed_point_property(spark, edge_pairs, iters):
             s[b] += r[a] // out_deg[a]
         r = {i: base + (dpct * s[i]) // 100 for i in node_ids}
     assert got == r
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),          # key
+            st.integers(0, 50),         # ts (small range forces ties/gaps)
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 10),
+    st.integers(1, 10),
+)
+def test_sequential_pattern_count_property(spark, events, gap1, gap2):
+    """On ARBITRARY small event sequences (duplicate timestamps, noise
+    types, any gap bounds), the generated aggregate() fold equals the
+    sequential Python automaton exactly — the generator's CASE chains
+    cannot drift from the documented semantics on any input."""
+    from marketingcloud_etl_spark.operators.patterns import (
+        sequential_pattern_count,
+    )
+
+    rows = [(k, ts, i, et) for i, (k, ts, et) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "k bigint, ts_us bigint, eid bigint, et string"
+    )
+    got = {
+        r["k"]: r["matches"]
+        for r in sequential_pattern_count(
+            df, "k", "ts_us", "et",
+            stages=("a", "b", "c"), gaps_us=(gap1, gap2),
+            tiebreak_col="eid",
+        ).collect()
+    }
+
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for k, ts, i, et in rows:
+        seqs[k].append((ts, i, et))
+    want = {}
+    for k, s in seqs.items():
+        stage = anchor = m = 0
+        for ts, _i, et in sorted(s):
+            if et == "a":
+                stage, anchor = 1, ts
+            elif et == "b" and stage == 1 and ts - anchor <= gap1:
+                stage, anchor = 2, ts
+            elif et == "c" and stage == 2 and ts - anchor <= gap2:
+                stage, anchor, m = 0, 0, m + 1
+        want[k] = m
+    assert got == want, (got, want, events)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(2, 64),
+)
+def test_pcm_window_energy_property(spark, sample_lists, win):
+    """Arbitrary PCM payloads (any length, including < one window —
+    trailing partial windows are dropped) decode to exactly the numpy
+    reference energies."""
+    import math
+    import struct
+
+    from marketingcloud_etl_spark.operators.multimodal import (
+        pcm_window_energy,
+    )
+
+    rows = [
+        (i, bytearray(struct.pack(f"<{len(s)}h", *s)))
+        for i, s in enumerate(sample_lists)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, payload binary")
+    got = {
+        (r["vec_id"], r["window_idx"]): (r["energy_milli"], r["n_samples"])
+        for r in pcm_window_energy(df, window_samples=win).collect()
+    }
+    want = {}
+    for i, s in enumerate(sample_lists):
+        for w in range(len(s) // win):
+            chunk = s[w * win : (w + 1) * win]
+            rms = math.sqrt(sum(x * x for x in chunk) / win)
+            want[(i, w)] = (math.floor(rms * 1000.0), win)
+    assert got == want
