@@ -2677,3 +2677,134 @@ def q353_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", F.col("n_occurrences").cast("int"), "w1", "w2")
     )
+
+
+@query(
+    "q355_unicode_nfc_normalize",
+    oracle="""
+    WITH raw(case_id, s) AS (VALUES
+      (1, chr(101) || chr(769)),            -- e + COMBINING ACUTE
+      (2, chr(233)),                        -- precomposed e-acute
+      (3, chr(97) || chr(776)),             -- a + COMBINING DIAERESIS
+      (4, chr(64257)),                      -- fi ligature: NFC-invariant
+      (5, chr(111) || chr(770) || chr(803)),-- o + circumflex + dot-below
+      (6, chr(4352) || chr(4449)),          -- Hangul jamo -> syllable
+      (7, 'spark'),                         -- ASCII fixed point
+      (8, chr(65) || chr(778))              -- A + COMBINING RING
+    )
+    SELECT cast(case_id as int) AS case_id,
+           nfc_normalize(s) AS nfc_str,
+           cast(length(s) as int) AS n_cp_raw,
+           cast(length(nfc_normalize(s)) as int) AS n_cp_nfc,
+           s != nfc_normalize(s) AS changed,
+           hex(encode(nfc_normalize(s))) AS nfc_hex
+    FROM raw
+    """,
+    tags=("text", "unicode", "parity"),
+)
+def q355_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE NFC NORMALIZATION — the canonicalization pass a text
+    pipeline runs before hashing/dedup (q37's content hash treats
+    'e'+U+0301 and precomposed é as DIFFERENT documents unless someone
+    normalizes first; this is that stage). Spark has NO normalization
+    builtin, so this is the documented UDF-as-last-resort path: an
+    Arrow-batched pandas UDF over Python's unicodedata — while DuckDB
+    normalizes with utf8proc's nfc_normalize. Both implement Unicode
+    canonical composition, so every output (the normalized string, its
+    codepoint counts, the changed flag, AND the UTF-8 byte hex of the
+    result) must hash identically — canonical REORDERING (dot-below
+    sorts before circumflex by combining class, then both compose to
+    U+1ED9), Hangul jamo composition, and the fi-ligature NFC fixed
+    point (ligatures only decompose under NFKC) are all in the
+    battery. Per-row narrow stage; at corpus scale this runs inside
+    the same Arrow batch pass as tokenization."""
+    prep(spark)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    # explicit escapes: composed vs decomposed forms are visually
+    # identical in source, so spelling the codepoints out is the only
+    # way an editor can see (and preserve) which form each case is
+    cases = [
+        (1, "e\u0301"),
+        (2, "\u00e9"),
+        (3, "a\u0308"),
+        (4, "\ufb01"),
+        (5, "o\u0302\u0323"),
+        (6, "\u1100\u1161"),
+        (7, "spark"),
+        (8, "A\u030a"),
+    ]
+    raw = spark.createDataFrame(cases, "case_id int, s string")
+    n = raw.select("case_id", "s", nfc("s").alias("nfc_str"))
+    return n.select(
+        "case_id",
+        "nfc_str",
+        F.length("s").cast("int").alias("n_cp_raw"),
+        F.length("nfc_str").cast("int").alias("n_cp_nfc"),
+        (F.col("s") != F.col("nfc_str")).alias("changed"),
+        F.hex(F.encode("nfc_str", "UTF-8")).alias("nfc_hex"),
+    )
+
+
+@query("q356_compression_quality", oracle=None, tags=("text", "quality", "rows-only"))
+def q356_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSION-RATIO quality signal (the RefinedWeb/Gopher-family
+    low-information filter q43's surface statistics can't express):
+    documents whose zlib-deflated size is a tiny fraction of their raw
+    bytes are boilerplate/template/repetition, whatever their token
+    stats look like. Each Arrow batch deflates its documents in one
+    mapInPandas pass (level 6, the curation default) and emits exact
+    integer ppm ratios; a per-source aggregate reports the corpus
+    compressibility profile and how many docs fall under the 250000
+    ppm (4:1) boilerplate line.
+
+    Rows-only by contract: no SQL engine exposes zlib, so there is no
+    oracle — the operator is pinned instead by planted-document tests
+    (pure repetition must compress under 5%, shuffled-vocabulary text
+    must not) and by exact byte accounting (raw_bytes equals the UTF-8
+    length the oracle-checked queries see). Deflate output is
+    deterministic for a fixed zlib/level, so re-runs agree bitwise.
+    Scale: per-row narrow stage, one 5-group aggregate; at 100 TB this
+    shares the tokenization Arrow pass."""
+    prep(spark)
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+
+    def gen(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].map(lambda t: len(t.encode("utf-8")))
+            comp = pdf["text"].map(
+                lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            )
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw.astype("int64"),
+                    "ratio_ppm": (comp * 1_000_000 // raw).astype("int64"),
+                }
+            )
+
+    per = d.mapInPandas(
+        gen, "source string, doc_id bigint, raw_bytes bigint, ratio_ppm bigint"
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("raw_bytes").cast("bigint").alias("raw_bytes"),
+        (F.sum("ratio_ppm") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mean_ratio_ppm"),
+        F.min("ratio_ppm").alias("min_ratio_ppm"),
+        F.max("ratio_ppm").alias("max_ratio_ppm"),
+        F.count_if(F.col("ratio_ppm") < 250_000).cast("bigint").alias("n_boilerplate"),
+    )

@@ -375,3 +375,24 @@ def test_audio_energy_equals_numpy_reference(spark, sf_dir):
             chunk = s[w * 64 : (w + 1) * 64]
             em = math.floor(math.sqrt(float(np.sum(chunk * chunk)) / 64) * 1000.0)
             assert got[(vid, w)] == (em, em < 18_918_000), (vid, w)
+
+
+def test_compression_quality_separates_planted_docs(spark, sf_dir, duck):
+    """q356's operator must (a) conserve exact byte accounting against
+    the corpus, and (b) rank planted pure-repetition text as far more
+    compressible than natural fixture text."""
+    import zlib
+
+    rows = REG["q356_compression_quality"].fn(spark, sf_dir).collect()
+    total_raw = sum(r["raw_bytes"] for r in rows)
+    want_raw = duck.sql(
+        "SELECT sum(strlen(text)) FROM documents"
+    ).fetchone()[0]
+    assert total_raw == want_raw
+    assert all(0 < r["min_ratio_ppm"] <= r["max_ratio_ppm"] for r in rows)
+    # planted contrast, same zlib the operator uses
+    rep = ("spam " * 400).strip().encode()
+    nat = duck.sql("SELECT text FROM documents LIMIT 1").fetchone()[0].encode()
+    rep_ppm = len(zlib.compress(rep, 6)) * 1_000_000 // len(rep)
+    nat_ppm = len(zlib.compress(nat, 6)) * 1_000_000 // len(nat)
+    assert rep_ppm < 50_000 < nat_ppm
