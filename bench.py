@@ -124,6 +124,8 @@ HEADLINE = (
     "q345_bpe_encode_apply",
     "q346_event_pattern_match",
     "q349_markov_attribution",
+    # positional-index family: token-position self-join + postings merge
+    "q353_phrase_search",
 )
 
 
@@ -192,6 +194,7 @@ BUDGETS = {
     "q345_bpe_encode_apply": 4.31,
     "q346_event_pattern_match": 1.5,
     "q349_markov_attribution": 2.64,
+    "q353_phrase_search": 2.39,
 }
 
 
