@@ -30,38 +30,60 @@ def pagerank(
     """Fixed-iteration PageRank over directed ``edges``. Returns
     (id, rank). Feed each undirected edge in both directions for the
     symmetric similarity-graph case."""
-    # checkpoint the loop-invariant inputs ONCE: every iteration's eager
-    # localCheckpoint of ranks would otherwise recompute the full edge
-    # derivation (for q128 that is the n-gram Jaccard join battery)
-    nodes = (
-        edges.select(F.col(src).alias("id"))
-        .unionByName(edges.select(F.col(dst).alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
+    # checkpoint the edge list FIRST, then the loop-invariant frames
+    # derived from it: every iteration's eager localCheckpoint of ranks
+    # would otherwise recompute the full edge derivation (for q128 that
+    # is the n-gram Jaccard join battery), and nodes/degree each add
+    # one more derivation pass without the cut here
+    edges = edges.localCheckpoint()
+    nodes = _nodes_with_degree(edges, src, dst)
     n = nodes.count()  # one driver scalar, not data
     if n == 0:
         return nodes.select("id", F.lit(0.0).alias("rank"))
-    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
-    e = edges.join(out_deg, src).select(
-        F.col(src).alias("__src"), F.col(dst).alias("__dst"), "__deg"
+    ranks = nodes.select(
+        "id", "__deg", F.lit(1.0 / n).alias("rank")
     ).localCheckpoint()
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     base = (1.0 - damping) / n
     for _ in range(iters):
-        contribs = e.join(ranks, e["__src"] == ranks["id"]).select(
-            F.col("__dst").alias("id"), (F.col("rank") / F.col("__deg")).alias("c")
+        contribs = edges.join(ranks, edges[src] == ranks["id"]).select(
+            F.col(dst).alias("id"), (F.col("rank") / F.col("__deg")).alias("c")
         )
         sums = contribs.groupBy("id").agg(F.sum("c").alias("s"))
         ranks = (
             nodes.join(sums, "id", "left")
             .select(
                 "id",
+                "__deg",
                 (F.lit(base) + damping * F.coalesce("s", F.lit(0.0))).alias("rank"),
             )
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("id", "rank")
+
+
+def _nodes_with_degree(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """One checkpointed (id, __deg) frame: every node id with its
+    out-degree (0 for dangling nodes). Carrying the degree ON the
+    node/rank frame instead of materializing a degree-annotated edge
+    list halves the edge-sized checkpoint footprint — the degree column
+    then travels with the NODE-sized rank frame through each
+    iteration's join, never with the edge-sized one. Only rank rows
+    that match some edge's source ever feed the ``rank / __deg``
+    contribution, and those have __deg >= 1 by construction, so the
+    dangling-node zero never divides."""
+    ids = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    return (
+        ids.join(deg, "id", "left")
+        .select("id", F.coalesce("__deg", F.lit(0)).alias("__deg"))
+        .localCheckpoint()
+    )
 
 
 def pagerank_fixed_point(
@@ -85,33 +107,28 @@ def pagerank_fixed_point(
     order matches float PageRank to ~1e-12 relative.
 
     Same Spark shape as :func:`pagerank`: one join + one aggregation
-    per iteration; loop-invariant edge/degree frames checkpoint once.
+    per iteration; the edge list checkpoints FIRST so the (possibly
+    expensive) edge derivation runs once — nodes and the
+    degree-annotated edge frame then derive from the in-memory copy
+    instead of re-running the upstream plan per consumer.
     Unlike the float operator, the per-round rank frame feeds exactly
     one downstream consumer, so by default the whole iteration chain
     stays ONE lazy DAG (a depth-``iters`` plan executes as a single
     job — ~2x faster than eager per-round materialization at bench
     scale); pass ``checkpoint_every=k`` to cut lineage every k rounds
     when running high iteration counts."""
-    nodes = (
-        edges.select(F.col(src).alias("id"))
-        .unionByName(edges.select(F.col(dst).alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = edges.localCheckpoint()
+    nodes = _nodes_with_degree(edges, src, dst)
     n = nodes.count()  # one driver scalar, not data
     if n == 0:
         return nodes.select("id", F.lit(0).cast("bigint").alias("rank_micro"))
-    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
-    e = edges.join(out_deg, src).select(
-        F.col(src).alias("__src"), F.col(dst).alias("__dst"), "__deg"
-    ).localCheckpoint()
     base = (scale * (100 - damping_pct) // 100) // n
     ranks = nodes.select(
-        "id", F.lit(scale // n).cast("bigint").alias("rank_micro")
+        "id", "__deg", F.lit(scale // n).cast("bigint").alias("rank_micro")
     )
     for it in range(iters):
-        contribs = e.join(ranks, e["__src"] == ranks["id"]).select(
-            F.col("__dst").alias("id"),
+        contribs = edges.join(ranks, edges[src] == ranks["id"]).select(
+            F.col(dst).alias("id"),
             F.expr("rank_micro div __deg").alias("c"),
         )
         sums = contribs.groupBy("id").agg(F.sum("c").cast("bigint").alias("s"))
@@ -119,6 +136,7 @@ def pagerank_fixed_point(
             nodes.join(sums, "id", "left")
             .select(
                 "id",
+                "__deg",
                 (
                     F.lit(base)
                     + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
@@ -127,4 +145,4 @@ def pagerank_fixed_point(
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
-    return ranks
+    return ranks.select("id", "rank_micro")

@@ -43,6 +43,7 @@ __all__ = [
     "distributed_ntile",
     "global_prefix_sum",
     "global_prefix_max",
+    "grouped_quantile_cont",
     "pin_cache",
     "release_ranking_caches",
 ]
@@ -293,3 +294,145 @@ def global_prefix_max(
         .withColumn(out_col, F.greatest(F.col(_OFF), F.col(_LRN)))
         .drop(_PID, _LRN, _OFF)
     )
+
+
+def grouped_quantile_cont(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: float | Sequence[float],
+    out_col: str | Sequence[str] = "q",
+) -> DataFrame:
+    """EXACT per-group continuous quantile (``percentile`` ≡ DuckDB
+    ``quantile_cont``: linear interpolation at 0-indexed rank (n−1)·p)
+    with NO group-sized task anywhere in the plan. Returns one row per
+    group: ``group_cols + out_cols + ["n"]``. ``p``/``out_col`` accept
+    parallel LISTS to extract several quantiles (quartile batteries) in
+    ONE pass — the counts/prefix machinery is shared, only the anchor
+    ranks multiply.
+
+    Spark's builtin ``percentile`` aggregate merges each group's whole
+    value→count map in ONE reducer task — with few heavy groups (3
+    return flags over 10^11 rows) that task holds a group-sized hash
+    map and sorts it alone: the exact shape that OOMs at 100 TB. This
+    formulation keeps every stage wide instead:
+
+    1. ``groupBy(group, value).count()`` — map-side partial combine,
+       shuffle bounded by DISTINCT (group, value) pairs, hash-spread
+       over all reducers;
+    2. :func:`global_prefix_sum` over the (group, value) total order —
+       range-partitioned running count, still parallel WITHIN a group
+       because partitioning is by sort-range, not by group;
+    3. per-group totals broadcast back (one row per group); a row
+       covering ranks [cum−cnt+1, cum] contains the target order
+       statistics floor/ceil(1+(n−1)p) — at most two rows per group
+       and quantile survive the filter, and a final tiny agg
+       interpolates with the builtin's exact arithmetic.
+
+    The price vs the builtin is one extra range exchange of the
+    distinct-pair frame plus the pinned counts frame; the win is that
+    no task ever materializes a group, so the operator is the exact
+    path for the few-heavy-groups regime (the builtin stays faster
+    when groups are many and small — q119 measures the crossover).
+    Interpolation arithmetic is double — identical operation order to
+    Spark's ``Percentile``, so results are bitwise the builtin's (and
+    DuckDB ``quantile_cont``'s for dyadic interpolation fractions,
+    e.g. any quartile)."""
+    ps = [p] if isinstance(p, (int, float)) else list(p)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(ps) != len(ocols):
+        raise ValueError("p and out_col lists must pair up")
+    gcols = list(group_cols)
+    # The counts frame feeds THREE consumers (the prefix sum, the
+    # per-group totals, and — through anchored — the rank-cover test);
+    # without the pin each consumer re-runs the input subtree's scan +
+    # shuffle, and when the input itself embeds an earlier quantile
+    # pass (q119's MAD-of-deviations) the recompute compounds
+    # multiplicatively. Registered for release_ranking_caches like
+    # every other multi-consumer ranking frame.
+    counts = pin_cache(
+        df.groupBy(*gcols, value_col).agg(F.count(F.lit(1)).alias("__qc_cnt"))
+    )
+    cum = global_prefix_sum(
+        counts, [*gcols, value_col], "__qc_cnt", "__qc_cum"
+    )
+    totals = counts.groupBy(*gcols).agg(F.sum("__qc_cnt").alias("n"))
+    # 0-indexed interpolation anchors, Spark Percentile's exact
+    # arithmetic: pos = p*(n-1), lower = floor(pos), higher = ceil(pos)
+    nm1 = (F.col("n") - F.lit(1)).cast("double")
+    anchor_cols = []
+    for i, pv in enumerate(ps):
+        pos = nm1 * F.lit(float(pv))
+        anchor_cols += [
+            (F.floor(pos) + 1).alias(f"__qc_lo{i}"),  # 1-indexed ranks
+            (F.ceil(pos) + 1).alias(f"__qc_hi{i}"),
+        ]
+    anchored = cum.join(F.broadcast(totals), gcols).select(
+        *gcols,
+        F.col(value_col).alias("__qc_v"),
+        "n",
+        (F.col("__qc_cum") - F.col("__qc_cnt")).alias("__qc_before"),
+        F.col("__qc_cum").alias("__qc_thru"),
+        nm1.alias("__qc_nm1"),
+        *anchor_cols,
+    )
+    # group offset: cumulative count of rows in EARLIER groups =
+    # (end-of-group cum) − n, derived per group and folded into the
+    # rank test below via within-group positions.
+    ends = anchored.groupBy(*gcols).agg(F.max("__qc_thru").alias("__qc_end"))
+    positioned = (
+        anchored.join(F.broadcast(ends), gcols)
+        .withColumn("__qc_off", F.col("__qc_end") - F.col("n"))
+        .withColumn("__qc_first", F.col("__qc_before") - F.col("__qc_off") + 1)
+        .withColumn("__qc_last", F.col("__qc_thru") - F.col("__qc_off"))
+    )
+    keep = None
+    for i in range(len(ps)):
+        cover_i = (F.col("__qc_last") >= F.col(f"__qc_lo{i}")) & (
+            F.col("__qc_first") <= F.col(f"__qc_hi{i}")
+        )
+        keep = cover_i if keep is None else (keep | cover_i)
+    hit = positioned.filter(keep)
+
+    def _rank_value(rank_col: str) -> Column:
+        return F.max(
+            F.when(
+                (F.col("__qc_first") <= F.col(rank_col))
+                & (F.col(rank_col) <= F.col("__qc_last")),
+                F.col("__qc_v"),
+            )
+        )
+
+    agg = hit.groupBy(*gcols).agg(
+        F.first("n").alias("n"),
+        F.first("__qc_nm1").alias("__qc_nm1"),
+        *[
+            c
+            for i in range(len(ps))
+            for c in (
+                _rank_value(f"__qc_lo{i}").alias(f"__qc_vlo{i}"),
+                _rank_value(f"__qc_hi{i}").alias(f"__qc_vhi{i}"),
+            )
+        ],
+    )
+    # Spark Percentile.getPercentile verbatim: with 0-indexed pos,
+    # lower = floor(pos), higher = ceil(pos):
+    #   higher == lower -> lowerKey
+    #   else (higher - pos) * lowerKey + (pos - lower) * higherKey
+    # — reproduced operation-for-operation so results are bitwise the
+    # builtin's.
+    outs = []
+    for i, (pv, oc) in enumerate(zip(ps, ocols)):
+        pos2 = F.col("__qc_nm1") * F.lit(float(pv))
+        lo2, hi2 = F.floor(pos2), F.ceil(pos2)
+        v_lo = F.col(f"__qc_vlo{i}").cast("double")
+        v_hi = F.col(f"__qc_vhi{i}").cast("double")
+        outs.append(
+            F.when(hi2 == lo2, v_lo)
+            .otherwise(
+                (hi2.cast("double") - pos2) * v_lo
+                + (pos2 - lo2.cast("double")) * v_hi
+            )
+            .alias(oc)
+        )
+    return agg.select(*gcols, *outs, "n")

@@ -1447,7 +1447,11 @@ def q119_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join of the tiny per-group stats back onto the rows.
     Exact per-group medians sort within each group; for
     billion-row-per-group corpora the q112 GK-sketch path is the
-    approximation alternative. The input is spread conditionally
+    approximation alternative and q357's grouped_quantile_cont
+    (counts → distributed prefix sum → rank-cover, no group-sized
+    task) is the exact one — measured here, the builtin wins below
+    ~10⁶ distinct values per group, so this query keeps it and the
+    crossover is the documented trade. The input is spread conditionally
     (spread_partitions: no-op when the scan already splits wide) so
     the percentile partials parallelize; the one repartition Exchange
     is shared by all three consumers via ReusedExchange — the plan
@@ -4218,3 +4222,49 @@ def q334_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("crit_05"),
         (ks_d > crit).alias("reject_same_dist"),
     )
+
+
+@query(
+    "q357_grouped_quantile_scalable",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             cast(round(l_extendedprice * 100) as bigint) AS cents
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           quantile_cont(cents, 0.25) AS q25,
+           quantile_cont(cents, 0.50) AS q50,
+           quantile_cont(cents, 0.75) AS q75,
+           cast(count(*) as bigint) AS n
+    FROM c GROUP BY l_returnflag
+    """,
+    tags=("analytic", "percentile", "scale"),
+)
+def q357_grouped_quantile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quartiles with NO group-sized task — the
+    few-heavy-groups percentile regime done scalably. Spark's builtin
+    ``percentile`` (q119/q232) merges each group's whole value→count
+    map in ONE reducer: correct until a handful of groups span the
+    fact table, then that task holds a group-sized map and sorts it
+    alone — the canonical 100 TB OOM. ``grouped_quantile_cont``
+    (operators/ranking.py) instead goes counts → range-partitioned
+    distributed prefix sum → rank-cover filter (≤2 surviving rows per
+    group and quantile) → interpolation with Spark ``Percentile``'s
+    verbatim arithmetic, so every stage stays wide and the whole
+    quartile battery shares ONE counts/prefix pass (multi-p form).
+    Integer cents make each interpolated quartile an exact dyadic
+    fraction — bitwise equal on both engines (q232's protocol). The
+    builtin stays faster when groups are many and small; this is the
+    exact path when they aren't. Compare q112 (GK sketch) for the
+    approximate alternative."""
+    prep(spark)
+    from ..operators.ranking import grouped_quantile_cont
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    return grouped_quantile_cont(
+        li, ["l_returnflag"], "cents", [0.25, 0.5, 0.75], ["q25", "q50", "q75"]
+    ).select("l_returnflag", "q25", "q50", "q75", "n")

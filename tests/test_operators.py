@@ -1224,6 +1224,94 @@ def test_global_prefix_sum_multi_column_matches_window(spark):
     assert bad.count() == 0, bad.limit(5).collect()
 
 
+@pytest.mark.parametrize("p", [0.0, 0.123, 0.25, 0.5, 0.75, 1.0])
+def test_grouped_quantile_cont_matches_builtin_percentile(spark, p):
+    """grouped_quantile_cont must be BITWISE equal to Spark's
+    ``percentile`` aggregate (same interpolation arithmetic, operation
+    for operation) on a frame with duplicate values, a singleton group,
+    and both even- and odd-sized groups."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.operators.ranking import (
+        grouped_quantile_cont,
+        release_ranking_caches,
+    )
+
+    rows = []
+    for i in range(997):  # group g0: odd n, collisions every 13
+        rows.append(("g0", float((i * 31) % 13) + 0.25))
+    for i in range(500):  # group g1: even n, near-unique doubles
+        rows.append(("g1", ((i * 2654435761) % 9973) / 7.0))
+    rows.append(("g2", 42.5))  # singleton group
+    df = spark.createDataFrame(rows, "g string, v double").repartition(16)
+    want = {
+        r.g: (r.q, r.n)
+        for r in df.groupBy("g")
+        .agg(F.percentile("v", F.lit(p)).alias("q"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        r.g: (r.q, r.n)
+        for r in grouped_quantile_cont(df, ["g"], "v", p).collect()
+    }
+    release_ranking_caches()
+    assert got == want  # exact ==, no tolerance: bitwise contract
+
+
+def test_grouped_quantile_cont_multi_p_one_pass(spark):
+    """The list form must equal per-p single calls AND Spark's builtin,
+    sharing one counts/prefix machinery for the whole battery."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.operators.ranking import (
+        grouped_quantile_cont,
+        release_ranking_caches,
+    )
+
+    df = spark.range(3001).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        ((F.col("id") * 2654435761) % 9973).cast("double").alias("v"),
+    )
+    want = {
+        r.g: (r.q25, r.q50, r.q75)
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("v", F.lit(0.25)).alias("q25"),
+            F.percentile("v", F.lit(0.5)).alias("q50"),
+            F.percentile("v", F.lit(0.75)).alias("q75"),
+        )
+        .collect()
+    }
+    got = {
+        r.g: (r.q25, r.q50, r.q75)
+        for r in grouped_quantile_cont(
+            df, ["g"], "v", [0.25, 0.5, 0.75], ["q25", "q50", "q75"]
+        ).collect()
+    }
+    release_ranking_caches()
+    assert got == want
+
+
+def test_grouped_quantile_cont_plan_has_no_single_partition(spark):
+    """The whole point of the operator: exact per-group quantiles with
+    no group-sized or single-partition stage anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.operators.ranking import (
+        grouped_quantile_cont,
+        release_ranking_caches,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 7 % 997).cast("double").alias("v"),
+    )
+    got = grouped_quantile_cont(df, ["g"], "v", 0.5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    release_ranking_caches()
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_pagerank_fixed_point_matches_integer_reference(spark):
     """pagerank_fixed_point vs a pure-Python integer power iteration on
     the same graph: EXACT equality (the operator's whole point is
