@@ -126,21 +126,29 @@ HEADLINE = (
     "q349_markov_attribution",
     # positional-index family: token-position self-join + postings merge
     "q353_phrase_search",
+    # round-6 wave 2: the exact scalable percentile family (counts →
+    # distributed prefix sum → rank-cover interpolation, no group-sized
+    # task) — the physical shape q119/q232's builtin percentile can't
+    # take to few-heavy-groups scale
+    "q357_grouped_quantile_scalable",
 )
 
 
-# Per-query wall-clock budgets (sec) at sf0.1 / local[32], pinned from
-# BENCH_r04.json: budget = max(1.5 x r4 time, 1.5 s) — the 1.5 s floor
-# absorbs JVM/GC noise on sub-second queries. BASELINE.md publishes no
+# Per-query wall-clock budgets (sec) at sf0.1 / local[32]: budget =
+# max(1.5 x BEST driver-observed time across BENCH_r04/r05/..., 1.5 s)
+# — the 1.5 s floor absorbs JVM/GC noise on sub-second queries, and the
+# min() anchor makes the gate a RATCHET (tightens when the driver
+# observes a faster run, never loosens). BASELINE.md publishes no
 # reference numbers (the reference is a single-threaded network-bound
 # script), so these self-referential budgets ARE the regression gate:
 # the JSON line carries a "budget" block and any over-budget query is a
-# red flag for the round. Headline queries added after r4 get a budget
-# when their first driver bench lands.
+# red flag for the round. Headline queries added after the last driver
+# bench get a budget when their first driver bench lands (anchored
+# local best-of-2 until then, see BASELINE.md).
 BUDGETS = {
     "q00_flagship_ingest_dedup": 1.89,
-    "q01_pricing_summary": 1.92,
-    "q05_revenue_by_nation": 1.66,
+    "q01_pricing_summary": 1.6,
+    "q05_revenue_by_nation": 1.54,
     "q11_join_asof": 1.5,
     "q15_agg_rollup": 1.5,
     "q22_window_topk": 1.5,
@@ -148,10 +156,10 @@ BUDGETS = {
     "q41_tokenize_wordcount": 1.5,
     "q42_tfidf": 1.5,
     "q49_knn_bruteforce": 1.5,
-    "q50_minhash_lsh": 1.56,
-    "q52_ann_lsh_topk": 2.56,
+    "q50_minhash_lsh": 1.55,
+    "q52_ann_lsh_topk": 2.54,
     "q56_sessionization": 1.5,
-    "q66_ann_ivf_topk": 2.19,
+    "q66_ann_ivf_topk": 2.07,
     "q68_sliding_window": 1.5,
     "q70_bucketed_join": 1.5,
     "q71_asof_cogroup": 1.52,
@@ -164,9 +172,9 @@ BUDGETS = {
     "q121_funnel_conversion": 1.5,
     "q122_snapshot_cdc_diff": 1.5,
     "q127_bigram_lm_score": 2.85,
-    "q129_setsim_join": 4.34,
-    "q131_last_touch_attribution": 1.52,
-    "q132_rfm_segmentation": 5.44,
+    "q129_setsim_join": 3.69,
+    "q131_last_touch_attribution": 1.5,
+    "q132_rfm_segmentation": 4.46,
     "q134_semantic_dedup_pipeline": 4.19,
     "q138_ann_ivfpq_topk": 2.08,
     "q161_line_dedup": 1.5,
@@ -195,6 +203,7 @@ BUDGETS = {
     "q346_event_pattern_match": 1.5,
     "q349_markov_attribution": 2.64,
     "q353_phrase_search": 2.39,
+    "q357_grouped_quantile_scalable": 5.75,
 }
 
 
