@@ -113,6 +113,12 @@ def global_row_number(
     per-partition-count frame, two broadcasts. Nothing is ever
     single-partitioned except the count frame (<= shuffle.partitions
     rows by construction).
+
+    Caller note: ``repartitionByRange``'s sampling pass executes the
+    input subtree once BEFORE the shuffle executes it again — when
+    ``df`` embeds an expensive derivation (a fact-table scan + agg),
+    :func:`pin_cache` it first (q132's pattern) so the derivation runs
+    once.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     part = (

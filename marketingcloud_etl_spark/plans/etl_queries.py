@@ -1259,7 +1259,7 @@ def q167_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     result. At 100 TB this ntile is `repartitionByRange(zval)` +
     per-file parquet min/max stats; the plan here is the same two-pass
     shape (distributed sort by interleaved key, then per-file stats)."""
-    from ..operators.ranking import distributed_ntile
+    from ..operators.ranking import distributed_ntile, pin_cache
 
     prep(spark)
     o = table(spark, sf_dir, "orders")
@@ -1271,7 +1271,10 @@ def q167_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 256
         ).cast("int").alias("zy"),
     )
-    keyed = base.withColumn("zval", F.expr(_Z16))
+    # pinned: keyed feeds BOTH layout branches, and each branch's
+    # range exchange runs a sampling pass before its shuffle — four
+    # executions of the scan + bit-interleave expression without the cut
+    keyed = pin_cache(base.withColumn("zval", F.expr(_Z16)))
     # independent branches, NOT a chained ntile: chaining made the union
     # below re-run BOTH range exchanges in each branch (laid had two
     # consumers), and the second sort pointlessly re-shuffled the first

@@ -11,7 +11,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions.money import dec
 from ..io import table
-from ..operators.ranking import distributed_ntile
+from ..operators.ranking import distributed_ntile, pin_cache
 from ..session import prep
 from .catalog import query
 
@@ -177,7 +177,11 @@ def q132_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
     anchor = p.agg(F.max("ts").cast("date").alias("max_day"))
-    rfm = (
+    # pinned: repartitionByRange's sampling pass re-executes its input
+    # subtree before the shuffle does, so the first ntile would scan +
+    # aggregate the event log TWICE without the cut here (and at fact
+    # scale that second scan is the expensive half)
+    rfm = pin_cache(
         p.crossJoin(F.broadcast(anchor))
         .groupBy("user_id")
         .agg(
@@ -452,7 +456,10 @@ def q204_propensity_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from ..operators.ranking import distributed_ntile
 
-    eng = (
+    # pinned: repartitionByRange's sampling pass re-executes the input
+    # subtree before the shuffle does — the fact-table aggregation
+    # above would run twice without the cut
+    eng = pin_cache(
         table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
@@ -1346,17 +1353,22 @@ def q310_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prep(spark)
     e = table(spark, sf_dir, "events")
-    base = e.groupBy("user_id").agg(
-        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("event_type") == "purchase",
-                    F.round(F.col("value") * 100).cast("bigint"),
-                )
-            ),
-            F.lit(0),
-        ).cast("bigint").alias("cents"),
+    # pinned: base feeds the totals row, the labeled join AND the range
+    # exchange's sampling+shuffle passes — four executions of the event
+    # rollup without the cut
+    base = pin_cache(
+        e.groupBy("user_id").agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("bigint"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("cents"),
+        )
     )
     tot = base.agg(
         F.count(F.lit(1)).alias("n_users_t"),
@@ -2307,7 +2319,7 @@ def q351_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from ..operators.ranking import global_prefix_sum
 
-    DAY_US = 86_400_000_000
+    DAY_US = 86_400_000_000  # pin below: see q132's sampling-pass note
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("us"),
@@ -2334,6 +2346,7 @@ def q351_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("one", F.lit(1))
     )
+    t = pin_cache(t)  # join+agg above would run twice (sampling + shuffle)
     pre = global_prefix_sum(t, ["c_us", "c_eid"], ["one", "success"], ["n", "k"])
     l = pre.select(
         "n",

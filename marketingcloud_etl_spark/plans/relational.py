@@ -2784,10 +2784,15 @@ def q226_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     window oracle reproduces the identical ranks under the total
     (cnt, key) order."""
     prep(spark)
-    from ..operators.ranking import global_row_number
+    from ..operators.ranking import global_row_number, pin_cache
 
     li = table(spark, sf_dir, "lineitem")
-    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    # pinned: repartitionByRange's sampling pass re-executes the input
+    # subtree before the shuffle does — the fact-table aggregation
+    # above would run twice without the cut
+    per_key = pin_cache(
+        li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     ranked = global_row_number(per_key, ["cnt", "l_orderkey"], out_col="rnk")
     g = ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),
@@ -2849,11 +2854,16 @@ def q228_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic. The classic inventory/revenue-concentration readout at
     any key cardinality."""
     prep(spark)
-    from ..operators.ranking import TOTAL_COL, global_prefix_sum
+    from ..operators.ranking import TOTAL_COL, global_prefix_sum, pin_cache
 
     li = table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents")
+    # pinned: repartitionByRange's sampling pass re-executes the input
+    # subtree before the shuffle does — the fact-table aggregation
+    # above would run twice without the cut
+    rev = pin_cache(
+        li.groupBy("l_partkey").agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents")
+        )
     )
     ranked = global_prefix_sum(
         rev,
@@ -4030,11 +4040,16 @@ def q322_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one partkey-aligned join; the 9-cell output is constant-size at
     any scale."""
     prep(spark)
-    from ..operators.ranking import TOTAL_COL, global_prefix_sum
+    from ..operators.ranking import TOTAL_COL, global_prefix_sum, pin_cache
 
     li = table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents")
+    # pinned: repartitionByRange's sampling pass re-executes the input
+    # subtree before the shuffle does — the fact-table aggregation
+    # above would run twice without the cut
+    rev = pin_cache(
+        li.groupBy("l_partkey").agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents")
+        )
     )
     ranked = global_prefix_sum(
         rev,
@@ -4185,13 +4200,16 @@ def q334_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     α=0.05 asymptotic critical value and reject flag are one IEEE
     expression on the one-row output."""
     prep(spark)
-    from ..operators.ranking import global_prefix_sum
+    from ..operators.ranking import global_prefix_sum, pin_cache
 
     o = table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(cents.alias("v"))
     b = o.filter(F.col("o_orderpriority") == "5-LOW").select(cents.alias("v"))
-    counts = (
+    # pinned: repartitionByRange's sampling pass re-executes the input
+    # subtree before the shuffle does — the fact-table aggregation
+    # above would run twice without the cut
+    counts = pin_cache(
         a.withColumn("side", F.lit("a"))
         .unionByName(b.withColumn("side", F.lit("b")))
         .groupBy("v")

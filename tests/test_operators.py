@@ -1292,6 +1292,46 @@ def test_grouped_quantile_cont_multi_p_one_pass(spark):
     assert got == want
 
 
+def test_grouped_quantile_cont_adversarial_scale(spark):
+    """10⁶ rows, 3 heavy groups (the regime the operator exists for):
+    the distributed result must still be BITWISE the builtin's at the
+    quartile points — a size where a wrong rank-cover or offset bug
+    would certainly surface, and small enough for the builtin to serve
+    as the oracle."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.operators.ranking import (
+        grouped_quantile_cont,
+        release_ranking_caches,
+    )
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        # ~250k distinct doubles per group, with collisions
+        (((F.col("id") * 2654435761) % 750019) / 7.0).alias("v"),
+    )
+    want = {
+        r.g: (r.q25, r.q50, r.q75, r.n)
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("v", F.lit(0.25)).alias("q25"),
+            F.percentile("v", F.lit(0.5)).alias("q50"),
+            F.percentile("v", F.lit(0.75)).alias("q75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    got = {
+        r.g: (r.q25, r.q50, r.q75, r.n)
+        for r in grouped_quantile_cont(
+            df, ["g"], "v", [0.25, 0.5, 0.75], ["q25", "q50", "q75"]
+        ).collect()
+    }
+    release_ranking_caches()
+    assert got == want
+
+
 def test_grouped_quantile_cont_plan_has_no_single_partition(spark):
     """The whole point of the operator: exact per-group quantiles with
     no group-sized or single-partition stage anywhere in the plan."""
