@@ -45,7 +45,17 @@ def pagerank(
     ).localCheckpoint()
     base = (1.0 - damping) / n
     for _ in range(iters):
-        contribs = edges.join(ranks, edges[src] == ranks["id"]).select(
+        # shuffle_hash on the NODE-sized build side: left alone the
+        # planner broadcast the EDGE list every iteration (it sits
+        # under the 64 MB threshold at bench scale — edge-sized
+        # broadcasts are exactly backwards), and the un-hinted
+        # at-scale fallback is a sort-merge join that re-sorts the
+        # edge list per iteration. Hinted, each iteration hash-joins
+        # against the rank frame and the per-iteration edge exchanges
+        # are byte-identical subtrees AQE reuses across rounds.
+        contribs = edges.join(
+            ranks.hint("shuffle_hash"), edges[src] == ranks["id"]
+        ).select(
             F.col(dst).alias("id"), (F.col("rank") / F.col("__deg")).alias("c")
         )
         sums = contribs.groupBy("id").agg(F.sum("c").alias("s"))
@@ -127,7 +137,17 @@ def pagerank_fixed_point(
         "id", "__deg", F.lit(scale // n).cast("bigint").alias("rank_micro")
     )
     for it in range(iters):
-        contribs = edges.join(ranks, edges[src] == ranks["id"]).select(
+        # shuffle_hash on the NODE-sized build side: left alone the
+        # planner broadcast the EDGE list every iteration (it sits
+        # under the 64 MB threshold at bench scale — edge-sized
+        # broadcasts are exactly backwards), and the un-hinted
+        # at-scale fallback is a sort-merge join that re-sorts the
+        # edge list per iteration. Hinted, each iteration hash-joins
+        # against the rank frame and the per-iteration edge exchanges
+        # are byte-identical subtrees AQE reuses across rounds.
+        contribs = edges.join(
+            ranks.hint("shuffle_hash"), edges[src] == ranks["id"]
+        ).select(
             F.col(dst).alias("id"),
             F.expr("rank_micro div __deg").alias("c"),
         )

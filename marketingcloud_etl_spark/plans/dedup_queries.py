@@ -1837,7 +1837,12 @@ def q347_hits_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a1 -> h1 -> a2 -> h2, exactly the four passes the oracle unrolls
     a1 = norm(e.groupBy("s").agg((F.count(F.lit(1)) * SC).alias("raw")), "s")
     h1 = norm(e.join(a1, "s").groupBy("p").agg(F.sum("v").alias("raw")), "p")
-    a2 = norm(e.join(h1, "p").groupBy("s").agg(F.sum("v").alias("raw")), "s")
+    # a2 feeds BOTH the next half-iteration and the authority top-10
+    # branch — without the cut each output branch re-executes the whole
+    # four-pass join chain (the union'd plan grew to 20 hash joins)
+    a2 = norm(
+        e.join(h1, "p").groupBy("s").agg(F.sum("v").alias("raw")), "s"
+    ).localCheckpoint()
     h2 = norm(e.join(a2, "s").groupBy("p").agg(F.sum("v").alias("raw")), "p")
     ta = (
         a2.orderBy(F.col("v").desc(), "s")

@@ -33,6 +33,10 @@ INVARIANCE_QUERIES = (
     "q347_hits_fixed_point",    # fixed-point HITS: same claim as q342
     "q348_training_shard_manifest",  # hash shards + modular checksums
     "q349_markov_attribution",  # ppb fixed-point HOF power iteration
+    "q357_grouped_quantile_scalable",  # distributed rank-cover quantiles:
+                                # the interpolation must not depend on
+                                # how the range partitioner cut the
+                                # count table
 )
 
 
