@@ -203,7 +203,7 @@ BUDGETS = {
     "q346_event_pattern_match": 1.5,
     "q349_markov_attribution": 2.64,
     "q353_phrase_search": 2.39,
-    "q357_grouped_quantile_scalable": 5.75,
+    "q357_grouped_quantile_scalable": 4.64,
 }
 
 

@@ -373,24 +373,38 @@ def grouped_quantile_cont(
             (F.floor(pos) + 1).alias(f"__qc_lo{i}"),  # 1-indexed ranks
             (F.ceil(pos) + 1).alias(f"__qc_hi{i}"),
         ]
-    anchored = cum.join(F.broadcast(totals), gcols).select(
-        *gcols,
-        F.col(value_col).alias("__qc_v"),
-        "n",
-        (F.col("__qc_cum") - F.col("__qc_cnt")).alias("__qc_before"),
-        F.col("__qc_cum").alias("__qc_thru"),
-        nm1.alias("__qc_nm1"),
-        *anchor_cols,
+    # group offset: cumulative count of rows in EARLIER groups under the
+    # (group, value) total order — computed from the G-row totals frame
+    # with the module's P²-broadcast idiom (G plays P's role), NOT from
+    # a second aggregation pass over the distinct-pair frame. G² rows
+    # stay trivial in this operator's regime (few heavy groups; beyond
+    # ~10⁴ groups the builtin percentile is the right tool anyway and
+    # is faster — see the crossover note above).
+    gx, gy = totals.alias("gx"), totals.alias("gy")
+    gkey = lambda side: F.struct(*[F.col(f"{side}.{g}") for g in gcols])  # noqa: E731
+    offs = (
+        gx.join(F.broadcast(gy), F.lit(True))
+        .groupBy(*[F.col(f"gx.{g}").alias(g) for g in gcols])
+        .agg(
+            F.first(F.col("gx.n")).alias("n"),
+            F.sum(
+                F.when(gkey("gy") < gkey("gx"), F.col("gy.n")).otherwise(0)
+            ).alias("__qc_off"),
+        )
     )
-    # group offset: cumulative count of rows in EARLIER groups =
-    # (end-of-group cum) − n, derived per group and folded into the
-    # rank test below via within-group positions.
-    ends = anchored.groupBy(*gcols).agg(F.max("__qc_thru").alias("__qc_end"))
     positioned = (
-        anchored.join(F.broadcast(ends), gcols)
-        .withColumn("__qc_off", F.col("__qc_end") - F.col("n"))
-        .withColumn("__qc_first", F.col("__qc_before") - F.col("__qc_off") + 1)
-        .withColumn("__qc_last", F.col("__qc_thru") - F.col("__qc_off"))
+        cum.join(F.broadcast(offs), gcols)
+        .select(
+            *gcols,
+            F.col(value_col).alias("__qc_v"),
+            "n",
+            (F.col("__qc_cum") - F.col("__qc_cnt") - F.col("__qc_off") + 1).alias(
+                "__qc_first"
+            ),
+            (F.col("__qc_cum") - F.col("__qc_off")).alias("__qc_last"),
+            nm1.alias("__qc_nm1"),
+            *anchor_cols,
+        )
     )
     keep = None
     for i in range(len(ps)):
