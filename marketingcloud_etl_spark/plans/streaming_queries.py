@@ -1166,6 +1166,70 @@ def q250_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "q358_stream_stream_left_semi",
+    oracle="""
+    SELECT p.user_id, p.event_id AS p_id,
+           cast(count(*) as bigint) AS n
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 30 MINUTES
+          AND c.ts <= p.ts)
+    GROUP BY p.user_id, p.event_id
+    """,
+    tags=("streaming", "join", "semi"),
+)
+def q358_stream_stream_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream LEFT SEMI join — the last cell of the join-mode
+    matrix (inner q123, left outer q196, full outer q250): emit each
+    purchase exactly ONCE as soon as any qualifying click proves it
+    matched, and never ship the click's columns. Unlike the outer
+    modes, semi needs NO layered finality cutoff in the oracle: a
+    matched left row emits at match time (not at watermark expiry),
+    and the join bound only admits clicks with c_ts ≤ p_ts, so under
+    ordered slice-per-batch replay every qualifying click is already
+    in (or arrives with) the purchase's own micro-batch horizon —
+    the emitted set is exactly the batch EXISTS semantics over the
+    whole log, and the at-most-once emission is itself the verified
+    property (a double-emit breaks the count column's hash). State
+    stays watermark-bounded on both sides like the other modes."""
+    prep(spark)
+    from ..streaming.jobs import events_stream_ordered, run_to_memory
+
+    s = events_stream_ordered(spark, sf_dir)
+    p = (
+        s.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftSemi",
+    )
+    out = run_to_memory(
+        j.select("user_id", "p_id"), "q358_out", output_mode="append"
+    )
+    # count(*) pins at-most-once emission: a re-emitted anchor would
+    # make some n > 1 and break the value hash, not just the row count
+    return out.groupBy("user_id", "p_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "q257_batch_session_window",
     oracle="""
     WITH g AS (
