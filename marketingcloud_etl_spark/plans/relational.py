@@ -4200,16 +4200,19 @@ def q334_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     α=0.05 asymptotic critical value and reject flag are one IEEE
     expression on the one-row output."""
     prep(spark)
-    from ..operators.ranking import global_prefix_sum, pin_cache
+    from ..operators.ranking import global_prefix_sum
 
     o = table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(cents.alias("v"))
     b = o.filter(F.col("o_orderpriority") == "5-LOW").select(cents.alias("v"))
-    # pinned: repartitionByRange's sampling pass re-executes the input
-    # subtree before the shuffle does — the fact-table aggregation
-    # above would run twice without the cut
-    counts = pin_cache(
+    # deliberately NOT pinned (measured): the range partitioner's
+    # sampling pass does re-run this union+agg, but the count table is
+    # value-domain-sized (cents ≤ 10⁷ distinct at any fact scale, the
+    # docstring's point) and the re-aggregation is map-side-combined —
+    # cheaper than materializing the cache at every scale tested,
+    # unlike the row-domain inputs pinned in q132/q167/q322
+    counts = (
         a.withColumn("side", F.lit("a"))
         .unionByName(b.withColumn("side", F.lit("b")))
         .groupBy("v")
