@@ -321,7 +321,14 @@ def grouped_quantile_cont(
     value→count map in ONE reducer task — with few heavy groups (3
     return flags over 10^11 rows) that task holds a group-sized hash
     map and sorts it alone: the exact shape that OOMs at 100 TB. This
-    formulation keeps every stage wide instead:
+    formulation keeps every stage wide instead.
+
+    NULL semantics: NULL values carry no rank (the builtin's
+    ignore-nulls behavior, filtered before counting) and ``n`` is the
+    non-null count; a group whose values are ALL null produces NO
+    output row (the builtin would emit a NULL quantile for it — join
+    against your group dimension afterwards if empty groups must
+    surface).
 
     1. ``groupBy(group, value).count()`` — map-side partial combine,
        shuffle bounded by DISTINCT (group, value) pairs, hash-spread
@@ -357,7 +364,13 @@ def grouped_quantile_cont(
     # multiplicatively. Registered for release_ranking_caches like
     # every other multi-consumer ranking frame.
     counts = pin_cache(
-        df.groupBy(*gcols, value_col).agg(F.count(F.lit(1)).alias("__qc_cnt"))
+        # NULL values are excluded BEFORE counting — the builtin
+        # aggregate ignores them (they carry no rank), and without the
+        # filter they would range-partition as the lowest sort key and
+        # shift every group's rank arithmetic.
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, value_col)
+        .agg(F.count(F.lit(1)).alias("__qc_cnt"))
     )
     cum = global_prefix_sum(
         counts, [*gcols, value_col], "__qc_cnt", "__qc_cum"

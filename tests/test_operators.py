@@ -1292,6 +1292,47 @@ def test_grouped_quantile_cont_multi_p_one_pass(spark):
     assert got == want
 
 
+def test_grouped_quantile_cont_ignores_nulls_like_builtin(spark):
+    """NULL values carry no rank in the builtin ``percentile``
+    aggregate; the counts-based operator must exclude them BEFORE
+    ranking (unfiltered they'd sort lowest and shift every rank) and
+    report n as the NON-NULL count, exactly like the builtin."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.operators.ranking import (
+        grouped_quantile_cont,
+        release_ranking_caches,
+    )
+
+    rows = []
+    for i in range(101):
+        rows.append(("a", float(i)))
+        if i % 3 == 0:
+            rows.append(("a", None))  # interleaved nulls
+    rows += [("b", None), ("b", 7.0), ("b", None)]  # mostly-null group
+    rows += [("z", None), ("z", None)]  # ALL-null group: documented to
+    # produce no output row (the builtin would emit a NULL quantile)
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    for p in (0.25, 0.5, 0.9):
+        want = {
+            r.g: (r.q, r.n)
+            for r in df.groupBy("g")
+            .agg(
+                F.percentile("v", F.lit(p)).alias("q"),
+                F.count("v").alias("n"),  # count(col) skips nulls
+            )
+            .collect()
+        }
+        got = {
+            r.g: (r.q, r.n)
+            for r in grouped_quantile_cont(df, ["g"], "v", p).collect()
+        }
+        release_ranking_caches()
+        assert "z" not in got  # all-null group: documented omission
+        want.pop("z")  # builtin emits (None, 0) for it
+        assert got == want, p
+
+
 def test_grouped_quantile_cont_adversarial_scale(spark):
     """10⁶ rows, 3 heavy groups (the regime the operator exists for):
     the distributed result must still be BITWISE the builtin's at the
