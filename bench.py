@@ -168,7 +168,7 @@ BUDGETS = {
     "q90_curation_pipeline": 1.5,
     "q107_sequence_packing": 1.5,
     "q116_bpe_pair_counts": 1.5,
-    "q119_median_mad_outliers": 4.85,
+    "q119_median_mad_outliers": 4.09,
     "q121_funnel_conversion": 1.5,
     "q122_snapshot_cdc_diff": 1.5,
     "q127_bigram_lm_score": 2.85,
