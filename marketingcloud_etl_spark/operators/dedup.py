@@ -311,3 +311,70 @@ def ngram_jaccard_pairs(
             F.round(ngram_jaccard(F.col("ga.grams"), F.col("gb.grams")), 6).alias("jaccard"),
         )
     )
+
+
+def bloom_words(
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 16_384,
+    n_hashes: int = 3,
+    seed: int = 90_001,
+) -> DataFrame:
+    """Distributed Bloom-filter BUILD, entirely in JVM expressions: each
+    key sets ``n_hashes`` bits at positions ``pmod(xxhash64(key, seed+i),
+    n_bits)``; bits pack into 64-bit words aggregated with ``bit_or``.
+    Returns ONE row: ``bloom`` = map<int,bigint> of the non-zero words —
+    at most ``n_bits/64`` entries regardless of key count, so the frame
+    broadcasts. No ``bloom_filter_agg`` exists in the SQL registry (it
+    is optimizer-internal, cf. q181's runtime-filter rewrite); this
+    build is the user-level equivalent with the same no-false-negative
+    guarantee, and every expression stays inside whole-stage codegen.
+
+    100 TB regime: the build is one explode(n_hashes)+groupBy over the
+    key set — shuffle bounded by n_bits/64 words. A broadcastable map
+    caps n_bits at a few hundred million (~1% fpp for tens of millions
+    of corpus keys); past that, shard the corpus by key range and run
+    one bloom per shard (the probe side prunes shards by the same
+    range), rather than growing a single filter."""
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    # SQL expressions rather than the function API: shiftleft() only
+    # accepts a literal shift there, and the shift here is per-row
+    entries = ", ".join(
+        f"struct(cast(pmod(xxhash64({key_col}, {seed + i}), {n_bits}) div 64"
+        f" as int) as word,"
+        f" shiftleft(1L, cast(pmod(xxhash64({key_col}, {seed + i}), {n_bits})"
+        f" % 64 as int)) as mask)"
+        for i in range(n_hashes)
+    )
+    slots = keys.select(
+        F.explode(F.expr(f"array({entries})")).alias("s")
+    ).select("s.word", "s.mask")
+    words = slots.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
+    )
+
+
+def bloom_might_contain(
+    key_col: str,
+    bloom_col: str = "bloom",
+    n_bits: int = 16_384,
+    n_hashes: int = 3,
+    seed: int = 90_001,
+) -> Column:
+    """Probe expression paired with :func:`bloom_words` (same
+    ``n_bits``/``n_hashes``/``seed`` or the probe is meaningless):
+    true iff every hashed bit is set. False ⇒ DEFINITELY absent, so a
+    downstream exact verify only ever sees the true matches plus the
+    fpp-bounded survivors. Absent map entries read as zero words."""
+    return F.expr(
+        " AND ".join(
+            f"(coalesce(element_at({bloom_col},"
+            f" cast(pmod(xxhash64({key_col}, {seed + i}), {n_bits}) div 64"
+            f" as int)), 0L)"
+            f" & shiftleft(1L, cast(pmod(xxhash64({key_col}, {seed + i}),"
+            f" {n_bits}) % 64 as int))) != 0"
+            for i in range(n_hashes)
+        )
+    )

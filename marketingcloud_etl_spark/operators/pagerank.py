@@ -26,17 +26,20 @@ def pagerank(
     iters: int = 5,
     src: str = "id_a",
     dst: str = "id_b",
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over directed ``edges``. Returns
     (id, rank). Feed each undirected edge in both directions for the
-    symmetric similarity-graph case."""
+    symmetric similarity-graph case and declare it with
+    ``symmetric=True`` (skips the node-set union — see
+    :func:`_nodes_with_degree`)."""
     # checkpoint the edge list FIRST, then the loop-invariant frames
     # derived from it: every iteration's eager localCheckpoint of ranks
     # would otherwise recompute the full edge derivation (for q128 that
     # is the n-gram Jaccard join battery), and nodes/degree each add
     # one more derivation pass without the cut here
     edges = edges.localCheckpoint()
-    nodes = _nodes_with_degree(edges, src, dst)
+    nodes = _nodes_with_degree(edges, src, dst, symmetric=symmetric)
     n = nodes.count()  # one driver scalar, not data
     if n == 0:
         return nodes.select("id", F.lit(0.0).alias("rank"))
@@ -71,7 +74,9 @@ def pagerank(
     return ranks.select("id", "rank")
 
 
-def _nodes_with_degree(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def _nodes_with_degree(
+    edges: DataFrame, src: str, dst: str, symmetric: bool = False
+) -> DataFrame:
     """One checkpointed (id, __deg) frame: every node id with its
     out-degree (0 for dangling nodes). Carrying the degree ON the
     node/rank frame instead of materializing a degree-annotated edge
@@ -80,14 +85,24 @@ def _nodes_with_degree(edges: DataFrame, src: str, dst: str) -> DataFrame:
     iteration's join, never with the edge-sized one. Only rank rows
     that match some edge's source ever feed the ``rank / __deg``
     contribution, and those have __deg >= 1 by construction, so the
-    dangling-node zero never divides."""
+    dangling-node zero never divides.
+
+    ``symmetric=True`` declares every edge is fed in both directions
+    (the similarity-graph case): then the source set IS the node set
+    and every node has out-degree ≥ 1, so the degree aggregation alone
+    produces the frame — the union-both-endpoints + distinct + left
+    join (two extra edge-sized shuffles) collapses to ONE groupBy.
+    Results are identical for symmetric inputs; the flag is purely a
+    plan declaration, like a JOIN hint."""
+    deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    if symmetric:
+        return deg.localCheckpoint()
     ids = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
-    )
-    deg = edges.groupBy(F.col(src).alias("id")).agg(
-        F.count(F.lit(1)).alias("__deg")
     )
     return (
         ids.join(deg, "id", "left")
@@ -104,6 +119,7 @@ def pagerank_fixed_point(
     src: str = "id_a",
     dst: str = "id_b",
     checkpoint_every: int = 0,
+    symmetric: bool = False,
 ) -> DataFrame:
     """EXACT PageRank in integer fixed-point micro-units: every rank is
     a bigint fraction of ``scale``, contributions are floor-divided by
@@ -128,7 +144,7 @@ def pagerank_fixed_point(
     scale); pass ``checkpoint_every=k`` to cut lineage every k rounds
     when running high iteration counts."""
     edges = edges.localCheckpoint()
-    nodes = _nodes_with_degree(edges, src, dst)
+    nodes = _nodes_with_degree(edges, src, dst, symmetric=symmetric)
     n = nodes.count()  # one driver scalar, not data
     if n == 0:
         return nodes.select("id", F.lit(0).cast("bigint").alias("rank_micro"))

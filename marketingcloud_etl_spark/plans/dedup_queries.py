@@ -703,7 +703,7 @@ def q128_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    ranks = pagerank(sym, iters=5)
+    ranks = pagerank(sym, iters=5, symmetric=True)
     release()
     return (
         ranks.orderBy(F.col("rank").desc(), F.col("id"))
@@ -783,7 +783,9 @@ def q342_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e0.unionByName(
         e0.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    return pagerank_fixed_point(sym, iters=3).select("id", "rank_micro")
+    return pagerank_fixed_point(sym, iters=3, symmetric=True).select(
+        "id", "rank_micro"
+    )
 
 
 @query(
@@ -1966,3 +1968,164 @@ def q348_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("skew_ppm"),
     )
+
+
+@query(
+    "q359_bloom_incremental_dedup",
+    oracle="""
+    WITH batch AS (
+      SELECT source, substr(text, 1, 32) AS k
+      FROM documents WHERE doc_id % 3 = 0
+    ), corpus AS (
+      SELECT DISTINCT substr(text, 1, 32) AS k
+      FROM documents WHERE doc_id % 3 <> 0
+    )
+    SELECT b.source,
+           cast(count(*) as bigint) AS n_batch,
+           cast(count(c.k) as bigint) AS n_dup,
+           cast(count(*) - count(c.k) as bigint) AS n_new
+    FROM batch b LEFT JOIN corpus c ON b.k = c.k
+    GROUP BY b.source
+    """,
+    tags=("dedup", "incremental", "bloom"),
+)
+def q359_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-BATCH incremental dedup with an EXPLICIT Bloom pre-filter
+    (operators/dedup.py::bloom_words/bloom_might_contain): an arriving
+    batch (doc_id % 3 = 0) dedups against the already-ingested corpus
+    (the rest) on a boilerplate-prefix key (first 32 chars — the
+    header/template granularity between exact-hash q37 and near-dup
+    q50). The corpus keys fold into a ≤256-word bitmap map that
+    BROADCASTS; the batch probes it row-local, and only the bloom
+    survivors (true dups + fpp-bounded false positives) reach the
+    exact verify join. Blooms have no false negatives, so the final
+    per-source (n_batch, n_dup, n_new) is EXACTLY the plain anti-join's
+    — which is what the oracle computes, making the probabilistic tier
+    hash-verifiable. tests/test_plan_quality.py pins the pre-filter
+    into the physical plan so the query can't silently degrade to the
+    bare join.
+
+    100 TB story: yesterday's corpus keys stream once through one
+    explode+bit_or aggregation (shuffle bounded by n_bits/64 words, not
+    keys); today's batch never shuffles AT ALL except for the bloom
+    survivors — at a 1% dup rate that is a 100x smaller exchange than
+    dedup-by-join. Size n_bits to the corpus (see bloom_words's
+    sharding note past ~10^8 keys)."""
+    prep(spark)
+    from ..operators.dedup import bloom_might_contain, bloom_words
+
+    d = table(spark, sf_dir, "documents")
+    key = F.substring("text", 1, 32)
+    corpus = (
+        d.filter(F.col("doc_id") % 3 != 0).select(key.alias("k")).distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 3 == 0).select("source", key.alias("k"))
+    bloom = bloom_words(corpus, "k")
+    survivors = (
+        batch.crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain("k"))
+        .drop("bloom")
+    )
+    dups = (
+        survivors.join(corpus, "k", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        batch.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+        .join(dups, "source", "left")
+        .select(
+            "source",
+            "n_batch",
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+            (F.col("n_batch") - F.coalesce("n_dup", F.lit(0)))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+
+
+@query(
+    "q360_label_propagation",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), edges AS (  -- the q342 bipartite part-supplier graph, symmetric
+      SELECT p * 2 AS src, s * 2 + 1 AS dst FROM e0
+      UNION ALL
+      SELECT s * 2 + 1 AS src, p * 2 AS dst FROM e0
+    ), l0 AS (
+      SELECT DISTINCT src AS id, src AS lab FROM edges
+    ), c1 AS (
+      SELECT e.dst AS id, l.lab, count(*) AS c
+      FROM edges e JOIN l0 l ON e.src = l.id GROUP BY e.dst, l.lab
+    ), l1 AS (
+      SELECT id, lab FROM (
+        SELECT id, lab,
+               row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+        FROM c1
+      ) WHERE rn = 1
+    ), c2 AS (
+      SELECT e.dst AS id, l.lab, count(*) AS c
+      FROM edges e JOIN l1 l ON e.src = l.id GROUP BY e.dst, l.lab
+    ), l2 AS (
+      SELECT id, lab FROM (
+        SELECT id, lab,
+               row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+        FROM c2
+      ) WHERE rn = 1
+    )
+    SELECT id, cast(lab as bigint) AS community FROM l2
+    """,
+    tags=("graph", "iterative", "parity"),
+)
+def q360_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL PROPAGATION community detection (Raghavan et al. 2007) —
+    the mode-label complement to connected components' min-label
+    (operators/components.py): each round every node adopts its
+    neighbors' MOST FREQUENT label, ties broken by smallest label, so
+    dense neighborhoods converge to one community while min-propagation
+    would merge anything connected. Two synchronous rounds over the
+    q342 bipartite part-supplier graph; labels are node ids (integers),
+    updates are count-argmax — everything integer-deterministic under
+    any partitioning, so the driver hashes every node's community.
+
+    Spark shape per round: one edge⋈label hash join + a (node,label)
+    count aggregation + a max_by argmax aggregation — three key-
+    partitioned wide ops, NO per-node window (the oracle's row_number
+    formulation is the semantic spec; the engine path keeps the
+    grouped-aggregation form that scales past hot nodes). The oracle
+    unrolls both rounds as CTEs like q342."""
+    prep(spark)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    e0 = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lab")
+    )
+    for _ in range(2):
+        cnts = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("nid"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnts.groupBy("nid")
+            .agg(
+                F.max_by(
+                    "lab", F.struct(F.col("c"), (-F.col("lab")).alias("neg"))
+                ).alias("lab")
+            )
+            .withColumnRenamed("nid", "id")
+        )
+    return labels.select("id", F.col("lab").cast("bigint").alias("community"))

@@ -521,6 +521,73 @@ def test_pagerank_matches_numpy_reference(spark):
     assert pagerank(empty).count() == 0
 
 
+def test_pagerank_symmetric_flag_matches_general_path(spark):
+    """symmetric=True must be a pure plan declaration: identical ranks
+    (float and fixed-point) to the general path on a symmetric-fed edge
+    set, including a multi-component graph with an isolated pair."""
+    from marketingcloud_etl_spark.operators.pagerank import (
+        pagerank,
+        pagerank_fixed_point,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5)]
+    e = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    sym = e.unionByName(e.selectExpr("id_b as id_a", "id_a as id_b"))
+
+    base = {r.id: r.rank for r in pagerank(sym, iters=4).collect()}
+    fast = {r.id: r.rank for r in pagerank(sym, iters=4, symmetric=True).collect()}
+    assert base.keys() == fast.keys()
+    for k in base:
+        assert abs(base[k] - fast[k]) < 1e-12, (k, base[k], fast[k])
+
+    base_i = {
+        r.id: r.rank_micro for r in pagerank_fixed_point(sym, iters=3).collect()
+    }
+    fast_i = {
+        r.id: r.rank_micro
+        for r in pagerank_fixed_point(sym, iters=3, symmetric=True).collect()
+    }
+    assert base_i == fast_i
+
+
+def test_bloom_words_probe_contract(spark):
+    """bloom_words/bloom_might_contain: NO false negatives ever (every
+    member key probes true), fpp on non-members stays near the sized
+    expectation, and the build output is word-bounded (≤ n_bits/64 map
+    entries) however many keys go in."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.operators.dedup import (
+        bloom_might_contain,
+        bloom_words,
+    )
+
+    corpus = spark.range(1000).selectExpr("concat('key_', id) AS k")
+    bloom = bloom_words(corpus, "k", n_bits=16_384, n_hashes=3)
+    row = bloom.collect()[0]
+    assert len(row["bloom"]) <= 16_384 // 64
+
+    probe = spark.range(5000).selectExpr(
+        "concat('key_', id) AS k", "id < 1000 AS is_member"
+    )
+    hits = (
+        probe.crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain("k", n_bits=16_384, n_hashes=3))
+        .groupBy("is_member")
+        .count()
+        .collect()
+    )
+    by = {r.is_member: r["count"] for r in hits}
+    assert by.get(True, 0) == 1000  # zero false negatives — the contract
+    assert by.get(False, 0) / 4000 < 0.05  # ~0.4% expected at this sizing
+
+    # mismatched parameters must raise, not silently mis-probe
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom_words(corpus, "k", n_bits=1000)
+
+
 def test_setsim_join_matches_allpairs_and_prunes(spark):
     """Prefix filtering must return EXACTLY the all-pairs result (no
     recall loss) while generating far fewer candidates than the cross

@@ -337,6 +337,16 @@ def test_bloom_filter_join_injects_might_contain(spark, sf_dir):
         restore()
 
 
+def test_bloom_incremental_dedup_prefilters_before_join(spark, sf_dir):
+    """q359: the batch side must pass through the explicit bloom probe
+    (shiftleft bit tests against the broadcast word map) BEFORE the
+    exact verify join — if the filter disappears the query degrades to
+    the bare anti-join shape it exists to pre-prune."""
+    plan = _plan(REGISTRY["q359_bloom_incremental_dedup"].fn(spark, sf_dir))
+    assert "shiftleft" in plan.lower()
+    assert "element_at" in plan.lower()
+
+
 def test_file_provenance_reads_metadata_not_data(spark, sf_dir):
     """q180: the provenance aggregation must not read any payload
     column beyond the partition value — _metadata comes from the scan
