@@ -131,6 +131,12 @@ HEADLINE = (
     # task) — the physical shape q119/q232's builtin percentile can't
     # take to few-heavy-groups scale
     "q357_grouped_quantile_scalable",
+    # round-6 wave 3: the explicit-bloom incremental-dedup tier (build
+    # via explode+bit_or, probe via broadcast word map — a physical
+    # family no other query exercises) and mode-label propagation (the
+    # count-argmax iterative-graph shape vs q342's sum shape)
+    "q359_bloom_incremental_dedup",
+    "q360_label_propagation",
 )
 
 
@@ -204,6 +210,8 @@ BUDGETS = {
     "q349_markov_attribution": 2.64,
     "q353_phrase_search": 2.39,
     "q357_grouped_quantile_scalable": 4.64,
+    "q359_bloom_incremental_dedup": 1.5,
+    "q360_label_propagation": 2.71,
 }
 
 
