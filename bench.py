@@ -211,7 +211,7 @@ BUDGETS = {
     "q353_phrase_search": 2.39,
     "q357_grouped_quantile_scalable": 4.64,
     "q359_bloom_incremental_dedup": 1.5,
-    "q360_label_propagation": 2.71,
+    "q360_label_propagation": 6.37,
 }
 
 
