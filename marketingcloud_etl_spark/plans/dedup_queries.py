@@ -2129,3 +2129,74 @@ def q360_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("nid", "id")
         )
     return labels.select("id", F.col("lab").cast("bigint").alias("community"))
+
+
+@query(
+    "q363_weighted_systematic_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, cast(n_chars as bigint) AS wt FROM documents
+    ), c AS (
+      SELECT doc_id, wt,
+             sum(wt) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM w
+    ), t AS (
+      SELECT cast(sum(wt) as bigint) AS total FROM w
+    ), m AS (
+      SELECT doc_id, wt, cum,
+             ((cum * 25 - 1) // total)
+               - (((cum - wt) * 25 + total - 1) // total) + 1 AS mult
+      FROM c CROSS JOIN t
+    )
+    SELECT doc_id, cast(wt as bigint) AS weight,
+           cast(mult as bigint) AS multiplicity
+    FROM m WHERE mult >= 1
+    """,
+    tags=("sampling", "training-mix"),
+)
+def q363_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-PROPORTIONAL systematic sampling — the deterministic
+    weighted downsampler the training-mix family was missing (q85/q170
+    sample uniformly or per-stratum; mixture weights q111 rescale whole
+    sources): pick k=25 evenly spaced points in cumulative WEIGHT space
+    (weight = n_chars, the chars-seen-by-training proxy) and take the
+    document covering each point, so selection probability is exactly
+    proportional to weight, heavy docs can be drawn multiple times
+    (multiplicity), and the whole draw is reproducible with NO RNG —
+    re-running on re-partitioned data returns byte-identical samples.
+
+    All arithmetic is bigint: doc i covering cumulative interval
+    [cum-w, cum) is hit by points {j : ceil((cum-w)·k/total) ≤ j ≤
+    ((cum·k - 1) div total)}, so multiplicity is two floor-divisions —
+    identical on any engine that floors non-negative division the same
+    way (Spark `div` ≡ DuckDB `//`). Σ multiplicity = k exactly
+    (telescoping), pinned in tests/test_operators.py.
+
+    Scale shape: ONE distributed prefix sum over the (doc_id-ordered)
+    weights (operators/ranking.py::global_prefix_sum — range exchange,
+    no single-partition window) + a one-row total broadcast; the
+    multiplicity math is per-row codegen. At 100 TB this samples a
+    corpus in a single pass — the shape reservoir/rejection samplers
+    only reach with multi-round retries."""
+    prep(spark)
+    from ..operators.ranking import global_prefix_sum
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("wt")
+    )
+    cum = global_prefix_sum(d, ["doc_id"], "wt", "cum")
+    total = d.agg(F.sum("wt").cast("bigint").alias("total"))
+    k = 25
+    m = cum.join(F.broadcast(total), F.lit(True)).select(
+        "doc_id",
+        F.col("wt").alias("weight"),
+        (
+            F.expr(f"(cum * {k} - 1) div total")
+            - F.expr(f"((cum - wt) * {k} + total - 1) div total")
+            + F.lit(1)
+        )
+        .cast("bigint")
+        .alias("multiplicity"),
+    )
+    return m.filter(F.col("multiplicity") >= 1)

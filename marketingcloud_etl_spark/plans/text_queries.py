@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.text import tokens, tokens_sql
+from ..functions.vectors import cosine_sql
 from ..operators.dedup import word_shingles
 from .dedup_queries import _H32, _H32_DUCK
 from ..io import table
@@ -2165,9 +2166,10 @@ def _bpe_train_frames(spark: SparkSession, sf_dir: str, k: int = 3):
     return vocab, out
 
 
-@query(
-    "q278_bm25_search",
-    oracle=f"""
+# BM25 oracle CTE chain ending in agg(doc_id, bm25, n_terms_hit) —
+# shared by q278 (plain lexical top-k) and q362 (hybrid RRF fusion) so
+# the two oracles cannot drift apart.
+_BM25_CTES = f"""
     WITH toks AS (
       SELECT doc_id, unnest({_TOKS}) AS t FROM documents
     ), dl AS (
@@ -2195,7 +2197,13 @@ def _bpe_train_frames(spark: SparkSession, sf_dir: str, k: int = 3):
              list_reduce(list_sort(list(term_score)), (x, y) -> x + y) AS bm25,
              count(*) AS n_terms_hit
       FROM scored GROUP BY doc_id
-    )
+    )"""
+
+
+@query(
+    "q278_bm25_search",
+    oracle=_BM25_CTES
+    + """
     SELECT doc_id, round(bm25, 6) AS bm25,
            cast(n_terms_hit as bigint) AS n_terms_hit
     FROM agg ORDER BY bm25 DESC, doc_id LIMIT 25
@@ -2213,6 +2221,20 @@ def q278_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale this is an inverted-index probe, not a scan-and-score
     of every document."""
     prep(spark)
+    agg = _bm25_agg_frame(spark, sf_dir)
+    return (
+        agg.select(
+            "doc_id", F.round("bm25", 6).alias("bm25"),
+            F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+def _bm25_agg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 scoring frame (doc_id, bm25, n_terms_hit) mirroring
+    _BM25_CTES expression-for-expression — shared by q278 and q362."""
     terms = ("spark", "stream", "window")
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens("text")).alias("t"))
@@ -2250,21 +2272,13 @@ def q278_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term_score"),
         )
     )
-    agg = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.aggregate(
             F.array_sort(F.collect_list("term_score")),
             F.lit(0.0),
             lambda a, b: a + b,
         ).alias("bm25"),
         F.count(F.lit(1)).alias("n_terms_hit"),
-    )
-    return (
-        agg.select(
-            "doc_id", F.round("bm25", 6).alias("bm25"),
-            F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
-        )
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(25)
     )
 
 
@@ -2808,3 +2822,155 @@ def q356_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ratio_ppm").alias("max_ratio_ppm"),
         F.count_if(F.col("ratio_ppm") < 250_000).cast("bigint").alias("n_boilerplate"),
     )
+
+
+@query(
+    "q361_rag_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS ws FROM documents
+    ), starts AS (
+      SELECT doc_id, ws, cast(st as bigint) AS st
+      FROM t, unnest(range(0, len(ws), 48)) AS u(st)
+      WHERE len(ws) > 0
+    ), chunks AS (
+      SELECT doc_id,
+             st // 48 AS chunk_idx,
+             st + 1 AS start_tok,
+             list_slice(ws, cast(st + 1 as int), cast(st + 64 as int)) AS ch
+      FROM starts
+    )
+    SELECT doc_id,
+           cast(chunk_idx as int) AS chunk_idx,
+           cast(start_tok as bigint) AS start_tok,
+           cast(len(ch) as int) AS n_tok,
+           md5(array_to_string(ch, ' ')) AS chunk_digest
+    FROM chunks
+    """,
+    tags=("text", "rag", "chunking"),
+)
+def q361_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WINDOW document chunking with overlap — the RAG/embedding
+    prep step (64-token windows, stride 48, 16-token overlap) that
+    complements content-defined CDC chunking (q235: boundaries from
+    content, variable size) with the position-defined form every
+    retrieval pipeline actually embeds. One `sequence` per doc
+    generates the stride grid, posexplode fans out (chunk_idx, start),
+    `slice` cuts the window (tail chunks run short, never padded), and
+    each chunk ships as an md5 digest of its re-joined text — so the
+    hash pins exact token membership AND order per chunk. No shuffle
+    at all until a downstream consumer groups: chunking is a NARROW
+    map over the corpus, which is exactly what lets it run at
+    scan-speed over 100 TB (the explode multiplies rows ~n/stride
+    within each task; no skew beyond document length itself)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") > 0)
+    fan = base.select(
+        "doc_id",
+        "ws",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("ws") - 1, F.lit(48))
+        ).alias("chunk_idx", "st"),
+    )
+    ch = F.slice(F.col("ws"), F.col("st") + 1, 64)
+    return fan.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("st") + 1).cast("bigint").alias("start_tok"),
+        F.size(ch).cast("int").alias("n_tok"),
+        F.md5(F.array_join(ch, " ")).alias("chunk_digest"),
+    )
+
+
+@query(
+    "q362_rrf_hybrid_retrieval",
+    oracle=_BM25_CTES
+    + """, bm_top AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+      FROM agg ORDER BY bm25 DESC, doc_id LIMIT 25
+    ), qv AS (
+      SELECT embedding AS v FROM embeddings WHERE vec_id = 0
+    ), cos AS (
+      SELECT e.vec_id AS doc_id, __COS__ AS c
+      FROM embeddings e CROSS JOIN qv q
+    ), cos_top AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY c DESC, doc_id) AS rc
+      FROM cos ORDER BY c DESC, doc_id LIMIT 25
+    ), fused AS (
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             cast(coalesce(b.rb, 0) as bigint) AS rank_bm25,
+             cast(coalesce(c.rc, 0) as bigint) AS rank_cos,
+             coalesce(1000000000 // (60 + b.rb), 0)
+               + coalesce(1000000000 // (60 + c.rc), 0) AS rrf_ppb
+      FROM bm_top b FULL OUTER JOIN cos_top c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, rank_bm25, rank_cos, cast(rrf_ppb as bigint) AS rrf_ppb
+    FROM fused ORDER BY rrf_ppb DESC, doc_id LIMIT 10
+    """.replace("__COS__", cosine_sql("e.embedding", "q.v")),
+    tags=("text", "search", "hybrid", "vector"),
+)
+def q362_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via RECIPROCAL RANK FUSION (Cormack et al.
+    2009) — the standard way production search merges the lexical and
+    dense tiers this catalog already has separately: q278's BM25
+    top-25 and the exact-cosine top-25 against a data-derived query
+    embedding (vec_id 0) fuse by rank only, score_ppb =
+    Σ 10⁹ div (60 + rank). Ranks are integers and the fusion is pure
+    integer floor-division, so the fused ordering is engine-exact even
+    though both underlying scores are floats (their per-list ORDERINGS
+    are already cross-engine-proven: BM25 by q278's sorted-fold
+    protocol, cosine by the functions/vectors.py ordered-fold one).
+    Missing-from-a-list docs contribute 0 — the full-outer-join RRF
+    form. Oracle shares _BM25_CTES with q278 so the lexical leg cannot
+    drift.
+
+    Scale: each leg is its own bounded top-k (BM25 = inverted-index
+    probe; cosine = one corpus pass — swap in the q66 IVF tier past
+    ~10⁵ vectors); the fusion itself joins two k-row frames — free at
+    any corpus size. The per-leg ranks come from windows over
+    POST-LIMIT 25-row frames, not the corpus."""
+    prep(spark)
+    from ..functions.vectors import cosine
+
+    bm = (
+        _bm25_agg_frame(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(25)
+    )
+    bm_top = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))  # global-window-ok: post-limit 25-row frame
+        .alias("rb"),
+    )
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("v"))
+    cos = e.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"), cosine("embedding", "v").alias("c")
+    )
+    cos_top = (
+        cos.orderBy(F.col("c").desc(), "doc_id")
+        .limit(25)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("c").desc(), "doc_id"))  # global-window-ok: post-limit 25-row frame
+            .alias("rc"),
+        )
+    )
+    fused = bm_top.join(cos_top, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rb", F.lit(0)).cast("bigint").alias("rank_bm25"),
+        F.coalesce("rc", F.lit(0)).cast("bigint").alias("rank_cos"),
+        (
+            F.coalesce(F.expr("1000000000 div (60 + rb)"), F.lit(0))
+            + F.coalesce(F.expr("1000000000 div (60 + rc)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_ppb"),
+    )
+    return fused.orderBy(F.col("rrf_ppb").desc(), "doc_id").limit(10)

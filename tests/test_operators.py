@@ -550,6 +550,36 @@ def test_pagerank_symmetric_flag_matches_general_path(spark):
     assert base_i == fast_i
 
 
+def test_weighted_systematic_sample_conservation(spark, sf_dir):
+    """q363: multiplicities telescope to exactly k=25 (every selection
+    point lands on exactly one document), and each multiplicity matches
+    a brute-force walk of the selection points in Python."""
+    from marketingcloud_etl_spark.plans.catalog import load_all
+
+    rows = (
+        load_all()["q363_weighted_systematic_sample"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert sum(r.multiplicity for r in rows) == 25
+
+    import duckdb
+
+    w = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    total = sum(c for _, c in w)
+    points = [(j * total) // 25 for j in range(25)]
+    expect: dict[int, int] = {}
+    cum = 0
+    for doc_id, wt in w:
+        lo, cum = cum, cum + wt
+        m = sum(1 for p in points if lo <= p < cum)
+        if m:
+            expect[doc_id] = m
+    assert {r.doc_id: r.multiplicity for r in rows} == expect
+
+
 def test_bloom_words_probe_contract(spark):
     """bloom_words/bloom_might_contain: NO false negatives ever (every
     member key probes true), fpp on non-members stays near the sized
