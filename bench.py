@@ -137,6 +137,12 @@ HEADLINE = (
     # count-argmax iterative-graph shape vs q342's sum shape)
     "q359_bloom_incremental_dedup",
     "q360_label_propagation",
+    # round-6 wave 4: narrow-map RAG chunking (explode-per-stride, no
+    # shuffle), two-leg hybrid retrieval fusion, and the prefix-sum
+    # weighted systematic sampler
+    "q361_rag_chunking",
+    "q362_rrf_hybrid_retrieval",
+    "q363_weighted_systematic_sample",
 )
 
 
@@ -212,6 +218,9 @@ BUDGETS = {
     "q357_grouped_quantile_scalable": 4.64,
     "q359_bloom_incremental_dedup": 1.5,
     "q360_label_propagation": 6.37,
+    "q361_rag_chunking": 1.5,
+    "q362_rrf_hybrid_retrieval": 1.96,
+    "q363_weighted_systematic_sample": 1.7,
 }
 
 
