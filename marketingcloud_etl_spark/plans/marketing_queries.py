@@ -2376,3 +2376,101 @@ def q351_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " FILTER (WHERE llr >= up OR llr <= lo), 0.0), 6)"
         ).alias("llr_at_decision"),
     )
+
+
+@query(
+    "q364_grouped_ols_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', cast(ts as date)) AS x,
+             cast(round(value * 100) as bigint) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             cast(count(*) as bigint) AS n,
+             cast(sum(x) as bigint) AS sx,
+             cast(sum(y) as bigint) AS sy,
+             sum(x * x) AS sxx,
+             sum(x * y) AS sxy,
+             sum(y * y) AS syy
+      FROM pts GROUP BY event_type
+    ), d AS (
+      SELECT event_type, n, sx, sy,
+             cast(n * sxy - sx * sy as double) AS cov_n,
+             cast(n * sxx - sx * sx as double) AS varx_n,
+             cast(n * syy - sy * sy as double) AS vary_n
+      FROM s
+    )
+    SELECT event_type, n,
+           round(cov_n / varx_n, 6) AS slope_cents_per_day,
+           round((cast(sy as double) - (cov_n / varx_n) * sx) / n, 4)
+             AS intercept_cents,
+           round((cov_n * cov_n) / (varx_n * vary_n), 6) AS r2
+    FROM d
+    """,
+    tags=("stats", "regression"),
+)
+def q364_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED closed-form OLS — per-event-type linear trend of value
+    (cents) over time (epoch days): slope, intercept, R² from the five
+    sufficient statistics (Σx, Σy, Σxx, Σxy, Σyy), the one-pass
+    distributed regression pattern (the same sufficient-statistic
+    discipline as PCA/logreg in vector_queries, here fully in SQL
+    aggregates — no driver solve step at all, because the 1-D normal
+    equations close over the sums).
+
+    Exactness: x (days ~2·10⁴) and y (cents < 5·10⁴ by fixture range)
+    keep every per-row product inside bigint; the cross terms
+    n·Σxy − Σx·Σy exceed 2⁶³ so they widen to decimal(38,0) (Spark) /
+    hugeint (DuckDB) — both EXACT integers — and only then cast to
+    double, where IEEE round-to-nearest of the same integer gives the
+    same double on both engines (the q334 d_numerator protocol). The
+    final slope/intercept/R² expressions are fixed-order IEEE over
+    those exact operands.
+
+    Scale: ONE partial-aggregated pass over the fact table, G output
+    rows — the regression never sees a group-sized task. At 100 TB the
+    only change is widening the per-row product types."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    y = F.round(F.col("value") * 100).cast("bigint")
+    pts = e.select(
+        "event_type",
+        x.cast("bigint").alias("x"),
+        y.alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cov_n = (dec38(F.col("n")) * F.col("sxy") - dec38(F.col("sx") * F.col("sy"))).cast(
+        "double"
+    )
+    varx_n = (
+        dec38(F.col("n")) * F.col("sxx") - dec38(F.col("sx")) * dec38(F.col("sx"))
+    ).cast("double")
+    vary_n = (
+        dec38(F.col("n")) * F.col("syy") - dec38(F.col("sy")) * dec38(F.col("sy"))
+    ).cast("double")
+    d = s.select("event_type", "n", "sx", "sy",
+                 cov_n.alias("cov_n"), varx_n.alias("varx_n"), vary_n.alias("vary_n"))
+    slope = F.col("cov_n") / F.col("varx_n")
+    return d.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 4
+        ).alias("intercept_cents"),
+        F.round(
+            (F.col("cov_n") * F.col("cov_n")) / (F.col("varx_n") * F.col("vary_n")),
+            6,
+        ).alias("r2"),
+    )

@@ -4289,3 +4289,96 @@ def q357_grouped_quantile_scalable(spark: SparkSession, sf_dir: str) -> DataFram
     return grouped_quantile_cont(
         li, ["l_returnflag"], "cents", [0.25, 0.5, 0.75], ["q25", "q50", "q75"]
     ).select("l_returnflag", "q25", "q50", "q75", "n")
+
+
+@query(
+    "q365_iqr_outlier_fences",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             cast(round(l_extendedprice * 100) as bigint) AS cents
+      FROM lineitem
+    ), q AS (
+      SELECT l_returnflag,
+             quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.75) AS q3
+      FROM c GROUP BY l_returnflag
+    ), f AS (
+      SELECT l_returnflag, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo_fence,
+             q3 + 1.5 * (q3 - q1) AS hi_fence
+      FROM q
+    )
+    SELECT c.l_returnflag, f.q1, f.q3,
+           round(f.lo_fence, 2) AS lo_fence,
+           round(f.hi_fence, 2) AS hi_fence,
+           cast(count(*) as bigint) AS n,
+           cast(count(*) FILTER (WHERE c.cents < f.lo_fence) as bigint)
+             AS n_below,
+           cast(count(*) FILTER (WHERE c.cents > f.hi_fence) as bigint)
+             AS n_above
+    FROM c JOIN f ON c.l_returnflag = f.l_returnflag
+    GROUP BY c.l_returnflag, f.q1, f.q3, f.lo_fence, f.hi_fence
+    """,
+    tags=("stats", "quality", "percentile", "scale"),
+)
+def q365_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY IQR outlier fences, SCALABLY — q119's robust-outlier shape
+    rebuilt on grouped_quantile_cont (operators/ranking.py) instead of
+    the builtin percentile, making concrete the scale path q119's
+    docstring cites: both quartiles come from ONE counts/prefix-sum
+    pass with no group-sized task, the G-row fence frame broadcasts
+    back onto the rows, and the outlier tallies are plain filtered
+    counts. Exactness chain: integer cents → quartiles at p=.25/.75
+    interpolate with dyadic fractions (exact doubles, q232/q357
+    protocol) → 1.5·IQR and the fences stay dyadic-exact → every
+    fence comparison is exact, so n_below/n_above are INTEGER-exact on
+    both engines, not tolerance-matched. At 100 TB this is the
+    outlier-fence job the builtin's one-reducer-per-group percentile
+    cannot finish."""
+    prep(spark)
+    from ..operators.ranking import grouped_quantile_cont, release_ranking_caches
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    q = grouped_quantile_cont(
+        li, ["l_returnflag"], "cents", [0.25, 0.75], ["q1", "q3"]
+    ).select("l_returnflag", "q1", "q3")
+    iqr = F.col("q3") - F.col("q1")
+    fences = q.select(
+        "l_returnflag",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * iqr).alias("lo_fence"),
+        (F.col("q3") + 1.5 * iqr).alias("hi_fence"),
+    )
+    out = (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag", "q1", "q3", "lo_fence", "hi_fence")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("cents") < F.col("lo_fence"))
+            .cast("bigint")
+            .alias("n_below"),
+            F.count_if(F.col("cents") > F.col("hi_fence"))
+            .cast("bigint")
+            .alias("n_above"),
+        )
+        .select(
+            "l_returnflag",
+            "q1",
+            "q3",
+            F.round("lo_fence", 2).alias("lo_fence"),
+            F.round("hi_fence", 2).alias("hi_fence"),
+            "n",
+            "n_below",
+            "n_above",
+        )
+    )
+    # the fences frame is consumed once; materialize before releasing
+    # the operator's pinned counts cache
+    out = out.localCheckpoint(eager=True)
+    release_ranking_caches()
+    return out
