@@ -143,6 +143,10 @@ HEADLINE = (
     "q361_rag_chunking",
     "q362_rrf_hybrid_retrieval",
     "q363_weighted_systematic_sample",
+    # round-6 wave 5: one-pass sufficient-statistic OLS and the
+    # IQR-fence composition over the scalable grouped percentile
+    "q364_grouped_ols_trend",
+    "q365_iqr_outlier_fences",
 )
 
 
@@ -221,6 +225,8 @@ BUDGETS = {
     "q361_rag_chunking": 1.5,
     "q362_rrf_hybrid_retrieval": 1.96,
     "q363_weighted_systematic_sample": 1.7,
+    "q364_grouped_ols_trend": 1.5,
+    "q365_iqr_outlier_fences": 6.54,
 }
 
 
