@@ -2474,3 +2474,146 @@ def q364_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "q366_shapley_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, min(ts) AS pts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ), touch AS (
+      SELECT e.user_id,
+             max(CASE WHEN e.event_type = 'view'   THEN 1 ELSE 0 END)
+           + 2 * max(CASE WHEN e.event_type = 'click'  THEN 1 ELSE 0 END)
+           + 4 * max(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END)
+               AS mask
+      FROM events e JOIN conv c
+        ON e.user_id = c.user_id AND e.ts < c.pts
+      WHERE e.event_type IN ('view', 'click', 'signup')
+      GROUP BY e.user_id
+    ), j AS (
+      SELECT c.user_id, coalesce(t.mask, 0) AS mask
+      FROM conv c LEFT JOIN touch t ON c.user_id = t.user_id
+    ), nt AS (
+      SELECT mask, count(*) AS n FROM j GROUP BY mask
+    ), subsets AS (
+      SELECT cast(s as int) AS smask FROM unnest(range(0, 8)) AS u(s)
+    ), v AS (
+      SELECT s.smask,
+             cast(coalesce(sum(CASE WHEN (nt.mask & (7 - s.smask)) = 0
+                                    THEN nt.n ELSE 0 END), 0) as bigint) AS v
+      FROM subsets s CROSS JOIN nt GROUP BY s.smask
+    ), ch AS (
+      SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4))
+        AS t(channel, bit)
+    ), contrib AS (
+      SELECT ch.channel,
+             CASE ((s0.smask & 1) + ((s0.smask >> 1) & 1)
+                   + ((s0.smask >> 2) & 1))
+               WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END
+               * (s1.v - s0.v) AS c
+      FROM ch
+      JOIN v s0 ON (s0.smask & ch.bit) = 0
+      JOIN v s1 ON s1.smask = s0.smask + ch.bit
+    ), phi AS (
+      SELECT channel, cast(sum(c) as bigint) AS phi_x6 FROM contrib
+      GROUP BY channel
+    ), tot AS (
+      SELECT cast(sum(phi_x6) as bigint) AS total FROM phi
+    )
+    SELECT p.channel, p.phi_x6,
+           cast((p.phi_x6 * 1000000) // t.total as bigint) AS share_ppm
+    FROM phi p CROSS JOIN tot t
+    """,
+    tags=("marketing", "attribution", "stats"),
+)
+def q366_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SHAPLEY-VALUE attribution (Shapley 1953 as used in
+    marketing mix, e.g. Dalessandro et al. 2012) — the cooperative-game
+    complement that completes the attribution family (last-touch q131,
+    time-decay q166, position q307, Markov removal-effect q349):
+    channels are players, the coalition value v(S) counts converting
+    journeys whose pre-purchase touch set fits inside S, and each
+    channel's credit is its exact marginal-contribution average. With
+    3 channels the 3! orderings reduce to integer weights ×6
+    (|S|=0,1,2 → 2,1,2), so phi_x6 is an exact bigint — containment
+    monotonicity makes every marginal non-negative — and shares floor
+    to ppm (operands non-negative: Spark div ≡ DuckDB //).
+
+    Scale shape: journeys collapse to a BITMASK per converting user
+    (one agg over the pre-purchase slice), masks collapse to ≤2³
+    coalition counts, and everything after — the 8-row v(S) table, the
+    3×4 marginal join, the shares — is constant-size broadcast work.
+    Exponential-in-channels is the algorithm's nature; the fact-table
+    cost is ONE pass regardless (the mask agg), which is why exact
+    Shapley is viable at 100 TB when the channel set is small."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    touch = (
+        e.filter(F.col("event_type").isin("view", "click", "signup"))
+        .join(conv, "user_id")
+        .filter(F.col("ts") < F.col("pts"))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+                + 2 * F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+                + 4 * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            ).alias("mask")
+        )
+    )
+    j = conv.join(touch, "user_id", "left").select(
+        F.coalesce("mask", F.lit(0)).alias("mask")
+    )
+    nt = j.groupBy("mask").agg(F.count(F.lit(1)).alias("n"))
+    subsets = spark.range(8).select(F.col("id").cast("int").alias("smask"))
+    v = (
+        subsets.crossJoin(F.broadcast(nt))
+        .groupBy("smask")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr("(mask & (7 - smask)) = 0"), F.col("n")
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    ch = spark.range(1).selectExpr(
+        "stack(3, 'view', 1, 'click', 2, 'signup', 4) as (channel, bit)"
+    )
+    s0, s1 = v.alias("s0"), v.alias("s1")
+    contrib = (
+        ch.join(F.broadcast(s0), F.expr("(s0.smask & bit) = 0"))
+        .join(F.broadcast(s1), F.expr("s1.smask = s0.smask + bit"))
+        .select(
+            "channel",
+            (
+                F.expr(
+                    "CASE ((s0.smask & 1) + ((s0.smask >> 1) & 1)"
+                    " + ((s0.smask >> 2) & 1))"
+                    " WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END"
+                )
+                * (F.col("s1.v") - F.col("s0.v"))
+            ).alias("c"),
+        )
+    )
+    phi = contrib.groupBy("channel").agg(
+        F.sum("c").cast("bigint").alias("phi_x6")
+    )
+    tot = phi.agg(F.sum("phi_x6").cast("bigint").alias("total"))
+    return phi.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "phi_x6",
+        F.expr("(phi_x6 * 1000000) div total").cast("bigint").alias("share_ppm"),
+    )

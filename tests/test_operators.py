@@ -550,6 +550,46 @@ def test_pagerank_symmetric_flag_matches_general_path(spark):
     assert base_i == fast_i
 
 
+def test_shapley_attribution_efficiency(spark, sf_dir):
+    """q366: the Shapley EFFICIENCY axiom — channel credits sum exactly
+    to the grand-coalition gain, Σ phi_x6 = 6·(v(all) − v(∅)) — checked
+    against an independent Python replay of the coalition counts; every
+    marginal is non-negative (containment monotonicity)."""
+    import duckdb
+
+    from marketingcloud_etl_spark.plans.catalog import load_all
+
+    rows = load_all()["q366_shapley_attribution"].fn(spark, sf_dir).collect()
+    assert all(r.phi_x6 >= 0 for r in rows)
+
+    masks = duckdb.sql(
+        f"""
+        WITH conv AS (
+          SELECT user_id, min(ts) AS pts
+          FROM '{sf_dir}/events.parquet'
+          WHERE event_type = 'purchase' GROUP BY user_id
+        ), touch AS (
+          SELECT e.user_id,
+                 max(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+               + 2 * max(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+               + 4 * max(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END)
+                 AS mask
+          FROM '{sf_dir}/events.parquet' e JOIN conv c
+            ON e.user_id = c.user_id AND e.ts < c.pts
+          WHERE e.event_type IN ('view', 'click', 'signup')
+          GROUP BY e.user_id
+        )
+        SELECT coalesce(t.mask, 0) AS mask, count(*) AS n
+        FROM conv c LEFT JOIN touch t ON c.user_id = t.user_id
+        GROUP BY 1
+        """
+    ).fetchall()
+    counts = dict(masks)
+    v_all = sum(counts.values())  # every T fits in the full coalition
+    v_empty = counts.get(0, 0)
+    assert sum(r.phi_x6 for r in rows) == 6 * (v_all - v_empty)
+
+
 def test_weighted_systematic_sample_conservation(spark, sf_dir):
     """q363: multiplicities telescope to exactly k=25 (every selection
     point lands on exactly one document), and each multiplicity matches
