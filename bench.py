@@ -147,6 +147,9 @@ HEADLINE = (
     # IQR-fence composition over the scalable grouped percentile
     "q364_grouped_ols_trend",
     "q365_iqr_outlier_fences",
+    # round-6 wave 6: exact cooperative-game attribution (bitmask agg
+    # over the fact slice + constant-size coalition algebra)
+    "q366_shapley_attribution",
 )
 
 
@@ -227,6 +230,7 @@ BUDGETS = {
     "q363_weighted_systematic_sample": 1.7,
     "q364_grouped_ols_trend": 1.5,
     "q365_iqr_outlier_fences": 6.54,
+    "q366_shapley_attribution": 1.89,
 }
 
 
