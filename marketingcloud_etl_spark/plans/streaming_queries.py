@@ -1406,3 +1406,85 @@ def _register_q350() -> None:
 
 
 _register_q350()
+
+
+@query(
+    "q367_stream_stream_right_outer",
+    oracle="""
+    WITH cut AS (
+      SELECT least(max(ts) FILTER (WHERE event_type='purchase'),
+                   max(ts) FILTER (WHERE event_type='click')) AS cut
+      FROM events),
+    c AS (SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts
+      FROM events, cut
+      WHERE event_type = 'click' AND ts < cut - INTERVAL 95 MINUTES),
+    p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase')
+    SELECT c.c_user AS user_id, c.c_id,
+           cast(count(p.p_id) as bigint) AS n_purchases_fwd30m,
+           count(p.p_id) = 0 AS unconverted
+    FROM c LEFT JOIN p ON c.c_user = p.user_id
+     AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTES AND c.c_ts <= p.p_ts
+    GROUP BY c.c_user, c.c_id
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def q367_stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream RIGHT OUTER join — the last cell of the streaming
+    join-mode matrix (inner q123, left q196, full q250, left-semi
+    q358): here the NULL-PADDED side is the probe stream — a click
+    with NO purchase in its 30-minute forward window emits with nulls
+    once both watermarks pass its horizon, i.e. the
+    every-click-conversion-labeled feed (the training-label join for a
+    conversion model, where unconverted clicks are the negatives and
+    MUST emit). Same join bound as q196 with the outer side flipped,
+    so the state-finality condition is the mirror image: a click's
+    outer decision finalizes when the PURCHASE watermark passes
+    c_ts + 30 min. Ordered event-time replay; the oracle is the batch
+    right join (written as the swapped left join) restricted to clicks
+    whose outer decision is final at stream end — cut − (30 min bound
+    + 60 min watermark + 5 min slack), q196's cutoff protocol."""
+    prep(spark)
+    from ..streaming.jobs import events_stream_ordered, run_to_memory
+
+    s = events_stream_ordered(spark, sf_dir)
+    p = (
+        s.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "rightOuter",
+    )
+    out = run_to_memory(
+        j.select("c_user", "c_id", "c_ts", "p_id"), "q367_out", output_mode="append"
+    )
+    ev = table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        ).alias("cut")
+    )
+    return (
+        out.join(F.broadcast(cut), F.lit(True))
+        .filter(F.col("c_ts") < F.col("cut") - F.expr("INTERVAL 95 MINUTES"))
+        .groupBy(F.col("c_user").alias("user_id"), "c_id")
+        .agg(
+            F.count("p_id").alias("n_purchases_fwd30m"),
+            F.max(F.col("p_id").isNull()).alias("unconverted"),
+        )
+    )
