@@ -1347,3 +1347,95 @@ def q331_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+@query(
+    "q368_mutual_information_features",
+    oracle="""
+    WITH pts AS (
+      SELECT cast(i - 1 as int) AS dim,
+             (embedding[cast(i as int)] >= 0) AS bit,
+             label
+      FROM embeddings, unnest(range(1, 65)) AS u(i)
+    ), cells AS (
+      SELECT dim, label, bit, cast(count(*) as bigint) AS n
+      FROM pts GROUP BY dim, label, bit
+    ), ml AS (
+      SELECT dim, label, cast(sum(n) as bigint) AS nl FROM cells
+      GROUP BY dim, label
+    ), mb AS (
+      SELECT dim, bit, cast(sum(n) as bigint) AS nb FROM cells
+      GROUP BY dim, bit
+    ), nn AS (
+      SELECT cast(count(*) as bigint) AS total FROM embeddings
+    ), terms AS (
+      SELECT c.dim,
+             (cast(c.n as double) / total)
+               * ln(cast(c.n as double) * total
+                    / (cast(ml.nl as double) * mb.nb)) AS t
+      FROM cells c
+      JOIN ml ON c.dim = ml.dim AND c.label = ml.label
+      JOIN mb ON c.dim = mb.dim AND c.bit = mb.bit
+      CROSS JOIN nn
+    )
+    SELECT dim,
+           cast(count(*) as bigint) AS n_cells,
+           round(list_reduce(list_sort(list(t)), (x, y) -> x + y), 6)
+             AS mi_nats
+    FROM terms GROUP BY dim
+    """,
+    tags=("vector", "ml-prep", "stats"),
+)
+def q368_mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-INFORMATION feature relevance — the feature-selection
+    pass of an ML-prep pipeline: I(label; sign(dim)) for every
+    embedding dimension, i.e. how much one bit of each coordinate says
+    about the class label (the quantized filter that ranks dimensions
+    before training or pruning; the supervised complement to
+    unsupervised PCA q199 and to token-token PMI q268). One posexplode
+    pass fans the corpus to (dim, sign-bit, label) and the joint table
+    collapses to ≤ dims×labels×2 EXACT integer cells; marginals and
+    the grand total are re-aggregations of those cells; each MI term
+    is a fixed-order IEEE expression over exact counts (ln on both
+    engines — the q278/q351 protocol) and the per-dim sum folds in
+    sorted order, so the result value-hashes. Scale: the corpus is
+    touched ONCE (narrow explode + map-side-combined count); everything
+    downstream is bounded by the cell table, not the data."""
+    prep(spark)
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("dim", "label", (F.col("v") >= 0).alias("bit"))
+    cells = pts.groupBy("dim", "label", "bit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ml = cells.groupBy("dim", "label").agg(
+        F.sum("n").cast("bigint").alias("nl")
+    )
+    mb = cells.groupBy("dim", "bit").agg(F.sum("n").cast("bigint").alias("nb"))
+    nn = e.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    terms = (
+        cells.join(ml, ["dim", "label"])
+        .join(mb, ["dim", "bit"])
+        .join(F.broadcast(nn), F.lit(True))
+        .select(
+            "dim",
+            (
+                (F.col("n").cast("double") / F.col("total"))
+                * F.log(
+                    F.col("n").cast("double")
+                    * F.col("total")
+                    / (F.col("nl").cast("double") * F.col("nb"))
+                )
+            ).alias("t"),
+        )
+    )
+    return terms.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("t")), F.lit(0.0), lambda a, b: a + b
+            ),
+            6,
+        ).alias("mi_nats"),
+    )
