@@ -2200,3 +2200,159 @@ def q363_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("multiplicity"),
     )
     return m.filter(F.col("multiplicity") >= 1)
+
+
+@query(
+    "q369_sketchguided_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({tokens_sql('text')}) AS token FROM documents
+    ), n AS (SELECT cast(count(*) as bigint) AS total FROM toks)
+    SELECT token,
+           cast(count(*) as bigint) AS cnt,
+           cast(count(*) * 1000000 // max(n.total) as bigint) AS share_ppm
+    FROM toks, n
+    GROUP BY token
+    HAVING count(*) * 200 > max(n.total)
+    """,
+    tags=("sketch", "text", "parity"),
+)
+def q369_sketchguided_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequency heavy hitters with a partition-local candidate
+    prefilter — the two-phase shape that finds every token above a
+    support threshold (here 0.5% of the stream) WITHOUT a full global
+    token groupBy. Phase 1 groups by (spark_partition_id, token):
+    partial aggregation folds the raw token stream map-side, so the
+    shuffle carries one row per distinct (partition, token) — the
+    per-partition vocabulary, not the corpus. A token is a CANDIDATE
+    if it clears the threshold inside at least one partition
+    (200·c_p > n_p). Pigeonhole gives NO FALSE NEGATIVES: if
+    200·c_p ≤ n_p in every partition, summing gives 200·c ≤ n — so
+    every global heavy hitter is a candidate, whatever the partition
+    layout. Phase 2 exact-counts ONLY the candidates (semi-join, then
+    a groupBy bounded by the candidate set) and re-applies the global
+    threshold, so the partition-dependent candidate set never leaks
+    into the output and the result is exactly the plain
+    GROUP BY/HAVING oracle's. Thresholds compare as 200·count > total
+    — pure bigint, no float support fraction on either engine.
+
+    Scale: the classic full-vocab groupBy shuffles every distinct
+    token with its count; this shape bounds the exact pass by the
+    candidate set (≤ partitions/0.005 tokens by the Misra-Gries
+    counting argument) and the candidate pass by the per-partition
+    vocab — at 100 TB that is the difference between shuffling a
+    10⁹-type vocabulary and a few thousand survivors. Same
+    no-false-negative tiering as the q359 Bloom dedup and q229
+    GK-threshold top-k."""
+    prep(spark)
+    from ..functions.text import tokens
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("token"))
+        .select(F.spark_partition_id().alias("pid"), "token")
+    )
+    local = toks.groupBy("pid", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_p")
+    )
+    part_totals = local.groupBy("pid").agg(
+        F.sum("c_p").cast("bigint").alias("n_p")
+    )
+    candidates = (
+        local.join(part_totals, "pid")
+        .filter(F.col("c_p") * 200 > F.col("n_p"))
+        .select("token")
+        .distinct()
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    exact = (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(total), F.lit(True))
+        .filter(F.col("cnt") * 200 > F.col("total"))
+        .select(
+            "token",
+            "cnt",
+            F.expr("cnt * 1000000 div total").cast("bigint").alias("share_ppm"),
+        )
+    )
+
+
+def _soundex_expr(col: str, duck: bool) -> str:
+    """Simplified-soundex SQL, generated ONCE for both engines so the
+    algorithm cannot drift between them: uppercase-strip, letter→code
+    translate, adjacent-run collapse (pure replace chain — RE2 has no
+    backreferences, so no regex run-collapse on the DuckDB side),
+    drop-first-code, strip vowels, pad to 4. Variant note: H/W are
+    coded 0 like vowels, so they RESET runs (classic soundex lets the
+    run continue across H/W) — a documented simplification, identical
+    on both engines."""
+    strip = (
+        f"regexp_replace(upper({col}), '[^A-Z]', '', 'g')"
+        if duck
+        else f"regexp_replace(upper({col}), '[^A-Z]', '')"
+    )
+    codes = f"translate({strip}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202')"
+    coll = codes
+    for d in "0123456":
+        for _ in range(5):  # pair-collapse 5x per digit: runs ≤ 32 fold
+            coll = f"replace({coll}, '{d}{d}', '{d}')"
+    first = f"substr({strip}, 1, 1)"
+    tail = f"replace(substr({coll}, 2), '0', '')"
+    return f"substr(concat({first}, {tail}, '000'), 1, 4)"
+
+
+@query(
+    "q371_soundex_blocking",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT p_partkey, p_name AS w,
+             {_soundex_expr('p_name', duck=True)} AS block_key
+      FROM part
+    )
+    SELECT block_key,
+           cast(count(*) as bigint) AS n_parts,
+           cast(count(*) * (count(*) - 1) / 2 as bigint) AS n_pairs,
+           cast(count(DISTINCT w) as bigint) AS n_names
+    FROM keyed GROUP BY block_key
+    """,
+    tags=("dedup", "entity-resolution", "parity"),
+)
+def q371_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHONETIC BLOCKING for entity resolution — the classic
+    pre-filter that makes fuzzy matching (q115 Fellegi-Sunter)
+    tractable: records only compare WITHIN a soundex block, so the
+    candidate space drops from n² to Σ block_size². The soundex key
+    is generated from ONE Python expression builder for both engines
+    (``_soundex_expr``) — uppercase strip, letter→digit translate,
+    pure-replace adjacent-run collapse, vowel strip, pad-4 — so the
+    phonetic algorithm is provably identical across Spark and the
+    oracle (Spark's ``F.soundex`` builtin is deliberately NOT used:
+    its H/W continuation rule has no DuckDB twin to verify against).
+    Output is the blocking AUDIT every ER pipeline reads before
+    committing to a key: per-block membership and the quadratic
+    verify cost n·(n−1)/2 it implies.
+
+    Scale: key derivation is a NARROW per-row expression chain (zero
+    shuffle, whole-stage codegen); the audit is one hash-partitioned
+    groupBy on the block key. At 100 TB the report's n_pairs column
+    IS the decision input: a hot block (skewed key) shows up here
+    before the verify join is ever launched — the same
+    choose-your-blocking-key-from-evidence loop as q226's skew
+    report."""
+    prep(spark)
+    keyed = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_name").alias("w"),
+        F.expr(_soundex_expr("p_name", duck=False)).alias("block_key"),
+    )
+    return keyed.groupBy("block_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        .cast("bigint")
+        .alias("n_pairs"),
+        F.countDistinct("w").cast("bigint").alias("n_names"),
+    )

@@ -3829,3 +3829,110 @@ def q354_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = e.select("vec_id", F.unhex(hx).alias("payload"))
     return pcm_window_energy(b, id_col="vec_id", payload_col="payload")
+
+
+@query(
+    "q370_binseg_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             cast(count(*) as bigint) AS y
+      FROM events GROUP BY event_type, day
+    ), pre AS (
+      SELECT event_type, day, y,
+             cast(row_number() OVER w as bigint) AS k,
+             cast(sum(y) OVER w as bigint) AS sk,
+             cast(count(*) OVER (PARTITION BY event_type) as bigint) AS n,
+             cast(sum(y) OVER (PARTITION BY event_type) as bigint) AS sn
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)
+    ), scored AS (
+      SELECT event_type, day, k, n,
+             sk * 1000000 // k AS mean_left_ppm,
+             (sn - sk) * 1000000 // (n - k) AS mean_right_ppm,
+             cast(n * sk - k * sn as double) * cast(n * sk - k * sn as double)
+               / (cast(k as double) * n * (n - k)) AS reduction
+      FROM pre WHERE k < n
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY reduction DESC, k) AS rn
+      FROM scored
+    )
+    SELECT event_type, day AS split_day, k AS split_k, n AS n_days,
+           mean_left_ppm, mean_right_ppm,
+           round(reduction, 4) AS sse_reduction
+    FROM best WHERE rn = 1
+    """,
+    tags=("etl", "monitoring", "stats"),
+)
+def q370_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-SEGMENTATION change-point detection — the OFFLINE
+    complement to q270's sequential CUSUM: for each event-type daily
+    series, find the split k that maximizes the between-segment SSE
+    reduction n·(ȳ₁−ȳ₂)²·k(n−k)/n² = (n·S_k − k·S_n)²/(k·n·(n−k)) —
+    the first step of the classic recursive segmentation, and the
+    least-squares answer to "when did this series change level?".
+
+    Cross-engine protocol: prefix sums and totals are EXACT bigints
+    (one per-series ordered window over the tiny daily frame); the
+    score's numerator n·S_k − k·S_n is an exact bigint that fits a
+    double losslessly (< 2⁵³ up to ~10¹⁵-event series), so the score
+    is ONE correctly-rounded multiply + divide — bit-identical IEEE
+    on both engines — and the argmax breaks ties on k. Segment means
+    ship as ppm floor-divisions (pure integer), never floats.
+
+    Scale: the corpus is touched once by the daily rollup
+    (map-side-combined); everything after is windows PARTITIONED BY
+    series key over n_days-sized frames — thousands of series scale
+    out across executors, and no single-partition exchange exists in
+    the plan. The day the argmax stops being a real level shift,
+    recursing into [1,k),[k,n) segments reuses this exact shape."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wt = W.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(W.partitionBy("event_type").orderBy("day"))
+        .cast("bigint")
+        .alias("k"),
+        F.sum("y").over(w).cast("bigint").alias("sk"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+        F.sum("y").over(wt).cast("bigint").alias("sn"),
+    )
+    num = F.col("n") * F.col("sk") - F.col("k") * F.col("sn")
+    scored = pre.filter(F.col("k") < F.col("n")).select(
+        "event_type",
+        "day",
+        "k",
+        "n",
+        F.expr("sk * 1000000 div k").alias("mean_left_ppm"),
+        F.expr("(sn - sk) * 1000000 div (n - k)").alias("mean_right_ppm"),
+        (
+            num.cast("double")
+            * num.cast("double")
+            / (F.col("k").cast("double") * F.col("n") * (F.col("n") - F.col("k")))
+        ).alias("reduction"),
+    )
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.desc("reduction"), "k")
+        ),
+    )
+    return best.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        F.col("k").alias("split_k"),
+        F.col("n").alias("n_days"),
+        "mean_left_ppm",
+        "mean_right_ppm",
+        F.round("reduction", 4).alias("sse_reduction"),
+    )

@@ -2974,3 +2974,95 @@ def q362_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rrf_ppb"),
     )
     return fused.orderBy(F.col("rrf_ppb").desc(), "doc_id").limit(10)
+
+
+@query(
+    "q372_vocab_growth",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, doc_id // 100 AS batch, {_TOKS} AS toks
+      FROM documents WHERE len({_TOKS}) >= 2
+    ), bg AS (
+      SELECT batch,
+             toks[cast(i as int)] || ' ' || toks[cast(i as int) + 1] AS typ
+      FROM dt, unnest(range(1, len(toks))) t(i)
+    ), per_batch AS (
+      SELECT batch, cast(count(*) as bigint) AS n_tokens FROM bg GROUP BY batch
+    ), firsts AS (
+      SELECT typ, min(batch) AS first_batch FROM bg GROUP BY typ
+    ), newt AS (
+      SELECT first_batch AS batch, cast(count(*) as bigint) AS new_types
+      FROM firsts GROUP BY first_batch
+    )
+    SELECT p.batch,
+           p.n_tokens,
+           cast(sum(p.n_tokens) OVER (ORDER BY p.batch
+                ROWS UNBOUNDED PRECEDING) as bigint) AS cum_tokens,
+           cast(coalesce(n.new_types, 0) as bigint) AS new_types,
+           cast(sum(coalesce(n.new_types, 0)) OVER (ORDER BY p.batch
+                ROWS UNBOUNDED PRECEDING) as bigint) AS cum_vocab
+    FROM per_batch p LEFT JOIN newt n ON p.batch = n.batch
+    """,
+    tags=("text", "llm-pipeline", "curation"),
+)
+def q372_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY GROWTH CURVE (Heaps-law audit) — the
+    diminishing-returns diagnostic a data-acquisition loop reads
+    before buying more of the same source: per ingestion batch (100
+    docs in doc_id order), how many NEW types (here word bigrams, the
+    type space coarse unigrams saturate instantly) the batch
+    contributed vs cumulative corpus size. A flattening cum_vocab
+    against a linear cum_tokens says the source is exhausted —
+    RefinedWeb/FineWeb-style curation reads exactly this curve per
+    crawl snapshot.
+
+    Shape: ONE explode pass over the corpus (bigram emission is a
+    narrow transform), then two map-side-combined aggregations —
+    per-batch token counts and per-TYPE first-occurrence batch
+    (min(batch), the one-pass trick that avoids any ordered scan of
+    the corpus) — folded to a batches-sized frame. The cumulative
+    columns run through global_prefix_sum (range exchange, no
+    single-partition window) in one multi-measure pass. At 100 TB the
+    only corpus-sized shuffles are the two groupBys, both bounded by
+    |types| + |batches|, and the curve frame itself is tiny."""
+    prep(spark)
+    from ..operators.ranking import global_prefix_sum
+
+    d = table(spark, sf_dir, "documents")
+    dt = d.select(
+        F.expr("doc_id div 100").alias("batch"), tokens("text").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = dt.select(
+        "batch",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("typ"),
+    )
+    per_batch = bg.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    newt = (
+        bg.groupBy("typ")
+        .agg(F.min("batch").alias("batch"))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    )
+    curve = per_batch.join(newt, "batch", "left").select(
+        "batch",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+    )
+    out = global_prefix_sum(
+        curve,
+        ["batch"],
+        ["n_tokens", "new_types"],
+        ["cum_tokens", "cum_vocab"],
+    )
+    return out.select(
+        "batch", "n_tokens", "cum_tokens", "new_types", "cum_vocab"
+    )
