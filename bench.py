@@ -150,6 +150,11 @@ HEADLINE = (
     # round-6 wave 6: exact cooperative-game attribution (bitmask agg
     # over the fact slice + constant-size coalition algebra)
     "q366_shapley_attribution",
+    # round-6 wave 7: pigeonhole-prefiltered exact heavy hitters (the
+    # frequency analogue of the bloom tier) and the Heaps-law vocab
+    # growth curve (one explode pass + first-occurrence min(batch))
+    "q369_sketchguided_heavy_hitters",
+    "q372_vocab_growth",
 )
 
 
@@ -231,6 +236,8 @@ BUDGETS = {
     "q364_grouped_ols_trend": 1.5,
     "q365_iqr_outlier_fences": 6.54,
     "q366_shapley_attribution": 1.89,
+    "q369_sketchguided_heavy_hitters": 2.02,
+    "q372_vocab_growth": 1.5,
 }
 
 

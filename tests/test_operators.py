@@ -1583,3 +1583,67 @@ def test_io_table_error_contracts(spark, sf_dir):
         table(spark, sf_dir, "nope")
     with pytest.raises(AnalysisException):
         table(spark, sf_dir.rstrip("/") + "-does-not-exist", "orders").count()
+
+
+def test_soundex_expr_known_values(spark):
+    """The generated simplified-soundex agrees with classic soundex on
+    the canonical textbook examples (none of which exercise the H/W
+    continuation rule this variant intentionally simplifies)."""
+    from marketingcloud_etl_spark.plans.dedup_queries import _soundex_expr
+
+    import duckdb
+
+    cases = {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "Tymczak": "T522",
+        "Pfister": "P236",  # first-letter run collapse: P,F share code 1
+        "Jackson": "J250",
+        "lemon": "L550",
+        "O'Brien-2": "O165",  # punctuation stripped before coding
+        "a": "A000",  # pad to 4
+    }
+    df = spark.createDataFrame([(w,) for w in cases], ["w"])
+    got = {
+        r["w"]: r["sdx"]
+        for r in df.selectExpr(
+            "w", f"{_soundex_expr('w', duck=False)} AS sdx"
+        ).collect()
+    }
+    assert got == cases
+    con = duckdb.connect()
+    for w, want in cases.items():
+        ww = w.replace("'", "''")
+        (got_d,) = con.sql(
+            f"SELECT {_soundex_expr(chr(39) + ww + chr(39), duck=True)}"
+        ).fetchone()
+        assert got_d == want, (w, got_d, want)
+
+
+def test_sketchguided_heavy_hitters_partition_invariant(spark, sf_dir):
+    """q369's candidate set depends on the partition layout
+    (pigeonhole prefilter), but the exact-verify phase must erase
+    that: whatever layout the session picked, the final heavy-hitter
+    set equals the plain full-vocabulary groupBy/HAVING answer —
+    token-for-token and count-for-count."""
+    from marketingcloud_etl_spark.functions.text import tokens
+    from marketingcloud_etl_spark.io import table
+    from pyspark.sql import functions as F
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("token"))
+    )
+    total = toks.count()
+    plain = {
+        (r["token"], r["cnt"])
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 200 > total)
+        .collect()
+    }
+    from marketingcloud_etl_spark.plans.catalog import load_all
+
+    qd = load_all()["q369_sketchguided_heavy_hitters"]
+    got = {(r["token"], r["cnt"]) for r in qd.fn(spark, sf_dir).collect()}
+    assert got == plain and len(got) > 0
