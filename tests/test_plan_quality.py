@@ -563,3 +563,45 @@ def test_tpch_battery_plans_have_no_cartesian_and_broadcast_dims(spark, sf_dir):
             assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
                 f"{name}: expected at least one broadcast join in the snowflake"
             )
+
+
+def test_heavy_hitters_candidate_phase_partial_aggs(spark, sf_dir):
+    """q369: the raw token stream must fold MAP-SIDE in the candidate
+    phase (partial_count before the (pid, token) exchange) and the
+    exact phase must be a semi-join bounded by the broadcast candidate
+    set — if either degrades, the query becomes the full-vocabulary
+    groupBy it exists to avoid."""
+    plan = _plan(REGISTRY["q369_sketchguided_heavy_hitters"].fn(spark, sf_dir))
+    low = plan.lower()
+    assert "partial_count" in low
+    assert "leftsemi" in low.replace(" ", "")
+    assert "spark_partition_id" in low
+
+
+def test_binseg_changepoint_windows_stay_partitioned(spark, sf_dir):
+    """q370: every window runs PARTITION BY event_type — no global
+    sort, no Exchange SinglePartition anywhere in the plan."""
+    plan = _plan(REGISTRY["q370_binseg_changepoint"].fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_soundex_key_is_narrow_codegen(spark, sf_dir):
+    """q371: the phonetic key derivation (translate + replace chain)
+    must run in the narrow pre-shuffle Project over the scan — if it
+    drifted past an exchange, the raw names would ship instead of the
+    4-char keys. count(DISTINCT w) legitimately plans a second
+    (block_key, w)-keyed exchange; neither may be single-partition."""
+    plan = _plan(REGISTRY["q371_soundex_blocking"].fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange") <= 2
+    pre_shuffle = plan.split("Exchange")[-1]  # innermost = before 1st exchange
+    assert "translate(" in pre_shuffle and "FileScan" in pre_shuffle
+
+
+def test_vocab_growth_no_single_partition_window(spark, sf_dir):
+    """q372: the cumulative columns run through global_prefix_sum —
+    the plan must contain a range exchange and NO single-partition
+    exchange."""
+    plan = _plan(REGISTRY["q372_vocab_growth"].fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan
