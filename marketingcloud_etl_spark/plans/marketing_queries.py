@@ -2617,3 +2617,116 @@ def q366_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phi_x6",
         F.expr("(phi_x6 * 1000000) div total").cast("bigint").alias("share_ppm"),
     )
+
+
+@query(
+    "q373_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+             cast(round(value * 100) as bigint) AS cents
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), per_v AS (
+      SELECT cents,
+             cast(count(*) as bigint) AS n_v,
+             cast(sum(a) as bigint) AS a_v
+      FROM s GROUP BY cents
+    ), ranked AS (
+      SELECT cents, n_v, a_v,
+             cast(sum(n_v) OVER (ORDER BY cents
+                  ROWS UNBOUNDED PRECEDING) as bigint) AS cum
+      FROM per_v
+    ), agg AS (
+      SELECT cast(sum(a_v) as bigint) AS n1,
+             cast(sum(n_v) - sum(a_v) as bigint) AS n2,
+             cast(sum(n_v) as bigint) AS n,
+             cast(sum(a_v * (2 * (cum - n_v) + n_v + 1)) as bigint) AS r1_x2,
+             cast(sum(n_v * n_v * n_v - n_v) as bigint) AS t_ties
+      FROM ranked
+    )
+    SELECT n1, n2,
+           r1_x2 - n1 * (n1 + 1) AS u1_x2,
+           t_ties,
+           round(
+             (cast(r1_x2 - n1 * (n1 + 1) as double) - cast(n1 * n2 as double))
+             / (2.0 * sqrt(
+                 (cast(n1 as double) * cast(n2 as double) / 12.0)
+                 * (cast(n + 1 as double)
+                    - cast(t_ties as double)
+                      / (cast(n as double) * cast(n - 1 as double)))
+               )), 6) AS z_score
+    FROM agg
+    """,
+    tags=("marketing", "stats", "parity"),
+)
+def q373_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U — the rank-based two-sample test that completes
+    the inference battery (z-test q133 assumes proportions, KS q334
+    compares whole CDFs, Welch-style means break on heavy tails; U
+    asks the median-shift question non-parametrically). Exactness
+    protocol: values quantize to cents (the money protocol), so ties
+    are well-defined; tie-averaged ranks stay INTEGER by carrying
+    2·rank (avg rank of a tie run [lo..hi] = (lo+hi)/2, so 2·R1 =
+    Σ a_v·(2·cum_before + n_v + 1) is exact bigint), U1 and the tie
+    correction Σ(t³−t) are exact bigints, and the normal-approximation
+    z is ONE fixed-order IEEE expression over those integers on both
+    engines (q133's round-6 protocol).
+
+    Scale shape: ranking uses NO global window — per-value counts
+    (map-side combined, bounded by |distinct cents|) feed
+    global_prefix_sum's range exchange, and the test statistic folds
+    in one final one-row aggregation. The corpus is scanned once; at
+    100 TB the only data-sized op is the first groupBy."""
+    prep(spark)
+    from ..operators.ranking import global_prefix_sum
+
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("a"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    per_v = s.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        F.sum("a").cast("bigint").alias("a_v"),
+    )
+    ranked = global_prefix_sum(per_v, ["cents"], "n_v", "cum")
+    agg = ranked.agg(
+        F.sum("a_v").cast("bigint").alias("n1"),
+        (F.sum("n_v") - F.sum("a_v")).cast("bigint").alias("n2"),
+        F.sum("n_v").cast("bigint").alias("n"),
+        F.sum(
+            F.col("a_v")
+            * (2 * (F.col("cum") - F.col("n_v")) + F.col("n_v") + 1)
+        )
+        .cast("bigint")
+        .alias("r1_x2"),
+        F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+        .cast("bigint")
+        .alias("t_ties"),
+    )
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    z = (
+        u1_x2.cast("double") - (F.col("n1") * F.col("n2")).cast("double")
+    ) / (
+        F.lit(2.0)
+        * F.sqrt(
+            (F.col("n1").cast("double") * F.col("n2").cast("double") / 12.0)
+            * (
+                (F.col("n") + 1).cast("double")
+                - F.col("t_ties").cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+            )
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u1_x2.alias("u1_x2"),
+        "t_ties",
+        F.round(z, 6).alias("z_score"),
+    )

@@ -1439,3 +1439,156 @@ def q368_mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFr
             6,
         ).alias("mi_nats"),
     )
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR unrolled as chained CTEs (k=6 picks over a 12-doc
+    candidate list) — the q349 fixed-iteration protocol: the oracle
+    unrolls the same greedy path the Spark-side aggregate() fold
+    walks, argmax = ORDER BY mmr DESC, vec_id."""
+    cos_q = cosine_sql("e.embedding", "q.v")
+    sim = cosine_sql("a.embedding", "b.embedding")
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT embedding AS v FROM embeddings WHERE vec_id = 0
+    ), cand AS (
+      SELECT e.vec_id, {cos_q} AS rel
+      FROM embeddings e, q
+      ORDER BY rel DESC, e.vec_id LIMIT 12
+    ), sims AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS sim
+      FROM (SELECT c.vec_id, e.embedding FROM cand c
+            JOIN embeddings e ON c.vec_id = e.vec_id) a,
+           (SELECT c.vec_id, e.embedding FROM cand c
+            JOIN embeddings e ON c.vec_id = e.vec_id) b
+    ), sel1 AS (
+      SELECT vec_id, rel, 1 AS step, rel AS mmr
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    ]
+    prev_union = "SELECT vec_id FROM sel1"
+    for i in range(2, 7):
+        parts.append(f""", sel{i} AS (
+      SELECT c.vec_id, c.rel, {i} AS step,
+             0.7 * c.rel - 0.3 * max(s.sim) AS mmr
+      FROM cand c
+      JOIN sims s ON s.id_a = c.vec_id AND s.id_b IN ({prev_union})
+      WHERE c.vec_id NOT IN ({prev_union})
+      GROUP BY c.vec_id, c.rel
+      ORDER BY mmr DESC, c.vec_id LIMIT 1
+    )""")
+        prev_union += f" UNION ALL SELECT vec_id FROM sel{i}"
+    sel_union = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, 7))
+    parts.append(f"""
+    SELECT vec_id, cast(step as bigint) AS step,
+           round(rel, 6) AS rel, round(mmr, 6) AS mmr
+    FROM ({sel_union})""")
+    return "".join(parts)
+
+
+def _mmr_fold_expr() -> str:
+    """Spark-side greedy MMR as ONE aggregate() HOF fold over the
+    packed candidate array `cs` (struct vec_id, rel, emb) — the q349
+    single-expression iteration pattern: no per-step DataFrame in the
+    lineage (a 6-step chained-union plan re-expands the candidate
+    subtree per step and explodes the AQE plan), state = the selected
+    array, argmax = element 1 of array_sort by (−score, vec_id)."""
+
+    def _cos(a: str, b: str) -> str:
+        dot = (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"cast(0.0 as double), (acc2, x) -> acc2 + x)"
+        )
+        da = (
+            f"aggregate(zip_with({a}, {a}, (x, y) -> x * y), "
+            f"cast(0.0 as double), (acc2, x) -> acc2 + x)"
+        )
+        db = (
+            f"aggregate(zip_with({b}, {b}, (x, y) -> x * y), "
+            f"cast(0.0 as double), (acc2, x) -> acc2 + x)"
+        )
+        return (
+            f"(CASE WHEN sqrt({da}) * sqrt({db}) > 0 "
+            f"THEN {dot} / (sqrt({da}) * sqrt({db})) ELSE cast(0.0 as double) END)"
+        )
+
+    # step body: best remaining candidate by (mmr desc, vec_id asc)
+    maxsim = f"array_max(transform(acc, s -> {_cos('c.emb', 's.emb')}))"
+    scored = (
+        "array_sort(transform("
+        "  filter(cs, c -> !exists(acc, s -> s.vec_id = c.vec_id)),"
+        f" c -> named_struct("
+        f"   'negmmr', -(cast(0.7 as double) * c.rel - cast(0.3 as double) * {maxsim}),"
+        "    'vec_id', c.vec_id, 'rel', c.rel, 'emb', c.emb)))"
+    )
+    best = f"element_at({scored}, 1)"
+    step = (
+        "acc || array(named_struct("
+        f" 'vec_id', {best}.vec_id, 'step', i,"
+        f" 'rel', {best}.rel, 'mmr', -{best}.negmmr, 'emb', {best}.emb))"
+    )
+    first = (
+        "element_at(array_sort(transform(cs, c -> named_struct("
+        " 'negrel', -c.rel, 'vec_id', c.vec_id, 'rel', c.rel, 'emb', c.emb))), 1)"
+    )
+    init = (
+        f"array(named_struct('vec_id', {first}.vec_id, 'step', 1,"
+        f" 'rel', {first}.rel, 'mmr', {first}.rel, 'emb', {first}.emb))"
+    )
+    return f"aggregate(sequence(2, 6), {init}, (acc, i) -> {step})"
+
+
+@query(
+    "q374_mmr_diversified_retrieval",
+    oracle=_mmr_oracle(),
+    tags=("vector", "retrieval", "parity"),
+)
+def q374_mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    1998) — the diversification tier that completes the retrieval
+    stack (candidates q49/q66 → fusion q362 → THIS): greedily pick
+    k=6 of the top-12 cosine candidates maximizing
+    0.7·rel − 0.3·max_sim_to_already_selected, so near-duplicate hits
+    (what SemDeDup q134 exploits in this embedding space) stop
+    crowding out coverage.
+
+    Exactness: relevance and pairwise sims use the ordered-fold cosine
+    (functions/vectors.py — the Spark fold inside the MMR lambda and
+    the oracle's list_reduce run the identical IEEE sequence), the
+    greedy argmax compares those bit-identical doubles with a vec_id
+    tie-break, and the oracle unrolls the same 6 steps as CTEs (the
+    q349 fixed-iteration protocol).
+
+    Scale + plan shape: the whole greedy loop is ONE aggregate() HOF
+    fold over a 12-row packed array — constant-size state, zero
+    per-iteration shuffles or joins (a chained-DataFrame formulation
+    re-expands the candidate subtree once per step: exponential plan
+    growth, found the hard way). MMR cost is k·|candidates| sims —
+    independent of corpus size; only candidate generation touches the
+    corpus (one pass here; the q66 IVF tier past ~10⁵ vectors)."""
+    prep(spark)
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("v"))
+    cand = (
+        e.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            cosine("embedding", "v").alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(12)
+    )
+    packed = cand.agg(
+        F.collect_list(F.struct("vec_id", "rel", "emb")).alias("cs")
+    )
+    return (
+        packed.select(F.explode(F.expr(_mmr_fold_expr())).alias("s"))
+        .select(
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("s.step").cast("bigint").alias("step"),
+            F.round("s.rel", 6).alias("rel"),
+            F.round("s.mmr", 6).alias("mmr"),
+        )
+    )
