@@ -2356,3 +2356,222 @@ def q371_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pairs"),
         F.countDistinct("w").cast("bigint").alias("n_names"),
     )
+
+
+@query(
+    "q375_er_pipeline",
+    oracle=f"""
+    WITH RECURSIVE names AS (
+      SELECT p_name AS name, cast(min(p_partkey) as bigint) AS id,
+             cast(count(*) as bigint) AS n_records
+      FROM part GROUP BY p_name
+    ), keyed AS (
+      SELECT *, {{sdx}} AS bk FROM names
+    ), pairs AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.id < b.id
+      WHERE levenshtein(a.name, b.name) <= 10
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT id, id FROM (SELECT DISTINCT s AS id FROM edges)
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), labeled AS (  -- singletons are their own component
+      SELECT k.name, k.id, k.n_records, coalesce(c.component, k.id) AS component
+      FROM keyed k LEFT JOIN comp c ON k.id = c.id
+    )
+    SELECT component,
+           cast(count(*) as bigint) AS n_entities,
+           cast(sum(n_records) as bigint) AS n_records,
+           max_by(name, n_records * 10000000 - id) AS canonical
+    FROM labeled GROUP BY component
+    """.format(sdx=_soundex_expr('name', duck=True)),
+    tags=("dedup", "entity-resolution", "iterative"),
+)
+def q375_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION end-to-end — the composition the individual
+    stages exist for: distinct entity names → soundex BLOCKING
+    (q371's generated key, candidates n² → Σ block²) → within-block
+    edit-distance VERIFY (levenshtein ≤ 10; exact integer on both
+    engines) → connected-components CLUSTERING
+    (operators/components.py min-label propagation; the oracle
+    computes the same closure with a recursive CTE — full value check
+    of the iterative algorithm, the q95 protocol) → SURVIVORSHIP
+    (canonical name = most records, tie → smallest id, via one
+    scalar max_by argmax — key = n_records·10⁷ − id, exact while
+    ids < 10⁷, which min(p_partkey) node ids satisfy here). Node ids
+    are min(p_partkey)-per-name: deterministic, engine-independent.
+
+    Scale: every stage is bounded — the name dictionary collapses the
+    record stream first (the groupBy any ER run starts with), blocks
+    bound the verify join (Σ block² pairs, audited by q371 BEFORE
+    this runs), CC is O(log diameter) key-partitioned rounds, and
+    survivorship is one grouped argmax. 100 TB of records with a
+    bounded entity dictionary flows through the same plan unchanged;
+    an unbounded dictionary swaps blocking keys, nothing else."""
+    prep(spark)
+    from ..operators.components import connected_components
+
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(
+            F.min("p_partkey").cast("bigint").alias("id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        )
+    )
+    keyed = names.withColumn("bk", F.expr(_soundex_expr("name", duck=False)))
+    a = keyed.select(
+        F.col("bk"), F.col("id").alias("id_a"), F.col("name").alias("name_a")
+    )
+    b = keyed.select(
+        F.col("bk"), F.col("id").alias("id_b"), F.col("name").alias("name_b")
+    )
+    pairs = (
+        a.join(b, "bk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.levenshtein("name_a", "name_b") <= 10)
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    labeled = keyed.join(comp, "id", "left").select(
+        "name",
+        "id",
+        "n_records",
+        F.coalesce("component", "id").alias("component"),
+    )
+    return labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+        F.sum("n_records").cast("bigint").alias("n_records"),
+        F.expr("max_by(name, n_records * 10000000 - id)").alias("canonical"),
+    )
+
+
+@query(
+    "q376_grid_density_clusters",
+    oracle="""
+    WITH RECURSIVE pts AS (
+      SELECT vec_id,
+             cast(floor(cast(embedding[1] as double) * 30) as bigint) AS ix,
+             cast(floor(cast(embedding[2] as double) * 30) as bigint) AS iy
+      FROM embeddings
+    ), cells AS (
+      SELECT ix, iy, (ix + 100) * 1000 + (iy + 100) AS cell,
+             cast(count(*) as bigint) AS n
+      FROM pts GROUP BY ix, iy
+    ), dense AS MATERIALIZED (
+      SELECT * FROM cells WHERE n >= 4
+    ), pairs AS MATERIALIZED (
+      SELECT a.cell AS id_a, b.cell AS id_b
+      FROM dense a JOIN dense b
+        ON a.cell < b.cell
+       AND abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT id, id FROM (SELECT DISTINCT s AS id FROM edges)
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), labeled AS (
+      SELECT d.cell, d.n, coalesce(c.component, d.cell) AS component
+      FROM dense d LEFT JOIN comp c ON d.cell = c.id
+    ), assigned AS (
+      SELECT p.vec_id, coalesce(l.component, -1) AS component
+      FROM pts p
+      LEFT JOIN labeled l ON (p.ix + 100) * 1000 + (p.iy + 100) = l.cell
+    )
+    SELECT a.component,
+           cast(count(*) as bigint) AS n_points,
+           cast(coalesce(max(g.n_cells), 0) as bigint) AS n_cells
+    FROM assigned a
+    LEFT JOIN (SELECT component, count(*) AS n_cells
+               FROM labeled GROUP BY component) g
+      ON a.component = g.component
+    GROUP BY a.component
+    """,
+    tags=("vector", "dedup", "iterative"),
+)
+def q376_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-DENSITY clustering (DBSCAN's grid approximation, the
+    distributed-systems folklore version: GriDBSCAN/NG-DBSCAN family)
+    — the density complement to centroid k-means (q163): quantize the
+    first two embedding dims to a 1/30 grid (floor of identical
+    doubles — exact integer cells on both engines), keep cells with
+    ≥ 4 points (dense), merge 8-neighborhood-adjacent dense cells via
+    connected components (operators/components.py; oracle = recursive
+    CTE, the q95/q375 protocol), assign every point to its cell's
+    cluster, everything else is NOISE (component −1) — DBSCAN's
+    defining ability to say "this is no cluster at all".
+
+    Scale: ONE narrow map quantizes the corpus, the cell histogram is
+    a map-side-combined groupBy bounded by the grid (not the data),
+    adjacency joins and CC run over DENSE CELLS only (≪ points), and
+    the final assignment is a broadcast join of the labeled-cell
+    dictionary back onto the point stream. No pairwise distances
+    anywhere — the reason this shape survives 100 TB while textbook
+    DBSCAN's ε-neighbor graph does not."""
+    prep(spark)
+    from ..operators.components import connected_components
+
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.floor(F.col("embedding").getItem(0).cast("double") * 30)
+        .cast("bigint")
+        .alias("ix"),
+        F.floor(F.col("embedding").getItem(1).cast("double") * 30)
+        .cast("bigint")
+        .alias("iy"),
+    )
+    cells = pts.groupBy("ix", "iy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    dense = cells.filter(F.col("n") >= 4).withColumn(
+        "cell", (F.col("ix") + 100) * 1000 + (F.col("iy") + 100)
+    )
+    a = dense.select(
+        F.col("cell").alias("id_a"), F.col("ix").alias("xa"), F.col("iy").alias("ya")
+    )
+    b = dense.select(
+        F.col("cell").alias("id_b"), F.col("ix").alias("xb"), F.col("iy").alias("yb")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("xa") - F.col("xb")) <= 1)
+            & (F.abs(F.col("ya") - F.col("yb")) <= 1),
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    labeled = dense.join(comp, dense.cell == comp.id, "left").select(
+        dense.cell, F.coalesce("component", dense.cell).alias("component")
+    )
+    cluster_cells = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells")
+    )
+    assigned = (
+        pts.withColumn("cell", (F.col("ix") + 100) * 1000 + (F.col("iy") + 100))
+        .join(F.broadcast(labeled), "cell", "left")
+        .select("vec_id", F.coalesce("component", F.lit(-1)).alias("component"))
+    )
+    return (
+        assigned.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .join(F.broadcast(cluster_cells), "component", "left")
+        .select(
+            "component",
+            "n_points",
+            F.coalesce("n_cells", F.lit(0)).cast("bigint").alias("n_cells"),
+        )
+    )
