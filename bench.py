@@ -155,6 +155,11 @@ HEADLINE = (
     # growth curve (one explode pass + first-occurrence min(batch))
     "q369_sketchguided_heavy_hitters",
     "q372_vocab_growth",
+    # round-6 wave 8: the composed ER pipeline (blocking -> verify ->
+    # CC -> survivorship) and grid-density clustering (cell histogram
+    # + dense-cell CC) -- both iterative-CC consumers
+    "q375_er_pipeline",
+    "q376_grid_density_clusters",
 )
 
 
@@ -238,6 +243,8 @@ BUDGETS = {
     "q366_shapley_attribution": 1.89,
     "q369_sketchguided_heavy_hitters": 2.02,
     "q372_vocab_growth": 1.5,
+    "q375_er_pipeline": 3.39,
+    "q376_grid_density_clusters": 5.27,
 }
 
 
