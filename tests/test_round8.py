@@ -1,0 +1,152 @@
+"""Behavioral pins for the wave-7/8 operators (q369–q376) beyond
+oracle parity: exact Python-reference replays — the Mann-Whitney U
+integers from first principles, the binseg argmax against an
+EXACT-RATIONAL scorer (stronger than the engines' double scoring: it
+proves the IEEE argmax picked the true least-squares split), and the
+MMR greedy path — plus structural invariants for the ER pipeline and
+the density clusters."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from marketingcloud_etl_spark.plans.catalog import load_all
+
+REG = load_all()
+
+
+def test_mann_whitney_equals_python_reference(spark, sf_dir, duck):
+    rows = duck.sql(
+        """SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
+                  cast(round(value * 100) as bigint)
+           FROM events WHERE event_type IN ('purchase', 'click')"""
+    ).fetchall()
+    from collections import Counter
+
+    n_v: Counter = Counter()
+    a_v: Counter = Counter()
+    for a, c in rows:
+        n_v[c] += 1
+        a_v[c] += a
+    cum = 0
+    r1_x2 = 0
+    t_ties = 0
+    for c in sorted(n_v):
+        r1_x2 += a_v[c] * (2 * cum + n_v[c] + 1)
+        t_ties += n_v[c] ** 3 - n_v[c]
+        cum += n_v[c]
+    n1 = sum(a_v.values())
+    n = sum(n_v.values())
+    n2 = n - n1
+    (got,) = REG["q373_mann_whitney_u"].fn(spark, sf_dir).collect()
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["u1_x2"] == r1_x2 - n1 * (n1 + 1)
+    assert got["t_ties"] == t_ties
+    import math
+
+    z = (float(r1_x2 - n1 * (n1 + 1)) - float(n1 * n2)) / (
+        2.0
+        * math.sqrt(
+            (float(n1) * float(n2) / 12.0)
+            * (float(n + 1) - float(t_ties) / (float(n) * float(n - 1)))
+        )
+    )
+    assert abs(got["z_score"] - round(z, 6)) < 1e-9
+
+
+def test_binseg_argmax_matches_exact_rational_scorer(spark, sf_dir, duck):
+    """The engines rank splits by a DOUBLE score; this replay scores
+    every split as an exact Fraction (n·S_k − k·S_n)²/(k·n·(n−k)) and
+    asserts the query still picked the true argmax — i.e. the double
+    rounding never flipped the comparison on this data."""
+    daily = duck.sql(
+        """SELECT event_type, date_trunc('day', ts) AS day,
+                  cast(count(*) as bigint) AS y
+           FROM events GROUP BY event_type, day ORDER BY event_type, day"""
+    ).fetchall()
+    series: dict = {}
+    for et, _day, y in daily:
+        series.setdefault(et, []).append(y)
+    want = {}
+    for et, ys in series.items():
+        n, sn = len(ys), sum(ys)
+        best_k, best_score = None, None
+        sk = 0
+        for k in range(1, n):
+            sk += ys[k - 1]
+            score = Fraction((n * sk - k * sn) ** 2, k * n * (n - k))
+            if best_score is None or score > best_score:
+                best_k, best_score = k, score
+        want[et] = best_k
+    got = {
+        r["event_type"]: r["split_k"]
+        for r in REG["q370_binseg_changepoint"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_mmr_greedy_path_equals_python_reference(spark, sf_dir, duck):
+    import math
+
+    rows = duck.sql(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    embs = {i: [float(x) for x in v] for i, v in rows}
+
+    def cos(a, b):
+        dot = da = db = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            da += x * x
+            db += y * y
+        d = math.sqrt(da) * math.sqrt(db)
+        return dot / d if d > 0 else 0.0
+
+    q = embs[0]
+    rel = {i: cos(v, q) for i, v in embs.items()}
+    cand = sorted(embs, key=lambda i: (-rel[i], i))[:12]
+    sel = [min(cand, key=lambda i: (-rel[i], i))]
+    for _ in range(5):
+        rest = [c for c in cand if c not in sel]
+        best = min(
+            rest,
+            key=lambda c: (
+                -(0.7 * rel[c] - 0.3 * max(cos(embs[c], embs[s]) for s in sel)),
+                c,
+            ),
+        )
+        sel.append(best)
+    got = [
+        r["vec_id"]
+        for r in REG["q374_mmr_diversified_retrieval"]
+        .fn(spark, sf_dir)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == sel
+
+
+def test_er_pipeline_conserves_records_and_respects_blocks(spark, sf_dir, duck):
+    """Σ n_records over clusters must equal the part row count
+    (nothing lost or double-counted by blocking/CC/survivorship), and
+    every cluster's canonical must be one of its member names."""
+    out = REG["q375_er_pipeline"].fn(spark, sf_dir).collect()
+    (n_parts,) = duck.sql("SELECT count(*) FROM part").fetchone()
+    assert sum(r["n_records"] for r in out) == n_parts
+    (n_names,) = duck.sql("SELECT count(DISTINCT p_name) FROM part").fetchone()
+    assert sum(r["n_entities"] for r in out) == n_names
+
+
+def test_grid_density_clusters_conserve_points(spark, sf_dir, duck):
+    """Every vector lands in exactly one cluster or noise; dense-cell
+    counts are consistent with the minPts threshold."""
+    out = REG["q376_grid_density_clusters"].fn(spark, sf_dir).collect()
+    (n_vecs,) = duck.sql("SELECT count(*) FROM embeddings").fetchone()
+    assert sum(r["n_points"] for r in out) == n_vecs
+    for r in out:
+        if r["component"] == -1:
+            assert r["n_cells"] == 0
+        else:
+            # a dense cell holds >= 4 points, so a cluster with c cells
+            # holds >= 4c points
+            assert r["n_points"] >= 4 * r["n_cells"]
