@@ -3936,3 +3936,59 @@ def q370_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_right_ppm",
         F.round("reduction", 4).alias("sse_reduction"),
     )
+
+
+@query(
+    "q377_l_diversity",
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey,
+             cast(floor(cast(round(c_acctbal * 100) as bigint) / 100000.0)
+               as bigint) AS bal_bucket,
+             c_mktsegment AS sensitive
+      FROM customer
+    ), cells AS (
+      SELECT c_nationkey, bal_bucket, sensitive,
+             cast(count(*) as bigint) AS n
+      FROM base GROUP BY c_nationkey, bal_bucket, sensitive
+    )
+    SELECT c_nationkey, bal_bucket,
+           cast(sum(n) as bigint) AS grp_size,
+           cast(count(*) as bigint) AS n_sensitive,
+           cast(max(n) * 1000000 // sum(n) as bigint) AS top_share_ppm,
+           count(*) >= 3 AS l3_ok
+    FROM cells GROUP BY c_nationkey, bal_bucket
+    """,
+    tags=("etl", "privacy"),
+)
+def q377_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY AUDIT — the disclosure check k-anonymity (q335)
+    misses: a group can be k-large yet reveal everyone's sensitive
+    value if the group is HOMOGENEOUS. Per quasi-identifier group
+    (nation × coarse balance bucket, q335's level-1 ladder rung), how
+    many DISTINCT sensitive values (market segment) appear, the
+    attacker's best-guess success rate (top sensitive share, integer
+    ppm floor-division), and the l=3 gate. All counts exact; the
+    sensitive-value cell table is the only shuffle (map-side combined,
+    bounded by QI-groups × |sensitive domain|). The release decision
+    reads BOTH audits: q335 for re-identification, this for attribute
+    disclosure."""
+    prep(spark)
+    base = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(
+            F.round(F.col("c_acctbal") * 100).cast("bigint") / F.lit(100000.0)
+        )
+        .cast("bigint")
+        .alias("bal_bucket"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    cells = base.groupBy("c_nationkey", "bal_bucket", "sensitive").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return cells.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("n").cast("bigint").alias("grp_size"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sensitive"),
+        F.expr("max(n) * 1000000 div sum(n)").cast("bigint").alias("top_share_ppm"),
+        (F.count(F.lit(1)) >= 3).alias("l3_ok"),
+    )

@@ -2730,3 +2730,192 @@ def q373_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_ties",
         F.round(z, 6).alias("z_score"),
     )
+
+
+@query(
+    "q378_nelson_aalen",
+    oracle="""
+    WITH bounds AS (
+      SELECT max(ts) AS end_ts FROM events
+    ), subj AS (
+      SELECT user_id,
+             cast(floor((epoch_us(coalesce(
+                    min(CASE WHEN event_type = 'purchase' THEN ts END), b.end_ts))
+                  - epoch_us(min(ts))) / 3600000000.0) as bigint) AS dur_hours,
+             CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+                  THEN 1 ELSE 0 END AS converted
+      FROM events, bounds b GROUP BY user_id, b.end_ts
+    ), at_t AS (
+      SELECT dur_hours AS t, sum(converted) AS d, count(*) AS leave_n
+      FROM subj GROUP BY dur_hours
+    ), risk AS (
+      SELECT t, d,
+             sum(leave_n) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+      FROM at_t
+    ), ordered AS (
+      SELECT t, d, n_risk,
+             row_number() OVER (ORDER BY t) AS idx
+      FROM risk
+    ), arr AS (
+      SELECT list(d / cast(n_risk as double) ORDER BY t) AS hs FROM ordered
+    )
+    SELECT o.t AS t_hours,
+           cast(o.n_risk as bigint) AS n_risk,
+           cast(o.d as bigint) AS n_events,
+           round(list_reduce(list_prepend(0.0, hs[1 : o.idx]),
+                             (a, b) -> a + b), 6) AS cum_hazard
+    FROM ordered o CROSS JOIN arr
+    """,
+    tags=("marketing", "stats", "survival"),
+)
+def q378_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative hazard — the additive companion to
+    q287's Kaplan-Meier product: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over the SAME
+    right-censored first-activity→first-purchase counting process
+    (same subjects, same at-risk windows — the two curves are read
+    together: Ĥ vs −ln Ŝ separating is the textbook diagnostic for
+    heavy ties). The hazard increments fold SEQUENTIALLY over the
+    time-ordered array (addition order fixed on both engines — q287's
+    fold protocol with + for ×), so every prefix hashes. Frame sizes:
+    the whole curve lives on the ≤|distinct-tenure| frame; the corpus
+    is touched once by the per-user groupBy."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    e = table(spark, sf_dir, "events")
+    cut = e.agg(F.max("ts").alias("end_ts"))
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    subj = (
+        e.join(F.broadcast(cut), F.lit(True))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (
+                    F.unix_micros(F.coalesce(first_purchase, F.first("end_ts")))
+                    - F.unix_micros(F.min("ts"))
+                )
+                / F.lit(3600000000.0)
+            )
+            .cast("bigint")
+            .alias("dur_hours"),
+            first_purchase.isNotNull().cast("int").alias("converted"),
+        )
+    )
+    at_t = subj.groupBy(F.col("dur_hours").alias("t")).agg(
+        F.sum("converted").alias("d"), F.count(F.lit(1)).alias("leave_n")
+    )
+    w_desc = W.orderBy(F.col("t").desc()).rowsBetween(W.unboundedPreceding, 0)  # global-window-ok: frame = distinct tenure-hours, bounded by the observation window
+    w_asc = W.orderBy("t")  # global-window-ok: same bounded distinct-tenure frame
+    risk = at_t.withColumn("n_risk", F.sum("leave_n").over(w_desc))
+    ordered = risk.withColumn("idx", F.row_number().over(w_asc))
+    arr = ordered.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "t",
+                        (F.col("d") / F.col("n_risk").cast("double")).alias("h"),
+                    )
+                )
+            ),
+            lambda s: s["h"],
+        ).alias("hs")
+    )
+    return ordered.join(F.broadcast(arr), F.lit(True)).select(
+        F.col("t").alias("t_hours"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.round(
+            F.aggregate(
+                F.slice(F.col("hs"), 1, F.col("idx")),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+            6,
+        ).alias("cum_hazard"),
+    )
+
+
+@query(
+    "q379_holt_smoothing",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             cast(count(*) as double) AS y
+      FROM events GROUP BY event_type, day
+    ), series AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), base AS (
+      SELECT s1.event_type, 2 AS idx, s1.n,
+             0.5 * s2.y + 0.5 * (s1.y + (s2.y - s1.y)) AS l,
+             0.5 * ((0.5 * s2.y + 0.5 * (s1.y + (s2.y - s1.y))) - s1.y)
+               + 0.5 * (s2.y - s1.y) AS b
+      FROM series s1 JOIN series s2
+        ON s1.event_type = s2.event_type AND s1.idx = 1 AND s2.idx = 2
+    ), rec(event_type, idx, n, l, b) AS (
+      SELECT event_type, idx, n, l, b FROM base
+      UNION ALL
+      SELECT r.event_type, r.idx + 1, r.n,
+             0.5 * s.y + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM rec r JOIN series s
+        ON s.event_type = r.event_type AND s.idx = r.idx + 1
+    )
+    SELECT event_type, cast(n as bigint) AS n_days,
+           round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + 7 * b, 6) AS forecast_h7
+    FROM rec WHERE idx = n
+    """,
+    tags=("marketing", "timeseries", "forecast"),
+)
+def q379_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT double-exponential smoothing (α=β=0.5) — the TREND-aware
+    forecast the level-only smoothers and q281's seasonal index can't
+    produce: per event-type daily series, fold level/trend through the
+    classic recurrences and project 7 days ahead. The fold runs as ONE
+    aggregate() HOF over the time-sorted per-series array (q349's
+    fixed-state iteration shape — zero per-step shuffles); the oracle
+    steps the identical recurrence as a recursive CTE (NOT list_reduce
+    — the q346 nondeterminism ledger entry), with the arithmetic
+    spelled operation-for-operation the same, so every IEEE
+    intermediate matches bitwise. Initialization: l₂/b₂ seeded from
+    the first two observations (the textbook l₁=y₁, b₁=y₂−y₁ pushed
+    through one update).
+
+    Scale: the corpus collapses to per-series daily rollups
+    (map-side combined); each series folds independently inside its
+    own row — thousands of series parallelize as rows, state is O(1)
+    per series, and no window ever spans more than one series."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    packed = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("ys")
+    )
+    fold = (
+        "aggregate("
+        "  sequence(3, size(ys)),"
+        "  named_struct("
+        "    'l', 0.5d * ys[1] + 0.5d * (ys[0] + (ys[1] - ys[0])),"
+        "    'b', 0.5d * ((0.5d * ys[1] + 0.5d * (ys[0] + (ys[1] - ys[0]))) - ys[0])"
+        "         + 0.5d * (ys[1] - ys[0])),"
+        "  (acc, i) -> named_struct("
+        "    'l', 0.5d * ys[i - 1] + 0.5d * (acc.l + acc.b),"
+        "    'b', 0.5d * ((0.5d * ys[i - 1] + 0.5d * (acc.l + acc.b)) - acc.l)"
+        "         + 0.5d * acc.b))"
+    )
+    return packed.select(
+        "event_type",
+        F.size("ys").cast("bigint").alias("n_days"),
+        F.round(F.expr(fold + ".l"), 6).alias("level"),
+        F.round(F.expr(fold + ".b"), 6).alias("trend"),
+        F.round(F.expr(f"({fold}).l + 7 * ({fold}).b"), 6).alias("forecast_h7"),
+    )

@@ -150,3 +150,31 @@ def test_grid_density_clusters_conserve_points(spark, sf_dir, duck):
             # a dense cell holds >= 4 points, so a cluster with c cells
             # holds >= 4c points
             assert r["n_points"] >= 4 * r["n_cells"]
+
+
+def test_holt_smoothing_equals_python_reference(spark, sf_dir, duck):
+    """Pure-Python replay of the α=β=0.5 Holt recurrence — IEEE
+    doubles stepped in the same order must reproduce the query's
+    level/trend/forecast exactly (before the 6-decimal round)."""
+    daily = duck.sql(
+        """SELECT event_type, date_trunc('day', ts) AS day,
+                  cast(count(*) as double) AS y
+           FROM events GROUP BY event_type, day ORDER BY event_type, day"""
+    ).fetchall()
+    series: dict = {}
+    for et, _d, y in daily:
+        series.setdefault(et, []).append(y)
+    want = {}
+    for et, ys in series.items():
+        l = 0.5 * ys[1] + 0.5 * (ys[0] + (ys[1] - ys[0]))
+        b = 0.5 * (l - ys[0]) + 0.5 * (ys[1] - ys[0])
+        for y in ys[2:]:
+            l_new = 0.5 * y + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        want[et] = (len(ys), round(l, 6), round(b, 6), round(l + 7 * b, 6))
+    got = {
+        r["event_type"]: (r["n_days"], r["level"], r["trend"], r["forecast_h7"])
+        for r in REG["q379_holt_smoothing"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
