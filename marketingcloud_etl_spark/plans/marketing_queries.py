@@ -2919,3 +2919,114 @@ def q379_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(fold + ".b"), 6).alias("trend"),
         F.round(F.expr(f"({fold}).l + 7 * ({fold}).b"), 6).alias("forecast_h7"),
     )
+
+
+@query(
+    "q380_holt_winters",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             cast(count(*) as double) AS y
+      FROM events GROUP BY event_type, day
+    ), packed AS (
+      SELECT event_type, list(y ORDER BY day) AS ys,
+             cast(count(*) as bigint) AS n
+      FROM daily GROUP BY event_type
+      HAVING count(*) >= 14
+    ), seeded AS (
+      SELECT event_type, ys, n,
+             list_reduce(list_prepend(cast(0.0 as double), ys[1:7]),
+                         (a, x) -> a + x) / 7.0 AS a1,
+             list_reduce(list_prepend(cast(0.0 as double), ys[8:14]),
+                         (a, x) -> a + x) / 7.0 AS a2
+      FROM packed
+    ), rec(event_type, t, l, b, s, ys, n) AS (
+      SELECT event_type, 7, a1, (a2 - a1) / 7.0,
+             list_transform(ys[1:7], x -> x - a1), ys, n
+      FROM seeded
+      UNION ALL
+      SELECT event_type, t + 1,
+             0.5 * (ys[t + 1] - s[(t % 7) + 1]) + 0.5 * (l + b),
+             0.5 * ((0.5 * (ys[t + 1] - s[(t % 7) + 1]) + 0.5 * (l + b)) - l)
+               + 0.5 * b,
+             list_transform(s, (x, j) -> CASE WHEN j = (t % 7) + 1
+               THEN 0.5 * (ys[t + 1]
+                           - (0.5 * (ys[t + 1] - s[(t % 7) + 1])
+                              + 0.5 * (l + b)))
+                    + 0.5 * x
+               ELSE x END),
+             ys, n
+      FROM rec WHERE t < n
+    )
+    SELECT event_type, n AS n_days,
+           round(l, 6) AS level, round(b, 6) AS trend,
+           round(s[(cast(n as int) % 7) + 1], 6) AS season_h7,
+           round(l + 7 * b + s[(cast(n as int) % 7) + 1], 6) AS forecast_h7
+    FROM rec WHERE t = n
+    """,
+    tags=("marketing", "timeseries", "forecast"),
+)
+def q380_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS additive triple smoothing (α=β=γ=0.5, weekly
+    m=7) — the seasonality-aware completion of the forecast family
+    (level: smoothers; level+trend: q379; level+trend+season: THIS):
+    the state is (level, trend, 7-slot seasonal array) and every day
+    updates one slot. Classic two-week initialization (l₇ = week-1
+    mean, b₇ = (week-2 mean − week-1 mean)/7, sᵢ = yᵢ − l₇); series
+    shorter than 14 days are excluded on both sides.
+
+    Engine protocol: the Spark side folds the per-series sorted array
+    through ONE aggregate() HOF whose accumulator carries the seasonal
+    array (updated via indexed transform — 0-based in Spark, 1-based
+    in DuckDB, slot arithmetic written per dialect); the oracle steps
+    the IDENTICAL arithmetic as a recursive CTE carrying the list
+    column. Every IEEE intermediate matches bitwise — pinned by the
+    Python replay test like q379.
+
+    Scale: per-series O(1)-state fold inside one row; the corpus
+    collapses to per-series daily rollups first. The forecast is
+    l + h·b + s[slot(n+h)] — pure post-fold arithmetic."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    packed = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "y"))),
+                lambda s: s["y"],
+            ).alias("ys")
+        )
+        .filter(F.size("ys") >= 14)
+    )
+    a1 = "(aggregate(slice(ys, 1, 7), cast(0.0 as double), (a, x) -> a + x) / 7.0d)"
+    a2 = "(aggregate(slice(ys, 8, 7), cast(0.0 as double), (a, x) -> a + x) / 7.0d)"
+    init = (
+        f"named_struct('l', {a1}, 'b', ({a2} - {a1}) / 7.0d,"
+        f" 's', transform(slice(ys, 1, 7), x -> x - {a1}))"
+    )
+    lnew = (
+        "(0.5d * (element_at(ys, i) - element_at(acc.s, ((i - 1) % 7) + 1))"
+        " + 0.5d * (acc.l + acc.b))"
+    )
+    step = (
+        f"named_struct("
+        f" 'l', {lnew},"
+        f" 'b', 0.5d * ({lnew} - acc.l) + 0.5d * acc.b,"
+        f" 's', transform(acc.s, (x, j) -> if(j = (i - 1) % 7,"
+        f"        0.5d * (element_at(ys, i) - {lnew}) + 0.5d * x, x)))"
+    )
+    fold = f"aggregate(sequence(8, size(ys)), {init}, (acc, i) -> {step})"
+    season = f"element_at(({fold}).s, (size(ys) % 7) + 1)"
+    return packed.select(
+        "event_type",
+        F.size("ys").cast("bigint").alias("n_days"),
+        F.round(F.expr(f"({fold}).l"), 6).alias("level"),
+        F.round(F.expr(f"({fold}).b"), 6).alias("trend"),
+        F.round(F.expr(season), 6).alias("season_h7"),
+        F.round(
+            F.expr(f"({fold}).l + 7 * ({fold}).b + {season}"), 6
+        ).alias("forecast_h7"),
+    )

@@ -178,3 +178,55 @@ def test_holt_smoothing_equals_python_reference(spark, sf_dir, duck):
         for r in REG["q379_holt_smoothing"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_holt_winters_equals_python_reference(spark, sf_dir, duck):
+    """Pure-Python replay of the α=β=γ=0.5 weekly Holt-Winters fold,
+    including the two-week seed and the per-day seasonal-slot update —
+    every IEEE intermediate stepped in the engines' order."""
+    daily = duck.sql(
+        """SELECT event_type, date_trunc('day', ts) AS day,
+                  cast(count(*) as double) AS y
+           FROM events GROUP BY event_type, day ORDER BY event_type, day"""
+    ).fetchall()
+    series: dict = {}
+    for et, _d, y in daily:
+        series.setdefault(et, []).append(y)
+    want = {}
+    for et, ys in series.items():
+        if len(ys) < 14:
+            continue
+        a1 = a2 = 0.0
+        for y in ys[0:7]:
+            a1 += y
+        for y in ys[7:14]:
+            a2 += y
+        a1 /= 7.0
+        a2 /= 7.0
+        l, b = a1, (a2 - a1) / 7.0
+        s = [y - a1 for y in ys[0:7]]
+        for i in range(8, len(ys) + 1):  # 1-based day index
+            slot = (i - 1) % 7
+            l_new = 0.5 * (ys[i - 1] - s[slot]) + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            s[slot] = 0.5 * (ys[i - 1] - l_new) + 0.5 * s[slot]
+            l = l_new
+        slot7 = len(ys) % 7
+        want[et] = (
+            len(ys),
+            round(l, 6),
+            round(b, 6),
+            round(s[slot7], 6),
+            round(l + 7 * b + s[slot7], 6),
+        )
+    got = {
+        r["event_type"]: (
+            r["n_days"],
+            r["level"],
+            r["trend"],
+            r["season_h7"],
+            r["forecast_h7"],
+        )
+        for r in REG["q380_holt_winters"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
