@@ -605,3 +605,21 @@ def test_vocab_growth_no_single_partition_window(spark, sf_dir):
     plan = _plan(REGISTRY["q372_vocab_growth"].fn(spark, sf_dir))
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" in plan
+
+
+def test_grid_density_assignment_broadcasts_cell_dictionary(spark, sf_dir):
+    """q376: the point-stream assignment must join against a BROADCAST
+    labeled-cell dictionary — if it degrades to a shuffle join, the
+    corpus-sized point stream re-shuffles for a grid-sized lookup."""
+    plan = _plan(REGISTRY["q376_grid_density_clusters"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_mmr_plan_is_single_fold_no_iteration_joins(spark, sf_dir):
+    """q374: the greedy loop must live inside ONE aggregate expression
+    — the plan may join for candidate generation but must NOT contain
+    a per-step join chain (>3 joins would mean the chained-DataFrame
+    formulation crept back; it OOMs the plan stringifier at k=6)."""
+    plan = _plan(REGISTRY["q374_mmr_diversified_retrieval"].fn(spark, sf_dir))
+    joins = plan.count("Join")
+    assert joins <= 3, f"{joins} joins — greedy steps leaked into the plan"
