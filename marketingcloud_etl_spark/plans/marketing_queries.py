@@ -2647,6 +2647,7 @@ def q366_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1, n2,
            r1_x2 - n1 * (n1 + 1) AS u1_x2,
            t_ties,
+           (r1_x2 - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n2) AS auc_ppm,
            round(
              (cast(r1_x2 - n1 * (n1 + 1) as double) - cast(n1 * n2 as double))
              / (2.0 * sqrt(
@@ -2670,7 +2671,10 @@ def q373_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ a_v·(2·cum_before + n_v + 1) is exact bigint), U1 and the tie
     correction Σ(t³−t) are exact bigints, and the normal-approximation
     z is ONE fixed-order IEEE expression over those integers on both
-    engines (q133's round-6 protocol).
+    engines (q133's round-6 protocol). The ROC-AUC of 'purchase vs
+    click' as a classifier score ships for free: AUC = U₁/(n₁n₂)
+    exactly (the Mann-Whitney/AUC identity), emitted as an integer
+    ppm floor-division.
 
     Scale shape: ranking uses NO global window — per-value counts
     (map-side combined, bounded by |distinct cents|) feed
@@ -2728,6 +2732,9 @@ def q373_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         u1_x2.alias("u1_x2"),
         "t_ties",
+        F.expr("(r1_x2 - n1 * (n1 + 1)) * 1000000 div (2 * n1 * n2)")
+        .cast("bigint")
+        .alias("auc_ppm"),
         F.round(z, 6).alias("z_score"),
     )
 
