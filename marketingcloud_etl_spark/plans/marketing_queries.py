@@ -3037,3 +3037,133 @@ def q380_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({fold}).l + 7 * ({fold}).b + {season}"), 6
         ).alias("forecast_h7"),
     )
+
+
+@query(
+    "q381_psi_drift",
+    oracle="""
+    WITH halves AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) <
+                    (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2
+                     FROM events)
+                  THEN 0 ELSE 1 END AS half,
+             least(cast(round(value * 100) as bigint) // 2500, 9) AS bin
+      FROM events
+    ), cells AS (
+      SELECT event_type, half, bin, cast(count(*) as bigint) AS c
+      FROM halves GROUP BY event_type, half, bin
+    ), bins AS (  -- dense 10-bin grid per type, Laplace +1 both halves
+      SELECT t.event_type, b.bin,
+             coalesce(r.c, 0) + 1 AS c_ref,
+             coalesce(u.c, 0) + 1 AS c_cur
+      FROM (SELECT DISTINCT event_type FROM cells) t
+      CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b
+      LEFT JOIN cells r ON r.event_type = t.event_type AND r.bin = b.bin
+                       AND r.half = 0
+      LEFT JOIN cells u ON u.event_type = t.event_type AND u.bin = b.bin
+                       AND u.half = 1
+    ), tot AS (
+      SELECT event_type,
+             cast(sum(c_ref) as bigint) AS n_ref,
+             cast(sum(c_cur) as bigint) AS n_cur
+      FROM bins GROUP BY event_type
+    ), terms AS (
+      SELECT b.event_type,
+             (cast(c_cur as double) / n_cur - cast(c_ref as double) / n_ref)
+             * ln(cast(c_cur * n_ref as double) / cast(c_ref * n_cur as double))
+               AS term
+      FROM bins b JOIN tot USING (event_type)
+    )
+    SELECT event_type,
+           cast(count(*) as bigint) AS n_bins,
+           round(list_reduce(list_sort(list(term)), (a, x) -> a + x), 6) AS psi
+    FROM terms GROUP BY event_type
+    """,
+    tags=("marketing", "monitoring", "stats"),
+)
+def q381_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX — the industry-standard drift score
+    the existing monitors complement (q334 KS answers "did the
+    distribution move?", CUSUM/binseg answer "when?"; PSI answers
+    "HOW MUCH, per feature, in a comparable unit" — the 0.1/0.25
+    warn/act thresholds every model-monitoring runbook quotes):
+    Σ (p_cur − p_ref)·ln(p_cur/p_ref) over a fixed 10-bin value grid,
+    first half of the observation window as reference vs second half
+    as current. Bin counts are EXACT integers on a dense grid
+    (Laplace +1 on both halves so empty bins stay finite and the
+    formula is symmetric); each term is one fixed-order IEEE
+    expression over exact integer ratios (ln of an integer-ratio
+    double — the q368 protocol) and the per-type sum folds in sorted
+    order, so PSI value-hashes across engines.
+
+    Scale: ONE corpus pass builds the (type, half, bin) cell table
+    (map-side combined, ≤ types×2×10 rows); the dense-grid join and
+    the PSI fold are grid-sized. Monitoring 10⁴ features over 100 TB
+    is 10⁴ × 20 cells, not 10⁴ scans — add feature as a key and the
+    same plan serves the whole feature store."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).select(
+        F.expr("(unix_micros(lo) + unix_micros(hi)) div 2").alias("mid_us")
+    )
+    halves = e.join(F.broadcast(bounds), F.lit(True)).select(
+        "event_type",
+        F.when(F.unix_micros("ts") < F.col("mid_us"), 0).otherwise(1).alias("half"),
+        F.least(
+            F.expr("cast(round(value * 100) as bigint) div 2500"), F.lit(9)
+        ).alias("bin"),
+    )
+    cells = halves.groupBy("event_type", "half", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    types = cells.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(
+            cells.sparkSession.range(0, 10).select(F.col("id").alias("bin"))
+        )
+    )
+    ref = cells.filter(F.col("half") == 0).select(
+        "event_type", "bin", F.col("c").alias("cr")
+    )
+    cur = cells.filter(F.col("half") == 1).select(
+        "event_type", "bin", F.col("c").alias("cu")
+    )
+    bins = (
+        grid.join(ref, ["event_type", "bin"], "left")
+        .join(cur, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            (F.coalesce("cr", F.lit(0)) + 1).alias("c_ref"),
+            (F.coalesce("cu", F.lit(0)) + 1).alias("c_cur"),
+        )
+    )
+    tot = bins.groupBy("event_type").agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    terms = bins.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        (
+            (
+                F.col("c_cur").cast("double") / F.col("n_cur")
+                - F.col("c_ref").cast("double") / F.col("n_ref")
+            )
+            * F.log(
+                (F.col("c_cur") * F.col("n_ref")).cast("double")
+                / (F.col("c_ref") * F.col("n_cur")).cast("double")
+            )
+        ).alias("term"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("psi"),
+    )
