@@ -3066,3 +3066,179 @@ def q372_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "batch", "n_tokens", "cum_tokens", "new_types", "cum_vocab"
     )
+
+
+@query(
+    "q382_good_turing_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS}) AS token
+      FROM documents
+    ), tf AS (
+      SELECT source, token, cast(count(*) as bigint) AS f
+      FROM toks GROUP BY source, token
+    ), fof AS (
+      SELECT source, f, cast(count(*) as bigint) AS n_f
+      FROM tf GROUP BY source, f
+    )
+    SELECT source,
+           cast(sum(n_f) as bigint) AS vocab,
+           cast(sum(f * n_f) as bigint) AS n_tokens,
+           cast(coalesce(sum(n_f) FILTER (WHERE f = 1), 0) as bigint)
+             AS hapax,
+           cast(coalesce(sum(n_f) FILTER (WHERE f = 1), 0) * 1000000
+                // sum(f * n_f) as bigint) AS unseen_mass_ppm,
+           cast(coalesce(sum(n_f) FILTER (WHERE f <= 2), 0) * 1000000
+                // sum(n_f) as bigint) AS rare_vocab_ppm
+    FROM fof GROUP BY source
+    """,
+    tags=("text", "llm-pipeline", "curation"),
+)
+def q382_good_turing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOOD-TURING coverage estimate — "how much of this source's
+    vocabulary have we NOT seen yet?": the Good-Turing estimator puts
+    the probability mass of unseen types at N₁/N (hapax count over
+    token count), the standard answer to whether another crawl of the
+    same source will still yield new vocabulary (the probabilistic
+    complement to q372's observed growth curve — q372 measures the
+    curve, this predicts its continuation). Per source: vocabulary
+    size, token count, hapax count, unseen-mass ppm and the ≤2-count
+    rare-vocabulary share — ALL exact integers (the estimator itself
+    is a ratio of counts; ppm floor-division, no floats anywhere).
+
+    Scale: token-frequency table (map-side-combined groupBy bounded by
+    Σ per-source vocab) → frequency-of-frequencies table (bounded by
+    distinct frequencies ≪ vocab) → one grouped fold. The corpus is
+    scanned once."""
+    prep(spark)
+    toks = table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    tf = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    fof = tf.groupBy("source", "f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_f")
+    )
+    return fof.groupBy("source").agg(
+        F.sum("n_f").cast("bigint").alias("vocab"),
+        F.sum(F.col("f") * F.col("n_f")).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(F.col("f") == 1, F.col("n_f"))), F.lit(0))
+        .cast("bigint")
+        .alias("hapax"),
+        F.expr(
+            "coalesce(sum(n_f) FILTER (WHERE f = 1), 0) * 1000000"
+            " div sum(f * n_f)"
+        )
+        .cast("bigint")
+        .alias("unseen_mass_ppm"),
+        F.expr(
+            "coalesce(sum(n_f) FILTER (WHERE f <= 2), 0) * 1000000"
+            " div sum(n_f)"
+        )
+        .cast("bigint")
+        .alias("rare_vocab_ppm"),
+    )
+
+
+@query(
+    "q383_jensen_shannon",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT source, token, cast(count(*) as bigint) AS c
+      FROM toks GROUP BY source, token
+    ), corpus AS (
+      SELECT token, cast(sum(c) as bigint) AS d FROM tf GROUP BY token
+    ), ns AS (
+      SELECT source, cast(sum(c) as bigint) AS n_s FROM tf GROUP BY source
+    ), nn AS (
+      SELECT cast(sum(d) as bigint) AS n FROM corpus
+    ), grid AS (
+      SELECT s.source, s.n_s, k.token, k.d, nn.n, coalesce(tf.c, 0) AS c
+      FROM ns s CROSS JOIN corpus k CROSS JOIN nn
+      LEFT JOIN tf ON tf.source = s.source AND tf.token = k.token
+    ), terms AS (
+      SELECT source,
+             (CASE WHEN c > 0 THEN (cast(c as double) / n_s)
+                * ln((cast(c as double) / n_s)
+                     / ((cast(c as double) / n_s + cast(d as double) / n) / 2.0))
+              ELSE cast(0.0 as double) END)
+             + (cast(d as double) / n)
+               * ln((cast(d as double) / n)
+                    / ((cast(c as double) / n_s + cast(d as double) / n) / 2.0))
+               AS term
+      FROM grid
+    )
+    SELECT source,
+           cast(count(*) as bigint) AS n_tokens,
+           round(0.5 * list_reduce(list_sort(list(term)), (a, x) -> a + x), 6)
+             AS jsd_nats
+    FROM terms GROUP BY source
+    """,
+    tags=("text", "llm-pipeline", "stats"),
+)
+def q383_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON divergence of each source's token distribution
+    from the corpus mixture — the symmetric, bounded (≤ ln 2),
+    zero-safe outlier-source detector the asymmetric KL can't be
+    (PSI q381 needs binning and Laplace; JSD handles absent tokens
+    exactly: the p=0 half-term vanishes, the mixture keeps ln finite).
+    The top-JSD source is the one whose text least resembles the
+    corpus — the source-level triage read before q127's per-document
+    LM scoring.
+
+    Exactness: every probability is a division of EXACT integer
+    counts; each token's contribution is one fixed-order IEEE
+    expression written form-for-form on both engines; the per-source
+    sum folds in sorted order (q368/q381 protocol). Scale: the
+    (source, token) frequency table is the only corpus-sized shuffle
+    (map-side combined); the dense source×vocab grid and the fold are
+    dictionary-sized."""
+    prep(spark)
+    toks = table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    tf = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    from ..operators.ranking import pin_cache
+
+    tf = pin_cache(tf)
+    corpus = tf.groupBy("token").agg(F.sum("c").cast("bigint").alias("d"))
+    ns = tf.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    nn = corpus.agg(F.sum("d").cast("bigint").alias("n"))
+    grid = (
+        ns.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(nn))
+        .join(tf, ["source", "token"], "left")
+        .select(
+            "source",
+            "n_s",
+            "token",
+            "d",
+            "n",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    p = F.col("c").cast("double") / F.col("n_s")
+    q = F.col("d").cast("double") / F.col("n")
+    m = (p + q) / 2.0
+    terms = grid.select(
+        "source",
+        (
+            F.when(F.col("c") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+            + q * F.log(q / m)
+        ).alias("term"),
+    )
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(
+            0.5
+            * F.aggregate(
+                F.array_sort(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("jsd_nats"),
+    )
