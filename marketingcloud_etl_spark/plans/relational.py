@@ -4382,3 +4382,90 @@ def q365_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     release_ranking_caches()
     return out
+
+
+@query(
+    "q384_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey AS r, c_mktsegment AS col,
+             cast(count(*) as bigint) AS obs
+      FROM customer GROUP BY r, col
+    ), rt AS (SELECT r, cast(sum(obs) as bigint) AS row_n FROM cells GROUP BY r),
+       ct AS (SELECT col, cast(sum(obs) as bigint) AS col_n FROM cells GROUP BY col),
+       nt AS (SELECT cast(sum(obs) as bigint) AS n,
+                     cast(count(DISTINCT r) as bigint) AS n_rows,
+                     cast(count(DISTINCT col) as bigint) AS n_cols
+              FROM cells),
+       terms AS (
+      SELECT pow(obs - (row_n * col_n / cast(n as double)), 2)
+               / (row_n * col_n / cast(n as double)) AS term,
+             n, n_rows, n_cols
+      FROM cells JOIN rt USING (r) JOIN ct USING (col) CROSS JOIN nt
+    )
+    SELECT cast(any_value(n) as bigint) AS n_total,
+           cast(any_value(n_rows) as bigint) AS n_rows,
+           cast(any_value(n_cols) as bigint) AS n_cols,
+           round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6) AS chi2,
+           round(sqrt(list_reduce(list_sort(list(term)), (a, b) -> a + b)
+                 / (any_value(n)
+                    * (least(any_value(n_rows), any_value(n_cols)) - 1))), 6)
+             AS cramers_v
+    FROM terms
+    """,
+    tags=("stats", "analytic"),
+)
+def q384_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V — the EFFECT-SIZE companion q217's chi-square lacks:
+    χ² grows with n, so at 100 TB everything is "significant"; V =
+    √(χ²/(n·(min(r,c)−1))) ∈ [0,1] is the sample-size-free association
+    strength between nation and market segment that survives scale-up
+    (the statistic a segmentation decision actually reads). Same exact
+    integer contingency cells and sorted-fold χ² as q217; V is one
+    more fixed-order IEEE expression over that fold."""
+    prep(spark)
+    cells = (
+        table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("r"), F.col("c_mktsegment").alias("col")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+    rt = cells.groupBy("r").agg(F.sum("obs").cast("bigint").alias("row_n"))
+    ct = cells.groupBy("col").agg(F.sum("obs").cast("bigint").alias("col_n"))
+    nt = cells.agg(
+        F.sum("obs").cast("bigint").alias("n"),
+        F.countDistinct("r").cast("bigint").alias("n_rows"),
+        F.countDistinct("col").cast("bigint").alias("n_cols"),
+    )
+    e = F.col("row_n") * F.col("col_n") / F.col("n").cast("double")
+    terms = (
+        cells.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "col")
+        .join(F.broadcast(nt), F.lit(True))
+        .select(
+            (F.pow(F.col("obs") - e, F.lit(2)) / e).alias("term"),
+            "n",
+            "n_rows",
+            "n_cols",
+        )
+    )
+    chi2 = F.aggregate(
+        F.array_sort(F.collect_list("term")), F.lit(0.0), lambda a, b: a + b
+    )
+    return terms.agg(
+        F.any_value("n").cast("bigint").alias("n_total"),
+        F.any_value("n_rows").cast("bigint").alias("n_rows"),
+        F.any_value("n_cols").cast("bigint").alias("n_cols"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.any_value("n")
+                    * (F.least(F.any_value("n_rows"), F.any_value("n_cols")) - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
