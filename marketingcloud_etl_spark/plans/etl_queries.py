@@ -2035,7 +2035,7 @@ def q215_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            cast(count(*) as bigint) AS n_kept,
            cast(sum(CASE WHEN prev_ts IS NOT NULL
-                          AND date_diff('second', prev_ts, ts) < 60
+                          AND epoch_us(ts) - epoch_us(prev_ts) < 60000000
                      THEN 1 ELSE 0 END) as bigint) AS n_bounced
     FROM lagged GROUP BY event_type
     """,

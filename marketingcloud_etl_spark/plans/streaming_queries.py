@@ -808,7 +808,8 @@ def q196_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                       OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) >= 1800
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id)) >= 1800000000
                   THEN 1 ELSE 0 END AS new_s
       FROM events
     ), sess AS (
