@@ -4469,3 +4469,189 @@ def q384_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "q385_kendall_tau_b",
+    oracle="""
+    WITH cells AS (
+      SELECT CASE o_orderpriority
+               WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+               WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+               ELSE 5 END AS r,
+             least(cast(round(o_totalprice * 100) as bigint) // 5000000, 5)
+               AS c,
+             cast(count(*) as bigint) AS n
+      FROM orders GROUP BY r, c
+    ), pairs AS (
+      SELECT a.n * b.n AS w,
+             CASE WHEN (a.r < b.r AND a.c < b.c)
+                    OR (a.r > b.r AND a.c > b.c) THEN 1
+                  WHEN (a.r < b.r AND a.c > b.c)
+                    OR (a.r > b.r AND a.c < b.c) THEN -1
+                  ELSE 0 END AS s,
+             a.r = b.r AND a.c = b.c AS same_cell,
+             a.r = b.r AS tie_r, a.c = b.c AS tie_c
+      FROM cells a CROSS JOIN cells b
+    ), agg AS (
+      SELECT cast(sum(CASE WHEN s = 1 THEN w ELSE 0 END) // 2 as bigint) AS conc,
+             cast(sum(CASE WHEN s = -1 THEN w ELSE 0 END) // 2 as bigint) AS disc,
+             cast((sum(CASE WHEN tie_r THEN w ELSE 0 END)
+                   - (SELECT sum(n) FROM cells)) // 2 as bigint) AS t_r,
+             cast((sum(CASE WHEN tie_c THEN w ELSE 0 END)
+                   - (SELECT sum(n) FROM cells)) // 2 as bigint) AS t_c,
+             (SELECT cast(sum(n) as bigint) FROM cells) AS n
+      FROM pairs
+    )
+    SELECT n, conc, disc,
+           round((cast(conc as double) - disc)
+                 / sqrt((cast(n as double) * (n - 1) / 2 - t_r)
+                        * (cast(n as double) * (n - 1) / 2 - t_c)), 6)
+             AS tau_b
+    FROM agg
+    """,
+    tags=("stats", "analytic"),
+)
+def q385_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S τ-b rank correlation — the concordance complement to
+    Spearman (which needs full rankings): over two ORDINAL variables
+    (order priority × price band) every pair statistic collapses onto
+    the CONTINGENCY TABLE — concordant/discordant/tied pair counts
+    are cell-pair sums (|grid|² ≤ 30² work, NOT n² — the reason τ-b
+    scales to any row count once the variables are binned), all exact
+    bigints; τ-b's tie-corrected denominator is one fixed-order IEEE
+    expression. Pair identities: Σ_{same r} w counts ordered pairs
+    including self-pairs, so tied-pairs = (Σ − n)/2; concordant/
+    discordant double-count ordered pairs, so ÷2 — integer `div`/`//`
+    of even bigints on both engines (a double ÷2 loses exactness past
+    2⁵³ pair counts, i.e. past ~10⁸ rows).
+
+    Scale: ONE corpus pass builds the grid (map-side combined); the
+    grid self-join is constant-size. The 100 TB version is the same
+    plan with a bigger first groupBy."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    cells = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 3)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 4)
+        .otherwise(5)
+        .alias("r"),
+        F.least(
+            F.expr("cast(round(o_totalprice * 100) as bigint) div 5000000"),
+            F.lit(5),
+        ).alias("c"),
+    ).groupBy("r", "c").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = cells.select(
+        F.col("r").alias("ra"), F.col("c").alias("ca"), F.col("n").alias("na")
+    )
+    b = cells.select(
+        F.col("r").alias("rb"), F.col("c").alias("cb"), F.col("n").alias("nb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        (F.col("na") * F.col("nb")).alias("w"),
+        F.when(
+            ((F.col("ra") < F.col("rb")) & (F.col("ca") < F.col("cb")))
+            | ((F.col("ra") > F.col("rb")) & (F.col("ca") > F.col("cb"))),
+            1,
+        )
+        .when(
+            ((F.col("ra") < F.col("rb")) & (F.col("ca") > F.col("cb")))
+            | ((F.col("ra") > F.col("rb")) & (F.col("ca") < F.col("cb"))),
+            -1,
+        )
+        .otherwise(0)
+        .alias("s"),
+        (F.col("ra") == F.col("rb")).alias("tie_r"),
+        (F.col("ca") == F.col("cb")).alias("tie_c"),
+    )
+    total = cells.agg(F.sum("n").cast("bigint").alias("n"))
+    agg = pairs.join(F.broadcast(total), F.lit(True)).agg(
+        F.expr("sum(CASE WHEN s = 1 THEN w ELSE 0 END) div 2")
+        .cast("bigint")
+        .alias("conc"),
+        F.expr("sum(CASE WHEN s = -1 THEN w ELSE 0 END) div 2")
+        .cast("bigint")
+        .alias("disc"),
+        F.expr("(sum(CASE WHEN tie_r THEN w ELSE 0 END) - first(n)) div 2")
+        .cast("bigint")
+        .alias("t_r"),
+        F.expr("(sum(CASE WHEN tie_c THEN w ELSE 0 END) - first(n)) div 2")
+        .cast("bigint")
+        .alias("t_c"),
+        F.first("n").alias("n"),
+    )
+    half = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    return agg.select(
+        "n",
+        "conc",
+        "disc",
+        F.round(
+            (F.col("conc").cast("double") - F.col("disc"))
+            / F.sqrt((half - F.col("t_r")) * (half - F.col("t_c"))),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "q386_theil_index",
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey,
+             cast(round(c_acctbal * 100) as bigint) AS cents
+      FROM customer WHERE c_acctbal > 0
+    ), tot AS (
+      SELECT cast(count(*) as bigint) AS n,
+             cast(sum(cents) as bigint) AS s
+      FROM base
+    ), terms AS (
+      SELECT (cast(cents as double) * n / s)
+               * ln(cast(cents as double) * n / s) / n AS term
+      FROM base, tot
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           round(list_reduce(list_sort(list(term)), (a, x) -> a + x), 6)
+             AS theil_t
+    FROM terms
+    """,
+    tags=("stats", "analytic"),
+)
+def q386_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL T inequality index — the DECOMPOSABLE complement to the
+    Gini the catalog already has: T = (1/n)·Σ (x/μ)·ln(x/μ) over
+    positive balances, zero iff perfectly equal, and (unlike Gini)
+    additively splittable into within-group + between-group terms —
+    the property inequality-of-what-source analyses actually use.
+    Exactness: x·n/s is a double ratio of EXACT integers (cents, n,
+    Σcents), each term one fixed-order IEEE expression, and the sum
+    folds in sorted order (the q368/q381 protocol) — value-hashed,
+    not tolerance-matched. Scale: one scan + a one-row broadcast
+    total; the sorted fold runs over per-row terms collected per
+    group at 100 TB (swap the global fold for the per-group +
+    between-group decomposition this index exists for)."""
+    prep(spark)
+    base = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"))
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    ratio = F.col("cents").cast("double") * F.col("n") / F.col("s")
+    terms = base.join(F.broadcast(tot), F.lit(True)).select(
+        (ratio * F.log(ratio) / F.col("n")).alias("term"),
+        "n",
+    )
+    return terms.agg(
+        F.first("n").alias("n"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("theil_t"),
+    )
