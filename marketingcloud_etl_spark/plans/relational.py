@@ -4655,3 +4655,106 @@ def q386_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("theil_t"),
     )
+
+
+@query(
+    "q387_theil_decomposition",
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey,
+             cast(round(c_acctbal * 100) as bigint) AS cents
+      FROM customer WHERE c_acctbal > 0
+    ), grp AS (
+      SELECT c_nationkey,
+             cast(count(*) as bigint) AS n_g,
+             cast(sum(cents) as bigint) AS s_g
+      FROM base GROUP BY c_nationkey
+    ), tot AS (
+      SELECT cast(sum(n_g) as bigint) AS n, cast(sum(s_g) as bigint) AS s
+      FROM grp
+    ), within_terms AS (
+      SELECT b.c_nationkey,
+             (cast(b.cents as double) * g.n_g / g.s_g)
+               * ln(cast(b.cents as double) * g.n_g / g.s_g) / g.n_g AS term
+      FROM base b JOIN grp g USING (c_nationkey)
+    ), within AS (
+      SELECT c_nationkey,
+             list_reduce(list_sort(list(term)), (a, x) -> a + x) AS t_g
+      FROM within_terms GROUP BY c_nationkey
+    )
+    SELECT g.c_nationkey,
+           g.n_g,
+           cast(g.s_g * 1000000 // t.s as bigint) AS income_share_ppm,
+           round(w.t_g, 6) AS theil_within,
+           round((cast(g.s_g as double) / t.s)
+                 * ln((cast(g.s_g as double) / t.s)
+                      / (cast(g.n_g as double) / t.n)), 6) AS between_term
+    FROM grp g JOIN within w USING (c_nationkey) CROSS JOIN tot t
+    """,
+    tags=("stats", "analytic"),
+)
+def q387_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL T within/between DECOMPOSITION — the property q386 exists
+    for: T_total = Σ_g (S_g/S)·T_g + Σ_g (S_g/S)·ln((S_g/S)/(n_g/n)),
+    so inequality splits exactly into "inside nations" and "between
+    nations" — the answer to WHERE the inequality lives that Gini
+    cannot give (additivity test vs q386's direct total pinned in
+    tests/test_round8.py). Per-nation output: exact-integer income
+    share (ppm floor-division), the within-group index T_g (per-group
+    sorted fold over exact integer-ratio terms), and the between
+    term (one fixed-order IEEE expression over four exact integers).
+
+    Scale: one scan → per-group sufficient statistics (map-side
+    combined) → per-group folds partitioned by nation; the global
+    totals are a one-row broadcast. This IS the 100 TB form of q386:
+    the global sorted fold shards into per-group folds plus a
+    groups-sized between-term frame."""
+    prep(spark)
+    base = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    grp = base.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("cents").cast("bigint").alias("s_g"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+    )
+    ratio = F.col("cents").cast("double") * F.col("n_g") / F.col("s_g")
+    within = (
+        base.join(F.broadcast(grp), "c_nationkey")
+        .select(
+            "c_nationkey",
+            (ratio * F.log(ratio) / F.col("n_g")).alias("term"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("term")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("t_g")
+        )
+    )
+    share = F.col("s_g").cast("double") / F.col("s")
+    return (
+        grp.join(within, "c_nationkey")
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            "c_nationkey",
+            "n_g",
+            F.expr("s_g * 1000000 div s").cast("bigint").alias("income_share_ppm"),
+            F.round("t_g", 6).alias("theil_within"),
+            F.round(
+                share
+                * F.log(share / (F.col("n_g").cast("double") / F.col("n"))),
+                6,
+            ).alias("between_term"),
+        )
+    )

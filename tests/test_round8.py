@@ -230,3 +230,18 @@ def test_holt_winters_equals_python_reference(spark, sf_dir, duck):
         for r in REG["q380_holt_winters"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_theil_decomposition_additivity(spark, sf_dir):
+    """T_total (q386, direct global fold) must equal
+    Σ share·T_within + Σ between (q387) up to float summation noise —
+    the additivity property the decomposition exists for — and the
+    exact-integer income shares must telescope to ~10⁶ ppm."""
+    (tot_row,) = REG["q386_theil_index"].fn(spark, sf_dir).collect()
+    rows = REG["q387_theil_decomposition"].fn(spark, sf_dir).collect()
+    within = sum(
+        (r["income_share_ppm"] / 1e6) * r["theil_within"] for r in rows
+    )
+    between = sum(r["between_term"] for r in rows)
+    assert abs(tot_row["theil_t"] - (within + between)) < 1e-3
+    assert abs(sum(r["income_share_ppm"] for r in rows) - 1_000_000) < len(rows)
