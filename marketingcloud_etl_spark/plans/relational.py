@@ -2941,12 +2941,12 @@ def q229_threshold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
       SELECT n.n_name,
-             sum(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
-                      THEN cast(round(o.o_totalprice * 100) as bigint) ELSE 0 END) AS auto_cents,
-             sum(CASE WHEN c.c_mktsegment = 'BUILDING'
-                      THEN cast(round(o.o_totalprice * 100) as bigint) ELSE 0 END) AS bld_cents,
-             sum(CASE WHEN c.c_mktsegment = 'MACHINERY'
-                      THEN cast(round(o.o_totalprice * 100) as bigint) ELSE 0 END) AS mach_cents
+             cast(sum(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                      THEN cast(round(o.o_totalprice * 100) as bigint) ELSE 0 END) as bigint) AS auto_cents,
+             cast(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                      THEN cast(round(o.o_totalprice * 100) as bigint) ELSE 0 END) as bigint) AS bld_cents,
+             cast(sum(CASE WHEN c.c_mktsegment = 'MACHINERY'
+                      THEN cast(round(o.o_totalprice * 100) as bigint) ELSE 0 END) as bigint) AS mach_cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name

@@ -21,5 +21,32 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         assert sdf.count() >= 0
         return
     spark_pdf = sdf.toPandas()
-    duck_pdf = duck.sql(qd.oracle).df()
+    # fetch via Arrow, not .df(): .df() silently converts HUGEINT and
+    # wide DECIMAL to float64, masking the exact dtype drift the
+    # driver's value hash catches (q230's r6 red row). Arrow keeps
+    # decimal128 as decimal.Decimal objects so canonical() sees them.
+    tbl = duck.sql(qd.oracle).arrow()
+    duck_pdf = tbl.to_pandas()
+    _assert_integral_dtype_parity(spark_pdf, tbl.schema, name)
     assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+def _assert_integral_dtype_parity(spark_pdf, duck_schema, name: str) -> None:
+    """Mirror of the driver's dtype-sensitive hash for integer columns:
+    if Spark returns an integral column, the oracle must too — a DuckDB
+    DECIMAL/HUGEINT twin hashes red at the driver even when every value
+    is equal (the q230 failure class)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    for field in duck_schema:
+        if field.name not in spark_pdf.columns:
+            continue  # column mismatch reported by assert_frames_match
+        if pd.api.types.is_integer_dtype(spark_pdf[field.name]) and pa.types.is_decimal(
+            field.type
+        ):
+            raise AssertionError(
+                f"{name}: dtype drift in {field.name!r} — Spark integral vs "
+                f"oracle {field.type} (driver hash would go red; cast the "
+                f"oracle column to bigint)"
+            )

@@ -623,3 +623,27 @@ def test_mmr_plan_is_single_fold_no_iteration_joins(spark, sf_dir):
     plan = _plan(REGISTRY["q374_mmr_diversified_retrieval"].fn(spark, sf_dir))
     joins = plan.count("Join")
     assert joins <= 3, f"{joins} joins — greedy steps leaked into the plan"
+
+
+def test_no_hugeint_column_in_any_oracle(duck):
+    """The driver's value hash is DTYPE-sensitive: DuckDB types a bare
+    ``sum(BIGINT)`` as HUGEINT (int128), which Spark cannot produce, so
+    the hash goes red even when every value is identical — q230's only
+    r6 failure was exactly this (VERDICT r6 §What's wrong #1). DuckDB's
+    ``DESCRIBE`` binds without executing, so this scans the full
+    catalog's oracle output schemas in milliseconds and pins the
+    convention: every integral aggregate must be cast (the catalog's
+    own ``cast(sum(…) as bigint)`` idiom, 93+ occurrences)."""
+    offenders = []
+    for name, qd in sorted(REGISTRY.items()):
+        if qd.oracle is None:
+            continue
+        schema = duck.sql("DESCRIBE " + qd.oracle).fetchall()
+        for col, typ, *_ in schema:
+            if "HUGEINT" in typ.upper():
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, (
+        "oracle columns typed HUGEINT (Spark has no int128 — the driver "
+        "hash can never match; wrap in cast(... as bigint)): "
+        + "; ".join(offenders)
+    )
