@@ -100,7 +100,6 @@ def sequential_pattern_count(
     ``tiebreak_col`` extends (ts, tiebreak) into a total order — pass
     a unique event id whenever timestamps can tie, or the fold order
     (and therefore the count) is nondeterministic within ties."""
-    order = [ts_us_col] + ([tiebreak_col] if tiebreak_col else [])
     ev = df.select(
         key_col,
         F.struct(

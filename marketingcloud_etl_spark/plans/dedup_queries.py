@@ -2136,6 +2136,7 @@ def q360_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT doc_id, cast(n_chars as bigint) AS wt FROM documents
+      WHERE n_chars > 0
     ), c AS (
       SELECT doc_id, wt,
              sum(wt) OVER (ORDER BY doc_id
@@ -2182,8 +2183,15 @@ def q363_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFra
     prep(spark)
     from ..operators.ranking import global_prefix_sum
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("n_chars").cast("bigint").alias("wt")
+    # zero-weight docs are excluded BEFORE the prefix sum: a wt=0 row
+    # sorting first makes (cum*k - 1) negative, where Spark `div`
+    # truncates toward zero but DuckDB `//` floors — dropping them
+    # keeps every numerator non-negative (truncate ≡ floor) and a
+    # zero-weight doc can never legitimately be sampled anyway
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("n_chars").cast("bigint").alias("wt"))
+        .filter(F.col("wt") > 0)
     )
     cum = global_prefix_sum(d, ["doc_id"], "wt", "cum")
     total = d.agg(F.sum("wt").cast("bigint").alias("total"))

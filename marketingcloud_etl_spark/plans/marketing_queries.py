@@ -2441,16 +2441,23 @@ def q364_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.cast("bigint").alias("x"),
         y.alias("y"),
     )
+    # per-row products fit bigint (x~2e4 days, y~5e4 cents) but their
+    # SUMS do not at sf10+ — widen each product to decimal(38,0) BEFORE
+    # the aggregate so accumulation is exact, matching DuckDB's hugeint
+    # sum (summing in bigint then casting would wrap silently with
+    # ANSI off).
+    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = pts.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(dec38(F.col("x") * F.col("x"))).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec38(F.col("x") * F.col("y"))).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec38(F.col("y") * F.col("y"))).cast("decimal(38,0)").alias("syy"),
     )
-    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    cov_n = (dec38(F.col("n")) * F.col("sxy") - dec38(F.col("sx") * F.col("sy"))).cast(
+    # widen BEFORE multiplying: sx*sy in bigint wraps once sx·sy > 2^63
+    # (per-group n ~2.5M at sf10 gives sx~5e10, sy~2.5e10)
+    cov_n = (dec38(F.col("n")) * F.col("sxy") - dec38(F.col("sx")) * dec38(F.col("sy"))).cast(
         "double"
     )
     varx_n = (

@@ -51,30 +51,92 @@ _SQL_TYPES = {
     "binary": "BLOB",
 }
 
+# Width-faithful lead-activity DDL, mirroring the reference's declared
+# column widths one-for-one (salesforce_extractor.py:62-76: hash
+# String(16) unique, lead_id/session_id/type_id/event_category
+# String(255), url String(1024), order String(50), event_name
+# String(256), date DateTime). Note `order` — a reserved word in every
+# target dialect — which is why ALL identifiers below are quoted.
+LEAD_ACTIVITY_COLUMN_TYPES: dict[str, str] = {
+    "hash": "VARCHAR(16)",
+    "lead_id": "VARCHAR(255)",
+    "url": "VARCHAR(1024)",
+    "session_id": "VARCHAR(255)",
+    "order": "VARCHAR(50)",
+    "date": "TIMESTAMP",
+    "type_id": "VARCHAR(255)",
+    "event_category": "VARCHAR(255)",
+    "event_name": "VARCHAR(256)",
+}
 
-def create_table_sql(df: DataFrame, table: str, key_cols: Sequence[str]) -> str:
+
+def quote_ident(name: str, dialect: str = "mysql") -> str:
+    """Dialect identifier quoting — mandatory because the reference
+    schema itself contains the reserved word ``order``
+    (salesforce_extractor.py:70). MySQL backticks; everyone else
+    ANSI double quotes."""
+    if dialect == "mysql":
+        return "`" + name.replace("`", "``") + "`"
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _column_sql_type(
+    f, key_cols: Sequence[str], column_types: dict[str, str] | None
+) -> str:
+    if column_types and f.name in column_types:
+        return column_types[f.name]
+    t = f.dataType.simpleString()
+    sql_t = _SQL_TYPES.get(t)
+    if sql_t is None:
+        if t.startswith("decimal"):
+            sql_t = t.upper()
+        else:
+            raise ValueError(f"no SQL mapping for column {f.name!r} type {t!r}")
+    if f.name in key_cols and t == "string":
+        sql_t = _KEY_STRING
+    return sql_t
+
+
+def create_table_sql(
+    df: DataFrame,
+    table: str,
+    key_cols: Sequence[str],
+    dialect: str = "mysql",
+    column_types: dict[str, str] | None = None,
+) -> str:
     """CREATE TABLE IF NOT EXISTS mirroring the reference's
     ensure-table DDL (:169-181): columns from the DataFrame schema, a
     unique constraint on the merge key (the duplicate-rejection
-    backstop the reference relies on)."""
-    cols = []
-    for f in df.schema.fields:
-        t = f.dataType.simpleString()
-        sql_t = _SQL_TYPES.get(t)
-        if sql_t is None:
-            if t.startswith("decimal"):
-                sql_t = t.upper()
-            else:
-                raise ValueError(f"no SQL mapping for column {f.name!r} type {t!r}")
-        if f.name in key_cols and t == "string":
-            sql_t = _KEY_STRING
-        cols.append(f"{f.name} {sql_t}")
-    uniq = ", ".join(key_cols)
+    backstop the reference relies on). ``column_types`` overrides the
+    generic Spark-type mapping per column — pass
+    ``LEAD_ACTIVITY_COLUMN_TYPES`` for the reference's exact widths.
+    All identifiers are dialect-quoted (the lead-activity schema has a
+    column named ``order``)."""
+    q = lambda n: quote_ident(n, dialect)  # noqa: E731
+    cols = [
+        f"{q(f.name)} {_column_sql_type(f, key_cols, column_types)}"
+        for f in df.schema.fields
+    ]
+    uniq = ", ".join(q(k) for k in key_cols)
     return (
-        f"CREATE TABLE IF NOT EXISTS {table} ("
+        f"CREATE TABLE IF NOT EXISTS {q(table)} ("
         + ", ".join(cols)
         + f", UNIQUE ({uniq}))"
     )
+
+
+def create_table_column_types(
+    df: DataFrame, overrides: dict[str, str] | None = None
+) -> str:
+    """The value for Spark's JDBC ``createTableColumnTypes`` option:
+    per-column SQL types (widths included) for every df column with an
+    override, so a Spark-created target/staging table declares the same
+    widths as the reference DDL instead of Spark's default TEXT/CLOB
+    mapping. Only overridden columns are listed — Spark fills the rest
+    from its own dialect mapping."""
+    overrides = overrides or LEAD_ACTIVITY_COLUMN_TYPES
+    parts = [f"{f.name} {overrides[f.name]}" for f in df.schema.fields if f.name in overrides]
+    return ", ".join(parts)
 
 
 def merge_sql(
@@ -91,36 +153,42 @@ def merge_sql(
     ON-DUPLICATE update is a deliberate no-op (:216 "No-op update to
     avoid duplicate insertion"), i.e. insert-ignore. ``True`` gives
     last-write-wins on the non-key columns.
+
+    All identifiers are dialect-quoted — the reference schema includes
+    a column named ``order`` (salesforce_extractor.py:70).
     """
-    collist = ", ".join(columns)
+    q = lambda n: quote_ident(n, dialect)  # noqa: E731
+    collist = ", ".join(q(c) for c in columns)
     non_key = [c for c in columns if c not in key_cols]
     if dialect == "mysql":
         if update_on_match and non_key:
-            upd = ", ".join(f"{c}=VALUES({c})" for c in non_key)
+            upd = ", ".join(f"{q(c)}=VALUES({q(c)})" for c in non_key)
         else:
-            k = key_cols[0]
+            k = q(key_cols[0])
             upd = f"{k}={k}"  # the reference's no-op form
         return (
-            f"INSERT INTO {target} ({collist}) SELECT {collist} FROM {staging} "
+            f"INSERT INTO {q(target)} ({collist}) SELECT {collist} FROM {q(staging)} "
             f"ON DUPLICATE KEY UPDATE {upd}"
         )
     if dialect in ("postgres", "sqlite"):
-        conflict = ", ".join(key_cols)
+        conflict = ", ".join(q(k) for k in key_cols)
         if update_on_match and non_key:
-            upd = "DO UPDATE SET " + ", ".join(f"{c}=excluded.{c}" for c in non_key)
+            upd = "DO UPDATE SET " + ", ".join(
+                f"{q(c)}=excluded.{q(c)}" for c in non_key
+            )
         else:
             upd = "DO NOTHING"
         return (
-            f"INSERT INTO {target} ({collist}) SELECT {collist} FROM {staging} "
+            f"INSERT INTO {q(target)} ({collist}) SELECT {collist} FROM {q(staging)} "
             f"WHERE true ON CONFLICT ({conflict}) {upd}"
         )
     if dialect == "ansi":
-        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
-        ins = ", ".join(f"s.{c}" for c in columns)
-        stmt = f"MERGE INTO {target} t USING {staging} s ON {on}"
+        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+        ins = ", ".join(f"s.{q(c)}" for c in columns)
+        stmt = f"MERGE INTO {q(target)} t USING {q(staging)} s ON {on}"
         if update_on_match and non_key:
             stmt += " WHEN MATCHED THEN UPDATE SET " + ", ".join(
-                f"t.{c} = s.{c}" for c in non_key
+                f"t.{q(c)} = s.{q(c)}" for c in non_key
             )
         stmt += f" WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({ins})"
         return stmt
@@ -166,6 +234,7 @@ def merge_upsert(
     properties: dict | None = None,
     stage_writer: Callable[[DataFrame, str], None] | None = None,
     statement_runner: Callable[[Sequence[str]], None] | None = None,
+    column_types: dict[str, str] | None = None,
 ) -> dict:
     """Distributed staging write + one server-side merge (R12).
 
@@ -192,9 +261,9 @@ def merge_upsert(
     stage_writer(batch, staging)
     statement_runner(
         [
-            create_table_sql(batch, target_table, key_cols),
+            create_table_sql(batch, target_table, key_cols, dialect, column_types),
             merge_sql(target_table, staging, columns, key_cols, dialect, update_on_match),
-            f"DROP TABLE {staging}",
+            f"DROP TABLE {quote_ident(staging, dialect)}",
         ]
     )
     return {"staged_table": staging, "target_table": target_table}

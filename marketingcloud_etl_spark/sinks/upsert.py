@@ -96,12 +96,17 @@ def jdbc_write(
     batchsize: int = 2500,
     truncate: bool = False,
     properties: dict | None = None,
+    column_types: str | None = None,
 ) -> None:
     """JDBC sink (R12/R15/R18): batch size defaults to the reference's
     2500 (:296); ``truncate=True`` + overwrite gives R15 semantics
-    without dropping the table. Requires a JDBC driver jar on the
-    classpath — absent in this environment, so this is exercised only
-    when one is present."""
+    without dropping the table. ``column_types`` is Spark's
+    ``createTableColumnTypes`` string (build it with
+    ``jdbc_merge.create_table_column_types``) so Spark-created tables
+    declare the reference's exact column widths
+    (salesforce_extractor.py:62-76) instead of the dialect default
+    TEXT/CLOB. Requires a JDBC driver jar on the classpath — absent in
+    this environment, so this is exercised only when one is present."""
     writer = (
         df.write.format("jdbc")
         .option("url", url)
@@ -110,6 +115,8 @@ def jdbc_write(
         .option("truncate", str(truncate).lower())
         .mode(mode)
     )
+    if column_types:
+        writer = writer.option("createTableColumnTypes", column_types)
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()

@@ -119,6 +119,37 @@ def test_cli_demo_bulk_then_incremental(spark, tmp_path):
     assert r2["inserted"] == 0
 
 
+def test_cli_env_var_config(spark, tmp_path, monkeypatch):
+    """R18 parity: the reference reads its whole connection config from
+    env (salesforce_extractor.py:36-44) — the CLI must accept the same
+    variables as fallback for unset flags, and db_config_from_env must
+    mirror USERNAME/PASSWORD/HOST/PORT/SCHEMA with the dotenv default
+    schema 'uat'."""
+    from marketingcloud_etl_spark.etl.cli import db_config_from_env
+    from marketingcloud_etl_spark.sources.mock_sfmc import MockSfmcServer
+
+    with MockSfmcServer(n_items=7) as s:
+        monkeypatch.setenv("MKT_CLOUD_DATA_ENDPOINT", s.base_url)
+        monkeypatch.setenv("MKT_CLOUD_AUTH_ENDPOINT", s.auth_url)
+        monkeypatch.setenv("CLIENT_ID", "demo")
+        monkeypatch.setenv("CLIENT_SECRET", "demo")
+        target = str(tmp_path / "cli_env")
+        # no --base-url/--auth-url/--client-* flags: env supplies them all
+        r = cli_main(["bulk", "--target", target, "--page-size", "3"])
+        assert r["mode"] == "bulk" and r["rows"] >= 1
+
+    monkeypatch.setenv("USERNAME", "u")
+    monkeypatch.setenv("PASSWORD", "p")
+    monkeypatch.setenv("HOST", "db.internal")
+    monkeypatch.setenv("PORT", "3306")
+    monkeypatch.delenv("SCHEMA", raising=False)
+    cfg = db_config_from_env()
+    assert cfg["schema"] == "uat"  # the reference's dotenv default
+    assert cfg["url"] == "jdbc:mysql://db.internal:3306/uat"
+    monkeypatch.setenv("SCHEMA", "prod")
+    assert db_config_from_env()["schema"] == "prod"
+
+
 def test_partitioned_upsert_idempotent(spark, sf_dir, tmp_path):
     """Partitioned target (top level holds only partition dirs): the
     existence probe must still see it, or a re-run would double every

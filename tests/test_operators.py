@@ -310,16 +310,70 @@ def test_merge_sql_dialects(spark):
 
     cols = ["hash", "lead_id", "value"]
     my = merge_sql("t", "t__stg", cols, ["hash"], "mysql")
-    assert "ON DUPLICATE KEY UPDATE hash=hash" in my  # the no-op form
+    assert "ON DUPLICATE KEY UPDATE `hash`=`hash`" in my  # the no-op form
     my_u = merge_sql("t", "t__stg", cols, ["hash"], "mysql", update_on_match=True)
-    assert "lead_id=VALUES(lead_id)" in my_u
+    assert "`lead_id`=VALUES(`lead_id`)" in my_u
     pg = merge_sql("t", "t__stg", cols, ["hash"], "postgres")
-    assert "ON CONFLICT (hash) DO NOTHING" in pg
+    assert 'ON CONFLICT ("hash") DO NOTHING' in pg
     an = merge_sql("t", "t__stg", cols, ["hash"], "ansi")
-    assert an.startswith("MERGE INTO t t USING t__stg s ON t.hash = s.hash")
+    assert an.startswith('MERGE INTO "t" t USING "t__stg" s ON t."hash" = s."hash"')
     df = spark.createDataFrame([("a", 1, 2.0)], "hash string, n bigint, v double")
     ddl = create_table_sql(df, "t", ["hash"])
-    assert "CREATE TABLE IF NOT EXISTS t" in ddl and "UNIQUE (hash)" in ddl
+    assert "CREATE TABLE IF NOT EXISTS `t`" in ddl and "UNIQUE (`hash`)" in ddl
+
+
+def test_create_table_sql_reference_widths_and_reserved_words(spark):
+    """Width-faithful DDL (reference salesforce_extractor.py:62-76) and
+    identifier quoting: the lead-activity schema's own `order` column is
+    a reserved word in every dialect — unquoted DDL is a syntax error."""
+    from marketingcloud_etl_spark.sinks.jdbc_merge import (
+        LEAD_ACTIVITY_COLUMN_TYPES,
+        create_table_column_types,
+        create_table_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("h", "l", "u", "s", "1", "t", "c", "n")],
+        "hash string, lead_id string, url string, session_id string, "
+        "`order` string, type_id string, event_category string, event_name string",
+    )
+    ddl = create_table_sql(
+        df, "lead_activity", ["hash"], "mysql", LEAD_ACTIVITY_COLUMN_TYPES
+    )
+    # reference widths, verbatim
+    assert "`hash` VARCHAR(16)" in ddl
+    assert "`url` VARCHAR(1024)" in ddl
+    assert "`order` VARCHAR(50)" in ddl
+    assert "`event_name` VARCHAR(256)" in ddl
+    # Spark JDBC createTableColumnTypes option string carries the widths
+    opt = create_table_column_types(df)
+    assert "hash VARCHAR(16)" in opt and "order VARCHAR(50)" in opt
+
+
+def test_merge_upsert_reserved_word_column(spark, tmp_path):
+    """End-to-end stand-in merge with a column literally named `order`
+    (the reference schema's own reserved word) — quoting must hold
+    through CREATE, INSERT...SELECT, and ON CONFLICT."""
+    import sqlite3
+
+    from marketingcloud_etl_spark.sinks.jdbc_merge import merge_upsert
+
+    db = str(tmp_path / "wh_order.db")
+    sw, sr = _sqlite_harness(db)
+    batch = spark.createDataFrame(
+        [("h1", "3"), ("h2", "1")], "hash string, `order` string"
+    )
+    kw = dict(url="jdbc:sqlite:unused", target_table="lead_activity",
+              key_cols=("hash",), dialect="sqlite",
+              stage_writer=sw, statement_runner=sr)
+    merge_upsert(batch, **kw)
+    merge_upsert(batch, **kw)  # idempotent through the quoted path too
+    con = sqlite3.connect(db)
+    rows = con.execute(
+        'SELECT "hash", "order" FROM lead_activity ORDER BY "hash"'
+    ).fetchall()
+    con.close()
+    assert rows == [("h1", "3"), ("h2", "1")]
 
 
 def test_connected_components_planted(spark):

@@ -647,3 +647,14 @@ def test_no_hugeint_column_in_any_oracle(duck):
         "hash can never match; wrap in cast(... as bigint)): "
         + "; ".join(offenders)
     )
+
+
+def test_grouped_ols_accumulates_decimal_not_bigint(spark, sf_dir):
+    """q364: the sufficient-statistic sums must ACCUMULATE in
+    decimal(38,0) — i.e. the per-row product is cast before the
+    partial aggregate. Summing bigint products and casting after wraps
+    silently past 2^63 with ANSI off (~sf10 for the cross terms)."""
+    plan = _plan(REGISTRY["q364_grouped_ols_trend"].fn(spark, sf_dir))
+    assert "partial_sum(cast((x#" in plan.replace("\n", " ") or (
+        "as decimal(38,0))" in plan and "partial_sum(cast(" in plan
+    ), "sufficient-statistic sums no longer widen before aggregation"
