@@ -160,6 +160,10 @@ HEADLINE = (
     # + dense-cell CC) -- both iterative-CC consumers
     "q375_er_pipeline",
     "q376_grid_density_clusters",
+    # round-7: cross-batch minhash state — steady-state probe against a
+    # persisted band-bucket index (its one-time index build runs in the
+    # setup pass, like q345's BPE train)
+    "q388_incremental_minhash_state",
 )
 
 
@@ -200,11 +204,11 @@ BUDGETS = {
     "q119_median_mad_outliers": 4.09,
     "q121_funnel_conversion": 1.5,
     "q122_snapshot_cdc_diff": 1.5,
-    "q127_bigram_lm_score": 2.85,
-    "q129_setsim_join": 3.69,
+    "q127_bigram_lm_score": 2.67,
+    "q129_setsim_join": 3.48,
     "q131_last_touch_attribution": 1.5,
     "q132_rfm_segmentation": 4.46,
-    "q134_semantic_dedup_pipeline": 4.19,
+    "q134_semantic_dedup_pipeline": 4.06,
     "q138_ann_ivfpq_topk": 2.08,
     "q161_line_dedup": 1.5,
     "q163_kmeans_clusters": 2.78,
@@ -224,27 +228,30 @@ BUDGETS = {
     # pinned from BENCH_r05.json (first driver bench for these three)
     "q337_multimodal_feature_parity": 1.5,
     "q338_frame_sample_parity": 1.5,
-    "q342_pagerank_exact": 7.23,
+    "q342_pagerank_exact": 5.52,
     # round-6 additions, pinned from local sf0.1 best-of-2 on the same
     # machine (1.5x measured, 1.5 s floor); refreshed when their first
     # driver bench lands
-    "q345_bpe_encode_apply": 4.31,
+    "q345_bpe_encode_apply": 1.5,
     "q346_event_pattern_match": 1.5,
     "q349_markov_attribution": 2.64,
-    "q353_phrase_search": 2.39,
+    "q353_phrase_search": 2.16,
     "q357_grouped_quantile_scalable": 4.64,
     "q359_bloom_incremental_dedup": 1.5,
-    "q360_label_propagation": 6.37,
+    "q360_label_propagation": 5.32,
     "q361_rag_chunking": 1.5,
     "q362_rrf_hybrid_retrieval": 1.96,
-    "q363_weighted_systematic_sample": 1.7,
+    "q363_weighted_systematic_sample": 1.5,
     "q364_grouped_ols_trend": 1.5,
-    "q365_iqr_outlier_fences": 6.54,
-    "q366_shapley_attribution": 1.89,
-    "q369_sketchguided_heavy_hitters": 2.02,
+    "q365_iqr_outlier_fences": 6.19,
+    "q366_shapley_attribution": 1.59,
+    "q369_sketchguided_heavy_hitters": 1.5,
     "q372_vocab_growth": 1.5,
-    "q375_er_pipeline": 3.39,
-    "q376_grid_density_clusters": 5.27,
+    "q375_er_pipeline": 2.43,
+    "q376_grid_density_clusters": 4.12,
+    # round-7 addition, local sf0.1 best-of-2 steady state (1.5x, 1.5 s
+    # floor); refreshed when its first driver bench lands
+    "q388_incremental_minhash_state": 5.16,
 }
 
 
@@ -301,6 +308,9 @@ def main() -> None:
         # first run trains + caches the BPE merges (the offline-train /
         # online-apply split); the timed pass measures steady-state encode
         "q345_bpe_encode_apply",
+        # first run builds + writes the minhash band-bucket index (the
+        # corpus-lifetime state); the timed pass measures the batch probe
+        "q388_incremental_minhash_state",
     ):
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).collect()

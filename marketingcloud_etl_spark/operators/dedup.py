@@ -171,6 +171,46 @@ def _banded_candidates(buckets: DataFrame) -> DataFrame:
     )
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bucket) LSH keys: the minhash signature cut into
+    ``bands`` row-groups, each hashed to one bucket. This is the
+    shuffle-key layer shared by same-corpus candidate generation
+    (:func:`minhash_lsh_candidates`) and the persisted cross-batch
+    index (:func:`build_minhash_index`): docs×bands rows of three
+    scalars, never a cross product.
+
+    Docs too short to form a single shingle all share the sentinel
+    signature — banding them would put every short doc in one bucket
+    (quadratic false-candidate blowup), so they are excluded: with no
+    shingles there is no shingle-set similarity to detect."""
+    if num_perm % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+    rows = num_perm // bands
+    df = spread_partitions(df)
+    df = df.filter(F.size(tokens(text_col)) >= shingle_n)
+    sig = minhash_signature(df, text_col, num_perm, shingle_n, seed).select(id_col, "minhash_sig")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[F.col("minhash_sig")[i * rows + j].cast("string") for j in range(rows)])).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sig.withColumn("bb", F.explode(band_structs)).select(
+        F.col(id_col).alias("id"), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -187,29 +227,112 @@ def minhash_lsh_candidates(
     shuffle cost is docs×bands rows, candidate generation never reads
     the full cross product. Returns (id_a, id_b, n_shared_bands).
     """
-    if num_perm % bands != 0:
-        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
-    rows = num_perm // bands
-    df = spread_partitions(df)
-    # docs too short to form a single shingle all share the sentinel
-    # signature — banding them would put every short doc in one bucket
-    # (quadratic false-candidate blowup), so they are excluded: with no
-    # shingles there is no shingle-set similarity to detect
-    df = df.filter(F.size(tokens(text_col)) >= shingle_n)
-    sig = minhash_signature(df, text_col, num_perm, shingle_n, seed).select(id_col, "minhash_sig")
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[F.col("minhash_sig")[i * rows + j].cast("string") for j in range(rows)])).alias("bucket"),
-            )
-            for i in range(bands)
-        ]
+    return _banded_candidates(
+        minhash_band_buckets(df, id_col, text_col, num_perm, bands, shingle_n, seed)
     )
-    buckets = sig.withColumn("bb", F.explode(band_structs)).select(
-        F.col(id_col).alias("id"), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+
+
+# ------------------------------------------- cross-batch MinHash state
+
+
+def shingle_set_fingerprint(text_col: Column | str, n: int = 3) -> Column:
+    """Canonical content fingerprint: md5 over the SORTED DISTINCT
+    word-``n``-gram shingles, unit-separator joined. Two docs get equal
+    fingerprints iff their shingle SETS are identical — invariant to
+    repeated content blocks (a doc that pastes the same paragraph twice
+    fingerprints like one copy), which the q37 whole-text hash is not.
+    This is the exact-verify key stored in the minhash index: verifying
+    a candidate needs only this 32-char column, never the corpus text."""
+    sh = F.array_sort(F.array_distinct(word_shingles(text_col, n)))
+    return F.md5(F.concat_ws("\x1f", sh))
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """The persisted near-dup STATE for cross-batch incremental dedup:
+    one row per (doc, band) — (id, band, bucket, set_fp). Write it out
+    once (partitioned by ``band`` at scale, so a probe's (band,bucket)
+    join prunes partitions); subsequent batches dedup against the
+    INDEX alone — the corpus text is never re-scanned or re-hashed.
+    This is the probabilistic twin of the q359 Bloom tier, at R16's
+    incremental posture: state grows by the surviving docs' bands per
+    batch (append :func:`probe_minhash_index` survivors' index rows).
+
+    Exactness contract: banded minhash has NO false negatives for
+    shingle-set-IDENTICAL docs (equal sets ⇒ equal signatures ⇒ every
+    band collides), so LSH-candidates + set_fp verify equals the plain
+    fingerprint join — hash-verifiable — while near-identical docs
+    (J < 1) still surface as candidates with LSH probability."""
+    buckets = minhash_band_buckets(
+        corpus, id_col, text_col, num_perm, bands, shingle_n, seed
     )
-    return _banded_candidates(buckets)
+    fp = corpus.filter(F.size(tokens(text_col)) >= shingle_n).select(
+        F.col(id_col).alias("id"),
+        shingle_set_fingerprint(text_col, shingle_n).alias("set_fp"),
+    )
+    return buckets.join(fp, "id")
+
+
+def probe_minhash_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Dedup an arriving batch against a :func:`build_minhash_index`
+    state table WITHOUT touching the corpus: per batch doc returns
+    (id, n_candidates, is_dup, dup_of) where candidates are corpus
+    docs sharing ≥1 band bucket, ``is_dup`` is the exact shingle-set
+    verify over the stored fingerprints, and ``dup_of`` is the lowest
+    matching corpus id (null when new).
+
+    Scale shape: the only join is (band, bucket)-keyed, batch-side
+    broadcast by default (a daily batch is orders of magnitude smaller
+    than the corpus index, and broadcasting it turns the probe into a
+    map-side scan of the index — zero shuffle of the state table). Set
+    ``broadcast_batch=False`` when the batch rivals the corpus; the
+    join then shuffles on (band, bucket), still docs×bands rows."""
+    bb = minhash_band_buckets(batch, id_col, text_col, num_perm, bands, shingle_n, seed)
+    bfp = batch.filter(F.size(tokens(text_col)) >= shingle_n).select(
+        F.col(id_col).alias("id"),
+        shingle_set_fingerprint(text_col, shingle_n).alias("__bfp"),
+    )
+    probe = bb.join(bfp, "id")
+    if broadcast_batch:
+        probe = F.broadcast(probe)
+    cand = probe.join(
+        index.select(
+            F.col("band"), F.col("bucket"),
+            F.col("id").alias("__cid"), F.col("set_fp").alias("__cfp"),
+        ),
+        ["band", "bucket"],
+    )
+    hits = cand.groupBy("id").agg(
+        F.count_distinct("__cid").alias("n_candidates"),
+        F.max(F.col("__bfp") == F.col("__cfp")).alias("is_dup"),
+        F.min(F.when(F.col("__bfp") == F.col("__cfp"), F.col("__cid"))).alias("dup_of"),
+    )
+    return (
+        bfp.join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            "dup_of",
+        )
+    )
 
 
 # ---------------------------------------------------------------- SimHash

@@ -76,7 +76,22 @@ def pin_cache(df: DataFrame) -> DataFrame:
     registry each benchmarked query would leave its MEMORY_AND_DISK
     blocks pinned for the session lifetime, and a long sweep slowly
     squeezes execution memory (q119 ran 1.8× slower mid-bench than
-    fresh before q50/q127 released their caches)."""
+    fresh before q50/q127 released their caches).
+
+    Semantic dedup: if an ALREADY-PINNED frame is plan-equivalent
+    (Spark's own canonicalized ``sameResult``, the test InMemoryScan
+    reuse is built on), return that frame instead of persisting a
+    twin — so two queries in one session sharing a pass (q357's and
+    q365's quartile counts over the same lineitem projection) compute
+    and cache it once. A lookup miss just pins normally; correctness
+    never depends on a hit."""
+    try:
+        analyzed = df._jdf.queryExecution().analyzed()
+        for p in _PINNED:
+            if p._jdf.queryExecution().analyzed().sameResult(analyzed):
+                return p
+    except Exception:
+        pass  # py4j plan probing is best-effort; fall through to pin
     df = df.persist()
     _PINNED.append(df)
     return df

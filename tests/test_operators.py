@@ -53,6 +53,57 @@ def test_minhash_verify_stage_jaccard(docs_with_neardups):
     assert all(r.jaccard > 0.8 for r in rows)
 
 
+def test_minhash_index_probe_incremental(spark, sf_dir, tmp_path):
+    """Cross-batch minhash state (q388's operator layer): (1) the index
+    is built ONCE and probed from its parquet form — the probe plan
+    must not reference the corpus; (2) re-ingested docs verify as dups
+    via the stored fingerprint; (3) true NEAR-dups (one word appended)
+    surface as candidates but not fingerprint-dups; (4) appending the
+    batch survivors' index rows makes a later batch dedup against
+    batch-1 docs — the incremental loop closes."""
+    from marketingcloud_etl_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    corpus = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    state = str(tmp_path / "minhash_index")
+    build_minhash_index(corpus).write.partitionBy("band").parquet(state)
+    index = spark.read.parquet(state)
+
+    reingest = corpus.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    neardup = corpus.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat("text", F.lit(" appendedword")).alias("text"),
+    )
+    batch1 = reingest.unionByName(neardup)
+    res1 = {r.id: r for r in probe_minhash_index(batch1, index).collect()}
+    assert all(res1[i + 1000].is_dup for i in range(10))          # exact re-ingest
+    assert all(res1[i + 1000].dup_of == i for i in range(10))     # provenance
+    near = [res1[i + 2000] for i in range(10, 20)]
+    assert not any(r.is_dup for r in near)                        # not set-identical
+    # near-dups still surface through the same index as candidates
+    assert sum(1 for r in near if r.n_candidates > 0) >= 8
+
+    # incremental append: survivors' bands extend the state
+    survivors = batch1.join(
+        probe_minhash_index(batch1, index).filter(~F.col("is_dup")).select("id"),
+        batch1.doc_id == F.col("id"),
+    ).select("doc_id", "text")
+    build_minhash_index(survivors).write.mode("append").partitionBy("band").parquet(state)
+    index2 = spark.read.parquet(state)
+    batch2 = neardup.select((F.col("doc_id") + 3000).alias("doc_id"), "text")
+    res2 = {r.id: r for r in probe_minhash_index(batch2, index2).collect()}
+    assert all(res2[i + 5000].is_dup for i in range(10, 20))      # dup of batch-1 docs
+    assert all(res2[i + 5000].dup_of == i + 2000 for i in range(10, 20))
+
+
 def test_simhash_bands_find_planted_neardups(docs_with_neardups):
     cand = simhash_band_candidates(docs_with_neardups, bands=4)
     pairs = {(r.id_a, r.id_b) for r in cand.collect()}

@@ -658,3 +658,14 @@ def test_grouped_ols_accumulates_decimal_not_bigint(spark, sf_dir):
     assert "partial_sum(cast((x#" in plan.replace("\n", " ") or (
         "as decimal(38,0))" in plan and "partial_sum(cast(" in plan
     ), "sufficient-statistic sums no longer widen before aggregation"
+
+
+def test_minhash_probe_broadcasts_batch_over_index(spark, sf_dir):
+    """q388: the (band,bucket) probe join must BROADCAST the batch side
+    — the arriving batch is orders of magnitude smaller than the
+    corpus index, and broadcasting it means the state table is scanned
+    map-side, never shuffled. A shuffle join here re-exchanges the
+    corpus-sized index every batch."""
+    plan = _plan(REGISTRY["q388_incremental_minhash_state"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
