@@ -164,6 +164,8 @@ HEADLINE = (
     # persisted band-bucket index (its one-time index build runs in the
     # setup pass, like q345's BPE train)
     "q388_incremental_minhash_state",
+    "q389_incremental_semantic_state",
+    "q390_bm25_index_serving",
 )
 
 
@@ -252,6 +254,8 @@ BUDGETS = {
     # round-7 addition, local sf0.1 best-of-2 steady state (1.5x, 1.5 s
     # floor); refreshed when its first driver bench lands
     "q388_incremental_minhash_state": 5.16,
+    "q389_incremental_semantic_state": 4.19,
+    "q390_bm25_index_serving": 2.75,
 }
 
 
@@ -311,6 +315,12 @@ def main() -> None:
         # first run builds + writes the minhash band-bucket index (the
         # corpus-lifetime state); the timed pass measures the batch probe
         "q388_incremental_minhash_state",
+        # same split for the vector-space twin: codebook train + index
+        # write once, timed pass = the cell-keyed probe
+        "q389_incremental_semantic_state",
+        # and for retrieval: postings/df/stats written once, timed pass
+        # = the term-pruned serving probe
+        "q390_bm25_index_serving",
     ):
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).collect()

@@ -66,9 +66,12 @@ TOTAL_COL = _N
 # a release point the MEMORY_AND_DISK blocks accumulate for the session
 # lifetime.
 _PINNED: list[DataFrame] = []
+# frames registered for semantic reuse (pin_cache(dedupe=True)) — kept
+# separate so ordinary pins never pay the py4j plan-compare scan
+_DEDUP_PINNED: list[DataFrame] = []
 
 
-def pin_cache(df: DataFrame) -> DataFrame:
+def pin_cache(df: DataFrame, dedupe: bool = False) -> DataFrame:
     """Persist ``df`` and register it for the next
     :func:`release_ranking_caches` — the session-wide release point for
     every multi-consumer frame a catalog query persists (ranking
@@ -78,22 +81,28 @@ def pin_cache(df: DataFrame) -> DataFrame:
     squeezes execution memory (q119 ran 1.8× slower mid-bench than
     fresh before q50/q127 released their caches).
 
-    Semantic dedup: if an ALREADY-PINNED frame is plan-equivalent
-    (Spark's own canonicalized ``sameResult``, the test InMemoryScan
-    reuse is built on), return that frame instead of persisting a
-    twin — so two queries in one session sharing a pass (q357's and
-    q365's quartile counts over the same lineitem projection) compute
-    and cache it once. A lookup miss just pins normally; correctness
-    never depends on a hit."""
-    try:
-        analyzed = df._jdf.queryExecution().analyzed()
-        for p in _PINNED:
-            if p._jdf.queryExecution().analyzed().sameResult(analyzed):
-                return p
-    except Exception:
-        pass  # py4j plan probing is best-effort; fall through to pin
+    ``dedupe=True`` additionally registers the frame for semantic
+    reuse: a later ``dedupe=True`` pin that is plan-equivalent
+    (Spark's own canonicalized ``sameResult``) returns the cached
+    frame instead of persisting a twin — so two queries in one session
+    sharing a pass (q357's and q365's quartile counts over the same
+    lineitem projection) compute and cache it once. The lookup is
+    OPT-IN and scans only dedupe-registered frames: probing costs two
+    py4j round-trips per registered frame, which must not tax the
+    dozens of ordinary pin sites. A miss just pins normally;
+    correctness never depends on a hit."""
+    if dedupe:
+        try:
+            analyzed = df._jdf.queryExecution().analyzed()
+            for p in _DEDUP_PINNED:
+                if p._jdf.queryExecution().analyzed().sameResult(analyzed):
+                    return p
+        except Exception:
+            pass  # py4j plan probing is best-effort; fall through to pin
     df = df.persist()
     _PINNED.append(df)
+    if dedupe:
+        _DEDUP_PINNED.append(df)
     return df
 
 
@@ -105,6 +114,7 @@ def release_ranking_caches(blocking: bool = False) -> int:
     n = len(_PINNED)
     while _PINNED:
         _PINNED.pop().unpersist(blocking=blocking)
+    _DEDUP_PINNED.clear()
     return n
 
 
@@ -385,7 +395,8 @@ def grouped_quantile_cont(
         # shift every group's rank arithmetic.
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*gcols, value_col)
-        .agg(F.count(F.lit(1)).alias("__qc_cnt"))
+        .agg(F.count(F.lit(1)).alias("__qc_cnt")),
+        dedupe=True,
     )
     cum = global_prefix_sum(
         counts, [*gcols, value_col], "__qc_cnt", "__qc_cum"

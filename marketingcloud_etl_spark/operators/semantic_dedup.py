@@ -186,3 +186,95 @@ def semantic_dedup(
         F.when(bucket >= 100 - test_pct, F.lit("test")).otherwise(F.lit("train")),
     )
     return assign, edges
+
+
+# ------------------------------------------ cross-batch semantic state
+
+
+def vector_fingerprint(vec_col: Column | str = "embedding") -> Column:
+    """Exact-equality fingerprint of an embedding: md5 over the
+    comma-joined element strings. Spark's float→string is the shortest
+    round-trip representation, so fp(x) = fp(y) ⟺ x and y are
+    element-wise identical floats — the verify key stored in the
+    semantic index (32 chars instead of a wide vector), mirroring
+    dedup.shingle_set_fingerprint's role for text."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.md5(F.concat_ws(",", F.transform(c, lambda x: x.cast("string"))))
+
+
+def build_semantic_index(
+    corpus: DataFrame,
+    codebook: list,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persisted vector-space STATE for cross-batch incremental
+    semantic dedup: one row per (vector, probed cell) — (id, cell,
+    vec_fp). The q388 minhash-state posture transposed to embeddings:
+    write it once (partitioned by ``cell`` at scale), probe every
+    arriving batch against the INDEX alone — corpus vectors are never
+    re-scanned or re-scored. The codebook that defines the cells is
+    part of the state (persist it next to the index; it is n_cells×dim
+    doubles) and must be reused unchanged by every probe, exactly like
+    the ANN search path's offline-trained codebook.
+
+    Exactness contract: cell assignment is a deterministic function of
+    the vector (stable argsort over the same centroid matmul), so an
+    element-wise IDENTICAL vector always probes the same cells — no
+    false negatives for exact re-ingests, making candidates + vec_fp
+    verify equal the plain embedding-equality join. Near-identical
+    vectors land in the same top cells with the usual IVF probability
+    (multi-probe covers boundary straddlers) and surface as candidates
+    for downstream cosine verification."""
+    cells = _probed_cells(corpus, codebook, n_probe, id_col, vec_col, with_unit=False)
+    fp = corpus.select(
+        F.col(id_col).alias("__id"), vector_fingerprint(vec_col).alias("vec_fp")
+    )
+    return cells.join(fp, "__id").select(
+        F.col("__id").alias("id"), "cell", "vec_fp"
+    )
+
+
+def probe_semantic_index(
+    batch: DataFrame,
+    index: DataFrame,
+    codebook: list,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Dedup an arriving vector batch against a
+    :func:`build_semantic_index` state table: per batch vector returns
+    (id, n_candidates, is_dup, dup_of) — candidates are corpus vectors
+    sharing ≥1 probed cell, ``is_dup`` is exact element-wise equality
+    via the stored fingerprint, ``dup_of`` the lowest matching corpus
+    id. The only join is cell-keyed with the (small) batch side
+    broadcast, so the corpus-sized index is scanned map-side and never
+    shuffled; survivors' index rows append to the state, closing the
+    incremental loop (same shape as dedup.probe_minhash_index)."""
+    cells = _probed_cells(batch, codebook, n_probe, id_col, vec_col, with_unit=False)
+    bfp = batch.select(
+        F.col(id_col).alias("__id"), vector_fingerprint(vec_col).alias("__bfp")
+    )
+    probe = cells.join(bfp, "__id")
+    if broadcast_batch:
+        probe = F.broadcast(probe)
+    cand = probe.join(
+        index.select(
+            "cell", F.col("id").alias("__cid"), F.col("vec_fp").alias("__cfp")
+        ),
+        "cell",
+    )
+    hits = cand.groupBy("__id").agg(
+        F.count_distinct("__cid").alias("n_candidates"),
+        F.max(F.col("__bfp") == F.col("__cfp")).alias("is_dup"),
+        F.min(F.when(F.col("__bfp") == F.col("__cfp"), F.col("__cid"))).alias("dup_of"),
+    )
+    return bfp.join(hits, "__id", "left").select(
+        F.col("__id").alias("id"),
+        F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        "dup_of",
+    )

@@ -2693,3 +2693,102 @@ def q388_incremental_minhash_state(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum((~F.col("is_dup")).cast("bigint")).cast("bigint").alias("n_new"),
         )
     )
+
+
+# q389 state cache: sf_dir -> (index parquet dir, codebook)
+_Q389_STATE: dict[str, tuple] = {}
+
+
+@query(
+    "q389_incremental_semantic_state",
+    oracle="""
+    WITH corp AS (
+      SELECT embedding FROM embeddings WHERE vec_id % 3 <> 0
+    ), batch AS (
+      SELECT label, vec_id + 100000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id % 3 <> 0 AND vec_id % 5 = 1
+      UNION ALL
+      SELECT label, vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+    ), cd AS (
+      SELECT DISTINCT embedding FROM corp
+    )
+    SELECT label,
+           cast(count(*) as bigint) AS n_batch,
+           cast(count(c.embedding) as bigint) AS n_dup,
+           cast(count(*) - count(c.embedding) as bigint) AS n_new
+    FROM batch b LEFT JOIN cd c ON b.embedding = c.embedding
+    GROUP BY label
+    """,
+    tags=("dedup", "incremental", "semantic", "state"),
+)
+def q389_incremental_semantic_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-BATCH semantic dedup state — q388's incremental posture
+    transposed to the EMBEDDING space: the ingested corpus (vec_id % 3
+    ≠ 0) trains an IVF codebook (operators/similarity.py::
+    train_ivf_codebook, the same offline codebook the ANN search path
+    uses) and materializes ONCE into a persisted (id, cell, vec_fp)
+    index (operators/semantic_dedup.py::build_semantic_index,
+    partitioned by cell); an arriving batch (new vec_id % 3 = 0
+    vectors plus re-ingested corpus vectors vec_id % 5 = 1 under fresh
+    ids) probes the INDEX alone — corpus vectors are never re-scanned
+    or re-scored.
+
+    Hash-verifiability of the IVF tier: cell assignment is a
+    deterministic function of the vector (stable argsort over the same
+    centroid matmul), so an element-wise identical vector always
+    probes the same cells — NO false negatives for exact re-ingests —
+    and survivors verify against the stored element-exact fingerprint,
+    so per-label (n_batch, n_dup, n_new) equals the plain
+    embedding-equality join the oracle computes. Near-identical
+    vectors (the SemDeDup regime) surface through the same index as
+    candidates with IVF multi-probe recall, pinned by the perturbed
+    planted-pair test in tests/test_semantic_dedup.py.
+
+    100 TB story: the state is a cell-partitioned parquet table plus a
+    n_cells×dim codebook; a daily batch broadcasts O(batch·n_probe)
+    three-scalar rows against it (zero shuffle of the index), appends
+    the survivors' rows, and the corpus is embedded and indexed
+    exactly once in its lifetime — the posture SemDeDup-style offline
+    jobs lack."""
+    import json
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.semantic_dedup import build_semantic_index, probe_semantic_index
+    from ..operators.similarity import train_ivf_codebook
+
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 3 != 0).select("vec_id", "embedding")
+    batch = (
+        e.filter((F.col("vec_id") % 3 != 0) & (F.col("vec_id") % 5 == 1))
+        .select("label", (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        .unionByName(
+            e.filter(F.col("vec_id") % 3 == 0).select("label", "vec_id", "embedding")
+        )
+    )
+    state = _Q389_STATE.get(sf_dir)
+    if state is None or not os.path.isdir(state[0]):
+        base = tempfile.mkdtemp(prefix="mcetl_q389_")
+        codebook = train_ivf_codebook(corpus, n_cells=16, refine_iters=1)
+        with open(os.path.join(base, "codebook.json"), "w") as f:
+            json.dump([[c, list(map(float, v))] for c, v in codebook], f)
+        idx_dir = os.path.join(base, "semantic_index")
+        build_semantic_index(corpus, codebook).repartition("cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(idx_dir)
+        state = (idx_dir, codebook)
+        _Q389_STATE[sf_dir] = state
+    idx_dir, codebook = state
+    index = spark.read.parquet(idx_dir)
+    res = probe_semantic_index(batch, index, codebook)
+    return (
+        batch.select(F.col("vec_id").alias("id"), "label")
+        .join(res, "id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+            F.sum(F.col("is_dup").cast("bigint")).cast("bigint").alias("n_dup"),
+            F.sum((~F.col("is_dup")).cast("bigint")).cast("bigint").alias("n_new"),
+        )
+    )

@@ -3242,3 +3242,116 @@ def q383_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd_nats"),
     )
+
+
+# q390 state cache: sf_dir -> index base dir
+_Q390_STATE: dict[str, str] = {}
+
+_Q390_QUERY_TERMS = (
+    (1, "spark"), (1, "stream"),
+    (2, "data"), (2, "window"), (2, "batch"),
+    (3, "join"), (3, "query"),
+    (4, "quantum"), (4, "spark"),  # 'quantum' has no postings: zero-hit term
+)
+
+
+@query(
+    "q390_bm25_index_serving",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT sum(len) FROM dl) AS total_len
+    ), qt AS (
+      SELECT * FROM (VALUES {", ".join(f"({q}, '{t}')" for q, t in _Q390_QUERY_TERMS)})
+        v(query_id, t)
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks
+      WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t
+    ), idf AS (
+      SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t
+    ), scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             ln(1 + (s.n_docs - i.df + 0.5) / (i.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * d.len
+                                 / (s.total_len / cast(s.n_docs as double))))
+               AS term_score
+      FROM qt JOIN tf ON tf.t = qt.t
+              JOIN idf i ON i.t = qt.t
+              JOIN dl d ON tf.doc_id = d.doc_id
+              CROSS JOIN stats s
+    ), agg AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_sort(list(term_score)), (x, y) -> x + y) AS bm25,
+             count(*) AS n_terms_hit
+      FROM scored GROUP BY query_id, doc_id
+    ), ranked AS (
+      SELECT query_id, doc_id, bm25, n_terms_hit,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id) AS rank
+      FROM agg
+    )
+    SELECT query_id, cast(rank as bigint) AS rank, doc_id,
+           round(bm25, 6) AS bm25,
+           cast(n_terms_hit as bigint) AS n_terms_hit
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("text", "search", "state"),
+)
+def q390_bm25_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 SERVING from a persisted inverted index — the state-family
+    (q388/q389) posture applied to retrieval: the corpus tokenizes ONCE
+    into a written index (operators/retrieval.py::write_bm25_index —
+    postings (t, doc_id, tf, len) repartitioned + sorted by term for
+    row-group term pruning, with the doc-length norm DENORMALIZED into
+    the posting row so no corpus-sized doc join survives into serving;
+    broadcast-sized df and one-row stats beside it), and a BATCH of
+    queries (four here, including one zero-postings term) scores
+    against the INDEX alone — q278 re-derives the same numbers from raw
+    text per query; this is what a retrieval deployment actually runs.
+
+    Hash-verifiability: scoring is q278's exact arithmetic (Robertson
+    idf, k1=1.2, b=0.75, per-(query,doc) sorted-fold sum — the bitwise
+    float protocol), df from the index equals the oracle's distinct
+    count by construction (postings are unique per (t, doc)), and the
+    per-query top-5 is taken under the total (bm25 DESC, doc_id) order
+    — so index-served results are value-identical to the from-scratch
+    oracle: the index changes WHERE numbers come from, never what they
+    are.
+
+    100 TB story: the probe broadcasts O(query terms) rows against a
+    term-sorted postings table (row-group min/max skipping = the
+    columnar index seek), df/stats broadcast, and the only shuffle is
+    the hit-bounded (query, doc) aggregation — per-batch cost scales
+    with HITS, not corpus. Maintenance is an append of the new docs'
+    postings + a df/stats re-fold, R16's incremental posture."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.retrieval import bm25_serve, write_bm25_index
+
+    base = _Q390_STATE.get(sf_dir)
+    if base is None or not os.path.isdir(os.path.join(base, "postings")):
+        base = tempfile.mkdtemp(prefix="mcetl_q390_")
+        write_bm25_index(table(spark, sf_dir, "documents"), base)
+        _Q390_STATE[sf_dir] = base
+    postings = spark.read.parquet(base + "/postings")
+    dfreq = spark.read.parquet(base + "/df")
+    stats = spark.read.parquet(base + "/stats")
+    qt = spark.createDataFrame(list(_Q390_QUERY_TERMS), "query_id int, t string")
+    out = bm25_serve(
+        qt, postings, dfreq, stats, top_k=5,
+        terms=sorted({t for _, t in _Q390_QUERY_TERMS}),
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "doc_id",
+        F.round("bm25", 6).alias("bm25"),
+        F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
+    )

@@ -1752,3 +1752,53 @@ def test_sketchguided_heavy_hitters_partition_invariant(spark, sf_dir):
     qd = load_all()["q369_sketchguided_heavy_hitters"]
     got = {(r["token"], r["cnt"]) for r in qd.fn(spark, sf_dir).collect()}
     assert got == plain and len(got) > 0
+
+
+def test_bm25_index_serving_matches_inline_and_appends(spark, sf_dir, tmp_path):
+    """q390's operator layer: (1) index-served BM25 is VALUE-identical
+    to the from-scratch inline computation (the index changes where
+    numbers come from, never what they are); (2) appending a new doc's
+    postings + re-folding df/stats makes it retrievable — the
+    maintenance path."""
+    from marketingcloud_etl_spark.operators.retrieval import (
+        bm25_serve,
+        build_bm25_index,
+        write_bm25_index,
+    )
+
+    corpus = table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 200
+    )
+    base = str(tmp_path / "bm25")
+    write_bm25_index(corpus, base)
+    postings = spark.read.parquet(base + "/postings")
+    dfreq = spark.read.parquet(base + "/df")
+    stats = spark.read.parquet(base + "/stats")
+    qt = spark.createDataFrame([(1, "spark"), (1, "stream")], "query_id int, t string")
+
+    served = bm25_serve(qt, postings, dfreq, stats, top_k=10, terms=["spark", "stream"])
+    p2, d2, s2 = build_bm25_index(corpus)
+    inline = bm25_serve(qt, p2, d2, s2, top_k=10)
+    a = [(r.rank, r.doc_id, r.bm25) for r in served.orderBy("rank").collect()]
+    b = [(r.rank, r.doc_id, r.bm25) for r in inline.orderBy("rank").collect()]
+    assert a == b and len(a) == 10  # bitwise score parity, index vs inline
+
+    # maintenance: append one saturated new doc, re-fold df/stats
+    new = spark.createDataFrame(
+        [(999000, "spark stream spark stream spark stream spark stream")],
+        "doc_id bigint, text string",
+    )
+    np_, _, _ = build_bm25_index(new)
+    np_.write.mode("append").parquet(base + "/postings")
+    postings2 = spark.read.parquet(base + "/postings")
+    dfreq2 = postings2.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    stats2 = (
+        postings2.select("doc_id", "len").distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").alias("total_len"),
+        )
+    )
+    served2 = bm25_serve(qt, postings2, dfreq2, stats2, top_k=3, terms=["spark", "stream"])
+    top = served2.orderBy("rank").first()
+    assert top.doc_id == 999000 and top.n_terms_hit == 2  # all-query-term doc wins

@@ -669,3 +669,24 @@ def test_minhash_probe_broadcasts_batch_over_index(spark, sf_dir):
     plan = _plan(REGISTRY["q388_incremental_minhash_state"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_probe_broadcasts_batch_over_index(spark, sf_dir):
+    """q389: like q388's probe, the cell-keyed join must broadcast the
+    batch side so the corpus-sized semantic index is scanned map-side,
+    never shuffled."""
+    plan = _plan(REGISTRY["q389_incremental_semantic_state"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_serving_pushes_term_filter_into_postings_scan(spark, sf_dir):
+    """q390: the query's term IN-predicate must reach the postings
+    parquet scan (PushedFilters) — with the sorted-by-term layout this
+    is what turns the probe into a row-group seek instead of a full
+    postings read. Also: no corpus-sized doc-length join (len is
+    denormalized into the postings) and the batch side broadcasts."""
+    plan = _plan(REGISTRY["q390_bm25_index_serving"].fn(spark, sf_dir))
+    assert "PushedFilters: [In(t, [" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -98,3 +98,53 @@ def test_cell_candidates_is_blocked_not_allpairs(spark):
         for i, x in enumerate(group):
             for y in group[i + 1 :]:
                 assert (x, y) in got, (x, y)
+
+
+def test_semantic_index_probe_incremental(spark, tmp_path):
+    """Cross-batch semantic state (q389's operator layer): exact
+    re-ingests verify as dups through the stored fingerprint with
+    provenance; perturbed near-dups surface as CANDIDATES (IVF
+    multi-probe recall) but not fingerprint-dups; appending batch
+    survivors closes the incremental loop."""
+    import json
+
+    from marketingcloud_etl_spark.operators.semantic_dedup import (
+        build_semantic_index,
+        probe_semantic_index,
+    )
+
+    df, _ = _corpus(spark)
+    corpus = df.filter(F.col("vec_id") < 200)
+    cb = train_ivf_codebook(corpus, n_cells=8, refine_iters=1)
+    cb = json.loads(json.dumps([[c, list(v)] for c, v in cb]))  # state roundtrip
+    state = str(tmp_path / "semantic_index")
+    build_semantic_index(corpus, cb).write.partitionBy("cell").parquet(state)
+    index = spark.read.parquet(state)
+
+    reingest = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    neardup = corpus.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).select(
+        (F.col("vec_id") + 6000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(1e-4)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+    )
+    batch1 = reingest.unionByName(neardup)
+    res1 = {r.id: r for r in probe_semantic_index(batch1, index, cb).collect()}
+    assert all(res1[i + 5000].is_dup for i in range(10))        # exact re-ingest
+    assert all(res1[i + 5000].dup_of == i for i in range(10))   # provenance
+    near = [res1[i + 6000] for i in range(10, 20)]
+    assert not any(r.is_dup for r in near)                      # perturbed ≠ exact
+    assert sum(1 for r in near if r.n_candidates > 0) >= 8      # IVF recall
+
+    survivors = batch1.join(
+        probe_semantic_index(batch1, index, cb).filter(~F.col("is_dup")).select("id"),
+        batch1.vec_id == F.col("id"),
+    ).select("vec_id", "embedding")
+    build_semantic_index(survivors, cb).write.mode("append").partitionBy("cell").parquet(state)
+    index2 = spark.read.parquet(state)
+    batch2 = neardup.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    res2 = {r.id: r for r in probe_semantic_index(batch2, index2, cb).collect()}
+    assert all(res2[i + 7000].is_dup for i in range(10, 20))    # dup of batch-1 rows
+    assert all(res2[i + 7000].dup_of == i + 6000 for i in range(10, 20))
