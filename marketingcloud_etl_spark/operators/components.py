@@ -112,3 +112,80 @@ def dedup_clusters(
         )
     )
     return clustered.unionByName(unpaired)
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """MERGE a batch of new edges into an existing component labelling
+    WITHOUT re-clustering the graph — the cross-batch state posture
+    (q388-q390) for connected components. ``labels`` is yesterday's
+    (id, component) table (components labelled by their minimum member
+    id, :func:`connected_components`' convention); ``new_edges`` is
+    today's arrivals. Returns the updated (id, component) covering
+    every previously-labelled node plus every new-edge endpoint, and
+    EQUAL to ``connected_components`` over the union of all edges ever
+    seen (the invariant the q391 oracle hash-checks).
+
+    The standard contracted-supergraph trick, three bounded steps:
+
+    1. map each new-edge endpoint to its existing component (itself if
+       unseen) — two broadcast-able joins keyed on the endpoint;
+    2. run CC on the CONTRACTED graph whose nodes are touched
+       component labels + new node ids, and whose edges are the mapped
+       new edges (self-loops dropped) — its size is O(new edges), not
+       O(corpus): min-labels over min-labels compose, so the contracted
+       minimum IS the global minimum;
+    3. relabel: old labels join the contracted relabel map on their
+       component (touched components move wholesale, untouched ones
+       pass through), new nodes take their contracted label directly.
+
+    At 100 TB yesterday's labelling is a billion-row table but the
+    daily work is proportional to the BATCH: the contracted CC and the
+    relabel map are new-edge-sized, and the only corpus-sized
+    operation is the final component-keyed relabel join — one shuffle,
+    no iteration. Full CC from scratch pays O(E) per round for
+    O(log d) rounds, every day."""
+    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    la = labels.select(F.col("id").alias("a"), F.col("component").alias("ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col("component").alias("cb"))
+    mapped = (
+        e.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("ca", "a").alias("ma"),
+            F.coalesce("cb", "b").alias("mb"),
+        )
+    )
+    contracted = mapped.filter(F.col("ma") != F.col("mb")).distinct()
+    # self-loop-only nodes (a new edge internal to one existing
+    # component, or a new-node self pair) still need labels: seed them
+    # as singletons so the union below covers every touched node
+    touched = (
+        mapped.select(F.col("ma").alias("n"))
+        .unionByName(mapped.select(F.col("mb").alias("n")))
+        .distinct()
+    )
+    cc = connected_components(contracted, "ma", "mb", max_iter)
+    relabel = (
+        touched.join(cc.withColumnRenamed("id", "n"), "n", "left")
+        .select(F.col("n"), F.coalesce("component", "n").alias("new_comp"))
+    )
+    # old nodes: components move wholesale through the relabel map
+    old = labels.join(
+        relabel.withColumnRenamed("n", "component"), "component", "left"
+    ).select("id", F.coalesce("new_comp", "component").alias("component"))
+    # new nodes: endpoints never seen before take their contracted label
+    new_nodes = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .join(labels.select("id"), "id", "left_anti")
+        .join(relabel.withColumnRenamed("n", "id"), "id", "left")
+        .select("id", F.coalesce("new_comp", "id").alias("component"))
+    )
+    return old.unionByName(new_nodes)

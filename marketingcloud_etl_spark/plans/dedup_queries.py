@@ -2792,3 +2792,89 @@ def q389_incremental_semantic_state(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum((~F.col("is_dup")).cast("bigint")).cast("bigint").alias("n_new"),
         )
     )
+
+
+# q391 state cache: sf_dir -> labels parquet dir for the old-graph CC
+_Q391_STATE: dict[str, str] = {}
+
+
+@query(
+    "q391_incremental_components_state",
+    oracle=f"""
+    {_CC_CTE}
+    SELECT component, cast(count(*) as bigint) AS n_docs,
+           min(id) AS min_doc, max(id) AS max_doc,
+           cast(sum(CASE WHEN id >= 325 THEN 1 ELSE 0 END) as bigint)
+             AS n_new_docs
+    FROM comp GROUP BY component
+    """,
+    tags=("dedup", "incremental", "graph", "state"),
+)
+def q391_incremental_components_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components — the state family (q388–q390)
+    closing over the clustering stage itself: yesterday's dup-cluster
+    labelling (q95's similarity graph restricted to docs < 325) is a
+    persisted (id, component) table, and today's batch (docs ≥ 325,
+    whose gap-1/2 similarity edges are computed over the batch plus a
+    2-doc lookback ONLY — never the old corpus) merges in through
+    operators/components.py::incremental_components: map new-edge
+    endpoints to existing labels, run CC on the CONTRACTED supergraph
+    (new-edge-sized — min-labels over min-labels compose), relabel
+    touched components wholesale. The oracle recursive-CTEs the FULL
+    graph from scratch, so the hash check IS the invariant: increment
+    ∘ state ≡ full re-cluster, per component, including components
+    merged across the batch boundary (n_new_docs > 0 rows with
+    min_doc < 325).
+
+    100 TB story: a fresh CC pays O(E) shuffle per round for O(log d)
+    rounds over the whole graph EVERY day; this pays new-edge-sized
+    contracted CC + ONE component-keyed relabel join of the label
+    table (broadcast relabel map, no iteration over the corpus). The
+    q95 battery's own test strategy (reference-free recursive-CTE
+    closure check, SURVEY §5) carries over unchanged."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.components import connected_components, incremental_components
+    from ..operators.dedup import ngram_jaccard, ngram_set
+
+    d = table(spark, sf_dir, "documents")
+    SPLIT = 325
+
+    def gap_edges(lo: int, hi: int) -> DataFrame:
+        g = (
+            d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select("doc_id", ngram_set("text", 2).alias("gs"))
+            .persist()
+        )
+        a = g.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("ga"))
+        b = g.select(F.col("doc_id").alias("id_b"), F.col("gs").alias("gb"))
+        parts = [
+            a.join(b, F.col("id_b") == F.col("id_a") + gap)
+            .filter(ngram_jaccard(F.col("ga"), F.col("gb")) >= 0.05)
+            .select("id_a", "id_b")
+            for gap in (1, 2)
+        ]
+        e = parts[0].unionByName(parts[1]).localCheckpoint(eager=True)
+        g.unpersist()
+        return e
+
+    state_dir = _Q391_STATE.get(sf_dir)
+    if state_dir is None or not os.path.isdir(state_dir):
+        state_dir = tempfile.mkdtemp(prefix="mcetl_q391_") + "/labels"
+        connected_components(gap_edges(0, SPLIT)).write.mode("overwrite").parquet(
+            state_dir
+        )
+        _Q391_STATE[sf_dir] = state_dir
+    labels = spark.read.parquet(state_dir)
+    # batch edges: the arriving docs plus the 2-doc lookback; edges with
+    # id_b < SPLIT already live in the state graph — only NEW edges merge
+    new_edges = gap_edges(SPLIT - 2, 500).filter(F.col("id_b") >= SPLIT)
+    merged = incremental_components(labels, new_edges)
+    return merged.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("id").alias("min_doc"),
+        F.max("id").alias("max_doc"),
+        F.sum((F.col("id") >= SPLIT).cast("bigint")).cast("bigint").alias("n_new_docs"),
+    )

@@ -1802,3 +1802,57 @@ def test_bm25_index_serving_matches_inline_and_appends(spark, sf_dir, tmp_path):
     served2 = bm25_serve(qt, postings2, dfreq2, stats2, top_k=3, terms=["spark", "stream"])
     top = served2.orderBy("rank").first()
     assert top.doc_id == 999000 and top.n_terms_hit == 2  # all-query-term doc wins
+
+
+def test_incremental_components_equals_full_cc(spark):
+    """q391's operator layer: merging batches of edges through the
+    contracted supergraph must label EXACTLY like a from-scratch CC on
+    the union — including batches that merge two old components through
+    a new node, attach new chains, arrive internal to one component,
+    and bring a brand-new disjoint pair."""
+    from marketingcloud_etl_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_edges = spark.createDataFrame(
+        [(5, 6), (6, 7), (10, 11), (20, 21), (30, 31)],
+        "id_a bigint, id_b bigint",
+    )
+    labels = connected_components(old_edges)
+    new_edges = spark.createDataFrame(
+        [
+            (7, 10),    # merges comp 5 with comp 10
+            (3, 11),    # new node 3 < all labels joins (and renames) that comp
+            (40, 41),   # brand-new disjoint pair
+            (20, 21),   # internal to an existing component (self-loop after map)
+            (31, 50),   # new chain node onto comp 30
+        ],
+        "id_a bigint, id_b bigint",
+    )
+    inc = {
+        (r.id, r.component)
+        for r in incremental_components(labels, new_edges).collect()
+    }
+    full = {
+        (r.id, r.component)
+        for r in connected_components(old_edges.unionByName(new_edges)).collect()
+    }
+    assert inc == full
+    # and the merged 3-5-6-7-10-11 component is labelled by its min, 3
+    assert (11, 3) in inc and (5, 3) in inc
+
+    # second increment on top of the first — state keeps composing
+    labels2 = incremental_components(labels, new_edges)
+    newer = spark.createDataFrame([(41, 30), (60, 61)], "id_a bigint, id_b bigint")
+    inc2 = {
+        (r.id, r.component)
+        for r in incremental_components(labels2, newer).collect()
+    }
+    full2 = {
+        (r.id, r.component)
+        for r in connected_components(
+            old_edges.unionByName(new_edges).unionByName(newer)
+        ).collect()
+    }
+    assert inc2 == full2
