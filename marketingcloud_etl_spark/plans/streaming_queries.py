@@ -1489,3 +1489,147 @@ def q367_stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFram
             F.max(F.col("p_id").isNull()).alias("unconverted"),
         )
     )
+
+
+_SH3Q = (
+    "list_distinct(list_transform(range(1, len({t}) - 1), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
+)
+_TOKSQ = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')"
+_FPQ = f"md5(array_to_string(list_sort({_SH3Q.format(t=_TOKSQ)}), chr(31)))"
+
+
+@query(
+    "q392_stream_incremental_dedup",
+    oracle=f"""
+    WITH cfp AS (
+      SELECT DISTINCT {_FPQ} AS fp FROM documents
+      WHERE doc_id % 4 = 3 AND len({_TOKSQ}) >= 3
+    ), b0 AS (
+      SELECT doc_id, {_FPQ} AS fp FROM documents
+      WHERE doc_id % 4 = 0 AND len({_TOKSQ}) >= 3
+    ), b1 AS (
+      SELECT doc_id, {_FPQ} AS fp FROM documents
+      WHERE doc_id % 4 = 1 AND len({_TOKSQ}) >= 3
+    ), b2 AS (
+      SELECT doc_id, {_FPQ} AS fp FROM documents
+      WHERE doc_id % 4 = 2 AND len({_TOKSQ}) >= 3
+    ), s0 AS (SELECT fp FROM cfp),
+    s1 AS (SELECT fp FROM s0 UNION SELECT DISTINCT fp FROM b0),
+    s2 AS (SELECT fp FROM s1 UNION SELECT DISTINCT fp FROM b1),
+    r AS (
+      SELECT 0 AS batch_idx, count(*) AS n_batch, count(s.fp) AS n_dup
+      FROM b0 b LEFT JOIN s0 s ON b.fp = s.fp
+      UNION ALL
+      SELECT 1, count(*), count(s.fp) FROM b1 b LEFT JOIN s1 s ON b.fp = s.fp
+      UNION ALL
+      SELECT 2, count(*), count(s.fp) FROM b2 b LEFT JOIN s2 s ON b.fp = s.fp
+    )
+    SELECT cast(batch_idx as bigint) AS batch_idx,
+           cast(n_batch as bigint) AS n_batch,
+           cast(n_dup as bigint) AS n_dup,
+           cast(n_batch - n_dup as bigint) AS n_new
+    FROM r
+    """,
+    tags=("streaming", "dedup", "incremental", "state"),
+)
+def q392_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental near-dup dedup over EVOLVING state — the
+    q388 index driven by Structured Streaming's foreachBatch: documents
+    arrive as three ordered micro-batches (doc_id % 4 = 0, 1, 2 — one
+    parquet file each, mtime-ordered, maxFilesPerTrigger=1), and each
+    batch (a) probes the persisted minhash band-bucket index, (b)
+    records its (n_batch, n_dup, n_new), and (c) APPENDS its survivors'
+    index rows — so batch 1 dedups against the corpus AND batch 0's
+    survivors, the semantics the reference's watermark increment (R16)
+    has for page counts, here for near-dup content.
+
+    Hash-verifiability of a STATEFUL STREAMING job: appending survivors
+    makes the visible fingerprint set after batch b equal
+    corpus ∪ fps(B_0..b) exactly (a dup's fingerprint is already
+    present, so appending only survivors loses nothing), and banded
+    minhash has no false negatives for set-identical docs — so each
+    batch's counts equal the oracle's layered-union LEFT JOINs, and
+    the driver value-hashes a foreachBatch pipeline end-to-end (the
+    evolving-state complement of q343's two-phase-commit sink).
+
+    100 TB story: per micro-batch cost is the q388 probe (batch
+    buckets broadcast against the index, zero corpus shuffle) plus a
+    batch-sized append; state grows by survivors only. The batch
+    boundary is data-defined (one file per arrival), so re-running the
+    replay reproduces byte-identical counts."""
+    import os
+    import tempfile
+    import time as _time
+
+    prep(spark)
+    from ..operators.dedup import build_minhash_index, probe_minhash_index
+
+    d = table(spark, sf_dir, "documents")
+
+    # ordered 3-file replay dir: file b holds doc_id % 4 = b
+    base = tempfile.mkdtemp(prefix="mcetl_q392_")
+    src = os.path.join(base, "arrivals")
+    os.makedirs(src)
+    now = _time.time()
+    for b in range(3):
+        sub = os.path.join(src, f"b={b}")
+        d.filter(F.col("doc_id") % 4 == b).select("doc_id", "text").coalesce(
+            1
+        ).write.parquet(sub)
+        for name in os.listdir(sub):
+            if name.endswith(".parquet"):
+                os.utime(os.path.join(sub, name), (now + b, now + b))
+
+    state_dir = os.path.join(base, "minhash_index")
+    corpus = d.filter(F.col("doc_id") % 4 == 3).select("doc_id", "text")
+    build_minhash_index(corpus).repartition("band").write.partitionBy(
+        "band"
+    ).parquet(state_dir)
+
+    # keyed by batch_id so an at-least-once foreachBatch redelivery
+    # overwrites rather than duplicates a count row. (A redelivery
+    # AFTER the append below would additionally see the batch's own
+    # survivors in the index — full exactly-once state maintenance
+    # needs q343's batchId-manifest two-phase commit; this query's
+    # bounded deterministic replay never retries, and the oracle would
+    # catch it if it did.)
+    results: dict[int, tuple[int, int]] = {}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
+        index = spark.read.parquet(state_dir)
+        res = probe_minhash_index(batch, index).localCheckpoint(eager=True)
+        row = res.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_dup").cast("bigint")).alias("d"),
+        ).first()
+        results[int(batch_id)] = (int(row.n or 0), int(row.d or 0))
+        survivors = batch.join(
+            res.filter(~F.col("is_dup")).select("id"),
+            batch.doc_id == F.col("id"),
+        ).select("doc_id", "text")
+        build_minhash_index(survivors).repartition("band").write.mode(
+            "append"
+        ).partitionBy("band").parquet(state_dir)
+
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return spark.createDataFrame(
+        [(b, n, dup, n - dup) for b, (n, dup) in sorted(results.items())],
+        "batch_idx bigint, n_batch bigint, n_dup bigint, n_new bigint",
+    )
