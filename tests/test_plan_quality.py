@@ -690,3 +690,14 @@ def test_bm25_serving_pushes_term_filter_into_postings_scan(spark, sf_dir):
     assert "PushedFilters: [In(t, [" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_components_relabel_broadcasts(spark, sf_dir):
+    """q391: the contracted CC and the relabel map are batch-sized, so
+    every join in the merged plan should resolve to broadcast hash
+    joins — a shuffle of the corpus-sized label table keyed on anything
+    but its component would defeat the incremental posture. And never a
+    cross product."""
+    plan = _plan(REGISTRY["q391_incremental_components_state"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
