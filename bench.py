@@ -27,7 +27,10 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from marketingcloud_etl_spark.io import table  # noqa: E402
-from marketingcloud_etl_spark.operators.ranking import release_ranking_caches  # noqa: E402
+from marketingcloud_etl_spark.operators.ranking import (  # noqa: E402
+    release_ranking_caches,
+    release_sticky_caches,
+)
 from marketingcloud_etl_spark.plans.catalog import load_all  # noqa: E402
 from marketingcloud_etl_spark.session import get_spark  # noqa: E402
 
@@ -166,6 +169,14 @@ HEADLINE = (
     "q388_incremental_minhash_state",
     "q389_incremental_semantic_state",
     "q390_bm25_index_serving",
+    # round-8: the state family's remaining two postures — incremental
+    # CC label merge (steady state probes the persisted label table;
+    # the yesterday-labels build runs in the setup pass) and the
+    # streaming foreachBatch evolving-state replay (self-contained:
+    # builds its corpus index + streams three micro-batches every run,
+    # so the whole pipeline IS the measurement)
+    "q391_incremental_components_state",
+    "q392_stream_incremental_dedup",
 )
 
 
@@ -181,83 +192,81 @@ HEADLINE = (
 # bench get a budget when their first driver bench lands (anchored
 # local best-of-2 until then, see BASELINE.md).
 BUDGETS = {
-    "q00_flagship_ingest_dedup": 1.89,
-    "q01_pricing_summary": 1.6,
-    "q05_revenue_by_nation": 1.54,
-    "q11_join_asof": 1.5,
-    "q15_agg_rollup": 1.5,
-    "q22_window_topk": 1.5,
-    "q37_dedup_exact_hash": 1.5,
-    "q41_tokenize_wordcount": 1.5,
-    "q42_tfidf": 1.5,
-    "q49_knn_bruteforce": 1.5,
-    "q50_minhash_lsh": 1.55,
-    "q52_ann_lsh_topk": 2.54,
-    "q56_sessionization": 1.5,
-    "q66_ann_ivf_topk": 2.07,
-    "q68_sliding_window": 1.5,
-    "q70_bucketed_join": 1.5,
-    "q71_asof_cogroup": 1.52,
-    "q85_hash_sample_split": 1.5,
-    "q89_decontamination": 1.5,
-    "q90_curation_pipeline": 1.5,
-    "q107_sequence_packing": 1.5,
-    "q116_bpe_pair_counts": 1.5,
-    "q119_median_mad_outliers": 4.09,
-    "q121_funnel_conversion": 1.5,
-    "q122_snapshot_cdc_diff": 1.5,
-    "q127_bigram_lm_score": 2.67,
-    "q129_setsim_join": 3.48,
-    "q131_last_touch_attribution": 1.5,
-    "q132_rfm_segmentation": 4.46,
-    "q134_semantic_dedup_pipeline": 4.06,
-    "q138_ann_ivfpq_topk": 2.08,
-    "q161_line_dedup": 1.5,
-    "q163_kmeans_clusters": 2.78,
-    "q158_bitmap_distinct": 1.5,
-    "q167_zorder_skipping": 3.16,
-    "q181_bloom_filter_join": 1.5,
-    "q190_training_mix_pipeline": 1.5,
-    "q229_threshold_topk": 1.5,
-    "q235_cdc_chunk_dedup": 1.9,
-    "q239_interval_range_frame": 1.5,
-    "q244_simhash_exact_parity": 1.5,
-    "q294_market_share": 1.81,
-    "q304_ivm_join_delta": 2.49,
-    "q308_skyline_pareto_front": 1.5,
-    "q322_abc_xyz_matrix": 3.11,
-    "q334_ks_two_sample": 1.9,
-    # pinned from BENCH_r05.json (first driver bench for these three)
-    "q337_multimodal_feature_parity": 1.5,
-    "q338_frame_sample_parity": 1.5,
-    "q342_pagerank_exact": 5.52,
-    # round-6 additions, pinned from local sf0.1 best-of-2 on the same
-    # machine (1.5x measured, 1.5 s floor); refreshed when their first
-    # driver bench lands
-    "q345_bpe_encode_apply": 1.5,
-    "q346_event_pattern_match": 1.5,
-    "q349_markov_attribution": 2.64,
-    "q353_phrase_search": 2.16,
-    "q357_grouped_quantile_scalable": 4.64,
-    "q359_bloom_incremental_dedup": 1.5,
-    "q360_label_propagation": 5.32,
-    "q361_rag_chunking": 1.5,
-    "q362_rrf_hybrid_retrieval": 1.96,
-    "q363_weighted_systematic_sample": 1.5,
-    "q364_grouped_ols_trend": 1.5,
-    "q365_iqr_outlier_fences": 6.19,
-    "q366_shapley_attribution": 1.59,
-    "q369_sketchguided_heavy_hitters": 1.5,
-    "q372_vocab_growth": 1.5,
-    "q375_er_pipeline": 2.43,
-    "q376_grid_density_clusters": 4.12,
-    # round-7 addition, local sf0.1 best-of-2 steady state (1.5x, 1.5 s
-    # floor); refreshed when its first driver bench lands
-    "q388_incremental_minhash_state": 5.16,
-    "q389_incremental_semantic_state": 4.19,
-    "q390_bm25_index_serving": 2.75,
+    "q00_flagship_ingest_dedup": 1.89,  # driver-min 1.259
+    "q01_pricing_summary": 1.6,  # driver-min 1.068
+    "q05_revenue_by_nation": 1.54,  # driver-min 1.027
+    "q11_join_asof": 1.5,  # driver-min 0.464
+    "q15_agg_rollup": 1.5,  # driver-min 0.402
+    "q22_window_topk": 1.5,  # driver-min 0.509
+    "q37_dedup_exact_hash": 1.5,  # driver-min 0.409
+    "q41_tokenize_wordcount": 1.5,  # driver-min 0.318
+    "q42_tfidf": 1.5,  # driver-min 0.881
+    "q49_knn_bruteforce": 1.5,  # driver-min 0.683
+    "q50_minhash_lsh": 1.55,  # driver-min 1.035
+    "q52_ann_lsh_topk": 2.54,  # driver-min 1.696
+    "q56_sessionization": 1.5,  # driver-min 0.49
+    "q66_ann_ivf_topk": 2.07,  # driver-min 1.378
+    "q68_sliding_window": 1.5,  # driver-min 0.384
+    "q70_bucketed_join": 1.5,  # driver-min 0.649
+    "q71_asof_cogroup": 1.52,  # driver-min 1.011
+    "q85_hash_sample_split": 1.5,  # driver-min 0.21
+    "q89_decontamination": 1.5,  # driver-min 0.888
+    "q90_curation_pipeline": 1.5,  # driver-min 0.481
+    "q107_sequence_packing": 1.5,  # driver-min 0.31
+    "q116_bpe_pair_counts": 1.5,  # driver-min 0.389
+    "q119_median_mad_outliers": 4.09,  # driver-min 2.726
+    "q121_funnel_conversion": 1.5,  # driver-min 0.576
+    "q122_snapshot_cdc_diff": 1.5,  # driver-min 0.623
+    "q127_bigram_lm_score": 2.67,  # driver-min 1.777
+    "q129_setsim_join": 3.26,  # driver-min 2.176
+    "q131_last_touch_attribution": 1.5,  # driver-min 0.64
+    "q132_rfm_segmentation": 4.37,  # driver-min 2.912
+    "q134_semantic_dedup_pipeline": 3.58,  # driver-min 2.388
+    "q138_ann_ivfpq_topk": 1.97,  # driver-min 1.312
+    "q161_line_dedup": 1.5,  # driver-min 0.483
+    "q163_kmeans_clusters": 2.78,  # driver-min 1.85
+    "q158_bitmap_distinct": 1.5,  # driver-min 0.349
+    "q167_zorder_skipping": 2.92,  # driver-min 1.946
+    "q181_bloom_filter_join": 1.5,  # driver-min 0.808
+    "q190_training_mix_pipeline": 1.5,  # driver-min 0.528
+    "q229_threshold_topk": 1.5,  # driver-min 0.869
+    "q235_cdc_chunk_dedup": 1.86,  # driver-min 1.243
+    "q239_interval_range_frame": 1.5,  # driver-min 0.85
+    "q244_simhash_exact_parity": 1.5,  # driver-min 0.51
+    "q294_market_share": 1.81,  # driver-min 1.207
+    "q304_ivm_join_delta": 2.49,  # driver-min 1.659
+    "q308_skyline_pareto_front": 1.5,  # driver-min 0.842
+    "q322_abc_xyz_matrix": 3.11,  # driver-min 2.074
+    "q334_ks_two_sample": 1.9,  # driver-min 1.266
+    "q337_multimodal_feature_parity": 1.5,  # driver-min 0.258
+    "q338_frame_sample_parity": 1.5,  # driver-min 0.252
+    "q342_pagerank_exact": 5.21,  # driver-min 3.47
+    "q345_bpe_encode_apply": 1.5,  # driver-min 0.679
+    "q346_event_pattern_match": 1.5,  # driver-min 0.487
+    "q349_markov_attribution": 3.22,  # driver-min 2.145
+    "q353_phrase_search": 2.09,  # driver-min 1.395
+    "q357_grouped_quantile_scalable": 5.94,  # driver-min 3.963
+    "q359_bloom_incremental_dedup": 1.5,  # driver-min 0.707
+    "q360_label_propagation": 5.32,  # driver-min 3.547
+    "q361_rag_chunking": 1.5,  # driver-min 0.329
+    "q362_rrf_hybrid_retrieval": 2.02,  # driver-min 1.346
+    "q363_weighted_systematic_sample": 1.5,  # driver-min 0.679
+    "q364_grouped_ols_trend": 1.5,  # driver-min 0.442
+    "q365_iqr_outlier_fences": 6.19,  # driver-min 4.128
+    "q366_shapley_attribution": 1.59,  # driver-min 1.063
+    "q369_sketchguided_heavy_hitters": 1.5,  # driver-min 0.711
+    "q372_vocab_growth": 1.75,  # driver-min 1.167
+    "q375_er_pipeline": 2.43,  # driver-min 1.622
+    "q376_grid_density_clusters": 4.12,  # driver-min 2.744
+    "q388_incremental_minhash_state": 3.85,  # driver-min 2.567
+    "q389_incremental_semantic_state": 1.86,  # driver-min 1.239
+    "q390_bm25_index_serving": 1.5,  # driver-min 0.91
+    # round-8 additions, pinned from local sf0.1 best-of-2 on the same
+    # machine (1.5x measured, 1.5 s floor); re-pinned from driver data
+    # when their first driver bench lands
+    "q391_incremental_components_state": 3.99,  # local best-of-2 2.661
+    "q392_stream_incremental_dedup": 20.65,  # local best-of-2 13.766
 }
-
 
 def _sf_of(sf_dir: str) -> float:
     name = os.path.basename(sf_dir.rstrip("/"))
@@ -267,10 +276,40 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+# Queries whose FIRST run at a scale performs a one-time build the
+# steady state amortizes (bucketed-table write, IVF codebook training,
+# BPE merge training, persisted state-index construction). Their builds
+# run — and are timed — in a dedicated SETUP SESSION so the build's
+# heap/GC footprint (11 s of index writes in round 7) cannot perturb
+# unrelated queries in the timed sweep: round 7 showed +20-48% swings
+# on UNCHANGED queries (q360, q359, q346, q163) after three new state
+# setups joined the shared session.
+SETUP_QUERIES = (
+    "q70_bucketed_join",
+    "q66_ann_ivf_topk",
+    "q134_semantic_dedup_pipeline",
+    "q138_ann_ivfpq_topk",
+    # first run trains + caches the BPE merges (the offline-train /
+    # online-apply split); the timed pass measures steady-state encode
+    "q345_bpe_encode_apply",
+    # first run builds + writes the minhash band-bucket index (the
+    # corpus-lifetime state); the timed pass measures the batch probe
+    "q388_incremental_minhash_state",
+    # same split for the vector-space twin: codebook train + index
+    # write once, timed pass = the cell-keyed probe
+    "q389_incremental_semantic_state",
+    # and for retrieval: postings/df/stats written once, timed pass
+    # = the term-pruned serving probe
+    "q390_bm25_index_serving",
+    # and for the graph-state posture: yesterday's CC labels written
+    # once, timed pass = contracted merge + relabel join
+    "q391_incremental_components_state",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
-    spark = get_spark(app_name="bench")
 
     missing = [n for n in HEADLINE if n not in registry]
     if missing:
@@ -278,25 +317,16 @@ def main() -> None:
         # phantom speedup
         raise KeyError(f"headline queries missing from registry: {missing}")
 
-    # warm-up at sf0.001 only: run EVERY headline query once at the toy
-    # scale so JVM startup, whole-stage-codegen compilation, Arrow/Python
-    # worker spawn, and py4j plan-building are billed to nobody — those
-    # costs are data-scale-independent, so absorbing them here leaves the
-    # timed pass measuring actual sf0.1 execution. Nothing runs at the
-    # bench scale before timing (the full-scale one-time setup q70/q66
-    # amortize is measured separately below).
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            registry[name].fn(spark, warm_dir).collect()
-            release_ranking_caches()
 
-    # one-time setup that q70/q66 amortize across runs (bucketed-table
-    # build, IVF codebook training) is timed separately and reported in
-    # the same JSON line — their per-query numbers below measure steady
-    # state, and the setup cost stays visible instead of hiding in a
-    # full-scale warm-up
+    # ---- PHASE 0: setup session -------------------------------------
+    # All one-time builds run in their OWN SparkSession, which is then
+    # stopped: every artifact they produce is session-independent (disk
+    # parquet, catalog-registered bucketed files, Python-memoized
+    # codebooks/merges/paths), so the timed sweep can read it from a
+    # fresh session whose block manager never held the build's blocks.
     setup: dict[str, float] = {}
+    spark = get_spark(app_name="bench-setup")
     # the events fixture normalizes its timestamp column to a one-time
     # parquet cache on first touch (io.py::_events) — materialize it here
     # so the write isn't billed to whichever headline query reads events
@@ -304,27 +334,37 @@ def main() -> None:
     t0 = time.perf_counter()
     table(spark, sf_dir, "events").count()
     setup["events_normalize_cache"] = round(time.perf_counter() - t0, 3)
-    for name in (
-        "q70_bucketed_join",
-        "q66_ann_ivf_topk",
-        "q134_semantic_dedup_pipeline",
-        "q138_ann_ivfpq_topk",
-        # first run trains + caches the BPE merges (the offline-train /
-        # online-apply split); the timed pass measures steady-state encode
-        "q345_bpe_encode_apply",
-        # first run builds + writes the minhash band-bucket index (the
-        # corpus-lifetime state); the timed pass measures the batch probe
-        "q388_incremental_minhash_state",
-        # same split for the vector-space twin: codebook train + index
-        # write once, timed pass = the cell-keyed probe
-        "q389_incremental_semantic_state",
-        # and for retrieval: postings/df/stats written once, timed pass
-        # = the term-pruned serving probe
-        "q390_bm25_index_serving",
-    ):
+    # warm the setup queries at toy scale first so JVM/codegen startup
+    # is not billed to the first setup number (same role the sf0.001
+    # warm-up plays for the timed pass)
+    if os.path.isdir(warm_dir):
+        for name in SETUP_QUERIES:
+            registry[name].fn(spark, warm_dir).collect()
+            release_ranking_caches()
+    for name in SETUP_QUERIES:
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).collect()
         setup[name] = round(time.perf_counter() - t0, 3)
+    release_sticky_caches()
+    spark.stop()
+    import gc
+
+    gc.collect()
+
+    # ---- PHASE 1: timed session --------------------------------------
+    spark = get_spark(app_name="bench")
+
+    # warm-up at sf0.001 only: run EVERY headline query once at the toy
+    # scale so whole-stage-codegen compilation, Arrow/Python worker
+    # spawn, and py4j plan-building are billed to nobody — those costs
+    # are data-scale-independent, so absorbing them here leaves the
+    # timed pass measuring actual sf0.1 execution. Nothing runs at the
+    # bench scale in this session before timing.
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            registry[name].fn(spark, warm_dir).collect()
+            release_ranking_caches()
+    release_sticky_caches()
 
     timings: dict[str, float] = {}
     for i, name in enumerate(HEADLINE):
@@ -374,6 +414,7 @@ def main() -> None:
             }
         )
     )
+    release_sticky_caches()
     spark.stop()
 
 

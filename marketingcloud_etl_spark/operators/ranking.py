@@ -46,6 +46,7 @@ __all__ = [
     "grouped_quantile_cont",
     "pin_cache",
     "release_ranking_caches",
+    "release_sticky_caches",
 ]
 
 _PID = "__mcetl_pid"
@@ -69,9 +70,14 @@ _PINNED: list[DataFrame] = []
 # frames registered for semantic reuse (pin_cache(dedupe=True)) — kept
 # separate so ordinary pins never pay the py4j plan-compare scan
 _DEDUP_PINNED: list[DataFrame] = []
+# sticky pins: semantic-reuse frames that SURVIVE release_ranking_caches
+# so two catalog queries in one session can share a pass (q357's quartile
+# counts/prefix frames feed q365's IQR fences). Only
+# release_sticky_caches() frees them — callers opt in knowingly.
+_STICKY_PINNED: list[DataFrame] = []
 
 
-def pin_cache(df: DataFrame, dedupe: bool = False) -> DataFrame:
+def pin_cache(df: DataFrame, dedupe: bool = False, sticky: bool = False) -> DataFrame:
     """Persist ``df`` and register it for the next
     :func:`release_ranking_caches` — the session-wide release point for
     every multi-consumer frame a catalog query persists (ranking
@@ -90,17 +96,34 @@ def pin_cache(df: DataFrame, dedupe: bool = False) -> DataFrame:
     OPT-IN and scans only dedupe-registered frames: probing costs two
     py4j round-trips per registered frame, which must not tax the
     dozens of ordinary pin sites. A miss just pins normally;
-    correctness never depends on a hit."""
+    correctness never depends on a hit.
+
+    ``sticky=True`` (implies ``dedupe``) keeps the pin alive ACROSS
+    :func:`release_ranking_caches` — the cross-QUERY sharing tier, so
+    a later catalog query in the same session (q365 after q357) reuses
+    the frame instead of recomputing the pass. Sticky frames are freed
+    only by :func:`release_sticky_caches`; they must be small
+    (counts/prefix frames bounded by distinct pairs, never fact-sized).
+
+    A dedupe hit additionally requires equal ``df.columns``:
+    canonicalized ``sameResult`` ignores output aliases, so a
+    plan-equivalent frame with different column names must MISS or
+    downstream references against the cached names would fail."""
+    if sticky:
+        dedupe = True
     if dedupe:
         try:
             analyzed = df._jdf.queryExecution().analyzed()
             for p in _DEDUP_PINNED:
-                if p._jdf.queryExecution().analyzed().sameResult(analyzed):
+                if p.columns == df.columns and p._jdf.queryExecution().analyzed().sameResult(analyzed):
                     return p
         except Exception:
             pass  # py4j plan probing is best-effort; fall through to pin
     df = df.persist()
-    _PINNED.append(df)
+    if sticky:
+        _STICKY_PINNED.append(df)
+    else:
+        _PINNED.append(df)
     if dedupe:
         _DEDUP_PINNED.append(df)
     return df
@@ -110,10 +133,24 @@ def release_ranking_caches(blocking: bool = False) -> int:
     """Unpersist every frame pinned by :func:`global_row_number` or
     :func:`pin_cache` since the last release. Call after the consuming
     action has materialized its result (unpersisting earlier just
-    re-runs the producing exchange). Returns the number released."""
+    re-runs the producing exchange). Returns the number released.
+
+    Sticky pins survive (that is their contract — cross-query reuse);
+    the dedupe-lookup registry is trimmed to just them."""
     n = len(_PINNED)
     while _PINNED:
         _PINNED.pop().unpersist(blocking=blocking)
+    _DEDUP_PINNED[:] = [p for p in _DEDUP_PINNED if p in _STICKY_PINNED]
+    return n
+
+
+def release_sticky_caches(blocking: bool = False) -> int:
+    """Unpersist the sticky (cross-query) pins too — the session-end
+    release point. Implies :func:`release_ranking_caches`."""
+    n = release_ranking_caches(blocking=blocking)
+    n += len(_STICKY_PINNED)
+    while _STICKY_PINNED:
+        _STICKY_PINNED.pop().unpersist(blocking=blocking)
     _DEDUP_PINNED.clear()
     return n
 
@@ -396,10 +433,18 @@ def grouped_quantile_cont(
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*gcols, value_col)
         .agg(F.count(F.lit(1)).alias("__qc_cnt")),
-        dedupe=True,
+        sticky=True,
     )
-    cum = global_prefix_sum(
-        counts, [*gcols, value_col], "__qc_cnt", "__qc_cum"
+    # The prefix-sum result is sticky too: it is the operator's
+    # expensive pass (range exchange + per-bucket window over the
+    # distinct-pair frame), and two catalog queries over the same input
+    # (q357's quartile battery, q365's IQR fences) share it — the
+    # second query's plan reduces to rank-cover filter + interpolation
+    # over the cached frame. Bounded by distinct (group, value) pairs,
+    # never fact-sized, so holding it for the session is cheap.
+    cum = pin_cache(
+        global_prefix_sum(counts, [*gcols, value_col], "__qc_cnt", "__qc_cum"),
+        sticky=True,
     )
     totals = counts.groupBy(*gcols).agg(F.sum("__qc_cnt").alias("n"))
     # 0-indexed interpolation anchors, Spark Percentile's exact
