@@ -189,3 +189,136 @@ def incremental_components(
         .select("id", F.coalesce("new_comp", "id").alias("component"))
     )
     return old.unionByName(new_nodes)
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """SYNCHRONOUS label propagation (Raghavan et al. 2007), the
+    mode-label complement to :func:`connected_components`' min-label:
+    ``rounds`` rounds in which every node adopts its in-neighbors'
+    most frequent label, ties broken by SMALLEST label; initial labels
+    are node ids. Returns (id, lab) for every node with an in-edge.
+
+    ``edges`` must already be SYMMETRIC and DISTINCT (the q360
+    convention) — the counts are over distinct in-neighbors, so the
+    result is integer-deterministic under any partitioning. Each round
+    is one edge⋈label join + a (node, label) count + a max_by argmax —
+    three key-partitioned wide ops, no per-node window."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    labels = e.select(F.col("s").alias("id")).distinct().select(
+        "id", F.col("id").alias("lab")
+    )
+    for _ in range(rounds):
+        cnts = (
+            e.join(labels, e["s"] == labels["id"])
+            .groupBy(F.col("d").alias("nid"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnts.groupBy("nid")
+            .agg(
+                F.max_by(
+                    "lab", F.struct(F.col("c"), (-F.col("lab")).alias("neg"))
+                ).alias("lab")
+            )
+            .withColumnRenamed("nid", "id")
+        )
+    return labels
+
+
+def incremental_label_prop(
+    state: DataFrame,
+    full_edges: DataFrame,
+    new_edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """MERGE a batch of new edges into a persisted K-round
+    label-propagation labelling WITHOUT re-running LP over the corpus
+    graph — the community-detection member of the incremental state
+    family (q388 minhash, q389 semantic, q391 components). ``state``
+    is yesterday's (id, lab) table from :func:`label_propagation` over
+    the OLD edge set; ``full_edges`` is old ∪ new (symmetric,
+    distinct); ``new_edges`` the symmetric distinct arrivals. Returns
+    (id, lab) EQUAL to ``label_propagation(full_edges, rounds)`` — the
+    invariant the q394 oracle hash-checks.
+
+    Why exact equality is possible for a mode-label protocol: after K
+    SYNCHRONOUS rounds from identity labels, a node's label is a pure
+    function of its K-level in-edge cone (round-K needs in-neighbors'
+    round-(K-1) labels, ..., round-0 labels are ids). A new edge
+    (s, d) therefore changes ONLY nodes within out-distance K-1 of d.
+    So:
+
+    1. AFFECTED = new-edge endpoints expanded K-1 out-hops over the
+       full graph (batch-cone-sized, broadcast through the expansion
+       joins);
+    2. recompute rounds 1..K from scratch, restricted each round r to
+       the nodes whose labels the later rounds need (the in-neighbor
+       closure NEED[r] — cone-sized, never the graph);
+    3. everything outside AFFECTED keeps its state label: ONE
+       left-anti join of the corpus-sized state against the broadcast
+       affected set — no iteration ever touches the corpus.
+
+    At 100 TB a fresh K-round LP pays K edge-sized shuffles every day;
+    this pays cone-sized joins plus one keyed pass over the state
+    table. A hub endpoint inflates the cone by its degree — the same
+    caveat q391's contracted CC carries for giant components; AQE skew
+    handling applies to the expansion joins."""
+    e = full_edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    ends = (
+        new_edges.select(F.col(src).alias("n"))
+        .unionByName(new_edges.select(F.col(dst).alias("n")))
+        .distinct()
+    )
+    affected = ends.localCheckpoint(eager=True)
+    for _ in range(rounds - 1):
+        affected = (
+            affected.unionByName(
+                e.join(F.broadcast(affected), e["s"] == affected["n"]).select(
+                    F.col("d").alias("n")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    # NEED[rounds] = affected; NEED[r] = in-neighbors of NEED[r+1]
+    need = [None] * (rounds + 1)
+    need[rounds] = affected
+    for r in range(rounds - 1, 0, -1):
+        need[r] = (
+            e.join(F.broadcast(need[r + 1]), e["d"] == need[r + 1]["n"])
+            .select(F.col("s").alias("n"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    cur = None  # round-r labels, restricted to NEED[r]
+    for r in range(1, rounds + 1):
+        ein = e.join(F.broadcast(need[r]), e["d"] == need[r]["n"]).select("s", "d")
+        if cur is None:
+            # round-0 labels are identities: label(src) = src, no join
+            lab_src = ein.select(F.col("d").alias("nid"), F.col("s").alias("lab"))
+        else:
+            lab_src = ein.join(cur, ein["s"] == cur["id"]).select(
+                F.col("d").alias("nid"), "lab"
+            )
+        cnts = lab_src.groupBy("nid", "lab").agg(F.count(F.lit(1)).alias("c"))
+        cur = (
+            cnts.groupBy("nid")
+            .agg(
+                F.max_by(
+                    "lab", F.struct(F.col("c"), (-F.col("lab")).alias("neg"))
+                ).alias("lab")
+            )
+            .withColumnRenamed("nid", "id")
+            .localCheckpoint(eager=True)
+        )
+    untouched = state.join(
+        F.broadcast(affected.withColumnRenamed("n", "id")), "id", "left_anti"
+    )
+    return untouched.unionByName(cur.select("id", "lab"))

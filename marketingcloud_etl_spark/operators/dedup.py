@@ -298,6 +298,14 @@ def probe_minhash_index(
     verify over the stored fingerprints, and ``dup_of`` is the lowest
     matching corpus id (null when new).
 
+    PRECONDITION: ``id_col`` must be UNIQUE within ``batch``. The
+    probe joins the batch's band buckets with its fingerprints on id;
+    a duplicated id crosses one doc's buckets with the other doc's
+    fingerprint, and the per-id aggregation silently merges both docs
+    into one wrong row. Callers minting synthetic ids (re-crawl
+    batches) must mint collision-free ones — q388 negates re-crawl ids
+    so they can never meet a genuine id at any scale.
+
     Scale shape: the only join is (band, bucket)-keyed, batch-side
     broadcast by default (a daily batch is orders of magnitude smaller
     than the corpus index, and broadcasting it turns the probe into a
@@ -333,6 +341,42 @@ def probe_minhash_index(
             "dup_of",
         )
     )
+
+
+def compact_minhash_index(
+    spark,
+    state_dir: str,
+    out_dir: str,
+    keep: Column | None = None,
+) -> DataFrame:
+    """MAINTENANCE pass for the persisted band-bucket state: rewrite an
+    append-grown index into ONE file per band partition, dropping rows
+    that fail the ``keep`` predicate (TTL / retention / right-to-erasure
+    deletes). Every probed batch appends its survivors' index rows
+    (:func:`probe_minhash_index` loop), so after N batches each band
+    partition holds N small files — the classic streaming-ingest
+    small-file pile-up — and expired docs keep matching forever unless
+    their rows are dropped. Compaction is the q120 small-file story
+    applied to the state layout.
+
+    Scale shape: ONE shuffle keyed on ``band`` over the INDEX (bounded
+    by docs × bands rows of four scalars — never the corpus text), with
+    the ``keep`` predicate evaluated before the exchange so expired
+    rows don't shuffle; one writer per band ⇒ one file per band.
+    Writes to ``out_dir`` (generation-style: the caller swaps dirs or
+    repoints readers — rewriting ``state_dir`` in place would race
+    concurrent probes). Returns the compacted index frame.
+
+    Probe-equivalence contract: for any batch, probing the compacted
+    index equals probing the original MINUS matches against dropped
+    docs (pinned in tests/test_operators.py)."""
+    idx = spark.read.parquet(state_dir)
+    if keep is not None:
+        idx = idx.filter(keep)
+    idx.repartition("band").write.mode("overwrite").partitionBy("band").parquet(
+        out_dir
+    )
+    return spark.read.parquet(out_dir)
 
 
 # ---------------------------------------------------------------- SimHash

@@ -253,7 +253,13 @@ def probe_semantic_index(
     id. The only join is cell-keyed with the (small) batch side
     broadcast, so the corpus-sized index is scanned map-side and never
     shuffled; survivors' index rows append to the state, closing the
-    incremental loop (same shape as dedup.probe_minhash_index)."""
+    incremental loop (same shape as dedup.probe_minhash_index).
+
+    PRECONDITION: ``id_col`` must be UNIQUE within ``batch`` — a
+    duplicated id crosses one vector's probed cells with the other's
+    fingerprint and the per-id aggregation merges both into one wrong
+    row (see probe_minhash_index; q389 negates re-ingest ids so
+    synthetic ids never collide with genuine ones)."""
     cells = _probed_cells(batch, codebook, n_probe, id_col, vec_col, with_unit=False)
     bfp = batch.select(
         F.col(id_col).alias("__id"), vector_fingerprint(vec_col).alias("__bfp")

@@ -2597,7 +2597,10 @@ _Q388_STATE: dict[str, str] = {}
     WITH corp AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
     ), batch AS (
-      SELECT source, doc_id + 100000 AS doc_id, text FROM documents
+      -- re-crawls carry NEGATED ids: genuine batch ids are >= 0, so a
+      -- negated id can never collide with one at ANY scale factor (an
+      -- additive shift collides once doc_id exceeds it, sf >~ 0.2)
+      SELECT source, -doc_id AS doc_id, text FROM documents
       WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1
       UNION ALL
       SELECT source, doc_id, text FROM documents WHERE doc_id % 3 = 0
@@ -2658,9 +2661,16 @@ def q388_incremental_minhash_state(spark: SparkSession, sf_dir: str) -> DataFram
 
     d = table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    # Re-crawled docs arrive under fresh ids. NEGATION, not an additive
+    # shift, mints them: corpus/batch ids are non-negative (and the
+    # re-crawl slice has doc_id >= 1), so -doc_id is collision-free at
+    # EVERY sf — doc_id + K collides with a genuine %3=0 id as soon as
+    # the table outgrows K, and probe_minhash_index requires batch ids
+    # to be unique (duplicate ids would cross one doc's buckets with
+    # the other's fingerprint and merge both under groupBy(id)).
     batch = (
         d.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 1))
-        .select("source", (F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .select("source", (-F.col("doc_id")).alias("doc_id"), "text")
         .unionByName(
             d.filter(F.col("doc_id") % 3 == 0).select("source", "doc_id", "text")
         )
@@ -2705,7 +2715,9 @@ _Q389_STATE: dict[str, tuple] = {}
     WITH corp AS (
       SELECT embedding FROM embeddings WHERE vec_id % 3 <> 0
     ), batch AS (
-      SELECT label, vec_id + 100000 AS vec_id, embedding FROM embeddings
+      -- negated re-ingest ids: collision-free with genuine %3=0 ids at
+      -- any sf, unlike an additive shift (see q388)
+      SELECT label, -vec_id AS vec_id, embedding FROM embeddings
       WHERE vec_id % 3 <> 0 AND vec_id % 5 = 1
       UNION ALL
       SELECT label, vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
@@ -2760,9 +2772,11 @@ def q389_incremental_semantic_state(spark: SparkSession, sf_dir: str) -> DataFra
 
     e = table(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") % 3 != 0).select("vec_id", "embedding")
+    # negated re-ingest ids — collision-free with genuine %3=0 ids at
+    # any sf (probe_semantic_index requires unique batch ids; see q388)
     batch = (
         e.filter((F.col("vec_id") % 3 != 0) & (F.col("vec_id") % 5 == 1))
-        .select("label", (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        .select("label", (-F.col("vec_id")).alias("vec_id"), "embedding")
         .unionByName(
             e.filter(F.col("vec_id") % 3 == 0).select("label", "vec_id", "embedding")
         )
@@ -2878,3 +2892,222 @@ def q391_incremental_components_state(spark: SparkSession, sf_dir: str) -> DataF
         F.max("id").alias("max_doc"),
         F.sum((F.col("id") >= SPLIT).cast("bigint")).cast("bigint").alias("n_new_docs"),
     )
+
+
+# q393 state cache: sf_dir -> base dir holding the appended-generations
+# minhash index (built once; each call re-runs the compaction pass)
+_Q393_STATE: dict[str, str] = {}
+
+
+@query(
+    "q393_state_compaction_ttl",
+    oracle=f"""
+    WITH corp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    ), batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ), ct AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM corp
+    ), cfp AS (
+      SELECT doc_id, {_FP3.format(sh=_SH3.format(t='t'))} AS fp
+      FROM ct WHERE len(t) >= 3
+    ), cset AS (
+      SELECT DISTINCT fp FROM cfp
+    ), bt AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM batch
+    ), bfp AS (
+      SELECT doc_id, {_FP3.format(sh=_SH3.format(t='t'))} AS fp
+      FROM bt WHERE len(t) >= 3
+    ), surv AS (
+      SELECT b.doc_id, b.fp FROM bfp b LEFT JOIN cset c ON b.fp = c.fp
+      WHERE c.fp IS NULL
+    ), live AS (
+      SELECT doc_id, fp FROM cfp
+      UNION ALL
+      SELECT doc_id, fp FROM surv
+    ), kept AS (
+      SELECT doc_id, fp FROM live WHERE doc_id % 7 <> 2
+    )
+    SELECT cast(band as int) AS band,
+           cast(count(*) as bigint) AS n_entries,
+           cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+           cast(count(DISTINCT fp) as bigint) AS n_fps,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM range(8) r(band) CROSS JOIN kept
+    GROUP BY band
+    """,
+    tags=("dedup", "incremental", "state", "maintenance"),
+)
+def q393_state_compaction_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-TABLE MAINTENANCE — the lifecycle pass the incremental
+    family (q388–q392) implies: the band-bucket index grows by one
+    small-file append per probed batch FOREVER, and expired docs keep
+    matching until their rows leave the state. This query builds the
+    two-generation state q388's steady loop produces (corpus index +
+    appended batch survivors), then runs
+    operators/dedup.py::compact_minhash_index — TTL-drop rows for
+    aged-out docs (retention proxy: doc_id % 7 = 2), one band-keyed
+    shuffle, one file per band — and reports the compacted state's
+    per-band profile.
+
+    Hash-verifiability rides q388's exactness chain: the index holds
+    exactly one row per (live doc with ≥3 tokens, band), survivors are
+    fingerprint-verified (banded minhash has no false negatives for
+    set-identical docs), so per-band (n_entries, n_docs, n_fps,
+    min/max id) equals the oracle's plain fingerprint algebra — a
+    CONSERVATION check: compaction must drop exactly the TTL'd rows
+    and nothing else. Probe-equivalence pre/post compaction is pinned
+    in tests/test_operators.py.
+
+    100 TB story: after a year of daily batches each band partition
+    holds ~365 files; probes pay per-file open cost and the scan loses
+    row-group locality. Compaction is ONE shuffle of the index —
+    docs × bands rows of four scalars, never the corpus text — with
+    the retention predicate evaluated BEFORE the exchange; writes a
+    fresh generation dir so concurrent probes never read a half
+    -rewritten state (q343's atomic-publish discipline, applied to
+    index maintenance)."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        probe_minhash_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+
+    base = _Q393_STATE.get(sf_dir)
+    if base is None or not os.path.isdir(os.path.join(base, "index")):
+        base = tempfile.mkdtemp(prefix="mcetl_q393_")
+        sd = os.path.join(base, "index")
+        build_minhash_index(corpus).repartition("band").write.partitionBy(
+            "band"
+        ).parquet(sd)
+        index = spark.read.parquet(sd)
+        res = probe_minhash_index(batch, index)
+        survivors = batch.join(
+            res.filter(~F.col("is_dup")).select("id"),
+            batch.doc_id == F.col("id"),
+        ).select("doc_id", "text")
+        build_minhash_index(survivors).repartition("band").write.mode(
+            "append"
+        ).partitionBy("band").parquet(sd)
+        _Q393_STATE[sf_dir] = base
+    sd = os.path.join(base, "index")
+    compacted = compact_minhash_index(
+        spark, sd, os.path.join(base, "compacted"), keep=F.col("id") % 7 != 2
+    )
+    return compacted.groupBy(F.col("band").cast("int").alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entries"),
+        F.count_distinct("id").cast("bigint").alias("n_docs"),
+        F.count_distinct("set_fp").cast("bigint").alias("n_fps"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+# q394 state cache: sf_dir -> parquet dir of the old-graph LP labels
+_Q394_STATE: dict[str, str] = {}
+
+
+@query(
+    "q394_incremental_label_prop",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), edges AS (
+      SELECT p * 2 AS src, s * 2 + 1 AS dst FROM e0
+      UNION ALL
+      SELECT s * 2 + 1 AS src, p * 2 AS dst FROM e0
+    ), l0 AS (
+      SELECT DISTINCT src AS id, src AS lab FROM edges
+    ), c1 AS (
+      SELECT e.dst AS id, l.lab, count(*) AS c
+      FROM edges e JOIN l0 l ON e.src = l.id GROUP BY e.dst, l.lab
+    ), l1 AS (
+      SELECT id, lab FROM (
+        SELECT id, lab,
+               row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+        FROM c1
+      ) WHERE rn = 1
+    ), c2 AS (
+      SELECT e.dst AS id, l.lab, count(*) AS c
+      FROM edges e JOIN l1 l ON e.src = l.id GROUP BY e.dst, l.lab
+    ), l2 AS (
+      SELECT id, lab FROM (
+        SELECT id, lab,
+               row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+        FROM c2
+      ) WHERE rn = 1
+    )
+    SELECT id, cast(lab as bigint) AS community FROM l2
+    """,
+    tags=("graph", "iterative", "incremental", "state"),
+)
+def q394_incremental_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL label propagation — the mode-label community
+    complement of q391's incremental components, closing the gap the
+    state family (q388–q393) left open: yesterday's 2-round LP
+    labelling of the part-supplier graph (lineitems with l_orderkey %
+    10 ≠ 0) is a persisted (id, lab) table, today's batch contributes
+    the REMAINING distinct part-supplier pairs, and
+    operators/components.py::incremental_label_prop merges them by
+    recomputing ONLY the new edges' dependency cone.
+
+    Why a mode-label protocol can be incrementally EXACT (min-label CC
+    composes trivially; argmax does not): after K synchronous rounds
+    from identity labels, a node's label is a pure function of its
+    K-level in-edge cone, so a new edge (s, d) can only change nodes
+    within out-distance K−1 of d. The operator expands that affected
+    set (K−1 broadcast hops), recomputes rounds 1..K over the cone's
+    in-neighbor closure, and keeps state labels elsewhere — one
+    left-anti join over the corpus-sized state, no iteration. The
+    oracle runs the FULL 2-round LP over the union graph (q360's exact
+    CTE unroll), so the driver hash-checks increment ∘ state ≡ full
+    recompute per node.
+
+    100 TB story: daily cost is the batch cone (bounded by the touched
+    nodes' degrees), not K edge-sized shuffles over the corpus graph —
+    the LP analogue of q391's contracted-CC merge; the corpus is
+    touched exactly once by the keyed anti-join/union that stitches
+    the output."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.components import incremental_label_prop, label_propagation
+
+    li = table(spark, sf_dir, "lineitem")
+
+    def sym_pairs(df):
+        e0 = (
+            df.select("l_partkey", "l_suppkey")
+            .distinct()
+            .select(
+                (F.col("l_partkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+        )
+        return e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    old_edges = sym_pairs(li.filter(F.col("l_orderkey") % 10 != 0))
+    full_edges = sym_pairs(li).localCheckpoint()
+    new_edges = full_edges.exceptAll(old_edges).localCheckpoint()
+
+    state_dir = _Q394_STATE.get(sf_dir)
+    if state_dir is None or not os.path.isdir(state_dir):
+        state_dir = tempfile.mkdtemp(prefix="mcetl_q394_") + "/labels"
+        label_propagation(old_edges, rounds=2).write.mode("overwrite").parquet(
+            state_dir
+        )
+        _Q394_STATE[sf_dir] = state_dir
+    state = spark.read.parquet(state_dir)
+    merged = incremental_label_prop(state, full_edges, new_edges, rounds=2)
+    return merged.select("id", F.col("lab").cast("bigint").alias("community"))

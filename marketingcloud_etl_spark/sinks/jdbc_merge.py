@@ -80,6 +80,17 @@ def quote_ident(name: str, dialect: str = "mysql") -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
+def quote_table(name: str, dialect: str = "mysql") -> str:
+    """Quote a possibly schema-qualified table name: each dot-separated
+    part is quoted SEPARATELY (``uat.lead_activity`` →
+    ```uat`.`lead_activity```), because quoting the whole string as one
+    identifier would yield a single table literally named
+    "uat.lead_activity" — the exact shape ``db_config_from_env``'s
+    MKT_CLOUD_SCHEMA produces. A part containing a literal dot can't be
+    expressed; pass it pre-quoted or unqualified."""
+    return ".".join(quote_ident(p, dialect) for p in name.split("."))
+
+
 def _column_sql_type(
     f, key_cols: Sequence[str], column_types: dict[str, str] | None
 ) -> str:
@@ -113,13 +124,14 @@ def create_table_sql(
     All identifiers are dialect-quoted (the lead-activity schema has a
     column named ``order``)."""
     q = lambda n: quote_ident(n, dialect)  # noqa: E731
+    qt = lambda n: quote_table(n, dialect)  # noqa: E731
     cols = [
         f"{q(f.name)} {_column_sql_type(f, key_cols, column_types)}"
         for f in df.schema.fields
     ]
     uniq = ", ".join(q(k) for k in key_cols)
     return (
-        f"CREATE TABLE IF NOT EXISTS {q(table)} ("
+        f"CREATE TABLE IF NOT EXISTS {qt(table)} ("
         + ", ".join(cols)
         + f", UNIQUE ({uniq}))"
     )
@@ -158,6 +170,7 @@ def merge_sql(
     a column named ``order`` (salesforce_extractor.py:70).
     """
     q = lambda n: quote_ident(n, dialect)  # noqa: E731
+    qt = lambda n: quote_table(n, dialect)  # noqa: E731
     collist = ", ".join(q(c) for c in columns)
     non_key = [c for c in columns if c not in key_cols]
     if dialect == "mysql":
@@ -167,7 +180,7 @@ def merge_sql(
             k = q(key_cols[0])
             upd = f"{k}={k}"  # the reference's no-op form
         return (
-            f"INSERT INTO {q(target)} ({collist}) SELECT {collist} FROM {q(staging)} "
+            f"INSERT INTO {qt(target)} ({collist}) SELECT {collist} FROM {qt(staging)} "
             f"ON DUPLICATE KEY UPDATE {upd}"
         )
     if dialect in ("postgres", "sqlite"):
@@ -179,13 +192,13 @@ def merge_sql(
         else:
             upd = "DO NOTHING"
         return (
-            f"INSERT INTO {q(target)} ({collist}) SELECT {collist} FROM {q(staging)} "
+            f"INSERT INTO {qt(target)} ({collist}) SELECT {collist} FROM {qt(staging)} "
             f"WHERE true ON CONFLICT ({conflict}) {upd}"
         )
     if dialect == "ansi":
         on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
         ins = ", ".join(f"s.{q(c)}" for c in columns)
-        stmt = f"MERGE INTO {q(target)} t USING {q(staging)} s ON {on}"
+        stmt = f"MERGE INTO {qt(target)} t USING {qt(staging)} s ON {on}"
         if update_on_match and non_key:
             stmt += " WHEN MATCHED THEN UPDATE SET " + ", ".join(
                 f"t.{q(c)} = s.{q(c)}" for c in non_key
@@ -263,7 +276,7 @@ def merge_upsert(
         [
             create_table_sql(batch, target_table, key_cols, dialect, column_types),
             merge_sql(target_table, staging, columns, key_cols, dialect, update_on_match),
-            f"DROP TABLE {quote_ident(staging, dialect)}",
+            f"DROP TABLE {quote_table(staging, dialect)}",
         ]
     )
     return {"staged_table": staging, "target_table": target_table}

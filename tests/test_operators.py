@@ -104,6 +104,84 @@ def test_minhash_index_probe_incremental(spark, sf_dir, tmp_path):
     assert all(res2[i + 5000].dup_of == i + 2000 for i in range(10, 20))
 
 
+def test_minhash_index_compaction_ttl(spark, sf_dir, tmp_path):
+    """compact_minhash_index (q393's operator): (1) an append-grown
+    state collapses to ONE file per band partition; (2) probing the
+    compacted index equals probing the original for every doc whose
+    matches were not TTL'd; (3) TTL'd docs stop matching — their
+    re-ingests come back NEW."""
+    import os
+
+    from marketingcloud_etl_spark.operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    state = str(tmp_path / "idx")
+    gen1 = docs.filter(F.col("doc_id") < 30)
+    gen2 = docs.filter(F.col("doc_id") >= 30)
+    build_minhash_index(gen1).repartition("band").write.partitionBy("band").parquet(state)
+    build_minhash_index(gen2).repartition("band").write.mode("append").partitionBy(
+        "band"
+    ).parquet(state)
+    band_dirs = [p for p in os.listdir(state) if p.startswith("band=")]
+    assert band_dirs, "no band partitions written"
+    n_files_before = sum(
+        len([f for f in os.listdir(os.path.join(state, b)) if f.endswith(".parquet")])
+        for b in band_dirs
+    )
+    assert n_files_before >= 2 * len(band_dirs)  # two generations of files
+
+    # TTL: drop docs 0..9; compact the rest
+    out = str(tmp_path / "idx_compacted")
+    compacted = compact_minhash_index(spark, state, out, keep=F.col("id") >= 10)
+    for b in [p for p in os.listdir(out) if p.startswith("band=")]:
+        files = [f for f in os.listdir(os.path.join(out, b)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{b}: {len(files)} files after compaction"
+
+    # probe equivalence: re-ingest every doc under fresh (negated-odd)
+    # ids; kept docs still verify as dups, TTL'd docs come back new
+    reingest = docs.select((-F.col("doc_id") - 1).alias("doc_id"), "text")
+    before = {r.id: r for r in probe_minhash_index(reingest, spark.read.parquet(state)).collect()}
+    after = {r.id: r for r in probe_minhash_index(reingest, compacted).collect()}
+    for i in range(60):
+        rid = -i - 1
+        assert before[rid].is_dup, f"doc {i} should dup pre-compaction"
+        if i >= 10:
+            assert after[rid].is_dup and after[rid].dup_of == before[rid].dup_of
+        else:
+            assert not after[rid].is_dup, f"TTL'd doc {i} still matches"
+
+
+def test_recrawl_id_minting_collision_free(spark):
+    """q388/q389 mint synthetic ids for re-crawled docs by NEGATION.
+    probe_minhash_index/probe_semantic_index REQUIRE unique batch ids
+    (duplicate ids cross one doc's buckets with the other's fingerprint
+    and merge both under the per-id agg), and an additive shift
+    (doc_id + K) collides with a genuine %3=0 id as soon as the table
+    outgrows K — at the fixtures' growth rate, sf >= ~0.2. Negated ids
+    can never meet non-negative genuine ids at ANY scale. This pins the
+    minting rule on an id domain PAST the old collision point."""
+    d = spark.range(0, 200_000).withColumnRenamed("id", "doc_id")
+    recrawl = d.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 1))
+    genuine = d.filter(F.col("doc_id") % 3 == 0)
+    minted = recrawl.select((-F.col("doc_id")).alias("doc_id")).unionByName(genuine)
+    assert minted.count() == minted.select("doc_id").distinct().count()
+    # the OLD additive rule collides on this domain — the scenario the
+    # negation rule exists to rule out (x = 100_011: shifted 11 ≡ 11
+    # mod 15 meets genuine 100_011 ≡ 0 mod 3)
+    shifted = recrawl.select((F.col("doc_id") + 100_000).alias("doc_id")).unionByName(
+        genuine
+    )
+    assert shifted.count() > shifted.select("doc_id").distinct().count()
+
+
 def test_simhash_bands_find_planted_neardups(docs_with_neardups):
     cand = simhash_band_candidates(docs_with_neardups, bands=4)
     pairs = {(r.id_a, r.id_b) for r in cand.collect()}
@@ -371,6 +449,31 @@ def test_merge_sql_dialects(spark):
     df = spark.createDataFrame([("a", 1, 2.0)], "hash string, n bigint, v double")
     ddl = create_table_sql(df, "t", ["hash"])
     assert "CREATE TABLE IF NOT EXISTS `t`" in ddl and "UNIQUE (`hash`)" in ddl
+
+
+def test_merge_sql_schema_qualified_tables(spark):
+    """A schema-qualified target (the shape db_config_from_env's
+    MKT_CLOUD_SCHEMA produces, e.g. 'uat.lead_activity') must quote
+    each dot-part separately — quoting the whole string as ONE
+    identifier names a single table literally containing a dot."""
+    from marketingcloud_etl_spark.sinks.jdbc_merge import (
+        create_table_sql,
+        merge_sql,
+        quote_table,
+    )
+
+    assert quote_table("uat.lead_activity", "mysql") == "`uat`.`lead_activity`"
+    assert quote_table("uat.lead_activity", "postgres") == '"uat"."lead_activity"'
+    assert quote_table("lead_activity", "mysql") == "`lead_activity`"
+    my = merge_sql(
+        "uat.lead_activity", "uat.lead_activity__stg", ["hash"], ["hash"], "mysql"
+    )
+    assert "INSERT INTO `uat`.`lead_activity` " in my
+    assert "FROM `uat`.`lead_activity__stg` " in my
+    assert "`uat.lead_activity`" not in my
+    df = spark.createDataFrame([("a",)], "hash string")
+    ddl = create_table_sql(df, "uat.lead_activity", ["hash"], "postgres")
+    assert 'CREATE TABLE IF NOT EXISTS "uat"."lead_activity"' in ddl
 
 
 def test_create_table_sql_reference_widths_and_reserved_words(spark):
@@ -1856,3 +1959,62 @@ def test_incremental_components_equals_full_cc(spark):
         ).collect()
     }
     assert inc2 == full2
+
+
+def _sym(spark, pairs):
+    e = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def test_incremental_label_prop_equals_full(spark):
+    """q394's operator layer: cone-recompute LP must label EXACTLY like
+    from-scratch label_propagation on the union graph — including a
+    bridge edge between two old communities, a new pendant node, and a
+    brand-new disjoint pair."""
+    from marketingcloud_etl_spark.operators.components import (
+        incremental_label_prop,
+        label_propagation,
+    )
+
+    old = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)]
+    new = [(4, 10), (12, 50), (70, 71)]
+    old_e = _sym(spark, old)
+    full_e = _sym(spark, old + new)
+    new_e = full_e.exceptAll(old_e)
+    state = label_propagation(old_e, rounds=2)
+    inc = {
+        (r.id, r.lab)
+        for r in incremental_label_prop(state, full_e, new_e, rounds=2).collect()
+    }
+    full = {(r.id, r.lab) for r in label_propagation(full_e, rounds=2).collect()}
+    assert inc == full
+
+
+def test_incremental_label_prop_is_actually_incremental(spark):
+    """Nodes outside the new edges' dependency cone must take their
+    label from the STATE TABLE, not a recompute — probed by corrupting
+    the state label of a far-away node and observing the corruption
+    survive the merge (a from-scratch recompute would repair it)."""
+    from marketingcloud_etl_spark.operators.components import (
+        incremental_label_prop,
+        label_propagation,
+    )
+
+    # path 1-2-3-4-5-6; new edge attaches 100 at node 6: with K=2 the
+    # affected out-ball of {6, 100} is {6, 100, 5} — nodes 1..3 are
+    # outside every cone set
+    old = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    new = [(6, 100)]
+    old_e = _sym(spark, old)
+    full_e = _sym(spark, old + new)
+    new_e = full_e.exceptAll(old_e)
+    state = label_propagation(old_e, rounds=2).withColumn(
+        "lab", F.when(F.col("id") == 1, F.lit(999)).otherwise(F.col("lab"))
+    )
+    merged = {
+        (r.id, r.lab)
+        for r in incremental_label_prop(state, full_e, new_e, rounds=2).collect()
+    }
+    assert (1, 999) in merged  # state label rode through untouched
