@@ -3111,3 +3111,223 @@ def q394_incremental_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = spark.read.parquet(state_dir)
     merged = incremental_label_prop(state, full_edges, new_edges, rounds=2)
     return merged.select("id", F.col("lab").cast("bigint").alias("community"))
+
+
+# q395 state cache: sf_dir -> base dir (minhash index + CC labels over
+# yesterday's corpus — the two persisted state tables the refresh probes)
+_Q395_STATE: dict[str, str] = {}
+
+
+@query(
+    "q395_corpus_refresh_pipeline",
+    oracle=f"""
+    WITH RECURSIVE corp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    ), bat AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ), ct AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM corp
+    ), cfp AS (
+      SELECT doc_id, {_FP3.format(sh=_SH3.format(t='t'))} AS fp
+      FROM ct WHERE len(t) >= 3
+    ), cset AS (
+      SELECT DISTINCT fp FROM cfp
+    ), bt AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM bat
+    ), bfp AS (
+      SELECT doc_id, {_FP3.format(sh=_SH3.format(t='t'))} AS fp
+      FROM bt WHERE len(t) >= 3
+    ), surv AS (
+      SELECT b.doc_id FROM bfp b LEFT JOIN cset c ON b.fp = c.fp
+      WHERE c.fp IS NULL
+    ), refreshed AS (
+      SELECT doc_id, text FROM corp
+      UNION ALL
+      SELECT d.doc_id, d.text FROM bat d JOIN surv s ON d.doc_id = s.doc_id
+    ), g AS (
+      SELECT doc_id, {_GRAMS.format(t=tokens_sql('text'))} AS gs FROM refreshed
+    ), sim AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2
+      WHERE CASE WHEN len(list_distinct(list_concat(a.gs, b.gs))) > 0
+            THEN cast(len(list_intersect(a.gs, b.gs)) as double)
+                 / len(list_distinct(list_concat(a.gs, b.gs)))
+            ELSE 0.0 END >= 0.05
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS s, id_b AS d FROM sim
+      UNION SELECT id_b, id_a FROM sim
+    ), nodes AS (
+      SELECT DISTINCT s AS id FROM edges
+    ), reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), canon AS (
+      SELECT min(id) AS doc_id, component FROM comp GROUP BY component
+      UNION ALL
+      SELECT r.doc_id, r.doc_id AS component
+      FROM refreshed r LEFT JOIN nodes n ON r.doc_id = n.id
+      WHERE n.id IS NULL
+    ), w AS (
+      SELECT c.doc_id, c.component, cast(d.n_chars as bigint) AS wt
+      FROM canon c JOIN documents d ON c.doc_id = d.doc_id
+      WHERE d.n_chars > 0
+    ), cw AS (
+      SELECT doc_id, component, wt,
+             sum(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM w
+    ), tot AS (
+      SELECT cast(sum(wt) as bigint) AS total FROM w
+    ), m AS (
+      SELECT doc_id, component, wt, cum,
+             ((cum * 25 - 1) // total)
+               - (((cum - wt) * 25 + total - 1) // total) + 1 AS mult
+      FROM cw CROSS JOIN tot
+    )
+    SELECT doc_id, cast(component as bigint) AS component,
+           cast(wt as bigint) AS weight, cast(mult as bigint) AS multiplicity
+    FROM m WHERE mult >= 1
+    """,
+    tags=("dedup", "incremental", "state", "pipeline", "sampling"),
+)
+def q395_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END INCREMENTAL CORPUS REFRESH — the state family's
+    composition query, mirroring what q134 is for the batch path: one
+    oracle-checked pipeline that (1) dedups an arriving batch against
+    the persisted minhash band-bucket index (q388's probe — the corpus
+    text is never re-scanned), (2) merges the survivors' near-dup
+    similarity edges into the persisted component labelling through
+    the contracted supergraph (q391's incremental CC — new-edge-sized
+    work), (3) picks each cluster's canonical doc (min id — free under
+    the CC labelling convention, the component label IS its minimum
+    member), and (4) draws the deterministic weight-proportional
+    systematic sample (q363's two-floor-division formula, k=25,
+    weight = n_chars) over the refreshed canonical set.
+
+    The oracle recomputes the whole refresh FROM SCRATCH — fingerprint
+    dedup algebra, full recursive-CTE connected components over the
+    refreshed similarity graph, canonical pick, prefix-sum sampling —
+    so the driver hash-checks the composed incremental path against
+    the composed batch recompute end-to-end, per sampled doc. Batch
+    docs under 3 tokens carry no fingerprint and are dropped by BOTH
+    engines (q388's contract).
+
+    100 TB story: a daily refresh touches (a) the batch (probe +
+    shingle pass), (b) the batch's similarity cone (gap edges with a
+    survivor endpoint — corpus-corpus edges already live in the state
+    labels), (c) ONE component-keyed relabel join of the label table,
+    and (d) one prefix-sum pass over the canonical weights. The corpus
+    text itself is read ZERO times — the posture that turns a
+    yearly-rescan curation job into a daily append."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.components import connected_components, incremental_components
+    from ..operators.dedup import (
+        build_minhash_index,
+        ngram_jaccard,
+        ngram_set,
+        probe_minhash_index,
+    )
+    from ..operators.ranking import global_prefix_sum
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+
+    def gap_edges(docs: DataFrame) -> DataFrame:
+        g = docs.select("doc_id", ngram_set("text", 2).alias("gs")).persist()
+        a = g.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("ga"))
+        b = g.select(F.col("doc_id").alias("id_b"), F.col("gs").alias("gb"))
+        parts = [
+            a.join(b, F.col("id_b") == F.col("id_a") + gap)
+            .filter(ngram_jaccard(F.col("ga"), F.col("gb")) >= 0.05)
+            .select("id_a", "id_b")
+            for gap in (1, 2)
+        ]
+        e = parts[0].unionByName(parts[1]).localCheckpoint(eager=True)
+        g.unpersist()
+        return e
+
+    base = _Q395_STATE.get(sf_dir)
+    if base is None or not os.path.isdir(os.path.join(base, "index")):
+        base = tempfile.mkdtemp(prefix="mcetl_q395_")
+        build_minhash_index(corpus).repartition("band").write.partitionBy(
+            "band"
+        ).parquet(os.path.join(base, "index"))
+        connected_components(gap_edges(corpus)).write.parquet(
+            os.path.join(base, "labels")
+        )
+        _Q395_STATE[sf_dir] = base
+    index = spark.read.parquet(os.path.join(base, "index"))
+    labels = spark.read.parquet(os.path.join(base, "labels"))
+
+    # 1. probe: batch vs the INDEX alone
+    res = probe_minhash_index(batch, index)
+    surv = batch.join(
+        res.filter(~F.col("is_dup")).select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    # 2. new similarity edges: gap-1/2 pairs with >=1 SURVIVOR endpoint.
+    # Only ids within 2 of a survivor can form one — the batch cone;
+    # corpus-corpus edges already live in the persisted labelling.
+    sids = surv.select("doc_id")
+    near = (
+        sids.select(
+            F.explode(
+                F.array(*[F.col("doc_id") + i for i in range(-2, 3)])
+            ).alias("doc_id")
+        )
+        .distinct()
+    )
+    refreshed_ids = corpus.select("doc_id").unionByName(sids)
+    cone = (
+        corpus.unionByName(surv)
+        .join(F.broadcast(near), "doc_id")
+    )
+    new_edges = gap_edges(cone).filter(
+        (F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0)
+    )
+    merged = incremental_components(labels, new_edges)
+    # 3. canonical pick: the component label IS its minimum member id
+    canon = (
+        merged.select(F.col("component").alias("doc_id"), "component")
+        .distinct()
+        .unionByName(
+            refreshed_ids.join(
+                merged.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+            ).select("doc_id", F.col("doc_id").alias("component"))
+        )
+    )
+    # 4. weight-proportional systematic sample over the canonical set
+    w = (
+        canon.join(
+            d.select("doc_id", F.col("n_chars").cast("bigint").alias("wt")), "doc_id"
+        )
+        .filter(F.col("wt") > 0)
+    )
+    cum = global_prefix_sum(w, ["doc_id"], "wt", "cum")
+    total = w.agg(F.sum("wt").cast("bigint").alias("total"))
+    k = 25
+    out = (
+        cum.join(F.broadcast(total), F.lit(True))
+        .select(
+            "doc_id",
+            F.col("component").cast("bigint").alias("component"),
+            F.col("wt").alias("weight"),
+            (
+                F.expr(f"(cum * {k} - 1) div total")
+                - F.expr(f"((cum - wt) * {k} + total - 1) div total")
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias("multiplicity"),
+        )
+        .filter(F.col("multiplicity") >= 1)
+    )
+    # returned LIVE (q363's convention): the prefix-sum pin is released
+    # by the harness's release_ranking_caches after materialization,
+    # and the plan stays inspectable for the q395 shape pin
+    return out

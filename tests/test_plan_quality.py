@@ -701,3 +701,25 @@ def test_incremental_components_relabel_broadcasts(spark, sf_dir):
     plan = _plan(REGISTRY["q391_incremental_components_state"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_label_prop_cone_broadcasts(spark, sf_dir):
+    """q394: the affected set, the NEED closures, and the final
+    anti-join against the persisted labelling are all batch-cone-sized
+    — every membership join must broadcast the cone side, and the
+    corpus-sized state is touched by exactly one (anti) join keyed on
+    id. Never a cross product."""
+    plan = _plan(REGISTRY["q394_incremental_label_prop"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_refresh_pipeline_plan_shape(spark, sf_dir):
+    """q395: the composed refresh must keep each stage's scale shape —
+    broadcast probe/cone joins, no cross product, and no
+    single-partition ORDER BY (the sampler rides the distributed
+    prefix sum, whose only Exchange is rangepartitioning)."""
+    plan = _plan(REGISTRY["q395_corpus_refresh_pipeline"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" in plan
