@@ -146,3 +146,54 @@ def bm25_serve(
         .filter(F.col("rank") <= top_k)
         .select("query_id", "rank", "doc_id", "bm25", "n_terms_hit")
     )
+
+
+def compact_bm25_index(
+    spark,
+    base_dir: str,
+    out_dir: str,
+    keep: Column | None = None,
+    n_shards: int = 8,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """MAINTENANCE pass for a written BM25 index: re-sort an
+    append-grown postings table into one term-sorted file per shard,
+    dropping rows that fail ``keep`` (TTL / deletes), and RE-DERIVE
+    df and stats from the surviving postings. Appends (new docs'
+    postings, write_bm25_index's maintenance path) pile unsorted files
+    onto each shard, so parquet min/max row-group skipping — the
+    index-seek mechanism bm25_serve's term pushdown relies on —
+    degrades with every batch; and dropped docs would keep scoring
+    forever. df/stats are FUNCTIONALS of the postings (df = docs per
+    term, stats = indexed-doc count + total length), so recomputing
+    them from the compacted table is exact, where merging stale
+    per-generation snapshots would double-count dropped docs.
+
+    Scale shape: ONE term-keyed shuffle of the postings (term, doc,
+    tf, len scalars — never the corpus text) with ``keep`` evaluated
+    before the exchange; df folds from the compacted postings (one row
+    per (t, doc) by construction); stats is a doc-keyed distinct +
+    one-row reduction. Writes a fresh generation under ``out_dir``
+    (postings/, df/, stats/) — never in place. Returns the three
+    frames read back from it."""
+    postings = spark.read.parquet(base_dir + "/postings")
+    if keep is not None:
+        postings = postings.filter(keep)
+    (
+        postings.repartition(n_shards, "t")
+        .sortWithinPartitions("t", "doc_id")
+        .write.mode("overwrite")
+        .parquet(out_dir + "/postings")
+    )
+    p2 = spark.read.parquet(out_dir + "/postings")
+    df = p2.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    df.coalesce(1).write.mode("overwrite").parquet(out_dir + "/df")
+    dl = p2.select("doc_id", "len").distinct()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("len").alias("total_len")
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(out_dir + "/stats")
+    return (
+        p2,
+        spark.read.parquet(out_dir + "/df"),
+        spark.read.parquet(out_dir + "/stats"),
+    )

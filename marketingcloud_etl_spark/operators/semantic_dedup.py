@@ -284,3 +284,33 @@ def probe_semantic_index(
         F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
         "dup_of",
     )
+
+
+def compact_semantic_index(
+    spark,
+    state_dir: str,
+    out_dir: str,
+    keep=None,
+) -> DataFrame:
+    """MAINTENANCE pass for the cell-partitioned semantic state
+    (:func:`build_semantic_index`): rewrite an append-grown index into
+    one file per cell partition, dropping rows that fail ``keep``
+    (TTL / right-to-erasure). Every probed batch appends its
+    survivors' (id, cell, fp) rows, so cells accumulate one small file
+    per batch and expired vectors keep verifying as dups until their
+    rows leave. Compaction is ONE cell-keyed shuffle of the index —
+    three scalars per row, the embeddings themselves are never re-read
+    or re-scored and the codebook is untouched — with ``keep``
+    evaluated before the exchange. Writes a fresh generation dir
+    (concurrent probes never see a half-rewritten state); returns the
+    compacted index frame. Probe-equivalence: probing the compacted
+    index equals probing the original minus matches against dropped
+    vectors (q397 checks this end-to-end through the re-ingest
+    oracle)."""
+    idx = spark.read.parquet(state_dir)
+    if keep is not None:
+        idx = idx.filter(keep)
+    idx.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        out_dir
+    )
+    return spark.read.parquet(out_dir)

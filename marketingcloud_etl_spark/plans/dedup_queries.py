@@ -3331,3 +3331,124 @@ def q395_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by the harness's release_ranking_caches after materialization,
     # and the plan stays inspectable for the q395 shape pin
     return out
+
+
+# q397 state cache: sf_dir -> (base dir, codebook) for the appended
+# two-generation semantic index
+_Q397_STATE: dict[str, tuple] = {}
+
+
+@query(
+    "q397_semantic_index_compaction",
+    oracle="""
+    WITH corp AS (
+      SELECT label, vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0
+    ), bat AS (
+      SELECT label, vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+    ), cd AS (
+      SELECT DISTINCT embedding FROM corp
+    ), surv AS (
+      SELECT b.label, b.vec_id, b.embedding FROM bat b
+      LEFT JOIN cd c ON b.embedding = c.embedding WHERE c.embedding IS NULL
+    ), refreshed AS (
+      SELECT label, vec_id, embedding FROM corp
+      UNION ALL
+      SELECT label, vec_id, embedding FROM surv
+    ), kset AS (
+      SELECT DISTINCT embedding FROM refreshed WHERE vec_id % 7 <> 2
+    )
+    SELECT label, cast(count(*) as bigint) AS n_reingest,
+           cast(count(k.embedding) as bigint) AS n_dup,
+           cast(count(*) - count(k.embedding) as bigint) AS n_new
+    FROM refreshed r LEFT JOIN kset k ON r.embedding = k.embedding
+    GROUP BY label
+    """,
+    tags=("dedup", "incremental", "semantic", "state", "maintenance"),
+)
+def q397_semantic_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC-INDEX MAINTENANCE — the q393 compaction/TTL pass for
+    the vector-space state (q389): generation 1 indexes the corpus
+    (vec_id % 3 ≠ 0) under the offline IVF codebook, the batch's
+    survivors (vec_id % 3 = 0, not embedding-identical to the corpus)
+    APPEND their cell rows, then operators/semantic_dedup.py::
+    compact_semantic_index TTL-drops aged vectors (vec_id % 7 = 2) and
+    rewrites one file per cell partition. Correctness is observed
+    THROUGH PROBE BEHAVIOR — the only lens a cell layout admits, since
+    cells are codebook-dependent and no SQL oracle can name them: the
+    whole refreshed set re-ingests under fresh (negated) ids against
+    the COMPACTED index, and per label (n_reingest, n_dup, n_new) must
+    equal the oracle's plain embedding-equality algebra over the kept
+    set — every vector whose embedding survives somewhere must still
+    verify as a dup (identical vector ⇒ identical cell assignment ⇒
+    its own cell is probed ⇒ no false negatives, q389's exactness
+    chain), and every vector whose embedding lived ONLY under TTL'd
+    ids must come back NEW (its rows are gone).
+
+    100 TB story: compaction is ONE cell-keyed shuffle of the index
+    (id, cell, fp scalars — embeddings are never re-read or re-scored;
+    the codebook is untouched), retention evaluated before the
+    exchange, fresh generation dir (no in-place rewrite under
+    concurrent probes). The re-ingest probe keeps q389's shape: batch
+    broadcast over the cell-partitioned state."""
+    import json
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.semantic_dedup import (
+        build_semantic_index,
+        compact_semantic_index,
+        probe_semantic_index,
+    )
+    from ..operators.similarity import train_ivf_codebook
+
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 3 != 0).select("vec_id", "embedding")
+    batch = e.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
+
+    state = _Q397_STATE.get(sf_dir)
+    if state is None or not os.path.isdir(os.path.join(state[0], "index")):
+        base = tempfile.mkdtemp(prefix="mcetl_q397_")
+        codebook = train_ivf_codebook(corpus, n_cells=16, refine_iters=1)
+        with open(os.path.join(base, "codebook.json"), "w") as f:
+            json.dump([[c, list(map(float, v))] for c, v in codebook], f)
+        idx = os.path.join(base, "index")
+        build_semantic_index(corpus, codebook).repartition("cell").write.partitionBy(
+            "cell"
+        ).parquet(idx)
+        res = probe_semantic_index(batch, spark.read.parquet(idx), codebook)
+        surv = batch.join(
+            res.filter(~F.col("is_dup")).select(F.col("id").alias("vec_id")),
+            "vec_id",
+        )
+        build_semantic_index(surv, codebook).repartition("cell").write.mode(
+            "append"
+        ).partitionBy("cell").parquet(idx)
+        state = (base, codebook)
+        _Q397_STATE[sf_dir] = state
+    base, codebook = state
+    compacted = compact_semantic_index(
+        spark,
+        os.path.join(base, "index"),
+        os.path.join(base, "compacted"),
+        keep=F.col("id") % 7 != 2,
+    )
+    # re-ingest the whole refreshed set under fresh negated ids (-id-1:
+    # collision-free with the non-negative genuine ids, q388's rule)
+    cd = corpus.select("embedding").distinct()
+    surv_b = batch.join(cd, "embedding", "left_anti")
+    reingest = (
+        corpus.unionByName(surv_b.select("vec_id", "embedding"))
+        .select((-F.col("vec_id") - 1).alias("vec_id"), "embedding")
+    )
+    res2 = probe_semantic_index(reingest, compacted, codebook)
+    lbl = e.select((-F.col("vec_id") - 1).alias("id"), "label")
+    return (
+        res2.join(lbl, "id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reingest"),
+            F.sum(F.col("is_dup").cast("bigint")).cast("bigint").alias("n_dup"),
+            F.sum((~F.col("is_dup")).cast("bigint")).cast("bigint").alias("n_new"),
+        )
+    )

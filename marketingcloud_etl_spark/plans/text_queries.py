@@ -3355,3 +3355,124 @@ def q390_bm25_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("bm25", 6).alias("bm25"),
         F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
     )
+
+
+# q396 state cache: sf_dir -> base dir of the two-generation BM25 index
+_Q396_STATE: dict[str, str] = {}
+
+
+@query(
+    "q396_bm25_index_compaction",
+    oracle=f"""
+    WITH live AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2
+    ), toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM live
+    ), dl AS (
+      SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT count(*) FROM dl) AS n_docs,
+             (SELECT sum(len) FROM dl) AS total_len
+    ), qt AS (
+      SELECT * FROM (VALUES {", ".join(f"({q}, '{t}')" for q, t in _Q390_QUERY_TERMS)})
+        v(query_id, t)
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks
+      WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t
+    ), idf AS (
+      SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t
+    ), scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             ln(1 + (s.n_docs - i.df + 0.5) / (i.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * d.len
+                                 / (s.total_len / cast(s.n_docs as double))))
+               AS term_score
+      FROM qt JOIN tf ON tf.t = qt.t
+              JOIN idf i ON i.t = qt.t
+              JOIN dl d ON tf.doc_id = d.doc_id
+              CROSS JOIN stats s
+    ), agg AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_sort(list(term_score)), (x, y) -> x + y) AS bm25,
+             count(*) AS n_terms_hit
+      FROM scored GROUP BY query_id, doc_id
+    ), ranked AS (
+      SELECT query_id, doc_id, bm25, n_terms_hit,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id) AS rank
+      FROM agg
+    )
+    SELECT query_id, cast(rank as bigint) AS rank, doc_id,
+           round(bm25, 6) AS bm25,
+           cast(n_terms_hit as bigint) AS n_terms_hit
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("text", "search", "state", "maintenance"),
+)
+def q396_bm25_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 INDEX MAINTENANCE — append, TTL, compact, then serve: the
+    q393 lifecycle pass applied to the retrieval state. Generation 1
+    indexes yesterday's corpus (doc_id % 3 ≠ 0); today's batch
+    (doc_id % 3 = 0) APPENDS its postings — the append both grows each
+    shard's file count and BREAKS the sorted-by-term layout row-group
+    skipping needs, exactly the degradation a real serving index
+    accumulates. operators/retrieval.py::compact_bm25_index then drops
+    TTL'd docs (retention proxy: doc_id % 7 = 2), restores one sorted
+    file per shard, and RE-DERIVES df and stats from the surviving
+    postings (df/stats are postings-functionals — recomputing them
+    from the compacted table is exact by construction, where merging
+    stale per-generation snapshots would double-count dropped docs).
+    The q390 query battery then serves from the compacted index.
+
+    Hash-verifiability: q278/q390's bitwise float protocol (Robertson
+    idf, sorted-fold sum, total (bm25 DESC, doc_id) order) over the
+    live corpus — the oracle recomputes from raw text with the same
+    TTL predicate, so the driver checks append ∘ compact ∘ serve ≡
+    from-scratch, per ranked row. Stats are defined over INDEXED docs
+    (≥1 token) on both engines.
+
+    100 TB story: daily maintenance cost is one term-keyed shuffle of
+    the postings (term/doc/tf/len scalars, never the corpus text) plus
+    two broadcast-sized re-folds; the retention predicate is evaluated
+    before the exchange. Serving keeps q390's shape — term IN-list
+    pushed into the sorted postings scan, hit-bounded aggregation."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.retrieval import (
+        bm25_serve,
+        build_bm25_index,
+        compact_bm25_index,
+        write_bm25_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    base = _Q396_STATE.get(sf_dir)
+    if base is None or not os.path.isdir(os.path.join(base, "postings")):
+        base = tempfile.mkdtemp(prefix="mcetl_q396_")
+        write_bm25_index(d.filter(F.col("doc_id") % 3 != 0), base)
+        # maintenance append: the new docs' postings extend the shards
+        # (breaking sort order within shards — compaction's job to fix)
+        new_postings, _, _ = build_bm25_index(d.filter(F.col("doc_id") % 3 == 0))
+        new_postings.repartition(8, "t").sortWithinPartitions("t", "doc_id").write.mode(
+            "append"
+        ).parquet(base + "/postings")
+        _Q396_STATE[sf_dir] = base
+    out_dir = os.path.join(base, "compacted")
+    postings, dfreq, stats = compact_bm25_index(
+        spark, base, out_dir, keep=F.col("doc_id") % 7 != 2
+    )
+    qt = spark.createDataFrame(list(_Q390_QUERY_TERMS), "query_id int, t string")
+    out = bm25_serve(
+        qt, postings, dfreq, stats, top_k=5,
+        terms=sorted({t for _, t in _Q390_QUERY_TERMS}),
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "doc_id",
+        F.round("bm25", 6).alias("bm25"),
+        F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
+    )

@@ -2018,3 +2018,49 @@ def test_incremental_label_prop_is_actually_incremental(spark):
         for r in incremental_label_prop(state, full_e, new_e, rounds=2).collect()
     }
     assert (1, 999) in merged  # state label rode through untouched
+
+
+def test_bm25_index_compaction_restores_layout_and_drops_ttl(spark, sf_dir, tmp_path):
+    """compact_bm25_index (q396's operator): an appended postings dir
+    holds more files than shards (and unsorted tails); compaction
+    restores exactly n_shards sorted files, re-derives df/stats from
+    the surviving postings, and TTL'd docs vanish from served
+    results."""
+    import os
+
+    from marketingcloud_etl_spark.operators.retrieval import (
+        bm25_serve,
+        build_bm25_index,
+        compact_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 80)
+    )
+    base = str(tmp_path / "bm25")
+    write_bm25_index(docs.filter(F.col("doc_id") < 40), base, n_shards=4)
+    newp, _, _ = build_bm25_index(docs.filter(F.col("doc_id") >= 40))
+    newp.repartition(4, "t").sortWithinPartitions("t", "doc_id").write.mode(
+        "append"
+    ).parquet(base + "/postings")
+    n_before = len([f for f in os.listdir(base + "/postings") if f.endswith(".parquet")])
+    assert n_before > 4  # two generations of shard files
+
+    out = str(tmp_path / "bm25c")
+    postings, dfreq, stats = compact_bm25_index(
+        spark, base, out, keep=F.col("doc_id") >= 10, n_shards=4
+    )
+    n_after = len([f for f in os.listdir(out + "/postings") if f.endswith(".parquet")])
+    assert n_after == 4
+    # df/stats re-derived over survivors only
+    assert postings.filter(F.col("doc_id") < 10).count() == 0
+    srow = stats.first()
+    live_docs = postings.select("doc_id").distinct().count()
+    assert srow.n_docs == live_docs
+    # a term query never returns a TTL'd doc
+    qt = spark.createDataFrame([(1, "data"), (1, "spark")], "query_id int, t string")
+    served = bm25_serve(qt, postings, dfreq, stats, top_k=50, terms=["data", "spark"])
+    assert served.filter(F.col("doc_id") < 10).count() == 0

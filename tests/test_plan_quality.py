@@ -723,3 +723,23 @@ def test_corpus_refresh_pipeline_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "rangepartitioning" in plan
+
+
+def test_bm25_compacted_serving_keeps_term_pushdown(spark, sf_dir):
+    """q396: serving from the COMPACTED index must retain q390's whole
+    point — the query-term IN-list reaching the postings scan
+    (PushedFilters) so the re-sorted row groups give an index seek —
+    plus broadcast probe joins and no cross product."""
+    plan = _plan(REGISTRY["q396_bm25_index_compaction"].fn(spark, sf_dir))
+    assert "PushedFilters: [In(t, [" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_compaction_reprobe_broadcasts(spark, sf_dir):
+    """q397: the re-ingest probe against the compacted cell-partitioned
+    index keeps q389's shape — batch side broadcast, state never
+    shuffled, no cross product."""
+    plan = _plan(REGISTRY["q397_semantic_index_compaction"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
