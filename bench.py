@@ -304,6 +304,10 @@ SETUP_QUERIES = (
     # and for the graph-state posture: yesterday's CC labels written
     # once, timed pass = contracted merge + relabel join
     "q391_incremental_components_state",
+    # the streaming replay's GOLDEN inputs (arrival files + gen-0
+    # corpus index) build once per sf_dir; the timed pass file-copies
+    # a fresh mutable state and measures the stream itself
+    "q392_stream_incremental_dedup",
 )
 
 

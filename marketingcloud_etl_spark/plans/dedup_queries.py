@@ -3452,3 +3452,113 @@ def q397_semantic_index_compaction(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum((~F.col("is_dup")).cast("bigint")).cast("bigint").alias("n_new"),
         )
     )
+
+
+# q398 state cache: sf_dir -> base dir (generations + manifest)
+_Q398_STATE: dict[str, str] = {}
+
+
+@query(
+    "q398_generation_manifest_swap",
+    oracle=f"""
+    WITH corp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    ), batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ), ct AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM corp
+    ), cfp AS (
+      SELECT doc_id, {_FP3.format(sh=_SH3.format(t='t'))} AS fp
+      FROM ct WHERE len(t) >= 3
+    ), cset AS (
+      SELECT DISTINCT fp FROM cfp
+    ), bt AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM batch
+    ), bfp AS (
+      SELECT doc_id, {_FP3.format(sh=_SH3.format(t='t'))} AS fp
+      FROM bt WHERE len(t) >= 3
+    ), surv AS (
+      SELECT b.doc_id, b.fp FROM bfp b LEFT JOIN cset c ON b.fp = c.fp
+      WHERE c.fp IS NULL
+    ), live AS (
+      SELECT doc_id, fp FROM cfp
+      UNION ALL
+      SELECT doc_id, fp FROM surv
+    ), kept AS (
+      SELECT doc_id, fp FROM live WHERE doc_id % 7 <> 2
+    )
+    SELECT cast(band as int) AS band,
+           cast(count(*) as bigint) AS n_entries,
+           cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM range(8) r(band) CROSS JOIN kept
+    GROUP BY band
+    """,
+    tags=("dedup", "state", "maintenance", "etl"),
+)
+def q398_generation_manifest_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC STATE PUBLISHING — the protocol that makes the whole
+    maintenance family (q393/q396/q397) safe under concurrent readers:
+    generations are immutable dirs, and ONE manifest file
+    (sinks/manifest.py) names the live one; publishing is write-temp +
+    rename, so a reader racing the publish sees the old generation or
+    the new one, never a torn rewrite (q343's two-phase-commit
+    discipline applied to state instead of output). This query runs the
+    full lifecycle: build the appended two-generation minhash index
+    (q393's shape), PUBLISH it, compact with TTL into a fresh
+    generation, PUBLISH that, then report the per-band profile of
+    whatever the manifest points at — which the oracle checks equals
+    the compacted content exactly (same conservation algebra as q393).
+    Torn-publish behavior (a dangling .tmp never changes what readers
+    see) is pinned in tests/test_operators.py.
+
+    100 TB story: the manifest is one JSON object on storage with
+    rename-or-overwrite atomicity (POSIX rename here, conditional-PUT
+    on an object store); generation dirs are immutable once published,
+    so retention is 'delete generations unreferenced past the grace
+    period' and rollback is re-pointing the manifest at the previous
+    generation — state-table time travel for the cost of a file."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        probe_minhash_index,
+    )
+    from ..sinks.manifest import publish_generation, read_current
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+
+    base = _Q398_STATE.get(sf_dir)
+    if base is None or not os.path.isdir(os.path.join(base, "gen0")):
+        base = tempfile.mkdtemp(prefix="mcetl_q398_")
+        g0 = os.path.join(base, "gen0")
+        build_minhash_index(corpus).repartition("band").write.partitionBy(
+            "band"
+        ).parquet(g0)
+        res = probe_minhash_index(batch, spark.read.parquet(g0))
+        survivors = batch.join(
+            res.filter(~F.col("is_dup")).select("id"),
+            batch.doc_id == F.col("id"),
+        ).select("doc_id", "text")
+        build_minhash_index(survivors).repartition("band").write.mode(
+            "append"
+        ).partitionBy("band").parquet(g0)
+        _Q398_STATE[sf_dir] = base
+    manifest = os.path.join(base, "MANIFEST.json")
+    g0 = os.path.join(base, "gen0")
+    g1 = os.path.join(base, "gen1")
+    publish_generation(manifest, g0, {"generation": 0})
+    compact_minhash_index(spark, g0, g1, keep=F.col("id") % 7 != 2)
+    publish_generation(manifest, g1, {"generation": 1})
+    live = read_current(spark, manifest)
+    return live.groupBy(F.col("band").cast("int").alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entries"),
+        F.count_distinct("id").cast("bigint").alias("n_docs"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )

@@ -1,0 +1,60 @@
+"""Generation-manifest publishing for persisted state tables.
+
+Every state table in the incremental family (minhash band-bucket index
+q388, semantic cell index q389, BM25 postings q390, CC labels q391) is
+maintained by writing a FRESH GENERATION directory (append batches,
+then compaction/TTL rewrites — q393/q396/q397) rather than rewriting in
+place: a reader scanning a dir that a writer is simultaneously
+rewriting sees a torn state. What turns the pile of generation dirs
+into a consistent state is a MANIFEST — one tiny JSON file whose
+``current`` field names the live generation. Publishing is
+write-temp + ``os.replace``: rename within a filesystem is atomic on
+POSIX, so every reader sees the OLD pointer or the NEW pointer, never a
+partial file — the same publish discipline q343's two-phase-commit sink
+applies to output batches, here applied to state generations. (On a
+100 TB deployment the manifest lives on the object store / HDFS with
+the same rename-or-overwrite-atomicity contract; the generation dirs
+are immutable once published, so retention is "delete generations no
+manifest has pointed at for the grace period".)
+
+Reference parity note: the reference keeps its incremental state as a
+COUNT WATERMARK read back from the target table
+(/root/reference/app/salesforce_extractor.py — R16); the manifest is
+the same durable-pointer idea for state too large to re-derive.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+__all__ = ["publish_generation", "current_generation", "read_current"]
+
+
+def publish_generation(manifest_path: str, gen_dir: str, meta: dict | None = None) -> dict:
+    """Atomically repoint ``manifest_path`` at ``gen_dir``. The
+    manifest JSON is written to a sibling temp file, fsync'd, then
+    ``os.replace``d over the manifest — readers racing the publish see
+    the previous generation or the new one, never a torn file. Returns
+    the manifest document."""
+    doc = {"current": gen_dir, **(meta or {})}
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, manifest_path)
+    return doc
+
+
+def current_generation(manifest_path: str) -> str:
+    """The generation dir the manifest currently points at."""
+    with open(manifest_path) as f:
+        return json.load(f)["current"]
+
+
+def read_current(spark, manifest_path: str):
+    """Open the LIVE generation as a DataFrame — the only way state
+    readers should address a maintained index (a raw dir path can be
+    mid-rewrite; the manifest pointer never is)."""
+    return spark.read.parquet(current_generation(manifest_path))

@@ -2064,3 +2064,41 @@ def test_bm25_index_compaction_restores_layout_and_drops_ttl(spark, sf_dir, tmp_
     qt = spark.createDataFrame([(1, "data"), (1, "spark")], "query_id int, t string")
     served = bm25_serve(qt, postings, dfreq, stats, top_k=50, terms=["data", "spark"])
     assert served.filter(F.col("doc_id") < 10).count() == 0
+
+
+def test_generation_manifest_atomic_publish(spark, tmp_path):
+    """q398's protocol layer: readers address state ONLY through the
+    manifest pointer — a publish flips it atomically, a torn publish
+    (dangling .tmp, crash before rename) changes nothing, and the
+    previous generation stays intact on disk for rollback."""
+    import json
+    import os
+
+    from marketingcloud_etl_spark.sinks.manifest import (
+        current_generation,
+        publish_generation,
+        read_current,
+    )
+
+    g0, g1 = str(tmp_path / "gen0"), str(tmp_path / "gen1")
+    spark.range(0, 10).write.parquet(g0)
+    spark.range(100, 105).write.parquet(g1)
+    man = str(tmp_path / "MANIFEST.json")
+
+    publish_generation(man, g0, {"generation": 0})
+    assert current_generation(man) == g0
+    assert read_current(spark, man).count() == 10
+
+    # torn publish: a writer crashed after writing the temp file but
+    # before the rename — readers must still see gen0
+    with open(man + ".tmp", "w") as f:
+        f.write(json.dumps({"current": g1}))
+    assert current_generation(man) == g0
+
+    publish_generation(man, g1, {"generation": 1})
+    assert current_generation(man) == g1
+    assert read_current(spark, man).count() == 5
+    # rollback is repointing; the old generation is still readable
+    assert os.path.isdir(g0) and spark.read.parquet(g0).count() == 10
+    publish_generation(man, g0)
+    assert read_current(spark, man).count() == 10
