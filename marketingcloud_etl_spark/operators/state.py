@@ -1,0 +1,74 @@
+"""Generic maintenance passes over persisted state tables.
+
+The incremental family (q388 minhash bands, q389 semantic cells, q390
+BM25 postings, q391 component labels) persists id-keyed parquet state
+that batches probe and append to. Two maintenance passes exist over
+that layout:
+
+- ``compact_*`` (per-layout, in the owning operator modules): TTL /
+  retention by PREDICATE, one partition-keyed shuffle, one file per
+  partition — the scheduled pass.
+- :func:`erase_from_state` (here): targeted deletion by TOMBSTONE
+  FRAME — a takedown / right-to-erasure list of ids arriving as data,
+  not as a predicate. The erasure list is tiny relative to the state,
+  so the pass is a broadcast LEFT ANTI join: NARROW over the state
+  files (zero shuffle of the state table), preserving the partition
+  layout file-for-file.
+
+Reference parity: the reference has no deletion path at all (its sink
+is insert-ignore, `/root/reference/app/salesforce_extractor.py:296`);
+this is the lifecycle operation a persisted-state engine needs that a
+run-once ETL script does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def erase_from_state(
+    spark,
+    state_dir: str,
+    out_dir: str,
+    tombstones: DataFrame,
+    id_col: str = "id",
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Rewrite the state at ``state_dir`` into ``out_dir`` with every
+    row whose ``id_col`` appears in ``tombstones`` removed.
+
+    ``tombstones`` must have exactly one column (any name): the ids to
+    erase. It is broadcast, so the anti-join is map-side — the state
+    table itself is never shuffled, and with ``partition_col`` set the
+    partitioned layout survives file-for-file (each input file's
+    surviving rows write back to the same partition; an already
+    compacted one-file-per-partition state stays one file per
+    partition).
+
+    Erasure semantics the caller must understand (pinned by q399's
+    oracle): deleting a doc's STATE ROWS removes that doc id from the
+    index, but content-identical twins that were indexed under other
+    ids still match future probes — removing *content* requires
+    tombstoning every id that carries it. That is the correct
+    behaviour for id-keyed takedown (erase THIS record), and the q399
+    battery verifies both sides of it.
+
+    Scale shape: tombstone lists (takedown orders, GDPR requests) are
+    orders of magnitude smaller than the state — broadcast anti-join
+    beats the compaction shuffle whenever the erasure list fits in a
+    broadcast, which is the steady case; fall back to the per-layout
+    ``compact_*`` pass with a ``keep`` predicate when it does not.
+    Writes a fresh generation dir (never in place — concurrent probes
+    race an in-place rewrite; publish via sinks/manifest.py)."""
+    tname = tombstones.columns
+    if len(tname) != 1:
+        raise ValueError(f"tombstones must have exactly one column, got {tname}")
+    tomb = tombstones.select(F.col(tname[0]).alias(id_col)).distinct()
+    state = spark.read.parquet(state_dir)
+    kept = state.join(F.broadcast(tomb), id_col, "left_anti")
+    writer = kept.write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(out_dir)
+    return spark.read.parquet(out_dir)

@@ -3562,3 +3562,113 @@ def q398_generation_manifest_swap(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+# q399 state cache: sf_dir -> base dir holding the corpus index
+_Q399_STATE: dict[str, str] = {}
+
+
+@query(
+    "q399_erasure_tombstones",
+    oracle=f"""
+    WITH corp AS (
+      SELECT source, doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    ), ct AS (
+      SELECT source, doc_id, {tokens_sql('text')} AS t FROM corp
+    ), cfp AS (
+      SELECT source, doc_id, {_FP3.format(sh=_SH3.format(t='t'))} AS fp
+      FROM ct WHERE len(t) >= 3
+    ), kept AS (
+      SELECT DISTINCT fp FROM cfp WHERE doc_id % 11 <> 3
+    )
+    SELECT c.source,
+           (c.doc_id % 11 = 3) AS was_erased,
+           cast(count(*) as bigint) AS n_docs,
+           cast(count(k.fp) as bigint) AS n_dup,
+           cast(count(*) - count(k.fp) as bigint) AS n_new
+    FROM cfp c LEFT JOIN kept k ON c.fp = k.fp
+    GROUP BY c.source, (c.doc_id % 11 = 3)
+    """,
+    tags=("dedup", "state", "maintenance", "erasure"),
+)
+def q399_erasure_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGETED ERASURE over persisted state — the lifecycle posture
+    the TTL compaction passes (q393/q396/q397) do not cover: a
+    takedown / right-to-erasure list arrives as a TOMBSTONE FRAME of
+    doc ids (not a predicate), and operators/state.py::erase_from_state
+    removes exactly those ids' rows from the band-bucket index with a
+    broadcast LEFT ANTI join — narrow over the state files, ZERO
+    shuffle of the state table (q393's compaction pays a band-keyed
+    exchange; erasure by a small id list does not), partition layout
+    preserved file-for-file, written to a fresh generation dir.
+
+    The battery then verifies BOTH SIDES of id-keyed erasure semantics
+    through probe behavior: the whole corpus re-ingests under negated
+    ids against the erased index, and per (source, was_erased) the
+    (n_docs, n_dup, n_new) counts must equal the oracle's plain
+    fingerprint algebra over the kept set — every kept doc still
+    verifies as a dup of itself, and an ERASED doc comes back NEW
+    unless a shingle-set-identical TWIN survives under another id
+    (erasing a record removes that id; removing *content* requires
+    tombstoning every id carrying it — the subtlety a takedown
+    pipeline must surface, and exactly what the fingerprint algebra
+    computes). Exactness rides q388's chain: equal shingle sets ⇒
+    equal signatures ⇒ every band collides, so probe hits are
+    fingerprint-verified with no false negatives.
+
+    100 TB story: takedown lists are thousands of ids against a
+    trillion-row index — broadcast anti-join is map-side over the
+    state partitions, far cheaper than a compaction shuffle; fold the
+    tombstones into the next scheduled compaction's ``keep`` predicate
+    only when the list outgrows a broadcast. Fresh generation dir +
+    manifest publish (q398) keeps concurrent probes consistent."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.dedup import build_minhash_index, probe_minhash_index
+    from ..operators.state import erase_from_state
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+
+    base = _Q399_STATE.get(sf_dir)
+    if base is None or not os.path.isdir(os.path.join(base, "index")):
+        base = tempfile.mkdtemp(prefix="mcetl_q399_")
+        idx = os.path.join(base, "index")
+        build_minhash_index(corpus).repartition("band").write.partitionBy(
+            "band"
+        ).parquet(idx)
+        _Q399_STATE[sf_dir] = base
+    idx = os.path.join(base, "index")
+
+    # the takedown list: a FRAME of ids (how erasure requests arrive),
+    # not a predicate — erase_from_state broadcasts it
+    tomb = corpus.filter(F.col("doc_id") % 11 == 3).select("doc_id")
+    erased = erase_from_state(
+        spark,
+        idx,
+        os.path.join(base, "erased"),
+        tomb,
+        id_col="id",
+        partition_col="band",
+    )
+
+    # re-ingest the whole corpus under negated ids (collision-free with
+    # the non-negative genuine ids at any sf — q388's minting rule)
+    reingest = corpus.select((-F.col("doc_id")).alias("doc_id"), "text")
+    res = probe_minhash_index(reingest, erased)
+    meta = d.filter(F.col("doc_id") % 3 != 0).select(
+        (-F.col("doc_id")).alias("id"),
+        "source",
+        (F.col("doc_id") % 11 == 3).alias("was_erased"),
+    )
+    return (
+        res.join(meta, "id")
+        .groupBy("source", "was_erased")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("is_dup").cast("bigint")).cast("bigint").alias("n_dup"),
+            F.sum((~F.col("is_dup")).cast("bigint")).cast("bigint").alias("n_new"),
+        )
+    )

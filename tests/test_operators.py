@@ -2102,3 +2102,72 @@ def test_generation_manifest_atomic_publish(spark, tmp_path):
     assert os.path.isdir(g0) and spark.read.parquet(g0).count() == 10
     publish_generation(man, g0)
     assert read_current(spark, man).count() == 10
+
+
+def test_erase_from_state_tombstones(spark, tmp_path):
+    """erase_from_state (q399's operator): (1) exactly the tombstoned
+    ids' rows leave the state — kept ids survive untouched; (2) probe
+    behavior flips correctly: an erased doc re-ingests as NEW unless a
+    content-identical twin survives under another id (id-keyed erasure
+    removes the RECORD; removing content requires tombstoning every
+    carrier); (3) the anti-join is broadcast (state never shuffled)
+    and the one-file-per-band layout survives the rewrite."""
+    import os
+
+    from marketingcloud_etl_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from marketingcloud_etl_spark.operators.state import erase_from_state
+
+    twin = "the same content lives under two distinct ids here today"
+    rows = [(i, f"alpha beta gamma delta doc{i} epsilon zeta") for i in range(20)]
+    rows += [(100, twin), (101, twin)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "idx")
+    build_minhash_index(docs).repartition("band").write.partitionBy("band").parquet(
+        state
+    )
+
+    tomb = spark.createDataFrame([(5,), (7,), (100,)], "doc_id long")
+    out = str(tmp_path / "erased")
+    erased = erase_from_state(
+        spark, state, out, tomb, id_col="id", partition_col="band"
+    )
+
+    ids = {r.id for r in erased.select("id").distinct().collect()}
+    assert ids == ({i for i in range(20)} | {100, 101}) - {5, 7, 100}
+
+    # probe semantics under negated re-ingest ids (rid = -doc_id - 1)
+    reingest = docs.select((-F.col("doc_id") - 1).alias("doc_id"), "text")
+    res = {r.id: r for r in probe_minhash_index(reingest, erased).collect()}
+    assert not res[-6].is_dup, "erased unique doc 5 must come back NEW"
+    assert not res[-8].is_dup, "erased unique doc 7 must come back NEW"
+    assert res[-1].is_dup and res[-1].dup_of == 0, "kept doc 0 must still match"
+    assert res[-101].is_dup and res[-101].dup_of == 101, (
+        "erased doc 100's content survives under twin id 101 — still a dup"
+    )
+    assert res[-102].is_dup, "kept twin 101 must still match"
+
+    # layout: still exactly one file per band partition
+    for b in [p for p in os.listdir(out) if p.startswith("band=")]:
+        files = [
+            f for f in os.listdir(os.path.join(out, b)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{b}: {len(files)} files after erase"
+
+    # plan: the state side joins via BroadcastHashJoin LeftAnti — the
+    # state table itself is never shuffled by the erasure pass
+    tname = tomb.columns[0]
+    kept_plan = (
+        spark.read.parquet(state)
+        .join(
+            F.broadcast(tomb.select(F.col(tname).alias("id")).distinct()),
+            "id",
+            "left_anti",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in kept_plan and "LeftAnti" in kept_plan
