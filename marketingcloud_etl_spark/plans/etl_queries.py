@@ -3992,3 +3992,97 @@ def q377_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max(n) * 1000000 div sum(n)").cast("bigint").alias("top_share_ppm"),
         (F.count(F.lit(1)) >= 3).alias("l3_ok"),
     )
+
+
+# q400 state cache: sf_dir -> parquet dir of the history bitmap state
+_Q400_STATE: dict[str, str] = {}
+
+
+@query(
+    "q400_incremental_distinct_state",
+    oracle="""
+    WITH hist AS (
+      SELECT o_orderpriority, count(DISTINCT o_custkey) AS h
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'
+      GROUP BY o_orderpriority
+    ), allx AS (
+      SELECT o_orderpriority, count(DISTINCT o_custkey) AS a
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT a.o_orderpriority,
+           cast(a.a as bigint) AS n_customers,
+           cast(a.a - coalesce(h.h, 0) as bigint) AS n_new_customers
+    FROM allx a LEFT JOIN hist h USING (o_orderpriority)
+    """,
+    tags=("etl", "incremental", "state", "sketch"),
+)
+def q400_incremental_distinct_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-SKETCH STATE — incremental COUNT(DISTINCT) across
+    batches, the metric plain incremental view maintenance (q304)
+    cannot carry with additive partials: distinct counts don't sum, but
+    their BITMAPS union. The history's per-(priority, bucket) bitmap
+    registers (q158's exact roaring-style layout: o_custkey buckets by
+    ``bitmap_bucket_number`` into 32768-bit words, folds via
+    ``bitmap_construct_agg``) persist as the STATE table; an arriving
+    batch (orders from 1997 on) aggregates ITS OWN bitmaps and merges
+    into the state with ``bitmap_or_agg`` — associative, map-side
+    combinable, exact — and the report (per-priority total distinct
+    customers + customers never seen in history) reads from bitmaps
+    alone. The history fact rows are NEVER rescanned: n_new falls out
+    of popcount(merged) − popcount(state), both state-sized reads.
+
+    Exactness is the whole trick (same as q158): bitmap registers are
+    an exact distinct representation, so the oracle is plain
+    COUNT(DISTINCT ...) over raw history/full slices — hash-verifiable
+    where HLL-style sketches (q60) are engine-specific estimates.
+
+    100 TB story: state is O(groups × keyspace/32768) rows of ≤4 KB
+    binary — bounded by the KEY DOMAIN, not the fact table; the merge
+    shuffles only (group, bucket) state+batch rows, and the OR partial
+    combines map-side. This is R16's count-watermark posture applied
+    to the one aggregate incremental pipelines most often get wrong
+    (re-scanning history for every daily distinct-users report)."""
+    import os
+    import tempfile
+
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+
+    def bitmaps(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "o_orderpriority",
+                F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+                F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+            )
+            .groupBy("o_orderpriority", "bucket")
+            .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        )
+
+    state_dir = _Q400_STATE.get(sf_dir)
+    if state_dir is None or not os.path.isdir(state_dir):
+        state_dir = tempfile.mkdtemp(prefix="mcetl_q400_") + "/bitmap_state"
+        hist = o.filter(F.col("o_orderdate") < "1997-01-01")
+        bitmaps(hist).write.mode("overwrite").parquet(state_dir)
+        _Q400_STATE[sf_dir] = state_dir
+    state = spark.read.parquet(state_dir)
+
+    batch = o.filter(F.col("o_orderdate") >= "1997-01-01")
+    merged = (
+        state.unionByName(bitmaps(batch))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+    )
+    merged_cnt = merged.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_customers")
+    )
+    hist_cnt = state.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("h")
+    )
+    return merged_cnt.join(hist_cnt, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "n_customers",
+        (F.col("n_customers") - F.coalesce(F.col("h"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_new_customers"),
+    )

@@ -743,3 +743,20 @@ def test_semantic_compaction_reprobe_broadcasts(spark, sf_dir):
     plan = _plan(REGISTRY["q397_semantic_index_compaction"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_distinct_never_rescans_history(spark, sf_dir):
+    """q400: the incremental distinct merge must read the HISTORY only
+    through its persisted bitmap state — the plan scans the orders
+    fact exactly once (the batch slice, with the date filter pushed
+    into the parquet scan) plus the state parquet; a second orders
+    scan means the query recomputed history and the posture is
+    broken."""
+    plan = _plan(REGISTRY["q400_incremental_distinct_state"].fn(spark, sf_dir))
+    flat = plan.replace("\n", " ")
+    n_orders_scans = flat.count("orders.parquet")
+    assert n_orders_scans == 1, f"{n_orders_scans} orders scans (want 1: batch only)"
+    assert "bitmap_state" in flat, "state parquet not read"
+    assert "PushedFilters:" in flat and "IsNotNull(o_orderdate)" in flat or (
+        "GreaterThanOrEqual(o_orderdate" in flat
+    ), "batch date filter not pushed into the orders scan"
