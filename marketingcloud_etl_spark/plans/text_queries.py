@@ -3476,3 +3476,117 @@ def q396_bm25_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("bm25", 6).alias("bm25"),
         F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
     )
+
+
+@query(
+    "q401_incremental_vocab_state",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id % 4 AS b, {_TOKS} AS toks
+      FROM documents WHERE len({_TOKS}) >= 2
+    ), bg AS (
+      SELECT b, toks[cast(i as int)] || ' ' || toks[cast(i as int) + 1] AS typ
+      FROM dt, unnest(range(1, len(toks))) t(i)
+    ), firsts AS (
+      SELECT typ, min(b) AS batch FROM bg GROUP BY typ
+    ), nb AS (
+      SELECT batch, cast(count(*) as bigint) AS n_new FROM firsts GROUP BY batch
+    )
+    SELECT cast(d.batch as int) AS batch,
+           cast(coalesce(n.n_new, 0) as bigint) AS n_new_tokens,
+           cast(sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.batch
+                ROWS UNBOUNDED PRECEDING) as bigint) AS vocab_after
+    FROM range(4) d(batch) LEFT JOIN nb n ON d.batch = n.batch
+    """,
+    tags=("text", "incremental", "state"),
+)
+def q401_incremental_vocab_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VOCABULARY STATE — q372's Heaps-law curve as the
+    daily job that actually maintains it: a persisted (token,
+    first_batch) set-union state table, grown batch by batch. Batch 0
+    seeds the state; each arriving batch (doc_id % 4 slices standing
+    in for crawl days) distincts ITS OWN tokens, LEFT-ANTI joins the
+    state to find never-seen types, and APPENDS exactly those — the
+    loop a curation service runs on every snapshot to answer "is this
+    source exhausted?" without ever re-tokenizing history. The final
+    report (per batch: new types contributed, vocabulary size after)
+    reads the state alone.
+
+    The oracle recomputes the whole curve from scratch with the
+    one-pass min(batch) algebra — so the driver hash-checks that the
+    sequential anti-join/append LOOP is exactly equivalent to the
+    global first-occurrence aggregation: set union is associative and
+    the anti-join admits a token exactly once, at its first batch.
+
+    100 TB story: per batch the work is one token-keyed distinct
+    (bounded by the BATCH's vocabulary) and one token-keyed anti-join
+    against the state (state is |vocab| rows — millions-to-billions of
+    short strings, far smaller than the corpus; both sides already
+    keyed on token, and AQE flips the join to broadcast while the
+    vocab fits). History text is never re-read — the posture that
+    matters when each snapshot is terabytes. State appends follow the
+    generation discipline (fresh files per batch; compaction via q393's
+    pass when file counts grow)."""
+    import os
+    import tempfile
+
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    # bigram types (q372's type space): unigram vocab saturates in the
+    # first batch on any real corpus, collapsing the curve to one row
+    dt = d.select(
+        (F.col("doc_id") % 4).cast("int").alias("batch"),
+        tokens("text").alias("toks"),
+    ).filter(F.size("toks") >= 2)
+    toks = dt.select(
+        "batch",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("tok"),
+    )
+
+    base = tempfile.mkdtemp(prefix="mcetl_q401_")
+    state_dir = os.path.join(base, "vocab_state")
+    # batch 0 seeds the state
+    toks.filter(F.col("batch") == 0).select("tok").distinct().select(
+        "tok", F.lit(0).cast("int").alias("first_batch")
+    ).write.parquet(state_dir)
+    # batches 1..3 arrive sequentially: distinct own tokens, anti-join
+    # the persisted state, append only the never-seen types
+    for b in (1, 2, 3):
+        state = spark.read.parquet(state_dir)
+        fresh = (
+            toks.filter(F.col("batch") == b)
+            .select("tok")
+            .distinct()
+            .join(state, "tok", "left_anti")
+            .select("tok", F.lit(b).cast("int").alias("first_batch"))
+        )
+        fresh.write.mode("append").parquet(state_dir)
+
+    per_batch = (
+        spark.read.parquet(state_dir)
+        .groupBy(F.col("first_batch").alias("batch"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_tokens"))
+    )
+    # report over the FULL batch domain (a saturated batch contributes
+    # an explicit zero, not a missing row); the curve frame is
+    # |batches| rows — the global-order window's single-partition
+    # exchange is the acceptable one-tiny-frame final (q372 takes the
+    # distributed prefix-sum path for the general case)
+    domain = spark.range(4).select(F.col("id").cast("int").alias("batch"))
+    full = domain.join(per_batch, "batch", "left").select(
+        "batch",
+        F.coalesce("n_new_tokens", F.lit(0)).cast("bigint").alias("n_new_tokens"),
+    )
+    w = W.orderBy("batch").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return full.select(
+        "batch",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).cast("bigint").alias("vocab_after"),
+    )
