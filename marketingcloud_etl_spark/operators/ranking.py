@@ -435,16 +435,63 @@ def grouped_quantile_cont(
         .agg(F.count(F.lit(1)).alias("__qc_cnt")),
         sticky=True,
     )
-    # The prefix-sum result is sticky too: it is the operator's
-    # expensive pass (range exchange + per-bucket window over the
-    # distinct-pair frame), and two catalog queries over the same input
-    # (q357's quartile battery, q365's IQR fences) share it — the
-    # second query's plan reduces to rank-cover filter + interpolation
-    # over the cached frame. Bounded by distinct (group, value) pairs,
+    return _quantile_over_counts(counts, gcols, value_col, ps, ocols, sticky=True)
+
+
+def grouped_quantile_from_counts(
+    counts: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    cnt_col: str,
+    p: float | Sequence[float],
+    out_col: str | Sequence[str] = "q",
+) -> DataFrame:
+    """:func:`grouped_quantile_cont` over a PRE-AGGREGATED counts
+    frame — the entry point for DISTRIBUTION STATE: a persisted
+    (group, value, count) table merged additively with a batch's
+    counts gives exact quantiles across all data ever seen without
+    rescanning history facts (q402's posture). Accepts duplicate
+    (group, value) rows (state ∪ batch before the merge agg) — they
+    are summed in one keyed aggregation first. NULL values carry no
+    rank, mirroring the raw-row entry point. Interpolation arithmetic
+    is the same bitwise-builtin tree, so results equal running
+    ``percentile`` over the expanded raw rows."""
+    ps = [p] if isinstance(p, (int, float)) else list(p)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(ps) != len(ocols):
+        raise ValueError("p and out_col lists must pair up")
+    gcols = list(group_cols)
+    c = pin_cache(
+        counts.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, value_col)
+        .agg(F.sum(cnt_col).cast("long").alias("__qc_cnt"))
+    )
+    return _quantile_over_counts(c, gcols, value_col, ps, ocols, sticky=False)
+
+
+def _quantile_over_counts(
+    counts: DataFrame,
+    gcols: list,
+    value_col: str,
+    ps: list,
+    ocols: list,
+    sticky: bool,
+) -> DataFrame:
+    """Shared tail of the exact-quantile machinery: distributed prefix
+    sum over the (group, value) distinct-pair ``counts`` frame (column
+    ``__qc_cnt``), rank-cover filter, builtin-verbatim interpolation.
+    ``sticky`` controls whether the prefix frame joins the cross-query
+    cache tier (q357/q365 share it; state-fed counts do not)."""
+    # The prefix-sum result is the operator's expensive pass (range
+    # exchange + per-bucket window over the distinct-pair frame); with
+    # sticky=True two catalog queries over the same input (q357's
+    # quartile battery, q365's IQR fences) share it — the second
+    # query's plan reduces to rank-cover filter + interpolation over
+    # the cached frame. Bounded by distinct (group, value) pairs,
     # never fact-sized, so holding it for the session is cheap.
     cum = pin_cache(
         global_prefix_sum(counts, [*gcols, value_col], "__qc_cnt", "__qc_cum"),
-        sticky=True,
+        sticky=sticky,
     )
     totals = counts.groupBy(*gcols).agg(F.sum("__qc_cnt").alias("n"))
     # 0-indexed interpolation anchors, Spark Percentile's exact

@@ -4758,3 +4758,94 @@ def q387_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("between_term"),
         )
     )
+
+
+# q402 state cache: sf_dir -> parquet dir of the history counts state
+_Q402_STATE: dict[str, str] = {}
+
+
+@query(
+    "q402_incremental_quantile_state",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, cast(round(l_quantity) as bigint) AS qty
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           quantile_cont(qty, 0.25) AS q25,
+           quantile_cont(qty, 0.50) AS q50,
+           quantile_cont(qty, 0.75) AS q75,
+           cast(count(*) as bigint) AS n
+    FROM c GROUP BY l_returnflag
+    """,
+    tags=("analytic", "percentile", "incremental", "state"),
+)
+def q402_incremental_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION STATE — exact quantiles maintained incrementally
+    across batches, the order-statistic complement of q400's distinct
+    bitmaps: quantiles don't sum, but their (group, value, count)
+    tables DO. History (shipments before 1997) persists as a counts
+    state table — bounded by distinct (group, value) pairs (3 flags ×
+    ~50 quantities), microscopic next to the fact rows it summarizes;
+    an arriving batch contributes ITS OWN counts, the merge is one
+    additive keyed aggregation over state ∪ batch, and
+    operators/ranking.py::grouped_quantile_from_counts turns the
+    merged table into exact quartiles with the q357 machinery
+    (distributed prefix sum → rank-cover → builtin-verbatim
+    interpolation — no group-sized task anywhere).
+
+    The oracle recomputes quantile_cont over ALL raw rows, so the
+    driver hash-checks the algebra end-to-end: counts-merge ∘ quantile
+    ≡ quantile over everything ever seen, bitwise (integer values make
+    every dyadic quartile interpolation exact on both engines, q357's
+    protocol).
+
+    100 TB story: this is how a daily pipeline reports corpus-lifetime
+    latency/size percentiles without the classic re-scan: history
+    facts are read ZERO times per refresh (plan-pinned — one lineitem
+    scan, the batch slice, date filter pushed); the state shuffle is
+    distinct-pair-bounded; and the quantile pass inherits q357's
+    no-group-sized-task property, so a handful of heavy groups cannot
+    OOM a reducer at any scale. Value domains that are continuous
+    (sub-cent floats) should quantize first (cents — q357) or take the
+    GK-sketch path (q112) — the counts posture needs a bounded value
+    domain to stay small."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.ranking import grouped_quantile_from_counts
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        "l_shipdate",
+    )
+
+    state_dir = _Q402_STATE.get(sf_dir)
+    if state_dir is None or not os.path.isdir(state_dir):
+        state_dir = tempfile.mkdtemp(prefix="mcetl_q402_") + "/quantile_counts"
+        (
+            li.filter(F.col("l_shipdate") < "1997-01-01")
+            .groupBy("l_returnflag", "qty")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(state_dir)
+        )
+        _Q402_STATE[sf_dir] = state_dir
+    state = spark.read.parquet(state_dir)
+
+    batch_counts = (
+        li.filter(F.col("l_shipdate") >= "1997-01-01")
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    merged = state.unionByName(batch_counts)
+    return grouped_quantile_from_counts(
+        merged,
+        ["l_returnflag"],
+        "qty",
+        "cnt",
+        [0.25, 0.5, 0.75],
+        ["q25", "q50", "q75"],
+    ).select("l_returnflag", "q25", "q50", "q75", "n")

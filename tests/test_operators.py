@@ -2171,3 +2171,57 @@ def test_erase_from_state_tombstones(spark, tmp_path):
         .toString()
     )
     assert "BroadcastHashJoin" in kept_plan and "LeftAnti" in kept_plan
+
+
+def test_grouped_quantile_from_counts_matches_builtin(spark):
+    """grouped_quantile_from_counts (q402's operator) over a
+    pre-aggregated counts frame — including DUPLICATE (group, value)
+    rows, the state ∪ batch shape before the merge agg — must be
+    bitwise equal to the builtin ``percentile`` over the expanded raw
+    rows, for the whole quartile battery."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.operators.ranking import (
+        grouped_quantile_from_counts,
+        release_ranking_caches,
+    )
+
+    rng = random.Random(7)
+    raw = []
+    counts = {}
+    for g in ("a", "b"):
+        for _ in range(400):
+            v = rng.randrange(1, 50)
+            raw.append((g, v))
+            counts[(g, v)] = counts.get((g, v), 0) + 1
+    raw_df = spark.createDataFrame(raw, "g string, v long")
+    # split each count into two partial rows (state + batch shape)
+    split_rows = []
+    for (g, v), c in counts.items():
+        h = c // 2
+        if h:
+            split_rows.append((g, v, h))
+        split_rows.append((g, v, c - h))
+    cdf = spark.createDataFrame(split_rows, "g string, v long, cnt long")
+
+    want = {
+        r.g: (r.q25, r.q50, r.q75, r.n)
+        for r in raw_df.groupBy("g")
+        .agg(
+            F.percentile("v", F.lit(0.25)).alias("q25"),
+            F.percentile("v", F.lit(0.50)).alias("q50"),
+            F.percentile("v", F.lit(0.75)).alias("q75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    got = {
+        r.g: (r.q25, r.q50, r.q75, r.n)
+        for r in grouped_quantile_from_counts(
+            cdf, ["g"], "v", "cnt", [0.25, 0.5, 0.75], ["q25", "q50", "q75"]
+        ).collect()
+    }
+    release_ranking_caches()
+    assert got == want  # exact ==, no tolerance: bitwise contract

@@ -760,3 +760,19 @@ def test_incremental_distinct_never_rescans_history(spark, sf_dir):
     assert "PushedFilters:" in flat and "IsNotNull(o_orderdate)" in flat or (
         "GreaterThanOrEqual(o_orderdate" in flat
     ), "batch date filter not pushed into the orders scan"
+
+
+def test_incremental_quantile_never_rescans_history(spark, sf_dir):
+    """q402: the counts-state merge must read history only through the
+    persisted (group, value, count) table. The pinned counts frame's
+    cached child plan prints once per consumer, so counting scan LINES
+    overcounts — instead pin that EVERY lineitem scan in the plan is
+    the batch slice (date filter pushed into the parquet scan: a
+    history re-scan would appear as a lineitem FileScan without it)
+    and that the state parquet is read."""
+    plan = _plan(REGISTRY["q402_incremental_quantile_state"].fn(spark, sf_dir))
+    li_lines = [l for l in plan.splitlines() if "lineitem.parquet" in l]
+    assert li_lines, "no lineitem scan at all?"
+    for l in li_lines:
+        assert "1997-01-01" in l, f"lineitem scan without the batch date filter: {l[:200]}"
+    assert "quantile_counts" in plan, "state parquet not read"
