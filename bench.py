@@ -177,6 +177,21 @@ HEADLINE = (
     # so the whole pipeline IS the measurement)
     "q391_incremental_components_state",
     "q392_stream_incremental_dedup",
+    # round-8 wave 2: the state LIFECYCLE family — compaction/TTL of
+    # the band-bucket index (q393), the composed incremental
+    # corpus-refresh pipeline (q395, the state family's flagship
+    # composition), BM25 append->TTL->compact->serve (q396), targeted
+    # tombstone erasure (q399), and the three mergeable-state postures
+    # (q400 bitmap distinct, q401 vocab set-union loop, q402
+    # counts-table quantiles) — each a distinct maintenance/merge
+    # physical shape whose regressions would otherwise be invisible
+    "q393_state_compaction_ttl",
+    "q395_corpus_refresh_pipeline",
+    "q396_bm25_index_compaction",
+    "q399_erasure_tombstones",
+    "q400_incremental_distinct_state",
+    "q401_incremental_vocab_state",
+    "q402_incremental_quantile_state",
 )
 
 
@@ -308,6 +323,18 @@ SETUP_QUERIES = (
     # corpus index) build once per sf_dir; the timed pass file-copies
     # a fresh mutable state and measures the stream itself
     "q392_stream_incremental_dedup",
+    # round-8 lifecycle family: first run builds each query's memoized
+    # state (two-generation appended indexes for the compactors, the
+    # corpus index for erasure/refresh, history counts/bitmap tables
+    # for the mergeable-state trio); the timed pass measures the
+    # maintenance/merge operation itself. q401 is deliberately absent:
+    # its state-growing loop IS the measured operation.
+    "q393_state_compaction_ttl",
+    "q395_corpus_refresh_pipeline",
+    "q396_bm25_index_compaction",
+    "q399_erasure_tombstones",
+    "q400_incremental_distinct_state",
+    "q402_incremental_quantile_state",
 )
 
 

@@ -1655,3 +1655,82 @@ def q392_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         [(b, n, dup, n - dup) for b, (n, dup) in sorted(results.items())],
         "batch_idx bigint, n_batch bigint, n_dup bigint, n_new bigint",
     )
+
+
+# q403 state cache: sf_dir -> parquet dir of the per-user session state
+_Q403_STATE: dict[str, str] = {}
+
+
+@query(
+    "q403_incremental_session_state",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           cast(count(DISTINCT session_id) as bigint) AS n_sessions,
+           count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+    tags=("streaming", "session", "incremental", "state"),
+)
+def q403_incremental_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SESSIONIZATION — sessions spanning batch boundaries,
+    the order-dependent state merge the rest of the state family
+    (q388–q402) doesn't cover: gap sessionization is
+    prefix-decomposable (sessions(A ++ B) = sessions(A) + sessions(B)
+    − bridge, where the bridge depends only on A's last and B's first
+    event time), so a constant-width per-user state row
+    ``(n_sessions, n_events, last_ts)`` is sufficient to continue
+    sessionizing forever. History (events before Jan 16) folds into
+    the persisted state ONCE; the arriving batch sessionizes
+    internally (user-keyed window over batch rows only) and ONE
+    user-keyed full-outer join settles every boundary: bridge when
+    the cross-batch gap is under 30 min, new session otherwise —
+    exact-gap boundaries open a session, matching streaming
+    session_window's [start, last+gap) interval (q56/q59's protocol).
+
+    The oracle recomputes per-user session counts over ALL events with
+    q56's lag+cumsum SQL, so the driver hash-checks the decomposition:
+    state-fold ∘ batch-merge ≡ global sessionization, per user. The
+    boundary-µs protocol rides the divergence ledger: integer
+    microsecond differencing, never date_diff('second') (the q213
+    lesson).
+
+    100 TB story: the daily cost is one window over the BATCH and one
+    user-keyed join of two user-sized frames — history events are read
+    ZERO times (plan-pinned single events scan) and the state is one
+    constant-width row per user (the batch analogue of
+    applyInPandasWithState's per-key state, but oracle-checkable).
+    Non-decomposable session metrics (median length) take the q402
+    counts posture instead."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.sessionize import merge_session_state, session_state
+
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+
+    state_dir = _Q403_STATE.get(sf_dir)
+    if state_dir is None or not os.path.isdir(state_dir):
+        state_dir = tempfile.mkdtemp(prefix="mcetl_q403_") + "/session_state"
+        session_state(e.filter(F.col("ts") < "2024-01-16")).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+        _Q403_STATE[sf_dir] = state_dir
+    state = spark.read.parquet(state_dir)
+
+    batch = e.filter(F.col("ts") >= "2024-01-16")
+    merged = merge_session_state(state, batch)
+    return merged.select("user_id", "n_sessions", "n_events")

@@ -2225,3 +2225,60 @@ def test_grouped_quantile_from_counts_matches_builtin(spark):
     }
     release_ranking_caches()
     assert got == want  # exact ==, no tolerance: bitwise contract
+
+
+def test_merge_session_state_boundary_semantics(spark):
+    """merge_session_state (q403's operator): the per-user constant
+    state row continues sessionization exactly across a batch
+    boundary — bridge under the gap, NEW session at exactly the gap
+    (session_window's [start, last+gap) interval), new-user and
+    history-only users pass through — and the merged state equals
+    folding the union stream from scratch."""
+    from datetime import datetime, timedelta
+
+    from marketingcloud_etl_spark.operators.sessionize import (
+        merge_session_state,
+        session_state,
+    )
+
+    t0 = datetime(2024, 1, 10, 12, 0, 0)
+    m = timedelta(minutes=1)
+    hist = [
+        # user 1: two history sessions, last event t0
+        (1, t0 - 120 * m), (1, t0 - 115 * m), (1, t0),
+        # user 2: one history session ending t0
+        (2, t0 - 5 * m), (2, t0),
+        # user 4: history only
+        (4, t0 - 50 * m),
+    ]
+    batch = [
+        # user 1: first batch event 29 min after -> BRIDGES, then a
+        # second internal session 31 min later
+        (1, t0 + 29 * m), (1, t0 + 60 * m), (1, t0 + 61 * m),
+        # user 2: exactly 30 min after -> NO bridge (>= gap opens new)
+        (2, t0 + 30 * m),
+        # user 3: new user, two internal sessions
+        (3, t0 + 1 * m), (3, t0 + 40 * m),
+    ]
+    hdf = spark.createDataFrame(hist, "user_id long, ts timestamp")
+    bdf = spark.createDataFrame(batch, "user_id long, ts timestamp")
+
+    merged = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in merge_session_state(session_state(hdf), bdf).collect()
+    }
+    assert merged[1] == (3, 6)   # 2 hist, bridge, +1 new internal
+    assert merged[2] == (2, 3)   # exact-gap boundary opens a session
+    assert merged[3] == (2, 2)   # new user, batch-internal split
+    assert merged[4] == (1, 1)   # history-only user passes through
+
+    # decomposition contract: merge(state(A), B) == state(A ++ B)
+    want = {
+        r.user_id: (r.n_sessions, r.n_events, r.last_ts)
+        for r in session_state(hdf.unionByName(bdf)).collect()
+    }
+    got = {
+        r.user_id: (r.n_sessions, r.n_events, r.last_ts)
+        for r in merge_session_state(session_state(hdf), bdf).collect()
+    }
+    assert got == want

@@ -776,3 +776,16 @@ def test_incremental_quantile_never_rescans_history(spark, sf_dir):
     for l in li_lines:
         assert "1997-01-01" in l, f"lineitem scan without the batch date filter: {l[:200]}"
     assert "quantile_counts" in plan, "state parquet not read"
+
+
+def test_incremental_session_never_rescans_history(spark, sf_dir):
+    """q403: the session-state merge must read history only through
+    the persisted per-user state — every events scan in the plan is
+    the batch slice (date filter pushed), plus the state parquet."""
+    plan = _plan(REGISTRY["q403_incremental_session_state"].fn(spark, sf_dir))
+    # events reach plans through io.table's normalized cache dir
+    ev_lines = [l for l in plan.splitlines() if "mcetl_events_norm_" in l]
+    assert ev_lines, "no events scan at all?"
+    for l in ev_lines:
+        assert "2024-01-16" in l, f"events scan without the batch date filter: {l[:200]}"
+    assert "session_state" in plan, "state parquet not read"
