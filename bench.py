@@ -192,6 +192,7 @@ HEADLINE = (
     "q400_incremental_distinct_state",
     "q401_incremental_vocab_state",
     "q402_incremental_quantile_state",
+    "q403_incremental_session_state",
 )
 
 
@@ -281,6 +282,18 @@ BUDGETS = {
     # when their first driver bench lands
     "q391_incremental_components_state": 3.99,  # local best-of-2 2.661
     "q392_stream_incremental_dedup": 20.65,  # local best-of-2 13.766
+    # round-8 wave-2 lifecycle/mergeable-state headliners, pinned from
+    # a FULL bench.py run with the newcomers included (the round-7
+    # lesson: isolated best-of-2 under-pins by 1.3-2x); replaced by
+    # driver anchors when their first driver bench lands
+    "q393_state_compaction_ttl": 1.77,  # local bench-conditions 1.177
+    "q395_corpus_refresh_pipeline": 22.63,  # local bench-conditions 15.089
+    "q396_bm25_index_compaction": 2.95,  # local bench-conditions 1.965
+    "q399_erasure_tombstones": 6.61,  # local bench-conditions 4.404
+    "q400_incremental_distinct_state": 1.5,  # local bench-conditions 0.596
+    "q401_incremental_vocab_state": 3.19,  # local bench-conditions 2.126
+    "q402_incremental_quantile_state": 3.11,  # local bench-conditions 2.076
+    "q403_incremental_session_state": 1.5,  # local bench-conditions 0.575
 }
 
 def _sf_of(sf_dir: str) -> float:
@@ -335,6 +348,7 @@ SETUP_QUERIES = (
     "q399_erasure_tombstones",
     "q400_incremental_distinct_state",
     "q402_incremental_quantile_state",
+    "q403_incremental_session_state",
 )
 
 
