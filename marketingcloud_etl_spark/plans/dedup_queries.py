@@ -3672,3 +3672,91 @@ def q399_erasure_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~F.col("is_dup")).cast("bigint")).cast("bigint").alias("n_new"),
         )
     )
+
+
+# q405 state cache: sf_dir -> parquet dir of the history token counts
+_Q405_STATE: dict[str, str] = {}
+
+
+@query(
+    "q405_incremental_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({tokens_sql('text')}) AS token FROM documents
+    ), n AS (SELECT cast(count(*) as bigint) AS total FROM toks)
+    SELECT token,
+           cast(count(*) as bigint) AS cnt,
+           cast(count(*) * 1000000 // max(n.total) as bigint) AS share_ppm
+    FROM toks, n
+    GROUP BY token
+    HAVING count(*) * 200 > max(n.total)
+    """,
+    tags=("sketch", "text", "incremental", "state"),
+)
+def q405_incremental_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL HEAVY HITTERS — q369's exact 0.5%-support report
+    maintained across batches: the ADDITIVE-counts member of the
+    mergeable-state family (q400 bitmap-union distinct, q401
+    set-union vocab, q402 counts-distribution quantiles — this is the
+    plain additive fold, the one aggregate that IS sum-mergeable, kept
+    exact where Misra-Gries/count-min state would be approximate).
+    History token counts persist once (vocab-bounded rows); an
+    arriving batch folds ITS OWN tokens map-side, the merge is one
+    token-keyed additive aggregation over state ∪ batch, and both
+    threshold sides come from the merged table alone — the support
+    denominator (total token count) is itself additive, so history
+    text is never re-read for the report.
+
+    Oracle recomputes the plain GROUP BY/HAVING over ALL documents;
+    thresholds compare as 200·count > total in pure bigint on both
+    engines (q369's protocol), so the driver hash-checks
+    merge ∘ threshold ≡ global frequency analysis exactly.
+
+    100 TB story: the per-refresh cost is the batch's map-side token
+    fold plus a vocab-bounded keyed merge — the corpus-sized token
+    stream is touched exactly once in its lifetime (at ingest). q369's
+    pigeonhole prefilter matters when you must re-derive counts from
+    raw text; the state posture makes even that unnecessary. The
+    merged frame feeds two consumers (the total and the threshold
+    filter) and is pinned for the duration of the query."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..functions.text import tokens
+    from ..operators.ranking import pin_cache
+
+    d = table(spark, sf_dir, "documents")
+
+    def token_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    state_dir = _Q405_STATE.get(sf_dir)
+    if state_dir is None or not os.path.isdir(state_dir):
+        state_dir = tempfile.mkdtemp(prefix="mcetl_q405_") + "/token_counts"
+        token_counts(d.filter(F.col("doc_id") % 3 != 0)).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+        _Q405_STATE[sf_dir] = state_dir
+    state = spark.read.parquet(state_dir)
+
+    batch = token_counts(d.filter(F.col("doc_id") % 3 == 0))
+    merged = pin_cache(
+        state.unionByName(batch)
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    total = merged.agg(F.sum("cnt").cast("bigint").alias("total"))
+    return (
+        merged.join(F.broadcast(total), F.lit(True))
+        .filter(F.col("cnt") * 200 > F.col("total"))
+        .select(
+            "token",
+            "cnt",
+            F.expr("cnt * 1000000 div total").cast("bigint").alias("share_ppm"),
+        )
+    )
