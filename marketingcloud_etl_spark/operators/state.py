@@ -72,3 +72,34 @@ def erase_from_state(
         writer = writer.partitionBy(partition_col)
     writer.parquet(out_dir)
     return spark.read.parquet(out_dir)
+
+
+def signed_view_merge(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    measures: list[str],
+) -> DataFrame:
+    """Merge a SIGNED aggregate delta into a maintained view — the
+    retraction algebra (differential-dataflow / DBSP convention) that
+    turns insert-only view maintenance into full CDC maintenance:
+    ``state`` and ``delta`` both carry ``keys + measures`` where every
+    measure is a sign-weighted sum (+1 rows for inserts, −1 for
+    deletes, already aggregated). The merge is ONE keyed additive
+    aggregation, and ``measures[0]`` is BY CONVENTION the support
+    count: groups whose maintained support reaches zero are dropped —
+    a sum alone cannot distinguish 'zero total' from 'gone', which is
+    why retraction-aware views must always maintain a count.
+
+    Negative maintained support means the delta deleted rows the state
+    never contained (a CDC ordering bug); it is filtered like zero
+    here, and q406's oracle would hash-mismatch if it ever happened.
+
+    Scale: state and delta are group-domain-bounded; the merge
+    shuffles only those rows. The base fact is never touched."""
+    return (
+        state.unionByName(delta)
+        .groupBy(*keys)
+        .agg(*[F.sum(m).cast("bigint").alias(m) for m in measures])
+        .filter(F.col(measures[0]) > 0)
+    )

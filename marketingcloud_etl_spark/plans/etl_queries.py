@@ -4086,3 +4086,115 @@ def q400_incremental_distinct_state(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("bigint")
         .alias("n_new_customers"),
     )
+
+
+# q406 state cache: sf_dir -> parquet dir of the maintained join view
+_Q406_STATE: dict[str, str] = {}
+
+
+@query(
+    "q406_ivm_retraction",
+    oracle="""
+    WITH live AS (
+      SELECT * FROM orders
+      WHERE (o_orderkey % 5 <> 0 AND o_orderkey % 13 <> 5)
+         OR o_orderkey % 5 = 0
+    ), j AS (
+      SELECT c.c_nationkey,
+             cast(round(o.o_totalprice * 100) as bigint) AS cents
+      FROM live o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_nationkey,
+           cast(count(*) as bigint) AS n_orders,
+           cast(sum(cents) as bigint) AS revenue_cents
+    FROM j GROUP BY c_nationkey
+    """,
+    tags=("etl", "incremental", "state", "ivm"),
+)
+def q406_ivm_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-AWARE VIEW MAINTENANCE — q304's delta-join IVM
+    extended to DELETES, the half of change-data-capture insert-only
+    maintenance can't absorb: every delta row carries a SIGNED
+    multiplicity (+1 insert, −1 delete — the differential-dataflow /
+    DBSP convention), deltas aggregate with sign-weighted sums, and
+    the maintained view merges state ∪ delta in one keyed additive
+    aggregation, dropping groups whose maintained support reaches
+    zero (the count column exists exactly so disappearance is
+    detectable — a sum alone can't distinguish 'zero total' from
+    'gone'). The base view (per-nation order counts + exact-cents
+    revenue over orders ⋈ customer) persists once; the mixed batch —
+    inserts (o_orderkey % 5 = 0) and CDC deletes of base rows
+    (% 13 = 5, arriving as full before-images, the Debezium shape) —
+    joins the broadcast customer dimension, never the base fact.
+
+    The oracle recomputes the view over (base − deletes) ∪ inserts
+    from scratch, so the driver hash-checks the signed algebra
+    end-to-end: maintain ∘ mixed-delta ≡ recompute, per nation, in
+    integer cents (no float drift by construction).
+
+    100 TB story: the refresh cost is |delta| (sign-weighted
+    aggregation + one broadcast dim join) plus a group-domain-bounded
+    state merge — the base fact is read ZERO times (the delete
+    before-images come from the CDC feed; this fixture synthesizes
+    them from the base slice, plan-visibly filter-pushed). Group
+    disappearance (support hitting 0) is pinned by a planted unit
+    test; q304 remains the insert-only delta-JOIN decomposition
+    (dA⋈B ∪ A⋈dB ∪ dA⋈dB) — this query adds the retraction algebra
+    both need at the aggregation layer."""
+    import os
+    import tempfile
+
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    def view_rows(df: DataFrame) -> DataFrame:
+        return df.join(
+            F.broadcast(c), df.o_custkey == c.c_custkey
+        ).select(
+            "c_nationkey",
+            F.col("__sign").alias("sign"),
+            (F.round(F.col("o_totalprice") * 100).cast("bigint") * F.col("__sign"))
+            .alias("cents"),
+        )
+
+    state_dir = _Q406_STATE.get(sf_dir)
+    if state_dir is None or not os.path.isdir(state_dir):
+        state_dir = tempfile.mkdtemp(prefix="mcetl_q406_") + "/join_view"
+        base = o.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+            "__sign", F.lit(1).cast("bigint")
+        )
+        (
+            view_rows(base)
+            .groupBy("c_nationkey")
+            .agg(
+                F.sum("sign").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("revenue_cents"),
+            )
+            .write.mode("overwrite")
+            .parquet(state_dir)
+        )
+        _Q406_STATE[sf_dir] = state_dir
+    state = spark.read.parquet(state_dir)
+
+    # the mixed CDC batch: inserts (+1) and deletes of base rows (-1,
+    # full before-images — the Debezium 'before' payload shape)
+    inserts = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "__sign", F.lit(1).cast("bigint")
+    )
+    deletes = o.filter(
+        (F.col("o_orderkey") % 5 != 0) & (F.col("o_orderkey") % 13 == 5)
+    ).withColumn("__sign", F.lit(-1).cast("bigint"))
+    delta = (
+        view_rows(inserts.unionByName(deletes))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("sign").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+    from ..operators.state import signed_view_merge
+
+    return signed_view_merge(
+        state, delta, ["c_nationkey"], ["n_orders", "revenue_cents"]
+    )

@@ -2282,3 +2282,30 @@ def test_merge_session_state_boundary_semantics(spark):
         for r in merge_session_state(session_state(hdf), bdf).collect()
     }
     assert got == want
+
+
+def test_signed_view_merge_group_disappearance(spark):
+    """signed_view_merge (q406's operator): deleting every row of a
+    group drives its maintained support to zero and the group VANISHES
+    from the view (the retraction case insert-only IVM can't express);
+    partial deletes subtract exactly; inserts into new groups appear."""
+    from marketingcloud_etl_spark.operators.state import signed_view_merge
+
+    state = spark.createDataFrame(
+        [("a", 2, 300), ("b", 1, 50), ("c", 3, 999)],
+        "g string, n bigint, total bigint",
+    )
+    delta = spark.createDataFrame(
+        [
+            ("a", -2, -300),   # full retraction: group must disappear
+            ("b", 1, 25),      # one more row
+            ("c", -1, -9),     # partial retraction
+            ("d", 2, 40),      # brand-new group
+        ],
+        "g string, n bigint, total bigint",
+    )
+    got = {
+        r.g: (r.n, r.total)
+        for r in signed_view_merge(state, delta, ["g"], ["n", "total"]).collect()
+    }
+    assert got == {"b": (2, 75), "c": (2, 990), "d": (2, 40)}
