@@ -3760,3 +3760,80 @@ def q405_incremental_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
             F.expr("cnt * 1000000 div total").cast("bigint").alias("share_ppm"),
         )
     )
+
+
+# q407 state cache: sf_dir -> parquet dir of the maintained top-k sample
+_Q407_STATE: dict[str, str] = {}
+
+
+@query(
+    "q407_incremental_sample_state",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln(({_H32_DUCK} + 1) / 4294967296.0) / n_chars AS wkey
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars FROM keyed
+    ORDER BY wkey DESC, doc_id LIMIT 50
+    """,
+    tags=("sampling", "incremental", "state"),
+)
+def q407_incremental_sample_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL BOUNDED SAMPLE — q162's deterministic weighted
+    A-ES sample maintained as STATE: because each doc's key
+    ln(u)/w derives from its own content hash (no rand()), top-k by
+    key is ASSOCIATIVE — top-k(A ∪ B) = top-k(top-k(A) ∪ B) — so the
+    persisted state is just the current k winners (k rows, constant
+    size forever), and an arriving batch merges with one keyed pass
+    over (state ∪ batch-keys) followed by a k-limit. This is how a
+    pinned holdout/eval sample stays size-biased-correct across a year
+    of appends without ever rescanning history: the sample a batch
+    job would recompute from scratch falls out of a k-row state merge,
+    and the same associativity parallelizes the merge tree-wise across
+    shards at any scale.
+
+    The oracle recomputes q162's global top-50 over ALL documents, so
+    the driver hash-checks the merge identity end-to-end — any
+    violation of the associativity claim (e.g. a nondeterministic key)
+    would mismatch immediately. ln() and the division are single IEEE
+    ops on identical operands (q162's parity argument); the float key
+    is DROPPED from the output on both engines.
+
+    100 TB story: per refresh the work is the batch's narrow key map +
+    a TakeOrdered over batch ∪ k state rows — no global sort, no
+    history scan, state is k rows in perpetuity. The weighted
+    systematic sampler (q363) is the Σmult=k EXACT-quota alternative;
+    A-ES is the without-replacement streaming-mergeable one."""
+    import os
+    import tempfile
+
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+
+    def keyed(df: DataFrame) -> DataFrame:
+        u = (F.expr(_H32) + 1) / F.lit(4294967296.0)
+        return df.filter(F.col("n_chars") > 0).select(
+            "doc_id", "lang", "n_chars", (F.log(u) / F.col("n_chars")).alias("wkey")
+        )
+
+    state_dir = _Q407_STATE.get(sf_dir)
+    if state_dir is None or not os.path.isdir(state_dir):
+        state_dir = tempfile.mkdtemp(prefix="mcetl_q407_") + "/sample_state"
+        (
+            keyed(d.filter(F.col("doc_id") % 3 != 0))
+            .orderBy(F.col("wkey").desc(), "doc_id")
+            .limit(50)
+            .write.mode("overwrite")
+            .parquet(state_dir)
+        )
+        _Q407_STATE[sf_dir] = state_dir
+    state = spark.read.parquet(state_dir)
+
+    batch = keyed(d.filter(F.col("doc_id") % 3 == 0))
+    return (
+        state.unionByName(batch)
+        .orderBy(F.col("wkey").desc(), "doc_id")
+        .limit(50)
+        .drop("wkey")
+    )
