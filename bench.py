@@ -193,6 +193,14 @@ HEADLINE = (
     "q401_incremental_vocab_state",
     "q402_incremental_quantile_state",
     "q403_incremental_session_state",
+    # round-8 wave 3: decontamination registry serving (salted
+    # gram-keyed probe), additive heavy-hitter counts merge,
+    # retraction-aware view maintenance, and the mergeable A-ES
+    # bounded-sample state — the remaining mergeable-state shapes
+    "q404_decontamination_state",
+    "q405_incremental_heavy_hitters",
+    "q406_ivm_retraction",
+    "q407_incremental_sample_state",
 )
 
 
@@ -294,6 +302,10 @@ BUDGETS = {
     "q401_incremental_vocab_state": 3.19,  # local bench-conditions 2.126
     "q402_incremental_quantile_state": 3.11,  # local bench-conditions 2.076
     "q403_incremental_session_state": 1.5,  # local bench-conditions 0.575
+    "q404_decontamination_state": 2.05,  # local bench-conditions 1.368
+    "q405_incremental_heavy_hitters": 1.5,  # local bench-conditions 0.646
+    "q406_ivm_retraction": 1.5,  # local bench-conditions 0.596
+    "q407_incremental_sample_state": 1.5,  # local bench-conditions 0.225
 }
 
 def _sf_of(sf_dir: str) -> float:
@@ -349,6 +361,10 @@ SETUP_QUERIES = (
     "q400_incremental_distinct_state",
     "q402_incremental_quantile_state",
     "q403_incremental_session_state",
+    "q404_decontamination_state",
+    "q405_incremental_heavy_hitters",
+    "q406_ivm_retraction",
+    "q407_incremental_sample_state",
 )
 
 
