@@ -3584,7 +3584,7 @@ def q401_incremental_vocab_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch",
         F.coalesce("n_new_tokens", F.lit(0)).cast("bigint").alias("n_new_tokens"),
     )
-    w = W.orderBy("batch").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = W.orderBy("batch").rowsBetween(W.unboundedPreceding, W.currentRow)  # global-window-ok: |batches|-row frame (4 rows)
     return full.select(
         "batch",
         "n_new_tokens",
