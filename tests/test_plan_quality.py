@@ -789,3 +789,41 @@ def test_incremental_session_never_rescans_history(spark, sf_dir):
     for l in ev_lines:
         assert "2024-01-16" in l, f"events scan without the batch date filter: {l[:200]}"
     assert "session_state" in plan, "state parquet not read"
+
+
+def test_incremental_heavy_hitters_never_rescans_history(spark, sf_dir):
+    """q405: the counts merge must read history only through the
+    persisted token-counts table. The pinned merged frame's cached
+    child prints per consumer, so pin that EVERY documents scan is the
+    batch slice (the %3=0 filter evaluates post-scan, but the state
+    parquet must be present and the raw token stream must not be
+    re-aggregated from the corpus side — one distinct documents-scan
+    SUBTREE, textually identical across cache printouts)."""
+    plan = _plan(REGISTRY["q405_incremental_heavy_hitters"].fn(spark, sf_dir))
+    assert "token_counts" in plan, "state parquet not read"
+    doc_lines = [l for l in plan.splitlines() if "documents.parquet" in l]
+    assert doc_lines, "no documents scan at all?"
+    for l in doc_lines:
+        assert "% 3) = 0)" in l, (
+            f"documents scan without the batch filter: {l.strip()[:200]}"
+        )
+
+
+def test_ivm_retraction_never_rescans_base(spark, sf_dir):
+    """q406: the maintained view must read the base fact only through
+    the persisted view parquet — the orders scans in the plan are the
+    DELTA slices (inserts + delete before-images), never an unfiltered
+    base scan; customer joins broadcast."""
+    plan = _plan(REGISTRY["q406_ivm_retraction"].fn(spark, sf_dir))
+    assert "join_view" in plan, "state parquet not read"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_sample_is_takeordered(spark, sf_dir):
+    """q407: the bounded-sample merge must plan as TakeOrderedAndProject
+    (a k-row reduction), never a global Sort materialization — the
+    whole point of the k-row state posture."""
+    plan = _plan(REGISTRY["q407_incremental_sample_state"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "top-k lost the TakeOrdered shape"
+    assert "sample_state" in plan, "state parquet not read"
