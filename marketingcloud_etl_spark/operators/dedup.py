@@ -312,12 +312,30 @@ def probe_minhash_index(
     map-side scan of the index — zero shuffle of the state table). Set
     ``broadcast_batch=False`` when the batch rivals the corpus; the
     join then shuffles on (band, bucket), still docs×bands rows."""
-    bb = minhash_band_buckets(batch, id_col, text_col, num_perm, bands, shingle_n, seed)
-    bfp = batch.filter(F.size(tokens(text_col)) >= shingle_n).select(
-        F.col(id_col).alias("id"),
-        shingle_set_fingerprint(text_col, shingle_n).alias("__bfp"),
+    rows = build_minhash_index(
+        batch, id_col, text_col, num_perm, bands, shingle_n, seed
     )
-    probe = bb.join(bfp, "id")
+    return probe_minhash_rows(rows, index, broadcast_batch=broadcast_batch)
+
+
+def probe_minhash_rows(
+    batch_rows: DataFrame,
+    index: DataFrame,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """:func:`probe_minhash_index` from PREBUILT batch index rows —
+    the (id, band, bucket, set_fp) frame :func:`build_minhash_index`
+    emits. Callers that both probe a batch AND append its survivors'
+    rows to the state (the q392 foreachBatch loop) build the rows
+    ONCE, probe from them, and append the survivor subset — halving
+    the minhash/shingle compute per micro-batch versus probing the
+    text and then re-fingerprinting the survivors. Same uniqueness
+    precondition and (id, n_candidates, is_dup, dup_of) contract as
+    the text-input probe, which now delegates here."""
+    bfp = batch_rows.select("id", F.col("set_fp").alias("__bfp")).distinct()
+    probe = batch_rows.select(
+        "id", "band", "bucket", F.col("set_fp").alias("__bfp")
+    )
     if broadcast_batch:
         probe = F.broadcast(probe)
     cand = probe.join(

@@ -120,6 +120,7 @@ def pagerank_fixed_point(
     dst: str = "id_b",
     checkpoint_every: int = 0,
     symmetric: bool = False,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT PageRank in integer fixed-point micro-units: every rank is
     a bigint fraction of ``scale``, contributions are floor-divided by
@@ -142,16 +143,34 @@ def pagerank_fixed_point(
     stays ONE lazy DAG (a depth-``iters`` plan executes as a single
     job — ~2x faster than eager per-round materialization at bench
     scale); pass ``checkpoint_every=k`` to cut lineage every k rounds
-    when running high iteration counts."""
+    when running high iteration counts.
+
+    ``init`` WARM-STARTS the power iteration from a persisted
+    (id, rank_micro) state (q414's incremental-refresh posture):
+    nodes present in ``init`` keep their persisted rank as round 0,
+    nodes new to the graph start at the uniform ``scale // n`` (n =
+    CURRENT node count). Per-round cost is unchanged (power iteration
+    scans every edge each round regardless); what warm-starting buys
+    at scale is ROUNDS — re-convergence from yesterday's solution
+    instead of from uniform."""
     edges = edges.localCheckpoint()
     nodes = _nodes_with_degree(edges, src, dst, symmetric=symmetric)
     n = nodes.count()  # one driver scalar, not data
     if n == 0:
         return nodes.select("id", F.lit(0).cast("bigint").alias("rank_micro"))
     base = (scale * (100 - damping_pct) // 100) // n
-    ranks = nodes.select(
-        "id", "__deg", F.lit(scale // n).cast("bigint").alias("rank_micro")
-    )
+    if init is None:
+        ranks = nodes.select(
+            "id", "__deg", F.lit(scale // n).cast("bigint").alias("rank_micro")
+        )
+    else:
+        ranks = nodes.join(init.select("id", "rank_micro"), "id", "left").select(
+            "id",
+            "__deg",
+            F.coalesce("rank_micro", F.lit(scale // n).cast("bigint"))
+            .cast("bigint")
+            .alias("rank_micro"),
+        )
     for it in range(iters):
         # shuffle_hash on the NODE-sized build side: left alone the
         # planner broadcast the EDGE list every iteration (it sits

@@ -1,0 +1,517 @@
+"""Operational audit & reconciliation queries (q408–q413) — the
+pre-flight and migration-validation surface a 100 TB pipeline runs
+around the engine proper: cross-engine table checksums (the "did the
+migration lose a row" primitive — exactly what a user switching from
+the reference ETL to this repo runs first), column profiling, foreign-
+key integrity, freshness/staleness watermarks, join-key skew probes
+(the measurement that decides salting), and uniqueness-contract
+audits. Every query is one or two keyed passes over a single table —
+no operation here grows super-linearly with the data.
+
+Cross-engine value protocol: audits hash and compare CANONICAL forms,
+one per type — int/varchar → plain string, double → floor(x·100)
+whole cents (a pure function of the IEEE bits, so Spark and DuckDB
+produce identical bigints without any string-formatting agreement),
+timestamp → epoch microseconds. Canonical strings are length-prefixed
+and unit-separator-joined per functions/hashing.py's injectivity
+argument, then md5'd; the 32-bit hex prefix as bigint sums into an
+ORDER-INSENSITIVE table checksum (the _H32 idiom, q272/q363 family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..io import table
+from ..session import prep
+from .catalog import query
+
+# ---------------------------------------------------------------- canonical
+
+_NULL = "chr(0) || 'NULL' || chr(0)"  # functions/hashing.py sentinel, DuckDB
+
+
+def _canon_spark(col: str, typ: str) -> Column:
+    """Canonical scalar for checksum/profile parity — see module doc."""
+    c = F.col(col)
+    if typ == "double":
+        return F.floor(c * 100).cast("bigint")
+    if typ == "ts":
+        # TPC-H fixture timestamps are TIMESTAMP_NTZ; the cast to
+        # TIMESTAMP is wall-clock-identity under the UTC session TZ
+        # prep() pins, matching DuckDB's epoch_us over naive timestamps
+        return F.unix_micros(c.cast("timestamp"))
+    return c
+
+
+def _canon_duck(col: str, typ: str) -> str:
+    if typ == "double":
+        return f"cast(floor({col} * 100) as bigint)"
+    if typ == "ts":
+        return f"epoch_us({col})"
+    return col
+
+
+def _row_digest_spark(cols: list[tuple[str, str]]) -> Column:
+    parts = []
+    for name, typ in cols:
+        s = F.coalesce(
+            _canon_spark(name, typ).cast("string"), F.lit("\x00NULL\x00")
+        )
+        parts.append(F.concat(F.length(s).cast("string"), F.lit(":"), s))
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def _row_digest_duck(cols: list[tuple[str, str]]) -> str:
+    fields = []
+    for name, typ in cols:
+        s = f"coalesce(cast({_canon_duck(name, typ)} as varchar), {_NULL})"
+        fields.append(f"cast(length({s}) as varchar) || ':' || {s}")
+    return (
+        "('0x' || substr(md5(concat_ws(chr(31), "
+        + ", ".join(fields)
+        + ")), 1, 8))::BIGINT"
+    )
+
+
+# the audited tables and their typed column lists (full width each)
+_CHECKSUM_TABLES: dict[str, list[tuple[str, str]]] = {
+    "orders": [
+        ("o_orderkey", "int"),
+        ("o_custkey", "int"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "int"),
+        ("l_partkey", "int"),
+        ("l_suppkey", "int"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "str"),
+        ("l_linestatus", "str"),
+        ("l_shipdate", "ts"),
+    ],
+    "customer": [
+        ("c_custkey", "int"),
+        ("c_name", "str"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "str"),
+    ],
+    "events": [
+        ("event_id", "int"),
+        ("ts", "ts"),
+        ("user_id", "int"),
+        ("event_type", "str"),
+        ("value", "double"),
+        ("props", "str"),
+    ],
+}
+
+
+def _checksum_oracle() -> str:
+    branches = []
+    for tbl, cols in _CHECKSUM_TABLES.items():
+        branches.append(
+            f"""SELECT '{tbl}' AS tbl, cast(count(*) as bigint) AS n_rows,
+                   cast(sum({_row_digest_duck(cols)}) as bigint) AS checksum
+            FROM {tbl}"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+@query(
+    "q408_table_checksum_reconcile",
+    oracle=_checksum_oracle(),
+    tags=("audit", "reconciliation", "parity"),
+)
+def q408_table_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-ENGINE TABLE CHECKSUM — the migration-validation
+    primitive: an order-insensitive content checksum (Σ of each row's
+    canonical 32-bit digest) plus row count, per audited table. Two
+    engines that hold the same rows produce the same (n_rows,
+    checksum) pair regardless of partitioning, file layout, or row
+    order — the first thing a user switching engines (the reference
+    ETL → this repo) runs on both sides. The oracle computes the same
+    digests in DuckDB, so the driver check IS a cross-engine
+    reconciliation of all four tables.
+
+    Scale: one column-pruned scan per table feeding a map-side partial
+    SUM — no shuffle beyond the one-row final; the digest is
+    whole-stage-codegen (md5/conv are JVM builtins, no Python). At
+    100 TB this is the cheapest possible full-content audit: cost =
+    one pass, parallel across every file."""
+    prep(spark)
+    outs = []
+    for tbl, cols in _CHECKSUM_TABLES.items():
+        t = table(spark, sf_dir, tbl).select(*[c for c, _ in cols])
+        outs.append(
+            t.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(_row_digest_spark(cols)).cast("bigint").alias("checksum"),
+            ).select(F.lit(tbl).alias("tbl"), "n_rows", "checksum")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------- profiling
+
+_PROFILE_COLS: list[tuple[str, str]] = _CHECKSUM_TABLES["orders"]
+
+
+def _profile_oracle() -> str:
+    branches = []
+    for name, typ in _PROFILE_COLS:
+        canon = _canon_duck(name, typ)
+        branches.append(
+            f"""SELECT '{name}' AS col_name,
+                   cast(count(*) as bigint) AS n_rows,
+                   cast(count(*) - count({name}) as bigint) AS n_null,
+                   cast(count(DISTINCT {canon}) as bigint) AS n_distinct,
+                   cast(min({canon}) as varchar) AS min_canon,
+                   cast(max({canon}) as varchar) AS max_canon
+            FROM orders"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+@query(
+    "q409_column_profile_audit",
+    oracle=_profile_oracle(),
+    tags=("audit", "profiling"),
+)
+def q409_column_profile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PROFILE / DATA-CONTRACT AUDIT — per column of ``orders``:
+    row count, null count, exact distinct count, and canonical min/max
+    (the stats a schema-drift monitor alerts on, and the numbers a
+    query planner's CBO wants). Profiles are over CANONICAL forms
+    (module doc) so both engines agree bit-for-bit; min/max stringify
+    AFTER the typed aggregation, so ordering is numeric where the
+    column is numeric.
+
+    Scale: ONE pass over the table — all six columns' aggregates run
+    in a single groupBy-less aggregation (Catalyst plans the multi-
+    distinct via one Expand, still a single scan), then the wide row
+    unpivots driver-side into one row per column. No per-column
+    rescans: profiling 100 TB costs one read."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for name, typ in _PROFILE_COLS:
+        canon = _canon_spark(name, typ)
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{name}__n"),
+            F.sum(F.col(name).isNull().cast("bigint"))
+            .cast("bigint")
+            .alias(f"{name}__nulls"),
+            F.countDistinct(canon).cast("bigint").alias(f"{name}__nd"),
+            F.min(canon).cast("string").alias(f"{name}__min"),
+            F.max(canon).cast("string").alias(f"{name}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__n, {name}__nulls, {name}__nd, {name}__min, {name}__max"
+        for name, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_canon, max_canon)"
+        )
+    )
+
+
+# ------------------------------------------------------ referential integrity
+
+# (relationship, child table, child key, parent table, parent key)
+_FK_RELS = [
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _fk_oracle() -> str:
+    branches = []
+    for rel, ct, ck, pt, pk in _FK_RELS:
+        branches.append(
+            f"""SELECT '{rel}' AS relationship,
+                   (SELECT cast(count(*) as bigint) FROM {ct}) AS n_child,
+                   (SELECT cast(count(*) as bigint) FROM {ct} c
+                    WHERE NOT EXISTS (SELECT 1 FROM {pt} p
+                                      WHERE p.{pk} = c.{ck})) AS n_orphan,
+                   (SELECT cast(count(*) as bigint) FROM {pt}) AS n_parent,
+                   (SELECT cast(count(*) as bigint) FROM {pt} p
+                    WHERE NOT EXISTS (SELECT 1 FROM {ct} c
+                                      WHERE c.{ck} = p.{pk})) AS n_unreferenced"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+@query(
+    "q410_referential_integrity_audit",
+    oracle=_fk_oracle(),
+    tags=("audit", "integrity", "join"),
+)
+def q410_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY AUDIT over the star schema's five FK
+    relationships: per relationship, child row count, ORPHAN count
+    (child keys with no parent — broken joins waiting to happen), and
+    the reverse childless-parent count (dead dimension rows). The
+    reference pipeline trusts its FK edges implicitly (lead→activity
+    joins, salesforce_extractor.py:214-217's upsert keys); this is the
+    audit that makes that trust checkable before a 100 TB join.
+
+    Scale shape per relationship: the child side reduces to DISTINCT
+    keys FIRST (one map-side-combinable agg over the fact table), so
+    both existence checks join key-domain-sized frames — the parent
+    side is dimension-sized and broadcastable. No fact-table row ever
+    crosses a shuffle twice."""
+    prep(spark)
+    outs = []
+    for rel, ct, ck, pt, pk in _FK_RELS:
+        child = table(spark, sf_dir, ct).select(F.col(ck).alias("k"))
+        parent = table(spark, sf_dir, pt).select(F.col(pk).alias("k"))
+        ckeys = child.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        n_child = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        n_orphan = (
+            ckeys.join(F.broadcast(parent), "k", "left_anti")
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_orphan"))
+        )
+        n_parent = parent.agg(F.count(F.lit(1)).cast("bigint").alias("n_parent"))
+        n_unref = parent.join(ckeys.select("k"), "k", "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_unreferenced")
+        )
+        outs.append(
+            n_child.join(n_orphan, F.lit(True))
+            .join(n_parent, F.lit(True))
+            .join(n_unref, F.lit(True))
+            .select(
+                F.lit(rel).alias("relationship"),
+                "n_child",
+                "n_orphan",
+                "n_parent",
+                "n_unreferenced",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ----------------------------------------------------------------- freshness
+
+
+@query(
+    "q411_freshness_lag_audit",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, count(*) AS n_events,
+             max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY event_type
+    ), g AS (
+      SELECT max(last_us) AS global_us FROM per
+    )
+    SELECT event_type,
+           cast(n_events as bigint) AS n_events,
+           cast(last_us as bigint) AS last_us,
+           cast((global_us - last_us) // 1000000 as bigint) AS lag_s,
+           CASE WHEN (global_us - last_us) // 1000000 < 3600 THEN 'fresh'
+                WHEN (global_us - last_us) // 1000000 < 86400 THEN 'stale'
+                ELSE 'dead' END AS staleness
+    FROM per CROSS JOIN g
+    """,
+    tags=("audit", "freshness", "watermark"),
+)
+def q411_freshness_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRESHNESS / WATERMARK-LAG AUDIT — per event source (event_type):
+    event count, last-seen watermark, lag behind the globally freshest
+    source in whole seconds, and a staleness bucket (fresh < 1 h ≤
+    stale < 1 d ≤ dead). This is the reference's count-watermark idea
+    (R16, salesforce_extractor.py:373-395) turned into a monitoring
+    query: a source whose watermark stops advancing is a dead
+    upstream, and the bucket is the alert level. Integer-µs
+    differencing per the q213 ledger (never date_diff('second')).
+
+    Scale: one groupBy over the stream table (map-side combinable
+    max/count), a one-row global broadcast, and a narrow projection —
+    the same shape at any table size."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    g = per.agg(F.max("last_us").alias("global_us"))
+    lag = F.expr("(global_us - last_us) div 1000000")
+    return per.join(F.broadcast(g), F.lit(True)).select(
+        "event_type",
+        "n_events",
+        F.col("last_us").cast("bigint").alias("last_us"),
+        lag.cast("bigint").alias("lag_s"),
+        F.when(lag < 3600, "fresh")
+        .when(lag < 86400, "stale")
+        .otherwise("dead")
+        .alias("staleness"),
+    )
+
+
+# ----------------------------------------------------------------- key skew
+
+
+@query(
+    "q412_join_key_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), t AS (
+      SELECT cast(sum(n) as bigint) AS total, count(*) AS n_keys FROM c
+    ), top AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+      FROM c ORDER BY n DESC, user_id LIMIT 10
+    )
+    SELECT rnk, user_id, cast(n as bigint) AS n,
+           cast(n * 1000000 // total as bigint) AS share_ppm,
+           cast(sum(n) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING)
+                * 1000000 // total as bigint) AS cum_share_ppm,
+           cast(n * n_keys * 100 // total as bigint) AS x_mean_pct
+    FROM top CROSS JOIN t
+    """,
+    tags=("audit", "skew", "join"),
+)
+def q412_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW PRE-FLIGHT — the measurement that decides whether
+    a planned join on events.user_id needs salting or AQE skew
+    handling: the 10 hottest keys with their absolute counts, share of
+    all rows (ppm), cumulative share, and multiple-of-mean percentage
+    (x_mean_pct = 100 × n / (total/n_keys), integer). A key at
+    x_mean_pct ≫ 100 is the straggler partition; cum_share_ppm says
+    whether skew is one key or a family. All ratios are integer floor
+    arithmetic so both engines agree exactly.
+
+    Scale: one map-side-combinable count per key (the same shuffle the
+    audited join would pay ONCE, spent here to avoid paying it
+    nightly), a 1-row total, and windows over the post-limit 10-row
+    frame only — the report never materializes the full key histogram
+    to the driver."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = (
+        c.orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+        .select(
+            "user_id",
+            "n",
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), "user_id"))  # global-window-ok: post-limit 10-row frame
+            .alias("rnk"),
+        )
+    )
+    cum = F.sum("n").over(
+        W.orderBy("rnk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )  # global-window-ok: post-limit 10-row frame
+    return top.join(F.broadcast(t), F.lit(True)).select(
+        "rnk",
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("n * 1000000 div total").cast("bigint").alias("share_ppm"),
+        (cum * 1000000 / F.col("total"))
+        .cast("bigint")
+        .alias("cum_share_ppm"),
+        F.expr("n * n_keys * 100 div total").cast("bigint").alias("x_mean_pct"),
+    )
+
+
+# -------------------------------------------------------- uniqueness contract
+
+# (contract label, table, key column expressions)
+_UNIQUE_CONTRACTS = [
+    ("orders.pk(o_orderkey)", "orders", ["o_orderkey"]),
+    ("lineitem.pk(l_orderkey,l_linenumber)", "lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events.pk(event_id)", "events", ["event_id"]),
+    ("events.natural(user_id,event_type,value,props)", "events",
+     ["user_id", "event_type", "value", "props"]),
+]
+
+
+def _unique_oracle() -> str:
+    branches = []
+    for label, tbl, keys in _UNIQUE_CONTRACTS:
+        ks = ", ".join(keys)
+        branches.append(
+            f"""SELECT '{label}' AS contract,
+                   cast(sum(m) as bigint) AS n_rows,
+                   cast(count(*) as bigint) AS n_keys,
+                   cast(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) as bigint)
+                     AS n_dup_keys,
+                   cast(max(m) as bigint) AS max_multiplicity
+            FROM (SELECT count(*) AS m FROM {tbl} GROUP BY {ks})"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+@query(
+    "q413_uniqueness_contract_audit",
+    oracle=_unique_oracle(),
+    tags=("audit", "uniqueness", "dedup"),
+)
+def q413_uniqueness_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIQUENESS-CONTRACT AUDIT — for each declared key (true primary
+    keys plus the events NATURAL key q00's content-hash dedup relies
+    on): row count, distinct key count, number of violated keys, and
+    the worst multiplicity. A nonzero n_dup_keys on a declared PK is
+    the upstream-redelivery signal the reference's insert-ignore
+    (R12) silently absorbs — this query makes the absorption rate
+    visible instead.
+
+    Scale: one keyed count per contract (map-side combinable) followed
+    by a key-domain-sized re-aggregation to the four audit numbers —
+    the fact table crosses the shuffle once per contract and nothing
+    key-domain-sized reaches the driver."""
+    prep(spark)
+    outs = []
+    for label, tbl, keys in _UNIQUE_CONTRACTS:
+        t = table(spark, sf_dir, tbl).select(*keys)
+        m = t.groupBy(*keys).agg(F.count(F.lit(1)).alias("m"))
+        outs.append(
+            m.agg(
+                F.sum("m").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum((F.col("m") > 1).cast("bigint"))
+                .cast("bigint")
+                .alias("n_dup_keys"),
+                F.max("m").cast("bigint").alias("max_multiplicity"),
+            ).select(
+                F.lit(label).alias("contract"),
+                "n_rows",
+                "n_keys",
+                "n_dup_keys",
+                "max_multiplicity",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -788,6 +788,131 @@ def q342_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q414: warm-start PageRank (the state posture for the rank family) ---
+
+
+def _pr_graph_ctes(p: str, where: str) -> str:
+    """The q342 bipartite part-supplier graph CTE block under prefix
+    ``p`` — edges fed symmetrically, disjoint id spaces via 2p/2s+1."""
+    return f"""{p}e0 AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem{where}
+    ), {p}edges AS (
+      SELECT p * 2 AS src, s * 2 + 1 AS dst FROM {p}e0
+      UNION ALL
+      SELECT s * 2 + 1 AS src, p * 2 AS dst FROM {p}e0
+    ), {p}nodes AS (
+      SELECT DISTINCT src AS id FROM {p}edges
+    ), {p}deg AS (
+      SELECT src, cast(count(*) as bigint) AS deg FROM {p}edges GROUP BY src
+    ), {p}nn AS (
+      SELECT cast(count(*) as bigint) AS n FROM {p}nodes
+    )"""
+
+
+def _pr_round_ctes(p: str, k: int, r0: str) -> tuple[str, str]:
+    """``k`` chained integer fixed-point PageRank rounds (q342's exact
+    protocol) from initial-rank CTE ``r0``; returns (ctes, last_name)."""
+    parts, cur = [], r0
+    for i in range(1, k + 1):
+        parts.append(f"""{p}c{i} AS (
+      SELECT e.dst AS id, cast(sum(r.r // d.deg) as bigint) AS s
+      FROM {p}edges e JOIN {cur} r ON e.src = r.id
+           JOIN {p}deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), {p}r{i} AS (
+      SELECT {p}nodes.id,
+             (150000000000 // n) + (85 * coalesce({p}c{i}.s, 0)) // 100 AS r
+      FROM {p}nodes CROSS JOIN {p}nn
+           LEFT JOIN {p}c{i} ON {p}nodes.id = {p}c{i}.id
+    )""")
+        cur = f"{p}r{i}"
+    return ", ".join(parts), cur
+
+
+_Q414_OLD_G = _pr_graph_ctes("o_", " WHERE l_orderkey % 4 <> 0")
+_Q414_OLD_ROUNDS, _Q414_OLD_LAST = _pr_round_ctes("o_", 2, "o_r0")
+_Q414_UN_G = _pr_graph_ctes("u_", "")
+_Q414_UN_ROUNDS, _Q414_UN_LAST = _pr_round_ctes("u_", 2, "u_r0")
+
+# q414 state cache: sf_dir -> parquet dir of the old-graph rank state
+_Q414_STATE: dict[str, str] = {}
+
+
+@query(
+    "q414_warm_start_pagerank",
+    oracle=f"""
+    WITH {_Q414_OLD_G}, o_r0 AS (
+      SELECT id, 1000000000000 // n AS r FROM o_nodes CROSS JOIN o_nn
+    ), {_Q414_OLD_ROUNDS}, {_Q414_UN_G}, u_r0 AS (
+      SELECT u_nodes.id, coalesce(o.r, 1000000000000 // n) AS r
+      FROM u_nodes CROSS JOIN u_nn
+           LEFT JOIN {_Q414_OLD_LAST} o ON u_nodes.id = o.id
+    ), {_Q414_UN_ROUNDS}
+    SELECT id, cast(r as bigint) AS rank_micro FROM {_Q414_UN_LAST}
+    """,
+    tags=("graph", "iterative", "incremental", "state"),
+)
+def q414_warm_start_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARM-START PAGERANK — the persisted-state posture for the rank
+    family, completing the incremental trio over graph operators (CC
+    q391, label propagation q394, PageRank here): yesterday's ranks
+    (two q342-protocol rounds over the OLD part-supplier graph,
+    l_orderkey % 4 ≠ 0) persist as an (id, rank_micro) table; today's
+    refresh runs TWO more integer fixed-point rounds over the UNION
+    graph starting from that state, with graph-new nodes seeded at the
+    uniform scale // n_union. Every quantity is a bigint and every
+    division a floor, so the warm-started trajectory is engine-exact —
+    the oracle unrolls the same 2+2 rounds (old-graph CTE chain feeds
+    the union chain's round-0 coalesce) and the driver hashes every
+    node's rank.
+
+    Unlike CC/LP, PageRank has no finite dependency cone — one new
+    edge perturbs every rank — so the honest incremental story is
+    ROUNDS, not per-round work: each round still scans every edge
+    (one keyed join + agg, q342's shape), but re-convergence from
+    yesterday's solution takes a fraction of the from-uniform round
+    count. The 2-round continuation IS the daily refresh; the oracle
+    proves it lands exactly where the protocol says.
+
+    cf. reference R16 (salesforce_extractor.py:373-395): the same
+    resume-from-watermark posture, applied to an iterative fixpoint."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.pagerank import pagerank_fixed_point
+
+    li = table(spark, sf_dir, "lineitem")
+
+    def sym_edges(pairs: DataFrame) -> DataFrame:
+        e0 = pairs.select(
+            (F.col("l_partkey") * 2).alias("id_a"),
+            (F.col("l_suppkey") * 2 + 1).alias("id_b"),
+        )
+        return e0.unionByName(
+            e0.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+
+    state_dir = _Q414_STATE.get(sf_dir)
+    if state_dir is None or not os.path.isdir(state_dir):
+        state_dir = tempfile.mkdtemp(prefix="mcetl_q414_") + "/ranks"
+        old = (
+            li.filter(F.col("l_orderkey") % 4 != 0)
+            .select("l_partkey", "l_suppkey")
+            .distinct()
+        )
+        pagerank_fixed_point(sym_edges(old), iters=2, symmetric=True).write.parquet(
+            state_dir
+        )
+        _Q414_STATE[sf_dir] = state_dir
+    state = spark.read.parquet(state_dir)
+
+    allp = li.select("l_partkey", "l_suppkey").distinct()
+    return pagerank_fixed_point(
+        sym_edges(allp), iters=2, symmetric=True, init=state
+    ).select("id", "rank_micro")
+
+
 @query(
     "q129_setsim_join",
     oracle=f"""
@@ -3265,15 +3390,22 @@ def q395_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = spark.read.parquet(os.path.join(base, "index"))
     labels = spark.read.parquet(os.path.join(base, "labels"))
 
-    # 1. probe: batch vs the INDEX alone
+    # 1. probe: batch vs the INDEX alone. The survivor-id frame is
+    # MATERIALIZED once (eager localCheckpoint of the id column only —
+    # batch-sized, a few thousand bigints): four downstream consumers
+    # (the cone filter, the ±2 cone frontier, refreshed_ids, the
+    # canonical complement) would otherwise each re-execute the whole
+    # probe plan — measured 3-4 re-runs of a ~2 s probe per refresh at
+    # sf0.1.
     res = probe_minhash_index(batch, index)
-    surv = batch.join(
-        res.filter(~F.col("is_dup")).select(F.col("id").alias("doc_id")), "doc_id"
+    sids = (
+        res.filter(~F.col("is_dup"))
+        .select(F.col("id").alias("doc_id"))
+        .localCheckpoint(eager=True)
     )
     # 2. new similarity edges: gap-1/2 pairs with >=1 SURVIVOR endpoint.
     # Only ids within 2 of a survivor can form one — the batch cone;
     # corpus-corpus edges already live in the persisted labelling.
-    sids = surv.select("doc_id")
     near = (
         sids.select(
             F.explode(
@@ -3283,9 +3415,15 @@ def q395_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     refreshed_ids = corpus.select("doc_id").unionByName(sids)
+    # refreshed ∩ near in ONE documents scan: the broadcast frontier
+    # prunes first, then rows must be corpus (%3≠0) or a survivor —
+    # the corpus ∪ surv union form scanned the text column twice
     cone = (
-        corpus.unionByName(surv)
+        d.select("doc_id", "text")
         .join(F.broadcast(near), "doc_id")
+        .join(F.broadcast(sids.withColumn("__s", F.lit(True))), "doc_id", "left")
+        .filter((F.col("doc_id") % 3 != 0) | F.col("__s"))
+        .select("doc_id", "text")
     )
     new_edges = gap_edges(cone).filter(
         (F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0)

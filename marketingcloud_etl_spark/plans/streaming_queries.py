@@ -1569,7 +1569,7 @@ def q392_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     import time as _time
 
     prep(spark)
-    from ..operators.dedup import build_minhash_index, probe_minhash_index
+    from ..operators.dedup import build_minhash_index, probe_minhash_rows
 
     d = table(spark, sf_dir, "documents")
 
@@ -1619,21 +1619,27 @@ def q392_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     results: dict[int, tuple[int, int]] = {}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
+        # ONE minhash/shingle pass per micro-batch: build the batch's
+        # index rows once, probe the state from them, and append the
+        # SURVIVOR SUBSET of the same rows — probing the text and then
+        # re-fingerprinting the survivors ran the (dominant) signature
+        # compute twice per batch
+        rows = build_minhash_index(
+            batch_df.select("doc_id", "text")
+        ).localCheckpoint(eager=True)
         index = spark.read.parquet(state_dir)
-        res = probe_minhash_index(batch, index).localCheckpoint(eager=True)
+        res = probe_minhash_rows(rows, index).localCheckpoint(eager=True)
         row = res.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("is_dup").cast("bigint")).alias("d"),
         ).first()
         results[int(batch_id)] = (int(row.n or 0), int(row.d or 0))
-        survivors = batch.join(
-            res.filter(~F.col("is_dup")).select("id"),
-            batch.doc_id == F.col("id"),
-        ).select("doc_id", "text")
-        build_minhash_index(survivors).repartition("band").write.mode(
-            "append"
-        ).partitionBy("band").parquet(state_dir)
+        surv_rows = rows.join(
+            res.filter(~F.col("is_dup")).select("id"), "id"
+        )
+        surv_rows.repartition("band").write.mode("append").partitionBy(
+            "band"
+        ).parquet(state_dir)
 
     schema = spark.read.option("recursiveFileLookup", "true").parquet(src).schema
     stream = (

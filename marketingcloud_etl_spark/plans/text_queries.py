@@ -2234,23 +2234,37 @@ def q278_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bm25_agg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BM25 scoring frame (doc_id, bm25, n_terms_hit) mirroring
-    _BM25_CTES expression-for-expression — shared by q278 and q362."""
+    _BM25_CTES expression-for-expression — shared by q278 and q362.
+
+    The oracle's ``toks``/``dl`` CTEs explode every token of every
+    document; here both corpus-token-sized shuffles are eliminated
+    without changing a single produced value: a document's length is
+    ``size(tokens(text))`` (narrow, no explode/groupBy — identical to
+    the exploded count for every doc that can reach ``scored``, and
+    ``total_len`` sums the same either way since missing-from-explode
+    docs contribute len 0), and only QUERY-TERM tokens are exploded
+    (the token array is pre-filtered per row, so the tf aggregation
+    shuffles hit rows only — the inverted-index-probe shape the
+    docstrings promise, now in the plan as well)."""
     terms = ("spark", "stream", "window")
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens("text")).alias("t"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    pre = d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("len"),
+        F.filter(tokens("text"), lambda t: t.isin(*terms)).alias("mt"),
+    )
     stats = d.agg(F.count(F.lit(1)).alias("n_docs")).join(
-        dl.agg(F.sum("len").alias("total_len")), F.lit(True)
+        pre.agg(F.sum("len").alias("total_len")), F.lit(True)
     )
     tf = (
-        toks.filter(F.col("t").isin(*terms))
-        .groupBy("doc_id", "t")
+        pre.filter(F.size("mt") > 0)
+        .select("doc_id", "len", F.explode("mt").alias("t"))
+        .groupBy("doc_id", "len", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     idf = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         tf.join(F.broadcast(idf), "t")
-        .join(dl, "doc_id")
         .join(F.broadcast(stats), F.lit(True))
         .select(
             "doc_id",

@@ -245,3 +245,123 @@ def test_theil_decomposition_additivity(spark, sf_dir):
     between = sum(r["between_term"] for r in rows)
     assert abs(tot_row["theil_t"] - (within + between)) < 1e-3
     assert abs(sum(r["income_share_ppm"] for r in rows) - 1_000_000) < len(rows)
+
+
+# ---------------------------------------------------------------- wave 4
+# audit/reconciliation family (q408-q413) + warm-start PageRank (q414)
+
+
+def test_table_checksum_is_order_insensitive_and_content_sensitive(spark):
+    """q408's digest-sum protocol: the checksum must be invariant to
+    partitioning/row order (it reconciles engines that share no layout)
+    and must move when any single field of any single row changes —
+    the two properties that make it a migration-validation primitive."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.plans.audit_queries import _row_digest_spark
+
+    cols = [("k", "int"), ("name", "str"), ("amt", "double")]
+    rows = [(i, f"n{i}", i * 1.01) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k bigint, name string, amt double")
+
+    def checksum(frame):
+        return frame.agg(F.sum(_row_digest_spark(cols)).alias("c")).first()["c"]
+
+    base = checksum(df)
+    assert checksum(df.repartition(13)) == base
+    assert checksum(df.orderBy(F.desc("k"))) == base
+    mutated = df.withColumn(
+        "amt", F.when(F.col("k") == 500, F.col("amt") + 0.01).otherwise(F.col("amt"))
+    )
+    assert checksum(mutated) != base
+    # one extra / one missing row must also move it
+    assert checksum(df.limit(999)) != base
+
+
+def test_checksum_canonical_double_is_subcent_aware_and_null_safe(spark):
+    """floor(x*100) cents distinguish sub-cent doubles that round to
+    the same cent only when they floor apart — and NULL canonicalizes
+    to the hash sentinel, not to the empty string (functions/hashing.py
+    semantics)."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.plans.audit_queries import _row_digest_spark
+
+    cols = [("v", "double")]
+    d = spark.createDataFrame(
+        [(2.674,), (2.675,), (2.68,), (None,)], "v double"
+    ).select(_row_digest_spark(cols).alias("h"))
+    hs = [r["h"] for r in d.collect()]
+    # canonical form IS floor-of-cents: 2.674 and 2.675 both floor to
+    # 267 (2.675*100 = 267.4999… in IEEE) and so must COLLIDE — the
+    # defined contract, identical in DuckDB — while 2.68 floors to 268
+    assert hs[0] == hs[1]
+    assert hs[1] != hs[2]
+    assert hs[3] is not None and hs[3] not in hs[:3]
+
+
+def test_referential_integrity_plan_broadcasts_and_counts_orphans(spark, sf_dir):
+    """q410: the parent-side existence checks must be broadcast joins
+    (dimensions are broadcast-sized at every scale the audit targets)
+    and a planted orphan must be counted exactly once per child row."""
+    from pyspark.sql import functions as F
+
+    plan = (
+        REG["q410_referential_integrity_audit"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    # planted orphan probe on constructed frames, through the same shape
+    child = spark.createDataFrame([(1,), (1,), (7,)], "k bigint")
+    parent = spark.createDataFrame([(1,), (2,)], "k bigint")
+    ckeys = child.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    orphans = (
+        ckeys.join(F.broadcast(parent), "k", "left_anti")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
+        .first()["n"]
+    )
+    unref = parent.join(ckeys.select("k"), "k", "left_anti").count()
+    assert orphans == 1 and unref == 1
+
+
+def test_column_profile_is_single_scan(spark, sf_dir):
+    """q409 promises one pass over orders: the executed plan must
+    contain exactly one parquet scan of the orders fixture."""
+    plan = (
+        REG["q409_column_profile_audit"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("orders.parquet") == 1
+
+
+def test_warm_start_pagerank_continuation_identity(spark, sf_dir):
+    """The warm-start protocol identity: 2 rounds from the state that
+    2 rounds produced over the SAME graph must equal 4 rounds from
+    uniform — bigint-exact, any partitioning. (q414's oracle proves
+    the old-graph -> union-graph case; this pins the operator's init
+    path itself.)"""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.io import table
+    from marketingcloud_etl_spark.operators.pagerank import pagerank_fixed_point
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    e0 = li.select(
+        (F.col("l_partkey") * 2).alias("id_a"),
+        (F.col("l_suppkey") * 2 + 1).alias("id_b"),
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    two = pagerank_fixed_point(sym, iters=2, symmetric=True)
+    warm = pagerank_fixed_point(sym, iters=2, symmetric=True, init=two)
+    four = pagerank_fixed_point(sym, iters=4, symmetric=True)
+    got = {r["id"]: r["rank_micro"] for r in warm.collect()}
+    want = {r["id"]: r["rank_micro"] for r in four.collect()}
+    assert got == want and len(got) > 0
