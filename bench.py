@@ -201,6 +201,20 @@ HEADLINE = (
     "q405_incremental_heavy_hitters",
     "q406_ivm_retraction",
     "q407_incremental_sample_state",
+    # round-8 wave 4: the operational audit family — table checksums
+    # (multi-table scan + digest-sum, a pure-codegen physical shape no
+    # other headliner has), single-scan multi-distinct profiling, FK
+    # integrity (distinct-then-anti-join battery), key-skew pre-flight,
+    # uniqueness contracts — plus warm-start PageRank (the rank-state
+    # posture; its old-graph state build runs in the setup pass).
+    # q411 shares q412's groupBy+global-broadcast shape and stays
+    # unbenched.
+    "q408_table_checksum_reconcile",
+    "q409_column_profile_audit",
+    "q410_referential_integrity_audit",
+    "q412_join_key_skew_report",
+    "q413_uniqueness_contract_audit",
+    "q414_warm_start_pagerank",
 )
 
 
@@ -306,6 +320,15 @@ BUDGETS = {
     "q405_incremental_heavy_hitters": 1.5,  # local bench-conditions 0.646
     "q406_ivm_retraction": 1.5,  # local bench-conditions 0.596
     "q407_incremental_sample_state": 1.5,  # local bench-conditions 0.225
+    # round-8 wave-4 audit family + warm-start rank state, pinned from
+    # a FULL bench.py run with the newcomers included; replaced by
+    # driver anchors when their first driver bench lands
+    "q408_table_checksum_reconcile": 5.04,  # local bench-conditions 3.363
+    "q409_column_profile_audit": 6.27,  # local bench-conditions 4.178
+    "q410_referential_integrity_audit": 2.35,  # local bench-conditions 1.568
+    "q412_join_key_skew_report": 1.5,  # local bench-conditions 0.352
+    "q413_uniqueness_contract_audit": 1.6,  # local bench-conditions 1.065
+    "q414_warm_start_pagerank": 3.89,  # local bench-conditions 2.591
 }
 
 def _sf_of(sf_dir: str) -> float:
@@ -365,6 +388,10 @@ SETUP_QUERIES = (
     "q405_incremental_heavy_hitters",
     "q406_ivm_retraction",
     "q407_incremental_sample_state",
+    # warm-start PageRank: first run builds + writes yesterday's
+    # old-graph rank state; the timed pass measures the 2-round
+    # warm-started continuation over the union graph
+    "q414_warm_start_pagerank",
 )
 
 
