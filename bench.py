@@ -215,6 +215,11 @@ HEADLINE = (
     "q412_join_key_skew_report",
     "q413_uniqueness_contract_audit",
     "q414_warm_start_pagerank",
+    # manifest time-travel read (lifecycle build in setup; the timed
+    # pass is the as-of-generation-0 profile — the snapshot-read cost)
+    # and the split-release audit (one documents scan + digest sums)
+    "q415_manifest_time_travel",
+    "q416_split_release_audit",
 )
 
 
@@ -392,6 +397,9 @@ SETUP_QUERIES = (
     # old-graph rank state; the timed pass measures the 2-round
     # warm-started continuation over the union graph
     "q414_warm_start_pagerank",
+    # manifest time travel: first run builds gen0/gen1 + both
+    # publishes; the timed pass measures the as-of read itself
+    "q415_manifest_time_travel",
 )
 
 

@@ -167,6 +167,70 @@ def q408_table_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+_DOC_COLS: list[tuple[str, str]] = [
+    ("doc_id", "int"),
+    ("text", "str"),
+    ("lang", "str"),
+    ("source", "str"),
+    ("n_chars", "int"),
+]
+
+_SPLIT_SPARK = (
+    "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) % 10"
+)
+_SPLIT_DUCK = "('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::BIGINT % 10"
+
+
+@query(
+    "q416_split_release_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT *, CASE WHEN {_SPLIT_DUCK} < 8 THEN 'train'
+                     WHEN {_SPLIT_DUCK} = 8 THEN 'val'
+                     ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_chars) as bigint) AS n_chars,
+           cast(sum({_row_digest_duck(_DOC_COLS)}) as bigint) AS checksum
+    FROM s GROUP BY split
+    """,
+    tags=("audit", "llm-pipeline", "reconciliation", "sampling"),
+)
+def q416_split_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-SPLIT RELEASE AUDIT — the manifest row a training-data
+    drop ships with: documents assign to train/val/test by content
+    hash (q85's leakage-free protocol — the split is a pure function
+    of doc_id, so re-releases never migrate a doc across splits), and
+    each split reports its row count, token-budget proxy (Σ n_chars),
+    and q408's order-insensitive content checksum. A consumer
+    re-running this audit on the delivered shards detects truncated,
+    duplicated, or cross-contaminated splits without trusting the
+    producer's row counts — and the driver's oracle comparison IS that
+    consumer-side re-verification.
+
+    Scale: one documents scan; split assignment and the digest are
+    whole-stage codegen; the groupBy carries three partial aggregates
+    over a 3-value key — map-side combine reduces it to one tiny
+    exchange."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_SPARK)
+    return (
+        d.withColumn(
+            "split",
+            F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum(_row_digest_spark(_DOC_COLS)).cast("bigint").alias("checksum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- profiling
 
 _PROFILE_COLS: list[tuple[str, str]] = _CHECKSUM_TABLES["orders"]

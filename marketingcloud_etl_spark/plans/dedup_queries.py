@@ -3702,6 +3702,117 @@ def q398_generation_manifest_swap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# q415 state cache: sf_dir -> (base dir, manifest path) for the
+# two-publish generation history
+_Q415_STATE: dict[str, tuple] = {}
+
+
+@query(
+    "q415_manifest_time_travel",
+    oracle=f"""
+    WITH corp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    ), batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ), ct AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM corp
+    ), cfp AS (
+      SELECT doc_id, {_FP3.format(sh=_SH3.format(t='t'))} AS fp
+      FROM ct WHERE len(t) >= 3
+    ), cset AS (
+      SELECT DISTINCT fp FROM cfp
+    ), bt AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM batch
+    ), bfp AS (
+      SELECT doc_id, {_FP3.format(sh=_SH3.format(t='t'))} AS fp
+      FROM bt WHERE len(t) >= 3
+    ), surv AS (
+      SELECT b.doc_id, b.fp FROM bfp b LEFT JOIN cset c ON b.fp = c.fp
+      WHERE c.fp IS NULL
+    ), live AS (
+      SELECT doc_id, fp FROM cfp
+      UNION ALL
+      SELECT doc_id, fp FROM surv
+    )
+    SELECT cast(band as int) AS band,
+           cast(count(*) as bigint) AS n_entries,
+           cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM range(8) r(band) CROSS JOIN live
+    GROUP BY band
+    """,
+    tags=("dedup", "state", "maintenance", "time-travel"),
+)
+def q415_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE TIME TRAVEL through the generation-manifest HISTORY — the
+    read-side complement of q398's atomic publish: the manifest records
+    every generation it has ever pointed at (immutable dirs + an
+    ordered history list), so any past state remains addressable after
+    later publishes. This query runs q398's full lifecycle (appended
+    index → publish gen0 → TTL compaction → publish gen1), then reads
+    the state AS OF THE FIRST PUBLISH via
+    sinks/manifest.py::read_generation(manifest, 0) — while ``current``
+    points at the compacted gen1 — and reports its per-band profile.
+    The oracle computes the PRE-compaction algebra (corpus fingerprints
+    plus appended batch survivors, NO TTL filter), so the hash check
+    proves the historical generation is bit-intact after the
+    compaction that superseded it: the debugging / incident-rollback
+    posture ("what did the index hold when yesterday's job ran?").
+
+    100 TB story: time travel costs ONE manifest read — generations
+    are immutable, so no snapshot copy, no log replay; retention
+    truncates the history tail. This is the same design as Iceberg/
+    Delta snapshot reads, reduced to its primitive: immutable data +
+    an ordered pointer list."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        probe_minhash_index,
+    )
+    from ..sinks.manifest import publish_generation, read_generation
+
+    d = table(spark, sf_dir, "documents")
+
+    state = _Q415_STATE.get(sf_dir)
+    if state is None or not os.path.isdir(os.path.join(state[0], "gen1")):
+        base = tempfile.mkdtemp(prefix="mcetl_q415_")
+        corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+        batch = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+        g0 = os.path.join(base, "gen0")
+        build_minhash_index(corpus).repartition("band").write.partitionBy(
+            "band"
+        ).parquet(g0)
+        res = probe_minhash_index(batch, spark.read.parquet(g0))
+        survivors = batch.join(
+            res.filter(~F.col("is_dup")).select(F.col("id").alias("doc_id")),
+            "doc_id",
+        )
+        build_minhash_index(survivors).repartition("band").write.mode(
+            "append"
+        ).partitionBy("band").parquet(g0)
+        manifest = os.path.join(base, "MANIFEST.json")
+        publish_generation(manifest, g0, {"generation": 0})
+        compact_minhash_index(
+            spark, g0, os.path.join(base, "gen1"), keep=F.col("id") % 7 != 2
+        )
+        publish_generation(manifest, os.path.join(base, "gen1"), {"generation": 1})
+        state = (base, manifest)
+        _Q415_STATE[sf_dir] = state
+    _, manifest = state
+
+    asof = read_generation(spark, manifest, 0)
+    return asof.groupBy(F.col("band").cast("int").alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entries"),
+        F.count_distinct("id").cast("bigint").alias("n_docs"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
 # q399 state cache: sf_dir -> base dir holding the corpus index
 _Q399_STATE: dict[str, str] = {}
 

@@ -28,7 +28,13 @@ from __future__ import annotations
 import json
 import os
 
-__all__ = ["publish_generation", "current_generation", "read_current"]
+__all__ = [
+    "publish_generation",
+    "current_generation",
+    "generation_at",
+    "read_current",
+    "read_generation",
+]
 
 
 def publish_generation(manifest_path: str, gen_dir: str, meta: dict | None = None) -> dict:
@@ -36,8 +42,23 @@ def publish_generation(manifest_path: str, gen_dir: str, meta: dict | None = Non
     manifest JSON is written to a sibling temp file, fsync'd, then
     ``os.replace``d over the manifest — readers racing the publish see
     the previous generation or the new one, never a torn file. Returns
-    the manifest document."""
-    doc = {"current": gen_dir, **(meta or {})}
+    the manifest document.
+
+    The manifest also carries the full publish HISTORY (an ordered
+    list of every generation ever pointed at, with its meta): since
+    published generation dirs are immutable, the history makes every
+    past state addressable — time-travel reads (:func:`read_generation`,
+    q415), incident rollback (re-publish a past entry), and retention
+    ("delete generations the history no longer needs")."""
+    history: list = []
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                history = json.load(f).get("history", [])
+        except (OSError, json.JSONDecodeError):
+            history = []
+    history = history + [{"dir": gen_dir, **(meta or {})}]
+    doc = {"current": gen_dir, "history": history, **(meta or {})}
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(doc, f)
@@ -58,3 +79,20 @@ def read_current(spark, manifest_path: str):
     readers should address a maintained index (a raw dir path can be
     mid-rewrite; the manifest pointer never is)."""
     return spark.read.parquet(current_generation(manifest_path))
+
+
+def generation_at(manifest_path: str, index: int) -> str:
+    """The generation dir of the ``index``-th publish (0 = first;
+    negative indexes from the latest, Python-style). Raises IndexError
+    past either end of the history."""
+    with open(manifest_path) as f:
+        return json.load(f)["history"][index]["dir"]
+
+
+def read_generation(spark, manifest_path: str, index: int):
+    """TIME-TRAVEL read: open the state exactly as the ``index``-th
+    publish saw it. Sound because published generations are immutable
+    — maintenance always writes a FRESH dir and repoints (q393/q396/
+    q397/q399's contract), so a historical pointer never dangles until
+    retention deletes it."""
+    return spark.read.parquet(generation_at(manifest_path, index))

@@ -365,3 +365,47 @@ def test_warm_start_pagerank_continuation_identity(spark, sf_dir):
     got = {r["id"]: r["rank_micro"] for r in warm.collect()}
     want = {r["id"]: r["rank_micro"] for r in four.collect()}
     assert got == want and len(got) > 0
+
+
+def test_manifest_history_enables_time_travel_and_rollback(tmp_path, spark):
+    """q415's substrate: every publish appends to the manifest history;
+    past generations stay addressable via read_generation after later
+    publishes; rollback is re-publishing a historical dir."""
+    from marketingcloud_etl_spark.sinks.manifest import (
+        current_generation,
+        generation_at,
+        publish_generation,
+        read_generation,
+    )
+
+    g0, g1 = str(tmp_path / "g0"), str(tmp_path / "g1")
+    spark.range(3).write.parquet(g0)
+    spark.range(10, 15).write.parquet(g1)
+    man = str(tmp_path / "MANIFEST.json")
+    publish_generation(man, g0, {"generation": 0})
+    publish_generation(man, g1, {"generation": 1})
+    assert current_generation(man) == g1
+    assert generation_at(man, 0) == g0 and generation_at(man, -1) == g1
+    assert sorted(r["id"] for r in read_generation(spark, man, 0).collect()) == [0, 1, 2]
+    # rollback: re-publish the old dir; history keeps the full ledger
+    publish_generation(man, g0, {"generation": 0, "rollback": True})
+    assert current_generation(man) == g0
+    assert [generation_at(man, i) for i in range(3)] == [g0, g1, g0]
+
+
+def test_split_release_audit_is_exhaustive_and_disjoint(spark, sf_dir, duck):
+    """q416: every document lands in exactly one split (counts
+    telescope to the table size) and the split assignment is a pure
+    function of doc_id (re-running assigns identically)."""
+    total = duck.sql("SELECT count(*) FROM documents").fetchone()[0]
+    rows = {
+        r["split"]: r for r in REG["q416_split_release_audit"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows.values()) == total
+    again = {
+        r["split"]: r for r in REG["q416_split_release_audit"].fn(spark, sf_dir).collect()
+    }
+    assert {k: v["checksum"] for k, v in rows.items()} == {
+        k: v["checksum"] for k, v in again.items()
+    }
