@@ -494,8 +494,8 @@ def q412_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cum = F.sum("n").over(
-        W.orderBy("rnk").rowsBetween(W.unboundedPreceding, W.currentRow)
-    )  # global-window-ok: post-limit 10-row frame
+        W.orderBy("rnk").rowsBetween(W.unboundedPreceding, W.currentRow)  # global-window-ok: post-limit 10-row frame
+    )
     return top.join(F.broadcast(t), F.lit(True)).select(
         "rnk",
         "user_id",
