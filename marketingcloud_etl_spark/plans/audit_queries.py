@@ -78,6 +78,29 @@ def _row_digest_duck(cols: list[tuple[str, str]]) -> str:
     )
 
 
+# Digest sums accumulate in DECIMAL(38,0) (capacity ~10^38 ≈ 2^126 —
+# room for 2^95 rows of 32-bit digests) and reduce mod 2^62 into the
+# reported bigint: a plain bigint SUM would exceed int64 at ~2^32 rows
+# (Spark wraps silently, DuckDB promotes to HUGEINT and the bigint
+# cast fails) — diverging exactly at the scale a migration checksum
+# exists for. Decimal arithmetic and modulo are exact and identical in
+# both engines.
+_CHECKSUM_MOD = 2**62
+
+
+def _checksum_sum_spark(digest: Column) -> Column:
+    return (
+        F.sum(digest.cast("decimal(38,0)")) % F.lit(_CHECKSUM_MOD)
+    ).cast("bigint")
+
+
+def _checksum_sum_duck(digest_sql: str) -> str:
+    return (
+        f"cast(sum(cast({digest_sql} as decimal(38,0))) % {_CHECKSUM_MOD} "
+        "as bigint)"
+    )
+
+
 # the audited tables and their typed column lists (full width each)
 _CHECKSUM_TABLES: dict[str, list[tuple[str, str]]] = {
     "orders": [
@@ -124,7 +147,7 @@ def _checksum_oracle() -> str:
     for tbl, cols in _CHECKSUM_TABLES.items():
         branches.append(
             f"""SELECT '{tbl}' AS tbl, cast(count(*) as bigint) AS n_rows,
-                   cast(sum({_row_digest_duck(cols)}) as bigint) AS checksum
+                   {_checksum_sum_duck(_row_digest_duck(cols))} AS checksum
             FROM {tbl}"""
         )
     return "\nUNION ALL\n".join(branches)
@@ -158,7 +181,7 @@ def q408_table_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame
         outs.append(
             t.agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.sum(_row_digest_spark(cols)).cast("bigint").alias("checksum"),
+                _checksum_sum_spark(_row_digest_spark(cols)).alias("checksum"),
             ).select(F.lit(tbl).alias("tbl"), "n_rows", "checksum")
         )
     out = outs[0]
@@ -193,7 +216,7 @@ _SPLIT_DUCK = "('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::BIGINT % 10
     SELECT split,
            cast(count(*) as bigint) AS n_docs,
            cast(sum(n_chars) as bigint) AS n_chars,
-           cast(sum({_row_digest_duck(_DOC_COLS)}) as bigint) AS checksum
+           {_checksum_sum_duck(_row_digest_duck(_DOC_COLS))} AS checksum
     FROM s GROUP BY split
     """,
     tags=("audit", "llm-pipeline", "reconciliation", "sampling"),
@@ -226,7 +249,7 @@ def q416_split_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("n_chars"),
-            F.sum(_row_digest_spark(_DOC_COLS)).cast("bigint").alias("checksum"),
+            _checksum_sum_spark(_row_digest_spark(_DOC_COLS)).alias("checksum"),
         )
     )
 
@@ -352,7 +375,9 @@ def q410_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFr
         child = table(spark, sf_dir, ct).select(F.col(ck).alias("k"))
         parent = table(spark, sf_dir, pt).select(F.col(pk).alias("k"))
         ckeys = child.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
-        n_child = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        # n_child folds from the key-domain frame — a second child.agg
+        # would re-scan the fact table per relationship
+        n_child = ckeys.agg(F.sum("n").cast("bigint").alias("n_child"))
         n_orphan = (
             ckeys.join(F.broadcast(parent), "k", "left_anti")
             .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_orphan"))
@@ -496,15 +521,22 @@ def q412_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = F.sum("n").over(
         W.orderBy("rnk").rowsBetween(W.unboundedPreceding, W.currentRow)  # global-window-ok: post-limit 10-row frame
     )
-    return top.join(F.broadcast(t), F.lit(True)).select(
-        "rnk",
-        "user_id",
-        F.col("n").cast("bigint").alias("n"),
-        F.expr("n * 1000000 div total").cast("bigint").alias("share_ppm"),
-        (cum * 1000000 / F.col("total"))
-        .cast("bigint")
-        .alias("cum_share_ppm"),
-        F.expr("n * n_keys * 100 div total").cast("bigint").alias("x_mean_pct"),
+    return (
+        top.join(F.broadcast(t), F.lit(True))
+        .withColumn("cum_n", cum)
+        .select(
+            "rnk",
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("n * 1000000 div total").cast("bigint").alias("share_ppm"),
+            # integer floor div like every other ratio here — float
+            # division rounds UP at k·total−1 boundaries and loses
+            # integer precision past 2^53, diverging from the oracle
+            F.expr("cum_n * 1000000 div total")
+            .cast("bigint")
+            .alias("cum_share_ppm"),
+            F.expr("n * n_keys * 100 div total").cast("bigint").alias("x_mean_pct"),
+        )
     )
 
 

@@ -84,9 +84,10 @@ def read_current(spark, manifest_path: str):
 def generation_at(manifest_path: str, index: int) -> str:
     """The generation dir of the ``index``-th publish (0 = first;
     negative indexes from the latest, Python-style). Raises IndexError
-    past either end of the history."""
+    past either end of the history — including on a manifest written
+    before history support existed (treated as an empty history)."""
     with open(manifest_path) as f:
-        return json.load(f)["history"][index]["dir"]
+        return json.load(f).get("history", [])[index]["dir"]
 
 
 def read_generation(spark, manifest_path: str, index: int):
