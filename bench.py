@@ -308,13 +308,13 @@ BUDGETS = {
     # machine (1.5x measured, 1.5 s floor); re-pinned from driver data
     # when their first driver bench lands
     "q391_incremental_components_state": 3.99,  # local best-of-2 2.661
-    "q392_stream_incremental_dedup": 20.65,  # local best-of-2 13.766
+    "q392_stream_incremental_dedup": 12.24,  # local bench-conditions 8.16 (post probe-rows refactor)
     # round-8 wave-2 lifecycle/mergeable-state headliners, pinned from
     # a FULL bench.py run with the newcomers included (the round-7
     # lesson: isolated best-of-2 under-pins by 1.3-2x); replaced by
     # driver anchors when their first driver bench lands
     "q393_state_compaction_ttl": 1.77,  # local bench-conditions 1.177
-    "q395_corpus_refresh_pipeline": 22.63,  # local bench-conditions 15.089
+    "q395_corpus_refresh_pipeline": 16.44,  # local bench-conditions 10.96 (post survivor-checkpoint fix)
     "q396_bm25_index_compaction": 2.95,  # local bench-conditions 1.965
     "q399_erasure_tombstones": 6.61,  # local bench-conditions 4.404
     "q400_incremental_distinct_state": 1.5,  # local bench-conditions 0.596
@@ -328,12 +328,14 @@ BUDGETS = {
     # round-8 wave-4 audit family + warm-start rank state, pinned from
     # a FULL bench.py run with the newcomers included; replaced by
     # driver anchors when their first driver bench lands
-    "q408_table_checksum_reconcile": 5.04,  # local bench-conditions 3.363
+    "q408_table_checksum_reconcile": 5.55,  # local isolated 3.69 (hi/lo protocol) x1.5
     "q409_column_profile_audit": 6.27,  # local bench-conditions 4.178
     "q410_referential_integrity_audit": 2.35,  # local bench-conditions 1.568
     "q412_join_key_skew_report": 1.5,  # local bench-conditions 0.352
     "q413_uniqueness_contract_audit": 1.6,  # local bench-conditions 1.065
     "q414_warm_start_pagerank": 3.89,  # local bench-conditions 2.591
+    "q415_manifest_time_travel": 1.5,  # local bench-conditions 0.588
+    "q416_split_release_audit": 1.5,  # local bench-conditions 0.366
 }
 
 def _sf_of(sf_dir: str) -> float:

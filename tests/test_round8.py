@@ -264,8 +264,11 @@ def test_table_checksum_is_order_insensitive_and_content_sensitive(spark):
     rows = [(i, f"n{i}", i * 1.01) for i in range(1000)]
     df = spark.createDataFrame(rows, "k bigint, name string, amt double")
 
+    from marketingcloud_etl_spark.plans.audit_queries import _checksum_sums_spark
+
     def checksum(frame):
-        return frame.agg(F.sum(_row_digest_spark(cols)).alias("c")).first()["c"]
+        r = frame.agg(*_checksum_sums_spark(_row_digest_spark(cols))).first()
+        return (r["checksum_lo"], r["checksum_hi"])
 
     base = checksum(df)
     assert checksum(df.repartition(13)) == base
@@ -406,6 +409,6 @@ def test_split_release_audit_is_exhaustive_and_disjoint(spark, sf_dir, duck):
     again = {
         r["split"]: r for r in REG["q416_split_release_audit"].fn(spark, sf_dir).collect()
     }
-    assert {k: v["checksum"] for k, v in rows.items()} == {
-        k: v["checksum"] for k, v in again.items()
+    assert {k: (v["checksum_lo"], v["checksum_hi"]) for k, v in rows.items()} == {
+        k: (v["checksum_lo"], v["checksum_hi"]) for k, v in again.items()
     }
