@@ -220,6 +220,12 @@ HEADLINE = (
     # and the split-release audit (one documents scan + digest sums)
     "q415_manifest_time_travel",
     "q416_split_release_audit",
+    # the audit family's state + hierarchy postures: incremental
+    # checksum merge (batch-slice scan + state fold; history never
+    # rescanned) and per-day partition checksums (q408's scan with a
+    # day-keyed agg). q417's history fold runs in the setup pass.
+    "q417_incremental_checksum_state",
+    "q418_partition_checksum_diff",
 )
 
 
@@ -402,6 +408,9 @@ SETUP_QUERIES = (
     # manifest time travel: first run builds gen0/gen1 + both
     # publishes; the timed pass measures the as-of read itself
     "q415_manifest_time_travel",
+    # incremental checksum: first run folds history into the persisted
+    # per-source state; the timed pass measures batch-agg + merge
+    "q417_incremental_checksum_state",
 )
 
 

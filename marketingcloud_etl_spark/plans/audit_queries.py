@@ -618,3 +618,123 @@ def q413_uniqueness_contract_audit(spark: SparkSession, sf_dir: str) -> DataFram
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# -------------------------------------------------- incremental checksum state
+
+_EVENTS_COLS = _CHECKSUM_TABLES["events"]
+
+# q417 state cache: sf_dir -> parquet dir of per-source checksum state
+_Q417_STATE: dict[str, str] = {}
+
+
+@query(
+    "q417_incremental_checksum_state",
+    oracle=f"""
+    SELECT event_type,
+           cast(count(*) as bigint) AS n_rows,
+           {_checksum_sums_duck(_row_digest_duck(_EVENTS_COLS))}
+    FROM events GROUP BY event_type
+    """,
+    tags=("audit", "incremental", "state", "reconciliation"),
+)
+def q417_incremental_checksum_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL TABLE CHECKSUM — the audit family at the mergeable-
+    state posture (q400/q405's family): q408's digest half-sums are
+    ADDITIVE, so a per-source (n_rows, checksum_lo, checksum_hi)
+    state row continues checksumming forever. History (events before
+    Jan 16) folds into the persisted state ONCE; each arriving batch
+    aggregates its own triple and the merge is one full-outer additive
+    fold of two source-sized frames — history rows are read ZERO times
+    per refresh, yet the result equals q408's from-scratch checksum
+    over everything ever seen (the oracle recomputes exactly that).
+    This is how a 100 TB table keeps a LIVE content checksum: the
+    nightly audit costs the day's increment, not the archive.
+
+    Scale: batch-slice scan (date filter pushed) + one keyed agg over
+    the 5-value source domain + a domain-sized merge join. The state
+    is one constant-width row per source."""
+    import os
+    import tempfile
+
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+
+    def triple(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            *_checksum_sums_spark(_row_digest_spark(_EVENTS_COLS)),
+        )
+
+    state_dir = _Q417_STATE.get(sf_dir)
+    if state_dir is None or not os.path.isdir(state_dir):
+        state_dir = tempfile.mkdtemp(prefix="mcetl_q417_") + "/checksum_state"
+        triple(e.filter(F.col("ts") < "2024-01-16")).write.parquet(state_dir)
+        _Q417_STATE[sf_dir] = state_dir
+    state = spark.read.parquet(state_dir)
+
+    batch = triple(e.filter(F.col("ts") >= "2024-01-16"))
+    s = state.select(
+        "event_type",
+        F.col("n_rows").alias("sn"),
+        F.col("checksum_lo").alias("sl"),
+        F.col("checksum_hi").alias("sh"),
+    )
+    b = batch.select(
+        "event_type",
+        F.col("n_rows").alias("bn"),
+        F.col("checksum_lo").alias("bl"),
+        F.col("checksum_hi").alias("bh"),
+    )
+    z = F.lit(0).cast("bigint")
+    return s.join(b, "event_type", "full_outer").select(
+        "event_type",
+        (F.coalesce("sn", z) + F.coalesce("bn", z)).cast("bigint").alias("n_rows"),
+        (F.coalesce("sl", z) + F.coalesce("bl", z))
+        .cast("bigint")
+        .alias("checksum_lo"),
+        (F.coalesce("sh", z) + F.coalesce("bh", z))
+        .cast("bigint")
+        .alias("checksum_hi"),
+    )
+
+
+# ---------------------------------------------- partition diff localization
+
+
+@query(
+    "q418_partition_checksum_diff",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           cast(count(*) as bigint) AS n_rows,
+           {_checksum_sums_duck(_row_digest_duck(_EVENTS_COLS))}
+    FROM events GROUP BY day
+    """,
+    tags=("audit", "reconciliation", "partitioning"),
+)
+def q418_partition_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-LEVEL CHECKSUM — diff LOCALIZATION for q408: when two
+    engines' table checksums disagree, the next question is WHERE, and
+    per-day-partition (n_rows, checksum_lo, checksum_hi) triples answer
+    it in one more pass — the mismatched day is the partition to
+    re-copy, re-audit, or bisect further (file-level next). This is the
+    workflow shape every migration/replication validator (HDFS distcp
+    -update, Iceberg verify) uses: tree-hash down the partition
+    hierarchy, touch only the divergent subtree.
+
+    Scale: same single scan as q408 with a day-keyed map-side-
+    combinable agg (~days-in-table rows out); at 100 TB the partition
+    column matches the physical layout so each task checksums its own
+    partition's files — zero data movement beyond day-triple rows."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            *_checksum_sums_spark(_row_digest_spark(_EVENTS_COLS)),
+        )
+    )

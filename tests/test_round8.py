@@ -412,3 +412,38 @@ def test_split_release_audit_is_exhaustive_and_disjoint(spark, sf_dir, duck):
     assert {k: (v["checksum_lo"], v["checksum_hi"]) for k, v in rows.items()} == {
         k: (v["checksum_lo"], v["checksum_hi"]) for k, v in again.items()
     }
+
+
+def test_incremental_checksum_never_rescans_history(spark, sf_dir):
+    """q417: the checksum merge reads history only through the
+    persisted per-source state — exactly one events scan (the batch
+    slice, ts filter pushed into the parquet scan) plus the state
+    parquet; additivity means state + batch must equal the full-table
+    triple (which the oracle recomputes)."""
+    plan = (
+        REG["q417_incremental_checksum_state"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    ev = [l for l in scans if "event_id" in l]
+    st = [l for l in scans if "checksum_lo" in l and "event_id" not in l]
+    assert len(ev) == 1, f"{len(ev)} events scans (want 1: batch only)"
+    assert st, "state parquet not read"
+    assert "ts" in ev[0] and ">=" in ev[0], "batch ts filter not pushed"
+
+
+def test_partition_checksums_roll_up_to_table_checksum(spark, sf_dir):
+    """q418's day triples must telescope to q408's events row — the
+    tree-hash property that makes partition-level diff localization
+    sound (mismatch in any day surfaces in the table total)."""
+    days = REG["q418_partition_checksum_diff"].fn(spark, sf_dir).collect()
+    table_rows = {
+        r["tbl"]: r for r in REG["q408_table_checksum_reconcile"].fn(spark, sf_dir).collect()
+    }
+    ev = table_rows["events"]
+    assert sum(r["n_rows"] for r in days) == ev["n_rows"]
+    assert sum(r["checksum_lo"] for r in days) == ev["checksum_lo"]
+    assert sum(r["checksum_hi"] for r in days) == ev["checksum_hi"]
