@@ -334,7 +334,7 @@ BUDGETS = {
     # round-8 wave-4 audit family + warm-start rank state, pinned from
     # a FULL bench.py run with the newcomers included; replaced by
     # driver anchors when their first driver bench lands
-    "q408_table_checksum_reconcile": 5.55,  # local isolated 3.69 (hi/lo protocol) x1.5
+    "q408_table_checksum_reconcile": 8.3,  # isolated 3.69 (hi/lo) x1.5 bench-condition factor x1.5; re-pinned from next full bench
     "q409_column_profile_audit": 6.27,  # local bench-conditions 4.178
     "q410_referential_integrity_audit": 2.35,  # local bench-conditions 1.568
     "q412_join_key_skew_report": 1.5,  # local bench-conditions 0.352

@@ -1,12 +1,14 @@
-"""Operational audit & reconciliation queries (q408–q413) — the
-pre-flight and migration-validation surface a 100 TB pipeline runs
-around the engine proper: cross-engine table checksums (the "did the
-migration lose a row" primitive — exactly what a user switching from
-the reference ETL to this repo runs first), column profiling, foreign-
-key integrity, freshness/staleness watermarks, join-key skew probes
-(the measurement that decides salting), and uniqueness-contract
-audits. Every query is one or two keyed passes over a single table —
-no operation here grows super-linearly with the data.
+"""Operational audit & reconciliation queries (q408–q413, q416–q418)
+— the pre-flight and migration-validation surface a 100 TB pipeline
+runs around the engine proper: cross-engine table checksums (the "did
+the migration lose a row" primitive — exactly what a user switching
+from the reference ETL to this repo runs first), column profiling,
+foreign-key integrity, freshness/staleness watermarks, join-key skew
+probes (the measurement that decides salting), uniqueness-contract
+audits, split-release manifests, the incremental checksum state, and
+partition-level diff localization. Every query is one or two keyed
+passes over a single table — no operation here grows super-linearly
+with the data.
 
 Cross-engine value protocol: audits hash and compare CANONICAL forms,
 one per type — int/varchar → plain string, double → floor(x·100)
@@ -14,8 +16,10 @@ whole cents (a pure function of the IEEE bits, so Spark and DuckDB
 produce identical bigints without any string-formatting agreement),
 timestamp → epoch microseconds. Canonical strings are length-prefixed
 and unit-separator-joined per functions/hashing.py's injectivity
-argument, then md5'd; the 32-bit hex prefix as bigint sums into an
-ORDER-INSENSITIVE table checksum (the _H32 idiom, q272/q363 family).
+argument, then md5'd; the 32-bit hex-prefix digest (the _H32 idiom,
+q272/q363 family) accumulates as TWO overflow-proof bigint half-sums
+into an ORDER-INSENSITIVE, ADDITIVE table checksum (see the protocol
+comment at ``_checksum_sums_spark``).
 """
 
 from __future__ import annotations
@@ -383,8 +387,11 @@ def q410_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFr
         parent = table(spark, sf_dir, pt).select(F.col(pk).alias("k"))
         ckeys = child.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
         # n_child folds from the key-domain frame — a second child.agg
-        # would re-scan the fact table per relationship
-        n_child = ckeys.agg(F.sum("n").cast("bigint").alias("n_child"))
+        # would re-scan the fact table per relationship (coalesce: sum
+        # over an empty frame is NULL, the oracle's count(*) is 0)
+        n_child = ckeys.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_child")
+        )
         n_orphan = (
             ckeys.join(F.broadcast(parent), "k", "left_anti")
             .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_orphan"))

@@ -432,7 +432,11 @@ def test_incremental_checksum_never_rescans_history(spark, sf_dir):
     st = [l for l in scans if "checksum_lo" in l and "event_id" not in l]
     assert len(ev) == 1, f"{len(ev)} events scans (want 1: batch only)"
     assert st, "state parquet not read"
-    assert "ts" in ev[0] and ">=" in ev[0], "batch ts filter not pushed"
+    # the predicate must reach PushedFilters (DataFilters alone would
+    # still row-filter but read every history row group)
+    assert "PushedFilters" in ev[0] and "GreaterThanOrEqual(ts" in ev[0], (
+        "batch ts filter not pushed into the parquet scan"
+    )
 
 
 def test_partition_checksums_roll_up_to_table_checksum(spark, sf_dir):
