@@ -342,6 +342,8 @@ BUDGETS = {
     "q414_warm_start_pagerank": 3.89,  # local bench-conditions 2.591
     "q415_manifest_time_travel": 1.5,  # local bench-conditions 0.588
     "q416_split_release_audit": 1.5,  # local bench-conditions 0.366
+    "q417_incremental_checksum_state": 1.5,  # local bench-conditions 0.539
+    "q418_partition_checksum_diff": 1.5,  # local bench-conditions 0.626
 }
 
 def _sf_of(sf_dir: str) -> float:
