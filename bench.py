@@ -322,7 +322,7 @@ BUDGETS = {
     "q393_state_compaction_ttl": 1.77,  # local bench-conditions 1.177
     "q395_corpus_refresh_pipeline": 16.44,  # local bench-conditions 10.96 (post survivor-checkpoint fix)
     "q396_bm25_index_compaction": 2.95,  # local bench-conditions 1.965
-    "q399_erasure_tombstones": 6.61,  # local bench-conditions 4.404
+    "q399_erasure_tombstones": 2.75,  # isolated 1.22 (index-derived reingest) x1.5 bench factor x1.5
     "q400_incremental_distinct_state": 1.5,  # local bench-conditions 0.596
     "q401_incremental_vocab_state": 3.19,  # local bench-conditions 2.126
     "q402_incremental_quantile_state": 3.11,  # local bench-conditions 2.076

@@ -3875,7 +3875,7 @@ def q399_erasure_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     prep(spark)
-    from ..operators.dedup import build_minhash_index, probe_minhash_index
+    from ..operators.dedup import build_minhash_index, probe_minhash_rows
     from ..operators.state import erase_from_state
 
     d = table(spark, sf_dir, "documents")
@@ -3904,9 +3904,19 @@ def q399_erasure_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # re-ingest the whole corpus under negated ids (collision-free with
-    # the non-negative genuine ids at any sf — q388's minting rule)
-    reingest = corpus.select((-F.col("doc_id")).alias("doc_id"), "text")
-    res = probe_minhash_index(reingest, erased)
+    # the non-negative genuine ids at any sf — q388's minting rule).
+    # The re-ingest's signatures are derived from the PRE-erasure index
+    # rows (id negated) instead of re-minhashing the corpus text:
+    # minhash/fingerprint are pure functions of the text, so the stored
+    # rows ARE the signatures a text re-ingest would compute — the
+    # verification battery probes the same values against the erased
+    # state while skipping the corpus-sized signature recompute (the
+    # dominant cost of the pass; probe-from-text stays exercised at
+    # this scale by q388/q392/q395).
+    reingest_rows = spark.read.parquet(idx).select(
+        (-F.col("id")).alias("id"), "band", "bucket", "set_fp"
+    )
+    res = probe_minhash_rows(reingest_rows, erased)
     meta = d.filter(F.col("doc_id") % 3 != 0).select(
         (-F.col("doc_id")).alias("id"),
         "source",
