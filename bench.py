@@ -226,6 +226,8 @@ HEADLINE = (
     # day-keyed agg). q417's history fold runs in the setup pass.
     "q417_incremental_checksum_state",
     "q418_partition_checksum_diff",
+    # two-window profile drift (q409's shape x2 windows + 1x1 join)
+    "q419_schema_drift_detect",
 )
 
 
@@ -344,6 +346,7 @@ BUDGETS = {
     "q416_split_release_audit": 1.5,  # local bench-conditions 0.366
     "q417_incremental_checksum_state": 1.5,  # local bench-conditions 0.539
     "q418_partition_checksum_diff": 1.5,  # local bench-conditions 0.626
+    "q419_schema_drift_detect": 5.0,  # isolated 2.24 x1.5 bench factor x1.5
 }
 
 def _sf_of(sf_dir: str) -> float:

@@ -745,3 +745,121 @@ def q418_partition_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             *_checksum_sums_spark(_row_digest_spark(_EVENTS_COLS)),
         )
     )
+
+
+# ------------------------------------------------------------- schema drift
+
+
+def _drift_oracle_duck() -> str:
+    """One UNION branch per column, each computing BOTH windows via
+    FILTER clauses and deriving the min/max extension flags INSIDE the
+    branch: min/max are typed per column (bigint vs varchar), and a
+    union that carried them across branches would unify to VARCHAR and
+    compare numerics lexicographically ('3' > '28') — only uniformly
+    typed bigint/boolean outputs may cross the UNION."""
+    bw = "ts < TIMESTAMP '2024-01-16'"
+    cw = "ts >= TIMESTAMP '2024-01-16'"
+    branches = []
+    for name, typ in _EVENTS_COLS:
+        canon = _canon_duck(name, typ)
+        bn = f"count(*) FILTER ({bw})"
+        cn = f"count(*) FILTER ({cw})"
+        bnull = f"(count(*) FILTER ({bw}) - count({name}) FILTER ({bw}))"
+        cnull = f"(count(*) FILTER ({cw}) - count({name}) FILTER ({cw}))"
+        bnd = f"count(DISTINCT {canon}) FILTER ({bw})"
+        cnd = f"count(DISTINCT {canon}) FILTER ({cw})"
+        branches.append(
+            f"""SELECT '{name}' AS col_name,
+                   cast({bn} as bigint) AS base_n,
+                   cast({cn} as bigint) AS cur_n,
+                   cast({bnull} * 1000000 // {bn} as bigint) AS null_ppm_base,
+                   cast({cnull} * 1000000 // {cn} as bigint) AS null_ppm_cur,
+                   cast({cnull} * 1000000 // {cn}
+                        - {bnull} * 1000000 // {bn} as bigint) AS null_ppm_delta,
+                   cast({cnd} * 1000000 // {bnd} as bigint) AS distinct_ratio_ppm,
+                   (min({canon}) FILTER ({cw}) < min({canon}) FILTER ({bw}))
+                     AS min_extended,
+                   (max({canon}) FILTER ({cw}) > max({canon}) FILTER ({bw}))
+                     AS max_extended
+            FROM events"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+@query(
+    "q419_schema_drift_detect",
+    oracle=_drift_oracle_duck(),
+    tags=("audit", "drift", "profiling"),
+)
+def q419_schema_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA / DISTRIBUTION DRIFT MONITOR — q409's column profile
+    compared across two snapshot windows (events before vs after
+    Jan 16): per column, the null-rate delta in integer ppm, the
+    distinct-count ratio (a blown-up ratio is the
+    cardinality-explosion alarm — an id column going free-text, a
+    category column going unbounded), and canonical range-extension
+    flags (new min/max = values the baseline never saw, the enum-drift
+    signal). This is the audit that catches an upstream schema change
+    BEFORE it poisons a 100 TB backfill — the per-statistic complement
+    of the distributional drift tests (q381 PSI / q383 JS) which need
+    binned value distributions rather than profile deltas.
+
+    All ratios are integer floor arithmetic (engine-exact); min/max
+    compare on CANONICAL values, so the flags are well-defined for
+    every type in the column list. Scale: one pushed-filter scan per
+    window (same Expand-multi-distinct single-pass shape as q409),
+    then a 6-row join — cost is two column-pruned passes regardless of
+    table size."""
+    prep(spark)
+    e = table(spark, sf_dir, "events")
+
+    def profile(df: DataFrame, p: str) -> DataFrame:
+        aggs = []
+        for name, typ in _EVENTS_COLS:
+            canon = _canon_spark(name, typ)
+            aggs += [
+                F.count(F.lit(1)).cast("bigint").alias(f"{p}_{name}__n"),
+                F.sum(F.col(name).isNull().cast("bigint"))
+                .cast("bigint")
+                .alias(f"{p}_{name}__nulls"),
+                F.countDistinct(canon).cast("bigint").alias(f"{p}_{name}__nd"),
+                F.min(canon).alias(f"{p}_{name}__mn"),
+                F.max(canon).alias(f"{p}_{name}__mx"),
+            ]
+        return df.agg(*aggs)
+
+    # both windows' wide one-row profiles join 1x1; the min/max
+    # EXTENSION flags are computed here, column by column, on the
+    # NATIVE canonical types (a stringified stack would compare
+    # "10" < "9" lexically for numeric columns), and only the uniform
+    # bigint/boolean outputs go through the stack unpivot
+    wide = profile(e.filter(F.col("ts") < "2024-01-16"), "b").join(
+        profile(e.filter(F.col("ts") >= "2024-01-16"), "c"), F.lit(True)
+    )
+    stack_args = ", ".join(
+        f"'{name}', b_{name}__n, c_{name}__n, "
+        f"b_{name}__nulls * 1000000 div b_{name}__n, "
+        f"c_{name}__nulls * 1000000 div c_{name}__n, "
+        f"c_{name}__nulls * 1000000 div c_{name}__n "
+        f"- b_{name}__nulls * 1000000 div b_{name}__n, "
+        f"c_{name}__nd * 1000000 div b_{name}__nd, "
+        f"c_{name}__mn < b_{name}__mn, c_{name}__mx > b_{name}__mx"
+        for name, _ in _EVENTS_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_EVENTS_COLS)}, {stack_args}) AS "
+            "(col_name, base_n, cur_n, null_ppm_base, null_ppm_cur, "
+            "null_ppm_delta, distinct_ratio_ppm, min_extended, max_extended)"
+        )
+    ).select(
+        "col_name",
+        "base_n",
+        "cur_n",
+        F.col("null_ppm_base").cast("bigint").alias("null_ppm_base"),
+        F.col("null_ppm_cur").cast("bigint").alias("null_ppm_cur"),
+        F.col("null_ppm_delta").cast("bigint").alias("null_ppm_delta"),
+        F.col("distinct_ratio_ppm").cast("bigint").alias("distinct_ratio_ppm"),
+        "min_extended",
+        "max_extended",
+    )
