@@ -5,8 +5,14 @@ Runs the headline queries from the catalog at ``$SPARK_GRAFT_SF_DIR``
 (default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and
 prints ONE JSON line::
 
-    {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+    {"metric": "headline_total", "value": N, "unit": "sec", "sf": 0.1,
+     "setup_total": S, "queries": {"q01": sec, ...},
+     "budget": {"pass": bool, "over": {...}, "unpinned": [...]}}
+
+Query keys on stdout are the compact ``qNNN`` prefixes (the driver
+archives only the last ~2,200 bytes of output, so the line is kept
+small with the budget gate last); the full-name per-query and setup
+detail is written to ``bench_full.json`` in the repo root.
 
 Timing is end-to-end per query: plan construction + execution +
 materialization of the (small) result to the driver. A warm-up pass at
@@ -312,41 +318,38 @@ BUDGETS = {
     "q388_incremental_minhash_state": 3.85,  # driver-min 2.567
     "q389_incremental_semantic_state": 1.86,  # driver-min 1.239
     "q390_bm25_index_serving": 1.5,  # driver-min 0.91
-    # round-8 additions, pinned from local sf0.1 best-of-2 on the same
-    # machine (1.5x measured, 1.5 s floor); re-pinned from driver data
-    # when their first driver bench lands
-    "q391_incremental_components_state": 3.99,  # local best-of-2 2.661
-    "q392_stream_incremental_dedup": 12.24,  # local bench-conditions 8.16 (post probe-rows refactor)
-    # round-8 wave-2 lifecycle/mergeable-state headliners, pinned from
-    # a FULL bench.py run with the newcomers included (the round-7
-    # lesson: isolated best-of-2 under-pins by 1.3-2x); replaced by
-    # driver anchors when their first driver bench lands
-    "q393_state_compaction_ttl": 1.77,  # local bench-conditions 1.177
-    "q395_corpus_refresh_pipeline": 16.44,  # local bench-conditions 10.96 (post survivor-checkpoint fix)
-    "q396_bm25_index_compaction": 2.95,  # local bench-conditions 1.965
-    "q399_erasure_tombstones": 2.75,  # isolated 1.22 (index-derived reingest) x1.5 bench factor x1.5
-    "q400_incremental_distinct_state": 1.5,  # local bench-conditions 0.596
-    "q401_incremental_vocab_state": 3.19,  # local bench-conditions 2.126
-    "q402_incremental_quantile_state": 3.11,  # local bench-conditions 2.076
-    "q403_incremental_session_state": 1.5,  # local bench-conditions 0.575
-    "q404_decontamination_state": 2.05,  # local bench-conditions 1.368
-    "q405_incremental_heavy_hitters": 1.5,  # local bench-conditions 0.646
-    "q406_ivm_retraction": 1.5,  # local bench-conditions 0.596
-    "q407_incremental_sample_state": 1.5,  # local bench-conditions 0.225
-    # round-8 wave-4 audit family + warm-start rank state, pinned from
-    # a FULL bench.py run with the newcomers included; replaced by
-    # driver anchors when their first driver bench lands
-    "q408_table_checksum_reconcile": 8.3,  # isolated 3.69 (hi/lo) x1.5 bench-condition factor x1.5; re-pinned from next full bench
-    "q409_column_profile_audit": 6.27,  # local bench-conditions 4.178
-    "q410_referential_integrity_audit": 2.35,  # local bench-conditions 1.568
-    "q412_join_key_skew_report": 1.5,  # local bench-conditions 0.352
-    "q413_uniqueness_contract_audit": 1.6,  # local bench-conditions 1.065
-    "q414_warm_start_pagerank": 3.89,  # local bench-conditions 2.591
-    "q415_manifest_time_travel": 1.5,  # local bench-conditions 0.588
-    "q416_split_release_audit": 1.5,  # local bench-conditions 0.366
-    "q417_incremental_checksum_state": 1.5,  # local bench-conditions 0.539
-    "q418_partition_checksum_diff": 1.5,  # local bench-conditions 0.626
-    "q419_schema_drift_detect": 5.0,  # isolated 2.24 x1.5 bench factor x1.5
+    # round-8 block, re-pinned round 9 from their FIRST driver bench
+    # (BENCH_r08): per BASELINE.md the provisional local pins are
+    # REPLACED by the driver anchor (1.5 x driver time, 1.5 s floor)
+    # when the first driver observation lands — this is the q404 lesson
+    # (local-best pin with no driver-condition headroom benched red at
+    # 2.235 vs 2.05 despite a correct plan). From here they ratchet
+    # down only, like every other driver-anchored budget.
+    "q391_incremental_components_state": 4.52,  # driver-min 3.016 (r8)
+    "q392_stream_incremental_dedup": 14.88,  # driver-min 9.921 (r8)
+    "q393_state_compaction_ttl": 1.73,  # driver-min 1.155 (r8)
+    "q395_corpus_refresh_pipeline": 19.7,  # driver-min 13.13 (r8)
+    "q396_bm25_index_compaction": 3.18,  # driver-min 2.12 (r8)
+    "q399_erasure_tombstones": 1.87,  # driver-min 1.246 (r8)
+    "q400_incremental_distinct_state": 1.5,  # driver-min 0.584 (r8)
+    "q401_incremental_vocab_state": 3.25,  # driver-min 2.166 (r8)
+    "q402_incremental_quantile_state": 2.7,  # driver-min 1.803 (r8)
+    "q403_incremental_session_state": 1.5,  # driver-min 0.534 (r8)
+    "q404_decontamination_state": 3.35,  # driver-min 2.235 (r8)
+    "q405_incremental_heavy_hitters": 1.5,  # driver-min 0.592 (r8)
+    "q406_ivm_retraction": 1.5,  # driver-min 0.565 (r8)
+    "q407_incremental_sample_state": 1.5,  # driver-min 0.212 (r8)
+    "q408_table_checksum_reconcile": 5.07,  # driver-min 3.377 (r8)
+    "q409_column_profile_audit": 5.49,  # driver-min 3.659 (r8)
+    "q410_referential_integrity_audit": 2.6,  # driver-min 1.731 (r8)
+    "q412_join_key_skew_report": 1.5,  # driver-min 0.41 (r8)
+    "q413_uniqueness_contract_audit": 1.6,  # driver-min 1.065 (r8)
+    "q414_warm_start_pagerank": 3.7,  # driver-min 2.469 (r8)
+    "q415_manifest_time_travel": 1.5,  # driver-min 0.582 (r8)
+    "q416_split_release_audit": 1.5,  # driver-min 0.319 (r8)
+    "q417_incremental_checksum_state": 1.5,  # driver-min 0.551 (r8)
+    "q418_partition_checksum_diff": 1.5,  # driver-min 0.656 (r8)
+    "q419_schema_drift_detect": 3.17,  # driver-min 2.115 (r8)
 }
 
 def _sf_of(sf_dir: str) -> float:
@@ -509,23 +512,46 @@ def main() -> None:
         if sf == 0.1 and n in BUDGETS and t > BUDGETS[n]
     }
     unpinned = [n for n in timings if n not in BUDGETS]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "setup": setup,
-                "sf": sf,
-                "budget": {
-                    "pass": not over,
-                    "over": over,
-                    "unpinned": unpinned,
-                },
-            }
-        )
-    )
+    # The driver archives only the LAST ~2,200 bytes of this process's
+    # output (BENCH_r08 lost every per-query time before q391 to that
+    # window). Two mitigations, both on the single stdout JSON line:
+    # (1) compact encoding — qNNN keys instead of full query names,
+    # 2-decimal times, no whitespace — keeps the whole line ~1.5 KB so
+    # it normally survives intact and parses; (2) defensive ordering —
+    # queries oldest-first with the budget block LAST, so even if the
+    # line outgrows the window again, the head (oldest times) is what
+    # truncates and the gate verdict + newest families still survive.
+    # The full-name per-query + setup detail goes to bench_full.json.
+    short = {}
+    for n, t in timings.items():
+        k = n.split("_", 1)[0]
+        assert k not in short, f"ambiguous short key {k}"
+        short[k] = round(t, 2)
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "setup_total": round(sum(setup.values()), 2),
+        "queries": short,
+        "budget": {
+            "pass": not over,
+            "over": {n.split("_", 1)[0]: v for n, v in over.items()},
+            "unpinned": [n.split("_", 1)[0] for n in unpinned],
+        },
+    }
+    full = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "setup": setup,
+        "sf": sf,
+        "budget": {"pass": not over, "over": over, "unpinned": unpinned},
+    }
+    with open(os.path.join(_REPO, "bench_full.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(json.dumps(compact, separators=(",", ":")))
     release_sticky_caches()
     spark.stop()
 
