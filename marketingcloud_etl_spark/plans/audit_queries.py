@@ -554,6 +554,90 @@ def q412_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ salted join
+
+_SALT_BUCKETS = 8  # fan-out pinned by tests/test_plan_quality.py
+
+
+@query(
+    "q420_salted_skew_join",
+    oracle="""
+    WITH e AS (
+      SELECT CASE WHEN user_id % 100 < 50 THEN -1 ELSE user_id END
+               AS skew_key,
+             event_type,
+             cast(floor(value * 100) as bigint) AS cents
+      FROM events
+    ), d AS (
+      SELECT skew_key, count(*) AS key_rows FROM e GROUP BY skew_key
+    )
+    SELECT e.event_type,
+           cast(count(*) as bigint) AS n_rows,
+           cast(count(DISTINCT e.skew_key) as bigint) AS n_keys,
+           cast(sum(e.cents * d.key_rows) as bigint) AS weighted_cents
+    FROM e JOIN d ON e.skew_key = d.skew_key
+    GROUP BY e.event_type
+    """,
+    tags=("join", "skew", "salting"),
+)
+def q420_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED SKEW JOIN — the remediation q412's pre-flight report
+    decides: a PLANTED power-law key (half of all event rows collapse
+    onto key -1, the rest keep their user_id — the one-hot-key
+    straggler profile) joined against a per-key profile frame WITHOUT
+    a broadcast escape hatch. An unsalted shuffle join would hash all
+    of key -1's rows into ONE reducer task: at 100 TB that task holds
+    50% of the fact table while 31 cores idle — the canonical skew
+    straggler. The salt decomposes it: facts get a deterministic salt
+    in [0, S) (pmod of xxhash64 over the unique event_id), the profile
+    side is EXPLODED ×S (sequence + explode — S copies of each key
+    row, a dim-sized fan-out, never a fact-sized one), and the join
+    runs on (skew_key, salt) — the hot key's rows now spread across S
+    reducer tasks, bounding any task at 1/S of the hot key. The salt
+    then cancels in the group-by, so the result is EXACTLY the plain
+    join's (the oracle runs the unsalted SQL).
+
+    The profile side is hinted SHUFFLE_HASH, not broadcast: at the
+    scale where salting matters the key domain is billions (a per-key
+    profile table is itself TB-sized), so the demo keeps the physical
+    shape honest — tests/test_plan_quality.py pins the ShuffledHashJoin
+    on (skew_key, salt), the ×8 explode fan-out on the profile side,
+    and zero broadcast of either side. Complements the AQE runtime
+    skew split session.py enables (spark.sql.adaptive.skewJoin):
+    salting is the PLAN-TIME fix you reach for when the skew is known
+    in advance (q412's report) or when the engine's runtime split
+    can't apply (aggregation keys, full outer joins).
+
+    Scale: one map-side-combinable count per key (the profile build),
+    one dim-sized ×S explode, one (skew_key, salt)-keyed shuffle of
+    the facts — no fact row is duplicated, so the salted plan moves
+    exactly the same fact bytes as the unsalted one, just spread
+    evenly."""
+    prep(spark)
+    S = _SALT_BUCKETS
+    e = table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 100 < 50, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("skew_key"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    dim = e.groupBy("skew_key").agg(F.count(F.lit(1)).alias("key_rows"))
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    )
+    salted_facts = e.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(S)).cast("int")
+    )
+    j = salted_facts.join(salted_dim.hint("shuffle_hash"), ["skew_key", "salt"])
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("skew_key").cast("bigint").alias("n_keys"),
+        F.sum(F.col("cents") * F.col("key_rows")).cast("bigint").alias("weighted_cents"),
+    )
+
+
 # -------------------------------------------------------- uniqueness contract
 
 # (contract label, table, key column expressions)

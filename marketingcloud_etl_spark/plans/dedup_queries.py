@@ -3813,6 +3813,135 @@ def q415_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q421 state cache: sf_dir -> (base dir, manifest path) for the
+# three-publish + gc'd generation history
+_Q421_STATE: dict[str, tuple] = {}
+
+
+@query(
+    "q421_manifest_generation_gc",
+    oracle=f"""
+    WITH ct AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+    ), cfp AS (
+      SELECT doc_id FROM ct WHERE len(t) >= 3
+    ), p1 AS (
+      SELECT cast(8 * count(*) as bigint) AS n,
+             cast(count(*) as bigint) AS d,
+             min(doc_id) AS mn, max(doc_id) AS mx
+      FROM cfp WHERE doc_id % 7 <> 2
+    ), p2 AS (
+      SELECT cast(8 * count(*) as bigint) AS n,
+             cast(count(*) as bigint) AS d,
+             min(doc_id) AS mn, max(doc_id) AS mx
+      FROM cfp WHERE doc_id % 7 <> 2 AND doc_id % 5 <> 1
+    )
+    SELECT 0 AS gen, false AS kept, false AS dir_exists,
+           cast(NULL as bigint) AS n_entries, cast(NULL as bigint) AS n_docs,
+           cast(NULL as bigint) AS min_id, cast(NULL as bigint) AS max_id
+    UNION ALL
+    SELECT 1, true, true, n, d, mn, mx FROM p1
+    UNION ALL
+    SELECT 2, true, true, n, d, mn, mx FROM p2
+    """,
+    tags=("dedup", "state", "maintenance", "retention"),
+)
+def q421_manifest_generation_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATION RETENTION — the delete side of the manifest
+    lifecycle, completing the story q398 (atomic publish) and q415
+    (time travel) left open: immutable generation dirs accumulate
+    forever until something destroys the unreferenced ones. This query
+    runs a three-publish lifecycle (full corpus index → TTL compaction
+    → second TTL compaction, each published), then runs
+    sinks/manifest.py::gc_generations(keep_last=2) — gen0 leaves disk,
+    its history entry is tombstoned ``gc: true`` (publish-first, then
+    delete: a crash can leave a marked-but-present dir, never a
+    deleted-but-readable-looking entry) — and reports one row per
+    history entry: kept flag, directory existence, and the kept
+    generations' profiles re-read AFTER the gc.
+
+    The oracle is a CONSERVATION check: gen1/gen2 profiles equal the
+    plain fingerprint algebra computed from `documents` (so the gc
+    deleted nothing it should have kept — a wrong rmtree would fail
+    the read or change the counts), while gen0's row pins
+    (kept=false, dir_exists=false, NULL profile) — so failing to
+    delete is also a hash mismatch. The gc-guard on
+    read_generation(0) (LookupError, not a dangling-path read) is
+    pinned in tests/test_operators.py.
+
+    100 TB story: gc cost is manifest-sized (a JSON rewrite) plus
+    object-store deletes of whole generation prefixes — it never reads
+    state rows, so retention is O(generations), not O(index). The
+    keep-window is publish-count here; a wall-clock grace period is
+    the same set algebra over a timestamp the publisher stamps into
+    ``meta``."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.dedup import build_minhash_index, compact_minhash_index
+    from ..sinks.manifest import gc_generations, publish_generation
+
+    d = table(spark, sf_dir, "documents")
+
+    state = _Q421_STATE.get(sf_dir)
+    if state is None or not os.path.isdir(os.path.join(state[0], "gen2")):
+        base = tempfile.mkdtemp(prefix="mcetl_q421_")
+        g0, g1, g2 = (os.path.join(base, f"gen{i}") for i in range(3))
+        build_minhash_index(d.select("doc_id", "text")).repartition(
+            "band"
+        ).write.partitionBy("band").parquet(g0)
+        manifest = os.path.join(base, "MANIFEST.json")
+        publish_generation(manifest, g0, {"generation": 0})
+        compact_minhash_index(spark, g0, g1, keep=F.col("id") % 7 != 2)
+        publish_generation(manifest, g1, {"generation": 1})
+        compact_minhash_index(spark, g1, g2, keep=F.col("id") % 5 != 1)
+        publish_generation(manifest, g2, {"generation": 2})
+        gc_generations(manifest, keep_last=2)
+        state = (base, manifest)
+        _Q421_STATE[sf_dir] = state
+    base, manifest = state
+
+    with open(manifest) as f:
+        import json as _json
+
+        history = _json.load(f)["history"]
+
+    rows = []
+    for gen, entry in enumerate(history):
+        kept = not entry.get("gc", False)
+        exists = os.path.isdir(entry["dir"])
+        head = [
+            F.lit(gen).alias("gen"),
+            F.lit(kept).alias("kept"),
+            F.lit(exists).alias("dir_exists"),
+        ]
+        if kept:
+            rows.append(
+                spark.read.parquet(entry["dir"]).agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_entries"),
+                    F.count_distinct("id").cast("bigint").alias("n_docs"),
+                    F.min("id").alias("min_id"),
+                    F.max("id").alias("max_id"),
+                ).select(*head, "n_entries", "n_docs", "min_id", "max_id")
+            )
+        else:
+            null = F.lit(None).cast("bigint")
+            rows.append(
+                spark.range(1).select(
+                    *head,
+                    null.alias("n_entries"),
+                    null.alias("n_docs"),
+                    null.alias("min_id"),
+                    null.alias("max_id"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 # q399 state cache: sf_dir -> base dir holding the corpus index
 _Q399_STATE: dict[str, str] = {}
 

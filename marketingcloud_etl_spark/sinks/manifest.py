@@ -34,6 +34,7 @@ __all__ = [
     "generation_at",
     "read_current",
     "read_generation",
+    "gc_generations",
 ]
 
 
@@ -85,9 +86,70 @@ def generation_at(manifest_path: str, index: int) -> str:
     """The generation dir of the ``index``-th publish (0 = first;
     negative indexes from the latest, Python-style). Raises IndexError
     past either end of the history — including on a manifest written
-    before history support existed (treated as an empty history)."""
+    before history support existed (treated as an empty history) — and
+    LookupError for an entry whose directory :func:`gc_generations`
+    has already deleted (the history record survives for audit; the
+    data does not)."""
     with open(manifest_path) as f:
-        return json.load(f).get("history", [])[index]["dir"]
+        entry = json.load(f).get("history", [])[index]
+    if entry.get("gc"):
+        raise LookupError(
+            f"generation {index} ({entry['dir']}) was garbage-collected"
+        )
+    return entry["dir"]
+
+
+def gc_generations(manifest_path: str, keep_last: int = 2) -> dict:
+    """RETENTION pass — the delete side of the lifecycle the module
+    doc promises ("retention is delete generations no manifest has
+    pointed at for the grace period"): every generation dir whose
+    history entries ALL fall outside the last ``keep_last`` publishes
+    — and which is not the ``current`` pointer, which is always kept
+    regardless of ``keep_last`` — is removed from disk, and its
+    history entries are marked ``gc: true`` so the publish record
+    stays addressable for audit while :func:`generation_at` /
+    :func:`read_generation` refuse it with a clear error instead of a
+    dangling-path read.
+
+    Crash-safety ordering: the gc-marked manifest is published FIRST
+    (same write-temp + fsync + ``os.replace`` discipline as
+    :func:`publish_generation`), THEN the dirs are deleted — a crash
+    between the two leaves marked-but-present dirs (harmless; a re-run
+    finishes the delete), never a deleted dir whose history entry
+    still looks readable. A dir republished under several history
+    entries (rollback-by-republish) is kept as long as ANY of its
+    entries is inside the keep window.
+
+    Returns ``{"current", "kept", "deleted"}`` (dir lists sorted).
+    On a 100 TB deployment this is the only operation in the manifest
+    family that destroys data, so the grace policy (``keep_last``)
+    belongs to the operator, not the engine — the conservation oracle
+    (q421) pins that kept generations stay bit-intact."""
+    import shutil
+
+    with open(manifest_path) as f:
+        doc = json.load(f)
+    history = doc.get("history", [])
+    keep_dirs = {doc.get("current")}
+    if keep_last > 0:
+        keep_dirs |= {h["dir"] for h in history[-keep_last:]}
+    deleted: set[str] = set()
+    for h in history:
+        if h["dir"] not in keep_dirs and not h.get("gc"):
+            h["gc"] = True
+            deleted.add(h["dir"])
+    doc["history"] = history
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, manifest_path)
+    for d in deleted:
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    kept = sorted({h["dir"] for h in history if not h.get("gc")})
+    return {"current": doc.get("current"), "kept": kept, "deleted": sorted(deleted)}
 
 
 def read_generation(spark, manifest_path: str, index: int):

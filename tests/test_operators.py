@@ -2309,3 +2309,61 @@ def test_signed_view_merge_group_disappearance(spark):
         for r in signed_view_merge(state, delta, ["g"], ["n", "total"]).collect()
     }
     assert got == {"b": (2, 75), "c": (2, 990), "d": (2, 40)}
+
+
+def test_gc_generations_retention(spark, tmp_path):
+    """gc_generations (q421's operator): (1) dirs outside the keep
+    window leave disk and their history entries are tombstoned, while
+    kept generations stay BYTE-INTACT (same files, same sizes); (2)
+    the ``current`` pointer's dir is always kept, even at
+    keep_last=0; (3) read_generation refuses a gc'd entry with
+    LookupError instead of a dangling-path read; (4) the pass is
+    idempotent; (5) a dir republished back inside the window
+    (rollback-by-republish) survives its older out-of-window entry."""
+    import os
+
+    import pytest
+
+    from marketingcloud_etl_spark.sinks.manifest import (
+        current_generation,
+        gc_generations,
+        publish_generation,
+        read_generation,
+    )
+
+    g = [str(tmp_path / f"gen{i}") for i in range(3)]
+    for i, d in enumerate(g):
+        spark.range(i * 10, i * 10 + 10 + i).write.parquet(d)
+    man = str(tmp_path / "MANIFEST.json")
+    for i, d in enumerate(g):
+        publish_generation(man, d, {"generation": i})
+
+    def listing(d):
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f))) for f in os.listdir(d)
+        )
+
+    before = {d: listing(d) for d in g[1:]}
+
+    rep = gc_generations(man, keep_last=2)
+    assert rep["deleted"] == [g[0]] and not os.path.exists(g[0])
+    assert rep["kept"] == sorted(g[1:])
+    assert current_generation(man) == g[2]
+    for d in g[1:]:
+        assert listing(d) == before[d], "kept generation not bit-intact"
+    with pytest.raises(LookupError):
+        read_generation(spark, man, 0)
+    assert read_generation(spark, man, 1).count() == 11
+
+    rep2 = gc_generations(man, keep_last=2)
+    assert rep2["deleted"] == [] and rep2["kept"] == sorted(g[1:])
+
+    # rollback-by-republish: gen1 becomes current again; keep_last=0
+    # keeps ONLY the current dir — gen2 goes, gen1 survives through
+    # its in-window (current) reference despite the older entry
+    publish_generation(man, g[1], {"generation": 1, "rollback": True})
+    rep3 = gc_generations(man, keep_last=0)
+    assert current_generation(man) == g[1]
+    assert os.path.isdir(g[1]) and not os.path.exists(g[2])
+    assert rep3["deleted"] == [g[2]]
+    assert read_generation(spark, man, -1).count() == 11

@@ -827,3 +827,31 @@ def test_incremental_sample_is_takeordered(spark, sf_dir):
     plan = _plan(REGISTRY["q407_incremental_sample_state"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, "top-k lost the TakeOrdered shape"
     assert "sample_state" in plan, "state parquet not read"
+
+
+def test_salted_skew_join_plan_shape(spark, sf_dir):
+    """q420: the salt must actually decompose the hot key — the join
+    runs as a ShuffledHashJoin keyed on (skew_key, salt) with NO
+    broadcast escape hatch anywhere in the plan (at the scale where
+    salting matters, neither side broadcasts), and the profile side
+    fans out exactly x_SALT_BUCKETS via an explode(sequence) Generate
+    node (a dim-sized fan-out; fact rows are never duplicated)."""
+    import re
+
+    from marketingcloud_etl_spark.plans.audit_queries import _SALT_BUCKETS
+
+    df = REGISTRY["q420_salted_skew_join"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert re.search(
+        r"ShuffledHashJoin \[skew_key#\d+L?, salt#\d+\],"
+        r" \[skew_key#\d+L?, salt#\d+\]",
+        plan,
+    ), f"salted join lost its (skew_key, salt) ShuffledHashJoin:\n{plan}"
+    assert "Broadcast" not in plan, "salting demo must not broadcast"
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan, "profile-side salt fan-out missing"
+    # pin the fan-out width itself (constant-folded to an opaque array
+    # in the physical plan, still literal in the analyzed plan)
+    ana = df._jdf.queryExecution().analyzed().toString()
+    assert f"explode(sequence(0, {_SALT_BUCKETS - 1}" in ana, ana
+    assert _SALT_BUCKETS == 8
