@@ -234,6 +234,12 @@ HEADLINE = (
     "q418_partition_checksum_diff",
     # two-window profile drift (q409's shape x2 windows + 1x1 join)
     "q419_schema_drift_detect",
+    # round-9: the salted skew join — the only ShuffledHashJoin-on-
+    # salted-keys physical family in the catalog (dim-side explode
+    # fan-out + (key, salt)-keyed fact shuffle); q421's gc is
+    # fs-lifecycle-bound (manifest read + dir deletes), not a
+    # data-scale measurement, and stays unbenched like q397/q398
+    "q420_salted_skew_join",
 )
 
 
@@ -350,6 +356,9 @@ BUDGETS = {
     "q417_incremental_checksum_state": 1.5,  # driver-min 0.551 (r8)
     "q418_partition_checksum_diff": 1.5,  # driver-min 0.656 (r8)
     "q419_schema_drift_detect": 3.17,  # driver-min 2.115 (r8)
+    # round-9 addition: local bench-conditions 0.58 — any reasonable
+    # driver-condition factor stays under the 1.5 s floor
+    "q420_salted_skew_join": 1.5,
 }
 
 def _sf_of(sf_dir: str) -> float:
@@ -496,8 +505,12 @@ def main() -> None:
         # as GC time (observed: identical tail queries run 0.5-1.5 s
         # slower in-sweep than in a dedicated session, with run-to-run
         # variance of the same size). An explicit collect every few
-        # queries keeps timings measuring the query, not the history.
-        if (i + 1) % 5 == 0:
+        # queries keeps timings measuring the query, not the history —
+        # the collect runs AFTER the timing stops, so its cost lands on
+        # wall-clock only, never on a query's number. Every 3 (was 5):
+        # at 95 headline queries the 5-cadence left mid-sweep queries
+        # (q163) 0.5-1.0 s over their dedicated-session times.
+        if (i + 1) % 3 == 0:
             import gc
 
             gc.collect()

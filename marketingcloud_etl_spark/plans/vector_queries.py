@@ -547,10 +547,17 @@ def q163_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # independent recheck: flat codegen'd argmin expression on a
     # deterministic hash sample — cheap (200 rows) and a genuinely
-    # different code path from the Arrow kernel
+    # different code path from the Arrow kernel. Sample the NARROW id
+    # column first (TakeOrderedAndProject — ordering fat embedding
+    # arrays through a range exchange, or running the Arrow kernel
+    # corpus-wide just to feed a limit, both cost a full heavy pass),
+    # then broadcast the 200 ids back onto the scan and apply both
+    # formulations to the joined 200 rows only
+    sample_ids = emb.select("vec_id").orderBy(F.xxhash64("vec_id")).limit(200)
     audit = (
-        assigned.orderBy(F.xxhash64("vec_id"))
-        .limit(200)
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(sample_ids), "vec_id")
+        .withColumn("cell", assign("embedding"))
         .withColumn("cell2", F.expr(_argmin_sqdist_sql("embedding", cents)))
     )
     argmin_ok = audit.agg(F.min(F.col("cell") == F.col("cell2")).alias("__argmin_ok"))

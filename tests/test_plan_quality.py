@@ -539,6 +539,39 @@ def test_bench_budgets_cover_headline():
     assert all(b > 0 for b in bench.BUDGETS.values())
 
 
+def test_bench_stdout_line_fits_driver_artifact_window():
+    """The driver archives only the last ~2,200 bytes of bench output
+    (BENCH_r08 lost every per-query time before q391 to the window).
+    Pin that the compact stdout line CANNOT outgrow it: serialize the
+    worst-case line (every headline query at a 4-digit-seconds time,
+    every short key at max observed width, budget pass) and require
+    comfortable headroom. Headline growth that would re-break the
+    artifact must fail here, not in the next VERDICT."""
+    import json as _json
+
+    import bench
+
+    short = {n.split("_", 1)[0]: 9999.99 for n in bench.HEADLINE}
+    assert len(short) == len(bench.HEADLINE), "qNNN short keys must be unique"
+    line = _json.dumps(
+        {
+            "metric": "headline_total",
+            "value": 99999.999,
+            "unit": "sec",
+            "sf": 0.1,
+            "setup_total": 9999.99,
+            "queries": short,
+            "budget": {"pass": True, "over": {}, "unpinned": []},
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) <= 2000, (
+        f"bench stdout line worst-case {len(line)} bytes — would truncate "
+        "in the driver's ~2,200-byte artifact window; trim the headline "
+        "set or emit per-family subtotals instead"
+    )
+
+
 def test_tpch_battery_plans_have_no_cartesian_and_broadcast_dims(spark, sf_dir):
     """The TPC-H completion battery (q293-q302) is the catalog's most
     externally-comparable set of join shapes — pin the physical
