@@ -888,3 +888,67 @@ def test_salted_skew_join_plan_shape(spark, sf_dir):
     ana = df._jdf.queryExecution().analyzed().toString()
     assert f"explode(sequence(0, {_SALT_BUCKETS - 1}" in ana, ana
     assert _SALT_BUCKETS == 8
+
+
+def test_aqe_runtime_skew_split_demonstrated(spark):
+    """The RUNTIME complement of q420's plan-time salting: with the
+    session's AQE skew-join handling (session.py enables it; the
+    thresholds here are scaled down to local fixture sizes), a planted
+    hot key whose shuffle partition dwarfs the median is SPLIT at
+    runtime — the final adaptive plan carries SortMergeJoin(skew=true)
+    over an `AQEShuffleRead skewed` on the fact side, with the result
+    unchanged. Pinned because each precondition silently disables the
+    rule and turns the demo into a no-op: (a) BOTH join children must
+    be plain sort-over-shuffle — any operator between the shuffle
+    stage and the join (even a partial aggregate, e.g. building the
+    dim via .distinct()) breaks OptimizeSkewedJoin's pattern match;
+    (b) skew is measured on COMPRESSED map-output bytes — a constant
+    hot key whose payload got column-pruned compresses below any
+    threshold, so the payload must stay live through the consumer;
+    (c) no broadcast escape (threshold -1) or the join never
+    shuffles at this scale."""
+    confs = {
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(400000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(-1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("v"),
+        )
+        right = (
+            spark.range(200000)
+            .select((F.col("id") * 2 + 1).alias("k"))
+            .union(spark.range(1).select(F.lit(-1).alias("k")))
+            .select("k", F.md5(F.col("k").cast("string")).alias("w"))
+        )
+        j = left.join(right.hint("merge"), "k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("v").alias("mx"),
+            F.max("w").alias("mw"),
+        )
+        [row] = j.collect()
+        assert row.n == 400000  # every left row matched exactly once
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in final, f"AQE did not split the hot key:\n{final}"
+        assert "AQEShuffleRead skewed" in final, final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
