@@ -540,6 +540,16 @@ def main() -> None:
         k = n.split("_", 1)[0]
         assert k not in short, f"ambiguous short key {k}"
         short[k] = round(t, 2)
+    # The over/unpinned blocks are the only variable-size parts of the
+    # line: an every-query-red catastrophe (the exact case the gate
+    # exists to report) would add ~40 bytes per over entry and blow the
+    # window. Cap both at the 10 worst; n_over/n_unpinned carry the
+    # true counts and bench_full.json carries every entry.
+    worst_over = dict(
+        sorted(
+            over.items(), key=lambda kv: kv[1]["sec"] / kv[1]["budget"], reverse=True
+        )[:10]
+    )
     compact = {
         "metric": "headline_total",
         "value": total,
@@ -549,8 +559,13 @@ def main() -> None:
         "queries": short,
         "budget": {
             "pass": not over,
-            "over": {n.split("_", 1)[0]: v for n, v in over.items()},
-            "unpinned": [n.split("_", 1)[0] for n in unpinned],
+            "n_over": len(over),
+            "over": {
+                n.split("_", 1)[0]: {"sec": round(v["sec"], 2), "budget": v["budget"]}
+                for n, v in worst_over.items()
+            },
+            "n_unpinned": len(unpinned),
+            "unpinned": [n.split("_", 1)[0] for n in unpinned[:10]],
         },
     }
     full = {

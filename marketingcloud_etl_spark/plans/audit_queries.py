@@ -569,12 +569,12 @@ _SALT_BUCKETS = 8  # fan-out pinned by tests/test_plan_quality.py
              cast(floor(value * 100) as bigint) AS cents
       FROM events
     ), d AS (
-      SELECT skew_key, count(*) AS key_rows FROM e GROUP BY skew_key
+      SELECT skew_key, count(*) % 997 AS key_w FROM e GROUP BY skew_key
     )
     SELECT e.event_type,
            cast(count(*) as bigint) AS n_rows,
            cast(count(DISTINCT e.skew_key) as bigint) AS n_keys,
-           cast(sum(e.cents * d.key_rows) as bigint) AS weighted_cents
+           cast(sum(e.cents * d.key_w) as bigint) AS w_sum
     FROM e JOIN d ON e.skew_key = d.skew_key
     GROUP BY e.event_type
     """,
@@ -623,7 +623,17 @@ def q420_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
         "event_id",
     )
-    dim = e.groupBy("skew_key").agg(F.count(F.lit(1)).alias("key_rows"))
+    # the profile value carried through the join is the key's row count
+    # BOUNDED mod 997: the raw product cents × key_rows grows as N² on
+    # the hot key (key_rows ~ N/2) and would cross int64 near sf10 —
+    # where Spark's bigint sum wraps silently while DuckDB promotes to
+    # HUGEINT (the divergence the checksum ledger documents). Bounded,
+    # each term is < 5e4 × 997 ≈ 5e7, so the sum stays exact in int64
+    # past 10^11 rows while still proving per-row join multiplicity
+    # (a dropped or doubled match shifts w_sum)
+    dim = e.groupBy("skew_key").agg(
+        (F.count(F.lit(1)) % 997).alias("key_w")
+    )
     salted_dim = dim.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
     )
@@ -634,7 +644,7 @@ def q420_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.count_distinct("skew_key").cast("bigint").alias("n_keys"),
-        F.sum(F.col("cents") * F.col("key_rows")).cast("bigint").alias("weighted_cents"),
+        F.sum(F.col("cents") * F.col("key_w")).cast("bigint").alias("w_sum"),
     )
 
 

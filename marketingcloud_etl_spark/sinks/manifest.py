@@ -133,11 +133,9 @@ def gc_generations(manifest_path: str, keep_last: int = 2) -> dict:
     keep_dirs = {doc.get("current")}
     if keep_last > 0:
         keep_dirs |= {h["dir"] for h in history[-keep_last:]}
-    deleted: set[str] = set()
     for h in history:
         if h["dir"] not in keep_dirs and not h.get("gc"):
             h["gc"] = True
-            deleted.add(h["dir"])
     doc["history"] = history
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
@@ -145,11 +143,19 @@ def gc_generations(manifest_path: str, keep_last: int = 2) -> dict:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, manifest_path)
-    for d in deleted:
-        if os.path.isdir(d):
+    # Delete every gc-marked dir STILL ON DISK — not just the ones this
+    # pass marked: a prior run that crashed (or hit a transient delete
+    # error) between the manifest publish and its rmtree loop leaves
+    # marked-but-present dirs, and the recovery contract is that the
+    # next pass finishes the delete rather than leaking them forever.
+    deleted: list[str] = []
+    for h in history:
+        d = h["dir"]
+        if h.get("gc") and d not in keep_dirs and os.path.isdir(d):
             shutil.rmtree(d)
+            deleted.append(d)
     kept = sorted({h["dir"] for h in history if not h.get("gc")})
-    return {"current": doc.get("current"), "kept": kept, "deleted": sorted(deleted)}
+    return {"current": doc.get("current"), "kept": kept, "deleted": sorted(set(deleted))}
 
 
 def read_generation(spark, manifest_path: str, index: int):

@@ -2367,3 +2367,39 @@ def test_gc_generations_retention(spark, tmp_path):
     assert os.path.isdir(g[1]) and not os.path.exists(g[2])
     assert rep3["deleted"] == [g[2]]
     assert read_generation(spark, man, -1).count() == 11
+
+
+def test_gc_generations_finishes_crashed_delete(spark, tmp_path):
+    """The crash-recovery half of gc_generations' publish-first
+    contract: a prior pass that died AFTER publishing the gc-marked
+    manifest but BEFORE its rmtree loop leaves a marked-but-present
+    dir — the next pass must finish the delete (and report it), not
+    skip it as already-handled and leak the storage forever."""
+    import json
+    import os
+
+    from marketingcloud_etl_spark.sinks.manifest import (
+        gc_generations,
+        publish_generation,
+    )
+
+    g = [str(tmp_path / f"gen{i}") for i in range(3)]
+    for i, d in enumerate(g):
+        spark.range(5).write.parquet(d)
+    man = str(tmp_path / "MANIFEST.json")
+    for i, d in enumerate(g):
+        publish_generation(man, d, {"generation": i})
+
+    # simulate the crash: gen0's entry is gc-marked on disk but its
+    # directory still exists (the prior run died before rmtree)
+    with open(man) as f:
+        doc = json.load(f)
+    doc["history"][0]["gc"] = True
+    with open(man, "w") as f:
+        json.dump(doc, f)
+    assert os.path.isdir(g[0])
+
+    rep = gc_generations(man, keep_last=2)
+    assert rep["deleted"] == [g[0]], "recovery pass must finish the delete"
+    assert not os.path.exists(g[0])
+    assert os.path.isdir(g[1]) and os.path.isdir(g[2])

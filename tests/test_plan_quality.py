@@ -553,6 +553,11 @@ def test_bench_stdout_line_fits_driver_artifact_window():
 
     short = {n.split("_", 1)[0]: 9999.99 for n in bench.HEADLINE}
     assert len(short) == len(bench.HEADLINE), "qNNN short keys must be unique"
+    # worst case INCLUDING the failure the gate exists to report: every
+    # query over budget (bench caps the inline over/unpinned detail at
+    # the 10 worst, carrying true counts in n_over/n_unpinned — so the
+    # line is bounded even in an every-query-red catastrophe)
+    ten = list(short)[:10]
     line = _json.dumps(
         {
             "metric": "headline_total",
@@ -561,14 +566,20 @@ def test_bench_stdout_line_fits_driver_artifact_window():
             "sf": 0.1,
             "setup_total": 9999.99,
             "queries": short,
-            "budget": {"pass": True, "over": {}, "unpinned": []},
+            "budget": {
+                "pass": False,
+                "n_over": len(short),
+                "over": {k: {"sec": 9999.99, "budget": 9999.99} for k in ten},
+                "n_unpinned": len(short),
+                "unpinned": ten,
+            },
         },
         separators=(",", ":"),
     )
-    assert len(line) <= 2000, (
+    assert len(line) <= 2100, (
         f"bench stdout line worst-case {len(line)} bytes — would truncate "
         "in the driver's ~2,200-byte artifact window; trim the headline "
-        "set or emit per-family subtotals instead"
+        "set, lower the over/unpinned caps, or emit per-family subtotals"
     )
 
 
