@@ -963,3 +963,54 @@ def test_aqe_runtime_skew_split_demonstrated(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rebalance_hint_splits_skewed_write(spark, tmp_path):
+    """The WRITE-side skew surface, completing the trio (q420 = plan-
+    time salted join, AQE skew-split test = runtime join): landing a
+    hot-keyed table with plain repartition(key) serializes the hot
+    key's entire mass through ONE writer task and one straggler file —
+    at 100 TB that file is half the table and the write runs on one
+    core. The REBALANCE(key) hint keeps key clustering for downstream
+    readers but lets AQE split oversized partitions
+    (optimizeSkewsInRebalancePartitions, on by default) and coalesce
+    tiny ones toward the advisory size: more writer tasks, bounded
+    file sizes, same rows."""
+    import glob
+    import os
+
+    confs = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.rebalancePartitionsSmallPartitionFactor": "0.2",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spark.range(400000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(-1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("v"),
+        )
+        rep_dir, reb_dir = str(tmp_path / "rep"), str(tmp_path / "reb")
+        df.repartition("k").write.parquet(rep_dir)
+        df.hint("rebalance", "k").write.parquet(reb_dir)
+        rep = sorted(
+            os.path.getsize(f) for f in glob.glob(rep_dir + "/*.parquet")
+        )
+        reb = sorted(
+            os.path.getsize(f) for f in glob.glob(reb_dir + "/*.parquet")
+        )
+        # straggler file split: the biggest rebalanced file is a small
+        # fraction of the repartition straggler (hot key = 50% of rows
+        # in ONE file there), and writer parallelism rose with it
+        assert reb[-1] < rep[-1] / 2, (rep[-1], reb[-1])
+        assert len(reb) > len(rep), (len(rep), len(reb))
+        # same rows landed
+        n_rep = spark.read.parquet(rep_dir).count()
+        n_reb = spark.read.parquet(reb_dir).count()
+        assert n_rep == n_reb == 400000
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
