@@ -334,3 +334,80 @@ def test_pcm_window_energy_property(spark, sample_lists, win):
             rms = math.sqrt(sum(x * x for x in chunk) / win)
             want[(i, w)] = (math.floor(rms * 1000.0), win)
     assert got == want
+
+
+# ---- manifest lifecycle state machine -------------------------------------
+# op encoding: 0 = publish a fresh generation dir; 1 = rollback
+# (re-publish the dir of a random live, non-gc'd history entry);
+# 2..6 = gc with keep_last = op - 2 (0..4). Pure-filesystem model (the
+# manifest functions never require Spark), so the search is cheap.
+_manifest_ops = st.lists(st.integers(0, 6), min_size=1, max_size=12)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=_manifest_ops, seed=st.integers(0, 2**16))
+def test_manifest_gc_lifecycle_invariants(tmp_path_factory, ops, seed):
+    """Random publish / rollback-republish / gc sequences preserve the
+    manifest's lifecycle contract (the state-machine generalization of
+    the example-based gc tests, which round 9's crash-recovery bug
+    showed are not enough):
+
+      I1. the `current` pointer's dir always exists on disk;
+      I2. every history entry NOT marked gc has its dir on disk
+          (nothing live ever dangles);
+      I3. every dir referenced ONLY by gc-marked entries (and not
+          current) is gone from disk (no storage leaks — including
+          entries marked by an earlier pass, the crash-recovery case);
+      I4. gc is idempotent: an immediate re-run with the same
+          keep_last deletes nothing further.
+    """
+    import json
+    import os
+    import random
+
+    from marketingcloud_etl_spark.sinks.manifest import (
+        current_generation,
+        gc_generations,
+        publish_generation,
+    )
+
+    rng = random.Random(seed)
+    base = tmp_path_factory.mktemp("manifest_prop")
+    man = str(base / "MANIFEST.json")
+    n_dirs = 0
+
+    def history():
+        with open(man) as f:
+            return json.load(f).get("history", [])
+
+    def check_invariants():
+        hist = history()
+        cur = current_generation(man)
+        assert os.path.isdir(cur), "I1: current dir missing"
+        live_dirs = {h["dir"] for h in hist if not h.get("gc")}
+        for d in live_dirs:
+            assert os.path.isdir(d), f"I2: live entry dangles: {d}"
+        for h in hist:
+            d = h["dir"]
+            if h.get("gc") and d not in live_dirs and d != cur:
+                assert not os.path.exists(d), f"I3: leaked gc'd dir: {d}"
+
+    # first op is always a publish so `current` exists
+    for i, op in enumerate([0] + ops):
+        if op == 0 or i == 0:
+            d = str(base / f"gen{n_dirs}")
+            os.makedirs(d)
+            with open(os.path.join(d, "part-0"), "w") as f:
+                f.write(f"gen{n_dirs}")
+            n_dirs += 1
+            publish_generation(man, d, {"generation": n_dirs - 1})
+        elif op == 1:
+            live = [h["dir"] for h in history() if not h.get("gc")]
+            if live:
+                publish_generation(man, rng.choice(live), {"rollback": True})
+        else:
+            keep = op - 2
+            gc_generations(man, keep_last=keep)
+            rep2 = gc_generations(man, keep_last=keep)
+            assert rep2["deleted"] == [], f"I4: gc not idempotent: {rep2}"
+        check_invariants()
