@@ -60,10 +60,23 @@ def erase_from_state(
     broadcast, which is the steady case; fall back to the per-layout
     ``compact_*`` pass with a ``keep`` predicate when it does not.
     Writes a fresh generation dir (never in place — concurrent probes
-    race an in-place rewrite; publish via sinks/manifest.py)."""
+    race an in-place rewrite; ``out_dir == state_dir`` is rejected).
+    The write uses overwrite mode so a retried erasure can reuse its
+    UNPUBLISHED scratch dir; once a dir has been published via
+    sinks/manifest.py it is immutable by contract and must never be a
+    target again — pick a fresh generation dir per publish."""
     tname = tombstones.columns
     if len(tname) != 1:
         raise ValueError(f"tombstones must have exactly one column, got {tname}")
+    import os
+
+    if os.path.abspath(out_dir) == os.path.abspath(state_dir):
+        # the overwrite below would destroy the state mid-read — the
+        # in-place rewrite this module's contract exists to forbid
+        raise ValueError(
+            "erase_from_state writes a FRESH generation dir: "
+            f"out_dir must differ from state_dir ({state_dir!r})"
+        )
     tomb = tombstones.select(F.col(tname[0]).alias(id_col)).distinct()
     state = spark.read.parquet(state_dir)
     kept = state.join(F.broadcast(tomb), id_col, "left_anti")

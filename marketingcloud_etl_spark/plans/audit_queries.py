@@ -34,7 +34,14 @@ from .catalog import query
 
 # ---------------------------------------------------------------- canonical
 
-_NULL = "chr(0) || 'NULL' || chr(0)"  # functions/hashing.py sentinel, DuckDB
+# the injective encoding is functions/hashing.py's — import its
+# constants rather than re-hardcoding them, so a sentinel/separator
+# change can never silently fork the audit digests from the dedup
+# family's content hashes
+from ..functions.hashing import NULL_SENTINEL, SEP
+
+assert NULL_SENTINEL == "\x00NULL\x00" and SEP == "\x1f"  # duck literals below
+_NULL = "chr(0) || 'NULL' || chr(0)"  # NULL_SENTINEL spelled in DuckDB
 
 
 def _canon_spark(col: str, typ: str) -> Column:
@@ -62,11 +69,11 @@ def _row_digest_spark(cols: list[tuple[str, str]]) -> Column:
     parts = []
     for name, typ in cols:
         s = F.coalesce(
-            _canon_spark(name, typ).cast("string"), F.lit("\x00NULL\x00")
+            _canon_spark(name, typ).cast("string"), F.lit(NULL_SENTINEL)
         )
         parts.append(F.concat(F.length(s).cast("string"), F.lit(":"), s))
     return F.conv(
-        F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 8), 16, 10
+        F.substring(F.md5(F.concat_ws(SEP, *parts)), 1, 8), 16, 10
     ).cast("bigint")
 
 
@@ -725,6 +732,23 @@ def q413_uniqueness_contract_audit(spark: SparkSession, sf_dir: str) -> DataFram
 
 _EVENTS_COLS = _CHECKSUM_TABLES["events"]
 
+def merge_checksum_triples(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Fold a batch's per-key (n_rows, checksum_lo, checksum_hi)
+    triple into the persisted state: union + one keyed additive agg.
+    Deliberately NOT a full-outer join on the key — join equality is
+    null-hostile (a NULL key group in both frames would never match
+    itself and emit two rows where the oracle's GROUP BY emits one),
+    while groupBy puts all NULLs in one group on both engines. Same
+    shape as operators/state.py::signed_view_merge."""
+    cols = ["n_rows", "checksum_lo", "checksum_hi"]
+    return (
+        state.select("event_type", *cols)
+        .unionByName(batch.select("event_type", *cols))
+        .groupBy("event_type")
+        .agg(*[F.sum(c).cast("bigint").alias(c) for c in cols])
+    )
+
+
 # q417 state cache: sf_dir -> parquet dir of per-source checksum state
 _Q417_STATE: dict[str, str] = {}
 
@@ -744,9 +768,10 @@ def q417_incremental_checksum_state(spark: SparkSession, sf_dir: str) -> DataFra
     state posture (q400/q405's family): q408's digest half-sums are
     ADDITIVE, so a per-source (n_rows, checksum_lo, checksum_hi)
     state row continues checksumming forever. History (events before
-    Jan 16) folds into the persisted state ONCE; each arriving batch
-    aggregates its own triple and the merge is one full-outer additive
-    fold of two source-sized frames — history rows are read ZERO times
+    Jan 16, plus any NULL-ts rows — see the window-split comment) folds
+    into the persisted state ONCE; each arriving batch aggregates its
+    own triple and the merge is one null-safe keyed additive union-fold
+    (merge_checksum_triples) — history rows are read ZERO times
     per refresh, yet the result equals q408's from-scratch checksum
     over everything ever seen (the oracle recomputes exactly that).
     This is how a 100 TB table keeps a LIVE content checksum: the
@@ -770,34 +795,18 @@ def q417_incremental_checksum_state(spark: SparkSession, sf_dir: str) -> DataFra
     state_dir = _Q417_STATE.get(sf_dir)
     if state_dir is None or not os.path.isdir(state_dir):
         state_dir = tempfile.mkdtemp(prefix="mcetl_q417_") + "/checksum_state"
-        triple(e.filter(F.col("ts") < "2024-01-16")).write.parquet(state_dir)
+        # NULL-ts rows belong to exactly ONE window or the incremental
+        # result diverges from the from-scratch checksum: `ts < cut`
+        # AND `ts >= cut` are both NULL-false, so a plain split drops
+        # them from both sides. They fold into the history state.
+        triple(
+            e.filter((F.col("ts") < "2024-01-16") | F.col("ts").isNull())
+        ).write.parquet(state_dir)
         _Q417_STATE[sf_dir] = state_dir
     state = spark.read.parquet(state_dir)
 
     batch = triple(e.filter(F.col("ts") >= "2024-01-16"))
-    s = state.select(
-        "event_type",
-        F.col("n_rows").alias("sn"),
-        F.col("checksum_lo").alias("sl"),
-        F.col("checksum_hi").alias("sh"),
-    )
-    b = batch.select(
-        "event_type",
-        F.col("n_rows").alias("bn"),
-        F.col("checksum_lo").alias("bl"),
-        F.col("checksum_hi").alias("bh"),
-    )
-    z = F.lit(0).cast("bigint")
-    return s.join(b, "event_type", "full_outer").select(
-        "event_type",
-        (F.coalesce("sn", z) + F.coalesce("bn", z)).cast("bigint").alias("n_rows"),
-        (F.coalesce("sl", z) + F.coalesce("bl", z))
-        .cast("bigint")
-        .alias("checksum_lo"),
-        (F.coalesce("sh", z) + F.coalesce("bh", z))
-        .cast("bigint")
-        .alias("checksum_hi"),
-    )
+    return merge_checksum_triples(state, batch)
 
 
 # ---------------------------------------------- partition diff localization

@@ -25,6 +25,7 @@ the same durable-pointer idea for state too large to re-derive.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 
@@ -37,35 +38,88 @@ __all__ = [
     "gc_generations",
 ]
 
+# keys the manifest document owns; caller meta must not collide (a
+# meta {'dir': ...} would make gc delete a path the manifest never
+# owned, {'gc': True} would make the fresh entry refuse reads)
+_RESERVED_META = frozenset({"current", "history", "dir", "gc"})
+
+
+@contextlib.contextmanager
+def _writer_lock(manifest_path: str):
+    """Exclusive flock serializing manifest WRITERS (publish vs gc):
+    both are read-modify-write, and an unserialized interleave loses
+    whichever write lands first — a publish swallowed by a concurrent
+    gc repoints readers at the previous generation and strands the new
+    dir outside history forever. Same sibling-lockfile idiom as
+    io.py::atomic_cached_write. Readers stay lock-free: os.replace
+    keeps the manifest itself atomic for them."""
+    import fcntl
+
+    with open(manifest_path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+
+
+def _read_doc(manifest_path: str) -> dict:
+    """Load the manifest, distinguishing 'not published yet' (fresh
+    start) from 'exists but unreadable/corrupt' (an incident — raising
+    beats silently resetting the history, which would orphan every
+    published generation from retention and shift every time-travel
+    index)."""
+    try:
+        with open(manifest_path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"history": []}
+
+
+def _write_doc(manifest_path: str, doc: dict) -> None:
+    """write-temp + fsync + rename + DIRECTORY fsync. The parent-dir
+    fsync makes the rename itself durable: without it a power loss
+    after os.replace can revert the directory entry to the previous
+    manifest — fatal for gc's publish-marks-THEN-deletes ordering
+    (the reverted manifest would present deleted dirs as live). The
+    temp name carries the pid so two processes racing outside the
+    writer lock can never truncate each other's scratch file."""
+    tmp = f"{manifest_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, manifest_path)
+    dfd = os.open(os.path.dirname(os.path.abspath(manifest_path)) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
 
 def publish_generation(manifest_path: str, gen_dir: str, meta: dict | None = None) -> dict:
     """Atomically repoint ``manifest_path`` at ``gen_dir``. The
     manifest JSON is written to a sibling temp file, fsync'd, then
-    ``os.replace``d over the manifest — readers racing the publish see
-    the previous generation or the new one, never a torn file. Returns
-    the manifest document.
+    ``os.replace``d over the manifest (parent dir fsync'd so the
+    rename survives power loss) — readers racing the publish see the
+    previous generation or the new one, never a torn file. Returns
+    the manifest document. ``meta`` keys must not collide with the
+    manifest's own (``current``/``history``/``dir``/``gc``).
 
     The manifest also carries the full publish HISTORY (an ordered
     list of every generation ever pointed at, with its meta): since
     published generation dirs are immutable, the history makes every
     past state addressable — time-travel reads (:func:`read_generation`,
     q415), incident rollback (re-publish a past entry), and retention
-    ("delete generations the history no longer needs")."""
-    history: list = []
-    if os.path.exists(manifest_path):
-        try:
-            with open(manifest_path) as f:
-                history = json.load(f).get("history", [])
-        except (OSError, json.JSONDecodeError):
-            history = []
-    history = history + [{"dir": gen_dir, **(meta or {})}]
-    doc = {"current": gen_dir, "history": history, **(meta or {})}
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(doc, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, manifest_path)
+    (:func:`gc_generations`)."""
+    bad = _RESERVED_META & set(meta or {})
+    if bad:
+        raise ValueError(f"meta uses reserved manifest keys: {sorted(bad)}")
+    with _writer_lock(manifest_path):
+        history = _read_doc(manifest_path).get("history", [])
+        history = history + [{"dir": gen_dir, **(meta or {})}]
+        doc = {"current": gen_dir, "history": history, **(meta or {})}
+        _write_doc(manifest_path, doc)
     return doc
 
 
@@ -127,33 +181,31 @@ def gc_generations(manifest_path: str, keep_last: int = 2) -> dict:
     (q421) pins that kept generations stay bit-intact."""
     import shutil
 
-    with open(manifest_path) as f:
-        doc = json.load(f)
-    history = doc.get("history", [])
-    keep_dirs = {doc.get("current")}
-    if keep_last > 0:
-        keep_dirs |= {h["dir"] for h in history[-keep_last:]}
-    for h in history:
-        if h["dir"] not in keep_dirs and not h.get("gc"):
-            h["gc"] = True
-    doc["history"] = history
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(doc, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, manifest_path)
-    # Delete every gc-marked dir STILL ON DISK — not just the ones this
-    # pass marked: a prior run that crashed (or hit a transient delete
-    # error) between the manifest publish and its rmtree loop leaves
-    # marked-but-present dirs, and the recovery contract is that the
-    # next pass finishes the delete rather than leaking them forever.
-    deleted: list[str] = []
-    for h in history:
-        d = h["dir"]
-        if h.get("gc") and d not in keep_dirs and os.path.isdir(d):
-            shutil.rmtree(d)
-            deleted.append(d)
+    with _writer_lock(manifest_path):
+        with open(manifest_path) as f:
+            doc = json.load(f)
+        history = doc.get("history", [])
+        keep_dirs = {doc.get("current")}
+        if keep_last > 0:
+            keep_dirs |= {h["dir"] for h in history[-keep_last:]}
+        for h in history:
+            if h["dir"] not in keep_dirs and not h.get("gc"):
+                h["gc"] = True
+        doc["history"] = history
+        _write_doc(manifest_path, doc)
+        # Delete every gc-marked dir STILL ON DISK — not just the ones
+        # this pass marked: a prior run that crashed (or hit a
+        # transient delete error) between the manifest publish and its
+        # rmtree loop leaves marked-but-present dirs, and the recovery
+        # contract is that the next pass finishes the delete rather
+        # than leaking them forever. Inside the writer lock so no
+        # concurrent publish/gc observes a half-deleted pass.
+        deleted: list[str] = []
+        for h in history:
+            d = h["dir"]
+            if h.get("gc") and d not in keep_dirs and os.path.isdir(d):
+                shutil.rmtree(d)
+                deleted.append(d)
     kept = sorted({h["dir"] for h in history if not h.get("gc")})
     return {"current": doc.get("current"), "kept": kept, "deleted": sorted(set(deleted))}
 

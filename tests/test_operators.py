@@ -2403,3 +2403,55 @@ def test_gc_generations_finishes_crashed_delete(spark, tmp_path):
     assert rep["deleted"] == [g[0]], "recovery pass must finish the delete"
     assert not os.path.exists(g[0])
     assert os.path.isdir(g[1]) and os.path.isdir(g[2])
+
+
+def test_manifest_rejects_reserved_meta_keys(spark, tmp_path):
+    """publish_generation must refuse meta that collides with the
+    manifest's own keys — meta={'dir': X} would record a history entry
+    pointing at a path the manifest never owned (and gc would later
+    DELETE X), meta={'gc': True} would make the fresh entry refuse
+    time-travel reads."""
+    import pytest
+
+    from marketingcloud_etl_spark.sinks.manifest import publish_generation
+
+    g = str(tmp_path / "gen0")
+    spark.range(3).write.parquet(g)
+    man = str(tmp_path / "MANIFEST.json")
+    for bad in ({"dir": "/elsewhere"}, {"gc": True}, {"current": g}, {"history": []}):
+        with pytest.raises(ValueError, match="reserved"):
+            publish_generation(man, g, bad)
+    publish_generation(man, g, {"generation": 0})  # normal meta fine
+
+
+def test_erase_from_state_rejects_in_place_rewrite(spark, tmp_path):
+    """erase_from_state's overwrite write would destroy the state
+    mid-read if pointed back at the source — the in-place rewrite the
+    state contract forbids must be rejected, not executed."""
+    import pytest
+
+    from marketingcloud_etl_spark.operators.state import erase_from_state
+
+    state = str(tmp_path / "idx")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(state)
+    tomb = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="FRESH generation"):
+        erase_from_state(spark, state, state, tomb)
+
+
+def test_merge_checksum_triples_null_key_is_one_group(spark):
+    """q417's merge must be null-safe: a NULL event_type group present
+    in both the state and the batch folds into ONE output row (as the
+    oracle's GROUP BY does) — a key-equality full-outer join would
+    leave the two NULL rows unmatched and emit both."""
+    from marketingcloud_etl_spark.plans.audit_queries import (
+        merge_checksum_triples,
+    )
+
+    schema = "event_type string, n_rows long, checksum_lo long, checksum_hi long"
+    state = spark.createDataFrame([(None, 5, 100, 200), ("a", 2, 10, 20)], schema)
+    batch = spark.createDataFrame([(None, 3, 50, 60), ("b", 1, 1, 2)], schema)
+    out = {r["event_type"]: r for r in merge_checksum_triples(state, batch).collect()}
+    assert len(out) == 3
+    assert out[None]["n_rows"] == 8 and out[None]["checksum_lo"] == 150
+    assert out["a"]["n_rows"] == 2 and out["b"]["checksum_hi"] == 2
