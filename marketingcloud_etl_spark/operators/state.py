@@ -70,9 +70,13 @@ def erase_from_state(
         raise ValueError(f"tombstones must have exactly one column, got {tname}")
     import os
 
-    if os.path.abspath(out_dir) == os.path.abspath(state_dir):
+    if os.path.realpath(out_dir) == os.path.realpath(state_dir):
         # the overwrite below would destroy the state mid-read — the
-        # in-place rewrite this module's contract exists to forbid
+        # in-place rewrite this module's contract exists to forbid.
+        # realpath (not abspath) so a SYMLINKED alias of the state dir
+        # is rejected too: abspath compares the spelling of the paths,
+        # and a link pointing back at state_dir would slip through and
+        # clobber the live state
         raise ValueError(
             "erase_from_state writes a FRESH generation dir: "
             f"out_dir must differ from state_dir ({state_dir!r})"

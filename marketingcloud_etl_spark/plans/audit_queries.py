@@ -40,7 +40,14 @@ from .catalog import query
 # family's content hashes
 from ..functions.hashing import NULL_SENTINEL, SEP
 
-assert NULL_SENTINEL == "\x00NULL\x00" and SEP == "\x1f"  # duck literals below
+# guard with an explicit raise, not `assert` — asserts are stripped
+# under `python -O`, and a silent constant drift would fork the audit
+# digests from the content-hash family with no error anywhere
+if NULL_SENTINEL != "\x00NULL\x00" or SEP != "\x1f":
+    raise ValueError(
+        "audit_queries' hardcoded DuckDB literals are out of sync with "
+        f"functions/hashing.py (NULL_SENTINEL={NULL_SENTINEL!r}, SEP={SEP!r})"
+    )
 _NULL = "chr(0) || 'NULL' || chr(0)"  # NULL_SENTINEL spelled in DuckDB
 
 

@@ -182,10 +182,17 @@ def gc_generations(manifest_path: str, keep_last: int = 2) -> dict:
     import shutil
 
     with _writer_lock(manifest_path):
-        with open(manifest_path) as f:
-            doc = json.load(f)
+        # _read_doc, not a bare open: gc before any publish is a
+        # legitimate no-op (empty report), while a CORRUPT manifest
+        # still raises — deleting dirs against a half-read history is
+        # the one failure mode this function must never have
+        doc = _read_doc(manifest_path)
         history = doc.get("history", [])
-        keep_dirs = {doc.get("current")}
+        if not history:
+            return {"current": doc.get("current"), "kept": [], "deleted": []}
+        # doc.get("current") is None pre-first-publish / on a legacy
+        # manifest — discard it so None never lands in the keep set
+        keep_dirs = {doc.get("current")} - {None}
         if keep_last > 0:
             keep_dirs |= {h["dir"] for h in history[-keep_last:]}
         for h in history:
@@ -215,5 +222,27 @@ def read_generation(spark, manifest_path: str, index: int):
     publish saw it. Sound because published generations are immutable
     — maintenance always writes a FRESH dir and repoints (q393/q396/
     q397/q399's contract), so a historical pointer never dangles until
-    retention deletes it."""
-    return spark.read.parquet(generation_at(manifest_path, index))
+    retention deletes it.
+
+    Retention race contract: readers are deliberately lock-free, so a
+    concurrent :func:`gc_generations` can delete this generation
+    between the manifest check and the Spark ACTION that consumes the
+    returned (lazy) DataFrame. The gc-flag is therefore RE-CHECKED
+    after Spark has planned the scan (narrowing the window from
+    "until the action runs" to "during planning"), but the residual
+    race is closed by policy, not locks: time-travel reads must be
+    MATERIALIZED within the ``keep_last`` grace window — run retention
+    with a window at least as old as the longest historical read you
+    allow, exactly like any MVCC vacuum horizon."""
+    gen_dir = generation_at(manifest_path, index)
+    df = spark.read.parquet(gen_dir)  # plans eagerly: lists files now
+    # re-validate AFTER planning — a gc that won the race deleted the
+    # dir (or marked the entry) while Spark listed it; surface the
+    # same LookupError as a pre-deleted read, not a dangling-path scan
+    generation_at(manifest_path, index)
+    if not os.path.isdir(gen_dir):
+        raise LookupError(
+            f"generation {index} ({gen_dir}) was garbage-collected "
+            "while the read was being planned"
+        )
+    return df

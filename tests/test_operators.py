@@ -2439,6 +2439,106 @@ def test_erase_from_state_rejects_in_place_rewrite(spark, tmp_path):
         erase_from_state(spark, state, state, tomb)
 
 
+def test_gc_generations_before_first_publish_is_noop(tmp_path):
+    """Running retention against a manifest that has never been
+    published is a legitimate no-op (cron fires before the first
+    publish lands) — empty report, no FileNotFoundError — while a
+    CORRUPT manifest must still raise: deleting dirs against a
+    half-read history is the one failure mode gc must never have."""
+    import json
+
+    import pytest
+
+    from marketingcloud_etl_spark.sinks.manifest import gc_generations
+
+    man = str(tmp_path / "MANIFEST.json")
+    rep = gc_generations(man, keep_last=2)
+    assert rep == {"current": None, "kept": [], "deleted": []}
+
+    with open(man, "w") as f:
+        f.write("{not json")
+    with pytest.raises(json.JSONDecodeError):
+        gc_generations(man, keep_last=2)
+
+
+def test_gc_generations_legacy_manifest_without_current(spark, tmp_path):
+    """A hand-written / pre-pointer manifest with history entries but
+    no ``current`` key: the absent pointer must not leak a ``None``
+    into the keep set — the keep window alone decides, and the report
+    carries current=None."""
+    import json
+    import os
+
+    from marketingcloud_etl_spark.sinks.manifest import gc_generations
+
+    g = [str(tmp_path / f"gen{i}") for i in range(2)]
+    for d in g:
+        spark.range(3).write.parquet(d)
+    man = str(tmp_path / "MANIFEST.json")
+    with open(man, "w") as f:
+        json.dump({"history": [{"dir": g[0]}, {"dir": g[1]}]}, f)
+
+    rep = gc_generations(man, keep_last=1)
+    assert rep["current"] is None
+    assert rep["deleted"] == [g[0]] and not os.path.exists(g[0])
+    assert rep["kept"] == [g[1]] and os.path.isdir(g[1])
+
+
+def test_read_generation_detects_gc_winning_the_race(spark, tmp_path, monkeypatch):
+    """Readers are lock-free, so a concurrent gc can tombstone the
+    generation WHILE the time-travel read is being planned.
+    read_generation re-checks the entry after planning and must
+    surface the same LookupError as a pre-deleted read — never return
+    a DataFrame whose files a finished gc already removed. Simulated
+    by running the gc inside the planning call itself."""
+    import pytest
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from marketingcloud_etl_spark.sinks.manifest import (
+        gc_generations,
+        publish_generation,
+        read_generation,
+    )
+
+    g = [str(tmp_path / f"gen{i}") for i in range(2)]
+    for d in g:
+        spark.range(4).write.parquet(d)
+    man = str(tmp_path / "MANIFEST.json")
+    for i, d in enumerate(g):
+        publish_generation(man, d, {"generation": i})
+
+    orig = DataFrameReader.parquet
+
+    def gc_wins_mid_planning(self, *paths):
+        df = orig(self, *paths)
+        gc_generations(man, keep_last=1)  # lands after listing, before return
+        return df
+
+    monkeypatch.setattr(DataFrameReader, "parquet", gc_wins_mid_planning)
+    with pytest.raises(LookupError, match="garbage-collected"):
+        read_generation(spark, man, 0)
+
+
+def test_erase_from_state_rejects_symlinked_alias(spark, tmp_path):
+    """The in-place-rewrite guard must compare RESOLVED paths: a
+    symlink pointing back at the state dir is the same storage under a
+    different spelling, and writing through it destroys the live state
+    exactly like out_dir == state_dir does."""
+    import os
+
+    import pytest
+
+    from marketingcloud_etl_spark.operators.state import erase_from_state
+
+    state = str(tmp_path / "idx")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(state)
+    alias = str(tmp_path / "idx_alias")
+    os.symlink(state, alias)
+    tomb = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="FRESH generation"):
+        erase_from_state(spark, state, alias, tomb)
+
+
 def test_merge_checksum_triples_null_key_is_one_group(spark):
     """q417's merge must be null-safe: a NULL event_type group present
     in both the state and the batch folds into ONE output row (as the
