@@ -243,6 +243,14 @@ HEADLINE = (
     # the timed pass measures the steady-state kept-generation
     # profile re-read against the post-gc manifest
     "q421_manifest_generation_gc",
+    # round-10: MV rewrite routing (MV build in setup; timed pass =
+    # the routed MV + broadcast-dims report), the bucketized
+    # interval-overlap join (the explode/equi-join/recheck family),
+    # and the LSH hot-bucket split (index skew maintenance; the
+    # md5-minhash + split rewrite is the measured operation)
+    "q424_mv_rewrite_routing",
+    "q425_interval_overlap_join",
+    "q426_lsh_bucket_split",
 )
 
 
@@ -370,6 +378,12 @@ BUDGETS = {
     # bench lands (BASELINE.md replace-local-pins rule); fs-bound
     # steady-state read, expected well under the floor
     "q421_manifest_generation_gc": 1.5,
+    # round-10 additions: provisional local pins (idle local best x
+    # ~1.5 bench-condition factor x 1.5 budget factor) until their
+    # first driver bench lands (BASELINE.md replace-local-pins rule)
+    "q424_mv_rewrite_routing": 1.5,  # local steady 0.7-0.9
+    "q425_interval_overlap_join": 7.0,  # local steady 3.1
+    "q426_lsh_bucket_split": 5.4,  # local steady 2.4
 }
 
 def _sf_of(sf_dir: str) -> float:
@@ -442,6 +456,9 @@ SETUP_QUERIES = (
     # manifest gc: first run builds the three-publish history and runs
     # the gc itself; the timed pass measures the post-gc profile read
     "q421_manifest_generation_gc",
+    # MV routing: first run builds + writes the (month x nation) MV;
+    # the timed pass measures the routed report
+    "q424_mv_rewrite_routing",
 )
 
 

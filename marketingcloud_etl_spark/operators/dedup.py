@@ -57,13 +57,33 @@ def dedup_keep_first(
 
 
 def word_shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as strings; empty array when < n tokens."""
+    """Word n-gram shingles as strings; empty array when < n tokens.
+
+    The token array is LET-BOUND once per row (the 1-element
+    struct-array transform below) before the per-position lambda reads
+    it: a lambda that captures the raw ``tokens(text)`` expression
+    re-evaluates the whole regex tokenization PER OUTPUT ELEMENT —
+    Catalyst does not CSE across lambda boundaries — which measured
+    ~18M redundant tokenizations (5.0 s) on the 180k-token sf0.1
+    corpus vs ~0.5 s bound."""
     toks = tokens(text_col)
-    k = F.size(toks) - (n - 1)
-    return F.when(
-        k >= 1,
-        F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def shingles_of(t: Column) -> Column:
+        k = F.size(t) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(
+        F.transform(
+            F.array(F.struct(toks.alias("t"))), lambda x: shingles_of(x["t"])
+        ),
+        1,
+    )
 
 
 def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
@@ -395,6 +415,71 @@ def compact_minhash_index(
         out_dir
     )
     return spark.read.parquet(out_dir)
+
+
+def split_hot_buckets(
+    index: DataFrame, cap: int, bit: Column | None = None, id_col: str = "id"
+) -> tuple[DataFrame, DataFrame]:
+    """SKEW MAINTENANCE for a band-bucket index: buckets holding more
+    than ``cap`` rows split by one extra doc-hash bit (extendible
+    hashing's directory-doubling move, applied only to hot buckets) —
+    boilerplate/near-empty docs collapse onto a few signatures, and
+    those buckets otherwise grow a quadratic straggler in the
+    (band, bucket)-keyed probe join. Returns ``(split_index,
+    registry)``: the index with ``bucket`` remapped to
+    ``2*bucket + bit`` (hot) / ``2*bucket`` (cold), and the
+    (band, bucket, split) registry a probe needs to aim at the new
+    layout (see :func:`fan_out_probe_rows`). ``bit`` defaults to
+    ``xxhash64(id) mod 2``; q426 passes an md5-derived bit so the
+    whole operation stays DuckDB-oracle-able.
+
+    Scale shape: sizing is one map-side-combinable count over the
+    index; the rewrite is a narrow map joined to the broadcast-sized
+    registry — index rows shuffle zero times. Re-running on a still-
+    hot index extends buckets by another bit, exactly like extendible
+    hashing."""
+    sizes = index.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__sz"))
+    registry = sizes.select(
+        "band", "bucket", (F.col("__sz") > cap).alias("split")
+    )
+    if bit is None:
+        bit = F.pmod(F.xxhash64(F.col(id_col)), F.lit(2))
+    out = (
+        index.join(F.broadcast(registry), ["band", "bucket"])
+        .withColumn(
+            "bucket",
+            F.col("bucket") * 2 + F.when(F.col("split"), bit).otherwise(F.lit(0)),
+        )
+        .drop("split")
+    )
+    return out, registry
+
+
+def fan_out_probe_rows(batch_rows: DataFrame, registry: DataFrame) -> DataFrame:
+    """Remap a probe's band-bucket rows onto a :func:`split_hot_buckets`
+    layout: a row aimed at a SPLIT bucket fans out to both halves
+    (``2b`` and ``2b+1`` — the probing doc's candidates may sit in
+    either, since residents were rehashed by THEIR ids), a row aimed
+    at a cold bucket maps to ``2b``; buckets absent from the registry
+    (signatures never seen at split time) are cold by definition.
+    Probe-equivalence contract: ``probe_minhash_rows(fan_out(rows),
+    split_index) == probe_minhash_rows(rows, index)`` — pinned in
+    tests/test_operators.py. The fan-out is a bounded ×2 on hot
+    buckets only; the registry is bucket-domain-sized and broadcast."""
+    j = batch_rows.join(F.broadcast(registry), ["band", "bucket"], "left")
+    return (
+        j.withColumn(
+            "__bit",
+            F.explode(
+                F.when(
+                    F.coalesce(F.col("split"), F.lit(False)),
+                    F.array(F.lit(0), F.lit(1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .withColumn("bucket", F.col("bucket") * 2 + F.col("__bit"))
+        .drop("split", "__bit")
+    )
 
 
 # ---------------------------------------------------------------- SimHash

@@ -4225,3 +4225,308 @@ def q407_incremental_sample_state(spark: SparkSession, sf_dir: str) -> DataFrame
         .limit(50)
         .drop("wkey")
     )
+
+
+# ------------------------------------------------------- round-10 wave
+
+_KMV_K = 16
+
+
+@query(
+    "q422_kmv_distinct_sketch",
+    oracle=f"""
+    WITH dh AS (
+      SELECT DISTINCT event_type,
+             {_H32_OF_DUCK.format(e='user_id')} AS h
+      FROM events
+    ), bk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM dh
+    ), per AS (
+      SELECT event_type, count(*) AS n_bk, max(h) AS hk
+      FROM bk WHERE rn <= {_KMV_K} GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    ), mh AS (
+      SELECT DISTINCT h FROM bk WHERE rn <= {_KMV_K}
+    ), mb AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn FROM mh
+    ), m AS (
+      SELECT count(*) AS n_bk, max(h) AS hk FROM mb WHERE rn <= {_KMV_K}
+    ), mex AS (
+      SELECT count(DISTINCT user_id) AS n_exact FROM events
+    )
+    SELECT e.event_type,
+           cast(e.n_exact as bigint) AS n_exact,
+           cast(CASE WHEN p.n_bk < {_KMV_K} THEN p.n_bk
+                     ELSE ({_KMV_K} - 1) * 4294967296 // p.hk END as bigint)
+             AS kmv_est
+    FROM per p JOIN ex e USING (event_type)
+    UNION ALL
+    SELECT '__ALL__', cast(mex.n_exact as bigint),
+           cast(CASE WHEN m.n_bk < {_KMV_K} THEN m.n_bk
+                     ELSE ({_KMV_K} - 1) * 4294967296 // m.hk END as bigint)
+    FROM m, mex
+    """,
+    tags=("dedup", "sketch", "mergeable", "distinct"),
+)
+def q422_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) DISTINCT SKETCH — the mergeable
+    distinct-count sketch whose estimate is a DETERMINISTIC function
+    of the data, unlike HLL (q60/q159: engine-specific register
+    layouts, never hash-comparable): keep the k smallest distinct
+    hash values per group; with h_(k) the k-th smallest of a 32-bit
+    hash, distinct ≈ (k−1)·2³²/h_(k) (Bar-Yossef et al. 2002). Both
+    engines hash with the md5 _H32 protocol and divide with
+    non-negative integer division, so per-group estimates AND the
+    merged estimate hash-match exactly.
+
+    The MERGE is the point: KMV sketches union by pooling the hash
+    sets and re-taking the bottom-k — the '__ALL__' row is computed
+    from the five per-type sketches alone (5k scalar values), never
+    from the raw events, which is how a fleet of per-partition /
+    per-day sketches rolls up to a global distinct count with one
+    tiny shuffle. Estimator guard: with fewer than k distinct hashes
+    the sketch IS the exact set, so the estimate is its size.
+
+    100 TB story: the sketch build is one map-side-combinable
+    distinct on (group, hash) followed by a per-group bottom-k (the
+    window is keyed by group — no global sort); state per group is k
+    bigints, so a billion-key daily rollup ships 16 values per group
+    per partition instead of the key set. The bounded merge agg
+    (k × |groups| rows) is the only single-partition stage — the
+    same class as every one-row aggregation final in PLAN_AUDIT.md."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    h = F.expr(_H32_OF.format(e="user_id"))
+
+    dh = ev.select("event_type", h.alias("h")).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    bk = dh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+
+    # bigint `div`, never `/`: double division + floor can shift by one
+    # ulp when the quotient lands near an integer; `div` matches
+    # DuckDB's `//` exactly for these non-negative operands
+    _EST = (
+        f"cast(CASE WHEN n_bk < {_KMV_K} THEN n_bk "
+        f"ELSE {(_KMV_K - 1) * 4294967296} div hk END as bigint)"
+    )
+
+    per = bk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_bk"), F.max("h").alias("hk")
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    per_type = per.join(ex, "event_type").select(
+        "event_type", "n_exact", F.expr(_EST).alias("kmv_est")
+    )
+
+    # merge: pool the per-type bottom-k hash sets (<= k x |types| rows
+    # — a bounded one-row aggregation final) and re-take the bottom-k
+    merged = (
+        bk.select("h")
+        .distinct()
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("hs"))
+        .select(
+            F.size("hs").alias("n_bk"),
+            # try_element_at: NULL (not an ANSI index error) when the
+            # pooled set holds fewer than k hashes — the n_bk branch
+            # of _EST is taken and hk is never read
+            F.try_element_at("hs", F.lit(_KMV_K)).alias("hk"),
+        )
+    )
+    mex = ev.agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    merged_row = merged.crossJoin(mex).select(
+        F.lit("__ALL__").alias("event_type"),
+        "n_exact",
+        F.expr(_EST).alias("kmv_est"),
+    )
+    return per_type.unionByName(merged_row)
+
+
+# --- q426: md5-based minhash (both engines can compute it, unlike the
+# xxhash64 production path in operators/dedup.py) -----------------------
+
+_Q426_PERMS = 6  # 3 bands x 2 rows
+_Q426_BANDS = 3
+_Q426_MOD = 16  # deliberately coarse bucket space: forces hot buckets
+_Q426_CAP = 24  # split threshold (rows per (band, bucket))
+
+# permutation i reads a 32-bit chunk of one of TWO md5 digests per
+# shingle — (digest, hex offset) pairs below. Two md5 calls per shingle
+# (not six) and ONE fold computing all six minima at once: the naive
+# per-permutation array_min(transform(...)) re-hashes every shingle per
+# permutation and benched 14 s at sf0.1; this shape runs the same math
+# in one pass (the simhash64 lesson applied to minhash).
+_MH_CHUNKS = (("a", 1), ("a", 9), ("a", 17), ("a", 25), ("b", 1), ("b", 9))
+_MH_SPARK_ALL = (
+    "aggregate("
+    "  transform("
+    "    transform(sh, s -> struct(md5(s) AS a, md5(concat(s, '#')) AS b)),"
+    "    x -> array("
+    + ", ".join(
+        f"cast(conv(substring(x.{d}, {o}, 8), 16, 10) as bigint)"
+        for d, o in _MH_CHUNKS
+    )
+    + ")),"
+    "  array_repeat(cast(4294967296 as bigint), 6),"
+    "  (acc, h) -> zip_with(acc, h, (u, v) -> least(u, v)))"
+)
+_MH_DUCK = (
+    "list_aggregate(list_transform(sh, s -> ('0x' || substr({base},"
+    " {off}, 8))::BIGINT), 'min')"
+)
+
+
+def _mh_duck(i: int) -> str:
+    d, off = _MH_CHUNKS[i]
+    base = "md5(s)" if d == "a" else "md5(s || '#')"
+    return _MH_DUCK.format(base=base, off=off)
+_BK_SPARK = (
+    "pmod(cast(conv(substring(md5(concat_ws(':', m{a}, m{b}, {band})), 1, 8),"
+    f" 16, 10) as bigint), {_Q426_MOD})"
+)
+_BK_DUCK = (
+    "('0x' || substr(md5(m{a} || ':' || m{b} || ':' || {band}), 1, 8))::BIGINT"
+    f" % {_Q426_MOD}"
+)
+
+
+@query(
+    "q426_lsh_bucket_split",
+    oracle=f"""
+    WITH corp AS (
+      SELECT doc_id AS id, {tokens_sql('text')} AS t
+      FROM documents WHERE doc_id % 3 <> 0
+    ), shin AS (
+      SELECT id, {_SH3.format(t='t')} AS sh FROM corp WHERE len(t) >= 3
+    ), sig AS (
+      SELECT id,
+             {", ".join(_mh_duck(i) + f" AS m{i}" for i in range(_Q426_PERMS))}
+      FROM shin
+    ), rows_ AS (
+      {" UNION ALL ".join(
+          f"SELECT id, {b} AS band, "
+          + _BK_DUCK.format(a=2 * b, b=2 * b + 1, band=b)
+          + " AS bucket FROM sig"
+          for b in range(_Q426_BANDS)
+      )}
+    ), sizes AS (
+      SELECT band, bucket, count(*) AS sz FROM rows_ GROUP BY band, bucket
+    ), split AS (
+      SELECT r.id, r.band,
+             r.bucket * 2 + CASE WHEN s.sz > {_Q426_CAP}
+               THEN ('0x' || substr(md5(cast(r.id as varchar)), 1, 8))::BIGINT % 2
+               ELSE 0 END AS bucket
+      FROM rows_ r JOIN sizes s USING (band, bucket)
+    ), after AS (
+      SELECT band, bucket, count(*) AS sz FROM split GROUP BY band, bucket
+    )
+    SELECT cast(band as int) AS band, 'before' AS phase,
+           cast(sum(sz) as bigint) AS n_rows,
+           cast(count(*) as bigint) AS n_buckets,
+           cast(max(sz) as bigint) AS max_sz,
+           cast(sum(CASE WHEN sz > {_Q426_CAP} THEN 1 ELSE 0 END) as bigint)
+             AS n_over
+    FROM sizes GROUP BY band
+    UNION ALL
+    SELECT cast(band as int), 'after',
+           cast(sum(sz) as bigint), cast(count(*) as bigint),
+           cast(max(sz) as bigint),
+           cast(sum(CASE WHEN sz > {_Q426_CAP} THEN 1 ELSE 0 END) as bigint)
+    FROM after GROUP BY band
+    """,
+    tags=("dedup", "lsh", "state", "skew", "maintenance"),
+)
+def q426_lsh_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH HOT-BUCKET SPLIT — the skew-maintenance operation for the
+    band-bucket index family (q388/q393): boilerplate/near-empty docs
+    collapse onto a handful of signatures, so a few buckets
+    accumulate thousands of rows and the (band, bucket)-keyed probe
+    join grows a quadratic straggler — the LSH edition of the hot-key
+    problem q420 salts. The fix is the extendible-hashing move:
+    buckets over a cap split by one extra DOC-HASH bit
+    (bucket → 2·bucket + h(id) mod 2), recorded in a split registry;
+    probes fan out to both halves of a split bucket (a bounded ×2),
+    so the candidate SET is unchanged while the per-key row bound
+    halves. This query runs the split over a deliberately coarse
+    16-bucket signature space (standing in for production's organic
+    hot buckets) and reports per band: rows (conserved), bucket
+    count, max bucket size, and over-cap buckets, before and after.
+
+    Oracle-ability is the novelty: the production index hashes with
+    xxhash64 (DuckDB-inexpressible, hence q50/q388's fingerprint-side
+    verification), but this maintenance op is pinned end-to-end by
+    building the signatures from md5 via the _H32 protocol — the
+    first exactly-hash-verified minhash pipeline in the catalog; the
+    probe-equivalence contract (split probe ≡ unsplit probe) is
+    pinned in tests/test_operators.py.
+
+    100 TB story: sizing is one map-side-combinable count keyed
+    (band, bucket); the split rewrite is a narrow map over index rows
+    joined to the (broadcast-sized) over-cap registry — state rows
+    shuffle zero times; repeated splits (2 bits, 3 bits …) extend the
+    same registry exactly like extendible hashing's directory."""
+    prep(spark)
+    from ..operators.dedup import word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    corp = d.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("id"), word_shingles("text", 3).alias("sh")
+    ).filter(F.size("sh") >= 1)
+    sig = corp.select("id", F.expr(_MH_SPARK_ALL).alias("mins")).select(
+        "id",
+        *[
+            F.element_at("mins", i + 1).alias(f"m{i}")
+            for i in range(_Q426_PERMS)
+        ],
+    )
+    rows = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(_BK_SPARK.format(a=2 * b, b=2 * b + 1, band=b))
+                    for b in range(_Q426_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    from ..operators.dedup import split_hot_buckets
+    from ..operators.ranking import pin_cache
+
+    # the signature subtree feeds FOUR consumers (before-stats, the
+    # operator's own sizing, the rewrite, after-stats) — pin it or the
+    # md5-minhash computes four times (measured: 14 s -> ~4 s at sf0.1)
+    rows = pin_cache(rows)
+    sizes = rows.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+    # md5-derived split bit (not the operator's xxhash default) keeps
+    # the whole rewrite DuckDB-reproducible
+    split, _registry = split_hot_buckets(
+        rows, _Q426_CAP, bit=F.pmod(F.expr(_H32_OF.format(e="id")), F.lit(2))
+    )
+    after = split.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+
+    def stats(sz_df: DataFrame, phase: str) -> DataFrame:
+        return sz_df.groupBy("band").agg(
+            F.sum("sz").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("sz").cast("bigint").alias("max_sz"),
+            F.sum((F.col("sz") > _Q426_CAP).cast("bigint"))
+            .cast("bigint")
+            .alias("n_over"),
+        ).select(
+            F.col("band").cast("int").alias("band"),
+            F.lit(phase).alias("phase"),
+            "n_rows",
+            "n_buckets",
+            "max_sz",
+            "n_over",
+        )
+
+    return stats(sizes, "before").unionByName(stats(after, "after"))

@@ -4198,3 +4198,365 @@ def q406_ivm_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signed_view_merge(
         state, delta, ["c_nationkey"], ["n_orders", "revenue_cents"]
     )
+
+
+# ------------------------------------------------------- round-10 wave
+
+
+@query(
+    "q423_t_closeness",
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey,
+             floor(round(c_acctbal * 100) / 100000.0)::BIGINT AS bal_bucket,
+             c_mktsegment AS sensitive
+      FROM customer
+    ), cls AS (
+      SELECT DISTINCT c_nationkey, bal_bucket FROM base
+    ), seg AS (
+      SELECT sensitive, count(*) AS n_i FROM base GROUP BY sensitive
+    ), tot AS (
+      SELECT count(*) AS n FROM base
+    ), cell AS (
+      SELECT c_nationkey, bal_bucket, sensitive, count(*) AS n_ci
+      FROM base GROUP BY ALL
+    ), grid AS (
+      SELECT c.c_nationkey, c.bal_bucket, s.sensitive, s.n_i,
+             coalesce(x.n_ci, 0) AS n_ci
+      FROM cls c CROSS JOIN seg s
+      LEFT JOIN cell x USING (c_nationkey, bal_bucket, sensitive)
+    ), ctot AS (
+      SELECT c_nationkey, bal_bucket, sum(n_ci) AS n_c
+      FROM grid GROUP BY c_nationkey, bal_bucket
+    ), grp AS (
+      SELECT g.c_nationkey, g.bal_bucket, any_value(c.n_c) AS n_c,
+             sum(abs(g.n_ci * t.n - g.n_i * c.n_c)) AS num
+      FROM grid g
+      JOIN ctot c USING (c_nationkey, bal_bucket)
+      CROSS JOIN tot t
+      GROUP BY g.c_nationkey, g.bal_bucket
+    )
+    SELECT g.c_nationkey, g.bal_bucket,
+           cast(g.n_c as bigint) AS grp_size,
+           cast(1000000 * g.num // (2 * g.n_c * t.n) as bigint) AS t_ppm,
+           (1000000 * g.num // (2 * g.n_c * t.n)) <= 250000 AS t_ok
+    FROM grp g, tot t
+    """,
+    tags=("etl", "privacy", "audit"),
+)
+def q423_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS AUDIT — the third rung of the disclosure ladder
+    (q335 k-anonymity: group size; q377 l-diversity: within-group
+    variety): a group can be large AND varied yet still leak if its
+    sensitive-value DISTRIBUTION diverges from the corpus-wide one
+    (an attacker updates their prior by the divergence). Per
+    quasi-identifier class (nation x coarse balance bucket, the same
+    rung as q335/q377), t = the variational distance
+    ½ Σᵢ |p(i|class) − p(i)| over the nominal sensitive attribute
+    (market segment) — the categorical form of Li et al.'s
+    t-closeness; the release gate is t ≤ 0.25.
+
+    Exactness protocol: t is a ratio of integers, so both engines
+    compute the INTEGER numerator Σᵢ |n_ci·N − n_i·N_c| and divide
+    once with non-negative integer division into ppm — never a float
+    sum of per-segment fractions. Zero cells matter (a segment ABSENT
+    from a class contributes |0·N − n_i·N_c|): the class×segment grid
+    is materialized by crossing the class list with the 5-row segment
+    dim before the left join, so absent cells exist to be counted.
+
+    100 TB story: two keyed aggregations (cells, then classes) plus a
+    broadcast of the segment dim and the one-row total — the grid is
+    |classes| × |segments|, bounded by the QI domain, never the fact
+    table. Numerator magnitude is ≤ 2·N_c·N: past ~10¹² customers
+    move the ppm step to decimal(38,0) (same escalation note as the
+    checksum half-sums)."""
+    prep(spark)
+    base = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(
+            F.round(F.col("c_acctbal") * 100).cast("bigint") / F.lit(100000.0)
+        )
+        .cast("bigint")
+        .alias("bal_bucket"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    cls = base.select("c_nationkey", "bal_bucket").distinct()
+    seg = base.groupBy("sensitive").agg(F.count(F.lit(1)).alias("n_i"))
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    cell = base.groupBy("c_nationkey", "bal_bucket", "sensitive").agg(
+        F.count(F.lit(1)).alias("n_ci")
+    )
+    grid = (
+        cls.join(F.broadcast(seg), F.lit(True))
+        .join(cell, ["c_nationkey", "bal_bucket", "sensitive"], "left")
+        .select(
+            "c_nationkey",
+            "bal_bucket",
+            "n_i",
+            F.coalesce("n_ci", F.lit(0)).alias("n_ci"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    grp = grid.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("n_ci").alias("n_c"),
+        F.max("n").alias("n"),
+        # |n_ci*N - n_i*N_c| needs N_c before the row-level abs can be
+        # taken, so fold it as sum(abs(n_ci*N - n_i*sum(n_ci) over the
+        # class)) — computed below from the cell sums instead: carry
+        # the pieces and combine after the agg
+        F.sum(F.col("n_ci") * F.col("n")).alias("chk_nc_n"),
+    )
+    # second pass over the grid with the class totals joined back in:
+    # the abs() is per-CELL, so it cannot fold in one agg over cells
+    num = (
+        grid.join(grp.select("c_nationkey", "bal_bucket", "n_c"),
+                  ["c_nationkey", "bal_bucket"])
+        .groupBy("c_nationkey", "bal_bucket")
+        .agg(
+            F.sum(
+                F.abs(F.col("n_ci") * F.col("n") - F.col("n_i") * F.col("n_c"))
+            ).alias("num")
+        )
+    )
+    return (
+        grp.join(num, ["c_nationkey", "bal_bucket"])
+        .select(
+            "c_nationkey",
+            "bal_bucket",
+            F.col("n_c").cast("bigint").alias("grp_size"),
+            F.expr("cast(1000000 * num div (2 * n_c * n) as bigint)").alias(
+                "t_ppm"
+            ),
+            F.expr("1000000 * num div (2 * n_c * n) <= 250000").alias("t_ok"),
+        )
+    )
+
+
+_CDC_DIG_DUCK = (
+    "('0x' || substr(md5(user_id || ':' || epoch_us(ts) || ':' "
+    "|| floor(value * 100)::BIGINT), 1, 8))::BIGINT"
+)
+_CDC_DIG_SPARK = (
+    "cast(conv(substring(md5(concat_ws(':', user_id, unix_micros(ts), "
+    "floor(value * 100))), 1, 8), 16, 10) as bigint)"
+)
+
+
+@query(
+    "q428_cdc_log_compaction",
+    oracle=f"""
+    WITH ops AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ('0x' || substr(md5(cast(event_id as varchar)), 1, 8))::BIGINT
+                       % 10 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ), hor AS (
+      SELECT date_trunc('day', max(ts)) - INTERVAL 6 DAY AS h FROM ops
+    ), head AS (
+      SELECT o.*, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ops o, hor WHERE o.ts < hor.h
+    ), latest AS (
+      SELECT * FROM head WHERE rn = 1
+    ), snap AS (
+      SELECT user_id % 8 AS bucket,
+             count(*) AS n_keys,
+             cast(sum(({_CDC_DIG_DUCK}) & 65535) as bigint) AS checksum_lo,
+             cast(sum(({_CDC_DIG_DUCK}) >> 16) as bigint) AS checksum_hi
+      FROM latest WHERE op = 'U' GROUP BY 1
+    ), dels AS (
+      SELECT user_id % 8 AS bucket, count(*) AS n_deleted
+      FROM latest WHERE op = 'D' GROUP BY 1
+    ), tail AS (
+      SELECT user_id % 8 AS bucket, count(*) AS n_tail_ops
+      FROM ops o, hor WHERE o.ts >= hor.h GROUP BY 1
+    ), spine AS (
+      SELECT unnest(range(8)) AS bucket
+    )
+    SELECT s.bucket::BIGINT AS bucket,
+           cast(coalesce(p.n_keys, 0) as bigint) AS n_keys,
+           cast(coalesce(d.n_deleted, 0) as bigint) AS n_deleted,
+           cast(coalesce(t.n_tail_ops, 0) as bigint) AS n_tail_ops,
+           cast(coalesce(p.checksum_lo, 0) as bigint) AS checksum_lo,
+           cast(coalesce(p.checksum_hi, 0) as bigint) AS checksum_hi
+    FROM spine s
+    LEFT JOIN snap p USING (bucket)
+    LEFT JOIN dels d USING (bucket)
+    LEFT JOIN tail t USING (bucket)
+    """,
+    tags=("etl", "cdc", "compaction", "state"),
+)
+def q428_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC LOG COMPACTION — Kafka-style compacted-topic semantics on a
+    lake table: an upsert/delete op log (events as ops on key user_id;
+    a deterministic tenth of ops are deletes) splits at a horizon
+    (six days before the latest op's day) into a HEAD that collapses to
+    latest-op-per-key — upserts become the snapshot, keys whose latest
+    head op is a delete vanish — and a TAIL retained verbatim for
+    replay/late-consumer catch-up. This completes the CDC family:
+    q122 diffs snapshots, q124/q274 APPLY a change set, q87 keeps full
+    history; compaction is the retention operation that keeps the log
+    itself bounded. Report per key-bucket: snapshot keys, deleted
+    keys, tail ops, and the snapshot content checksum (half-sum
+    protocol) so the compacted state is value-verified, not just
+    counted.
+
+    100 TB story: one key-partitioned window over the HEAD slice only
+    (the horizon predicate prunes the tail before the shuffle), tail
+    summary is a map-side-combinable count, the horizon is a one-row
+    aggregate broadcast — no driver round-trip. Snapshot size is
+    bounded by the KEY domain; with a billion keys the same
+    latest-per-key collapses via max_by-style aggregation instead of
+    the window if rank ties never matter (they do here: ties broken
+    by event_id for a deterministic checksum)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    ops = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.pmod(
+                F.expr(
+                    "cast(conv(substring(md5(cast(event_id as string)), 1, 8),"
+                    " 16, 10) as bigint)"
+                ),
+                F.lit(10),
+            )
+            == 0,
+            F.lit("D"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    hor = ops.agg(
+        (F.date_trunc("day", F.max("ts")) - F.expr("INTERVAL 6 DAYS")).alias("h")
+    )
+    opsh = ops.crossJoin(F.broadcast(hor))
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        opsh.filter(F.col("ts") < F.col("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    bucket = F.pmod(F.col("user_id"), F.lit(8)).alias("bucket")
+    dig = F.expr(_CDC_DIG_SPARK)
+    snap = latest.filter(F.col("op") == "U").groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(dig.bitwiseAND(F.lit(65535))).alias("checksum_lo"),
+        F.sum(F.shiftright(dig, 16)).alias("checksum_hi"),
+    )
+    dels = latest.filter(F.col("op") == "D").groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_deleted")
+    )
+    tail = opsh.filter(F.col("ts") >= F.col("h")).groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_tail_ops")
+    )
+    spine = spark.range(8).select(F.col("id").alias("bucket"))
+    return (
+        spine.join(snap, "bucket", "left")
+        .join(dels, "bucket", "left")
+        .join(tail, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_keys", F.lit(0)).cast("bigint").alias("n_keys"),
+            F.coalesce("n_deleted", F.lit(0)).cast("bigint").alias("n_deleted"),
+            F.coalesce("n_tail_ops", F.lit(0)).cast("bigint").alias("n_tail_ops"),
+            F.coalesce("checksum_lo", F.lit(0)).cast("bigint").alias("checksum_lo"),
+            F.coalesce("checksum_hi", F.lit(0)).cast("bigint").alias("checksum_hi"),
+        )
+    )
+
+
+# q424 state cache: sf_dir -> parquet dir of the (month x nation) MV
+_Q424_STATE: dict[str, str] = {}
+
+
+@query(
+    "q424_mv_rewrite_routing",
+    oracle="""
+    SELECT year(o_orderdate)::INT AS yr,
+           quarter(o_orderdate)::INT AS qtr,
+           r_name,
+           cast(sum(cast(l_extendedprice as decimal(12,2))
+                    * (1 - cast(l_discount as decimal(4,2)))) as double)
+             AS revenue,
+           cast(count(*) as bigint) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2, 3
+    """,
+    tags=("etl", "mv", "rewrite", "serving"),
+)
+def q424_mv_rewrite_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED-VIEW REWRITE (aggregate navigator) — the serving
+    half of the IVM family: q304/q406 MAINTAIN an aggregate; this
+    query ANSWERS from one. A (month × nation) revenue MV is built
+    once per corpus and persisted; the quarterly-by-region report is
+    then computed ENTIRELY from the MV plus the two dim tables — the
+    lineitem fact is not in the routed plan (pinned by a plan test) —
+    because the requested grain is a ROLLUP of the MV's grain on both
+    axes: month → quarter is functional, nation → region is the dim
+    hierarchy. The rewrite-soundness conditions are the classic
+    summary-table ones (Gupta/Mumick): the MV's grouping keys
+    functionally determine the query's, and the measures are
+    re-aggregable (SUM of SUMs, SUM of COUNTs).
+
+    Exactness: the MV stores the per-cell revenue as the EXACT
+    decimal sum (never a double) — decimal addition is associative,
+    so re-aggregating cells equals the one-shot base aggregation the
+    oracle runs, to the bit, after the single final double cast.
+
+    100 TB story: the report scans |months × nations| MV rows
+    (~2.1k for seven years) instead of the 100 TB fact — the 10⁶×
+    read reduction is the entire point of summary tables; both dim
+    joins broadcast, and MV maintenance (not re-derivation) is
+    already covered by the signed-delta machinery of q304/q406."""
+    import os
+    import tempfile
+
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+
+    state_dir = _Q424_STATE.get(sf_dir)
+    if state_dir is None or not os.path.isdir(state_dir):
+        state_dir = tempfile.mkdtemp(prefix="mcetl_q424_") + "/mv_month_nation"
+        rev = dec("l_extendedprice", 12, 2) * (
+            F.lit(1).cast("decimal(3,2)") - dec("l_discount", 4, 2)
+        )
+        (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy(
+                F.year("o_orderdate").alias("yr"),
+                F.quarter("o_orderdate").alias("qtr"),
+                F.month("o_orderdate").alias("mo"),
+                "c_nationkey",
+            )
+            .agg(
+                F.sum(rev).alias("rev_dec"),
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            )
+            .write.mode("overwrite")
+            .parquet(state_dir)
+        )
+        _Q424_STATE[sf_dir] = state_dir
+
+    mv = spark.read.parquet(state_dir)
+    return (
+        mv.join(F.broadcast(n), mv.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("yr", "qtr", "r_name")
+        .agg(
+            F.sum("rev_dec").cast("double").alias("revenue"),
+            F.sum("n_items").cast("bigint").alias("n_items"),
+        )
+    )

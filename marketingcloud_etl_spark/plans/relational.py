@@ -4849,3 +4849,191 @@ def q402_incremental_quantile_state(spark: SparkSession, sf_dir: str) -> DataFra
         [0.25, 0.5, 0.75],
         ["q25", "q50", "q75"],
     ).select("l_returnflag", "q25", "q50", "q75", "n")
+
+
+# ------------------------------------------------------- round-10 wave
+
+
+@query(
+    "q427_rank_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT cast(o_orderdate as date) AS d,
+             sum(cast(o_totalprice as decimal(14,2))) AS rev
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT d, rev, row_number() OVER (ORDER BY d) AS idx FROM daily
+    ), lags AS (
+      SELECT unnest([1, 2, 3, 7]) AS lag
+    ), pr AS (
+      SELECT l.lag, a.rev AS xa, a.d AS da, b.rev AS xb, b.d AS db
+      FROM lags l JOIN s a ON true JOIN s b ON b.idx = a.idx - l.lag
+    ), rk AS (
+      SELECT lag,
+             row_number() OVER (PARTITION BY lag ORDER BY xa, da) AS rx,
+             row_number() OVER (PARTITION BY lag ORDER BY xb, db) AS ry
+      FROM pr
+    ), ag AS (
+      SELECT lag, count(*) AS m, sum((rx - ry) * (rx - ry)) AS sd2
+      FROM rk GROUP BY lag
+    )
+    SELECT cast(lag as int) AS lag,
+           cast(m as bigint) AS m_pairs,
+           cast(sd2 as bigint) AS sum_d2,
+           cast(CASE WHEN m * (m * m - 1) = 0 THEN 500000
+                     ELSE (2 * m * (m * m - 1) - 6 * sd2) * 1000000
+                          // (2 * m * (m * m - 1)) END as bigint) AS rho01_ppm
+    FROM ag
+    """,
+    tags=("relational", "timeseries", "statistics", "window"),
+)
+def q427_rank_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK AUTOCORRELATION (Spearman correlogram) — the serial twin
+    of q284: for trading-day lags 1/2/3/7, Spearman's ρ between the
+    daily-revenue series and its lagged self, each lag's pair sample
+    re-ranked on BOTH coordinates (the exact Spearman definition —
+    ranking once over the full series and differencing would not be).
+    Complements q336's seasonal decomposition / q270's CUSUM with the
+    distribution-free dependence measure robust to revenue outliers.
+
+    Exactness protocol: ranks come from deterministic (value, date)
+    total orders over the exact DECIMAL daily sums (never a double
+    sum); Σd² is an exact integer; ρ is reported on the shifted
+    integer scale rho01_ppm = ppm of (1+ρ)/2 so the single division
+    is non-negative — Spark ``div`` and DuckDB ``//`` agree only
+    there (they truncate toward opposite directions on negatives).
+    Magnitude: 6Σd² ≤ 2m(m²−1) by the rank-reversal bound, and
+    2m(m²−1)·10⁶ overflows int64 only past m ≈ 160k days — out of
+    domain for a daily series.
+
+    100 TB story: the fact scan reduces to one date-keyed partial agg
+    (≤ date-domain rows — ~2.5k for seven years); the series position
+    index routes through operators/ranking.py's distributed global
+    row number (no single-partition sort of the raw data), the lag
+    join is an equi-join on idx, and the per-lag re-rank windows are
+    partitioned by lag — every stage is bounded by the DATE domain,
+    not the fact table."""
+    prep(spark)
+    from ..operators.ranking import global_row_number
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev")
+    )
+    s = global_row_number(daily, ["d"], out_col="idx")
+    lags = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(7))).alias("lag")
+    )
+    a = s.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.col("rev").alias("xa"),
+        F.col("d").alias("da"),
+        (F.col("idx") - F.col("lag")).alias("pidx"),
+    )
+    b = s.select(F.col("idx").alias("pidx"), F.col("rev").alias("xb"), F.col("d").alias("db"))
+    pr = a.join(b, "pidx")
+    rk = pr.select(
+        "lag",
+        F.row_number().over(W.partitionBy("lag").orderBy("xa", "da")).alias("rx"),
+        F.row_number().over(W.partitionBy("lag").orderBy("xb", "db")).alias("ry"),
+    )
+    ag = rk.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))).alias("sd2"),
+    )
+    return ag.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("m").cast("bigint").alias("m_pairs"),
+        F.col("sd2").cast("bigint").alias("sum_d2"),
+        F.expr(
+            "cast(CASE WHEN m * (m * m - 1) = 0 THEN 500000"
+            "     ELSE (2 * m * (m * m - 1) - 6 * sd2) * 1000000"
+            "          div (2 * m * (m * m - 1)) END as bigint)"
+        ).alias("rho01_ppm"),
+    )
+
+
+_Q425_SET = """
+      SELECT o_orderkey AS k, cast(o_orderdate as date) AS s,
+             cast(o_orderdate as date) + ((o_orderkey % 28) + 1)::INT AS e
+      FROM orders
+      WHERE o_orderpriority = '{prio}' AND year(o_orderdate) = 1995
+"""
+
+
+@query(
+    "q425_interval_overlap_join",
+    oracle=f"""
+    WITH a AS ({_Q425_SET.format(prio='1-URGENT')}),
+    b AS ({_Q425_SET.format(prio='5-LOW')})
+    SELECT month(a.s)::INT AS mo,
+           cast(count(*) as bigint) AS n_pairs,
+           cast(count(DISTINCT a.k) as bigint) AS n_a,
+           cast(count(DISTINCT b.k) as bigint) AS n_b
+    FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+    GROUP BY 1
+    """,
+    tags=("join", "interval", "range"),
+)
+def q425_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN — the interval×interval case q209's
+    bucketized point-in-range join leaves open: two independent
+    interval sets (urgent-order fulfillment windows vs low-priority
+    windows, 1995) joined on ``a.s ≤ b.e AND b.s ≤ a.e``. A naive
+    theta join is a CartesianProduct (the catalog's one banned
+    shape); the scalable plan EXPLODES each interval to the
+    epoch-weeks it covers, equi-joins on the week, dedups the pair,
+    and re-checks the exact predicate — identical results (the oracle
+    runs the plain theta join), but the only wide operation is a
+    week-keyed shuffle. Bucket width is the tuning knob: ~the median
+    interval length (windows here are 1–28 days, weekly buckets ⇒
+    fan-out ≤ 5 per row) keeps the explode factor O(1) while
+    bounding each bucket's population — the same width-vs-population
+    balance q209 documents for its point buckets.
+
+    100 TB story: explode factor is (interval_len/bucket)+1 ≈ 2–5 —
+    a narrow map; the join shuffles on week so co-occurring intervals
+    meet without any pair enumeration across buckets; the pair dedup
+    (one keyed distinct) bounds re-verification at one row per
+    genuinely-colliding pair. Calendar-skewed weeks (quarter-end
+    bursts) split further by AQE skew-join or a second-level salt —
+    the q420 machinery applies unchanged."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+
+    def intervals(prio: str, tag: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderpriority") == prio)
+                & (F.year("o_orderdate") == 1995)
+            )
+            .select(
+                F.col("o_orderkey").alias(f"{tag}k"),
+                F.col("o_orderdate").cast("date").alias(f"{tag}s"),
+                F.expr(
+                    "date_add(cast(o_orderdate as date),"
+                    " cast((o_orderkey % 28) + 1 as int))"
+                ).alias(f"{tag}e"),
+            )
+        )
+
+    def weeks(df: DataFrame, tag: str) -> DataFrame:
+        wk_s = F.expr(f"datediff({tag}s, DATE'1970-01-01') div 7")
+        wk_e = F.expr(f"datediff({tag}e, DATE'1970-01-01') div 7")
+        return df.select(
+            "*", F.explode(F.sequence(wk_s, wk_e)).alias("wk")
+        )
+
+    a = weeks(intervals("1-URGENT", "a"), "a")
+    b = weeks(intervals("5-LOW", "b"), "b")
+    pairs = (
+        a.join(b, "wk")
+        .select("ak", "as", "ae", "bk", "bs", "be")
+        .distinct()
+        .filter((F.col("as") <= F.col("be")) & (F.col("bs") <= F.col("ae")))
+    )
+    return pairs.groupBy(F.month("as").cast("int").alias("mo")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count_distinct("ak").cast("bigint").alias("n_a"),
+        F.count_distinct("bk").cast("bigint").alias("n_b"),
+    )

@@ -2555,3 +2555,70 @@ def test_merge_checksum_triples_null_key_is_one_group(spark):
     assert len(out) == 3
     assert out[None]["n_rows"] == 8 and out[None]["checksum_lo"] == 150
     assert out["a"]["n_rows"] == 2 and out["b"]["checksum_hi"] == 2
+
+
+def test_split_hot_buckets_probe_equivalence(spark, sf_dir):
+    """The q426 contract: splitting hot buckets and fanning the probe
+    out over the split registry must return EXACTLY the per-doc probe
+    results of the unsplit index — same candidates counted, same
+    is_dup verdicts, same dup_of winners — while every over-cap
+    bucket's population at least halves-ish (no bucket above cap
+    keeps its full size). Run on the real xxhash production index."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.io import table
+    from marketingcloud_etl_spark.operators.dedup import (
+        build_minhash_index,
+        fan_out_probe_rows,
+        probe_minhash_rows,
+        split_hot_buckets,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+
+    # coarsen the bucket space on BOTH sides (a valid LSH layout — a
+    # coarser bucket is a candidate super-set) so the small fixture
+    # actually produces over-cap buckets like production boilerplate
+    coarse = lambda df: df.withColumn("bucket", F.pmod("bucket", F.lit(8)))  # noqa: E731
+    index = coarse(build_minhash_index(corpus))
+    batch_rows = coarse(build_minhash_index(batch))
+
+    # tiny cap so the fixture actually exercises the split path
+    cap = 2
+    split_index, registry = split_hot_buckets(index, cap)
+    n_hot = registry.filter("split").count()
+    assert n_hot > 0, "fixture produced no hot buckets — cap too high"
+
+    base = {
+        r["id"]: (r["n_candidates"], r["is_dup"], r["dup_of"])
+        for r in probe_minhash_rows(batch_rows, index).collect()
+    }
+    fanned = fan_out_probe_rows(batch_rows, registry)
+    split_res = {
+        r["id"]: (r["n_candidates"], r["is_dup"], r["dup_of"])
+        for r in probe_minhash_rows(fanned, split_index).collect()
+    }
+    assert split_res == base
+
+    # every formerly-hot bucket's halves are smaller than the original
+    before = {
+        (r["band"], r["bucket"]): r["__sz"]
+        for r in index.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .join(registry.filter("split"), ["band", "bucket"])
+        .collect()
+    }
+    after = {
+        (r["band"], r["bucket"]): r["n"]
+        for r in split_index.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for (band, bucket), sz in before.items():
+        halves = after.get((band, 2 * bucket), 0) + after.get((band, 2 * bucket + 1), 0)
+        assert halves == sz, "split lost or duplicated index rows"
+        assert max(
+            after.get((band, 2 * bucket), 0), after.get((band, 2 * bucket + 1), 0)
+        ) < sz or sz == 1

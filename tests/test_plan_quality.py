@@ -1014,3 +1014,40 @@ def test_rebalance_hint_splits_skewed_write(spark, tmp_path):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_mv_routing_never_scans_the_fact_table(spark, sf_dir):
+    """q424: the quarterly-by-region report must be answered from the
+    persisted (month x nation) MV plus broadcast dims — the routed
+    physical plan scans the MV parquet and must contain NO scan of
+    lineitem (or orders/customer: the MV already joined them). That
+    read-reduction IS the materialized-view rewrite; a plan that
+    touches the fact table has silently fallen back to re-derivation."""
+    plan = _plan(REGISTRY["q424_mv_rewrite_routing"].fn(spark, sf_dir))
+    assert "mv_month_nation" in plan
+    for base in ("lineitem", "orders.parquet", "customer"):
+        assert base not in plan, f"routed plan scans base table: {base}"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_is_bucketed_not_cartesian(spark, sf_dir):
+    """q425: the interval-overlap theta join must compile to the
+    week-bucket EQUI-join (explode + shuffle on wk) — never a
+    CartesianProduct / BroadcastNestedLoopJoin, which is what a naive
+    range-predicate join between two independent interval sets plans
+    as."""
+    plan = _plan(REGISTRY["q425_interval_overlap_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+
+
+def test_lsh_bucket_split_is_broadcast_maintenance(spark, sf_dir):
+    """q426: the split rewrite must join index rows to the bucket-size
+    registry via BROADCAST (the registry is bucket-domain-sized) and
+    plan no cross product — state rows shuffle only for the keyed
+    size/report aggregations."""
+    plan = _plan(REGISTRY["q426_lsh_bucket_split"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
