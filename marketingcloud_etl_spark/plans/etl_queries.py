@@ -4560,3 +4560,222 @@ def q424_mv_rewrite_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_items").cast("bigint").alias("n_items"),
         )
     )
+
+
+# q429 state cache: sf_dir -> parquet dir of the signed-IVM-ready MV
+_Q429_STATE: dict[str, str] = {}
+
+# revenue as an exact x10^4 integer: l_extendedprice is 2-decimal and
+# (1 - l_discount) is 2-decimal, so cents x discount-cents is exact —
+# the integer twin of the decimal-money protocol that signed_view_merge
+# (bigint additive algebra) can carry. Overflow headroom: ~1e9 per row
+# => int64 safe to ~6e9 rows per cell-group; past that, decimal(38,0).
+_REV_E4_SPARK = (
+    "cast(round(l_extendedprice * 100) as bigint)"
+    " * cast(round((1 - l_discount) * 100) as bigint)"
+)
+_REV_E4_DUCK = (
+    "round(l_extendedprice * 100)::BIGINT * round((1 - l_discount) * 100)::BIGINT"
+)
+
+
+@query(
+    "q429_mv_incremental_refresh",
+    oracle=f"""
+    SELECT year(o_orderdate)::INT AS yr,
+           quarter(o_orderdate)::INT AS qtr,
+           r_name,
+           cast(count(*) as bigint) AS n_items,
+           cast(sum({_REV_E4_DUCK}) as bigint) AS revenue_e4
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= timestamp '1998-01-01 00:00:00'
+       OR o_orderkey % 97 <> 0
+    GROUP BY 1, 2, 3
+    """,
+    tags=("etl", "mv", "ivm", "incremental", "state"),
+)
+def q429_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAIN-then-SERVE — closes the loop q424 opened: the same
+    (month × nation) revenue MV is REFRESHED with a signed delta
+    (operators/state.py::signed_view_merge, the q304/q406 retraction
+    algebra) and then ANSWERS the quarterly-by-region report from the
+    refreshed state. The delta carries both directions at once: the
+    1998+ order batch as +1 rows AND a correction slice (history
+    orders with o_orderkey % 97 = 0, a recall/chargeback wave) as −1
+    retractions — one keyed additive merge, support-counted so
+    fully-retracted cells vanish rather than lingering as zeros.
+
+    Exactness: revenue rides the ×10⁴ integer protocol (cents ×
+    discount-cents — exact because both factors are 2-decimal), so
+    the signed algebra is pure int64 addition and the refreshed MV
+    bit-equals the from-scratch aggregate the oracle computes over
+    (history − retracted) ∪ batch.
+
+    100 TB story: the history fact is read ZERO times at refresh —
+    the delta aggregates only the batch and the (tiny) retraction
+    slice, the merge shuffles only MV-domain rows, and the report
+    reads the refreshed MV + broadcast dims exactly like q424. This
+    is the full lifecycle of a production summary table: build once
+    (setup), maintain by delta, serve by rollup."""
+    import os
+    import tempfile
+
+    prep(spark)
+    from ..operators.state import signed_view_merge
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+
+    grain = [
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        "c_nationkey",
+    ]
+
+    def cells(orders_slice: DataFrame, sign: int) -> DataFrame:
+        return (
+            li.join(orders_slice, li.l_orderkey == orders_slice.o_orderkey)
+            .join(c, F.col("o_custkey") == c.c_custkey)
+            .groupBy(*grain)
+            .agg(
+                F.sum(F.lit(sign)).cast("bigint").alias("n_items"),
+                F.sum(F.lit(sign) * F.expr(_REV_E4_SPARK))
+                .cast("bigint")
+                .alias("rev_e4"),
+            )
+        )
+
+    hist = o.filter(F.col("o_orderdate") < "1998-01-01")
+    state_dir = _Q429_STATE.get(sf_dir)
+    if state_dir is None or not os.path.isdir(state_dir):
+        state_dir = tempfile.mkdtemp(prefix="mcetl_q429_") + "/mv_signed"
+        cells(hist, +1).write.mode("overwrite").parquet(state_dir)
+        _Q429_STATE[sf_dir] = state_dir
+    state = spark.read.parquet(state_dir)
+
+    batch = cells(o.filter(F.col("o_orderdate") >= "1998-01-01"), +1)
+    retract = cells(hist.filter(F.col("o_orderkey") % 97 == 0), -1)
+    refreshed = signed_view_merge(
+        state,
+        batch.unionByName(retract),
+        ["yr", "qtr", "mo", "c_nationkey"],
+        ["n_items", "rev_e4"],
+    )
+    return (
+        refreshed.join(F.broadcast(n), refreshed.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("yr", "qtr", "r_name")
+        .agg(
+            F.sum("n_items").cast("bigint").alias("n_items"),
+            F.sum("rev_e4").cast("bigint").alias("revenue_e4"),
+        )
+    )
+
+
+@query(
+    "q430_asof_snapshot_read",
+    oracle=f"""
+    WITH ops AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ('0x' || substr(md5(cast(event_id as varchar)), 1, 8))::BIGINT
+                       % 10 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ), vers AS (
+      SELECT unnest([timestamp '2024-01-10 00:00:00',
+                     timestamp '2024-01-20 00:00:00']) AS v
+    ), head AS (
+      SELECT v, o.*, row_number() OVER (PARTITION BY v, user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ops o JOIN vers ON o.ts < vers.v
+    ), latest AS (
+      SELECT * FROM head WHERE rn = 1
+    )
+    SELECT strftime(v, '%Y-%m-%d') AS version,
+           user_id % 4 AS bucket,
+           cast(count(*) FILTER (op = 'U') as bigint) AS n_keys,
+           cast(count(*) FILTER (op = 'D') as bigint) AS n_deleted,
+           cast(coalesce(sum(({_CDC_DIG_DUCK}) & 65535) FILTER (op = 'U'), 0)
+                as bigint) AS checksum_lo,
+           cast(coalesce(sum(({_CDC_DIG_DUCK}) >> 16) FILTER (op = 'U'), 0)
+                as bigint) AS checksum_hi
+    FROM latest
+    GROUP BY 1, 2
+    """,
+    tags=("etl", "cdc", "timetravel", "mvcc"),
+)
+def q430_asof_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL TIME TRAVEL — the MVCC complement of q415's
+    generation-level reads: over the same upsert/delete op log as
+    q428, reconstruct the keyed snapshot AS OF two version timestamps
+    at once (`VERSION AS OF` semantics reduced to the primitive:
+    latest op per key among ops strictly before T, delete-latest keys
+    absent). Both versions are value-verified per key-bucket with the
+    q428 digest (half-sum protocol), so a wrong tie-break or boundary
+    (< vs ≤) hash-mismatches rather than merely miscounting.
+
+    100 TB story: one window partitioned by (version, key) over the
+    version-pruned log slice — reading as-of T scans only ops before
+    T (the predicate reaches the scan), and a production layout would
+    partition the log by day so version pruning is partition pruning.
+    K simultaneous versions cost one K-way fan-out of the pruned
+    slice, not K scans — how backfill jobs diff a pipeline against
+    its last-known-good snapshot without replaying the log twice."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    ops = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.pmod(
+                F.expr(
+                    "cast(conv(substring(md5(cast(event_id as string)), 1, 8),"
+                    " 16, 10) as bigint)"
+                ),
+                F.lit(10),
+            )
+            == 0,
+            F.lit("D"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    vers = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.lit("2024-01-10 00:00:00").cast("timestamp"),
+                F.lit("2024-01-20 00:00:00").cast("timestamp"),
+            )
+        ).alias("v")
+    )
+    head = ops.join(F.broadcast(vers), ops.ts < vers.v)
+    w = W.partitionBy("v", "user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = head.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    dig = F.expr(_CDC_DIG_SPARK)
+    is_u = F.col("op") == "U"
+    return latest.groupBy(
+        F.date_format("v", "yyyy-MM-dd").alias("version"),
+        F.pmod(F.col("user_id"), F.lit(4)).alias("bucket"),
+    ).agg(
+        F.sum(is_u.cast("bigint")).cast("bigint").alias("n_keys"),
+        F.sum((~is_u).cast("bigint")).cast("bigint").alias("n_deleted"),
+        F.coalesce(
+            F.sum(F.when(is_u, dig.bitwiseAND(F.lit(65535)))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("checksum_lo"),
+        F.coalesce(F.sum(F.when(is_u, F.shiftright(dig, 16))), F.lit(0))
+        .cast("bigint")
+        .alias("checksum_hi"),
+    )
