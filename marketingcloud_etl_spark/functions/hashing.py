@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 SEP = "\x1f"
 NULL_SENTINEL = "\x00NULL\x00"
 
-__all__ = ["content_hash", "SEP", "NULL_SENTINEL"]
+__all__ = [
+    "content_hash",
+    "checksum_half_sums",
+    "checksum_half_sums_sql",
+    "SEP",
+    "NULL_SENTINEL",
+]
 
 
 def content_hash(cols: Iterable[Column | str], alias: str = "hash") -> Column:
@@ -43,3 +49,28 @@ def content_hash_sql(cols: Iterable[str]) -> str:
         fields.append(f"cast(length({s}) as varchar) || ':' || {s}")
     inner = ", ".join(fields)
     return f"md5(concat_ws(chr(31), {inner}))"
+
+
+def checksum_half_sums(digest: Column, lo: str = "checksum_lo", hi: str = "checksum_hi") -> list[Column]:
+    """The repo-wide additive checksum protocol: a 32-bit row digest
+    summed as its low/high 16-bit halves — two overflow-proof bigints
+    (a single bigint sum of 32-bit digests wraps at ~2^32 rows in
+    Spark while DuckDB promotes to HUGEINT and fails the bigint cast;
+    each half-sum is bounded by 2^16 x rows, exact past 10^14 rows,
+    and stays in whole-stage codegen — full rationale at
+    plans/audit_queries.py's protocol comment). ONE definition site:
+    q408/q417/q418's audit helpers and the CDC/repair family
+    (q428/q430/q431) all route here, so a protocol change (e.g. the
+    documented decimal(38,0) escalation) cannot fork silently."""
+    return [
+        F.sum(digest.bitwiseAND(F.lit(65535))).cast("bigint").alias(lo),
+        F.sum(F.shiftright(digest, 16)).cast("bigint").alias(hi),
+    ]
+
+
+def checksum_half_sums_sql(digest_sql: str, lo: str = "checksum_lo", hi: str = "checksum_hi") -> str:
+    """DuckDB twin of :func:`checksum_half_sums` (same aliases)."""
+    return (
+        f"cast(sum(({digest_sql}) & 65535) as bigint) AS {lo},\n"
+        f"           cast(sum(({digest_sql}) >> 16) as bigint) AS {hi}"
+    )

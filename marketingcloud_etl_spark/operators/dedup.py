@@ -418,7 +418,11 @@ def compact_minhash_index(
 
 
 def split_hot_buckets(
-    index: DataFrame, cap: int, bit: Column | None = None, id_col: str = "id"
+    index: DataFrame,
+    cap: int,
+    bit: Column | None = None,
+    id_col: str = "id",
+    sizes: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """SKEW MAINTENANCE for a band-bucket index: buckets holding more
     than ``cap`` rows split by one extra doc-hash bit (extendible
@@ -437,8 +441,13 @@ def split_hot_buckets(
     index; the rewrite is a narrow map joined to the broadcast-sized
     registry — index rows shuffle zero times. Re-running on a still-
     hot index extends buckets by another bit, exactly like extendible
-    hashing."""
-    sizes = index.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__sz"))
+    hashing. A caller that already computed the (band, bucket) counts
+    (a maintenance report, q426) passes them as ``sizes`` (columns
+    band/bucket/__sz) so the aggregation isn't paid twice."""
+    if sizes is None:
+        sizes = index.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__sz")
+        )
     registry = sizes.select(
         "band", "bucket", (F.col("__sz") > cap).alias("split")
     )

@@ -109,17 +109,15 @@ def _row_digest_duck(cols: list[tuple[str, str]]) -> str:
 
 
 def _checksum_sums_spark(digest: Column) -> list[Column]:
-    return [
-        F.sum(digest.bitwiseAND(F.lit(65535))).cast("bigint").alias("checksum_lo"),
-        F.sum(F.shiftright(digest, 16)).cast("bigint").alias("checksum_hi"),
-    ]
+    from ..functions.hashing import checksum_half_sums
+
+    return checksum_half_sums(digest)
 
 
 def _checksum_sums_duck(digest_sql: str) -> str:
-    return (
-        f"cast(sum(({digest_sql}) & 65535) as bigint) AS checksum_lo,\n"
-        f"           cast(sum(({digest_sql}) >> 16) as bigint) AS checksum_hi"
-    )
+    from ..functions.hashing import checksum_half_sums_sql
+
+    return checksum_half_sums_sql(digest_sql)
 
 
 # the audited tables and their typed column lists (full width each)
@@ -1099,12 +1097,12 @@ def q431_anti_entropy_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    from ..functions.hashing import checksum_half_sums
+
     def triples(df: DataFrame) -> DataFrame:
-        dig = F.col("dig")
         return df.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dig.bitwiseAND(F.lit(65535))).cast("bigint").alias("lo"),
-            F.sum(F.shiftright(dig, 16)).cast("bigint").alias("hi"),
+            *checksum_half_sums(F.col("dig"), lo="lo", hi="hi"),
         )
 
     ta = triples(a)

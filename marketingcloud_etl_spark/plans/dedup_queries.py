@@ -4310,7 +4310,10 @@ def q422_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # bigint `div`, never `/`: double division + floor can shift by one
     # ulp when the quotient lands near an integer; `div` matches
-    # DuckDB's `//` exactly for these non-negative operands
+    # DuckDB's `//` exactly for these non-negative operands. hk = 0 is
+    # impossible: hk is the k-th smallest of DISTINCT non-negative
+    # hashes with k >= 2, and only one distinct value can be zero —
+    # so the division is never by zero in either engine
     _EST = (
         f"cast(CASE WHEN n_bk < {_KMV_K} THEN n_bk "
         f"ELSE {(_KMV_K - 1) * 4294967296} div hk END as bigint)"
@@ -4508,7 +4511,10 @@ def q426_lsh_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-derived split bit (not the operator's xxhash default) keeps
     # the whole rewrite DuckDB-reproducible
     split, _registry = split_hot_buckets(
-        rows, _Q426_CAP, bit=F.pmod(F.expr(_H32_OF.format(e="id")), F.lit(2))
+        rows,
+        _Q426_CAP,
+        bit=F.pmod(F.expr(_H32_OF.format(e="id")), F.lit(2)),
+        sizes=sizes.withColumnRenamed("sz", "__sz"),
     )
     after = split.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
 

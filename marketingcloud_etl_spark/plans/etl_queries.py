@@ -4286,7 +4286,12 @@ def q423_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = base.groupBy("c_nationkey", "bal_bucket", "sensitive").agg(
         F.count(F.lit(1)).alias("n_ci")
     )
-    grid = (
+    from ..operators.ranking import pin_cache
+
+    # the grid feeds two aggregation passes (class totals, then the
+    # per-cell abs numerator, which needs those totals first) — pin it
+    # or the distinct/cell-agg/join subtree runs twice
+    grid = pin_cache(
         cls.join(F.broadcast(seg), F.lit(True))
         .join(cell, ["c_nationkey", "bal_bucket", "sensitive"], "left")
         .select(
@@ -4300,11 +4305,6 @@ def q423_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = grid.groupBy("c_nationkey", "bal_bucket").agg(
         F.sum("n_ci").alias("n_c"),
         F.max("n").alias("n"),
-        # |n_ci*N - n_i*N_c| needs N_c before the row-level abs can be
-        # taken, so fold it as sum(abs(n_ci*N - n_i*sum(n_ci) over the
-        # class)) — computed below from the cell sums instead: carry
-        # the pieces and combine after the agg
-        F.sum(F.col("n_ci") * F.col("n")).alias("chk_nc_n"),
     )
     # second pass over the grid with the class totals joined back in:
     # the abs() is per-CELL, so it cannot fold in one agg over cells
@@ -4340,6 +4340,32 @@ _CDC_DIG_SPARK = (
     "cast(conv(substring(md5(concat_ws(':', user_id, unix_micros(ts), "
     "floor(value * 100))), 1, 8), 16, 10) as bigint)"
 )
+
+
+def _cdc_ops(ev: DataFrame) -> DataFrame:
+    """The shared upsert/delete op log over events — q428 (compaction)
+    and q430 (as-of reads) MUST classify identically or the snapshots
+    de-correlate: op = delete for the deterministic md5 tenth of
+    event_ids, upsert otherwise. One definition site."""
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.pmod(
+                F.expr(
+                    "cast(conv(substring(md5(cast(event_id as string)), 1, 8),"
+                    " 16, 10) as bigint)"
+                ),
+                F.lit(10),
+            )
+            == 0,
+            F.lit("D"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
 
 
 @query(
@@ -4410,26 +4436,9 @@ def q428_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window if rank ties never matter (they do here: ties broken
     by event_id for a deterministic checksum)."""
     prep(spark)
-    ev = table(spark, sf_dir, "events")
-    ops = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "value",
-        F.when(
-            F.pmod(
-                F.expr(
-                    "cast(conv(substring(md5(cast(event_id as string)), 1, 8),"
-                    " 16, 10) as bigint)"
-                ),
-                F.lit(10),
-            )
-            == 0,
-            F.lit("D"),
-        )
-        .otherwise(F.lit("U"))
-        .alias("op"),
-    )
+    from ..functions.hashing import checksum_half_sums
+
+    ops = _cdc_ops(table(spark, sf_dir, "events"))
     hor = ops.agg(
         (F.date_trunc("day", F.max("ts")) - F.expr("INTERVAL 6 DAYS")).alias("h")
     )
@@ -4442,13 +4451,14 @@ def q428_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = F.pmod(F.col("user_id"), F.lit(8)).alias("bucket")
     dig = F.expr(_CDC_DIG_SPARK)
-    snap = latest.filter(F.col("op") == "U").groupBy(bucket).agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum(dig.bitwiseAND(F.lit(65535))).alias("checksum_lo"),
-        F.sum(F.shiftright(dig, 16)).alias("checksum_hi"),
-    )
-    dels = latest.filter(F.col("op") == "D").groupBy(bucket).agg(
-        F.count(F.lit(1)).alias("n_deleted")
+    is_u = F.col("op") == "U"
+    # ONE pass over the (expensive) latest-per-key window: snapshot and
+    # delete counts are conditional aggregates of the same frame — a
+    # U/D split into two aggregations would run the keyed window twice
+    snap = latest.groupBy(bucket).agg(
+        F.sum(is_u.cast("bigint")).cast("bigint").alias("n_keys"),
+        F.sum((~is_u).cast("bigint")).cast("bigint").alias("n_deleted"),
+        *checksum_half_sums(F.when(is_u, dig)),
     )
     tail = opsh.filter(F.col("ts") >= F.col("h")).groupBy(bucket).agg(
         F.count(F.lit(1)).alias("n_tail_ops")
@@ -4456,7 +4466,6 @@ def q428_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = spark.range(8).select(F.col("id").alias("bucket"))
     return (
         spine.join(snap, "bucket", "left")
-        .join(dels, "bucket", "left")
         .join(tail, "bucket", "left")
         .select(
             "bucket",
@@ -4729,26 +4738,9 @@ def q430_asof_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice, not K scans — how backfill jobs diff a pipeline against
     its last-known-good snapshot without replaying the log twice."""
     prep(spark)
-    ev = table(spark, sf_dir, "events")
-    ops = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "value",
-        F.when(
-            F.pmod(
-                F.expr(
-                    "cast(conv(substring(md5(cast(event_id as string)), 1, 8),"
-                    " 16, 10) as bigint)"
-                ),
-                F.lit(10),
-            )
-            == 0,
-            F.lit("D"),
-        )
-        .otherwise(F.lit("U"))
-        .alias("op"),
-    )
+    from ..functions.hashing import checksum_half_sums
+
+    ops = _cdc_ops(table(spark, sf_dir, "events"))
     vers = spark.range(1).select(
         F.explode(
             F.array(
@@ -4770,12 +4762,11 @@ def q430_asof_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(is_u.cast("bigint")).cast("bigint").alias("n_keys"),
         F.sum((~is_u).cast("bigint")).cast("bigint").alias("n_deleted"),
-        F.coalesce(
-            F.sum(F.when(is_u, dig.bitwiseAND(F.lit(65535)))), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("checksum_lo"),
-        F.coalesce(F.sum(F.when(is_u, F.shiftright(dig, 16))), F.lit(0))
-        .cast("bigint")
-        .alias("checksum_hi"),
+        *[
+            F.coalesce(c, F.lit(0)).cast("bigint").alias(name)
+            for c, name in zip(
+                checksum_half_sums(F.when(is_u, dig)),
+                ["checksum_lo", "checksum_hi"],
+            )
+        ],
     )

@@ -4914,11 +4914,17 @@ def q427_rank_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by lag — every stage is bounded by the DATE domain,
     not the fact table."""
     prep(spark)
-    from ..operators.ranking import global_row_number
+    from ..operators.ranking import global_row_number, pin_cache
 
     o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev")
+    # pin before global_row_number: repartitionByRange's sampling pass
+    # executes the input subtree once BEFORE the shuffle executes it
+    # again (ranking.py's caller note, the q132 pattern) — unpinned,
+    # the orders scan + date agg would run twice
+    daily = pin_cache(
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev")
+        )
     )
     s = global_row_number(daily, ["d"], out_col="idx")
     lags = spark.range(1).select(
