@@ -1143,3 +1143,188 @@ def q431_anti_entropy_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("equal_after"),
         )
     )
+
+
+@query(
+    "q432_zonemap_prune_report",
+    oracle="""
+    WITH parts AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             count(*) AS n_rows,
+             min(o_totalprice) AS mn,
+             max(o_totalprice) AS mx,
+             count(*) - count(o_totalprice) AS n_nulls,
+             min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(mon, '%Y-%m') AS mon,
+           cast(n_rows as bigint) AS n_rows,
+           cast(floor(mn * 100) as bigint) AS min_price_c,
+           cast(floor(mx * 100) as bigint) AS max_price_c,
+           cast(n_nulls as bigint) AS n_nulls,
+           (mx < 450000.0) AS prunable_hi,
+           (mn > 1000.0) AS prunable_lo,
+           cast(mx_key - mn_key + 1 as bigint) AS key_span
+    FROM parts
+    """,
+    tags=("audit", "scan", "pruning", "statistics"),
+)
+def q432_zonemap_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP / PARTITION-STATS REPORT — the stats table behind
+    every skipping decision the catalog demonstrates (static pruning
+    q76, DPP q176, z-order row-group skipping q167): per month
+    partition of orders, the (count, min, max, nulls) zone map over
+    the measure plus the key span, and the prune verdicts two example
+    predicates would reach — ``price > 450k`` skips partitions whose
+    max falls below it (prunable_hi), ``price < 1k`` ones whose min
+    exceeds it (prunable_lo). This is what Iceberg/Delta keep in
+    their manifest/stats files and what parquet keeps per row group;
+    materializing it as a QUERY is how an operator answers "will this
+    backfill predicate actually skip anything, and is the layout
+    worth re-clustering" BEFORE running the backfill — the q167
+    z-order decision consumes exactly this report (tight per-partition
+    min/max ranges ⇒ skipping works; full-range overlap ⇒ re-cluster).
+
+    Exactness: doubles leave the query only as floor-cents (the IEEE
+    canonicalization the audit module standardizes); the prune flags
+    compare NATIVE doubles on both engines, never strings.
+
+    100 TB story: one map-side-combinable agg keyed by the partition
+    expression — the report costs a single scan (or zero scans where
+    the store already exposes per-file stats) and is itself
+    partition-count-sized. Min/max over a skewed measure is exactly
+    as combinable as count: zone maps never shuffle data rows."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    parts = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("n_nulls"),
+        F.min("o_orderkey").alias("mn_key"),
+        F.max("o_orderkey").alias("mx_key"),
+    )
+    return parts.select(
+        F.date_format("mon", "yyyy-MM").alias("mon"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.floor(F.col("mn") * 100).cast("bigint").alias("min_price_c"),
+        F.floor(F.col("mx") * 100).cast("bigint").alias("max_price_c"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        (F.col("mx") < 450000.0).alias("prunable_hi"),
+        (F.col("mn") > 1000.0).alias("prunable_lo"),
+        (F.col("mx_key") - F.col("mn_key") + 1).cast("bigint").alias("key_span"),
+    )
+
+
+_Q433_K = 8
+
+
+@query(
+    "q433_heavy_tail_exponent",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+      UNION ALL
+      SELECT '__ALL__', user_id, count(*) FROM events GROUP BY user_id
+    ), rnk AS (
+      SELECT event_type, cnt,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY cnt DESC, user_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_users
+      FROM per
+    ), xk AS (
+      SELECT event_type, cnt AS x_k FROM rnk WHERE rn = {_Q433_K} + 1
+    ), logs AS (
+      SELECT r.event_type, any_value(r.n_users) AS n_users,
+             any_value(x.x_k) AS x_k,
+             list_reduce(list_sort(list(ln(r.cnt::DOUBLE / x.x_k))),
+                         (a, b) -> a + b) AS s
+      FROM rnk r JOIN xk x USING (event_type)
+      WHERE r.rn <= {_Q433_K}
+      GROUP BY r.event_type
+    )
+    SELECT event_type,
+           cast(n_users as bigint) AS n_users,
+           cast(x_k as bigint) AS x_k,
+           cast(CASE WHEN s > 0 THEN floor(1000000 * {_Q433_K} / s) END
+                as bigint) AS alpha_ppm
+    FROM logs
+    """,
+    tags=("audit", "skew", "statistics", "heavytail"),
+)
+def q433_heavy_tail_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY-TAIL EXPONENT (Hill estimator) — the diagnostic that
+    turns q412's "here are the 10 hottest keys" into a PREDICTION:
+    the Hill estimate α̂ = k / Σᵢ₌₁..k ln(xᵢ/x₍ₖ₊₁₎) over the top-k
+    order statistics of the per-user activity distribution says how
+    the hot tail GROWS with data volume — α < 2 means the hottest
+    key's share doesn't shrink as the table grows (salting is
+    mandatory at any scale, the q420 path), α > 3 means skew
+    dilutes and AQE's runtime split suffices. Reported per event
+    type and pooled.
+
+    Float protocol: the k log-ratios fold in sorted order (the
+    q127/q278 sorted-fold rule — engine-identical addition order on
+    bitwise-identical ln inputs, per the libm-parity ledger row);
+    tie-broken (cnt DESC, user_id) top-k so both engines pick the
+    identical order statistics; the α output is a single floor after
+    one division. A flat top (all k ratios 1 ⇒ Σ = 0) yields NULL
+    rather than a division blowup.
+
+    100 TB story: the per-key count is the same single keyed agg the
+    audited join would pay (spent once, like q412); the top-(k+1)
+    selection is a per-group window over count rows (key-domain-
+    sized, never event rows), and the Hill fold touches k values per
+    group. The estimator needs only the TOP of the distribution, so
+    at extreme key cardinality the window input can pre-filter to
+    counts above a coarse threshold without changing the answer."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .unionByName(
+            ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("__ALL__").alias("event_type"), "user_id", "cnt")
+        )
+    )
+    wr = W.partitionBy("event_type").orderBy(F.col("cnt").desc(), "user_id")
+    rnk = per.select(
+        "event_type",
+        "cnt",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n_users"),
+    )
+    xk = rnk.filter(F.col("rn") == _Q433_K + 1).select(
+        "event_type", F.col("cnt").alias("x_k")
+    )
+    logs = (
+        rnk.filter(F.col("rn") <= _Q433_K)
+        .join(xk, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_users").alias("n_users"),
+            F.max("x_k").alias("x_k"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.log(F.col("cnt").cast("double") / F.col("x_k"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("s"),
+        )
+    )
+    return logs.select(
+        "event_type",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("x_k").cast("bigint").alias("x_k"),
+        F.when(
+            F.col("s") > 0, F.floor(F.lit(1000000) * _Q433_K / F.col("s"))
+        )
+        .cast("bigint")
+        .alias("alpha_ppm"),
+    )
