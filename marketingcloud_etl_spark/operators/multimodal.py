@@ -177,3 +177,57 @@ def pcm_window_energy(
             )
 
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
+PATCH_SCHEMA = (
+    "doc_id long, px int, py int, pw int, ph int, patch_digest string"
+)
+
+
+def patch_grid(
+    feats: DataFrame, patch: int = 256, id_col: str = "doc_id"
+) -> DataFrame:
+    """ViT-style PATCH EXTRACTION over decoded image metadata: each
+    (width × height) image fans out to its ceil(w/p) × ceil(h/p) patch
+    grid — one row per patch with its grid coordinates, ACTUAL
+    dimensions (edge patches are clipped, so Σ pw·ph = w·h exactly),
+    and a deterministic per-patch digest standing in for the pixel
+    tile a real decoder would emit. Arrow-batched ``mapInPandas``
+    one-to-many, the q73 frame-sampling shape applied to the spatial
+    axis: binary-derived metadata in, bounded typed fan-out out
+    (≤ ceil(1920/p)·ceil(1080/p) per record), no driver involvement.
+    A real deployment swaps the digest for the tile bytes/tensor; the
+    schema, batch iteration, and fan-out bound are the part that
+    matters at scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pxs, pys, pws, phs, digs = [], [], [], [], [], []
+            for doc_id, dig, w, h in zip(
+                pdf[id_col], pdf["payload_digest"], pdf["width"], pdf["height"]
+            ):
+                w, h = int(w), int(h)
+                for py in range((h + patch - 1) // patch):
+                    for px in range((w + patch - 1) // patch):
+                        ids.append(int(doc_id))
+                        pxs.append(px)
+                        pys.append(py)
+                        pws.append(min(patch, w - px * patch))
+                        phs.append(min(patch, h - py * patch))
+                        digs.append(
+                            hashlib.md5(f"{dig}:{px}:{py}".encode()).hexdigest()
+                        )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "px": pxs,
+                    "py": pys,
+                    "pw": pws,
+                    "ph": phs,
+                    "patch_digest": digs,
+                }
+            )
+
+    return feats.select(id_col, "payload_digest", "width", "height").mapInPandas(
+        run, schema=PATCH_SCHEMA
+    )

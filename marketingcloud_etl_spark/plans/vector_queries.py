@@ -1599,3 +1599,71 @@ def q374_mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFram
             F.round("s.mmr", 6).alias("mmr"),
         )
     )
+
+
+@query(
+    "q435_patch_grid_parity",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             md5(text) AS payload_digest,
+             ('0x' || substr(md5(text), 1, 4))::int % 1920 + 1 AS width,
+             ('0x' || substr(md5(text), 5, 4))::int % 1080 + 1 AS height
+      FROM documents
+      WHERE doc_id < 300 AND octet_length(encode(text)) = length(text)
+    ), patches AS (
+      SELECT doc_id, width, height, px, py,
+             least(256, width - px * 256) AS pw,
+             least(256, height - py * 256) AS ph,
+             md5(payload_digest || ':' || px || ':' || py) AS patch_digest
+      FROM feats,
+           unnest(range(0, (width + 255) // 256)) gx(px),
+           unnest(range(0, (height + 255) // 256)) gy(py)
+    )
+    SELECT bucket,
+           cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+           cast(count(*) as bigint) AS n_patches,
+           cast(sum(pw * ph) as bigint) AS total_area,
+           cast(sum(d32 & 65535) as bigint) AS checksum_lo,
+           cast(sum(d32 >> 16) as bigint) AS checksum_hi
+    FROM (SELECT doc_id, doc_id % 8 AS bucket, pw, ph,
+                 ('0x' || substr(patch_digest, 1, 8))::BIGINT AS d32
+          FROM patches)
+    GROUP BY bucket
+    """,
+    tags=("multimodal", "parity"),
+)
+def q435_patch_grid_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATCH-GRID PARITY — ViT-style spatial tiling as a first-class
+    multimodal op, hash-verified end to end: binary payload attach →
+    Arrow-batched decode stub (q337's deterministic fake: dims derived
+    from the payload digest) → ``patch_grid`` mapInPandas fan-out (one
+    row per 256-px tile, edge tiles clipped) → per-bucket report of
+    patch counts, TOTAL AREA (Σ pw·ph must equal Σ w·h — a clipped-
+    edge bug breaks the hash), and the patch-digest checksum
+    half-sums. The oracle re-derives the same grid relationally
+    (2-D unnest over the ceil-divided ranges), so the Python fan-out
+    path — schema, batch iteration, per-record bound — is value-pinned
+    exactly like q337/q338 pinned decode and frame sampling.
+
+    100 TB story: patching is a NARROW one-to-many map with a static
+    fan-out bound (≤ 8·5 tiles at 1920×1080/256) — no shuffle until
+    the training-shard writer groups tiles; the Arrow batch boundary
+    is the only Python crossing, and a real decoder slots into the
+    same iterator without touching the plan shape."""
+    prep(spark)
+    from ..operators.multimodal import attach_binary_payload, extract_features, patch_grid
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    feats = extract_features(attach_binary_payload(d))
+    patches = patch_grid(feats, patch=256)
+    d32 = F.expr(
+        "cast(conv(substring(patch_digest, 1, 8), 16, 10) as bigint)"
+    )
+    return patches.groupBy(F.pmod("doc_id", F.lit(8)).alias("bucket")).agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_patches"),
+        F.sum(F.col("pw") * F.col("ph")).cast("bigint").alias("total_area"),
+        F.sum(d32.bitwiseAND(F.lit(65535))).cast("bigint").alias("checksum_lo"),
+        F.sum(F.shiftright(d32, 16)).cast("bigint").alias("checksum_hi"),
+    )
