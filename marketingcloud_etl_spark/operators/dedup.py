@@ -67,23 +67,30 @@ def word_shingles(text_col: Column | str, n: int = 3) -> Column:
     ~18M redundant tokenizations (5.0 s) on the 180k-token sf0.1
     corpus vs ~0.5 s bound."""
     toks = tokens(text_col)
-
-    def shingles_of(t: Column) -> Column:
-        k = F.size(t) - (n - 1)
-        return F.when(
-            k >= 1,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
     return F.element_at(
         F.transform(
-            F.array(F.struct(toks.alias("t"))), lambda x: shingles_of(x["t"])
+            F.array(F.struct(toks.alias("t"))),
+            lambda x: shingles_from_tokens(x["t"], n),
         ),
         1,
     )
+
+
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """n-gram shingles from an ALREADY-BOUND token-array column — the
+    shared construction behind :func:`word_shingles` (which let-binds
+    a raw tokenize expression first) and callers that hold tokens as
+    a named column (q434's recall harness): one definition site so a
+    shingle-semantics fix can never fork the evaluation harness from
+    the production path it measures."""
+    k = F.size(t) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:

@@ -1240,7 +1240,7 @@ _Q433_K = 8
              any_value(x.x_k) AS x_k,
              list_reduce(list_sort(list(ln(r.cnt::DOUBLE / x.x_k))),
                          (a, b) -> a + b) AS s
-      FROM rnk r JOIN xk x USING (event_type)
+      FROM rnk r LEFT JOIN xk x USING (event_type)
       WHERE r.rn <= {_Q433_K}
       GROUP BY r.event_type
     )
@@ -1300,9 +1300,12 @@ def q433_heavy_tail_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     xk = rnk.filter(F.col("rn") == _Q433_K + 1).select(
         "event_type", F.col("cnt").alias("x_k")
     )
+    # LEFT join: a group with fewer than k+1 users must SURFACE with
+    # NULL x_k/alpha ("insufficient order statistics"), not vanish —
+    # the repo's no-silent-caps rule applied to the report itself
     logs = (
         rnk.filter(F.col("rn") <= _Q433_K)
-        .join(xk, "event_type")
+        .join(xk, "event_type", "left")
         .groupBy("event_type")
         .agg(
             F.max("n_users").alias("n_users"),

@@ -4367,10 +4367,13 @@ _Q426_CAP = 24  # split threshold (rows per (band, bucket))
 # permutation and benched 14 s at sf0.1; this shape runs the same math
 # in one pass (the simhash64 lesson applied to minhash).
 _MH_CHUNKS = (("a", 1), ("a", 9), ("a", 17), ("a", 25), ("b", 1), ("b", 9))
-_MH_SPARK_ALL = (
+# templates are parameterized on the shingle COLUMN name ({col}) — a
+# blind string replace of "sh" would silently corrupt any future token
+# containing those letters (hash, shiftright, ...)
+_MH_SPARK_ALL_T = (
     "aggregate("
     "  transform("
-    "    transform(sh, s -> struct(md5(s) AS a, md5(concat(s, '#')) AS b)),"
+    "    transform({col}, s -> struct(md5(s) AS a, md5(concat(s, '#')) AS b)),"
     "    x -> array("
     + ", ".join(
         f"cast(conv(substring(x.{d}, {o}, 8), 16, 10) as bigint)"
@@ -4380,16 +4383,17 @@ _MH_SPARK_ALL = (
     "  array_repeat(cast(4294967296 as bigint), 6),"
     "  (acc, h) -> zip_with(acc, h, (u, v) -> least(u, v)))"
 )
+_MH_SPARK_ALL = _MH_SPARK_ALL_T.format(col="sh")
 _MH_DUCK = (
-    "list_aggregate(list_transform(sh, s -> ('0x' || substr({base},"
+    "list_aggregate(list_transform({col}, s -> ('0x' || substr({base},"
     " {off}, 8))::BIGINT), 'min')"
 )
 
 
-def _mh_duck(i: int) -> str:
+def _mh_duck(i: int, col: str = "sh") -> str:
     d, off = _MH_CHUNKS[i]
     base = "md5(s)" if d == "a" else "md5(s || '#')"
-    return _MH_DUCK.format(base=base, off=off)
+    return _MH_DUCK.format(base=base, off=off, col=col)
 _BK_SPARK = (
     "pmod(cast(conv(substring(md5(concat_ws(':', m{a}, m{b}, {band})), 1, 8),"
     f" 16, 10) as bigint), {_Q426_MOD})"
@@ -4546,7 +4550,7 @@ _Q434_VAR_DUCK = "list_select({t}, list_filter(range(1, len({t}) + 1), i -> i % 
 def _q434_sig_duck(prefix: str) -> str:
     """Three md5-minhash band signatures (2 perms each) as columns."""
     return ", ".join(
-        _mh_duck(i).replace("sh", f"{prefix}sh") + f" AS {prefix}m{i}"
+        _mh_duck(i, col=f"{prefix}sh") + f" AS {prefix}m{i}"
         for i in range(_Q426_PERMS)
     )
 
@@ -4650,24 +4654,16 @@ def q434_lsh_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("btoks"),
     )
 
-    def shingles3(col: str):
-        # n-gram over a NAMED column — attribute reference, so the
-        # per-position lambda binds cheap (the word_shingles lesson)
-        t = F.col(col)
-        k = F.size(t) - 2
-        return F.when(
-            k >= 1,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    from ..operators.dedup import shingles_from_tokens
 
+    # shingles over NAMED columns — attribute references bind cheap
+    # (the word_shingles lesson), and the construction is the SHARED
+    # production one so the harness measures the real shingle path
     sh = pairs.filter(F.size("btoks") >= 3).select(
         "level",
         "doc_id",
-        shingles3("atoks").alias("ash"),
-        shingles3("btoks").alias("bsh"),
+        shingles_from_tokens(F.col("atoks"), 3).alias("ash"),
+        shingles_from_tokens(F.col("btoks"), 3).alias("bsh"),
     )
     inter = F.size(F.array_intersect(F.array_distinct("ash"), F.array_distinct("bsh")))
     uni = (
@@ -4679,15 +4675,18 @@ def q434_lsh_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "level",
         inter.alias("inter"),
         uni.alias("uni"),
-        F.expr(_MH_SPARK_ALL.replace("sh", "ash")).alias("amins"),
-        F.expr(_MH_SPARK_ALL.replace("sh", "bsh")).alias("bmins"),
+        F.expr(_MH_SPARK_ALL_T.format(col="ash")).alias("amins"),
+        F.expr(_MH_SPARK_ALL_T.format(col="bsh")).alias("bmins"),
     )
+    import functools
+    import operator as _op
+
     band_eq = [
         (F.element_at("amins", 2 * b + 1) == F.element_at("bmins", 2 * b + 1))
         & (F.element_at("amins", 2 * b + 2) == F.element_at("bmins", 2 * b + 2))
         for b in range(_Q426_BANDS)
     ]
-    is_cand = band_eq[0] | band_eq[1] | band_eq[2]
+    is_cand = functools.reduce(_op.or_, band_eq)
     verdicts = sig.select(
         "level",
         (2 * F.col("inter") >= F.col("uni")).alias("is_near"),

@@ -1654,7 +1654,14 @@ def q435_patch_grid_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from ..operators.multimodal import attach_binary_payload, extract_features, patch_grid
 
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # the ASCII guard is applied on BOTH sides (q337/q338's explicit
+    # design): the oracle's octet_length(encode()) filter must see the
+    # same row set the Spark path patches, or a single non-ASCII doc
+    # in a future fixture hash-mismatches every bucket
+    d = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300)
+        & (F.octet_length("text") == F.length("text"))
+    )
     feats = extract_features(attach_binary_payload(d))
     patches = patch_grid(feats, patch=256)
     d32 = F.expr(
