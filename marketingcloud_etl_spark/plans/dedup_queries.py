@@ -4711,3 +4711,117 @@ def q434_lsh_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 1000000 * n_tp div n_near END as bigint)"
         ).alias("recall_ppm"),
     )
+
+
+_Q436_M = 1024  # linear-counting bucket space
+
+
+@query(
+    "q436_sketch_accuracy_audit",
+    oracle=f"""
+    WITH dh AS (
+      SELECT DISTINCT event_type,
+             {_H32_OF_DUCK.format(e='user_id')} AS h
+      FROM events
+    ), bk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM dh
+    ), kmv AS (
+      SELECT event_type, count(*) AS n_bk, max(h) AS hk
+      FROM bk WHERE rn <= {_KMV_K} GROUP BY event_type
+    ), lc AS (
+      SELECT event_type,
+             count(DISTINCT h % {_Q436_M}) AS occupied
+      FROM dh GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    ), est AS (
+      SELECT e.event_type, e.n_exact,
+             CASE WHEN k.n_bk < {_KMV_K} THEN k.n_bk
+                  ELSE ({_KMV_K} - 1) * 4294967296 // k.hk END AS kmv_est,
+             CASE WHEN l.occupied >= {_Q436_M} THEN NULL
+                  ELSE round(-{_Q436_M} * ln(({_Q436_M} - l.occupied)
+                       / {_Q436_M}.0))::BIGINT END AS lc_est
+      FROM ex e JOIN kmv k USING (event_type) JOIN lc l USING (event_type)
+    )
+    SELECT event_type,
+           cast(n_exact as bigint) AS n_exact,
+           cast(kmv_est as bigint) AS kmv_est,
+           cast(abs(kmv_est - n_exact) * 1000000 // n_exact as bigint)
+             AS kmv_err_ppm,
+           cast(lc_est as bigint) AS lc_est,
+           cast(abs(lc_est - n_exact) * 1000000 // n_exact as bigint)
+             AS lc_err_ppm
+    FROM est
+    """,
+    tags=("dedup", "sketch", "evaluation", "audit"),
+)
+def q436_sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH ACCURACY AUDIT — completes the evaluation-harness triple
+    (q139 pins ANN recall, q434 pins LSH recall, this pins cardinality
+    estimators): per group, the KMV bottom-k estimate (q422's sketch)
+    and a LINEAR-COUNTING estimate (q329's occupancy inversion,
+    −m·ln((m−o)/m) over a 1024-bucket space) are computed next to the
+    exact distinct count, and each estimator's error lands as an
+    integer ppm column. Both estimators are DETERMINISTIC functions of
+    the data under the md5 _H32 protocol, so the accuracy report
+    itself is cross-engine hash-verified — the operator deciding
+    "which sketch tier can carry this metric at 10⁹ keys" reads
+    measured error, not datasheet error. The ln is a single libm call
+    on bitwise-identical doubles (the parity-ledger row); saturation
+    (every bucket occupied) reports NULL rather than −∞.
+
+    100 TB story: both estimators are one map-side-combinable pass
+    over (group, hash) — the audit costs what the sketches cost, and
+    at production scale it runs on a hash-sampled key slice with the
+    exact leg confined to that slice (the expensive side is exactness,
+    never the sketches)."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    h = F.expr(_H32_OF.format(e="user_id"))
+    dh = ev.select("event_type", h.alias("h")).distinct()
+
+    w = W.partitionBy("event_type").orderBy("h")
+    kmv = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_bk"), F.max("h").alias("hk"))
+    )
+    lc = dh.groupBy("event_type").agg(
+        F.count_distinct(F.pmod("h", F.lit(_Q436_M))).alias("occupied")
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    est = (
+        ex.join(kmv, "event_type")
+        .join(lc, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.expr(
+                f"CASE WHEN n_bk < {_KMV_K} THEN n_bk"
+                f" ELSE {(_KMV_K - 1) * 4294967296} div hk END"
+            ).alias("kmv_est"),
+            F.expr(
+                f"CASE WHEN occupied >= {_Q436_M} THEN NULL"
+                f" ELSE cast(round(-{_Q436_M} * ln(({_Q436_M} - occupied)"
+                f" / cast({_Q436_M} as double))) as bigint) END"
+            ).alias("lc_est"),
+        )
+    )
+    return est.select(
+        "event_type",
+        "n_exact",
+        F.col("kmv_est").cast("bigint").alias("kmv_est"),
+        F.expr("cast(abs(kmv_est - n_exact) * 1000000 div n_exact as bigint)")
+        .alias("kmv_err_ppm"),
+        F.col("lc_est").cast("bigint").alias("lc_est"),
+        F.expr("cast(abs(lc_est - n_exact) * 1000000 div n_exact as bigint)")
+        .alias("lc_err_ppm"),
+    )
