@@ -279,23 +279,23 @@ BUDGETS = {
     # pin (1.68/1.68/1.78) while the r9 driver landed 1.53 — re-anchor
     # on that newest driver observation instead of waiting for the red
     # the local evidence predicts
-    "q01_pricing_summary": 2.3,  # driver obs 1.53 (r9, 95q sweep)
-    "q05_revenue_by_nation": 1.91,  # driver obs 1.27 (r9, 95q battery)
-    "q11_join_asof": 2.15,  # driver obs 1.43 (r9, 95q battery)
+    "q01_pricing_summary": 2.19,  # driver obs 1.46 (r10, 99q battery)
+    "q05_revenue_by_nation": 1.5,  # driver-min 0.99 (r10); floor
+    "q11_join_asof": 1.5,  # driver-min 0.49 (r10); floor
     "q15_agg_rollup": 1.5,  # driver-min 0.402
     "q22_window_topk": 1.5,  # driver-min 0.509
     "q37_dedup_exact_hash": 1.5,  # driver-min 0.409
     "q41_tokenize_wordcount": 1.5,  # driver-min 0.318
-    "q42_tfidf": 1.68,  # driver obs 1.12 (r9, 95q battery)
+    "q42_tfidf": 1.59,  # driver obs 1.06 (r10, 99q battery)
     "q49_knn_bruteforce": 1.5,  # driver-min 0.683
-    "q50_minhash_lsh": 1.84,  # driver obs 1.23 (r9, 95q battery)
-    "q52_ann_lsh_topk": 2.94,  # driver obs 1.96 (r9, 95q battery)
+    "q50_minhash_lsh": 1.71,  # driver obs 1.14 (r10, 99q battery)
+    "q52_ann_lsh_topk": 2.67,  # driver obs 1.78 (r10, 99q battery)
     "q56_sessionization": 1.5,  # driver-min 0.49
     "q66_ann_ivf_topk": 2.28,  # driver obs 1.52 (r9, 95q battery)
     "q68_sliding_window": 1.5,  # driver-min 0.384
     "q70_bucketed_join": 1.5,  # driver-min 0.649
-    "q71_asof_cogroup": 1.86,  # driver obs 1.24 (r9, 95q battery)
-    "q89_decontamination": 1.72,  # driver obs 1.15 (r9, 95q battery)
+    "q71_asof_cogroup": 1.78,  # driver obs 1.19 (r10, 99q battery)
+    "q89_decontamination": 1.5,  # driver-min 1.0 (r10); floor
     "q90_curation_pipeline": 1.5,  # driver-min 0.481
     "q107_sequence_packing": 1.5,  # driver-min 0.31
     "q116_bpe_pair_counts": 1.5,  # driver-min 0.389
@@ -306,8 +306,8 @@ BUDGETS = {
     "q129_setsim_join": 3.71,  # driver obs 2.47 (r9, 95q battery)
     "q131_last_touch_attribution": 1.5,  # driver-min 0.64
     "q132_rfm_segmentation": 5.05,  # driver obs 3.37 (r9, 95q battery)
-    "q134_semantic_dedup_pipeline": 4.23,  # driver obs 2.82 (r9, 95q battery)
-    "q138_ann_ivfpq_topk": 2.79,  # driver obs 1.86 (r9, 95q battery)
+    "q134_semantic_dedup_pipeline": 4.06,  # driver obs 2.71 (r10, 99q battery)
+    "q138_ann_ivfpq_topk": 2.56,  # driver obs 1.71 (r10, 99q battery)
     "q161_line_dedup": 1.5,  # driver-min 0.483
     # conditions-changed re-pin (r10, the q404 precedent): the 2.78
     # budget anchored a ~70-query-era sweep; at the 95-query battery
@@ -322,35 +322,35 @@ BUDGETS = {
     "q235_cdc_chunk_dedup": 2.37,  # driver obs 1.58 (r9, 95q battery)
     "q239_interval_range_frame": 1.58,  # driver obs 1.05 (r9, 95q battery)
     "q244_simhash_exact_parity": 1.5,  # driver-min 0.51
-    "q294_market_share": 2.08,  # driver obs 1.39 (r9, 95q battery)
-    "q304_ivm_join_delta": 3.04,  # driver obs 2.03 (r9, 95q battery)
+    "q294_market_share": 2.06,  # driver obs 1.37 (r10, 99q battery)
+    "q304_ivm_join_delta": 2.81,  # driver obs 1.87 (r10, 99q battery)
     "q308_skyline_pareto_front": 1.5,  # driver-min 0.842
-    "q322_abc_xyz_matrix": 3.9,  # driver obs 2.6 (r9, 95q battery)
-    "q334_ks_two_sample": 2.69,  # driver obs 1.79 (r9, 95q battery)
+    "q322_abc_xyz_matrix": 3.87,  # driver obs 2.58 (r10, 99q battery)
+    "q334_ks_two_sample": 2.07,  # driver obs 1.38 (r10, 99q battery)
     "q337_multimodal_feature_parity": 1.5,  # driver-min 0.258
-    "q342_pagerank_exact": 5.49,  # driver obs 3.66 (r9, 95q battery)
+    "q342_pagerank_exact": 4.83,  # driver obs 3.22 (r10, 99q battery)
     "q345_bpe_encode_apply": 1.5,  # driver-min 0.679
     "q346_event_pattern_match": 1.5,  # driver-min 0.487
-    "q349_markov_attribution": 4.44,  # driver obs 2.96 (r9, 95q battery)
-    "q353_phrase_search": 2.79,  # driver obs 1.86 (r9, 95q battery)
-    "q357_grouped_quantile_scalable": 6.57,  # driver obs 4.38 (r9, 95q battery)
+    "q349_markov_attribution": 3.1,  # driver obs 2.07 (r10, 99q battery)
+    "q353_phrase_search": 2.23,  # driver obs 1.49 (r10, 99q battery)
+    "q357_grouped_quantile_scalable": 5.46,  # driver obs 3.64 (r10, 99q battery)
     "q359_bloom_incremental_dedup": 1.5,  # driver-min 0.707
-    "q360_label_propagation": 6.82,  # driver obs 4.55 (r9, 95q battery)
+    "q360_label_propagation": 5.56,  # driver obs 3.71 (r10, 99q battery)
     "q361_rag_chunking": 1.5,  # driver-min 0.329
-    "q362_rrf_hybrid_retrieval": 2.17,  # driver obs 1.45 (r9, 95q battery)
+    "q362_rrf_hybrid_retrieval": 1.81,  # driver obs 1.21 (r10, 99q battery)
     "q363_weighted_systematic_sample": 1.5,  # driver-min 0.679
     "q364_grouped_ols_trend": 1.5,  # driver-min 0.442
-    "q365_iqr_outlier_fences": 3.81,  # driver-min 2.54 (r9)
-    "q366_shapley_attribution": 2.25,  # driver obs 1.5 (r9, 95q battery)
-    "q369_sketchguided_heavy_hitters": 1.52,  # driver obs 1.01 (r9, 95q battery)
+    "q365_iqr_outlier_fences": 3.34,  # driver obs 2.23 (r10, 99q battery)
+    "q366_shapley_attribution": 1.75,  # driver obs 1.17 (r10, 99q battery)
+    "q369_sketchguided_heavy_hitters": 1.5,  # driver-min 0.93 (r10); floor
     # conditions-changed re-pin (r10): 4%-over red at r9 (1.82 vs
     # 1.75) — same sweep-GC-tax class as q163; re-anchored on r9.
-    "q372_vocab_growth": 2.73,  # driver obs 1.82 (r9, 95q sweep)
-    "q375_er_pipeline": 2.86,  # driver obs 1.91 (r9, 95q battery)
-    "q376_grid_density_clusters": 4.33,  # driver obs 2.89 (r9, 95q battery)
-    "q388_incremental_minhash_state": 4.72,  # driver obs 3.15 (r9, 95q battery)
-    "q389_incremental_semantic_state": 1.94,  # driver obs 1.29 (r9, 95q battery)
-    "q390_bm25_index_serving": 1.65,  # driver obs 1.1 (r9, 95q battery)
+    "q372_vocab_growth": 2.13,  # driver obs 1.42 (r10, 99q battery)
+    "q375_er_pipeline": 2.35,  # driver obs 1.57 (r10, 99q battery)
+    "q376_grid_density_clusters": 4.26,  # driver obs 2.84 (r10, 99q battery)
+    "q388_incremental_minhash_state": 2.75,  # driver obs 1.83 (r10, 99q battery)
+    "q389_incremental_semantic_state": 1.81,  # driver obs 1.21 (r10, 99q battery)
+    "q390_bm25_index_serving": 1.54,  # driver obs 1.03 (r10, 99q battery)
     # round-8 block, re-pinned round 9 from their FIRST driver bench
     # (BENCH_r08): per BASELINE.md the provisional local pins are
     # REPLACED by the driver anchor (1.5 x driver time, 1.5 s floor)
@@ -358,44 +358,83 @@ BUDGETS = {
     # (local-best pin with no driver-condition headroom benched red at
     # 2.235 vs 2.05 despite a correct plan). From here they ratchet
     # down only, like every other driver-anchored budget.
-    "q391_incremental_components_state": 4.57,  # driver obs 3.05 (r9, 95q battery)
-    "q392_stream_incremental_dedup": 14.85,  # driver-min 9.9 (r9)
-    "q393_state_compaction_ttl": 1.86,  # driver obs 1.24 (r9, 95q battery)
-    "q395_corpus_refresh_pipeline": 21.34,  # driver obs 14.23 (r9, 95q battery)
-    "q396_bm25_index_compaction": 3.38,  # driver obs 2.25 (r9, 95q battery)
-    "q399_erasure_tombstones": 1.94,  # driver obs 1.29 (r9, 95q battery)
+    "q391_incremental_components_state": 3.93,  # driver obs 2.62 (r10, 99q battery)
+    "q392_stream_incremental_dedup": 8.94,  # driver obs 5.96 (r10, 99q battery)
+    "q393_state_compaction_ttl": 1.74,  # driver obs 1.16 (r10, 99q battery)
+    "q395_corpus_refresh_pipeline": 11.14,  # driver obs 7.43 (r10, 99q battery)
+    "q396_bm25_index_compaction": 3.24,  # driver obs 2.16 (r10, 99q battery)
+    "q399_erasure_tombstones": 1.84,  # driver obs 1.23 (r10, 99q battery)
     "q400_incremental_distinct_state": 1.5,  # driver-min 0.584 (r8)
-    "q401_incremental_vocab_state": 3.29,  # driver obs 2.19 (r9, 95q battery)
-    "q402_incremental_quantile_state": 3.51,  # driver obs 2.34 (r9, 95q battery)
+    "q401_incremental_vocab_state": 2.79,  # driver obs 1.86 (r10, 99q battery)
+    "q402_incremental_quantile_state": 2.96,  # driver obs 1.97 (r10, 99q battery)
     "q403_incremental_session_state": 1.5,  # driver-min 0.534 (r8)
-    "q404_decontamination_state": 2.54,  # driver-min 1.69 (r9)
+    "q404_decontamination_state": 1.86,  # driver obs 1.24 (r10, 99q battery)
     "q405_incremental_heavy_hitters": 1.5,  # driver-min 0.592 (r8)
     "q406_ivm_retraction": 1.5,  # driver-min 0.565 (r8)
     "q407_incremental_sample_state": 1.5,  # driver-min 0.212 (r8)
-    "q408_table_checksum_reconcile": 5.4,  # driver obs 3.6 (r9, 95q battery)
+    "q408_table_checksum_reconcile": 4.83,  # driver obs 3.22 (r10, 99q battery)
     "q409_column_profile_audit": 5.29,  # driver-min 3.53 (r9)
     "q410_referential_integrity_audit": 2.83,  # driver obs 1.89 (r9, 95q battery)
     "q412_join_key_skew_report": 1.5,  # driver-min 0.41 (r8)
     "q413_uniqueness_contract_audit": 1.74,  # driver obs 1.16 (r9, 95q battery)
-    "q414_warm_start_pagerank": 4.17,  # driver obs 2.78 (r9, 95q battery)
+    "q414_warm_start_pagerank": 4.02,  # driver obs 2.68 (r10, 99q battery)
     "q415_manifest_time_travel": 1.5,  # driver-min 0.582 (r8)
     "q416_split_release_audit": 1.5,  # driver-min 0.319 (r8)
     "q417_incremental_checksum_state": 1.5,  # driver-min 0.551 (r8)
     "q418_partition_checksum_diff": 1.5,  # driver-min 0.656 (r8)
-    "q419_schema_drift_detect": 3.74,  # driver obs 2.49 (r9, 95q battery)
+    "q419_schema_drift_detect": 3.27,  # driver obs 2.18 (r10, 99q battery)
     "q420_salted_skew_join": 1.5,  # driver-min 0.55 (r9); floor holds
-    # round-10 addition: provisional local pin until the first driver
-    # bench lands (BASELINE.md replace-local-pins rule); fs-bound
-    # steady-state read, expected well under the floor
-    "q421_manifest_generation_gc": 1.5,
-    # round-10 additions: provisional local pins (idle local best x
-    # ~1.5 bench-condition factor x 1.5 budget factor) until their
-    # first driver bench lands (BASELINE.md replace-local-pins rule)
-    "q424_mv_rewrite_routing": 1.5,  # local steady 0.7-0.9
-    "q425_interval_overlap_join": 7.0,  # local steady 3.1
-    "q426_lsh_bucket_split": 5.4,  # local steady 2.4
-    "q429_mv_incremental_refresh": 5.4,  # local steady 2.4
-    "q431_anti_entropy_repair": 9.0,  # local steady 4.0
+    "q421_manifest_generation_gc": 1.5,  # driver-min 0.73 (r10); floor
+    "q424_mv_rewrite_routing": 1.5,  # driver-min 0.78 (r10); floor
+    "q425_interval_overlap_join": 4.14,  # driver obs 2.76 (r10, 99q battery)
+    "q426_lsh_bucket_split": 3.74,  # driver obs 2.49 (r10, 99q battery)
+    "q429_mv_incremental_refresh": 2.21,  # driver obs 1.47 (r10, 99q battery)
+    "q431_anti_entropy_repair": 5.28,  # driver obs 3.52 (r10, 99q battery)
+}
+
+# Retired (pre-95-battery-era) anchors for the budgets the round-10
+# wholesale re-anchor RAISED (commit 72b5833) and that still sit above
+# their old anchor after the r10 ratchet. The re-anchor was a
+# conditions-changed response to bouncing marginal overs, but it opened
+# headroom in which a genuine plan regression (up to ~2x on some
+# queries) would pass the budget gate unseen. These retired values
+# close that blind spot as a WARNING tier: a query whose time exceeds
+# its retired anchor while staying under its current budget lands in
+# the bench_full.json "watch" block (and an n_watch count on the stdout
+# line) — not a gate failure, a prompt to diff the plan. Entries drop
+# out as the ratchet tightens current budgets back to/below them.
+RETIRED_ANCHORS = {
+    "q42_tfidf": 1.5,
+    "q50_minhash_lsh": 1.55,
+    "q52_ann_lsh_topk": 2.54,
+    "q66_ann_ivf_topk": 2.07,
+    "q71_asof_cogroup": 1.52,
+    "q119_median_mad_outliers": 4.09,
+    "q127_bigram_lm_score": 2.67,
+    "q129_setsim_join": 3.26,
+    "q132_rfm_segmentation": 4.37,
+    "q134_semantic_dedup_pipeline": 3.58,
+    "q138_ann_ivfpq_topk": 1.97,
+    "q167_zorder_skipping": 2.92,
+    "q229_threshold_topk": 1.5,
+    "q235_cdc_chunk_dedup": 1.86,
+    "q239_interval_range_frame": 1.5,
+    "q294_market_share": 1.81,
+    "q304_ivm_join_delta": 2.49,
+    "q322_abc_xyz_matrix": 3.11,
+    "q334_ks_two_sample": 1.9,
+    "q353_phrase_search": 2.09,
+    "q360_label_propagation": 5.32,
+    "q366_shapley_attribution": 1.59,
+    "q376_grid_density_clusters": 4.12,
+    "q390_bm25_index_serving": 1.5,
+    "q393_state_compaction_ttl": 1.73,
+    "q396_bm25_index_compaction": 3.18,
+    "q402_incremental_quantile_state": 2.7,
+    "q410_referential_integrity_audit": 2.6,
+    "q413_uniqueness_contract_audit": 1.6,
+    "q414_warm_start_pagerank": 3.7,
+    "q419_schema_drift_detect": 3.17,
 }
 
 def _sf_of(sf_dir: str) -> float:
@@ -571,6 +610,16 @@ def main() -> None:
         if sf == 0.1 and n in BUDGETS and t > BUDGETS[n]
     }
     unpinned = [n for n in timings if n not in BUDGETS]
+    # warning tier (see RETIRED_ANCHORS): over the retired pre-re-anchor
+    # budget but under the current one — worth a plan diff, not a red
+    watch = {
+        n: {"sec": t, "retired": RETIRED_ANCHORS[n]}
+        for n, t in timings.items()
+        if sf == 0.1
+        and n in RETIRED_ANCHORS
+        and t > RETIRED_ANCHORS[n]
+        and n not in over
+    }
     # The driver archives only the LAST ~2,200 bytes of this process's
     # output (BENCH_r08 lost every per-query time before q391 to that
     # window). Two mitigations, both on the single stdout JSON line:
@@ -612,6 +661,7 @@ def main() -> None:
             },
             "n_unpinned": len(unpinned),
             "unpinned": [n.split("_", 1)[0] for n in unpinned[:10]],
+            "n_watch": len(watch),
         },
     }
     full = {
@@ -621,7 +671,12 @@ def main() -> None:
         "queries": timings,
         "setup": setup,
         "sf": sf,
-        "budget": {"pass": not over, "over": over, "unpinned": unpinned},
+        "budget": {
+            "pass": not over,
+            "over": over,
+            "unpinned": unpinned,
+            "watch": watch,
+        },
     }
     with open(os.path.join(_REPO, "bench_full.json"), "w") as fh:
         json.dump(full, fh, indent=1)
