@@ -450,7 +450,10 @@ def split_hot_buckets(
     hot index extends buckets by another bit, exactly like extendible
     hashing. A caller that already computed the (band, bucket) counts
     (a maintenance report, q426) passes them as ``sizes`` (columns
-    band/bucket/__sz) so the aggregation isn't paid twice."""
+    band/bucket/__sz) so the aggregation isn't paid twice; ``sizes``
+    need not cover every bucket — index rows whose bucket is absent
+    are treated as cold (so a pre-filtered hot-bucket report works),
+    mirroring :func:`fan_out_probe_rows`'s absent-is-cold rule."""
     if sizes is None:
         sizes = index.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__sz")
@@ -461,7 +464,8 @@ def split_hot_buckets(
     if bit is None:
         bit = F.pmod(F.xxhash64(F.col(id_col)), F.lit(2))
     out = (
-        index.join(F.broadcast(registry), ["band", "bucket"])
+        index.join(F.broadcast(registry), ["band", "bucket"], "left")
+        .withColumn("split", F.coalesce(F.col("split"), F.lit(False)))
         .withColumn(
             "bucket",
             F.col("bucket") * 2 + F.when(F.col("split"), bit).otherwise(F.lit(0)),

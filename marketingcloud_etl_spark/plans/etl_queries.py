@@ -4332,13 +4332,27 @@ def q423_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Row digests route NULLs through the NULL_SENTINEL protocol (the
+# audit_queries convention): Spark's concat_ws SKIPS null arguments
+# while DuckDB's || chain nullifies the whole digest, so a NULL
+# user_id/ts/value in a future events fixture would fork the q428/q430
+# checksums cross-engine silently. Coalescing every field to the
+# sentinel on BOTH engines makes the digest total. chr(0)||'NULL'||
+# chr(0) spells functions.hashing.NULL_SENTINEL in both SQL dialects.
+_CDC_NULL = "chr(0) || 'NULL' || chr(0)"
 _CDC_DIG_DUCK = (
-    "('0x' || substr(md5(user_id || ':' || epoch_us(ts) || ':' "
-    "|| floor(value * 100)::BIGINT), 1, 8))::BIGINT"
+    f"('0x' || substr(md5("
+    f"coalesce(user_id::VARCHAR, {_CDC_NULL}) || ':' || "
+    f"coalesce(epoch_us(ts)::VARCHAR, {_CDC_NULL}) || ':' || "
+    f"coalesce((floor(value * 100)::BIGINT)::VARCHAR, {_CDC_NULL})"
+    f"), 1, 8))::BIGINT"
 )
 _CDC_DIG_SPARK = (
-    "cast(conv(substring(md5(concat_ws(':', user_id, unix_micros(ts), "
-    "floor(value * 100))), 1, 8), 16, 10) as bigint)"
+    f"cast(conv(substring(md5(concat_ws(':', "
+    f"coalesce(cast(user_id as string), {_CDC_NULL}), "
+    f"coalesce(cast(unix_micros(ts) as string), {_CDC_NULL}), "
+    f"coalesce(cast(floor(value * 100) as string), {_CDC_NULL})"
+    f")), 1, 8), 16, 10) as bigint)"
 )
 
 

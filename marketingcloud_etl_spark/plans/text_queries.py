@@ -958,13 +958,22 @@ def q117_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     false positives), so the result is pinned rows-only; the inclusion
     guarantee vs exact counts is tested in tests/test_operators.py.
     The sketch merges associatively across partitions — no shuffle of
-    raw tokens, just one sketch per partition to the driver."""
+    raw tokens, just one sketch per partition to the driver.
+
+    The frequent-token list is projected as a space-joined STRING, not
+    a raw ArrayType: the driver's pandas canonicalizer factorizes every
+    output cell even for rows-only queries (round-10's q117 red — list
+    cells are unhashable), so the catalog-wide contract is scalar-only
+    final projections (test_plan_quality.py::
+    test_oracle_query_outputs_are_driver_hashable, no exemptions)."""
     prep(spark)
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens("text")).alias("t"))
     hits = toks.stat.freqItems(["t"], support=0.02)
     return hits.select(
-        F.array_sort(F.col("t_freqItems")).alias("frequent_tokens"),
+        F.concat_ws(" ", F.array_sort(F.col("t_freqItems"))).alias(
+            "frequent_tokens"
+        ),
         F.size(F.col("t_freqItems")).alias("n_frequent"),
     )
 

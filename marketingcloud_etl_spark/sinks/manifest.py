@@ -235,10 +235,27 @@ def read_generation(spark, manifest_path: str, index: int):
     with a window at least as old as the longest historical read you
     allow, exactly like any MVCC vacuum horizon."""
     gen_dir = generation_at(manifest_path, index)
-    df = spark.read.parquet(gen_dir)  # plans eagerly: lists files now
+    try:
+        df = spark.read.parquet(gen_dir)  # plans eagerly: lists files now
+    except Exception as exc:  # AnalysisException PATH_NOT_FOUND
+        # a gc that completed between generation_at() and the read
+        # leaves a dangling pointer for one beat; translate the raw
+        # missing-path failure into the same LookupError a pre-deleted
+        # read raises (after re-reading the manifest, so a genuine
+        # non-gc I/O error still propagates as itself)
+        if "PATH_NOT_FOUND" in str(exc) or not os.path.isdir(gen_dir):
+            raise LookupError(
+                f"generation {index} ({gen_dir}) was garbage-collected "
+                "before the read could be planned"
+            ) from exc
+        raise
     # re-validate AFTER planning — a gc that won the race deleted the
     # dir (or marked the entry) while Spark listed it; surface the
-    # same LookupError as a pre-deleted read, not a dangling-path scan
+    # same LookupError as a pre-deleted read, not a dangling-path scan.
+    # (The isdir probe is a local-fs-only belt-and-braces guard; on an
+    # object store the manifest re-read above is the authoritative
+    # check, and the grace-window policy below is what actually closes
+    # the race.)
     generation_at(manifest_path, index)
     if not os.path.isdir(gen_dir):
         raise LookupError(

@@ -2622,3 +2622,104 @@ def test_split_hot_buckets_probe_equivalence(spark, sf_dir):
         assert max(
             after.get((band, 2 * bucket), 0), after.get((band, 2 * bucket + 1), 0)
         ) < sz or sz == 1
+
+
+def test_read_generation_gc_completed_before_planning(spark, tmp_path, monkeypatch):
+    """The other side of the race window: gc finishes AFTER the
+    manifest lookup but BEFORE spark.read.parquet lists the dir. The
+    raw AnalysisException (PATH_NOT_FOUND) must be translated into the
+    same LookupError the post-planning re-check raises — a time-travel
+    caller handles one exception type for 'retention won', not two."""
+    import pytest
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from marketingcloud_etl_spark.sinks.manifest import (
+        gc_generations,
+        publish_generation,
+        read_generation,
+    )
+
+    g = [str(tmp_path / f"gen{i}") for i in range(2)]
+    for d in g:
+        spark.range(4).write.parquet(d)
+    man = str(tmp_path / "MANIFEST.json")
+    for i, d in enumerate(g):
+        publish_generation(man, d, {"generation": i})
+
+    orig = DataFrameReader.parquet
+
+    def gc_wins_before_planning(self, *paths):
+        gc_generations(man, keep_last=1)  # deletes gen0 before listing
+        return orig(self, *paths)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", gc_wins_before_planning)
+    with pytest.raises(LookupError, match="garbage-collected"):
+        read_generation(spark, man, 0)
+
+
+def test_split_hot_buckets_accepts_partial_sizes(spark):
+    """A caller may pass a PRE-FILTERED sizes frame (e.g. a hot-bucket
+    maintenance report that only lists over-cap buckets). Buckets
+    absent from it are cold by definition — their index rows must be
+    remapped to 2*bucket, never silently dropped (the round-10 inner
+    join lost them). Full-coverage sizes and hot-only sizes must
+    produce the identical split index."""
+    from pyspark.sql import functions as F
+
+    from marketingcloud_etl_spark.operators.dedup import split_hot_buckets
+
+    rows = [(i, 0, i % 3) for i in range(12)]  # bucket 0/1/2: 4 rows each
+    index = spark.createDataFrame(rows, "id long, band int, bucket long")
+    bit = F.pmod(F.col("id"), F.lit(2))
+
+    full, _ = split_hot_buckets(index, cap=3, bit=bit)
+    sizes_hot_only = (
+        index.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .filter(F.col("__sz") > 3)
+    )
+    partial, _ = split_hot_buckets(index, cap=3, bit=bit, sizes=sizes_hot_only)
+
+    assert partial.count() == index.count()  # nothing dropped
+    key = lambda df: sorted(map(tuple, df.select("id", "band", "bucket").collect()))  # noqa: E731
+    assert key(partial) == key(full)
+
+
+def test_cdc_digest_null_fields_match_duckdb(spark, duck):
+    """q428/q430's row digest must be TOTAL: Spark's concat_ws skips
+    null arguments while DuckDB's || chain nullifies the digest, so
+    without the NULL_SENTINEL coalesce a NULL user_id/ts/value forks
+    the CDC checksums cross-engine silently (ADVICE r10). Evaluate
+    both digest expressions over rows with a NULL in each position and
+    compare exactly."""
+    import pandas as pd
+
+    from marketingcloud_etl_spark.plans.etl_queries import (
+        _CDC_DIG_DUCK,
+        _CDC_DIG_SPARK,
+    )
+    from marketingcloud_etl_spark.session import prep
+
+    prep(spark)
+    ts = pd.Timestamp("2024-03-07 12:34:56.789012")
+    pdf = pd.DataFrame(
+        {
+            # bigint user_id, mirroring the real events schema
+            "user_id": pd.array([101, None, 103, 104], dtype="Int64"),
+            "ts": [ts, ts, pd.NaT, ts],
+            "value": [1.25, 2.5, 3.75, None],
+        }
+    )
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        "user_id", f"{_CDC_DIG_SPARK} as dig"
+    )
+    got = {r["user_id"]: r["dig"] for r in sdf.collect()}
+    duck.register("cdc_null_probe", pdf)
+    want = {
+        r[0]: r[1]
+        for r in duck.sql(
+            f"SELECT user_id, {_CDC_DIG_DUCK} AS dig FROM cdc_null_probe"
+        ).fetchall()
+    }
+    assert got == want
+    assert all(v is not None for v in got.values())

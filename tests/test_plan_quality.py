@@ -490,8 +490,10 @@ def test_oracle_query_outputs_are_driver_hashable(spark, sf_dir):
     canonicalizer — q165's round-4 failure mode. List-shaped results
     must fold to a scalar (sorted-fold protocol, q108/q217/q282) or
     stringify (concat_ws, the q18/q165 pattern) BEFORE the final
-    projection. Rows-only queries (no oracle) are exempt — the driver
-    only counts their rows."""
+    projection. Rows-only queries are NOT exempt: round 10's q117 red
+    proved the driver canonicalizes rows-only output through the same
+    pandas hasher before recording even the row count — the scalar-only
+    contract is catalog-wide."""
     from pyspark.sql import types as T
 
     scalar_ok = (
@@ -502,8 +504,6 @@ def test_oracle_query_outputs_are_driver_hashable(spark, sf_dir):
     bad = {}
     cartesian = []
     for name, qd in REGISTRY.items():
-        if qd.oracle is None:
-            continue
         df = qd.fn(spark, sf_dir)
         schema = df.schema
         hazards = [
@@ -1051,3 +1051,25 @@ def test_lsh_bucket_split_is_broadcast_maintenance(spark, sf_dir):
     plan = _plan(REGISTRY["q426_lsh_bucket_split"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rows_only_outputs_survive_driver_canonicalizer(spark, sf_dir):
+    """Value-level replay of the driver's canonicalization over every
+    rows-only query (the schema guard above is type-level; this one
+    EXECUTES each query and pushes the real pandas frame through the
+    same path the driver crashed on in round 10). The driver sorts the
+    frame by every column (pandas lexsort → Categorical.factorize),
+    which raises `TypeError: unhashable type` on any container cell —
+    q117's red happened before even the row count was recorded. A green
+    here means every rows-only query's actual output is recordable."""
+    for name, qd in REGISTRY.items():
+        if qd.oracle is not None:
+            continue
+        pdf = qd.fn(spark, sf_dir).toPandas()
+        if len(pdf):
+            # the driver's exact crash site: sort_values over all columns
+            pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+        # and the repo's own comparator canonicalization for good measure
+        from .oracle import canonical
+
+        canonical(pdf)
