@@ -51,7 +51,12 @@ HEADLINE = (
     "q15_agg_rollup",
     "q22_window_topk",
     "q37_dedup_exact_hash",
-    "q41_tokenize_wordcount",
+    # q41/q107/q407/q416 retired from the headline set in round 11
+    # (the q85/q338 precedent): all four permanently floor-pinned at
+    # sub-0.35 s driver times (zero ratchet information), retired to
+    # fit the three round-11 compositions inside the driver's stdout
+    # artifact window; their families keep representatives (q42 text,
+    # q116 packing/BPE, q363 sampling, q415 manifest reads).
     "q42_tfidf",
     "q49_knn_bruteforce",
     "q50_minhash_lsh",
@@ -72,7 +77,6 @@ HEADLINE = (
     "q90_curation_pipeline",
     # round-2 second wave: packing + BPE counting (pure built-in text
     # paths whose regressions would otherwise go unmeasured)
-    "q107_sequence_packing",
     "q116_bpe_pair_counts",
     # round-2 third wave: exact-percentile, funnel-join, and CDC-diff
     # shapes — each a distinct physical-plan family
@@ -258,6 +262,19 @@ HEADLINE = (
     # (state build in setup), and the Merkle compare-and-repair loop
     "q429_mv_incremental_refresh",
     "q431_anti_entropy_repair",
+    # round-11: the three carried compositions — streaming semantic
+    # dedup (golden arrivals + gen-0 vector index in setup; timed pass
+    # = copy-state + three-micro-batch replay), the gaps-and-islands
+    # maximal-span merge over q173's windows, and the composed RAG
+    # pipeline (chunk index in setup; timed pass = serve→rollup→RRF→
+    # MMR, k-row after the postings probe)
+    "q437_stream_semantic_dedup",
+    "q438_maximal_dup_spans",
+    "q439_rag_serving_pipeline",
+    # round-11 wave 2: streaming BM25 maintenance (golden arrivals +
+    # gen-0 postings in setup; timed pass = append + refold + serve
+    # per micro-batch — the retrieval cell of the state matrix)
+    "q443_stream_bm25_maintenance",
 )
 
 
@@ -285,7 +302,6 @@ BUDGETS = {
     "q15_agg_rollup": 1.5,  # driver-min 0.402
     "q22_window_topk": 1.5,  # driver-min 0.509
     "q37_dedup_exact_hash": 1.5,  # driver-min 0.409
-    "q41_tokenize_wordcount": 1.5,  # driver-min 0.318
     "q42_tfidf": 1.59,  # driver obs 1.06 (r10, 99q battery)
     "q49_knn_bruteforce": 1.5,  # driver-min 0.683
     "q50_minhash_lsh": 1.71,  # driver obs 1.14 (r10, 99q battery)
@@ -297,7 +313,6 @@ BUDGETS = {
     "q71_asof_cogroup": 1.78,  # driver obs 1.19 (r10, 99q battery)
     "q89_decontamination": 1.5,  # driver-min 1.0 (r10); floor
     "q90_curation_pipeline": 1.5,  # driver-min 0.481
-    "q107_sequence_packing": 1.5,  # driver-min 0.31
     "q116_bpe_pair_counts": 1.5,  # driver-min 0.389
     "q119_median_mad_outliers": 4.96,  # driver obs 3.31 (r9, 95q battery)
     "q121_funnel_conversion": 1.5,  # driver-min 0.576
@@ -371,7 +386,6 @@ BUDGETS = {
     "q404_decontamination_state": 1.86,  # driver obs 1.24 (r10, 99q battery)
     "q405_incremental_heavy_hitters": 1.5,  # driver-min 0.592 (r8)
     "q406_ivm_retraction": 1.5,  # driver-min 0.565 (r8)
-    "q407_incremental_sample_state": 1.5,  # driver-min 0.212 (r8)
     "q408_table_checksum_reconcile": 4.83,  # driver obs 3.22 (r10, 99q battery)
     "q409_column_profile_audit": 5.29,  # driver-min 3.53 (r9)
     "q410_referential_integrity_audit": 2.83,  # driver obs 1.89 (r9, 95q battery)
@@ -379,7 +393,6 @@ BUDGETS = {
     "q413_uniqueness_contract_audit": 1.74,  # driver obs 1.16 (r9, 95q battery)
     "q414_warm_start_pagerank": 4.02,  # driver obs 2.68 (r10, 99q battery)
     "q415_manifest_time_travel": 1.5,  # driver-min 0.582 (r8)
-    "q416_split_release_audit": 1.5,  # driver-min 0.319 (r8)
     "q417_incremental_checksum_state": 1.5,  # driver-min 0.551 (r8)
     "q418_partition_checksum_diff": 1.5,  # driver-min 0.656 (r8)
     "q419_schema_drift_detect": 3.27,  # driver obs 2.18 (r10, 99q battery)
@@ -390,6 +403,13 @@ BUDGETS = {
     "q426_lsh_bucket_split": 3.74,  # driver obs 2.49 (r10, 99q battery)
     "q429_mv_incremental_refresh": 2.21,  # driver obs 1.47 (r10, 99q battery)
     "q431_anti_entropy_repair": 5.28,  # driver obs 3.52 (r10, 99q battery)
+    # round-11 additions: provisional local pins (worst of two full
+    # idle bench-condition runs x 1.5) until their first driver bench
+    # lands (BASELINE.md replace-local-pins rule)
+    "q437_stream_semantic_dedup": 10.4,  # bench-condition 6.2-7.0
+    "q438_maximal_dup_spans": 4.0,  # bench-condition 2.5-2.7
+    "q439_rag_serving_pipeline": 3.6,  # bench-condition 2.4
+    "q443_stream_bm25_maintenance": 15.3,  # isolated 6.8 x 1.5 x 1.5
 }
 
 # Retired (pre-95-battery-era) anchors for the budgets the round-10
@@ -513,6 +533,16 @@ SETUP_QUERIES = (
     # signed-IVM twin: history MV built once; the timed pass measures
     # delta-aggregate + signed merge + routed report
     "q429_mv_incremental_refresh",
+    # streaming semantic dedup: golden arrivals + gen-0 vector index +
+    # codebook train once; the timed pass copies fresh state and
+    # measures the three-micro-batch replay itself
+    "q437_stream_semantic_dedup",
+    # composed RAG pipeline: chunk postings index written once; the
+    # timed pass measures serve -> rollup -> fuse -> MMR
+    "q439_rag_serving_pipeline",
+    # streaming BM25 maintenance: golden arrivals + gen-0 postings
+    # once; the timed pass copies state and replays the three batches
+    "q443_stream_bm25_maintenance",
 )
 
 
@@ -638,12 +668,13 @@ def main() -> None:
     # The over/unpinned blocks are the only variable-size parts of the
     # line: an every-query-red catastrophe (the exact case the gate
     # exists to report) would add ~40 bytes per over entry and blow the
-    # window. Cap both at the 10 worst; n_over/n_unpinned carry the
-    # true counts and bench_full.json carries every entry.
+    # window. Cap both at the 8 worst (10 until the round-11 battery
+    # growth); n_over/n_unpinned carry the true counts and
+    # bench_full.json carries every entry.
     worst_over = dict(
         sorted(
             over.items(), key=lambda kv: kv[1]["sec"] / kv[1]["budget"], reverse=True
-        )[:10]
+        )[:8]
     )
     compact = {
         "metric": "headline_total",
@@ -660,7 +691,7 @@ def main() -> None:
                 for n, v in worst_over.items()
             },
             "n_unpinned": len(unpinned),
-            "unpinned": [n.split("_", 1)[0] for n in unpinned[:10]],
+            "unpinned": [n.split("_", 1)[0] for n in unpinned[:8]],
             "n_watch": len(watch),
         },
     }

@@ -1411,6 +1411,235 @@ def q173_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q438_maximal_dup_spans",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    win AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(words) - 7, 0))) AS pos,
+             words
+      FROM w
+    ), spans AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(words, pos + 1, pos + 8), ' ') AS span
+      FROM win
+    ), freq AS (
+      SELECT span, count(*) AS c FROM spans GROUP BY span
+    ), dup AS (
+      SELECT s.doc_id, s.pos FROM spans s JOIN freq f ON s.span = f.span
+      WHERE f.c > 1
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup
+    )
+    SELECT doc_id,
+           cast(min(pos) as bigint) AS span_start,
+           cast(max(pos) + 7 as bigint) AS span_end,
+           cast(max(pos) - min(pos) + 8 as bigint) AS span_tokens,
+           cast(count(*) as bigint) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """,
+    tags=("text", "dedup", "llm"),
+)
+def q438_maximal_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated-span extraction — the remove-longest-
+    substring semantics of Lee et al. 2022 ('Deduplicating Training
+    Data Makes Language Models Better') on top of q173's fixed
+    8-word windows: adjacent duplicated windows (stride-1 positions
+    whose span text repeats anywhere in the corpus) merge into one
+    per-document MAXIMAL span with exact token bounds — a run of
+    duplicated windows at positions [s..e] covers tokens
+    [s, e+7], which is precisely the region a substring-dedup pass
+    would trim (q173 only reports the per-doc duplicated fraction;
+    this materializes WHAT to cut). One row per maximal span:
+    (doc_id, span_start, span_end, span_tokens, n_windows).
+
+    The merge is the gaps-and-islands trick (q324's protocol):
+    duplicated positions are islanded by pos − row_number() over
+    (doc_id, pos) — consecutive positions share the constant — then
+    one groupBy emits each island's bounds. All-integer arithmetic,
+    identical window semantics in both engines (pos is unique per
+    doc, so the ordering is total and the hash check is exact).
+
+    Scale shape: q173's two content-keyed shuffles (window frequency,
+    per-doc rejoin) plus ONE doc-keyed window + aggregate over the
+    duplicated subset only — typically a small fraction of the
+    corpus. No all-pairs anywhere; the doc-keyed window is bounded by
+    per-doc window counts (document length), the same skew bound as
+    every per-doc op in the catalog."""
+    prep(spark)
+    return _maximal_dup_spans(spark, sf_dir)
+
+
+def _maximal_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared derivation for q438 (report) and q442 (removal rewrite):
+    per-doc maximal corpus-duplicated token spans, one row per island
+    (doc_id, span_start, span_end, span_tokens, n_windows) — see
+    q438's docstring for the semantics and scale shape."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    spans = (
+        d.select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(words) - 8), "
+                    "i -> concat_ws(' ', slice(words, i + 1, 8)))"
+                )
+            ).alias("pos", "span"),
+        )
+    )
+    freq = spans.groupBy("span").agg(F.count(F.lit(1)).alias("c"))
+    dup = (
+        spans.join(freq, "span")
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
+    )
+    isl = dup.withColumn(
+        "grp",
+        F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + 7).cast("bigint").alias("span_end"),
+        (F.max("pos") - F.min("pos") + 8).cast("bigint").alias("span_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+    ).drop("grp")
+
+
+# the q438 span-table CTE prefix, shared verbatim by the q442 oracle so
+# the removal pass cannot drift from the report it consumes
+_DUP_SPAN_CTES = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    win AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(words) - 7, 0))) AS pos,
+             words
+      FROM w
+    ), spans AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(words, pos + 1, pos + 8), ' ') AS span
+      FROM win
+    ), freq AS (
+      SELECT span, count(*) AS c FROM spans GROUP BY span
+    ), dup AS (
+      SELECT s.doc_id, s.pos FROM spans s JOIN freq f ON s.span = f.span
+      WHERE f.c > 1
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup
+    ), sp AS (
+      SELECT doc_id,
+             cast(min(pos) as bigint) AS span_start,
+             cast(max(pos) + 7 as bigint) AS span_end,
+             cast(max(pos) - min(pos) + 8 as bigint) AS span_tokens,
+             cast(count(*) as bigint) AS n_windows
+      FROM isl GROUP BY doc_id, grp
+    )"""
+
+
+@query(
+    "q442_dup_span_removal",
+    oracle=_DUP_SPAN_CTES
+    + """, toks AS (
+      -- positional unnest via the range idiom (no WITH ORDINALITY in
+      -- DuckDB 1.0 — see the divergence ledger)
+      SELECT doc_id, cast(pos as bigint) AS pos,
+             words[cast(pos as int) + 1] AS t
+      FROM w, unnest(range(0, len(words))) AS u(pos)
+    ), removed AS (
+      SELECT DISTINCT s.doc_id, s.span_start + u.i AS pos
+      FROM sp s, unnest(range(0, s.span_tokens)) AS u(i)
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.t
+      FROM toks t LEFT JOIN removed r
+        ON t.doc_id = r.doc_id AND t.pos = r.pos
+      WHERE r.doc_id IS NULL
+    )
+    SELECT t.doc_id,
+           cast(count(*) as bigint) AS n_tokens,
+           cast(count(*) - count(k.t) as bigint) AS n_removed,
+           cast(count(k.t) as bigint) AS n_kept,
+           md5(coalesce(string_agg(k.t, ' ' ORDER BY k.pos), '')) AS trimmed_digest
+    FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id AND t.pos = k.pos
+    WHERE t.doc_id IN (SELECT doc_id FROM sp)
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "dedup", "llm"),
+)
+def q442_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of exact substring dedup — Lee et al. 2022's
+    pipeline now runs end to end in the catalog: q173 detects
+    duplicated windows, q438 merges them into maximal spans, and THIS
+    query rewrites each affected document with its spans cut out,
+    reporting (n_tokens, n_removed, n_kept, md5 of the trimmed text in
+    original token order). The digest pins the rewrite exactly — a
+    off-by-one span bound, a dropped survivor token, or a reordered
+    reassembly all hash-mismatch. Only span-affected docs are emitted
+    (the removal pass's write set; untouched docs need no rewrite).
+
+    Cross-engine reassembly protocol: kept tokens re-join in POSITION
+    order — Spark sorts the collected (pos, tok) structs (array_sort
+    on the unique int key) and folds to a string; DuckDB uses
+    string_agg ORDER BY pos; both coalesce the all-removed edge case
+    to the empty string before md5. The span table is the SAME CTE
+    text q438's oracle uses (_DUP_SPAN_CTES), so report and rewrite
+    cannot drift.
+
+    Scale shape: q438's derivation plus a bounded explode of the span
+    ranges (Σ span_tokens ≤ corpus dup volume), one (doc, pos)-keyed
+    anti-join, and one doc-keyed reassembly agg over affected docs
+    only. The reassembly collect is bounded per doc by document
+    length — the same per-doc bound as every text op here; at 100 TB
+    the removal write set streams out partitioned by doc ranges, and
+    untouched docs are passed through by the writer without entering
+    the anti-join (the IN-filter on affected docs prunes first)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    spans = _maximal_dup_spans(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "t"),
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+    removed = spans.select(
+        "doc_id",
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    ).distinct()
+    affected = spans.select("doc_id").distinct()
+    toks_a = toks.join(affected, "doc_id", "left_semi")
+    kept = toks_a.join(removed, ["doc_id", "pos"], "left_anti")
+    assembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(pos, t))), x -> x.t)"),
+            )
+        ).alias("trimmed_digest"),
+    )
+    totals = toks_a.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    empty_md5 = F.md5(F.lit(""))
+    return (
+        totals.join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("trimmed_digest", empty_md5).alias("trimmed_digest"),
+        )
+    )
+
+
+@query(
     "q189_winnowing_fingerprints",
     oracle=f"""
     WITH th AS (
@@ -3723,4 +3952,121 @@ def q404_decontamination_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_train"),
             F.count("__hit").cast("bigint").alias("n_contaminated"),
         )
+    )
+
+
+@query(
+    "q441_dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+    ), tgt AS (
+      SELECT w FROM toks WHERE doc_id % 7 = 0
+    ), rawt AS (
+      SELECT doc_id, w FROM toks WHERE doc_id % 7 <> 0
+    ), v AS (
+      SELECT count(DISTINCT w) AS vsz FROM toks
+    ), nt AS (SELECT count(*) AS n FROM tgt),
+    nr AS (SELECT count(*) AS n FROM rawt),
+    ctt AS (SELECT w, count(*) AS c FROM tgt GROUP BY w),
+    crr AS (SELECT w, count(*) AS c FROM rawt GROUP BY w),
+    vocab AS MATERIALIZED (
+      SELECT t.w,
+             ln(cast(coalesce(ct.c, 0) + 1 as double)
+                / cast(nt.n + v.vsz as double))
+           - ln(cast(coalesce(cr.c, 0) + 1 as double)
+                / cast(nr.n + v.vsz as double)) AS lr
+      FROM (SELECT DISTINCT w FROM toks) t
+      LEFT JOIN ctt ct ON t.w = ct.w
+      LEFT JOIN crr cr ON t.w = cr.w
+      CROSS JOIN nt CROSS JOIN nr CROSS JOIN v
+    ), docterms AS (
+      SELECT doc_id, w, count(*) AS cnt FROM rawt GROUP BY doc_id, w
+    ), scored AS (
+      SELECT d.doc_id,
+             cast(sum(cnt) as bigint) AS n_tokens,
+             list_reduce(list_sort(list(cast(cnt as double) * vb.lr)),
+                         (x, y) -> x + y) AS wgt
+      FROM docterms d JOIN vocab vb ON d.w = vb.w
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_tokens, round(wgt, 6) AS dsir_weight
+    FROM scored ORDER BY wgt DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "llm-pipeline", "sampling"),
+)
+def q441_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SELECTION VIA IMPORTANCE RESAMPLING (DSIR, Xie et al. 2023)
+    — the unigram-LM core of the method as a distributed, exactly
+    verifiable query: a target-domain slice (doc_id % 7 = 0, the
+    'high-quality domain' stand-in) and the raw pool each fit an
+    add-one-smoothed unigram LM over the SHARED corpus vocabulary, and
+    every raw document scores its importance log-weight
+    Σ_types cnt·(ln p_target(w) − ln p_raw(w)) — the log likelihood
+    ratio DSIR resamples by. The top-20 by (weight, doc_id) ship with
+    exact token counts; a selection pass would keep the head of this
+    ordering (q190's quota machinery composes downstream unchanged).
+
+    Cross-engine exactness: all counts are exact integers; both
+    probabilities are one double division of exact ints; ln is
+    bitwise-equal on identical doubles (ledger); per-document folds
+    sum the SORTED per-type terms (the q108/q217 protocol), so the
+    weights — and therefore the top-20 set and order — are
+    bit-identical. The shared-vocabulary construction keeps both LMs
+    total (every token has mass in both), so no -inf edge cases.
+
+    100 TB story: two token-keyed count aggs (map-side combinable),
+    one vocabulary-sized LEFT-JOIN assembly of the log-ratio table
+    (vocabulary ≪ corpus; broadcastable at realistic vocab sizes),
+    one (doc, type)-keyed agg joined against it, and a global top-k
+    (TakeOrderedAndProject — never a full sort). DSIR's hashed-ngram
+    variant drops in by replacing the token key with a hash bucket,
+    shrinking the vocab table to a fixed width."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    tgt = toks.filter(F.col("doc_id") % 7 == 0)
+    raw = toks.filter(F.col("doc_id") % 7 != 0)
+    vsz = toks.select("w").distinct().agg(F.count(F.lit(1)).alias("vsz"))
+    nt = tgt.agg(F.count(F.lit(1)).alias("nt"))
+    nr = raw.agg(F.count(F.lit(1)).alias("nr"))
+    ctt = tgt.groupBy("w").agg(F.count(F.lit(1)).alias("ct"))
+    crr = raw.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
+    vocab = (
+        toks.select("w")
+        .distinct()
+        .join(ctt, "w", "left")
+        .join(crr, "w", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "w",
+            F.expr(
+                "ln(cast(coalesce(ct, 0) + 1 as double)"
+                " / cast(nt + vsz as double))"
+                " - ln(cast(coalesce(cr, 0) + 1 as double)"
+                " / cast(nr + vsz as double))"
+            ).alias("lr"),
+        )
+    )
+    docterms = raw.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        docterms.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.col("cnt").cast("double") * F.col("lr"))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("wgt"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("wgt").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_tokens", F.round("wgt", 6).alias("dsir_weight"))
     )

@@ -1448,22 +1448,19 @@ def q368_mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-def _mmr_oracle() -> str:
-    """Greedy MMR unrolled as chained CTEs (k=6 picks over a 12-doc
-    candidate list) — the q349 fixed-iteration protocol: the oracle
-    unrolls the same greedy path the Spark-side aggregate() fold
-    walks, argmax = ORDER BY mmr DESC, vec_id."""
-    cos_q = cosine_sql("e.embedding", "q.v")
+def _mmr_sel_ctes() -> tuple[str, str]:
+    """The reusable tail of the unrolled greedy-MMR oracle (the q349
+    fixed-iteration protocol): given preceding CTEs that define
+    ``cand`` (vec_id, rel — the candidate list, vectors resolvable in
+    ``embeddings``), returns (ctes, sel_union) where ``ctes`` appends
+    the pairwise-sims CTE and the six chained argmax CTEs
+    (argmax = ORDER BY mmr DESC, vec_id — the exact tie-break the
+    Spark fold's array_sort uses), and ``sel_union`` unions the six
+    picks. Shared by q374 (cosine-top-12 candidates) and q439 (the
+    composed pipeline's RRF-fused candidates)."""
     sim = cosine_sql("a.embedding", "b.embedding")
     parts = [
-        f"""
-    WITH q AS (
-      SELECT embedding AS v FROM embeddings WHERE vec_id = 0
-    ), cand AS (
-      SELECT e.vec_id, {cos_q} AS rel
-      FROM embeddings e, q
-      ORDER BY rel DESC, e.vec_id LIMIT 12
-    ), sims AS (
+        f""", sims AS MATERIALIZED (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS sim
       FROM (SELECT c.vec_id, e.embedding FROM cand c
             JOIN embeddings e ON c.vec_id = e.vec_id) a,
@@ -1487,11 +1484,26 @@ def _mmr_oracle() -> str:
     )""")
         prev_union += f" UNION ALL SELECT vec_id FROM sel{i}"
     sel_union = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, 7))
-    parts.append(f"""
+    return "".join(parts), sel_union
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR unrolled as chained CTEs (k=6 picks over a 12-doc
+    candidate list) — q374's oracle: cosine-top-12 candidates, then
+    the shared :func:`_mmr_sel_ctes` chain."""
+    cos_q = cosine_sql("e.embedding", "q.v")
+    ctes, sel_union = _mmr_sel_ctes()
+    return f"""
+    WITH q AS (
+      SELECT embedding AS v FROM embeddings WHERE vec_id = 0
+    ), cand AS MATERIALIZED (
+      SELECT e.vec_id, {cos_q} AS rel
+      FROM embeddings e, q
+      ORDER BY rel DESC, e.vec_id LIMIT 12
+    ){ctes}
     SELECT vec_id, cast(step as bigint) AS step,
            round(rel, 6) AS rel, round(mmr, 6) AS mmr
-    FROM ({sel_union})""")
-    return "".join(parts)
+    FROM ({sel_union})"""
 
 
 def _mmr_fold_expr() -> str:
@@ -1598,6 +1610,251 @@ def q374_mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFram
             F.round("s.rel", 6).alias("rel"),
             F.round("s.mmr", 6).alias("mmr"),
         )
+    )
+
+
+# q439: the composed pipeline's query terms (all with postings in the
+# fixture vocabulary) and per-sf chunk-index state cache
+_Q439_TERMS = ("join", "spark", "stream")
+_Q439_STATE: dict[str, str] = {}
+
+
+def _q439_oracle() -> str:
+    """The composed retrieval pipeline unrolled as one CTE chain:
+    chunking (q361's grid), chunk-level BM25 (q390's arithmetic, unit
+    = chunk), top-50 chunk retrieval, parent-doc rollup, the dense
+    cosine leg, integer RRF fusion (q362), and the shared greedy-MMR
+    tail (:func:`_mmr_sel_ctes`)."""
+    from ..functions.text import tokens_sql
+
+    toks = tokens_sql("text")
+    cos_q = cosine_sql("e.embedding", "q.v")
+    cand_rel = cosine_sql("e.embedding", "q.v")
+    terms = ", ".join(f"'{t}'" for t in _Q439_TERMS)
+    ctes, sel_union = _mmr_sel_ctes()
+    return f"""
+    WITH corp AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN embeddings em ON d.doc_id = em.vec_id
+    ), t AS (
+      SELECT doc_id, {toks} AS ws FROM corp
+    ), starts AS (
+      SELECT doc_id, ws, cast(st as bigint) AS st
+      FROM t, unnest(range(0, len(ws), 48)) AS u(st)
+      WHERE len(ws) > 0
+    ), chunks AS (
+      SELECT doc_id, doc_id * 1000 + st // 48 AS ckey,
+             list_slice(ws, cast(st + 1 as int), cast(st + 64 as int)) AS ctoks
+      FROM starts
+    ), ct AS MATERIALIZED (
+      SELECT ckey, unnest(ctoks) AS tk FROM chunks
+    ), dl AS (
+      SELECT ckey, count(*) AS len FROM ct GROUP BY ckey
+    ), stats AS (
+      SELECT (SELECT count(*) FROM chunks) AS n_docs,
+             (SELECT sum(len) FROM dl) AS total_len
+    ), qt AS (
+      SELECT unnest([{terms}]) AS tk
+    ), tf AS (
+      SELECT ckey, tk, count(*) AS tf FROM ct
+      WHERE tk IN (SELECT tk FROM qt) GROUP BY ckey, tk
+    ), idf AS (
+      SELECT tk, count(DISTINCT ckey) AS df FROM tf GROUP BY tk
+    ), scored AS (
+      SELECT tf.ckey,
+             ln(1 + (s.n_docs - i.df + 0.5) / (i.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * d.len
+                                 / (s.total_len / cast(s.n_docs as double))))
+               AS term_score
+      FROM tf JOIN idf i ON i.tk = tf.tk
+              JOIN dl d ON tf.ckey = d.ckey
+              CROSS JOIN stats s
+    ), cagg AS (
+      SELECT ckey,
+             list_reduce(list_sort(list(term_score)), (x, y) -> x + y) AS bm25
+      FROM scored GROUP BY ckey
+    ), ctop AS MATERIALIZED (
+      SELECT ckey, bm25 FROM cagg ORDER BY bm25 DESC, ckey LIMIT 50
+    ), lex AS (
+      SELECT ckey // 1000 AS doc_id, max(bm25) AS rel_lex
+      FROM ctop GROUP BY ckey // 1000
+    ), bm_top AS (
+      SELECT doc_id, row_number() OVER (ORDER BY rel_lex DESC, doc_id) AS rb
+      FROM lex ORDER BY rel_lex DESC, doc_id LIMIT 25
+    ), q AS (
+      SELECT embedding AS v FROM embeddings WHERE vec_id = 0
+    ), dcos AS (
+      SELECT e.vec_id AS doc_id, {cos_q} AS c
+      FROM embeddings e
+      JOIN documents d ON e.vec_id = d.doc_id
+      CROSS JOIN q
+    ), cos_top AS (
+      SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rc
+      FROM dcos ORDER BY c DESC, doc_id LIMIT 25
+    ), fused AS (
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             cast(coalesce(b.rb, 0) as bigint) AS rank_bm25,
+             cast(coalesce(c.rc, 0) as bigint) AS rank_cos,
+             coalesce(1000000000 // (60 + b.rb), 0)
+               + coalesce(1000000000 // (60 + c.rc), 0) AS rrf_ppb
+      FROM bm_top b FULL OUTER JOIN cos_top c ON b.doc_id = c.doc_id
+    ), ftop AS MATERIALIZED (
+      SELECT doc_id, rank_bm25, rank_cos, cast(rrf_ppb as bigint) AS rrf_ppb
+      FROM fused ORDER BY rrf_ppb DESC, doc_id LIMIT 12
+    ), cand AS MATERIALIZED (
+      SELECT f.doc_id AS vec_id, {cand_rel} AS rel
+      FROM ftop f JOIN embeddings e ON e.vec_id = f.doc_id CROSS JOIN q
+    ){ctes}
+    SELECT u.vec_id AS doc_id, cast(u.step as bigint) AS step,
+           round(u.rel, 6) AS rel, round(u.mmr, 6) AS mmr,
+           f.rank_bm25, f.rank_cos, f.rrf_ppb
+    FROM ({sel_union}) u JOIN ftop f ON u.vec_id = f.doc_id"""
+
+
+@query(
+    "q439_rag_serving_pipeline",
+    oracle=_q439_oracle(),
+    tags=("vector", "text", "retrieval", "rag", "pipeline"),
+)
+def q439_rag_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED end-to-end retrieval pipeline — every serving-side
+    stage this catalog proved separately, chained through one
+    oracle-checked query so the HANDOFFS are what's verified (the
+    VERDICT r9/r10 gap; q395 did the same for the dedup state family):
+
+        q361 chunking (64-token windows, stride 48, over the embedded
+          corpus documents∩embeddings, chunk key = doc_id·1000+idx)
+        → q390 BM25 index SERVING (persisted chunk-postings index,
+          term-IN pushdown; top-50 chunks for the query terms)
+        → parent-doc rollup (doc relevance = max chunk BM25 — the
+          chunk→doc id handoff, rank rb over 25 docs)
+        → q362 RRF fusion with the dense cosine leg (rank rc, integer
+          10⁹ div (60+rank) fusion, full-outer — top-12 docs)
+        → q374 greedy MMR diversification (k=6 picks over the fused
+          candidates, rel = exact cosine to the query vector).
+
+    Exactness end to end: BM25 is q390's bitwise float protocol
+    (Robertson idf, sorted-fold sum) with the CHUNK as the scoring
+    unit; the rollup max and both rank windows order exact doubles
+    with integer tie-breaks; fusion is pure integer floor-division;
+    MMR reuses q374's fold with the oracle's sel-chain tail
+    (:func:`_mmr_sel_ctes`) over the same candidates — so the final
+    six rows, with their lexical/dense ranks and fused scores, hash-
+    match a from-scratch relational derivation of the whole pipeline.
+
+    100 TB story: chunking is a narrow map (q361); the chunk index is
+    built ONCE (state, cached per corpus) and served with postings
+    row-group pruning (q390); every post-retrieval stage operates on
+    k-row frames (50 chunks → ≤50 docs → 25+25 ranks → 12 candidates
+    → 6 picks) — serving cost scales with HITS and k, never corpus
+    size. The only corpus-sized passes are index construction (once)
+    and the dense leg's scan (swap in the q66 IVF tier past ~10⁵
+    vectors, unchanged downstream)."""
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    prep(spark)
+    from ..functions.text import tokens
+    from ..operators.retrieval import bm25_serve, write_bm25_index
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+
+    base = _Q439_STATE.get(sf_dir)
+    if base is None or not os.path.isdir(os.path.join(base, "postings")):
+        base = tempfile.mkdtemp(prefix="mcetl_q439_")
+        corp = d.join(
+            e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+        )
+        chunks = (
+            corp.select("doc_id", tokens("text").alias("ws"))
+            .filter(F.size("ws") > 0)
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.sequence(F.lit(0), F.size("ws") - 1, F.lit(48))
+                ).alias("chunk_idx", "st"),
+                "ws",
+            )
+            .select(
+                (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("ckey"),
+                F.array_join(F.slice(F.col("ws"), F.col("st") + 1, 64), " ").alias(
+                    "ctext"
+                ),
+            )
+        )
+        write_bm25_index(chunks, base, id_col="ckey", text_col="ctext")
+        _Q439_STATE[sf_dir] = base
+    postings = spark.read.parquet(base + "/postings")
+    dfreq = spark.read.parquet(base + "/df")
+    stats = spark.read.parquet(base + "/stats")
+
+    qt = spark.createDataFrame(
+        [(1, t) for t in _Q439_TERMS], "query_id int, t string"
+    )
+    ctop = bm25_serve(
+        qt, postings, dfreq, stats, top_k=50, terms=list(_Q439_TERMS)
+    )
+    lex = ctop.groupBy(
+        F.expr("doc_id div 1000").alias("doc_id")
+    ).agg(F.max("bm25").alias("rel_lex"))
+    bm_top = (
+        lex.orderBy(F.col("rel_lex").desc(), "doc_id")
+        .limit(25)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("rel_lex").desc(), "doc_id"))  # global-window-ok: post-limit 25-row frame
+            .alias("rb"),
+        )
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("v"))
+    dcos = (
+        e.join(d.select("doc_id"), e.vec_id == F.col("doc_id"), "left_semi")
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cosine("embedding", "v").alias("c"))
+    )
+    cos_top = (
+        dcos.orderBy(F.col("c").desc(), "doc_id")
+        .limit(25)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("c").desc(), "doc_id"))  # global-window-ok: post-limit 25-row frame
+            .alias("rc"),
+        )
+    )
+    fused = bm_top.join(cos_top, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rb", F.lit(0)).cast("bigint").alias("rank_bm25"),
+        F.coalesce("rc", F.lit(0)).cast("bigint").alias("rank_cos"),
+        (
+            F.coalesce(F.expr("1000000000 div (60 + rb)"), F.lit(0))
+            + F.coalesce(F.expr("1000000000 div (60 + rc)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_ppb"),
+    )
+    ftop = fused.orderBy(F.col("rrf_ppb").desc(), "doc_id").limit(12)
+    cand = ftop.join(
+        e, ftop.doc_id == e.vec_id
+    ).crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id"),
+        cosine("embedding", "v").alias("rel"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    packed = cand.agg(F.collect_list(F.struct("vec_id", "rel", "emb")).alias("cs"))
+    sel = packed.select(F.explode(F.expr(_mmr_fold_expr())).alias("s")).select(
+        F.col("s.vec_id").alias("doc_id"),
+        F.col("s.step").cast("bigint").alias("step"),
+        F.round("s.rel", 6).alias("rel"),
+        F.round("s.mmr", 6).alias("mmr"),
+    )
+    return sel.join(F.broadcast(ftop), "doc_id").select(
+        "doc_id", "step", "rel", "mmr", "rank_bm25", "rank_cos", "rrf_ppb"
     )
 
 

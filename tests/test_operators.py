@@ -621,7 +621,10 @@ def test_freq_items_includes_all_true_heavy_hitters(spark, sf_dir, duck):
     from marketingcloud_etl_spark.plans.catalog import load_all
 
     row = load_all()["q117_freq_items"].fn(spark, sf_dir).collect()[0]
-    got = set(row.frequent_tokens)
+    # frequent_tokens is a space-joined STRING since round 11 (the
+    # driver canonicalizes rows-only output too — scalar-only contract)
+    got = set(row.frequent_tokens.split())
+    assert len(got) == row.n_frequent
     truth = {
         t
         for (t, share) in duck.sql(

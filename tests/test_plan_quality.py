@@ -555,9 +555,9 @@ def test_bench_stdout_line_fits_driver_artifact_window():
     assert len(short) == len(bench.HEADLINE), "qNNN short keys must be unique"
     # worst case INCLUDING the failure the gate exists to report: every
     # query over budget (bench caps the inline over/unpinned detail at
-    # the 10 worst, carrying true counts in n_over/n_unpinned — so the
+    # the 8 worst, carrying true counts in n_over/n_unpinned — so the
     # line is bounded even in an every-query-red catastrophe)
-    ten = list(short)[:10]
+    ten = list(short)[:8]
     line = _json.dumps(
         {
             "metric": "headline_total",
@@ -572,6 +572,7 @@ def test_bench_stdout_line_fits_driver_artifact_window():
                 "over": {k: {"sec": 9999.99, "budget": 9999.99} for k in ten},
                 "n_unpinned": len(short),
                 "unpinned": ten,
+                "n_watch": len(short),
             },
         },
         separators=(",", ":"),

@@ -1,0 +1,177 @@
+"""Round-11 additions: streaming semantic dedup (q437), maximal
+duplicated spans (q438) + their removal rewrite (q442), the composed
+RAG serving pipeline (q439), DSIR importance weights (q441), and
+streaming BM25 maintenance (q443). Cross-engine exactness is the
+oracle sweep's job (test_oracle_parity); these pin the OPERATOR-LEVEL
+invariants the hash alone can't name — no-false-negative detection of
+planted re-ingests against the evolving state, island conservation/
+maximality vs q173, removal-equals-report, the pipeline's stage
+handoffs + plan shape, and served-score drift under live stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marketingcloud_etl_spark.io import table
+from marketingcloud_etl_spark.plans.catalog import load_all
+
+REGISTRY = load_all()
+
+
+def test_q437_detects_every_planted_reingest(spark, sf_dir):
+    """The evolving-state contract: each micro-batch plants re-ingests
+    of the PREVIOUS tier (batch 0 re-crawls corpus vectors, batch 1
+    re-crawls batch 0's, batch 2 re-crawls batch 1's). The IVF probe
+    has NO false negatives for element-wise identical vectors, so
+    every batch's dup count must be at least its planted-re-ingest
+    count — and batch 1/2's planted dups exist ONLY because the prior
+    batch's survivors were appended (a frozen index would miss them
+    all, since those vectors are not in the corpus index)."""
+    out = {
+        r["batch_idx"]: r
+        for r in REGISTRY["q437_stream_semantic_dedup"].fn(spark, sf_dir).collect()
+    }
+    e = table(spark, sf_dir, "embeddings")
+    for b in range(3):
+        prev = 3 if b == 0 else b - 1
+        planted = e.filter(
+            (F.col("vec_id") % 4 == prev) & (F.col("vec_id") % 5 == 1)
+        ).count()
+        fresh = e.filter(F.col("vec_id") % 4 == b).count()
+        assert out[b]["n_batch"] == fresh + planted
+        assert out[b]["n_dup"] >= planted, (
+            f"batch {b}: {out[b]['n_dup']} dups < {planted} planted re-ingests "
+            "— the evolving state lost the previous batch's survivors"
+        )
+        assert out[b]["n_new"] == out[b]["n_batch"] - out[b]["n_dup"]
+
+
+def test_q438_spans_conserve_and_are_maximal(spark, sf_dir):
+    """Gaps-and-islands invariants vs q173 (the window-level source of
+    truth): per doc, the spans' n_windows sum to exactly q173's
+    n_dup_windows (conservation — no window lost or double-counted),
+    and spans are MAXIMAL: within a doc they are disjoint with a gap
+    of at least one non-duplicated window position between them
+    (adjacent or overlapping spans should have merged), and every
+    span's token bounds are consistent (span_end − span_start + 1 =
+    span_tokens = n_windows + 7)."""
+    spans = REGISTRY["q438_maximal_dup_spans"].fn(spark, sf_dir).collect()
+    q173 = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in REGISTRY["q173_substring_dup_spans"].fn(spark, sf_dir).collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in spans:
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1
+        assert r["span_tokens"] == r["n_windows"] + 7
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert per_doc, "fixture produced no duplicated spans"
+    docs_with_dups = {d for d, n in q173.items() if n > 0}
+    assert set(per_doc) == docs_with_dups
+    for doc_id, rows in per_doc.items():
+        assert sum(r["n_windows"] for r in rows) == q173[doc_id]
+        rows.sort(key=lambda r: r["span_start"])
+        for a, b in zip(rows, rows[1:]):
+            # next island's first WINDOW must start at least 2 window
+            # positions after the previous island's last window (a gap
+            # of exactly 1 would have been the same island)
+            prev_last_window = a["span_end"] - 7
+            assert b["span_start"] >= prev_last_window + 2, (doc_id, a, b)
+
+
+def test_q439_stage_handoffs(spark, sf_dir):
+    """The composition contract: exactly six picks at steps 1..6 over
+    distinct docs; every pick carries a positive fused score (it came
+    through the RRF stage, not from nowhere); at least one pick has a
+    nonzero lexical rank AND at least one a nonzero dense rank (both
+    legs actually feed the fusion on the fixture); and the step-1 pick
+    is the relevance argmax among the picks (greedy MMR's first move
+    ignores diversity)."""
+    rows = REGISTRY["q439_rag_serving_pipeline"].fn(spark, sf_dir).collect()
+    assert sorted(r["step"] for r in rows) == [1, 2, 3, 4, 5, 6]
+    assert len({r["doc_id"] for r in rows}) == 6
+    assert all(r["rrf_ppb"] > 0 for r in rows)
+    assert any(r["rank_bm25"] > 0 for r in rows)
+    assert any(r["rank_cos"] > 0 for r in rows)
+    first = next(r for r in rows if r["step"] == 1)
+    assert first["rel"] == max(r["rel"] for r in rows)
+    assert first["mmr"] == first["rel"]
+
+
+def test_q439_serving_plan_shape(spark, sf_dir):
+    """The composed pipeline must keep q390's index-seek property: the
+    query-term IN-list reaches the postings scan (PushedFilters), and
+    nothing in the composition plans a CartesianProduct (the MMR fold
+    is a one-row expression, the fusion joins k-row frames)."""
+    df = REGISTRY["q439_rag_serving_pipeline"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(t, [" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q442_removal_is_exactly_the_q438_spans(spark, sf_dir):
+    """The rewrite must cut PRECISELY the reported spans: per affected
+    doc, n_removed equals the sum of its q438 span_tokens (spans are
+    disjoint, so the union is the sum), n_kept + n_removed = n_tokens,
+    and a doc with removals digests differently from its original
+    text (the rewrite actually happened)."""
+    import hashlib
+
+    from marketingcloud_etl_spark.io import table
+
+    spans: dict[int, int] = {}
+    for r in REGISTRY["q438_maximal_dup_spans"].fn(spark, sf_dir).collect():
+        spans[r["doc_id"]] = spans.get(r["doc_id"], 0) + r["span_tokens"]
+    out = REGISTRY["q442_dup_span_removal"].fn(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in out} == set(spans)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(*spans))
+        .collect()
+    }
+    for r in out:
+        assert r["n_removed"] == spans[r["doc_id"]]
+        assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
+        orig_digest = hashlib.md5(texts[r["doc_id"]].encode()).hexdigest()
+        assert r["trimmed_digest"] != orig_digest, r["doc_id"]
+
+
+def test_q441_weights_are_raw_slice_only_and_ordered(spark, sf_dir):
+    """DSIR scores the RAW pool against the target LM: no target-slice
+    doc (doc_id % 7 = 0) may appear in the output, the 20 weights are
+    non-increasing with the doc_id tie-break, and every weight is
+    finite (the shared-vocabulary smoothing keeps both LMs total)."""
+    import math
+
+    rows = REGISTRY["q441_dsir_importance_weights"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["doc_id"] % 7 != 0 for r in rows)
+    assert all(math.isfinite(r["dsir_weight"]) for r in rows)
+    keys = [(-r["dsir_weight"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_q443_served_scores_track_live_stats(spark, sf_dir):
+    """What distinguishes real index maintenance from a frozen-stats
+    cache: as batches append, df and average doc length move, so a doc
+    served in consecutive layers must generally score DIFFERENTLY for
+    the same query. Assert at least one (query, doc) pair appears in
+    two layers with two different bm25 values, every layer's per-query
+    ranks are 1..k contiguous, and layer coverage only grows (a doc
+    set serving at layer b is drawn from a superset corpus at b+1)."""
+    rows = REGISTRY["q443_stream_bm25_maintenance"].fn(spark, sf_dir).collect()
+    assert {r["batch_idx"] for r in rows} == {0, 1, 2}
+    by_layer_query: dict[tuple, list] = {}
+    scores: dict[tuple, set] = {}
+    for r in rows:
+        by_layer_query.setdefault((r["batch_idx"], r["query_id"]), []).append(
+            r["rank"]
+        )
+        scores.setdefault((r["query_id"], r["doc_id"]), set()).add(r["bm25"])
+    for ranks in by_layer_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    assert any(len(v) > 1 for v in scores.values()), (
+        "no served (query, doc) score changed across layers — "
+        "stats look frozen, not maintained"
+    )
