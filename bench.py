@@ -213,7 +213,6 @@ HEADLINE = (
     "q404_decontamination_state",
     "q405_incremental_heavy_hitters",
     "q406_ivm_retraction",
-    "q407_incremental_sample_state",
     # round-8 wave 4: the operational audit family — table checksums
     # (multi-table scan + digest-sum, a pure-codegen physical shape no
     # other headliner has), single-scan multi-distinct profiling, FK
@@ -232,7 +231,6 @@ HEADLINE = (
     # pass is the as-of-generation-0 profile — the snapshot-read cost)
     # and the split-release audit (one documents scan + digest sums)
     "q415_manifest_time_travel",
-    "q416_split_release_audit",
     # the audit family's state + hierarchy postures: incremental
     # checksum merge (batch-slice scan + state fold; history never
     # rescanned) and per-day partition checksums (q408's scan with a

@@ -530,12 +530,17 @@ def test_oracle_query_outputs_are_driver_hashable(spark, sf_dir):
 
 def test_bench_budgets_cover_headline():
     """Every pinned budget must name a current headline query (a rename
-    would silently orphan its budget → phantom 'unpinned' pass), and
-    the budgeted set must stay inside HEADLINE."""
+    would silently orphan its budget → phantom 'unpinned' pass), and —
+    both directions, the round-11 lesson: a half-applied retirement
+    left q407/q416 headlined but unpinned, which the one-way check
+    missed — every headline query must carry a budget (newcomers get a
+    provisional local pin the same commit they join HEADLINE)."""
     import bench
 
     orphaned = [n for n in bench.BUDGETS if n not in bench.HEADLINE]
     assert not orphaned, f"budgets for non-headline queries: {orphaned}"
+    unpinned = [n for n in bench.HEADLINE if n not in bench.BUDGETS]
+    assert not unpinned, f"headline queries with no budget: {unpinned}"
     assert all(b > 0 for b in bench.BUDGETS.values())
 
 
