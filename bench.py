@@ -511,7 +511,6 @@ SETUP_QUERIES = (
     "q404_decontamination_state",
     "q405_incremental_heavy_hitters",
     "q406_ivm_retraction",
-    "q407_incremental_sample_state",
     # warm-start PageRank: first run builds + writes yesterday's
     # old-graph rank state; the timed pass measures the 2-round
     # warm-started continuation over the union graph

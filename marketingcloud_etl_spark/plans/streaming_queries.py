@@ -1742,7 +1742,6 @@ def q437_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus and shared by every batch, exactly like the ANN path's
     offline codebook. Batch boundaries are data-defined (one file per
     arrival), so the replay is deterministic end-to-end."""
-    import json
     import os
     import shutil
     import tempfile
@@ -1773,9 +1772,10 @@ def q437_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(gsrc, f"b={b}")
             )
         corpus = e.filter(F.col("vec_id") % 4 == 3).select("vec_id", "embedding")
+        # the codebook rides the in-process golden tuple; a fresh
+        # process rebuilds the whole golden dir (training is
+        # deterministic), so persisting it would be dead weight
         codebook = train_ivf_codebook(corpus, n_cells=16, refine_iters=1)
-        with open(os.path.join(gdir, "codebook.json"), "w") as f:
-            json.dump([[c, list(map(float, v))] for c, v in codebook], f)
         build_semantic_index(corpus, codebook).repartition("cell").write.partitionBy(
             "cell"
         ).parquet(os.path.join(gdir, "semantic_index"))
@@ -1956,7 +1956,7 @@ def q443_stream_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     prep(spark)
-    from ..operators.retrieval import bm25_serve, build_bm25_index, write_bm25_index
+    from ..operators.retrieval import bm25_serve, build_bm25_index
     from .text_queries import _Q390_QUERY_TERMS
 
     d = table(spark, sf_dir, "documents")
@@ -1971,7 +1971,16 @@ def q443_stream_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1
             ).write.parquet(os.path.join(gsrc, f"b={b}"))
         corpus = d.filter(F.col("doc_id") % 4 == 3).select("doc_id", "text")
-        write_bm25_index(corpus, os.path.join(golden, "bm25"))
+        # postings ONLY: the query refolds df/stats from the postings
+        # every batch (they are functionals), so persisting them would
+        # be dead weight copied into every timed run. Same term-sorted
+        # shard layout write_bm25_index produces.
+        gen0, _, _ = build_bm25_index(corpus)
+        (
+            gen0.repartition(8, "t")
+            .sortWithinPartitions("t", "doc_id")
+            .write.parquet(os.path.join(golden, "bm25", "postings"))
+        )
         _Q443_GOLDEN[sf_dir] = golden
 
     base = tempfile.mkdtemp(prefix="mcetl_q443_")

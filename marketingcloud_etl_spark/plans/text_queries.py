@@ -1410,9 +1410,10 @@ def q173_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q438_maximal_dup_spans",
-    oracle="""
+# the maximal-dup-span CTE chain, shared by BOTH the q438 (report) and
+# q442 (removal) oracles so the two cannot drift — one definition site,
+# mirroring _maximal_dup_spans on the Spark side
+_DUP_SPAN_CTES = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     win AS (
       SELECT doc_id,
@@ -1432,13 +1433,20 @@ def q173_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, pos,
              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
       FROM dup
-    )
-    SELECT doc_id,
-           cast(min(pos) as bigint) AS span_start,
-           cast(max(pos) + 7 as bigint) AS span_end,
-           cast(max(pos) - min(pos) + 8 as bigint) AS span_tokens,
-           cast(count(*) as bigint) AS n_windows
-    FROM isl GROUP BY doc_id, grp
+    ), sp AS (
+      SELECT doc_id,
+             cast(min(pos) as bigint) AS span_start,
+             cast(max(pos) + 7 as bigint) AS span_end,
+             cast(max(pos) - min(pos) + 8 as bigint) AS span_tokens,
+             cast(count(*) as bigint) AS n_windows
+      FROM isl GROUP BY doc_id, grp
+    )"""
+
+@query(
+    "q438_maximal_dup_spans",
+    oracle=_DUP_SPAN_CTES
+    + """
+    SELECT doc_id, span_start, span_end, span_tokens, n_windows FROM sp
     """,
     tags=("text", "dedup", "llm"),
 )
@@ -1508,38 +1516,6 @@ def _maximal_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") - F.min("pos") + 8).cast("bigint").alias("span_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_windows"),
     ).drop("grp")
-
-
-# the q438 span-table CTE prefix, shared verbatim by the q442 oracle so
-# the removal pass cannot drift from the report it consumes
-_DUP_SPAN_CTES = """
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-    win AS (
-      SELECT doc_id,
-             unnest(range(0, greatest(len(words) - 7, 0))) AS pos,
-             words
-      FROM w
-    ), spans AS (
-      SELECT doc_id, pos,
-             array_to_string(list_slice(words, pos + 1, pos + 8), ' ') AS span
-      FROM win
-    ), freq AS (
-      SELECT span, count(*) AS c FROM spans GROUP BY span
-    ), dup AS (
-      SELECT s.doc_id, s.pos FROM spans s JOIN freq f ON s.span = f.span
-      WHERE f.c > 1
-    ), isl AS (
-      SELECT doc_id, pos,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      FROM dup
-    ), sp AS (
-      SELECT doc_id,
-             cast(min(pos) as bigint) AS span_start,
-             cast(max(pos) + 7 as bigint) AS span_end,
-             cast(max(pos) - min(pos) + 8 as bigint) AS span_tokens,
-             cast(count(*) as bigint) AS n_windows
-      FROM isl GROUP BY doc_id, grp
-    )"""
 
 
 @query(

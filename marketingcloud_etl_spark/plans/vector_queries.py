@@ -1643,7 +1643,7 @@ def _q439_oracle() -> str:
       FROM t, unnest(range(0, len(ws), 48)) AS u(st)
       WHERE len(ws) > 0
     ), chunks AS (
-      SELECT doc_id, doc_id * 1000 + st // 48 AS ckey,
+      SELECT doc_id, doc_id * 1000000 + st // 48 AS ckey,
              list_slice(ws, cast(st + 1 as int), cast(st + 64 as int)) AS ctoks
       FROM starts
     ), ct AS MATERIALIZED (
@@ -1677,8 +1677,8 @@ def _q439_oracle() -> str:
     ), ctop AS MATERIALIZED (
       SELECT ckey, bm25 FROM cagg ORDER BY bm25 DESC, ckey LIMIT 50
     ), lex AS (
-      SELECT ckey // 1000 AS doc_id, max(bm25) AS rel_lex
-      FROM ctop GROUP BY ckey // 1000
+      SELECT ckey // 1000000 AS doc_id, max(bm25) AS rel_lex
+      FROM ctop GROUP BY ckey // 1000000
     ), bm_top AS (
       SELECT doc_id, row_number() OVER (ORDER BY rel_lex DESC, doc_id) AS rb
       FROM lex ORDER BY rel_lex DESC, doc_id LIMIT 25
@@ -1724,7 +1724,8 @@ def q439_rag_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT r9/r10 gap; q395 did the same for the dedup state family):
 
         q361 chunking (64-token windows, stride 48, over the embedded
-          corpus documents∩embeddings, chunk key = doc_id·1000+idx)
+          corpus documents∩embeddings, chunk key = doc_id·10⁶+idx — a
+          48M-token-per-doc headroom before key collision)
         → q390 BM25 index SERVING (persisted chunk-postings index,
           term-IN pushdown; top-50 chunks for the query terms)
         → parent-doc rollup (doc relevance = max chunk BM25 — the
@@ -1780,7 +1781,7 @@ def q439_rag_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ws",
             )
             .select(
-                (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("ckey"),
+                (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("ckey"),
                 F.array_join(F.slice(F.col("ws"), F.col("st") + 1, 64), " ").alias(
                     "ctext"
                 ),
@@ -1799,7 +1800,7 @@ def q439_rag_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         qt, postings, dfreq, stats, top_k=50, terms=list(_Q439_TERMS)
     )
     lex = ctop.groupBy(
-        F.expr("doc_id div 1000").alias("doc_id")
+        F.expr("doc_id div 1000000").alias("doc_id")
     ).agg(F.max("bm25").alias("rel_lex"))
     bm_top = (
         lex.orderBy(F.col("rel_lex").desc(), "doc_id")

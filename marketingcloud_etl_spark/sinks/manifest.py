@@ -239,11 +239,17 @@ def read_generation(spark, manifest_path: str, index: int):
         df = spark.read.parquet(gen_dir)  # plans eagerly: lists files now
     except Exception as exc:  # AnalysisException PATH_NOT_FOUND
         # a gc that completed between generation_at() and the read
-        # leaves a dangling pointer for one beat; translate the raw
-        # missing-path failure into the same LookupError a pre-deleted
-        # read raises (after re-reading the manifest, so a genuine
-        # non-gc I/O error still propagates as itself)
-        if "PATH_NOT_FOUND" in str(exc) or not os.path.isdir(gen_dir):
+        # leaves a dangling pointer for one beat. gc marks the manifest
+        # entry BEFORE deleting the dir (inside the writer lock), so
+        # "retention won" is decided by RE-READING THE MANIFEST — not
+        # by probing the path, which on an object store would classify
+        # every credentials/network/corrupt-footer failure as gc'd. If
+        # the entry is now tombstoned, translate to the same
+        # LookupError a pre-deleted read raises; if it is still live,
+        # the failure is a genuine I/O error and propagates as itself.
+        try:
+            generation_at(manifest_path, index)
+        except LookupError:
             raise LookupError(
                 f"generation {index} ({gen_dir}) was garbage-collected "
                 "before the read could be planned"

@@ -490,10 +490,16 @@ def test_oracle_query_outputs_are_driver_hashable(spark, sf_dir):
     canonicalizer — q165's round-4 failure mode. List-shaped results
     must fold to a scalar (sorted-fold protocol, q108/q217/q282) or
     stringify (concat_ws, the q18/q165 pattern) BEFORE the final
-    projection. Rows-only queries are NOT exempt: round 10's q117 red
+    projection. Rows-only queries are NOT exempt — round 10's q117 red
     proved the driver canonicalizes rows-only output through the same
-    pandas hasher before recording even the row count — the scalar-only
-    contract is catalog-wide."""
+    pandas hasher before recording even the row count — but they are
+    checked by test_rows_only_outputs_survive_driver_canonicalizer
+    below on the SAME materialized frame, not here: for the streaming
+    replays, merely building the DataFrame executes the whole
+    foreachBatch job, so running both tests over them would pay every
+    replay twice per session (the same reason plan_audit skips them).
+    The scalar-only contract stays catalog-wide; only the execution is
+    split."""
     from pyspark.sql import types as T
 
     scalar_ok = (
@@ -504,6 +510,8 @@ def test_oracle_query_outputs_are_driver_hashable(spark, sf_dir):
     bad = {}
     cartesian = []
     for name, qd in REGISTRY.items():
+        if qd.oracle is None:
+            continue  # covered by the rows-only replay test below
         df = qd.fn(spark, sf_dir)
         schema = df.schema
         hazards = [
@@ -542,6 +550,11 @@ def test_bench_budgets_cover_headline():
     unpinned = [n for n in bench.HEADLINE if n not in bench.BUDGETS]
     assert not unpinned, f"headline queries with no budget: {unpinned}"
     assert all(b > 0 for b in bench.BUDGETS.values())
+    # setup entries for retired queries keep paying their state build
+    # every run without a measured query to show for it (q407's
+    # round-11 near-miss): the setup pre-pass must stay inside HEADLINE
+    stale_setup = [n for n in bench.SETUP_QUERIES if n not in bench.HEADLINE]
+    assert not stale_setup, f"setup entries for non-headline queries: {stale_setup}"
 
 
 def test_bench_stdout_line_fits_driver_artifact_window():
@@ -1060,22 +1073,50 @@ def test_lsh_bucket_split_is_broadcast_maintenance(spark, sf_dir):
 
 
 def test_rows_only_outputs_survive_driver_canonicalizer(spark, sf_dir):
-    """Value-level replay of the driver's canonicalization over every
-    rows-only query (the schema guard above is type-level; this one
-    EXECUTES each query and pushes the real pandas frame through the
-    same path the driver crashed on in round 10). The driver sorts the
-    frame by every column (pandas lexsort → Categorical.factorize),
-    which raises `TypeError: unhashable type` on any container cell —
-    q117's red happened before even the row count was recorded. A green
-    here means every rows-only query's actual output is recordable."""
+    """The rows-only half of the catalog-wide driver-recordability
+    contract, in ONE execution per query (streaming replays are
+    expensive to even build — see the oracle-able test above): builds
+    each rows-only query once, then (a) applies the same scalar-only
+    schema + duplicate-name + no-CartesianProduct checks the oracle
+    half gets, and (b) pushes the real pandas frame through the
+    driver's exact crash site — sort_values over every column (pandas
+    lexsort → Categorical.factorize raises `TypeError: unhashable
+    type` on any container cell; round 10's q117 red happened there,
+    before even the row count was recorded) — plus the repo's own
+    comparator canonicalization. A green here means every rows-only
+    query's actual output is recordable."""
+    from pyspark.sql import types as T
+
+    from .oracle import canonical
+
+    scalar_ok = (
+        T.StringType, T.BooleanType, T.DateType, T.TimestampType,
+        T.TimestampNTZType, T.ByteType, T.ShortType, T.IntegerType,
+        T.LongType, T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    bad = {}
+    cartesian = []
     for name, qd in REGISTRY.items():
         if qd.oracle is not None:
             continue
-        pdf = qd.fn(spark, sf_dir).toPandas()
+        df = qd.fn(spark, sf_dir)
+        hazards = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if not isinstance(f.dataType, scalar_ok)
+        ]
+        names = [f.name for f in df.schema.fields]
+        if len(set(names)) != len(names):
+            hazards.append(f"duplicate column names {names}")
+        if hazards:
+            bad[name] = hazards
+            continue  # the value replay below would crash on these
+        if "CartesianProduct" in _plan(df):
+            cartesian.append(name)
+        pdf = df.toPandas()
         if len(pdf):
             # the driver's exact crash site: sort_values over all columns
             pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
-        # and the repo's own comparator canonicalization for good measure
-        from .oracle import canonical
-
         canonical(pdf)
+    assert not bad, f"driver-comparator hazards in final projections: {bad}"
+    assert not cartesian, f"CartesianProduct planned in: {cartesian}"

@@ -111,27 +111,43 @@ def test_q439_serving_plan_shape(spark, sf_dir):
 
 def test_q442_removal_is_exactly_the_q438_spans(spark, sf_dir):
     """The rewrite must cut PRECISELY the reported spans: per affected
-    doc, n_removed equals the sum of its q438 span_tokens (spans are
-    disjoint, so the union is the sum), n_kept + n_removed = n_tokens,
-    and a doc with removals digests differently from its original
-    text (the rewrite actually happened)."""
+    doc, n_removed equals the size of the UNION of its q438 spans'
+    token intervals — NOT their sum: two distinct window islands 2-7
+    positions apart have disjoint window runs but OVERLAPPING token
+    ranges [s, e+7], and the removal deduplicates positions. Also
+    n_kept + n_removed = n_tokens, and a doc with removals digests
+    differently from its original text (the rewrite happened)."""
     import hashlib
 
     from marketingcloud_etl_spark.io import table
 
-    spans: dict[int, int] = {}
+    spans_by_doc: dict[int, list] = {}
     for r in REGISTRY["q438_maximal_dup_spans"].fn(spark, sf_dir).collect():
-        spans[r["doc_id"]] = spans.get(r["doc_id"], 0) + r["span_tokens"]
+        spans_by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+
+    def union_size(ivals: list) -> int:
+        total, cur_s, cur_e = 0, None, None
+        for s, e in sorted(ivals):
+            if cur_e is None or s > cur_e + 1:
+                if cur_e is not None:
+                    total += cur_e - cur_s + 1
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        return total + (cur_e - cur_s + 1 if cur_e is not None else 0)
+
     out = REGISTRY["q442_dup_span_removal"].fn(spark, sf_dir).collect()
-    assert {r["doc_id"] for r in out} == set(spans)
+    assert {r["doc_id"] for r in out} == set(spans_by_doc)
     texts = {
         r["doc_id"]: r["text"]
         for r in table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isin(*spans))
+        .filter(F.col("doc_id").isin(*spans_by_doc))
         .collect()
     }
     for r in out:
-        assert r["n_removed"] == spans[r["doc_id"]]
+        assert r["n_removed"] == union_size(spans_by_doc[r["doc_id"]])
         assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
         orig_digest = hashlib.md5(texts[r["doc_id"]].encode()).hexdigest()
         assert r["trimmed_digest"] != orig_digest, r["doc_id"]
