@@ -4046,3 +4046,279 @@ def q441_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "n_tokens", F.round("wgt", 6).alias("dsir_weight"))
     )
+
+
+@query(
+    "q444_curriculum_schedule",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             cast(len({_TOKS}) as bigint) AS n_tokens,
+             cast(len(list_distinct({_TOKS})) as bigint) AS n_distinct,
+             cast(len(list_filter({_TOKS},
+                  t -> t IN ('the','a','of','and','to','el','la','de'))) as bigint)
+               AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, n_tokens,
+             -- every literal and operand explicitly double: DuckDB's
+             -- bare 0.2 * BIGINT routes through DECIMAL arithmetic
+             -- (divergence-ledger row) — invisible under round(,6),
+             -- exposed by floor at ppm scale
+             cast(floor(1000000 * (
+               CASE WHEN n_tokens > 0 THEN
+                 cast(0.5 as double) * (cast(n_distinct as double) / cast(n_tokens as double))
+                 + cast(0.3 as double) * (cast(n_stop as double) / cast(n_tokens as double))
+                 + cast(0.2 as double) * cast(least(n_tokens, 100) as double) / cast(100.0 as double)
+               ELSE cast(0.0 as double) END)) as bigint) AS quality_ppm
+      FROM feat
+    ), phased AS (
+      SELECT source, n_tokens, quality_ppm,
+             ntile(4) OVER (ORDER BY quality_ppm, doc_id) AS phase
+      FROM scored
+    )
+    SELECT cast(phase as int) AS phase, source,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_tokens) as bigint) AS token_budget,
+           cast(min(quality_ppm) as bigint) AS min_quality_ppm,
+           cast(max(quality_ppm) as bigint) AS max_quality_ppm
+    FROM phased GROUP BY phase, source
+    """,
+    tags=("text", "llm-pipeline", "sampling"),
+)
+def q444_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-CURRICULUM scheduling — the training-order complement of
+    the mix/selection tier (q111 weights, q190 quotas, q441 DSIR): the
+    corpus is split into four global quality phases (anneal low→high,
+    the 'end training on your best data' recipe), and the schedule
+    ships as the per-(phase, source) composition — doc counts, token
+    budgets, and the phase's quality band — which is exactly the table
+    a data-mix engineer inspects to see how the source mixture SHIFTS
+    across the anneal (boilerplate-heavy sources drain out of the
+    final phase).
+
+    Cross-engine protocol: the curriculum key is integer
+    quality_ppm = floor(10⁶ · q45's composite score) — the score is
+    divisions/multiplications of exact integer features written in the
+    identical IEEE shape on both engines, and the floor lands it in
+    ppm space, so the (quality_ppm, doc_id) ntile order is total and
+    bit-identical. Phases come from operators/ranking.py::
+    distributed_ntile (the q132 machinery — two-phase distributed
+    ranking, NO single-partition global window), value-matching the
+    oracle's ntile(4) window exactly.
+
+    100 TB story: one narrow scan computes the features, the phase
+    assignment is the distributed-ranking shuffle (sample-based range
+    exchange + per-partition offsets), and the report is one
+    (phase, source) agg — the schedule for a 10¹²-doc corpus costs one
+    ranking pass, and the writer that materializes the actual
+    curriculum order partitions by (phase, hash) with no extra
+    machinery."""
+    prep(spark)
+    from ..operators.ranking import distributed_ntile
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop = F.filter(
+        toks,
+        lambda t: t.isin("the", "a", "of", "and", "to", "el", "la", "de"),
+    )
+    feat = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.size(stop).cast("bigint").alias("n_stop"),
+    )
+    scored = feat.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(
+            F.lit(1000000)
+            * F.when(
+                F.col("n_tokens") > 0,
+                F.lit(0.5)
+                * (
+                    F.col("n_distinct").cast("double")
+                    / F.col("n_tokens").cast("double")
+                )
+                + F.lit(0.3)
+                * (
+                    F.col("n_stop").cast("double")
+                    / F.col("n_tokens").cast("double")
+                )
+                + F.lit(0.2)
+                * F.least(F.col("n_tokens"), F.lit(100)).cast("double")
+                / F.lit(100.0),
+            ).otherwise(F.lit(0.0))
+        )
+        .cast("bigint")
+        .alias("quality_ppm"),
+    )
+    phased = distributed_ntile(
+        scored, 4, ["quality_ppm", "doc_id"], out_col="phase"
+    )
+    return phased.groupBy("phase", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("token_budget"),
+        F.min("quality_ppm").cast("bigint").alias("min_quality_ppm"),
+        F.max("quality_ppm").cast("bigint").alias("max_quality_ppm"),
+    )
+
+
+# q445 state cache: sf_dir -> parquet dir of the merged (w, c_t, c_r)
+# unigram-count state over the target slice + HISTORY raw pool
+_Q445_STATE: dict[str, str] = {}
+
+
+@query(
+    "q445_incremental_dsir_state",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+    ), tgt AS (
+      SELECT w FROM toks WHERE doc_id % 7 = 0
+    ), rawt AS (
+      SELECT doc_id, w FROM toks WHERE doc_id % 7 <> 0
+    ), v AS (
+      SELECT count(DISTINCT w) AS vsz FROM toks
+    ), nt AS (SELECT count(*) AS n FROM tgt),
+    nr AS (SELECT count(*) AS n FROM rawt),
+    ctt AS (SELECT w, count(*) AS c FROM tgt GROUP BY w),
+    crr AS (SELECT w, count(*) AS c FROM rawt GROUP BY w),
+    vocab AS MATERIALIZED (
+      SELECT t.w,
+             ln(cast(coalesce(ct.c, 0) + 1 as double)
+                / cast(nt.n + v.vsz as double))
+           - ln(cast(coalesce(cr.c, 0) + 1 as double)
+                / cast(nr.n + v.vsz as double)) AS lr
+      FROM (SELECT DISTINCT w FROM toks) t
+      LEFT JOIN ctt ct ON t.w = ct.w
+      LEFT JOIN crr cr ON t.w = cr.w
+      CROSS JOIN nt CROSS JOIN nr CROSS JOIN v
+    ), docterms AS (
+      SELECT doc_id, w, count(*) AS cnt FROM rawt
+      WHERE doc_id % 5 = 4 GROUP BY doc_id, w
+    ), scored AS (
+      SELECT d.doc_id,
+             cast(sum(cnt) as bigint) AS n_tokens,
+             list_reduce(list_sort(list(cast(cnt as double) * vb.lr)),
+                         (x, y) -> x + y) AS wgt
+      FROM docterms d JOIN vocab vb ON d.w = vb.w
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_tokens, round(wgt, 6) AS dsir_weight
+    FROM scored ORDER BY wgt DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "llm-pipeline", "sampling", "incremental", "state"),
+)
+def q445_incremental_dsir_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL DSIR — q441's importance-weighting with the q388
+    state posture, closing the loop so the newest selection family
+    also has its cross-batch twin: the unigram-count table
+    (w, c_target, c_raw) over the target slice plus the HISTORY raw
+    pool (raw docs with doc_id % 5 ≠ 4) is persisted ONCE; an arriving
+    raw batch (doc_id % 5 = 4) merges its token counts in with one
+    keyed additive
+    merge — history text is NEVER re-tokenized — and the batch docs
+    score against the UPDATED model. The factorization is what makes
+    this exact: the STATE is counts (additive, mergeable — the q417
+    checksum argument applied to LM sufficient statistics), while the
+    smoothed probabilities and log-ratios are recomputed from the
+    merged counts at serving time, so totals and vocabulary size
+    reflect the batch exactly and the oracle's from-scratch derivation
+    over history ∪ batch matches bit-for-bit.
+
+    Cross-engine exactness: identical to q441 (exact integer counts,
+    one double division per probability, bitwise-equal ln, sorted
+    per-type folds, (weight, doc_id) top-k).
+
+    100 TB story: the per-batch cost is tokenizing the BATCH, one
+    vocabulary-keyed merge into the count state (state rows =
+    vocabulary, ≪ corpus), two one-row total refolds (sums over the
+    state — functionals, the q443 identity), and a batch-sized scoring
+    join. The daily DSIR refresh never touches history text — the
+    posture SemDeDup-style offline re-scoring lacks."""
+    import os
+    import tempfile
+
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks_all = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+
+    state_dir = _Q445_STATE.get(sf_dir)
+    if state_dir is None or not os.path.isdir(state_dir):
+        state_dir = tempfile.mkdtemp(prefix="mcetl_q445_") + "/lm_counts"
+        tgt = toks_all.filter(F.col("doc_id") % 7 == 0)
+        hist = toks_all.filter(
+            (F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 5 != 4)
+        )
+        state = (
+            tgt.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c_t"))
+            .join(
+                hist.groupBy("w").agg(F.count(F.lit(1)).alias("c_r")),
+                "w",
+                "full_outer",
+            )
+            .select(
+                "w",
+                F.coalesce("c_t", F.lit(0)).cast("bigint").alias("c_t"),
+                F.coalesce("c_r", F.lit(0)).cast("bigint").alias("c_r"),
+            )
+        )
+        state.write.parquet(state_dir)
+        _Q445_STATE[sf_dir] = state_dir
+
+    batch_toks = toks_all.filter(
+        (F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 5 == 4)
+    )
+    bcounts = batch_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_b"))
+    state = spark.read.parquet(state_dir)
+    # ONE keyed additive merge — the only touch history counts get
+    merged = (
+        state.join(bcounts, "w", "full_outer")
+        .select(
+            "w",
+            F.coalesce("c_t", F.lit(0)).cast("bigint").alias("c_t"),
+            (F.coalesce("c_r", F.lit(0)) + F.coalesce("c_b", F.lit(0)))
+            .cast("bigint")
+            .alias("c_r"),
+        )
+    )
+    # totals + vocab size are FUNCTIONALS of the merged state
+    totals = merged.agg(
+        F.sum("c_t").alias("nt"),
+        F.sum("c_r").alias("nr"),
+        F.count(F.lit(1)).alias("vsz"),
+    )
+    vocab = merged.crossJoin(F.broadcast(totals)).select(
+        "w",
+        F.expr(
+            "ln(cast(c_t + 1 as double) / cast(nt + vsz as double))"
+            " - ln(cast(c_r + 1 as double) / cast(nr + vsz as double))"
+        ).alias("lr"),
+    )
+    docterms = batch_toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    scored = (
+        docterms.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.col("cnt").cast("double") * F.col("lr"))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("wgt"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("wgt").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", "n_tokens", F.round("wgt", 6).alias("dsir_weight"))
+    )
