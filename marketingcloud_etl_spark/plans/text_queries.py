@@ -4322,3 +4322,180 @@ def q445_incremental_dsir_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", "n_tokens", F.round("wgt", 6).alias("dsir_weight"))
     )
+
+
+@query(
+    "q446_decontamination_spans",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    win AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(words) - 7, 0))) AS pos,
+             words
+      FROM w
+    ), spans AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(words, pos + 1, pos + 8), ' ') AS span
+      FROM win
+    ), bench AS (
+      SELECT DISTINCT span FROM spans WHERE doc_id % 10 = 7
+    ), hit AS (
+      SELECT s.doc_id, s.pos FROM spans s JOIN bench b ON s.span = b.span
+      WHERE s.doc_id % 10 <> 7
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM hit
+    )
+    SELECT doc_id,
+           cast(min(pos) as bigint) AS span_start,
+           cast(max(pos) + 7 as bigint) AS span_end,
+           cast(max(pos) - min(pos) + 8 as bigint) AS span_tokens,
+           cast(count(*) as bigint) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """,
+    tags=("text", "dedup", "llm-pipeline"),
+)
+def q446_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination — the REDACTION granularity
+    between q89's doc-level drop (n-gram overlap → discard the whole
+    document) and nothing: every stride-1 8-word window of a TRAINING
+    document (doc_id % 10 ≠ 7) that appears verbatim anywhere in the
+    benchmark slice (doc_id % 10 = 7) marks a contaminated position,
+    and adjacent hits merge into per-doc maximal contaminated spans
+    with exact token bounds — the PaLM-style recipe where the
+    contaminated SPAN is cut (q442's removal pass consumes this table
+    unchanged) instead of sacrificing the surrounding document. Same
+    gaps-and-islands machinery as q438 with the window criterion
+    swapped from 'duplicated in the corpus' to 'present in the
+    benchmark'.
+
+    Scale shape: the benchmark span set is the distinct windows of the
+    (small) eval slice — a broadcast-or-bucketed semi-join key set;
+    one content-keyed join + the doc-keyed island window over the HIT
+    subset only. No all-pairs; training text scanned once."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    spans = (
+        d.select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(words) - 8), "
+                    "i -> concat_ws(' ', slice(words, i + 1, 8)))"
+                )
+            ).alias("pos", "span"),
+        )
+    )
+    bench = (
+        spans.filter(F.col("doc_id") % 10 == 7).select("span").distinct()
+    )
+    hit = (
+        spans.filter(F.col("doc_id") % 10 != 7)
+        .join(bench, "span", "left_semi")
+        .select("doc_id", "pos")
+    )
+    isl = hit.withColumn(
+        "grp",
+        F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + 7).cast("bigint").alias("span_end"),
+        (F.max("pos") - F.min("pos") + 8).cast("bigint").alias("span_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+    ).drop("grp")
+
+
+@query(
+    "q447_cross_source_dup_flows",
+    oracle="""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+               FROM documents),
+    spans AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(words, pos + 1, pos + 8), ' ') AS span
+      FROM w, unnest(range(0, greatest(len(words) - 7, 0))) AS u(pos)
+    ), occ AS (
+      SELECT DISTINCT span, doc_id, source FROM spans
+    ), grp AS (
+      SELECT span, doc_id, source,
+             min(doc_id) OVER (PARTITION BY span) AS canon_doc,
+             count(*) OVER (PARTITION BY span) AS n_docs
+      FROM occ
+    ), canon AS (
+      SELECT span, source AS src_from FROM grp WHERE doc_id = canon_doc
+        AND n_docs > 1
+    ), flows AS (
+      SELECT c.src_from, g.source AS src_to, g.span, g.doc_id
+      FROM grp g JOIN canon c ON g.span = c.span
+      WHERE g.doc_id <> g.canon_doc
+    )
+    SELECT src_from, src_to,
+           cast(count(*) as bigint) AS n_occurrences,
+           cast(count(DISTINCT span) as bigint) AS n_spans,
+           cast(count(DISTINCT doc_id) as bigint) AS n_target_docs
+    FROM flows GROUP BY src_from, src_to
+    """,
+    tags=("text", "dedup", "llm-pipeline"),
+)
+def q447_cross_source_dup_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE duplication FLOW matrix — which sources copy from
+    which: every corpus-duplicated 8-word span is attributed to its
+    canonical occurrence (min doc_id), and each OTHER occurrence
+    records a (canonical's source → occurrence's source) flow. The
+    aggregated matrix (occurrences, distinct spans, distinct target
+    docs per source pair) is the curation artifact that tells a
+    data-mix owner 'source B mirrors source A' — the decision input
+    for dropping a scraped mirror wholesale instead of paying
+    per-document dedup against it forever.
+
+    Deliberately LINEAR shape: attributing each occurrence to the one
+    canonical (two windows over span groups — min + count) instead of
+    materializing within-group pairs keeps boilerplate spans shared by
+    thousands of docs from exploding quadratically — the same
+    no-all-pairs discipline as the LSH tier; group skew is bounded by
+    occurrence counts, not their squares. Windows key on span content
+    (the q173 frequency shuffle, reused twice)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    occ = (
+        d.select("doc_id", "source", words.alias("words"))
+        .filter(F.size("words") >= 8)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words) - 8), "
+                    "i -> concat_ws(' ', slice(words, i + 1, 8)))"
+                )
+            ).alias("span"),
+        )
+        .distinct()
+    )
+    wspan = W.partitionBy("span")
+    grp = occ.select(
+        "span",
+        "doc_id",
+        "source",
+        F.min("doc_id").over(wspan).alias("canon_doc"),
+        F.count(F.lit(1)).over(wspan).alias("n_docs"),
+    )
+    canon = grp.filter(
+        (F.col("doc_id") == F.col("canon_doc")) & (F.col("n_docs") > 1)
+    ).select("span", F.col("source").alias("src_from"))
+    flows = (
+        grp.filter(F.col("doc_id") != F.col("canon_doc"))
+        .join(canon, "span")
+        .select("src_from", F.col("source").alias("src_to"), "span", "doc_id")
+    )
+    return flows.groupBy("src_from", "src_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.count_distinct("span").cast("bigint").alias("n_spans"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_target_docs"),
+    )

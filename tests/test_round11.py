@@ -242,3 +242,57 @@ def test_q445_state_is_not_rebuilt_per_call(spark, sf_dir):
     assert stamps == {
         f: os.path.getmtime(f) for f in glob.glob(state_dir + "/*.parquet")
     }
+
+
+def test_q446_spans_are_training_side_and_well_formed(spark, sf_dir):
+    """Decontamination spans must target TRAINING docs only (never the
+    benchmark slice itself), with the same bounds arithmetic as q438
+    (span_tokens = span_end − span_start + 1 = n_windows + 7) and
+    disjoint islands per doc."""
+    rows = REGISTRY["q446_decontamination_spans"].fn(spark, sf_dir).collect()
+    assert rows, "fixture produced no contaminated spans"
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        assert r["doc_id"] % 10 != 7
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1
+        assert r["span_tokens"] == r["n_windows"] + 7
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for rows_d in per_doc.values():
+        rows_d.sort(key=lambda r: r["span_start"])
+        for a, b in zip(rows_d, rows_d[1:]):
+            assert b["span_start"] >= (a["span_end"] - 7) + 2
+
+
+def test_q447_flows_are_linear_and_consistent(spark, sf_dir):
+    """The flow matrix's structural invariants: every cell satisfies
+    n_spans ≤ n_occurrences and n_target_docs ≤ n_occurrences (each
+    occurrence contributes exactly one flow — the linear, no-pairs
+    attribution), and the matrix total equals the number of
+    non-canonical occurrences of multi-doc spans computed
+    independently."""
+    rows = REGISTRY["q447_cross_source_dup_flows"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_spans"] <= r["n_occurrences"]
+        assert 1 <= r["n_target_docs"] <= r["n_occurrences"]
+    total = sum(r["n_occurrences"] for r in rows)
+    d = table(spark, sf_dir, "documents")
+    occ = (
+        d.filter(F.size(F.split(F.col("text"), " ")) >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 8), "
+                    "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 8)))"
+                )
+            ).alias("span"),
+        )
+    )
+    grp = occ.distinct().groupBy("span").agg(F.count(F.lit(1)).alias("n"))
+    expected = (
+        grp.filter(F.col("n") > 1)
+        .agg(F.sum(F.col("n") - 1).alias("t"))
+        .first()["t"]
+    )
+    assert total == expected
