@@ -1518,10 +1518,12 @@ def _maximal_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("grp")
 
 
-@query(
-    "q442_dup_span_removal",
-    oracle=_DUP_SPAN_CTES
-    + """, toks AS (
+# the span-REMOVAL oracle tail, shared by q442 (corpus-dup spans) and
+# q448 (benchmark-contamination spans): consumes any CTE prefix that
+# defines `w` (doc_id, words) and `sp` (doc_id, span_start, span_end,
+# span_tokens, …) and emits the per-affected-doc rewrite report —
+# one definition site so the two removal passes cannot drift
+_SPAN_REMOVAL_TAIL = """, toks AS (
       -- positional unnest via the range idiom (no WITH ORDINALITY in
       -- DuckDB 1.0 — see the divergence ledger)
       SELECT doc_id, cast(pos as bigint) AS pos,
@@ -1544,7 +1546,12 @@ def _maximal_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id AND t.pos = k.pos
     WHERE t.doc_id IN (SELECT doc_id FROM sp)
     GROUP BY t.doc_id
-    """,
+    """
+
+
+@query(
+    "q442_dup_span_removal",
+    oracle=_DUP_SPAN_CTES + _SPAN_REMOVAL_TAIL,
     tags=("text", "dedup", "llm"),
 )
 def q442_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1576,7 +1583,17 @@ def q442_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anti-join (the IN-filter on affected docs prunes first)."""
     prep(spark)
     d = table(spark, sf_dir, "documents")
-    spans = _maximal_dup_spans(spark, sf_dir)
+    return _span_removal_report(d, _maximal_dup_spans(spark, sf_dir))
+
+
+def _span_removal_report(d: DataFrame, spans: DataFrame) -> DataFrame:
+    """Shared removal/reassembly machinery for q442 (corpus-dup spans)
+    and q448 (benchmark-contamination spans): given a documents table
+    and ANY span table in the (doc_id, span_start, span_end,
+    span_tokens, …) schema, rewrite each affected document with its
+    spans cut out and report (n_tokens, n_removed, n_kept,
+    trimmed_digest) — the Spark twin of _SPAN_REMOVAL_TAIL. See
+    q442's docstring for the reassembly protocol and scale shape."""
     toks = d.select(
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos", "t"),
@@ -4324,9 +4341,11 @@ def q445_incremental_dsir_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q446_decontamination_spans",
-    oracle="""
+# the contaminated-span CTE chain, shared by the q446 (detection
+# report) and q448 (removal rewrite) oracles — same interface as
+# _DUP_SPAN_CTES (`w` = tokenized docs, `sp` = final span table) so
+# _SPAN_REMOVAL_TAIL composes onto either prefix unchanged
+_CONTAM_SPAN_CTES = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     win AS (
       SELECT doc_id,
@@ -4346,13 +4365,21 @@ def q445_incremental_dsir_state(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, pos,
              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
       FROM hit
-    )
-    SELECT doc_id,
-           cast(min(pos) as bigint) AS span_start,
-           cast(max(pos) + 7 as bigint) AS span_end,
-           cast(max(pos) - min(pos) + 8 as bigint) AS span_tokens,
-           cast(count(*) as bigint) AS n_windows
-    FROM isl GROUP BY doc_id, grp
+    ), sp AS (
+      SELECT doc_id,
+             cast(min(pos) as bigint) AS span_start,
+             cast(max(pos) + 7 as bigint) AS span_end,
+             cast(max(pos) - min(pos) + 8 as bigint) AS span_tokens,
+             cast(count(*) as bigint) AS n_windows
+      FROM isl GROUP BY doc_id, grp
+    )"""
+
+
+@query(
+    "q446_decontamination_spans",
+    oracle=_CONTAM_SPAN_CTES
+    + """
+    SELECT doc_id, span_start, span_end, span_tokens, n_windows FROM sp
     """,
     tags=("text", "dedup", "llm-pipeline"),
 )
@@ -4375,6 +4402,14 @@ def q446_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     one content-keyed join + the doc-keyed island window over the HIT
     subset only. No all-pairs; training text scanned once."""
     prep(spark)
+    return _contamination_spans(spark, sf_dir)
+
+
+def _contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared derivation for q446 (detection report) and q448 (removal
+    rewrite): per-training-doc maximal benchmark-contaminated token
+    spans — the Spark twin of _CONTAM_SPAN_CTES; see q446's docstring
+    for semantics and scale shape."""
     d = table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     spans = (
@@ -4408,6 +4443,45 @@ def q446_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") - F.min("pos") + 8).cast("bigint").alias("span_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_windows"),
     ).drop("grp")
+
+
+@query(
+    "q448_decontamination_rewrite",
+    oracle=_CONTAM_SPAN_CTES + _SPAN_REMOVAL_TAIL,
+    tags=("text", "dedup", "llm-pipeline"),
+)
+def q448_decontamination_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED span-level decontamination — detect AND redact in one
+    oracle-checked pipeline: q446's contaminated-span table (every
+    maximal run of training-doc 8-word windows that appear verbatim in
+    the benchmark slice) feeds q442's removal/reassembly machinery
+    unchanged, emitting per contaminated TRAINING doc (n_tokens,
+    n_removed, n_kept, md5 of the redacted text in original token
+    order). This is the handoff q446's docstring promises ('q442's
+    removal pass consumes this table unchanged') proven end to end —
+    the PaLM-style recipe where only the contaminated span is cut,
+    composed the way q439 proved chunk→serve→RRF→MMR and q395 proved
+    probe→CC→sample.
+
+    Both sides compose from the SAME shared definition sites: Spark
+    chains _contamination_spans into _span_removal_report; the oracle
+    concatenates _CONTAM_SPAN_CTES with _SPAN_REMOVAL_TAIL (the exact
+    CTE texts q446 and q442 run) — neither the detector nor the
+    redactor can drift from its standalone form. The digest pins the
+    rewrite exactly: an off-by-one span bound, a dropped survivor
+    token, or a reordered reassembly all hash-mismatch.
+
+    Scale shape: q446's benchmark-keyed semi-join (benchmark window
+    set ≪ corpus, broadcast-or-bucketed) + island merge over the hit
+    subset, then q442's bounded span explode (Σ span_tokens ≤
+    contaminated volume), one (doc, pos)-keyed anti-join, and the
+    doc-keyed reassembly agg over AFFECTED docs only — benchmark
+    contamination touches a small fraction of a 100 TB corpus, and
+    untouched docs never enter the rewrite (the affected-doc semi-join
+    prunes first)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    return _span_removal_report(d, _contamination_spans(spark, sf_dir))
 
 
 @query(
@@ -4498,4 +4572,142 @@ def q447_cross_source_dup_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         F.count_distinct("span").cast("bigint").alias("n_spans"),
         F.count_distinct("doc_id").cast("bigint").alias("n_target_docs"),
+    )
+
+
+# hashed-ngram DSIR bucket count: 10k in Xie et al.; 256 here so the
+# sf0.01 fixture (~60k bigrams) still exercises real bucket collisions
+_DSIR_B = 256
+
+@query(
+    "q449_dsir_hashed_ngrams",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[cast(i as int)] || ' ' || w[cast(i as int) + 1])) AS g
+      FROM ws WHERE len(w) >= 2
+    ), bk AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_B} AS b
+      FROM bg
+    ), tgt AS (SELECT b FROM bk WHERE doc_id % 7 = 0),
+    rawb AS (SELECT doc_id, b FROM bk WHERE doc_id % 7 <> 0),
+    nt AS (SELECT count(*) AS n FROM tgt),
+    nr AS (SELECT count(*) AS n FROM rawb),
+    ctt AS (SELECT b, count(*) AS c FROM tgt GROUP BY b),
+    crr AS (SELECT b, count(*) AS c FROM rawb GROUP BY b),
+    lm AS MATERIALIZED (
+      SELECT u.b,
+             ln(cast(coalesce(ct.c, 0) + 1 as double)
+                / cast(nt.n + {_DSIR_B} as double))
+           - ln(cast(coalesce(cr.c, 0) + 1 as double)
+                / cast(nr.n + {_DSIR_B} as double)) AS lr
+      FROM (SELECT unnest(range(0, {_DSIR_B})) AS b) u
+      LEFT JOIN ctt ct ON u.b = ct.b
+      LEFT JOIN crr cr ON u.b = cr.b
+      CROSS JOIN nt CROSS JOIN nr
+    ), docterms AS (
+      SELECT doc_id, b, count(*) AS cnt FROM rawb GROUP BY doc_id, b
+    ), scored AS (
+      SELECT d.doc_id,
+             cast(sum(cnt) as bigint) AS n_bigrams,
+             list_reduce(list_sort(list(cast(cnt as double) * lm.lr)),
+                         (x, y) -> x + y) AS wgt
+      FROM docterms d JOIN lm ON d.b = lm.b
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_bigrams, round(wgt, 6) AS dsir_weight
+    FROM scored ORDER BY wgt DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "llm-pipeline", "sampling"),
+)
+def q449_dsir_hashed_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASHED-NGRAM DSIR — the variant Xie et al. 2023 actually run at
+    scale (and the drop-in q441's docstring promises): features are
+    BIGRAMS hashed into a fixed B-bucket space (md5-prefix mod B, the
+    q305 feature-hashing protocol), and the target/raw unigram LMs of
+    q441 become bucket LMs of fixed width B. The importance log-weight
+    per raw document is Σ_buckets cnt·(ln p_target(b) − ln p_raw(b)),
+    same add-one smoothing (over B, the true feature-space size — no
+    vocabulary pass at all) and same sorted-fold summation protocol,
+    so the top-20 (weight, doc_id) ordering is bit-identical across
+    engines. Docs with fewer than two tokens have no bigrams and drop
+    out of scoring on both sides identically.
+
+    Why this is the at-scale form: q441's exact-token variant carries
+    a vocabulary-sized LM table that grows with the corpus (and
+    adversarial token streams grow it without bound); hashing pins the
+    LM to B rows — a constant-width broadcast — while preserving the
+    importance-ratio signal in expectation (collisions hit numerator
+    and denominator together, the hashing-trick argument).
+
+    100 TB story: one narrow map builds bigram buckets (no shuffle),
+    two bucket-keyed count aggs over a B-row key space (map-side
+    combine collapses each partition to ≤ B rows), the B-row LM table
+    broadcasts onto the (doc, bucket)-keyed agg, and the global top-20
+    is TakeOrderedAndProject. The only data-sized shuffle is the
+    (doc_id, bucket) groupBy — bounded at B entries per doc."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    B = _DSIR_B
+    ws = d.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 2)
+    bg = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    bk = bg.select(
+        "doc_id",
+        (
+            F.expr("cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint)") % B
+        ).alias("b"),
+    )
+    tgt = bk.filter(F.col("doc_id") % 7 == 0)
+    raw = bk.filter(F.col("doc_id") % 7 != 0)
+    nt = tgt.agg(F.count(F.lit(1)).alias("nt"))
+    nr = raw.agg(F.count(F.lit(1)).alias("nr"))
+    ctt = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    crr = raw.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    buckets = spark.range(B).select(F.col("id").alias("b"))
+    lm = (
+        buckets.join(ctt, "b", "left")
+        .join(crr, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "b",
+            F.expr(
+                f"ln(cast(coalesce(ct, 0) + 1 as double)"
+                f" / cast(nt + {B} as double))"
+                f" - ln(cast(coalesce(cr, 0) + 1 as double)"
+                f" / cast(nr + {B} as double))"
+            ).alias("lr"),
+        )
+    )
+    docterms = raw.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        docterms.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.col("cnt").cast("double") * F.col("lr"))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("wgt"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("wgt").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_bigrams", F.round("wgt", 6).alias("dsir_weight"))
     )

@@ -1,0 +1,158 @@
+"""Round-12 additions: the composed span-level decontamination rewrite
+(q448 = q446 spans → q442 removal machinery) and hashed-ngram DSIR
+(q449). Cross-engine exactness is the oracle sweep's job
+(test_oracle_parity); these pin the OPERATOR-LEVEL invariants the hash
+alone can't name — the detect→redact handoff (removal counts equal the
+interval UNION of q446's spans, affected docs are exactly the detected
+training docs), digest correctness against a Python reassembly, and the
+fixed-width bucket-LM contract of the hashed DSIR variant."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from marketingcloud_etl_spark.io import table
+from marketingcloud_etl_spark.plans.catalog import load_all
+
+REGISTRY = load_all()
+
+
+def _union_size(intervals):
+    """Total integer points covered by a set of [start, end] intervals
+    (they CAN overlap: islands ≥2 positions apart still share tokens
+    when the gap is < the 8-token window width)."""
+    total, cur_s, cur_e = 0, None, None
+    for s, e in sorted(intervals):
+        if cur_s is None:
+            cur_s, cur_e = s, e
+        elif s <= cur_e + 1:
+            cur_e = max(cur_e, e)
+        else:
+            total += cur_e - cur_s + 1
+            cur_s, cur_e = s, e
+    if cur_s is not None:
+        total += cur_e - cur_s + 1
+    return total
+
+
+def test_q448_consumes_exactly_q446_spans(spark, sf_dir):
+    """The handoff contract: q448's write set is exactly q446's
+    detected doc set (training side only), and per doc n_removed is
+    the interval UNION of q446's contaminated spans — no span lost,
+    none double-counted, nothing outside a detected span removed."""
+    spans = REGISTRY["q446_decontamination_spans"].fn(spark, sf_dir).collect()
+    out = {r["doc_id"]: r for r in REGISTRY["q448_decontamination_rewrite"].fn(spark, sf_dir).collect()}
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        assert r["doc_id"] % 10 != 7, "benchmark doc in the training write set"
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    assert set(out) == set(by_doc), "affected docs != detected docs"
+    for doc_id, ivals in by_doc.items():
+        row = out[doc_id]
+        assert row["n_removed"] == _union_size(ivals), doc_id
+        assert row["n_kept"] == row["n_tokens"] - row["n_removed"]
+
+
+def test_q448_digest_matches_python_reassembly(spark, sf_dir):
+    """The trimmed_digest pins the rewrite byte-for-byte: recompute the
+    redacted text for every affected doc in Python (split on single
+    space — the span positions are defined over that split) and md5 it."""
+    spans = REGISTRY["q446_decontamination_spans"].fn(spark, sf_dir).collect()
+    out = {r["doc_id"]: r for r in REGISTRY["q448_decontamination_rewrite"].fn(spark, sf_dir).collect()}
+    by_doc: dict[int, set] = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], set()).update(
+            range(r["span_start"], r["span_end"] + 1)
+        )
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(list(by_doc)))
+        .collect()
+    }
+    for doc_id, removed in by_doc.items():
+        words = texts[doc_id].split(" ")
+        kept = " ".join(w for i, w in enumerate(words) if i not in removed)
+        want = hashlib.md5(kept.encode()).hexdigest()
+        assert out[doc_id]["trimmed_digest"] == want, doc_id
+        assert out[doc_id]["n_tokens"] == len(words), doc_id
+
+
+def test_q449_bigram_counts_and_raw_side_only(spark, sf_dir):
+    """Every scored doc is raw-side (doc_id % 7 != 0) and its n_bigrams
+    is exactly len(tokens) − 1 — the hashing trick changes the FEATURE
+    KEY, never the feature mass."""
+    out = REGISTRY["q449_dsir_hashed_ngrams"].fn(spark, sf_dir).collect()
+    assert len(out) == 20
+    ids = [r["doc_id"] for r in out]
+    assert all(i % 7 != 0 for i in ids)
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(ids))
+        .select(
+            "doc_id",
+            F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("n"),
+        )
+        .collect()
+    }
+    for r in out:
+        assert r["n_bigrams"] == toks[r["doc_id"]] - 1, r["doc_id"]
+    # descending weight, doc_id tiebreak — the resampling head order
+    ws = [(-r["dsir_weight"], r["doc_id"]) for r in out]
+    assert ws == sorted(ws)
+
+
+def test_q449_score_matches_python_lm(spark, sf_dir):
+    """Recompute the top doc's importance weight from scratch in Python
+    — bigram → md5-prefix bucket → add-one smoothed bucket LMs over the
+    FIXED width B (no vocabulary pass) — and match to 6 decimals."""
+    from marketingcloud_etl_spark.plans.text_queries import _DSIR_B as B
+
+    out = REGISTRY["q449_dsir_hashed_ngrams"].fn(spark, sf_dir).collect()
+    top = out[0]
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def buckets(text):
+        w = [t for t in text.split() if t]
+        return [
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16) % B
+            for a, b in zip(w, w[1:])
+        ]
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    nt = nr = 0
+    doc_buckets = None
+    for r in docs:
+        bs = buckets(r["text"])
+        tgt = r["doc_id"] % 7 == 0
+        for b in bs:
+            if tgt:
+                ct[b] = ct.get(b, 0) + 1
+            else:
+                cr[b] = cr.get(b, 0) + 1
+        nt += len(bs) if tgt else 0
+        nr += 0 if tgt else len(bs)
+        if r["doc_id"] == top["doc_id"]:
+            doc_buckets = bs
+    import math
+
+    cnt: dict[int, int] = {}
+    for b in doc_buckets:
+        cnt[b] = cnt.get(b, 0) + 1
+    terms = sorted(
+        c
+        * (
+            math.log((ct.get(b, 0) + 1) / (nt + B))
+            - math.log((cr.get(b, 0) + 1) / (nr + B))
+        )
+        for b, c in cnt.items()
+    )
+    acc = 0.0
+    for t in terms:
+        acc += t
+    assert round(acc, 6) == top["dsir_weight"]
+    assert len(doc_buckets) == top["n_bigrams"]
