@@ -4711,3 +4711,129 @@ def q449_dsir_hashed_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "n_bigrams", F.round("wgt", 6).alias("dsir_weight"))
     )
+
+
+# q450 state cache: sf_dir -> parquet dir holding the persisted span
+# index over HISTORY docs (postings/ = (doc_id, pos, span),
+# freq/ = (span, c_h))
+_Q450_STATE: dict[str, str] = {}
+
+
+@query(
+    "q450_incremental_span_state",
+    oracle=_DUP_SPAN_CTES
+    + """, batch_spans AS (
+      SELECT DISTINCT span FROM spans WHERE doc_id % 5 = 4
+    ), affected AS (
+      SELECT DISTINCT doc_id FROM spans
+      WHERE doc_id % 5 = 4 OR span IN (SELECT span FROM batch_spans)
+    )
+    SELECT doc_id, span_start, span_end, span_tokens, n_windows FROM sp
+    WHERE doc_id IN (SELECT doc_id FROM affected)
+    """,
+    tags=("text", "dedup", "llm", "incremental", "state"),
+)
+def q450_incremental_span_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL substring-dedup state — the span tier (q438/q442)
+    joins the mergeable-state matrix ({minhash q388, vector q389,
+    postings q390, LM counts q445} now + windows): the 8-word
+    window-frequency table over HISTORY docs (doc_id % 5 ≠ 4) and a
+    positional postings index (doc_id, pos, span) are persisted ONCE;
+    an arriving batch (doc_id % 5 = 4) tokenizes ONLY ITSELF, merges
+    its window counts in with one keyed additive merge (the q405
+    counts protocol — frequency is a sum, so history ⊕ batch equals
+    from-scratch over the union bit-for-bit), and maximal duplicated
+    spans re-derive for AFFECTED docs only: the batch's own docs plus
+    the history docs that share at least one window with the batch
+    (only their duplication status can change — a history doc with no
+    batch-shared window has the same span set as before). History
+    text is never re-tokenized; its window positions replay from the
+    postings index.
+
+    The oracle is the from-scratch q438 chain over the union corpus
+    (the SAME _DUP_SPAN_CTES text) restricted to the affected-doc
+    set, so a count lost in the merge, a stale frequency, or an
+    affected doc missed by the pruning semi-join all hash-mismatch.
+
+    100 TB story: per-batch cost is batch tokenization, one
+    span-keyed additive merge into the frequency state (map-side
+    combinable), one batch-span-keyed semi-join against the postings
+    index to find affected history docs (bucketed by span content —
+    the q37 shuffle), and the island window over affected docs only
+    (bounded by doc length). The daily dedup refresh touches history
+    only through its index — the posture that makes substring dedup
+    affordable as a standing pipeline instead of a corpus rescan."""
+    import os
+    import tempfile
+
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def windows(df: DataFrame) -> DataFrame:
+        return (
+            df.select("doc_id", words.alias("words"))
+            .filter(F.size("words") >= 8)
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.expr(
+                        "transform(sequence(0, size(words) - 8), "
+                        "i -> concat_ws(' ', slice(words, i + 1, 8)))"
+                    )
+                ).alias("pos", "span"),
+            )
+        )
+
+    state_dir = _Q450_STATE.get(sf_dir)
+    if state_dir is None or not os.path.isdir(state_dir):
+        state_dir = tempfile.mkdtemp(prefix="mcetl_q450_")
+        hist = windows(d.filter(F.col("doc_id") % 5 != 4))
+        hist.write.parquet(state_dir + "/postings")
+        hist.groupBy("span").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_h")
+        ).write.parquet(state_dir + "/freq")
+        _Q450_STATE[sf_dir] = state_dir
+
+    postings = spark.read.parquet(state_dir + "/postings")
+    freq_h = spark.read.parquet(state_dir + "/freq")
+
+    batch = windows(d.filter(F.col("doc_id") % 5 == 4))
+    bcounts = batch.groupBy("span").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_b")
+    )
+    # ONE keyed additive merge — the only touch history counts get
+    merged = (
+        freq_h.join(bcounts, "span", "full_outer")
+        .select(
+            "span",
+            (F.coalesce("c_h", F.lit(0)) + F.coalesce("c_b", F.lit(0)))
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    # affected history docs: share ≥1 window with the batch
+    batch_spans = batch.select("span").distinct()
+    affected_hist = (
+        postings.join(batch_spans, "span", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    # their positions replay from the INDEX (no re-tokenization) and
+    # union with the batch's own positions
+    replay = postings.join(affected_hist, "doc_id", "left_semi")
+    positions = replay.unionByName(batch)
+    dup = (
+        positions.join(merged.filter(F.col("c") > 1), "span")
+        .select("doc_id", "pos")
+    )
+    isl = dup.withColumn(
+        "grp",
+        F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + 7).cast("bigint").alias("span_end"),
+        (F.max("pos") - F.min("pos") + 8).cast("bigint").alias("span_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+    ).drop("grp")

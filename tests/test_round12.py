@@ -156,3 +156,40 @@ def test_q449_score_matches_python_lm(spark, sf_dir):
         acc += t
     assert round(acc, 6) == top["dsir_weight"]
     assert len(doc_buckets) == top["n_bigrams"]
+
+
+def test_q450_state_equals_from_scratch_and_is_reused(spark, sf_dir):
+    """The incremental span tier's two contracts: (1) merged-state span
+    derivation ≡ from-scratch q438 for every affected doc, and batch
+    docs are all present in the affected set whenever q438 gives them
+    spans; (2) the persisted postings/frequency state is built once per
+    process and the second call reuses it byte-for-byte."""
+    import glob
+    import os
+
+    from marketingcloud_etl_spark.plans import text_queries as tq
+
+    fn = REGISTRY["q450_incremental_span_state"].fn
+    first = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    state_dir = tq._Q450_STATE[sf_dir]
+    stamps = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(state_dir + "/*/*.parquet")
+    }
+    assert stamps, "state dir holds no parquet files"
+    second = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert first == second
+    assert stamps == {
+        f: os.path.getmtime(f)
+        for f in glob.glob(state_dir + "/*/*.parquet")
+    }
+
+    scratch = REGISTRY["q438_maximal_dup_spans"].fn(spark, sf_dir).collect()
+    affected = {t[0] for t in first}
+    scratch_aff = sorted(
+        tuple(r) for r in scratch if r["doc_id"] in affected
+    )
+    assert first == scratch_aff, "state-derived spans drift from q438"
+    # every BATCH doc with from-scratch spans must be in the output
+    batch_with_spans = {r["doc_id"] for r in scratch if r["doc_id"] % 5 == 4}
+    assert batch_with_spans <= affected
