@@ -4713,6 +4713,242 @@ def q449_dsir_hashed_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q451 fixed-point GD constants: label threshold on the q444 quality
+# composite (≈ corpus median → balanced classes), learning rate, and
+# the ppm quantization that makes the gradient exactly summable
+_Q451_THRESH = 365000
+_Q451_LR = 0.5
+_Q451_ITERS = 3
+
+# the per-doc feature/label CTE shared textually by the oracle's
+# unrolled iterations (x1 = type-token ratio, x2 = stopword ratio,
+# x3 = capped length — every operand explicitly double, the q444
+# lesson; y = composite-above-threshold, the FineWeb-Edu label proxy)
+_Q451_FEAT_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             cast(len({_TOKS}) as bigint) AS n_tokens,
+             cast(len(list_distinct({_TOKS})) as bigint) AS n_distinct,
+             cast(len(list_filter({_TOKS},
+                  t -> t IN ('the','a','of','and','to','el','la','de'))) as bigint)
+               AS n_stop
+      FROM documents
+    ), feat AS MATERIALIZED (
+      SELECT doc_id, source, n_tokens,
+             CASE WHEN n_tokens > 0
+                  THEN cast(n_distinct as double) / cast(n_tokens as double)
+                  ELSE cast(0.0 as double) END AS x1,
+             CASE WHEN n_tokens > 0
+                  THEN cast(n_stop as double) / cast(n_tokens as double)
+                  ELSE cast(0.0 as double) END AS x2,
+             CASE WHEN n_tokens > 0
+                  THEN cast(least(n_tokens, 100) as double) / cast(100.0 as double)
+                  ELSE cast(0.0 as double) END AS x3,
+             CASE WHEN cast(floor(1000000 * (
+               CASE WHEN n_tokens > 0 THEN
+                 cast(0.5 as double) * (cast(n_distinct as double) / cast(n_tokens as double))
+                 + cast(0.3 as double) * (cast(n_stop as double) / cast(n_tokens as double))
+                 + cast(0.2 as double) * cast(least(n_tokens, 100) as double) / cast(100.0 as double)
+               ELSE cast(0.0 as double) END)) as bigint) >= {_Q451_THRESH}
+                  THEN cast(1.0 as double) ELSE cast(0.0 as double) END AS y
+      FROM base
+    )"""
+
+
+def _q451_grad_sql(i: int, wsrc: str) -> str:
+    """One unrolled oracle GD step: gradient of the squared loss at the
+    weights in CTE ``wsrc``, each per-doc term floor-quantized to ppm
+    and summed as exact bigints, then the weight update in the exact
+    double-op order the Spark driver uses."""
+    return f""", g{i} AS (
+      SELECT cast(count(*) as bigint) AS n,
+             cast(sum(cast(floor(r * 1000000.0) as bigint)) as bigint) AS g0,
+             cast(sum(cast(floor((x1 * r) * 1000000.0) as bigint)) as bigint) AS g1,
+             cast(sum(cast(floor((x2 * r) * 1000000.0) as bigint)) as bigint) AS g2,
+             cast(sum(cast(floor((x3 * r) * 1000000.0) as bigint)) as bigint) AS g3
+      FROM (SELECT x1, x2, x3,
+                   (((w0 + w1 * x1) + w2 * x2) + w3 * x3) - y AS r
+            FROM feat CROSS JOIN {wsrc})
+    ), w{i} AS (
+      SELECT w0 - cast({_Q451_LR} as double) * ((cast(g0 as double) / 1000000.0) / cast(n as double)) AS w0,
+             w1 - cast({_Q451_LR} as double) * ((cast(g1 as double) / 1000000.0) / cast(n as double)) AS w1,
+             w2 - cast({_Q451_LR} as double) * ((cast(g2 as double) / 1000000.0) / cast(n as double)) AS w2,
+             w3 - cast({_Q451_LR} as double) * ((cast(g3 as double) / 1000000.0) / cast(n as double)) AS w3
+      FROM g{i} CROSS JOIN {wsrc}
+    )"""
+
+
+@query(
+    "q451_quality_filter_pipeline",
+    oracle=_Q451_FEAT_SQL
+    + ", w_init AS (SELECT cast(0.0 as double) AS w0, cast(0.0 as double) AS w1,"
+    " cast(0.0 as double) AS w2, cast(0.0 as double) AS w3)"
+    + _q451_grad_sql(1, "w_init")
+    + _q451_grad_sql(2, "w1")
+    + _q451_grad_sql(3, "w2")
+    + """, scored AS (
+      SELECT source, n_tokens,
+             (((w0 + w1 * x1) + w2 * x2) + w3 * x3) AS pred,
+             w0, w1, w2, w3
+      FROM feat CROSS JOIN w3
+    )
+    SELECT source,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(CASE WHEN pred >= cast(0.5 as double) THEN 1 ELSE 0 END) as bigint) AS n_selected,
+           cast(coalesce(sum(CASE WHEN pred >= cast(0.5 as double) THEN n_tokens END), 0) as bigint) AS selected_token_budget,
+           cast(coalesce(min(CASE WHEN pred >= cast(0.5 as double)
+                THEN cast(floor(pred * 1000000.0) as bigint) END), -1) as bigint) AS min_sel_score_ppm,
+           cast(coalesce(max(CASE WHEN pred >= cast(0.5 as double)
+                THEN cast(floor(pred * 1000000.0) as bigint) END), -1) as bigint) AS max_sel_score_ppm,
+           cast(min(cast(floor(w0 * 1000000.0) as bigint)) as bigint) AS w0_ppm,
+           cast(min(cast(floor(w1 * 1000000.0) as bigint)) as bigint) AS w1_ppm,
+           cast(min(cast(floor(w2 * 1000000.0) as bigint)) as bigint) AS w2_ppm,
+           cast(min(cast(floor(w3 * 1000000.0) as bigint)) as bigint) AS w3_ppm
+    FROM scored GROUP BY source
+    """,
+    tags=("text", "ml", "llm-pipeline", "sampling"),
+)
+def q451_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED QUALITY FILTERING as one oracle-checked
+    train→score→select pipeline — the FineWeb-Edu shape: an expensive
+    labeler (here q444's quality composite thresholded at its corpus
+    median, standing in for LLM judgments) supervises a CHEAP linear
+    classifier over the document feature battery (type-token ratio,
+    stopword ratio, capped length), which then scores and selects the
+    whole corpus, reporting per source (n_docs, n_selected, selected
+    token budget, selection score range, final weights in ppm).
+
+    The training is FIXED-POINT gradient descent, which is what makes
+    an iterative float optimizer exactly verifiable across engines:
+    each of the 3 full-batch squared-loss iterations quantizes every
+    per-doc gradient term to ppm (floor(term·10⁶) — the cents/
+    canonicalization protocol, a pure IEEE function) and sums BIGINTS,
+    so the gradient is order-independent and exact; the weight update
+    replays the identical double-op sequence on both sides (Python
+    driver arithmetic ≡ the oracle's unrolled w1→w2→w3 CTE chain,
+    every literal explicitly double — the q444 lesson). Prediction,
+    thresholding at 0.5, and the ppm-floored score range then compare
+    exactly. `feat` is AS MATERIALIZED in the oracle (re-referenced by
+    all three unrolled iterations — the q439 ledger rule).
+
+    100 TB story: the feature pass is one narrow map pinned once
+    (localCheckpoint — iterations never re-tokenize); each iteration
+    is ONE map-side-combinable aggregation producing 5 bigints (the
+    q199/q207 sufficient-statistics posture with exact arithmetic);
+    weights travel to executors as literals (4 doubles — nothing to
+    shuffle); the final score+select is a narrow map plus a per-source
+    agg. Quantization headroom: |term| ≤ a few units → ppm terms
+    ≤ ~10⁷ per doc, so bigint sums hold to ~10¹¹ docs."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop = F.filter(
+        toks,
+        lambda t: t.isin("the", "a", "of", "and", "to", "el", "la", "de"),
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.size(stop).cast("bigint").alias("n_stop"),
+    )
+    quality_ppm = (
+        F.floor(
+            F.lit(1000000)
+            * F.when(
+                F.col("n_tokens") > 0,
+                F.lit(0.5)
+                * (
+                    F.col("n_distinct").cast("double")
+                    / F.col("n_tokens").cast("double")
+                )
+                + F.lit(0.3)
+                * (
+                    F.col("n_stop").cast("double")
+                    / F.col("n_tokens").cast("double")
+                )
+                + F.lit(0.2)
+                * F.least(F.col("n_tokens"), F.lit(100)).cast("double")
+                / F.lit(100.0),
+            ).otherwise(F.lit(0.0))
+        )
+        .cast("bigint")
+    )
+    ratio = lambda num: F.when(  # noqa: E731
+        F.col("n_tokens") > 0,
+        F.col(num).cast("double") / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    feat = base.select(
+        "source",
+        "n_tokens",
+        ratio("n_distinct").alias("x1"),
+        ratio("n_stop").alias("x2"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.least(F.col("n_tokens"), F.lit(100)).cast("double")
+            / F.lit(100.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("x3"),
+        F.when(quality_ppm >= _Q451_THRESH, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    ).localCheckpoint()
+
+    def predict(w):
+        return (
+            (F.lit(w[0]) + F.lit(w[1]) * F.col("x1"))
+            + F.lit(w[2]) * F.col("x2")
+        ) + F.lit(w[3]) * F.col("x3")
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_Q451_ITERS):
+        r = predict(w) - F.col("y")
+        row = feat.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(r * F.lit(1000000.0)).cast("bigint")).alias("g0"),
+            F.sum(
+                F.floor((F.col("x1") * r) * F.lit(1000000.0)).cast("bigint")
+            ).alias("g1"),
+            F.sum(
+                F.floor((F.col("x2") * r) * F.lit(1000000.0)).cast("bigint")
+            ).alias("g2"),
+            F.sum(
+                F.floor((F.col("x3") * r) * F.lit(1000000.0)).cast("bigint")
+            ).alias("g3"),
+        ).collect()[0]
+        n = row["n"]
+        w = [
+            w[j] - _Q451_LR * ((row[f"g{j}"] / 1e6) / n)
+            for j in range(4)
+        ]
+
+    import math
+
+    w_ppm = [int(math.floor(wj * 1e6)) for wj in w]
+    pred = predict(w)
+    sel = pred >= F.lit(0.5)
+    score_ppm = F.floor(pred * F.lit(1000000.0)).cast("bigint")
+    return feat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(sel, 1).otherwise(0)).cast("bigint").alias("n_selected"),
+        F.coalesce(F.sum(F.when(sel, F.col("n_tokens"))), F.lit(0))
+        .cast("bigint")
+        .alias("selected_token_budget"),
+        F.coalesce(F.min(F.when(sel, score_ppm)), F.lit(-1))
+        .cast("bigint")
+        .alias("min_sel_score_ppm"),
+        F.coalesce(F.max(F.when(sel, score_ppm)), F.lit(-1))
+        .cast("bigint")
+        .alias("max_sel_score_ppm"),
+        F.lit(w_ppm[0]).cast("bigint").alias("w0_ppm"),
+        F.lit(w_ppm[1]).cast("bigint").alias("w1_ppm"),
+        F.lit(w_ppm[2]).cast("bigint").alias("w2_ppm"),
+        F.lit(w_ppm[3]).cast("bigint").alias("w3_ppm"),
+    )
+
+
 # q450 state cache: sf_dir -> parquet dir holding the persisted span
 # index over HISTORY docs (postings/ = (doc_id, pos, span),
 # freq/ = (span, c_h))

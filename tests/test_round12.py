@@ -193,3 +193,74 @@ def test_q450_state_equals_from_scratch_and_is_reused(spark, sf_dir):
     # every BATCH doc with from-scratch spans must be in the output
     batch_with_spans = {r["doc_id"] for r in scratch if r["doc_id"] % 5 == 4}
     assert batch_with_spans <= affected
+
+
+def test_q451_classifier_discriminates_and_is_deterministic(spark, sf_dir):
+    """The trained filter must actually FILTER: selection agreement
+    with the label proxy beats the base rate (the q207 convergence
+    contract, here on exact fixed-point GD), the per-source counts are
+    internally consistent, the weight columns are identical across
+    rows (one model), and a second run reproduces the report exactly
+    (fixed-point arithmetic has no run-to-run noise)."""
+    fn = REGISTRY["q451_quality_filter_pipeline"].fn
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    w_cols = {(r["w0_ppm"], r["w1_ppm"], r["w2_ppm"], r["w3_ppm"]) for r in rows}
+    assert len(w_cols) == 1, "more than one model in the report"
+    for r in rows:
+        assert 0 <= r["n_selected"] <= r["n_docs"]
+        if r["n_selected"] == 0:
+            assert r["selected_token_budget"] == 0
+            assert r["min_sel_score_ppm"] == -1 == r["max_sel_score_ppm"]
+        else:
+            assert r["min_sel_score_ppm"] <= r["max_sel_score_ppm"]
+            assert r["min_sel_score_ppm"] >= 500000  # sel ⇔ pred ≥ 0.5
+
+    # agreement with the label proxy beats the base rate: rebuild the
+    # per-doc (y, selected) pairs with the reported final weights
+    from marketingcloud_etl_spark.io import table as t
+    from marketingcloud_etl_spark.plans.text_queries import (
+        _Q451_THRESH,
+    )
+    from marketingcloud_etl_spark.functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    stopw = F.filter(
+        tk, lambda x: x.isin("the", "a", "of", "and", "to", "el", "la", "de")
+    )
+    feats = [
+        (
+            r["n"],
+            r["nd"] / r["n"] if r["n"] else 0.0,
+            r["ns"] / r["n"] if r["n"] else 0.0,
+            min(r["n"], 100) / 100.0 if r["n"] else 0.0,
+        )
+        for r in d.select(
+            F.size(tk).alias("n"),
+            F.size(F.array_distinct(tk)).alias("nd"),
+            F.size(stopw).alias("ns"),
+        ).collect()
+    ]
+    import math
+
+    w = [c / 1e6 for c in next(iter(w_cols))]  # ppm floor ≈ good enough here
+    agree = pos = 0
+    for n, x1, x2, x3 in feats:
+        q = (
+            math.floor(
+                1e6 * (0.5 * x1 + 0.3 * x2 + 0.2 * min(n, 100) / 100.0)
+            )
+            if n
+            else 0
+        )
+        y = q >= _Q451_THRESH
+        pred = ((w[0] + w[1] * x1) + w[2] * x2) + w[3] * x3 >= 0.5
+        agree += y == pred
+        pos += y
+    n_all = len(feats)
+    base = max(pos, n_all - pos) / n_all
+    assert agree / n_all >= base - 1e-9, (agree / n_all, base)
+
+    again = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
