@@ -1932,3 +1932,185 @@ def q435_patch_grid_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d32.bitwiseAND(F.lit(65535))).cast("bigint").alias("checksum_lo"),
         F.sum(F.shiftright(d32, 16)).cast("bigint").alias("checksum_hi"),
     )
+
+
+@query(
+    "q452_interleaved_multimodal_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS ws
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, source, ws, cast(st as bigint) AS st
+      FROM t, unnest(range(0, len(ws), 48)) AS u(st)
+      WHERE len(ws) > 0
+    ), chunks AS (
+      SELECT doc_id, source,
+             st // 48 AS chunk_idx,
+             list_slice(ws, cast(st + 1 as int), cast(st + 64 as int)) AS ch
+      FROM starts
+    ), feats AS (
+      SELECT doc_id, source,
+             md5(text) AS payload_digest,
+             ('0x' || substr(md5(text), 1, 4))::int % 1920 + 1 AS width,
+             ('0x' || substr(md5(text), 5, 4))::int % 1080 + 1 AS height
+      FROM documents
+      WHERE doc_id < 300 AND octet_length(encode(text)) = length(text)
+    ), patches AS (
+      SELECT doc_id, source, px, py,
+             md5(payload_digest || ':' || px || ':' || py) AS patch_digest
+      FROM feats,
+           unnest(range(0, (width + 255) // 256)) gx(px),
+           unnest(range(0, (height + 255) // 256)) gy(py)
+    ), items AS (
+      SELECT source, doc_id, 0 AS m, chunk_idx AS ord3,
+             cast(len(ch) as bigint) AS cost,
+             md5(array_to_string(ch, ' ')) AS dg
+      FROM chunks
+      UNION ALL
+      SELECT source, doc_id, 1 AS m, py * 100 + px AS ord3,
+             cast(1 as bigint) AS cost, patch_digest AS dg
+      FROM patches
+    ), packed AS (
+      SELECT source, doc_id, m, cost, dg,
+             cast(sum(cost) OVER (PARTITION BY source
+                                  ORDER BY doc_id, m, ord3
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  as bigint) - cost AS start
+      FROM items
+    ), seqs AS (
+      SELECT source, start // 512 AS seq_id, doc_id, m, cost,
+             ('0x' || substr(dg, 1, 8))::BIGINT AS d32
+      FROM packed
+    )
+    SELECT source, cast(seq_id as bigint) AS seq_id,
+           cast(count(*) as bigint) AS n_items,
+           cast(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) as bigint) AS n_text_chunks,
+           cast(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) as bigint) AS n_patches,
+           cast(sum(CASE WHEN m = 0 THEN cost ELSE 0 END) as bigint) AS text_tokens,
+           cast(sum(CASE WHEN m = 1 THEN cost ELSE 0 END) as bigint) AS image_tokens,
+           cast(sum(cost) as bigint) AS seq_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           cast(sum(d32 & 65535) as bigint) AS checksum_lo,
+           cast(sum(d32 >> 16) as bigint) AS checksum_hi
+    FROM seqs GROUP BY source, seq_id
+    """,
+    tags=("multimodal", "llm-pipeline", "packing"),
+)
+def q452_interleaved_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLEAVED MULTIMODAL SEQUENCE ASSEMBLY — the Flamingo/MM1-
+    style packing step that turns a mixed text+image corpus into
+    fixed-length training sequences, composed from three proven
+    tiers: q361's overlapping text chunks (64-token windows, stride
+    48) and q435's ViT patch tiles (one image token per 256-px patch,
+    decode-stubbed dims from the payload digest, ASCII-guarded on
+    both sides) interleave per document (text chunks in chunk order,
+    then the doc's patches row-major), and the per-source item stream
+    packs under q107's concat-and-chunk cumsum into 512-token
+    sequences. Per (source, seq_id): item/chunk/patch counts, the
+    text-vs-image token split, doc bounds, and the item-digest
+    checksum half-sums (the q417 protocol) — so EXACT membership of
+    every chunk digest and patch digest in every sequence is pinned,
+    not just counts. A lost patch, a mis-ordered chunk, or a
+    token-budget drift all hash-mismatch.
+
+    The oracle re-derives chunking (q361's CTE), the patch grid
+    (q435's 2-D unnest), the interleave order, and the cumsum pack
+    relationally — the Python mapInPandas fan-out path is value-
+    pinned through the composition exactly as q435 pinned it
+    standalone.
+
+    100 TB story: chunking and patching are NARROW bounded fan-out
+    maps (no shuffle); the single shuffle is hash(source) for the
+    pack window — per-source streams pack independently in parallel
+    (q107's argument), and modality interleave adds no extra
+    exchange because both item sets key on the same (source, doc_id)
+    layout. Patch fan-out is Arrow-batched with a static ≤ 8×5
+    bound; a real decoder slots into the same iterator."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    from ..functions.text import tokens
+    from ..operators.multimodal import patch_grid
+
+    d = table(spark, sf_dir, "documents")
+
+    ws = tokens("text")
+    base = d.select("doc_id", "source", ws.alias("ws")).filter(F.size("ws") > 0)
+    fan = base.select(
+        "doc_id",
+        "source",
+        "ws",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("ws") - 1, F.lit(48))
+        ).alias("chunk_idx", "st"),
+    )
+    ch = F.slice(F.col("ws"), F.col("st") + 1, 64)
+    text_items = fan.select(
+        "source",
+        "doc_id",
+        F.lit(0).alias("m"),
+        F.col("chunk_idx").cast("bigint").alias("ord3"),
+        F.size(ch).cast("bigint").alias("cost"),
+        F.md5(F.array_join(ch, " ")).alias("dg"),
+    )
+
+    imgs = d.filter(
+        (F.col("doc_id") < 300)
+        & (F.octet_length("text") == F.length("text"))
+    )
+    feats = extract_features(attach_binary_payload(imgs))
+    patches = patch_grid(feats, patch=256)
+    img_items = (
+        patches.join(d.select("doc_id", "source"), "doc_id")
+        .select(
+            "source",
+            "doc_id",
+            F.lit(1).alias("m"),
+            (F.col("py") * 100 + F.col("px")).cast("bigint").alias("ord3"),
+            F.lit(1).cast("bigint").alias("cost"),
+            F.col("patch_digest").alias("dg"),
+        )
+    )
+
+    items = text_items.unionByName(img_items)
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id", "m", "ord3")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = items.withColumn(
+        "start", F.sum("cost").over(w).cast("bigint") - F.col("cost")
+    )
+    d32 = F.expr("cast(conv(substring(dg, 1, 8), 16, 10) as bigint)")
+    seqs = packed.select(
+        "source",
+        F.expr("start div 512").cast("bigint").alias("seq_id"),
+        "doc_id",
+        "m",
+        "cost",
+        d32.alias("d32"),
+    )
+    return seqs.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_text_chunks"),
+        F.sum(F.when(F.col("m") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_patches"),
+        F.sum(F.when(F.col("m") == 0, F.col("cost")).otherwise(0))
+        .cast("bigint")
+        .alias("text_tokens"),
+        F.sum(F.when(F.col("m") == 1, F.col("cost")).otherwise(0))
+        .cast("bigint")
+        .alias("image_tokens"),
+        F.sum("cost").cast("bigint").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum(F.col("d32").bitwiseAND(F.lit(65535)))
+        .cast("bigint")
+        .alias("checksum_lo"),
+        F.sum(F.shiftright("d32", 16)).cast("bigint").alias("checksum_hi"),
+    )

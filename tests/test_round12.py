@@ -264,3 +264,25 @@ def test_q451_classifier_discriminates_and_is_deterministic(spark, sf_dir):
 
     again = fn(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_q452_conserves_both_modalities(spark, sf_dir):
+    """Packing must CONSERVE the composed tiers exactly: summed over
+    all sequences, the text-chunk count/token mass equals standalone
+    q361 and the patch count equals standalone q435's total, per-source
+    seq_ids are contiguous from 0, and every sequence's token split
+    sums to its total."""
+    seqs = REGISTRY["q452_interleaved_multimodal_packing"].fn(spark, sf_dir).collect()
+    assert seqs
+    chunks = REGISTRY["q361_rag_chunking"].fn(spark, sf_dir).collect()
+    patches = REGISTRY["q435_patch_grid_parity"].fn(spark, sf_dir).collect()
+    assert sum(r["n_text_chunks"] for r in seqs) == len(chunks)
+    assert sum(r["text_tokens"] for r in seqs) == sum(r["n_tok"] for r in chunks)
+    assert sum(r["n_patches"] for r in seqs) == sum(r["n_patches"] for r in patches)
+    by_src: dict[str, list] = {}
+    for r in seqs:
+        assert r["text_tokens"] + r["image_tokens"] == r["seq_tokens"]
+        assert r["n_text_chunks"] + r["n_patches"] == r["n_items"]
+        by_src.setdefault(r["source"], []).append(r["seq_id"])
+    for ids in by_src.values():
+        assert sorted(ids) == list(range(len(ids))), "seq_ids not contiguous"
