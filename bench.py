@@ -131,7 +131,9 @@ HEADLINE = (
     # physical families, previously invisible to the bench. (The other
     # round-5 twins q339-q341 are mock-HTTP / sqlite driver-bound, not
     # data-scale-dependent — benching them would measure the fixture.)
-    "q337_multimodal_feature_parity",
+    # q337 retired round 12 (floor-pinned 0.26-0.38 s across four
+    # driver benches, zero ratchet information — the q85/q338/q41
+    # precedent); the multimodal family keeps q435 + the new q452
     "q342_pagerank_exact",
     # round-6 wave: BPE train+encode (iterative trainer + broadcast
     # vocab apply), the MATCH_RECOGNIZE-style per-key ordered-fold
@@ -153,10 +155,10 @@ HEADLINE = (
     # count-argmax iterative-graph shape vs q342's sum shape)
     "q359_bloom_incremental_dedup",
     "q360_label_propagation",
-    # round-6 wave 4: narrow-map RAG chunking (explode-per-stride, no
-    # shuffle), two-leg hybrid retrieval fusion, and the prefix-sum
-    # weighted systematic sampler
-    "q361_rag_chunking",
+    # round-6 wave 4: two-leg hybrid retrieval fusion and the
+    # prefix-sum weighted systematic sampler. q361 retired round 12
+    # (floor-pinned 0.33-0.42 s, zero ratchet information); chunking
+    # stays measured inside q439 and the new q452
     "q362_rrf_hybrid_retrieval",
     "q363_weighted_systematic_sample",
     # round-6 wave 5: one-pass sufficient-statistic OLS and the
@@ -273,6 +275,15 @@ HEADLINE = (
     # gen-0 postings in setup; timed pass = append + refold + serve
     # per micro-batch — the retrieval cell of the state matrix)
     "q443_stream_bm25_maintenance",
+    # round-12: the composed decontamination rewrite (q446 spans ->
+    # q442 removal, the handoff composition), the incremental span
+    # state probe (postings/frequency index in setup; timed pass =
+    # batch merge + affected-doc island re-derivation), fixed-point
+    # GD train->score->select, and the interleaved text+patch packer
+    "q448_decontamination_rewrite",
+    "q450_incremental_span_state",
+    "q451_quality_filter_pipeline",
+    "q452_interleaved_multimodal_packing",
 )
 
 
@@ -340,7 +351,6 @@ BUDGETS = {
     "q308_skyline_pareto_front": 1.5,  # driver-min 0.842
     "q322_abc_xyz_matrix": 3.17,  # driver obs 2.11 (r11, 99q battery)
     "q334_ks_two_sample": 1.98,  # driver obs 1.32 (r11, 99q battery)
-    "q337_multimodal_feature_parity": 1.5,  # driver-min 0.258
     "q342_pagerank_exact": 4.83,  # driver obs 3.22 (r10, 99q battery)
     "q345_bpe_encode_apply": 1.5,  # driver-min 0.679
     "q346_event_pattern_match": 1.5,  # driver-min 0.487
@@ -349,7 +359,6 @@ BUDGETS = {
     "q357_grouped_quantile_scalable": 5.46,  # driver obs 3.64 (r10, 99q battery)
     "q359_bloom_incremental_dedup": 1.5,  # driver-min 0.707
     "q360_label_propagation": 4.81,  # driver obs 3.21 (r11, 99q battery)
-    "q361_rag_chunking": 1.5,  # driver-min 0.329
     "q362_rrf_hybrid_retrieval": 1.81,  # driver obs 1.21 (r10, 99q battery)
     "q363_weighted_systematic_sample": 1.5,  # driver-min 0.679
     "q364_grouped_ols_trend": 1.5,  # driver-min 0.442
@@ -408,6 +417,13 @@ BUDGETS = {
     "q438_maximal_dup_spans": 2.97,  # driver obs 1.98 (r11, 99q battery)
     "q439_rag_serving_pipeline": 2.63,  # driver obs 1.75 (r11, 99q battery)
     "q443_stream_bm25_maintenance": 6.33,  # driver obs 4.22 (r11, 99q battery)
+    # round-12 additions: provisional local pins (isolated sf0.1 x 1.5
+    # x 1.5 until the first two full idle bench-condition runs refine
+    # them; replaced by driver anchors when BENCH_r12 lands)
+    "q448_decontamination_rewrite": 5.9,  # isolated 2.6 x 1.5 x 1.5
+    "q450_incremental_span_state": 4.2,  # isolated warm-probe 1.9 x 1.5 x 1.5
+    "q451_quality_filter_pipeline": 2.9,  # isolated 1.3 x 1.5 x 1.5
+    "q452_interleaved_multimodal_packing": 3.0,  # isolated 1.35 x 1.5 x 1.5
 }
 
 # Retired (pre-95-battery-era) anchors for the budgets the round-10
@@ -527,6 +543,15 @@ SETUP_QUERIES = (
     # streaming BM25 maintenance: golden arrivals + gen-0 postings
     # once; the timed pass copies state and replays the three batches
     "q443_stream_bm25_maintenance",
+    # round-12: the composed decontamination rewrite (q446 spans ->
+    # q442 removal, the handoff composition), the incremental span
+    # state probe (postings/frequency index in setup; timed pass =
+    # batch merge + affected-doc island re-derivation), fixed-point
+    # GD train->score->select, and the interleaved text+patch packer
+    "q448_decontamination_rewrite",
+    "q450_incremental_span_state",
+    "q451_quality_filter_pipeline",
+    "q452_interleaved_multimodal_packing",
 )
 
 
