@@ -5073,3 +5073,368 @@ def q450_incremental_span_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") - F.min("pos") + 8).cast("bigint").alias("span_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_windows"),
     ).drop("grp")
+
+
+@query(
+    "q453_filter_funnel_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS} AS ws FROM documents
+    ), counts AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w
+    ), topw AS (
+      SELECT doc_id, max(c) AS topc FROM counts GROUP BY doc_id
+    ), f AS (
+      SELECT t.doc_id, t.source,
+             cast(len(ws) as bigint) AS n,
+             cast(len(list_distinct(ws)) as bigint) AS nd,
+             cast(len(list_filter(ws,
+                  x -> x IN ('the','a','of','and','to','el','la','de'))) as bigint) AS nstop,
+             cast(coalesce(topw.topc, 0) as bigint) AS topc
+      FROM t LEFT JOIN topw ON t.doc_id = topw.doc_id
+    ), verdicts AS (
+      SELECT source, n,
+             CASE WHEN n < 20 THEN 'r1_too_short'
+                  WHEN nstop = 0 THEN 'r2_no_stopwords'
+                  WHEN topc * 8 > n THEN 'r3_repetitive'
+                  WHEN nd * 5 < n * 2 THEN 'r4_low_diversity'
+                  ELSE 'pass' END AS verdict
+      FROM f
+    )
+    SELECT source, verdict,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n) as bigint) AS n_tokens
+    FROM verdicts GROUP BY source, verdict
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def q453_filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-FUNNEL ATTRIBUTION — the curation artifact Dolma/
+    RedPajama publish alongside their corpora and the piece q90's
+    composed pipeline doesn't expose: every document gets the FIRST
+    rule of a fixed Gopher-style cascade that rejects it (too short →
+    no stopwords → repetitive → low type-token diversity → pass), and
+    the report aggregates per (source, verdict) doc counts and token
+    mass — 'how much did each rule cost us, per source' is the number
+    a data-mix owner reads before loosening a threshold. The ordered
+    first-failure semantics (not independent flags) is what makes
+    removal mass attributable: each doc is counted against exactly ONE
+    rule, so the funnel partitions the corpus and the per-rule masses
+    sum to the total.
+
+    Every rule is an INTEGER comparison (n < 20; nstop = 0; 8·topc >
+    n for the >1/8 top-word share; 5·nd < 2·n for ttr < 0.4) — no
+    float thresholds, so the verdict partition is engine-exact by
+    construction. The top-word share reuses q96's repetition signal
+    as cross-multiplied integers.
+
+    100 TB story: one narrow feature map + one (doc, word)-keyed count
+    agg for the repetition signal (map-side combinable, the q41
+    shuffle) + one per-(source, verdict) agg. The cascade itself is a
+    CASE expression — fused into the scan by codegen, zero extra
+    passes; adding a rule is one more WHEN arm, not another scan."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    base = d.select(
+        "doc_id",
+        "source",
+        tk.alias("ws"),
+    )
+    topw = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("topc"))
+    )
+    f = (
+        base.select(
+            "doc_id",
+            "source",
+            F.size("ws").cast("bigint").alias("n"),
+            F.size(F.array_distinct("ws")).cast("bigint").alias("nd"),
+            F.size(
+                F.filter(
+                    F.col("ws"),
+                    lambda x: x.isin(
+                        "the", "a", "of", "and", "to", "el", "la", "de"
+                    ),
+                )
+            )
+            .cast("bigint")
+            .alias("nstop"),
+        )
+        .join(topw, "doc_id", "left")
+        .withColumn("topc", F.coalesce("topc", F.lit(0)).cast("bigint"))
+    )
+    verdict = (
+        F.when(F.col("n") < 20, F.lit("r1_too_short"))
+        .when(F.col("nstop") == 0, F.lit("r2_no_stopwords"))
+        .when(F.col("topc") * 8 > F.col("n"), F.lit("r3_repetitive"))
+        .when(F.col("nd") * 5 < F.col("n") * 2, F.lit("r4_low_diversity"))
+        .otherwise(F.lit("pass"))
+    )
+    return (
+        f.select("source", "n", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "q454_deterministic_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             cast(len({_TOKS}) as bigint) AS n_tokens,
+             ('0x' || substr(md5('shuffle:' || cast(doc_id as varchar)), 1, 8))::BIGINT AS k
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, source, n_tokens, k, k % 16 AS shard FROM h
+    )
+    SELECT cast(shard as bigint) AS shard,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_tokens) as bigint) AS total_tokens,
+           cast(count(DISTINCT source) as bigint) AS n_sources,
+           min(k) AS min_key, max(k) AS max_key,
+           md5(string_agg(cast(doc_id as varchar), ',' ORDER BY k, doc_id))
+             AS order_digest
+    FROM sharded GROUP BY shard
+    """,
+    tags=("text", "llm-pipeline", "sampling"),
+)
+def q454_deterministic_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC CORPUS SHUFFLE + SHARDING — the step between
+    curation and the trainer: every doc gets a pseudorandom but
+    REPRODUCIBLE shuffle key (md5 of a salted doc_id, the _H32
+    protocol — re-runs and backfills land identical shard files), keys
+    bucket into 16 shards, and each shard reports its composition
+    (doc/token counts, source spread, key range) plus an ORDER DIGEST:
+    md5 over the doc_ids in exact (key, doc_id) write order — the q442
+    position-fold protocol applied to shard layout, so the hash pins
+    the PERMUTATION itself, not just membership. A changed salt, a
+    biased bucket map, or a nondeterministic within-shard order all
+    hash-mismatch. Source spread per shard is the well-mixedness
+    signal (every shard should see every source — the reason trainers
+    shuffle before sharding at all).
+
+    100 TB story: key assignment is a narrow map (no data movement);
+    the one shuffle is hash(shard) — exactly the exchange the physical
+    shard write needs anyway, so the plan IS the writer; the order
+    digest folds per shard via sorted struct collect, bounded by shard
+    size = corpus/16 (at real scale the digest would fold per shard
+    FILE — same protocol, finer grain, embarrassingly parallel)."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    k = F.expr(
+        "cast(conv(substring(md5(concat('shuffle:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+    )
+    sharded = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        k.alias("k"),
+    ).withColumn("shard", F.pmod("k", F.lit(16)).cast("bigint"))
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(k, doc_id))),"
+                    " x -> cast(x.doc_id as string))"
+                ),
+            )
+        ).alias("order_digest"),
+    )
+
+
+@query(
+    "q455_packing_efficiency_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, cast(len({_TOKS}) as bigint) AS n FROM documents
+    ), ordered AS (
+      SELECT doc_id, source, n,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+             cast(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  as bigint) - n AS start
+      FROM t
+    ), chunkstats AS (
+      SELECT source,
+             cast(count(*) as bigint) AS n_docs,
+             cast(sum(n) as bigint) AS total_tokens,
+             cast(sum(CASE WHEN n > 0
+                           AND (start + n - 1) // 256 > start // 256
+                      THEN 1 ELSE 0 END) as bigint) AS n_docs_split
+      FROM ordered GROUP BY source
+    ), greedy AS (
+      -- row-by-row replay of the greedy whole-doc packer (close the
+      -- open bin when the next doc does not fit; oversize docs get an
+      -- exact-sized bin of their own)
+      WITH RECURSIVE st AS (
+        SELECT source, 0 AS rn, cast(0 as bigint) AS fill,
+               cast(0 as bigint) AS bins, cast(0 as bigint) AS pad
+        FROM (SELECT DISTINCT source FROM t)
+        UNION ALL
+        SELECT o.source, o.rn,
+               CASE WHEN o.n > 256 THEN cast(0 as bigint)
+                    WHEN st.fill + o.n > 256 THEN o.n
+                    ELSE st.fill + o.n END AS fill,
+               st.bins + CASE WHEN o.n > 256 THEN
+                               (CASE WHEN st.fill > 0 THEN 2 ELSE 1 END)
+                              WHEN st.fill + o.n > 256 THEN 1
+                              ELSE 0 END AS bins,
+               st.pad + CASE WHEN o.n > 256 AND st.fill > 0 THEN 256 - st.fill
+                             WHEN o.n <= 256 AND st.fill + o.n > 256 THEN 256 - st.fill
+                             ELSE 0 END AS pad
+        FROM st JOIN ordered o ON o.source = st.source AND o.rn = st.rn + 1
+      )
+      SELECT source,
+             bins + CASE WHEN fill > 0 THEN 1 ELSE 0 END AS n_bins_greedy,
+             pad + CASE WHEN fill > 0 THEN 256 - fill ELSE 0 END AS pad_greedy
+      FROM (SELECT source, fill, bins, pad,
+                   row_number() OVER (PARTITION BY source ORDER BY rn DESC) AS last_rn
+            FROM st) WHERE last_rn = 1
+    )
+    SELECT c.source, c.n_docs, c.total_tokens,
+           cast((c.total_tokens + 255) // 256 as bigint) AS n_seqs_chunk,
+           cast(((c.total_tokens + 255) // 256) * 256 - c.total_tokens as bigint) AS pad_chunk,
+           c.n_docs_split,
+           cast(g.n_bins_greedy as bigint) AS n_bins_greedy,
+           cast(g.pad_greedy as bigint) AS pad_greedy,
+           cast((c.total_tokens * 1000000) // (((c.total_tokens + 255) // 256) * 256)
+                as bigint) AS fill_chunk_ppm,
+           cast((c.total_tokens * 1000000) // (c.total_tokens + g.pad_greedy)
+                as bigint) AS fill_greedy_ppm
+    FROM chunkstats c JOIN greedy g ON c.source = g.source
+    """,
+    tags=("text", "llm-pipeline", "packing"),
+)
+def q455_packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKING-EFFICIENCY AUDIT — the truncation-vs-padding tradeoff
+    table behind the 'Fewer Truncations Improve Language Modeling'
+    line of work, computed exactly for the two packers the catalog
+    already proves: q107's concat-and-chunk (perfect fill except the
+    per-source tail, but SPLITS documents at sequence boundaries) vs
+    the greedy whole-doc packer (never splits a doc, pays padding when
+    the next doc doesn't fit — q151's no-truncation objective with
+    FFD's reordering removed so the replay is order-deterministic).
+    Per source: doc/token totals, chunked sequence count + padding +
+    THE SPLIT COUNT (docs crossing a 256-token boundary — the cost
+    chunking hides), greedy bin count + padding, and both fill rates
+    in ppm. All-integer arithmetic (cumsum boundary compare, `div`
+    fills), so the whole tradeoff table is engine-exact.
+
+    The greedy replay is a per-source ORDERED FOLD: Spark folds the
+    (doc_id-sorted) per-source size array through one F.aggregate
+    accumulator (fill, closed bins, padding) — the q346 automaton
+    shape applied to packing; the oracle replays the identical
+    transition row-by-row with a recursive CTE. Oversize docs close
+    the open bin and ship exact-sized (zero padding) on both sides.
+
+    100 TB story: the chunk side is q107's per-source window cumsum
+    (one hash(source) shuffle); the greedy side folds one array per
+    source — per-shard sequential like every real packer's writer, and
+    the accumulator is 3 integers regardless of shard size. The fold
+    input is (doc_id, n) pairs, NOT text — collect is bounded by docs
+    per source, the same bound q151's applyInPandas already carries."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ordered = t.withColumn(
+        "start", F.sum("n").over(w).cast("bigint") - F.col("n")
+    )
+    chunkstats = ordered.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.when(
+                (F.col("n") > 0)
+                & (
+                    F.expr("(start + n - 1) div 256")
+                    > F.expr("start div 256")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_docs_split"),
+    )
+    # greedy whole-doc fold: one sorted (doc_id, n) array per source,
+    # 3-integer accumulator, same transition as the oracle's recursion
+    folded = (
+        t.groupBy("source")
+        .agg(
+            F.expr(
+                """
+                aggregate(
+                  transform(array_sort(collect_list(struct(doc_id, n))),
+                            x -> x.n),
+                  struct(cast(0 as bigint) as fill,
+                         cast(0 as bigint) as bins,
+                         cast(0 as bigint) as pad),
+                  (acc, x) -> struct(
+                    CASE WHEN x > 256 THEN cast(0 as bigint)
+                         WHEN acc.fill + x > 256 THEN x
+                         ELSE acc.fill + x END,
+                    acc.bins + CASE WHEN x > 256 THEN
+                                     (CASE WHEN acc.fill > 0 THEN cast(2 as bigint)
+                                           ELSE cast(1 as bigint) END)
+                                    WHEN acc.fill + x > 256 THEN cast(1 as bigint)
+                                    ELSE cast(0 as bigint) END,
+                    acc.pad + CASE WHEN x > 256 AND acc.fill > 0 THEN 256 - acc.fill
+                                   WHEN x <= 256 AND acc.fill + x > 256 THEN 256 - acc.fill
+                                   ELSE cast(0 as bigint) END),
+                  acc -> struct(
+                    acc.bins + CASE WHEN acc.fill > 0 THEN cast(1 as bigint)
+                                    ELSE cast(0 as bigint) END as n_bins_greedy,
+                    acc.pad + CASE WHEN acc.fill > 0 THEN 256 - acc.fill
+                                   ELSE cast(0 as bigint) END as pad_greedy)
+                ) as g
+                """
+            ).alias("g")
+        )
+        .select(
+            "source",
+            F.col("g.n_bins_greedy").alias("n_bins_greedy"),
+            F.col("g.pad_greedy").alias("pad_greedy"),
+        )
+    )
+    return chunkstats.join(folded, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.expr("(total_tokens + 255) div 256").cast("bigint").alias("n_seqs_chunk"),
+        F.expr("((total_tokens + 255) div 256) * 256 - total_tokens")
+        .cast("bigint")
+        .alias("pad_chunk"),
+        "n_docs_split",
+        F.col("n_bins_greedy").cast("bigint"),
+        F.col("pad_greedy").cast("bigint"),
+        F.expr(
+            "(total_tokens * 1000000) div (((total_tokens + 255) div 256) * 256)"
+        )
+        .cast("bigint")
+        .alias("fill_chunk_ppm"),
+        F.expr("(total_tokens * 1000000) div (total_tokens + pad_greedy)")
+        .cast("bigint")
+        .alias("fill_greedy_ppm"),
+    )

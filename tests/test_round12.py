@@ -286,3 +286,100 @@ def test_q452_conserves_both_modalities(spark, sf_dir):
         by_src.setdefault(r["source"], []).append(r["seq_id"])
     for ids in by_src.values():
         assert sorted(ids) == list(range(len(ids))), "seq_ids not contiguous"
+
+
+def test_q453_funnel_partitions_corpus_and_orders_rules(spark, sf_dir):
+    """First-failure attribution must PARTITION the corpus: per-rule
+    doc counts and token masses sum to the whole table, and a doc
+    failing an early rule never appears under a later one (recompute
+    every doc's verdict in Python and compare the aggregate)."""
+    rows = REGISTRY["q453_filter_funnel_report"].fn(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents").select("source", "text").collect()
+    expect: dict[tuple, list] = {}
+    stop = {"the", "a", "of", "and", "to", "el", "la", "de"}
+    for r in docs:
+        ws = [t for t in r["text"].split() if t]
+        n = len(ws)
+        nstop = sum(1 for t in ws if t in stop)
+        topc = max((ws.count(w) for w in set(ws)), default=0)
+        nd = len(set(ws))
+        if n < 20:
+            v = "r1_too_short"
+        elif nstop == 0:
+            v = "r2_no_stopwords"
+        elif topc * 8 > n:
+            v = "r3_repetitive"
+        elif nd * 5 < n * 2:
+            v = "r4_low_diversity"
+        else:
+            v = "pass"
+        k = (r["source"], v)
+        expect.setdefault(k, [0, 0])
+        expect[k][0] += 1
+        expect[k][1] += n
+    got = {(r["source"], r["verdict"]): [r["n_docs"], r["n_tokens"]] for r in rows}
+    assert got == expect
+    assert sum(v[0] for v in got.values()) == len(docs)
+
+
+def test_q454_shards_partition_and_pin_the_permutation(spark, sf_dir):
+    """Sharding must partition the corpus (Σ n_docs = corpus), be
+    reproducible run-to-run, and the order digest must equal a Python
+    recompute of the (key, doc_id)-sorted id list for every shard."""
+    import hashlib
+
+    fn = REGISTRY["q454_deterministic_shuffle_shards"].fn
+    rows = fn(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents").select("doc_id").collect()
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    by_shard: dict[int, list] = {}
+    for r in docs:
+        k = int(hashlib.md5(f"shuffle:{r['doc_id']}".encode()).hexdigest()[:8], 16)
+        by_shard.setdefault(k % 16, []).append((k, r["doc_id"]))
+    for r in rows:
+        ids = [str(d) for _, d in sorted(by_shard[r["shard"]])]
+        want = hashlib.md5(",".join(ids).encode()).hexdigest()
+        assert r["order_digest"] == want, r["shard"]
+        assert r["n_docs"] == len(ids)
+    again = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_q455_greedy_matches_python_replay(spark, sf_dir):
+    """The ordered-fold packer must equal a straight Python replay per
+    source (bins, padding), and the structural dominance must hold:
+    chunking has perfect fill (greedy pads at least as much) while
+    greedy never splits (its whole advantage — chunk splits ≥ 0 and
+    greedy bins ≥ chunk seqs)."""
+    rows = REGISTRY["q455_packing_efficiency_audit"].fn(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents").select("source", "doc_id", "text").collect()
+    per_src: dict[str, list] = {}
+    for r in docs:
+        n = len([t for t in r["text"].split() if t])
+        per_src.setdefault(r["source"], []).append((r["doc_id"], n))
+    for r in rows:
+        fill = bins = pad = 0
+        for _, n in sorted(per_src[r["source"]]):
+            if n > 256:
+                if fill > 0:
+                    pad += 256 - fill
+                    bins += 1
+                bins += 1
+                fill = 0
+            elif fill + n > 256:
+                pad += 256 - fill
+                bins += 1
+                fill = n
+            else:
+                fill += n
+        if fill > 0:
+            bins += 1
+            pad += 256 - fill
+        assert r["n_bins_greedy"] == bins, r["source"]
+        assert r["pad_greedy"] == pad, r["source"]
+        assert r["n_bins_greedy"] >= r["n_seqs_chunk"]
+        assert r["pad_greedy"] >= r["pad_chunk"]
+        assert 0 <= r["n_docs_split"] <= r["n_docs"]
+        total = r["total_tokens"]
+        assert r["fill_chunk_ppm"] == (total * 1000000) // (r["n_seqs_chunk"] * 256)
+        assert r["fill_greedy_ppm"] == (total * 1000000) // (total + r["pad_greedy"])
