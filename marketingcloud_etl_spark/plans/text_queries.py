@@ -5438,3 +5438,255 @@ def q455_packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("fill_greedy_ppm"),
     )
+
+
+@query(
+    "q456_split_leakage_matrix",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5('shuffle:' || cast(doc_id as varchar)), 1, 8))::BIGINT % 10 < 8
+                  THEN 'train'
+                  WHEN ('0x' || substr(md5('shuffle:' || cast(doc_id as varchar)), 1, 8))::BIGINT % 10 = 8
+                  THEN 'val' ELSE 'test' END AS split,
+             string_split(text, ' ') AS words
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, split,
+             array_to_string(list_slice(words, pos + 1, pos + 8), ' ') AS span
+      FROM w, unnest(range(0, greatest(len(words) - 7, 0))) AS u(pos)
+    ), occ AS (
+      SELECT DISTINCT span, doc_id, split FROM spans
+    ), flags AS (
+      SELECT span,
+             max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+             max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS in_val,
+             max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+      FROM occ GROUP BY span
+    ), flagged AS (
+      SELECT o.span, o.doc_id, o.split AS to_split,
+             list_filter(['train', 'val', 'test'],
+                 s -> s <> o.split
+                   AND ((s = 'train' AND f.in_train = 1)
+                     OR (s = 'val' AND f.in_val = 1)
+                     OR (s = 'test' AND f.in_test = 1))) AS froms
+      FROM occ o JOIN flags f ON o.span = f.span
+    ), leaks AS (
+      SELECT span, doc_id, to_split, unnest(froms) AS from_split
+      FROM flagged
+    )
+    SELECT from_split, to_split,
+           cast(count(*) as bigint) AS n_occurrences,
+           cast(count(DISTINCT span) as bigint) AS n_spans,
+           cast(count(DISTINCT doc_id) as bigint) AS n_leaked_docs
+    FROM leaks GROUP BY from_split, to_split
+    """,
+    tags=("text", "dedup", "llm-pipeline"),
+)
+def q456_split_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/VAL/TEST SPLIT LEAKAGE MATRIX — the audit every eval
+    pipeline runs before trusting a held-out number: documents land in
+    train/val/test by the q454 salted-hash protocol (8/1/1), and every
+    verbatim 8-word window shared ACROSS splits records a leak flow
+    (from_split → to_split): occurrence counts, distinct leaked spans,
+    and distinct contaminated target docs per ordered split pair.
+    'val is X% leaked from train' is this table's (train, val) row.
+    Completes the leakage triptych: q446 redacts against an external
+    benchmark, q447 attributes copying between SOURCES, THIS audits
+    the hash-split boundary itself.
+
+    Deliberately LINEAR (the q447 discipline): per span one grouped
+    flag row (3 booleans via max), each occurrence then emits at most
+    |splits|−1 flow rows via a bounded explode — never within-group
+    doc pairs, so a boilerplate span in thousands of docs costs its
+    occurrence count, not its square.
+
+    100 TB story: one content-keyed distinct + one span-keyed flag agg
+    (map-side combinable) + a broadcast-size split lexicon in the
+    explode; the flag join keys on span content — the same q37/q173
+    shuffle every dedup tier pays. Split assignment is a narrow map
+    (no data motion), so the audit composes onto any hash-split
+    corpus without a repartition."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    k = F.expr(
+        "cast(conv(substring(md5(concat('shuffle:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+    )
+    split = (
+        F.when(F.pmod(k, F.lit(10)) < 8, F.lit("train"))
+        .when(F.pmod(k, F.lit(10)) == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    words = F.split(F.col("text"), " ")
+    occ = (
+        d.select("doc_id", split.alias("split"), words.alias("words"))
+        .filter(F.size("words") >= 8)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words) - 8), "
+                    "i -> concat_ws(' ', slice(words, i + 1, 8)))"
+                )
+            ).alias("span"),
+        )
+        .distinct()
+    )
+    flags = occ.groupBy("span").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("split") == "val", 1).otherwise(0)).alias("in_val"),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("in_test"),
+    )
+    leaks = (
+        occ.join(flags, "span")
+        .select(
+            "span",
+            "doc_id",
+            F.col("split").alias("to_split"),
+            F.explode(
+                F.expr(
+                    "filter(array('train', 'val', 'test'), "
+                    "s -> s != split AND ("
+                    "(s = 'train' AND in_train = 1) OR "
+                    "(s = 'val' AND in_val = 1) OR "
+                    "(s = 'test' AND in_test = 1)))"
+                )
+            ).alias("from_split"),
+        )
+    )
+    return leaks.groupBy("from_split", "to_split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.count_distinct("span").cast("bigint").alias("n_spans"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_leaked_docs"),
+    )
+
+
+@query(
+    "q457_token_budget_allocation",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             cast(sum(len({_TOKS})) as bigint) AS avail_tokens,
+             cast(sum(cast(floor(1000000 * (
+               CASE WHEN len({_TOKS}) > 0 THEN
+                 cast(0.5 as double) * (cast(len(list_distinct({_TOKS})) as double)
+                                        / cast(len({_TOKS}) as double))
+                 + cast(0.3 as double) * (cast(len(list_filter({_TOKS},
+                     t -> t IN ('the','a','of','and','to','el','la','de'))) as double)
+                                          / cast(len({_TOKS}) as double))
+                 + cast(0.2 as double) * cast(least(len({_TOKS}), 100) as double)
+                   / cast(100.0 as double)
+               ELSE cast(0.0 as double) END)) as bigint)) as bigint) AS weight
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT cast(sum(weight) as bigint) AS wsum FROM src
+    ), quota AS (
+      SELECT source, avail_tokens, weight,
+             cast((100000 * weight) // wsum as bigint) AS base,
+             cast((100000 * weight) % wsum as bigint) AS rem
+      FROM src CROSS JOIN tot
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             cast(100000 - sum(base) OVER () as bigint) AS leftover
+      FROM quota
+    )
+    SELECT source, weight, avail_tokens, base,
+           cast(CASE WHEN rr <= leftover THEN base + 1 ELSE base END as bigint)
+             AS alloc_tokens,
+           cast(least(CASE WHEN rr <= leftover THEN base + 1 ELSE base END,
+                      4 * avail_tokens) as bigint) AS alloc_capped,
+           cast((CASE WHEN rr <= leftover THEN base + 1 ELSE base END) * 1000000
+                // avail_tokens as bigint) AS epochs_ppm
+    FROM ranked
+    """,
+    tags=("text", "llm-pipeline", "sampling"),
+)
+def q457_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET ALLOCATION by the LARGEST-REMAINDER method — the
+    'how many tokens of each source' table a data-constrained training
+    run starts from (the Muennighoff et al. 2023 repetition-budget
+    setting): each source weighs in with its summed quality mass
+    (q444's composite in ppm — integer, so the weights are exact), a
+    100k-token budget splits proportionally via Hamilton apportionment
+    (floor quotas + the remainder-ranked +1s — the method that
+    guarantees Σ alloc = budget EXACTLY, which proportional floats
+    never do), and each source reports its allocation, the 4-epoch
+    repetition cap (alloc_capped = least(alloc, 4× available)), and
+    implied epochs in ppm. Every step is integer arithmetic (div/mod
+    against the weight total, a remainder rank, cross-multiplied
+    caps), so the apportionment — including the tie-broken +1 set —
+    is engine-exact.
+
+    100 TB story: one per-source agg (map-side combinable — the
+    feature scan is the only corpus pass), then all arithmetic runs on
+    the SOURCE-cardinality table (dozens of rows): the one-row total
+    broadcasts, the remainder rank is a key-domain window (the q433
+    bound — source count, never corpus size). The allocation table
+    then drives q190's selection machinery unchanged."""
+    prep(spark)
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    qual = F.floor(
+        F.lit(1000000)
+        * F.when(
+            F.size(tk) > 0,
+            F.lit(0.5)
+            * (F.size(F.array_distinct(tk)).cast("double") / F.size(tk).cast("double"))
+            + F.lit(0.3)
+            * (
+                F.size(
+                    F.filter(
+                        tk,
+                        lambda t: t.isin(
+                            "the", "a", "of", "and", "to", "el", "la", "de"
+                        ),
+                    )
+                ).cast("double")
+                / F.size(tk).cast("double")
+            )
+            + F.lit(0.2)
+            * F.least(F.size(tk), F.lit(100)).cast("double")
+            / F.lit(100.0),
+        ).otherwise(F.lit(0.0))
+    ).cast("bigint")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(tk)).cast("bigint").alias("avail_tokens"),
+        F.sum(qual).cast("bigint").alias("weight"),
+    )
+    tot = src.agg(F.sum("weight").cast("bigint").alias("wsum"))
+    quota = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail_tokens",
+        "weight",
+        F.expr("(100000 * weight) div wsum").cast("bigint").alias("base"),
+        F.expr("(100000 * weight) % wsum").cast("bigint").alias("rem"),
+    )
+    # remainder rank + leftover live on the SOURCE-cardinality table
+    # (key-domain window, the q433 bound — never corpus-sized)
+    ranked = quota.withColumn(
+        "rr", F.row_number().over(W.orderBy(F.col("rem").desc(), "source"))
+    ).withColumn(
+        "leftover",
+        (F.lit(100000) - F.sum("base").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))).cast("bigint"),
+    )
+    alloc = F.when(F.col("rr") <= F.col("leftover"), F.col("base") + 1).otherwise(
+        F.col("base")
+    )
+    return ranked.select(
+        "source",
+        "weight",
+        "avail_tokens",
+        "base",
+        alloc.cast("bigint").alias("alloc_tokens"),
+        F.least(alloc, F.lit(4) * F.col("avail_tokens"))
+        .cast("bigint")
+        .alias("alloc_capped"),
+        F.expr(
+            "cast((CASE WHEN rr <= leftover THEN base + 1 ELSE base END) * 1000000"
+            " div avail_tokens as bigint)"
+        ).alias("epochs_ppm"),
+    )

@@ -383,3 +383,40 @@ def test_q455_greedy_matches_python_replay(spark, sf_dir):
         total = r["total_tokens"]
         assert r["fill_chunk_ppm"] == (total * 1000000) // (r["n_seqs_chunk"] * 256)
         assert r["fill_greedy_ppm"] == (total * 1000000) // (total + r["pad_greedy"])
+
+
+def test_q456_leakage_is_symmetric_in_spans_and_linear(spark, sf_dir):
+    """Structural contracts of the leak matrix: the distinct-span count
+    is symmetric across a split pair (a span shared between A and B
+    leaks both ways), no self-flows exist, and every (from, to) row's
+    occurrence count is at least its doc count (≥1 occurrence per
+    leaked doc)."""
+    rows = REGISTRY["q456_split_leakage_matrix"].fn(spark, sf_dir).collect()
+    assert rows
+    m = {(r["from_split"], r["to_split"]): r for r in rows}
+    for (a, b), r in m.items():
+        assert a != b
+        assert r["n_occurrences"] >= r["n_leaked_docs"] >= 1
+        assert (b, a) in m, "one-way leak row"
+        assert m[(b, a)]["n_spans"] == r["n_spans"], (a, b)
+
+
+def test_q457_allocation_sums_to_budget_and_is_proportional(spark, sf_dir):
+    """Hamilton apportionment contracts: Σ alloc_tokens = 100000
+    exactly, every alloc is base or base+1, caps clamp at 4 epochs, and
+    the +1 set goes to the largest remainders (recompute in Python)."""
+    rows = REGISTRY["q457_token_budget_allocation"].fn(spark, sf_dir).collect()
+    assert sum(r["alloc_tokens"] for r in rows) == 100000
+    wsum = sum(r["weight"] for r in rows)
+    leftover = 100000 - sum((100000 * r["weight"]) // wsum for r in rows)
+    order = sorted(
+        rows, key=lambda r: (-((100000 * r["weight"]) % wsum), r["source"])
+    )
+    plus_one = {r["source"] for r in order[:leftover]}
+    for r in rows:
+        base = (100000 * r["weight"]) // wsum
+        assert r["base"] == base
+        want = base + 1 if r["source"] in plus_one else base
+        assert r["alloc_tokens"] == want, r["source"]
+        assert r["alloc_capped"] == min(want, 4 * r["avail_tokens"])
+        assert r["epochs_ppm"] == want * 1000000 // r["avail_tokens"]
