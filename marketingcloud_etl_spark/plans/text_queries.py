@@ -5668,7 +5668,7 @@ def q457_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # remainder rank + leftover live on the SOURCE-cardinality table
     # (key-domain window, the q433 bound — never corpus-sized)
     ranked = quota.withColumn(
-        "rr", F.row_number().over(W.orderBy(F.col("rem").desc(), "source"))
+        "rr", F.row_number().over(W.orderBy(F.col("rem").desc(), "source"))  # global-window-ok: source-cardinality table (q433 bound), never corpus-sized
     ).withColumn(
         "leftover",
         (F.lit(100000) - F.sum("base").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))).cast("bigint"),
