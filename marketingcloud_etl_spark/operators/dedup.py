@@ -297,14 +297,44 @@ def build_minhash_index(
     band collides), so LSH-candidates + set_fp verify equals the plain
     fingerprint join — hash-verifiable — while near-identical docs
     (J < 1) still surface as candidates with LSH probability."""
-    buckets = minhash_band_buckets(
-        corpus, id_col, text_col, num_perm, bands, shingle_n, seed
-    )
-    fp = corpus.filter(F.size(tokens(text_col)) >= shingle_n).select(
-        F.col(id_col).alias("id"),
+    # ONE pass: signature + fingerprint computed in the same select and
+    # the band structs exploded afterwards — the former two-pass form
+    # (band buckets JOIN per-doc fingerprints on id) scanned the corpus
+    # text twice and paid a join exchange per index build / per probed
+    # micro-batch (q392/q395 build these in their hot loop).
+    if num_perm % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+    rows = num_perm // bands
+    df = spread_partitions(corpus)
+    df = df.filter(F.size(tokens(text_col)) >= shingle_n)
+    sig = minhash_signature(df, text_col, num_perm, shingle_n, seed).select(
+        id_col,
+        "minhash_sig",
         shingle_set_fingerprint(text_col, shingle_n).alias("set_fp"),
     )
-    return buckets.join(fp, "id")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("minhash_sig")[i * rows + j].cast("string")
+                            for j in range(rows)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sig.withColumn("bb", F.explode(band_structs)).select(
+        F.col(id_col).alias("id"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        "set_fp",
+    )
 
 
 def probe_minhash_index(

@@ -774,8 +774,15 @@ def q342_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per iteration, lineage cut per round, no driver-side data."""
     prep(spark)
     from ..operators.pagerank import pagerank_fixed_point
+    from ..operators.partitioning import spread_partitions
 
-    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    # the distinct's partial aggregation runs in the scan stage — one
+    # task on a single-file fixture input; conditional spread (no-op at
+    # scale) parallelizes it (the q408 audit-family rationale)
+    li = (
+        spread_partitions(table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey"))
+        .distinct()
+    )
     e0 = li.select(
         (F.col("l_partkey") * 2).alias("id_a"),
         (F.col("l_suppkey") * 2 + 1).alias("id_b"),
@@ -884,6 +891,8 @@ def q414_warm_start_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
 
+    from ..operators.partitioning import spread_partitions
+
     def sym_edges(pairs: DataFrame) -> DataFrame:
         e0 = pairs.select(
             (F.col("l_partkey") * 2).alias("id_a"),
@@ -897,8 +906,11 @@ def q414_warm_start_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     if state_dir is None or not os.path.isdir(state_dir):
         state_dir = tempfile.mkdtemp(prefix="mcetl_q414_") + "/ranks"
         old = (
-            li.filter(F.col("l_orderkey") % 4 != 0)
-            .select("l_partkey", "l_suppkey")
+            spread_partitions(
+                li.filter(F.col("l_orderkey") % 4 != 0).select(
+                    "l_partkey", "l_suppkey"
+                )
+            )
             .distinct()
         )
         pagerank_fixed_point(sym_edges(old), iters=2, symmetric=True).write.parquet(
@@ -907,7 +919,9 @@ def q414_warm_start_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _Q414_STATE[sf_dir] = state_dir
     state = spark.read.parquet(state_dir)
 
-    allp = li.select("l_partkey", "l_suppkey").distinct()
+    # spread before the distinct (single-file scan otherwise runs the
+    # partial agg on one task; no-op at scale — q342's rationale)
+    allp = spread_partitions(li.select("l_partkey", "l_suppkey")).distinct()
     return pagerank_fixed_point(
         sym_edges(allp), iters=2, symmetric=True, init=state
     ).select("id", "rank_micro")
@@ -2223,9 +2237,14 @@ def q360_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped-aggregation form that scales past hot nodes). The oracle
     unrolls both rounds as CTEs like q342."""
     prep(spark)
+    from ..operators.partitioning import spread_partitions
+
+    # spread before the distinct so its partial agg parallelizes
+    # (single-file scan = one task otherwise; no-op at scale)
     li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
+        spread_partitions(
+            table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+        )
         .distinct()
     )
     e0 = li.select(
@@ -2671,19 +2690,35 @@ def q376_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = cells.filter(F.col("n") >= 4).withColumn(
         "cell", (F.col("ix") + 100) * 1000 + (F.col("iy") + 100)
     )
+    # adjacency as an EQUI-join: explode each dense cell to its 9
+    # neighbor coordinates and hash-join on the (ix, iy) key — the
+    # former |dx|<=1 AND |dy|<=1 theta join planned a
+    # BroadcastNestedLoopJoin, O(dense²) comparisons; this is O(9·dense)
+    # shuffle rows and the same pair set (id_a < id_b dedups the two
+    # directions, self-pairs drop there too)
     a = dense.select(
         F.col("cell").alias("id_a"), F.col("ix").alias("xa"), F.col("iy").alias("ya")
     )
-    b = dense.select(
-        F.col("cell").alias("id_b"), F.col("ix").alias("xb"), F.col("iy").alias("yb")
-    )
+    nbr = dense.select(
+        F.col("cell").alias("id_b"), "ix", "iy"
+    ).select(
+        "id_b",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("ix") + dx).alias("xa"),
+                        (F.col("iy") + dy).alias("ya"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("nb"),
+    ).select("id_b", F.col("nb.xa").alias("xa"), F.col("nb.ya").alias("ya"))
     pairs = (
-        a.join(
-            b,
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("xa") - F.col("xb")) <= 1)
-            & (F.abs(F.col("ya") - F.col("yb")) <= 1),
-        )
+        a.join(nbr, ["xa", "ya"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
     comp = connected_components(pairs)
@@ -3209,9 +3244,11 @@ def q394_incremental_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
 
+    from ..operators.partitioning import spread_partitions
+
     def sym_pairs(df):
         e0 = (
-            df.select("l_partkey", "l_suppkey")
+            spread_partitions(df.select("l_partkey", "l_suppkey"))
             .distinct()
             .select(
                 (F.col("l_partkey") * 2).alias("src"),
@@ -3357,6 +3394,7 @@ def q395_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_set,
         probe_minhash_index,
     )
+    from ..operators.partitioning import spread_partitions
     from ..operators.ranking import global_prefix_sum
 
     d = table(spark, sf_dir, "documents")
@@ -3364,7 +3402,13 @@ def q395_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
 
     def gap_edges(docs: DataFrame) -> DataFrame:
-        g = docs.select("doc_id", ngram_set("text", 2).alias("gs")).persist()
+        # spread before the n-gram set build: on a single-file scan the
+        # whole gram pass runs in one task (no-op at scale)
+        g = (
+            spread_partitions(docs.select("doc_id", "text"))
+            .select("doc_id", ngram_set("text", 2).alias("gs"))
+            .persist()
+        )
         a = g.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("ga"))
         b = g.select(F.col("doc_id").alias("id_b"), F.col("gs").alias("gb"))
         parts = [

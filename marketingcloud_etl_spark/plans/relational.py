@@ -4046,10 +4046,30 @@ def q322_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned: repartitionByRange's sampling pass re-executes the input
     # subtree before the shuffle does — the fact-table aggregation
     # above would run twice without the cut
-    rev = pin_cache(
-        li.groupBy("l_partkey").agg(
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents")
+    # ONE fact pass: the (partkey, week) rollup is the finest grain
+    # both classification legs need — revenue re-aggregates from it
+    # (Σ cents over a part's week groups ≡ Σ cents over its rows, NULL
+    # ship weeks included as their own group), so the former second
+    # lineitem scan is gone. Spread before the partial agg (single-file
+    # scan = one task otherwise; no-op at scale), and pin the shared
+    # rollup plus the derived revenue frame (the prefix-sum leg's
+    # sampling pass re-executes its input subtree).
+    from ..operators.partitioning import spread_partitions
+
+    base = pin_cache(
+        spread_partitions(
+            li.select("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
         )
+        .groupBy("l_partkey", F.date_trunc("week", "l_shipdate").alias("wk"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "cents"
+            ),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("q"),
+        )
+    )
+    rev = pin_cache(
+        base.groupBy("l_partkey").agg(F.sum("cents").cast("bigint").alias("cents"))
     )
     ranked = global_prefix_sum(
         rev,
@@ -4066,10 +4086,7 @@ def q322_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
-    weekly = li.groupBy(
-        "l_partkey", F.date_trunc("week", "l_shipdate").alias("wk")
-    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
-    var_stats = weekly.groupBy("l_partkey").agg(
+    var_stats = base.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_wk"),
         F.sum("q").cast("bigint").alias("s1"),
         F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
@@ -5032,11 +5049,24 @@ def q425_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = weeks(intervals("1-URGENT", "a"), "a")
     b = weeks(intervals("5-LOW", "b"), "b")
+    # dedup-free pair emission: an overlapping pair shares exactly the
+    # weeks [max(wk(as), wk(bs)), min(wk(ae), wk(be))], so keeping only
+    # the join row where wk equals the FIRST shared week yields each
+    # qualifying pair exactly once — the former pair-wide .distinct()
+    # was a second full exchange of the joined rows for the same set
+    # (and the overlap recheck now filters BEFORE any shuffle-bound op)
+    first_shared_wk = F.greatest(
+        F.expr("datediff(`as`, DATE'1970-01-01') div 7"),
+        F.expr("datediff(bs, DATE'1970-01-01') div 7"),
+    )
     pairs = (
         a.join(b, "wk")
+        .filter(
+            (F.col("wk") == first_shared_wk)
+            & (F.col("as") <= F.col("be"))
+            & (F.col("bs") <= F.col("ae"))
+        )
         .select("ak", "as", "ae", "bk", "bs", "be")
-        .distinct()
-        .filter((F.col("as") <= F.col("be")) & (F.col("bs") <= F.col("ae")))
     )
     return pairs.groupBy(F.month("as").cast("int").alias("mo")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),

@@ -2008,9 +2008,18 @@ def q443_stream_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df.select("doc_id", "text")
         )
         new_postings.write.mode("append").parquet(state + "/postings")
-        # (b) refold df/stats from the postings (functionals — exact)
+        # (b) refold df/stats from the postings (functionals — exact).
+        # df is refolded for the QUERY TERMS only: the serve joins df
+        # onto query-term hits, so non-battery terms never surface —
+        # the term IN-filter prunes row groups of the term-sorted
+        # layout instead of aggregating the whole postings table per
+        # batch (identical served scores)
         postings = spark.read.parquet(state + "/postings")
-        dfreq = postings.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+        dfreq = (
+            postings.filter(F.col("t").isin(*terms))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
         dl = postings.select("doc_id", "len").distinct()
         stats = dl.agg(
             F.count(F.lit(1)).alias("n_docs"),

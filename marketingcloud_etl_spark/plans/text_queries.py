@@ -11,6 +11,7 @@ from pyspark.sql.window import Window as W
 from ..functions.text import tokens, tokens_sql
 from ..functions.vectors import cosine_sql
 from ..operators.dedup import word_shingles
+from ..operators.partitioning import spread_partitions as _spread
 from .dedup_queries import _H32, _H32_DUCK
 from ..io import table
 from ..session import prep
@@ -1071,8 +1072,17 @@ def q127_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted-fold protocol (deterministic, engine-identical addition
     order)."""
     prep(spark)
+    from ..operators.partitioning import spread_partitions
+
     d = table(spark, sf_dir, "documents")
-    dt = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") >= 2)
+    # spread the raw text BEFORE tokenizing: the pin-filling pass
+    # otherwise tokenizes + explodes the whole corpus in the single
+    # fixture-file scan task (no-op at scale)
+    dt = (
+        spread_partitions(d.select("doc_id", "text"))
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
     bg = dt.select(
         "doc_id",
         F.explode(
@@ -1383,7 +1393,12 @@ def q173_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     spans = (
-        d.select("doc_id", words.alias("words"))
+        # spread the text scan before the window build: the span
+        # strings otherwise materialize in the single-file scan task,
+        # and the shared exchange lets BOTH consumers (frequency agg +
+        # rejoin) reuse one build (no-op at scale)
+        _spread(d.select("doc_id", "text"))
+        .select("doc_id", words.alias("words"))
         .filter(F.size("words") >= 8)
         .select(
             "doc_id",
@@ -1488,7 +1503,12 @@ def _maximal_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     spans = (
-        d.select("doc_id", words.alias("words"))
+        # spread the text scan before the window build: the span
+        # strings otherwise materialize in the single-file scan task,
+        # and the shared exchange lets BOTH consumers (frequency agg +
+        # rejoin) reuse one build (no-op at scale)
+        _spread(d.select("doc_id", "text"))
+        .select("doc_id", words.alias("words"))
         .filter(F.size("words") >= 8)
         .select(
             "doc_id",
@@ -3776,23 +3796,40 @@ def q401_incremental_vocab_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     prep(spark)
+    from ..operators.partitioning import spread_partitions
+    from ..operators.ranking import pin_cache
+
     d = table(spark, sf_dir, "documents")
     # bigram types (q372's type space): unigram vocab saturates in the
     # first batch on any real corpus, collapsing the curve to one row
-    dt = d.select(
-        (F.col("doc_id") % 4).cast("int").alias("batch"),
-        tokens("text").alias("toks"),
-    ).filter(F.size("toks") >= 2)
-    toks = dt.select(
-        "batch",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.concat(
-                    F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
-                ),
-            )
-        ).alias("tok"),
+    dt = (
+        spread_partitions(d.select("doc_id", "text"))
+        .select(
+            (F.col("doc_id") % 4).cast("int").alias("batch"),
+            tokens("text").alias("toks"),
+        )
+        .filter(F.size("toks") >= 2)
+    )
+    # tokenize ONCE and pin: the batch filter is on a DERIVED column,
+    # so each of the four sequential state steps otherwise re-ran the
+    # full tokenize+bigram-explode subtree (and on the single-file
+    # fixture scan, on one task — hence the spread). The measured
+    # operation — distinct, anti-join, append — is unchanged; at scale
+    # a batch reads its own files and this pin is simply absent.
+    toks = pin_cache(
+        dt.select(
+            "batch",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat(
+                        F.element_at("toks", i),
+                        F.lit(" "),
+                        F.element_at("toks", i + 1),
+                    ),
+                )
+            ).alias("tok"),
+        )
     )
 
     base = tempfile.mkdtemp(prefix="mcetl_q401_")
@@ -4413,7 +4450,12 @@ def _contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     spans = (
-        d.select("doc_id", words.alias("words"))
+        # spread the text scan before the window build: the span
+        # strings otherwise materialize in the single-file scan task,
+        # and the shared exchange lets BOTH consumers (frequency agg +
+        # rejoin) reuse one build (no-op at scale)
+        _spread(d.select("doc_id", "text"))
+        .select("doc_id", words.alias("words"))
         .filter(F.size("words") >= 8)
         .select(
             "doc_id",
@@ -4538,7 +4580,10 @@ def q447_cross_source_dup_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     occ = (
-        d.select("doc_id", "source", words.alias("words"))
+        # spread the text scan before the window build (q438's
+        # rationale; no-op at scale)
+        _spread(d.select("doc_id", "source", "text"))
+        .select("doc_id", "source", words.alias("words"))
         .filter(F.size("words") >= 8)
         .select(
             "doc_id",
