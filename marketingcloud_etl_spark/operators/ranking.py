@@ -44,6 +44,7 @@ __all__ = [
     "global_prefix_sum",
     "global_prefix_max",
     "grouped_quantile_cont",
+    "grouped_quantile_from_bounded_counts",
     "pin_cache",
     "release_ranking_caches",
     "release_sticky_caches",
@@ -467,6 +468,85 @@ def grouped_quantile_from_counts(
         .agg(F.sum(cnt_col).cast("long").alias("__qc_cnt"))
     )
     return _quantile_over_counts(c, gcols, value_col, ps, ocols, sticky=False)
+
+
+def grouped_quantile_from_bounded_counts(
+    counts: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    cnt_col: str,
+    p: float | Sequence[float],
+    out_col: str | Sequence[str] = "q",
+) -> DataFrame:
+    """:func:`grouped_quantile_from_counts` for counts tables whose
+    VALUE DOMAIN is bounded (integer quantities, enum codes, bucketed
+    measures): per-group distinct values fit one task by CONSTRUCTION
+    — the premise the counts-state posture (q402) already requires —
+    so the distributed prefix-sum machinery's range exchange, pinned
+    frames and broadcast self-joins are pure overhead. One keyed
+    additive merge + one collect_list per group; the sorted (value,
+    count) array is walked with HOF folds and interpolated with the
+    builtin-verbatim arithmetic, so results are bitwise identical to
+    the machinery path (pinned in tests). Reach for
+    :func:`grouped_quantile_from_counts` when distinct values are
+    data-sized rather than domain-sized."""
+    ps = [p] if isinstance(p, (int, float)) else list(p)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(ps) != len(ocols):
+        raise ValueError("p and out_col lists must pair up")
+    gcols = list(group_cols)
+    merged = (
+        counts.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, value_col)
+        .agg(F.sum(cnt_col).cast("long").alias("__qc_cnt"))
+    )
+    rows = merged.groupBy(*gcols).agg(
+        F.sum("__qc_cnt").alias("n"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(value_col).alias("v"), F.col("__qc_cnt").alias("c")
+                )
+            )
+        ).alias("__vc"),
+    )
+    nm1 = (F.col("n") - F.lit(1)).cast("double")
+
+    def rank_value(rank: Column) -> Column:
+        # first value whose cumulative count reaches the 1-indexed rank
+        walk = F.aggregate(
+            F.col("__vc"),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("double").alias("val"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["c"]).alias("cum"),
+                F.when(
+                    acc["val"].isNull() & (acc["cum"] + x["c"] >= rank),
+                    x["v"].cast("double"),
+                )
+                .otherwise(acc["val"])
+                .alias("val"),
+            ),
+        )
+        return walk["val"]
+
+    outs = []
+    for pv, oc in zip(ps, ocols):
+        pos = nm1 * F.lit(float(pv))
+        lo, hi = F.floor(pos), F.ceil(pos)
+        v_lo = rank_value(lo + 1)
+        v_hi = rank_value(hi + 1)
+        # Spark Percentile.getPercentile verbatim (see _quantile_over_counts)
+        outs.append(
+            F.when(hi == lo, v_lo)
+            .otherwise(
+                (hi.cast("double") - pos) * v_lo + (pos - lo.cast("double")) * v_hi
+            )
+            .alias(oc)
+        )
+    return rows.select(*gcols, *outs, "n")
 
 
 def _quantile_over_counts(

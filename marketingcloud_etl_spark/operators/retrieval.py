@@ -38,14 +38,24 @@ def build_bm25_index(
     corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One corpus pass → (postings, df, stats). The token explode
-    aggregates map-side into (doc, term) partials; df folds from the
-    postings (one row per (t, doc) already — a count per term, not a
-    distinct over the raw stream); stats is a one-row reduction."""
+    aggregates map-side into (doc, term) partials; the doc-length norm
+    is Σ tf over the doc's terms — a doc-keyed window over the tf
+    frame (bounded per doc by document vocabulary, the same per-doc
+    bound as every text op), so the corpus text is tokenized ONCE
+    (the former separate doc-length aggregation re-ran the whole
+    tokenize+explode as a second pass and re-joined it on doc_id); df
+    folds from the postings (one row per (t, doc) already); stats is a
+    one-row reduction over the per-doc lengths."""
     toks = corpus.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t"))
     tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
-    postings = tf.join(dl, "doc_id").select("t", "doc_id", "tf", "len")
+    postings = tf.select(
+        "t",
+        "doc_id",
+        "tf",
+        F.sum("tf").over(Window.partitionBy("doc_id")).alias("len"),
+    )
     df = postings.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    dl = postings.select("doc_id", "len").distinct()
     stats = corpus.agg(F.count(F.lit(1)).alias("n_docs")).join(
         dl.agg(F.sum("len").alias("total_len")), F.lit(True)
     )

@@ -408,16 +408,13 @@ def q410_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFr
     side is dimension-sized and broadcastable. No fact-table row ever
     crosses a shuffle twice."""
     prep(spark)
-    from ..operators.partitioning import spread_partitions
-
     outs = []
     for rel, ct, ck, pt, pk in _FK_RELS:
-        # spread the fact-side scan so the keyed partial count
-        # parallelizes (single-file fixture scan = one task; no-op at
-        # scale — the q408 rationale)
-        child = spread_partitions(
-            table(spark, sf_dir, ct).select(F.col(ck).alias("k"))
-        )
+        # NOT spread: ckeys feeds three consumers, and the measured A/B
+        # (r12) showed the round-robin exchange re-runs per consumer
+        # (2.8 -> 6.0 s) — the cheap keyed partial count does not repay
+        # a raw-row shuffle
+        child = table(spark, sf_dir, ct).select(F.col(ck).alias("k"))
         parent = table(spark, sf_dir, pt).select(F.col(pk).alias("k"))
         ckeys = child.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
         # n_child folds from the key-domain frame — a second child.agg
@@ -729,13 +726,11 @@ def q413_uniqueness_contract_audit(spark: SparkSession, sf_dir: str) -> DataFram
     the fact table crosses the shuffle once per contract and nothing
     key-domain-sized reaches the driver."""
     prep(spark)
-    from ..operators.partitioning import spread_partitions
-
     outs = []
     for label, tbl, keys in _UNIQUE_CONTRACTS:
-        # spread: the keyed partial count otherwise runs in the
-        # single-file scan task (no-op at scale — q408 rationale)
-        t = spread_partitions(table(spark, sf_dir, tbl).select(*keys))
+        # NOT spread: measured A/B (r12) 1.2 -> 2.5 s — a plain keyed
+        # partial count is cheaper than shuffling the raw keys first
+        t = table(spark, sf_dir, tbl).select(*keys)
         m = t.groupBy(*keys).agg(F.count(F.lit(1)).alias("m"))
         outs.append(
             m.agg(
@@ -815,15 +810,9 @@ def q417_incremental_checksum_state(spark: SparkSession, sf_dir: str) -> DataFra
     import tempfile
 
     prep(spark)
-    from ..operators.partitioning import spread_partitions
-
     e = table(spark, sf_dir, "events")
 
     def triple(df: DataFrame) -> DataFrame:
-        # spread after the window filter (predicate still pushes into
-        # the scan); the digest partial agg then parallelizes instead
-        # of running on the single fixture-file split (q408 rationale)
-        df = spread_partitions(df)
         return df.groupBy("event_type").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             *_checksum_sums_spark(_row_digest_spark(_EVENTS_COLS)),
@@ -874,11 +863,7 @@ def q418_partition_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     column matches the physical layout so each task checksums its own
     partition's files — zero data movement beyond day-triple rows."""
     prep(spark)
-    from ..operators.partitioning import spread_partitions
-
-    # per-row digest in the scan stage — spread the single-split
-    # fixture scan (no-op at scale), q408's rationale
-    e = spread_partitions(table(spark, sf_dir, "events"))
+    e = table(spark, sf_dir, "events")
     return (
         e.withColumn(
             "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
@@ -976,15 +961,9 @@ def q419_schema_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXTENSION flags are computed here, column by column, on the
     # NATIVE canonical types (a stringified stack would compare
     # "10" < "9" lexically for numeric columns), and only the uniform
-    # bigint/boolean outputs go through the stack unpivot.
-    # Spread AFTER the window filter so the ts predicate still pushes
-    # into the scan; the Expand+Sort+SortAggregate first stage then
-    # parallelizes (q409's rationale — no-op at scale).
-    from ..operators.partitioning import spread_partitions
-
-    wide = profile(spread_partitions(e.filter(F.col("ts") < "2024-01-16")), "b").join(
-        profile(spread_partitions(e.filter(F.col("ts") >= "2024-01-16")), "c"),
-        F.lit(True),
+    # bigint/boolean outputs go through the stack unpivot
+    wide = profile(e.filter(F.col("ts") < "2024-01-16"), "b").join(
+        profile(e.filter(F.col("ts") >= "2024-01-16"), "c"), F.lit(True)
     )
     stack_args = ", ".join(
         f"'{name}', b_{name}__n, c_{name}__n, "
@@ -1111,19 +1090,16 @@ def q431_anti_entropy_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized by construction (it IS the point of bucketing).
     Overflow/decimal escalation as per the checksum half-sum ledger."""
     prep(spark)
-    from ..operators.partitioning import spread_partitions
     from ..operators.ranking import pin_cache
 
-    li = spread_partitions(table(spark, sf_dir, "lineitem"))
+    li = table(spark, sf_dir, "lineitem")
     # the replica projection feeds five consumers (ta, tb via b, both
     # repair branches, tr) — pin it or the scan+digest subtree runs
     # five times (measured 5.9 s -> ~3 s at sf0.1)
     # the row digest is STORED on the pinned frame — ta/tb/tr are three
     # aggregation passes, and recomputing the md5 in each tripled the
-    # hash work; only B's corrupted rows re-digest. The scan is spread
-    # first (conditional, no-op at scale) so the one-time digest pass
-    # that fills the pin parallelizes instead of running on the single
-    # fixture-file split.
+    # hash work; only B's corrupted rows re-digest. (A spread before
+    # the pin fill measured WORSE in the r12 A/B: 3.2 -> 4.1 s.)
     a = pin_cache(
         li.select(
             "l_orderkey",

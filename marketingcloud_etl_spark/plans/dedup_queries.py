@@ -774,15 +774,8 @@ def q342_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per iteration, lineage cut per round, no driver-side data."""
     prep(spark)
     from ..operators.pagerank import pagerank_fixed_point
-    from ..operators.partitioning import spread_partitions
 
-    # the distinct's partial aggregation runs in the scan stage — one
-    # task on a single-file fixture input; conditional spread (no-op at
-    # scale) parallelizes it (the q408 audit-family rationale)
-    li = (
-        spread_partitions(table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey"))
-        .distinct()
-    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     e0 = li.select(
         (F.col("l_partkey") * 2).alias("id_a"),
         (F.col("l_suppkey") * 2 + 1).alias("id_b"),
@@ -891,8 +884,6 @@ def q414_warm_start_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
 
-    from ..operators.partitioning import spread_partitions
-
     def sym_edges(pairs: DataFrame) -> DataFrame:
         e0 = pairs.select(
             (F.col("l_partkey") * 2).alias("id_a"),
@@ -906,11 +897,8 @@ def q414_warm_start_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     if state_dir is None or not os.path.isdir(state_dir):
         state_dir = tempfile.mkdtemp(prefix="mcetl_q414_") + "/ranks"
         old = (
-            spread_partitions(
-                li.filter(F.col("l_orderkey") % 4 != 0).select(
-                    "l_partkey", "l_suppkey"
-                )
-            )
+            li.filter(F.col("l_orderkey") % 4 != 0)
+            .select("l_partkey", "l_suppkey")
             .distinct()
         )
         pagerank_fixed_point(sym_edges(old), iters=2, symmetric=True).write.parquet(
@@ -919,9 +907,7 @@ def q414_warm_start_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _Q414_STATE[sf_dir] = state_dir
     state = spark.read.parquet(state_dir)
 
-    # spread before the distinct (single-file scan otherwise runs the
-    # partial agg on one task; no-op at scale — q342's rationale)
-    allp = spread_partitions(li.select("l_partkey", "l_suppkey")).distinct()
+    allp = li.select("l_partkey", "l_suppkey").distinct()
     return pagerank_fixed_point(
         sym_edges(allp), iters=2, symmetric=True, init=state
     ).select("id", "rank_micro")
@@ -2237,14 +2223,9 @@ def q360_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped-aggregation form that scales past hot nodes). The oracle
     unrolls both rounds as CTEs like q342."""
     prep(spark)
-    from ..operators.partitioning import spread_partitions
-
-    # spread before the distinct so its partial agg parallelizes
-    # (single-file scan = one task otherwise; no-op at scale)
     li = (
-        spread_partitions(
-            table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-        )
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
         .distinct()
     )
     e0 = li.select(
@@ -3244,11 +3225,9 @@ def q394_incremental_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
 
-    from ..operators.partitioning import spread_partitions
-
     def sym_pairs(df):
         e0 = (
-            spread_partitions(df.select("l_partkey", "l_suppkey"))
+            df.select("l_partkey", "l_suppkey")
             .distinct()
             .select(
                 (F.col("l_partkey") * 2).alias("src"),
@@ -3394,7 +3373,6 @@ def q395_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_set,
         probe_minhash_index,
     )
-    from ..operators.partitioning import spread_partitions
     from ..operators.ranking import global_prefix_sum
 
     d = table(spark, sf_dir, "documents")
@@ -3402,13 +3380,7 @@ def q395_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
 
     def gap_edges(docs: DataFrame) -> DataFrame:
-        # spread before the n-gram set build: on a single-file scan the
-        # whole gram pass runs in one task (no-op at scale)
-        g = (
-            spread_partitions(docs.select("doc_id", "text"))
-            .select("doc_id", ngram_set("text", 2).alias("gs"))
-            .persist()
-        )
+        g = docs.select("doc_id", ngram_set("text", 2).alias("gs")).persist()
         a = g.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("ga"))
         b = g.select(F.col("doc_id").alias("id_b"), F.col("gs").alias("gb"))
         parts = [

@@ -4046,30 +4046,16 @@ def q322_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned: repartitionByRange's sampling pass re-executes the input
     # subtree before the shuffle does — the fact-table aggregation
     # above would run twice without the cut
-    # ONE fact pass: the (partkey, week) rollup is the finest grain
-    # both classification legs need — revenue re-aggregates from it
-    # (Σ cents over a part's week groups ≡ Σ cents over its rows, NULL
-    # ship weeks included as their own group), so the former second
-    # lineitem scan is gone. Spread before the partial agg (single-file
-    # scan = one task otherwise; no-op at scale), and pin the shared
-    # rollup plus the derived revenue frame (the prefix-sum leg's
-    # sampling pass re-executes its input subtree).
-    from ..operators.partitioning import spread_partitions
-
-    base = pin_cache(
-        spread_partitions(
-            li.select("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
-        )
-        .groupBy("l_partkey", F.date_trunc("week", "l_shipdate").alias("wk"))
-        .agg(
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
-                "cents"
-            ),
-            F.sum(F.col("l_quantity").cast("bigint")).alias("q"),
-        )
-    )
+    # pinned: repartitionByRange's sampling pass re-executes the input
+    # subtree before the shuffle does — the fact-table aggregation
+    # above would run twice without the cut. (An r12 A/B of deriving
+    # both legs from one (partkey, week) rollup measured WORSE —
+    # 2.1 -> 3.0 s — the finer-grain first agg plus the pin outweigh
+    # the saved second scan at this width; two narrow scans stand.)
     rev = pin_cache(
-        base.groupBy("l_partkey").agg(F.sum("cents").cast("bigint").alias("cents"))
+        li.groupBy("l_partkey").agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents")
+        )
     )
     ranked = global_prefix_sum(
         rev,
@@ -4086,7 +4072,10 @@ def q322_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
-    var_stats = base.groupBy("l_partkey").agg(
+    weekly = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("wk")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    var_stats = weekly.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_wk"),
         F.sum("q").cast("bigint").alias("s1"),
         F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
@@ -4806,7 +4795,7 @@ def q402_incremental_quantile_state(spark: SparkSession, sf_dir: str) -> DataFra
     ~50 quantities), microscopic next to the fact rows it summarizes;
     an arriving batch contributes ITS OWN counts, the merge is one
     additive keyed aggregation over state ∪ batch, and
-    operators/ranking.py::grouped_quantile_from_counts turns the
+    operators/ranking.py::grouped_quantile_from_bounded_counts turns the
     merged table into exact quartiles with the q357 machinery
     (distributed prefix sum → rank-cover → builtin-verbatim
     interpolation — no group-sized task anywhere).
@@ -4831,7 +4820,7 @@ def q402_incremental_quantile_state(spark: SparkSession, sf_dir: str) -> DataFra
     import tempfile
 
     prep(spark)
-    from ..operators.ranking import grouped_quantile_from_counts
+    from ..operators.ranking import grouped_quantile_from_bounded_counts
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -4858,7 +4847,12 @@ def q402_incremental_quantile_state(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     merged = state.unionByName(batch_counts)
-    return grouped_quantile_from_counts(
+    # bounded-domain path: the counts table is (flags × ~50 integer
+    # quantities) BY CONSTRUCTION (the posture's own premise), so the
+    # distributed prefix-sum machinery's range exchange + pins were
+    # pure overhead here — measured 3.1 -> ~1 s at sf0.1, bitwise the
+    # same quartiles (operator equality pinned in tests)
+    return grouped_quantile_from_bounded_counts(
         merged,
         ["l_returnflag"],
         "qty",

@@ -1072,17 +1072,8 @@ def q127_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted-fold protocol (deterministic, engine-identical addition
     order)."""
     prep(spark)
-    from ..operators.partitioning import spread_partitions
-
     d = table(spark, sf_dir, "documents")
-    # spread the raw text BEFORE tokenizing: the pin-filling pass
-    # otherwise tokenizes + explodes the whole corpus in the single
-    # fixture-file scan task (no-op at scale)
-    dt = (
-        spread_partitions(d.select("doc_id", "text"))
-        .select("doc_id", tokens("text").alias("toks"))
-        .filter(F.size("toks") >= 2)
-    )
+    dt = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") >= 2)
     bg = dt.select(
         "doc_id",
         F.explode(

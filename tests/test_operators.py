@@ -2229,6 +2229,22 @@ def test_grouped_quantile_from_counts_matches_builtin(spark):
     release_ranking_caches()
     assert got == want  # exact ==, no tolerance: bitwise contract
 
+    # the bounded-domain fast path (q402's operator since round 12 —
+    # one collect_list per group + HOF walk instead of the distributed
+    # prefix-sum machinery) must be BITWISE equal to both the machinery
+    # and the builtin on the same duplicate-row counts frame
+    from marketingcloud_etl_spark.operators.ranking import (
+        grouped_quantile_from_bounded_counts,
+    )
+
+    got_bounded = {
+        r.g: (r.q25, r.q50, r.q75, r.n)
+        for r in grouped_quantile_from_bounded_counts(
+            cdf, ["g"], "v", "cnt", [0.25, 0.5, 0.75], ["q25", "q50", "q75"]
+        ).collect()
+    }
+    assert got_bounded == want  # exact ==, no tolerance: bitwise contract
+
 
 def test_merge_session_state_boundary_semantics(spark):
     """merge_session_state (q403's operator): the per-user constant
