@@ -131,9 +131,11 @@ HEADLINE = (
     # physical families, previously invisible to the bench. (The other
     # round-5 twins q339-q341 are mock-HTTP / sqlite driver-bound, not
     # data-scale-dependent — benching them would measure the fixture.)
-    # q337 retired round 12 (floor-pinned 0.26-0.38 s across four
-    # driver benches, zero ratchet information — the q85/q338/q41
-    # precedent); the multimodal family keeps q435 + the new q452
+    # q337 was retired in round 12 (floor-pinned, the q85/q338/q41
+    # precedent) and RESTORED in round 13 per VERDICT r12: retiring a
+    # measured query is a coverage regression regardless of precedent
+    # — the multimodal-parity path's regressions must stay visible.
+    "q337_multimodal_feature_parity",
     "q342_pagerank_exact",
     # round-6 wave: BPE train+encode (iterative trainer + broadcast
     # vocab apply), the MATCH_RECOGNIZE-style per-key ordered-fold
@@ -155,10 +157,11 @@ HEADLINE = (
     # count-argmax iterative-graph shape vs q342's sum shape)
     "q359_bloom_incremental_dedup",
     "q360_label_propagation",
-    # round-6 wave 4: two-leg hybrid retrieval fusion and the
-    # prefix-sum weighted systematic sampler. q361 retired round 12
-    # (floor-pinned 0.33-0.42 s, zero ratchet information); chunking
-    # stays measured inside q439 and the new q452
+    # round-6 wave 4: narrow-map RAG chunking (retired round 12,
+    # RESTORED round 13 per VERDICT r12 — same coverage rule as q337),
+    # two-leg hybrid retrieval fusion, and the prefix-sum weighted
+    # systematic sampler
+    "q361_rag_chunking",
     "q362_rrf_hybrid_retrieval",
     "q363_weighted_systematic_sample",
     # round-6 wave 5: one-pass sufficient-statistic OLS and the
@@ -351,6 +354,7 @@ BUDGETS = {
     "q308_skyline_pareto_front": 1.5,  # driver-min 0.842
     "q322_abc_xyz_matrix": 3.17,  # driver obs 2.11 (r11, 99q battery)
     "q334_ks_two_sample": 1.98,  # driver obs 1.32 (r11, 99q battery)
+    "q337_multimodal_feature_parity": 1.5,  # driver-min 0.258
     "q342_pagerank_exact": 4.83,  # driver obs 3.22 (r10, 99q battery)
     "q345_bpe_encode_apply": 1.5,  # driver-min 0.679
     "q346_event_pattern_match": 1.5,  # driver-min 0.487
@@ -359,6 +363,7 @@ BUDGETS = {
     "q357_grouped_quantile_scalable": 5.46,  # driver obs 3.64 (r10, 99q battery)
     "q359_bloom_incremental_dedup": 1.5,  # driver-min 0.707
     "q360_label_propagation": 4.81,  # driver obs 3.21 (r11, 99q battery)
+    "q361_rag_chunking": 1.5,  # driver-min 0.329
     "q362_rrf_hybrid_retrieval": 1.81,  # driver obs 1.21 (r10, 99q battery)
     "q363_weighted_systematic_sample": 1.5,  # driver-min 0.679
     "q364_grouped_ols_trend": 1.5,  # driver-min 0.442

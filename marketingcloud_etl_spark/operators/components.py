@@ -54,7 +54,21 @@ def connected_components(
     # frame replaces the former join-diff-limit-count job (a second
     # join of two cached frames per round — measured ~0.2 s/round of
     # pure fixed cost on contracted graphs). decimal(38,0) keeps the
-    # sum exact at any node count × id magnitude.
+    # sum exact at any node count × id magnitude. The sum detector is
+    # only sound for NUMERIC ids: a non-castable id (string keys) would
+    # make the sum NULL for every round and None == None would report
+    # instant convergence with unpropagated labels — so non-integral
+    # id columns raise at entry instead of silently mis-clustering.
+    id_type = dict(e.dtypes)["a"]
+    if id_type not in ("tinyint", "smallint", "int", "bigint") and not id_type.startswith(
+        "decimal"
+    ):
+        raise TypeError(
+            f"connected_components needs integral node ids for its exact "
+            f"sum-based convergence detector; got {id_type!r} — hash or "
+            f"dense-rank the keys to bigint first"
+        )
+
     def label_sum(df: DataFrame):
         return df.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
@@ -191,9 +205,14 @@ def incremental_components(
         touched.join(cc.withColumnRenamed("id", "n"), "n", "left")
         .select(F.col("n"), F.coalesce("component", "n").alias("new_comp"))
     )
-    # old nodes: components move wholesale through the relabel map
+    # old nodes: components move wholesale through the relabel map.
+    # The map is new-edge-sized BY CONSTRUCTION (touched labels only) —
+    # broadcast it explicitly: its lineage ends in localCheckpoint
+    # frames whose unknown size estimates otherwise plan a sort-merge
+    # join, i.e. a full shuffle of the corpus-sized label table for a
+    # batch-sized lookup.
     old = labels.join(
-        relabel.withColumnRenamed("n", "component"), "component", "left"
+        F.broadcast(relabel.withColumnRenamed("n", "component")), "component", "left"
     ).select("id", F.coalesce("new_comp", "component").alias("component"))
     # new nodes: endpoints never seen before take their contracted label
     new_nodes = (
@@ -201,7 +220,7 @@ def incremental_components(
         .unionByName(e.select(F.col("b").alias("id")))
         .distinct()
         .join(labels.select("id"), "id", "left_anti")
-        .join(relabel.withColumnRenamed("n", "id"), "id", "left")
+        .join(F.broadcast(relabel.withColumnRenamed("n", "id")), "id", "left")
         .select("id", F.coalesce("new_comp", "id").alias("component"))
     )
     return old.unionByName(new_nodes)

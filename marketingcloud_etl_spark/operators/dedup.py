@@ -38,6 +38,25 @@ from ..functions.text import tokens
 _HASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
 _H32_MASK = (1 << 32) - 1
 
+# Memo of PLAN-construction artifacts (Column expression trees), keyed
+# on the pure scalar arguments that determine them. Building the
+# 32-permutation signature tree + 8 band structs + the fingerprint
+# expression costs hundreds of py4j round-trips per call, and the
+# composed state pipelines (q392/q395/q437-adjacent) construct these
+# several times per run — measured ~0.8 s of pure driver time in q395.
+# Column objects are immutable expression trees independent of any
+# DataFrame or session lifecycle, so reuse is safe; this caches query
+# PLANS, never data or results.
+_EXPR_CACHE: dict[tuple, object] = {}
+
+
+def _expr_cached(key: tuple, build):
+    out = _EXPR_CACHE.get(key)
+    if out is None:
+        out = build()
+        _EXPR_CACHE[key] = out
+    return out
+
 
 def dedup_exact(df: DataFrame, cols: Sequence[str], hash_col: str = "hash") -> DataFrame:
     """Exact dedup by deterministic content hash over ``cols``."""
@@ -151,28 +170,68 @@ def minhash_signature(
     One xxhash64 per shingle, then ``num_perm`` universal-hash
     permutations folded with array_min — all vectorized JVM expressions.
     """
-    params = _perm_params(num_perm, seed)
-    # 32-bit shingle fingerprints (mask32 keeps a*h32+b < 2^63) via the
-    # polynomial token-hash fold — no shingle strings are ever built
-    sh = poly_ngram_hashes(text_col, shingle_n, mask32=True)
-    # Single pass over the shingle array: fold all num_perm permutation
-    # minimums at once. Higher-order functions run interpreted (outside
-    # whole-stage codegen), so the naive per-permutation formulation
-    # (num_perm independent transforms, each re-inlining the shingle
-    # pipeline after project-collapse) costs num_perm× the shingle work —
-    # ~300× slower at sf0.1. SQL lambdas allow the nested capture
-    # (outer `h` inside the zip_with lambda) that makes one pass work.
-    params_sql = "array(" + ",".join(
-        f"named_struct('a', cast({a} as bigint), 'b', cast({b} as bigint))" for a, b in params
-    ) + ")"
-    agg_sql = (
-        f"aggregate(__mh_sh, array_repeat(cast({_HASH_P} as bigint), {num_perm}), "
-        f"(acc, h) -> zip_with(acc, {params_sql}, "
-        f"(m, p) -> least(m, pmod(p.a * h + p.b, cast({_HASH_P} as bigint)))))"
-    )
+    def build() -> tuple[Column, Column]:
+        params = _perm_params(num_perm, seed)
+        # 32-bit shingle fingerprints (mask32 keeps a*h32+b < 2^63) via
+        # the polynomial token-hash fold — no shingle strings are ever
+        # built
+        sh = poly_ngram_hashes(text_col, shingle_n, mask32=True)
+        # Single pass over the shingle array: fold all num_perm
+        # permutation minimums at once. Higher-order functions run
+        # interpreted (outside whole-stage codegen), so the naive
+        # per-permutation formulation (num_perm independent transforms,
+        # each re-inlining the shingle pipeline after project-collapse)
+        # costs num_perm× the shingle work — ~300× slower at sf0.1. SQL
+        # lambdas allow the nested capture (outer `h` inside the
+        # zip_with lambda) that makes one pass work.
+        params_sql = "array(" + ",".join(
+            f"named_struct('a', cast({a} as bigint), 'b', cast({b} as bigint))"
+            for a, b in params
+        ) + ")"
+        agg_sql = (
+            f"aggregate(__mh_sh, array_repeat(cast({_HASH_P} as bigint), {num_perm}), "
+            f"(acc, h) -> zip_with(acc, {params_sql}, "
+            f"(m, p) -> least(m, pmod(p.a * h + p.b, cast({_HASH_P} as bigint)))))"
+        )
+        return sh, F.expr(agg_sql)
+
+    if isinstance(text_col, str):
+        sh, agg = _expr_cached(("sig", text_col, num_perm, shingle_n, seed), build)
+    else:  # Column input — unhashable key, build fresh
+        sh, agg = build()
     # empty shingle array → aggregate returns the init (all sentinel P),
     # matching the previous when(size>0) semantics
-    return df.withColumn("__mh_sh", sh).withColumn(sig_col, F.expr(agg_sql)).drop("__mh_sh")
+    return df.withColumn("__mh_sh", sh).withColumn(sig_col, agg).drop("__mh_sh")
+
+
+def _minhash_band_structs(num_perm: int, bands: int) -> Column:
+    """The array of (band, bucket) structs cut from a ``minhash_sig``
+    column — one definition site for the two index layouts
+    (:func:`minhash_band_buckets`, :func:`build_minhash_index`), and a
+    plan-cache entry: 8 bands × 4-slice concat trees are ~100 py4j
+    calls rebuilt identically on every index build otherwise."""
+    rows = num_perm // bands
+
+    def build() -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("minhash_sig")[i * rows + j].cast("string")
+                                for j in range(rows)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for i in range(bands)
+            ]
+        )
+
+    return _expr_cached(("bands", num_perm, bands), build)
 
 
 def _banded_candidates(buckets: DataFrame) -> DataFrame:
@@ -220,20 +279,10 @@ def minhash_band_buckets(
     shingles there is no shingle-set similarity to detect."""
     if num_perm % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
-    rows = num_perm // bands
     df = spread_partitions(df)
-    df = df.filter(F.size(tokens(text_col)) >= shingle_n)
+    df = df.filter(_min_tokens_filter(text_col, shingle_n))
     sig = minhash_signature(df, text_col, num_perm, shingle_n, seed).select(id_col, "minhash_sig")
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[F.col("minhash_sig")[i * rows + j].cast("string") for j in range(rows)])).alias("bucket"),
-            )
-            for i in range(bands)
-        ]
-    )
-    return sig.withColumn("bb", F.explode(band_structs)).select(
+    return sig.withColumn("bb", F.explode(_minhash_band_structs(num_perm, bands))).select(
         F.col(id_col).alias("id"), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -262,6 +311,17 @@ def minhash_lsh_candidates(
 # ------------------------------------------- cross-batch MinHash state
 
 
+def _min_tokens_filter(text_col: Column | str, shingle_n: int) -> Column:
+    """``size(tokens(text)) >= shingle_n`` — cached: the tokenize
+    expression tree is rebuilt identically on every index build."""
+    if not isinstance(text_col, str):
+        return F.size(tokens(text_col)) >= shingle_n
+    return _expr_cached(
+        ("lenfilter", text_col, shingle_n),
+        lambda: F.size(tokens(text_col)) >= shingle_n,
+    )
+
+
 def shingle_set_fingerprint(text_col: Column | str, n: int = 3) -> Column:
     """Canonical content fingerprint: md5 over the SORTED DISTINCT
     word-``n``-gram shingles, unit-separator joined. Two docs get equal
@@ -270,8 +330,14 @@ def shingle_set_fingerprint(text_col: Column | str, n: int = 3) -> Column:
     fingerprints like one copy), which the q37 whole-text hash is not.
     This is the exact-verify key stored in the minhash index: verifying
     a candidate needs only this 32-char column, never the corpus text."""
-    sh = F.array_sort(F.array_distinct(word_shingles(text_col, n)))
-    return F.md5(F.concat_ws("\x1f", sh))
+
+    def build() -> Column:
+        sh = F.array_sort(F.array_distinct(word_shingles(text_col, n)))
+        return F.md5(F.concat_ws("\x1f", sh))
+
+    if isinstance(text_col, str):
+        return _expr_cached(("fp", text_col, n), build)
+    return build()
 
 
 def build_minhash_index(
@@ -282,6 +348,7 @@ def build_minhash_index(
     bands: int = 8,
     shingle_n: int = 3,
     seed: int = 42,
+    spread: bool = True,
 ) -> DataFrame:
     """The persisted near-dup STATE for cross-batch incremental dedup:
     one row per (doc, band) — (id, band, bucket, set_fp). Write it out
@@ -302,34 +369,23 @@ def build_minhash_index(
     # (band buckets JOIN per-doc fingerprints on id) scanned the corpus
     # text twice and paid a join exchange per index build / per probed
     # micro-batch (q392/q395 build these in their hot loop).
+    # ``spread=False`` is the HOT-LOOP opt-out: a per-micro-batch
+    # caller (q392's foreachBatch) passes frames that either probe as
+    # no-files (post-shuffle) or as one tiny arrival file — the
+    # conditional spread would repartition every batch's text rows for
+    # a batch-sized build, adding a per-batch exchange for nothing.
+    # One-time corpus builds keep the default (single-split fixture
+    # scans parallelize; a no-op whenever the scan is already wide).
     if num_perm % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
-    rows = num_perm // bands
-    df = spread_partitions(corpus)
-    df = df.filter(F.size(tokens(text_col)) >= shingle_n)
+    df = spread_partitions(corpus) if spread else corpus
+    df = df.filter(_min_tokens_filter(text_col, shingle_n))
     sig = minhash_signature(df, text_col, num_perm, shingle_n, seed).select(
         id_col,
         "minhash_sig",
         shingle_set_fingerprint(text_col, shingle_n).alias("set_fp"),
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("minhash_sig")[i * rows + j].cast("string")
-                            for j in range(rows)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for i in range(bands)
-        ]
-    )
-    return sig.withColumn("bb", F.explode(band_structs)).select(
+    return sig.withColumn("bb", F.explode(_minhash_band_structs(num_perm, bands))).select(
         F.col(id_col).alias("id"),
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),

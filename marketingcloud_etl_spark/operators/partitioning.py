@@ -52,17 +52,28 @@ def _estimated_splits(df: DataFrame, files: list[str]) -> int:
         return len(files)
 
 
-def spread_partitions(df: DataFrame) -> DataFrame:
-    """Repartition ``df`` to ``defaultParallelism`` iff its file scan
-    yields fewer input splits than there are cores."""
+def needs_spread(df: DataFrame) -> bool:
+    """True iff ``df``'s file scan yields fewer input splits than there
+    are cores — the probe behind :func:`spread_partitions`, exposed so
+    callers can condition OTHER narrow-regime work on the same test
+    (q401 pins its tokenized stream only in the single-split regime
+    where the four sequential state steps would otherwise re-run the
+    build on one task; at scale the probe is false and the pin — a
+    corpus-sized persist, a §5 spill hazard — is never taken)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:  # pragma: no cover - defensive: exotic sources
-        return df
+        return False
     n_files = len(files)
     if n_files == 0 or n_files >= par:
-        return df
-    if _estimated_splits(df, files) < par:
-        df = df.repartition(par)
+        return False
+    return _estimated_splits(df, files) < par
+
+
+def spread_partitions(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to ``defaultParallelism`` iff its file scan
+    yields fewer input splits than there are cores."""
+    if needs_spread(df):
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df

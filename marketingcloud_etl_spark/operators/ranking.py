@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 __all__ = [
+    "COUNT_COL",
     "TOTAL_COL",
     "global_row_number",
     "distributed_ntile",
@@ -61,6 +62,11 @@ _N = "__mcetl_n"
 # this constant, never the string literal — the literal is an internal
 # layout detail free to change.
 TOTAL_COL = _N
+
+# Public name of the per-(group, value) count column on the frame
+# grouped_quantile_cont hands back with return_counts=True (q365's
+# fence tallies) — same never-the-literal rule as TOTAL_COL.
+COUNT_COL = "__qc_cnt"
 
 # Every frame global_row_number pins is registered here so long-lived
 # sessions (catalog sweeps, benchmarks) can release the blocks between
@@ -175,7 +181,13 @@ def global_row_number(
     partitioner equalizes bucket sizes by sampling), one tiny
     per-partition-count frame, two broadcasts. Nothing is ever
     single-partitioned except the count frame (<= shuffle.partitions
-    rows by construction).
+    rows by construction). (r13 negative result, recorded so it isn't
+    re-tried: decoding local ranks from monotonically_increasing_id
+    over sorted persisted partitions removes the PID-hash exchange and
+    won ~0.2 s on a single fresh-frame call, but LOST ~0.6 s on q132's
+    chained 3×ntile shape in a controlled same-session A/B — the
+    nondeterministic id column defeats optimizations through the
+    chained cache/join subtrees. The window form stands.)
 
     Caller note: ``repartitionByRange``'s sampling pass executes the
     input subtree once BEFORE the shuffle executes it again — when
@@ -371,6 +383,8 @@ def grouped_quantile_cont(
     value_col: str,
     p: float | Sequence[float],
     out_col: str | Sequence[str] = "q",
+    *,
+    return_counts: bool = False,
 ) -> DataFrame:
     """EXACT per-group continuous quantile (``percentile`` ≡ DuckDB
     ``quantile_cont``: linear interpolation at 0-indexed rank (n−1)·p)
@@ -419,24 +433,47 @@ def grouped_quantile_cont(
     if len(ps) != len(ocols):
         raise ValueError("p and out_col lists must pair up")
     gcols = list(group_cols)
+    # FUSED counts+prefix partitioning (r13): range-partition the raw
+    # (group, value) pairs ONCE on the prefix order; the counts
+    # aggregation then runs WITHIN those partitions with no second
+    # exchange, because RangePartitioning on (group, value) satisfies
+    # the aggregation's ClusteredDistribution on the same keys — plan
+    # shows hash=0/range=1 where the former hash-agg-then-range chain
+    # paid two full exchanges of the pair frame (A/B: 2.6→2.1 s at
+    # sf0.1, bitwise-equal results). The partition id is captured on
+    # the aggregated rows so the prefix window needs no re-derivation.
+    # Scale note: the exchange moves RAW pairs (no map-side combine) —
+    # in this operator's regime (continuous values: prices, measures)
+    # distinct (group, value) pairs ≈ raw rows, so the bytes are the
+    # same and one exchange strictly wins; for heavily-repeating
+    # values feed :func:`grouped_quantile_from_counts` a pre-combined
+    # counts table instead.
+    # NULL values are excluded BEFORE counting — the builtin aggregate
+    # ignores them (they carry no rank), and without the filter they
+    # would range-partition as the lowest sort key and shift every
+    # group's rank arithmetic.
     # The counts frame feeds THREE consumers (the prefix sum, the
     # per-group totals, and — through anchored — the rank-cover test);
-    # without the pin each consumer re-runs the input subtree's scan +
-    # shuffle, and when the input itself embeds an earlier quantile
-    # pass (q119's MAD-of-deviations) the recompute compounds
-    # multiplicatively. Registered for release_ranking_caches like
-    # every other multi-consumer ranking frame.
+    # without the pin each consumer re-runs the scan + exchange.
     counts = pin_cache(
-        # NULL values are excluded BEFORE counting — the builtin
-        # aggregate ignores them (they carry no rank), and without the
-        # filter they would range-partition as the lowest sort key and
-        # shift every group's rank arithmetic.
         df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, value_col)
+        .repartitionByRange(*gcols, value_col)
         .groupBy(*gcols, value_col)
-        .agg(F.count(F.lit(1)).alias("__qc_cnt")),
+        .agg(F.count(F.lit(1)).alias("__qc_cnt"))
+        .withColumn(_PID, F.spark_partition_id()),
         sticky=True,
     )
-    return _quantile_over_counts(counts, gcols, value_col, ps, ocols, sticky=True)
+    res = _quantile_over_counts(
+        counts, gcols, value_col, ps, ocols, sticky=True, clustered=True
+    )
+    if return_counts:
+        # hand the PINNED per-(group, value) counts to the caller —
+        # downstream tallies (q365's fence counts) fold the cached
+        # distinct-pair frame (column COUNT_COL) instead of re-scanning
+        # the fact rows and paying the broadcast join over them again
+        return res, counts.drop(_PID)
+    return res
 
 
 def grouped_quantile_from_counts(
@@ -462,12 +499,19 @@ def grouped_quantile_from_counts(
     if len(ps) != len(ocols):
         raise ValueError("p and out_col lists must pair up")
     gcols = list(group_cols)
+    # same fused partitioning as grouped_quantile_cont: one range
+    # exchange of the (state ∪ batch) counts rows, merge-agg within
+    # partitions, partition id captured for the prefix window
     c = pin_cache(
         counts.filter(F.col(value_col).isNotNull())
+        .repartitionByRange(*gcols, value_col)
         .groupBy(*gcols, value_col)
         .agg(F.sum(cnt_col).cast("long").alias("__qc_cnt"))
+        .withColumn(_PID, F.spark_partition_id())
     )
-    return _quantile_over_counts(c, gcols, value_col, ps, ocols, sticky=False)
+    return _quantile_over_counts(
+        c, gcols, value_col, ps, ocols, sticky=False, clustered=True
+    )
 
 
 def grouped_quantile_from_bounded_counts(
@@ -556,23 +600,56 @@ def _quantile_over_counts(
     ps: list,
     ocols: list,
     sticky: bool,
+    clustered: bool = False,
 ) -> DataFrame:
     """Shared tail of the exact-quantile machinery: distributed prefix
     sum over the (group, value) distinct-pair ``counts`` frame (column
     ``__qc_cnt``), rank-cover filter, builtin-verbatim interpolation.
     ``sticky`` controls whether the prefix frame joins the cross-query
-    cache tier (q357/q365 share it; state-fed counts do not)."""
-    # The prefix-sum result is the operator's expensive pass (range
-    # exchange + per-bucket window over the distinct-pair frame); with
+    cache tier (q357/q365 share it; state-fed counts do not).
+    ``clustered=True`` declares that ``counts`` is ALREADY
+    range-partitioned on (gcols..., value) and carries its partition
+    id in ``_PID`` (the fused entry points) — the prefix sum then
+    runs its local window + P²-broadcast offsets directly instead of
+    re-partitioning through :func:`global_prefix_sum`."""
+    # The prefix-sum result is the operator's expensive pass (the
+    # per-bucket window over the distinct-pair frame); with
     # sticky=True two catalog queries over the same input (q357's
     # quartile battery, q365's IQR fences) share it — the second
     # query's plan reduces to rank-cover filter + interpolation over
     # the cached frame. Bounded by distinct (group, value) pairs,
     # never fact-sized, so holding it for the session is cheap.
-    cum = pin_cache(
-        global_prefix_sum(counts, [*gcols, value_col], "__qc_cnt", "__qc_cum"),
-        sticky=sticky,
-    )
+    if clustered:
+        w_local = (
+            W.partitionBy(_PID)
+            .orderBy(*gcols, value_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        sums = counts.groupBy(_PID).agg(F.sum("__qc_cnt").alias("__psum"))
+        x, y = sums.alias("x"), sums.alias("y")
+        offsets = (
+            x.join(F.broadcast(y), F.lit(True))
+            .groupBy(F.col(f"x.{_PID}").alias(_PID))
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col(f"y.{_PID}") < F.col(f"x.{_PID}"), F.col("y.__psum")
+                    ).otherwise(0)
+                ).alias(_OFF)
+            )
+        )
+        cum = pin_cache(
+            counts.withColumn(_LRN, F.sum("__qc_cnt").over(w_local))
+            .join(F.broadcast(offsets), _PID)
+            .withColumn("__qc_cum", F.col(_OFF) + F.col(_LRN))
+            .drop(_PID, _LRN, _OFF),
+            sticky=sticky,
+        )
+    else:
+        cum = pin_cache(
+            global_prefix_sum(counts, [*gcols, value_col], "__qc_cnt", "__qc_cum"),
+            sticky=sticky,
+        )
     totals = counts.groupBy(*gcols).agg(F.sum("__qc_cnt").alias("n"))
     # 0-indexed interpolation anchors, Spark Percentile's exact
     # arithmetic: pos = p*(n-1), lower = floor(pos), higher = ceil(pos)

@@ -37,22 +37,33 @@ from ..functions.text import tokens
 def build_bm25_index(
     corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """One corpus pass → (postings, df, stats). The token explode
-    aggregates map-side into (doc, term) partials; the doc-length norm
-    is Σ tf over the doc's terms — a doc-keyed window over the tf
-    frame (bounded per doc by document vocabulary, the same per-doc
-    bound as every text op), so the corpus text is tokenized ONCE
-    (the former separate doc-length aggregation re-ran the whole
-    tokenize+explode as a second pass and re-joined it on doc_id); df
-    folds from the postings (one row per (t, doc) already); stats is a
-    one-row reduction over the per-doc lengths."""
-    toks = corpus.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t"))
-    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    postings = tf.select(
-        "t",
+    """One corpus pass → (postings, df, stats). The doc-length norm is
+    the SIZE of the doc's token array, captured in the same pass that
+    explodes the tokens (the array is let-bound through a one-element
+    explode so the regex tokenize runs ONCE per doc — a Generate
+    output is a real attribute, immune to CollapseProject re-inlining)
+    and carried through the (doc, term) aggregation as a grouping
+    column that is functionally dependent on doc_id. This keeps the
+    whole postings build at ONE exchange: the former two-pass form
+    re-tokenized the corpus for a separate doc-length aggregation and
+    re-joined it on doc_id; the r12 window form (Σ tf over a doc-keyed
+    window) tokenized once but paid an extra doc-keyed exchange + sort
+    after the tf aggregation. df folds from the postings (one row per
+    (t, doc) already); stats is a one-row reduction over the per-doc
+    lengths."""
+    bound = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(F.struct(tokens(text_col).alias("tk")))).alias("__b"),
+    )
+    toks = bound.select(
         "doc_id",
-        "tf",
-        F.sum("tf").over(Window.partitionBy("doc_id")).alias("len"),
+        F.size("__b.tk").cast("bigint").alias("len"),
+        F.explode("__b.tk").alias("t"),
+    )
+    postings = (
+        toks.groupBy("doc_id", "len", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("t", "doc_id", "tf", "len")
     )
     df = postings.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     dl = postings.select("doc_id", "len").distinct()

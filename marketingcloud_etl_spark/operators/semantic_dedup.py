@@ -49,18 +49,23 @@ def _probed_cells(
     id_col: str,
     vec_col: str,
     with_unit: bool,
+    carry_fp: bool = False,
 ) -> DataFrame:
-    """(id, cell[, unit-vector]) rows — each vector's ``n_probe``
-    highest-cosine cells, scored by an Arrow-batched numpy matmul.
-    Scoring EVERY centroid per vector is dense linear algebra, the case
-    where the vectorized kernel beats the interpreted zip_with fold by
-    ~5x at n_cells = corpus/32 (the SQL literal-matrix form,
-    similarity._argmax_cell_sql, remains the low-cell-count search
-    path). argsort (not argpartition) keeps the probe order
-    deterministic under score ties. With ``with_unit`` the row also
-    carries the unit-normalized vector (zero vectors pass through, the
-    functions.vectors.cosine convention) so the within-cell verify
-    needs no second corpus join."""
+    """(id, cell[, unit-vector][, vec_fp]) rows — each vector's
+    ``n_probe`` highest-cosine cells, scored by an Arrow-batched numpy
+    matmul. Scoring EVERY centroid per vector is dense linear algebra,
+    the case where the vectorized kernel beats the interpreted
+    zip_with fold by ~5x at n_cells = corpus/32 (the SQL
+    literal-matrix form, similarity._argmax_cell_sql, remains the
+    low-cell-count search path). argsort (not argpartition) keeps the
+    probe order deterministic under score ties. With ``with_unit`` the
+    row also carries the unit-normalized vector (zero vectors pass
+    through, the functions.vectors.cosine convention) so the
+    within-cell verify needs no second corpus join. With ``carry_fp``
+    the exact-equality fingerprint (computed as a JVM expression
+    BEFORE the Arrow pass) rides through the fan-out, so index builds
+    need no cells⋈fingerprint join afterwards — the join cost two
+    exchanges of the cell rows per build (r13)."""
     import numpy as np
     import pandas as pd
 
@@ -82,10 +87,19 @@ def _probed_cells(
                 norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
                 U = np.where(norms > 0, X / np.where(norms == 0, 1.0, norms), X)
                 out["__u"] = list(np.repeat(U, _np_probe, axis=0))
+            if carry_fp:
+                out["vec_fp"] = np.repeat(pdf["__fp"].to_numpy(), _np_probe)
             yield pd.DataFrame(out)
 
-    schema = "__id bigint, cell int" + (", __u array<double>" if with_unit else "")
-    out = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, schema)
+    schema = (
+        "__id bigint, cell int"
+        + (", __u array<double>" if with_unit else "")
+        + (", vec_fp string" if carry_fp else "")
+    )
+    cols = [F.col(id_col), F.col(vec_col)]
+    if carry_fp:
+        cols.append(vector_fingerprint(vec_col).alias("__fp"))
+    out = df.select(*cols).mapInPandas(run, schema)
     return out if with_unit else out.distinct()
 
 
@@ -227,13 +241,14 @@ def build_semantic_index(
     vectors land in the same top cells with the usual IVF probability
     (multi-probe covers boundary straddlers) and surface as candidates
     for downstream cosine verification."""
-    cells = _probed_cells(corpus, codebook, n_probe, id_col, vec_col, with_unit=False)
-    fp = corpus.select(
-        F.col(id_col).alias("__id"), vector_fingerprint(vec_col).alias("vec_fp")
+    # fingerprint computed as a JVM expression before the Arrow pass
+    # and carried THROUGH it (carry_fp) — the former cells⋈fingerprint
+    # id-join paid two exchanges of the cell rows per index build, in
+    # q437's case once per micro-batch (r13)
+    cells = _probed_cells(
+        corpus, codebook, n_probe, id_col, vec_col, with_unit=False, carry_fp=True
     )
-    return cells.join(fp, "__id").select(
-        F.col("__id").alias("id"), "cell", "vec_fp"
-    )
+    return cells.select(F.col("__id").alias("id"), "cell", "vec_fp")
 
 
 def probe_semantic_index(
@@ -260,11 +275,31 @@ def probe_semantic_index(
     fingerprint and the per-id aggregation merges both into one wrong
     row (see probe_minhash_index; q389 negates re-ingest ids so
     synthetic ids never collide with genuine ones)."""
-    cells = _probed_cells(batch, codebook, n_probe, id_col, vec_col, with_unit=False)
-    bfp = batch.select(
-        F.col(id_col).alias("__id"), vector_fingerprint(vec_col).alias("__bfp")
+    rows = build_semantic_index(batch, codebook, n_probe, id_col, vec_col)
+    return probe_semantic_rows(rows, index, broadcast_batch=broadcast_batch)
+
+
+def probe_semantic_rows(
+    batch_rows: DataFrame,
+    index: DataFrame,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """:func:`probe_semantic_index` from PREBUILT batch index rows —
+    the (id, cell, vec_fp) frame :func:`build_semantic_index` emits.
+    Callers that both probe a batch AND append its survivors' rows to
+    the state (the q437 foreachBatch loop) build the rows ONCE, probe
+    from them, and append the survivor subset — halving the per-batch
+    Arrow matmul + fingerprint work versus probing the vectors and
+    then re-deriving the survivors' cells (the q392
+    probe_minhash_rows pattern, transposed to the vector index). Same
+    uniqueness precondition and (id, n_candidates, is_dup, dup_of)
+    contract as the vector-input probe, which now delegates here."""
+    bfp = batch_rows.select(
+        F.col("id").alias("__id"), F.col("vec_fp").alias("__bfp")
+    ).distinct()
+    probe = batch_rows.select(
+        F.col("id").alias("__id"), "cell", F.col("vec_fp").alias("__bfp")
     )
-    probe = cells.join(bfp, "__id")
     if broadcast_batch:
         probe = F.broadcast(probe)
     cand = probe.join(

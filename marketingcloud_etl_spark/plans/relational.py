@@ -1442,45 +1442,58 @@ def q119_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/stddev-free anomaly filter that survives heavy-tailed data
     (a curation staple: price errors, length explosions).
 
-    Two grouped EXACT percentile passes (both engines interpolate with
-    the same (n-1)p formula — verified bitwise-identical) plus a
-    broadcast join of the tiny per-group stats back onto the rows.
-    Exact per-group medians sort within each group; for
-    billion-row-per-group corpora the q112 GK-sketch path is the
-    approximation alternative and q357's grouped_quantile_cont
-    (counts → distributed prefix sum → rank-cover, no group-sized
-    task) is the exact one — measured here, the builtin wins below
-    ~10⁶ distinct values per group, so this query keeps it and the
-    crossover is the documented trade. The input is spread conditionally
-    (spread_partitions: no-op when the scan already splits wide) so
-    the percentile partials parallelize; the one repartition Exchange
-    is shared by all three consumers via ReusedExchange — the plan
-    pays it once."""
+    ONE lineitem scan: the rows collapse to a (flag, price, cnt)
+    counts frame first (distinct-pair-sized — prices repeat), and both
+    exact percentile passes run as the builtin's WEIGHTED form
+    (``percentile(v, p, frequency)``) over that frame — the builtin
+    accumulates an identical value→count map either way, so medians
+    and MADs are bitwise the raw-row results (the MAD pass maps the
+    counts through |price − med| with counts carried, never re-reading
+    rows), and the outlier tallies are count-weighted sums over the
+    same frame. The r12 form scanned the (spread) rows once but pushed
+    all 600k rows through three percentile/tally partials; every pass
+    here is over the ~276k-row pinned counts frame, and the scan-stage
+    partial aggregation parallelizes via the input splits at scale
+    (the counts agg is cheap-partial class, so no spread — the r12 §1
+    negative result). Exact per-group medians still merge each group's
+    value map in one reducer; for billion-distinct-per-group corpora
+    q357's grouped_quantile_cont (counts → distributed prefix sum →
+    rank-cover, no group-sized task) is the exact alternative —
+    measured here, the builtin wins below ~10⁶ distinct values per
+    group, so this query keeps it and the crossover is the documented
+    trade."""
     prep(spark)
-    from ..operators.partitioning import spread_partitions
+    from ..operators.ranking import pin_cache
 
-    li = spread_partitions(
-        table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    counts = pin_cache(
+        li.groupBy("l_returnflag", "l_extendedprice").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     )
-    med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("med")
+    med = counts.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5), F.col("cnt")).alias("med")
     )
-    dev = li.join(F.broadcast(med), "l_returnflag").select(
+    dev = counts.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag",
         "med",
         F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+        "cnt",
     )
     mad = dev.groupBy("l_returnflag").agg(
         F.first("med").alias("med"),
-        F.percentile("adev", 0.5).alias("mad"),
+        F.percentile("adev", F.lit(0.5), F.col("cnt")).alias("mad"),
     )
     return (
         dev.drop("med")
         .join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag", "med", "mad")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_if(F.col("adev") > 3 * 1.4826 * F.col("mad")).alias("n_outliers"),
+            F.sum("cnt").alias("n"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), F.col("cnt"))
+                .otherwise(F.lit(0))
+            ).alias("n_outliers"),
         )
         .select(
             "l_returnflag",
@@ -4045,9 +4058,6 @@ def q322_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     # pinned: repartitionByRange's sampling pass re-executes the input
     # subtree before the shuffle does — the fact-table aggregation
-    # above would run twice without the cut
-    # pinned: repartitionByRange's sampling pass re-executes the input
-    # subtree before the shuffle does — the fact-table aggregation
     # above would run twice without the cut. (An r12 A/B of deriving
     # both legs from one (partkey, week) rollup measured WORSE —
     # 2.1 -> 3.0 s — the finer-grain first agg plus the pin outweigh
@@ -4343,15 +4353,21 @@ def q365_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     outlier-fence job the builtin's one-reducer-per-group percentile
     cannot finish."""
     prep(spark)
-    from ..operators.ranking import grouped_quantile_cont, release_ranking_caches
+    from ..operators.ranking import (
+        COUNT_COL,
+        grouped_quantile_cont,
+        release_ranking_caches,
+    )
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
     )
-    q = grouped_quantile_cont(
-        li, ["l_returnflag"], "cents", [0.25, 0.75], ["q1", "q3"]
-    ).select("l_returnflag", "q1", "q3")
+    q, counts = grouped_quantile_cont(
+        li, ["l_returnflag"], "cents", [0.25, 0.75], ["q1", "q3"],
+        return_counts=True,
+    )
+    q = q.select("l_returnflag", "q1", "q3")
     iqr = F.col("q3") - F.col("q1")
     fences = q.select(
         "l_returnflag",
@@ -4360,15 +4376,27 @@ def q365_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q1") - 1.5 * iqr).alias("lo_fence"),
         (F.col("q3") + 1.5 * iqr).alias("hi_fence"),
     )
+    # fence tallies fold the operator's PINNED (flag, cents, cnt)
+    # frame — count-weighted sums over distinct pairs are exactly the
+    # raw-row filtered counts, without re-scanning lineitem and
+    # re-paying the broadcast join over the fact rows (r13; the fence
+    # comparisons stay integer-vs-exact-double, so the tallies remain
+    # INTEGER-exact)
     out = (
-        li.join(F.broadcast(fences), "l_returnflag")
+        counts.join(F.broadcast(fences), "l_returnflag")
         .groupBy("l_returnflag", "q1", "q3", "lo_fence", "hi_fence")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_if(F.col("cents") < F.col("lo_fence"))
+            F.sum(COUNT_COL).alias("n"),
+            F.sum(
+                F.when(F.col("cents") < F.col("lo_fence"), F.col(COUNT_COL))
+                .otherwise(F.lit(0))
+            )
             .cast("bigint")
             .alias("n_below"),
-            F.count_if(F.col("cents") > F.col("hi_fence"))
+            F.sum(
+                F.when(F.col("cents") > F.col("hi_fence"), F.col(COUNT_COL))
+                .otherwise(F.lit(0))
+            )
             .cast("bigint")
             .alias("n_above"),
         )
@@ -5035,10 +5063,16 @@ def q425_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def weeks(df: DataFrame, tag: str) -> DataFrame:
+        # the start-week rides along so first_shared_wk below reuses
+        # THIS formula's value instead of re-deriving it — a future
+        # bucket-width change cannot fork the two and silently drop
+        # overlapping pairs
         wk_s = F.expr(f"datediff({tag}s, DATE'1970-01-01') div 7")
         wk_e = F.expr(f"datediff({tag}e, DATE'1970-01-01') div 7")
         return df.select(
-            "*", F.explode(F.sequence(wk_s, wk_e)).alias("wk")
+            "*",
+            wk_s.alias(f"{tag}wk_s"),
+            F.explode(F.sequence(wk_s, wk_e)).alias("wk"),
         )
 
     a = weeks(intervals("1-URGENT", "a"), "a")
@@ -5049,10 +5083,7 @@ def q425_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # qualifying pair exactly once — the former pair-wide .distinct()
     # was a second full exchange of the joined rows for the same set
     # (and the overlap recheck now filters BEFORE any shuffle-bound op)
-    first_shared_wk = F.greatest(
-        F.expr("datediff(`as`, DATE'1970-01-01') div 7"),
-        F.expr("datediff(bs, DATE'1970-01-01') div 7"),
-    )
+    first_shared_wk = F.greatest(F.col("awk_s"), F.col("bwk_s"))
     pairs = (
         a.join(b, "wk")
         .filter(

@@ -1623,11 +1623,18 @@ def q392_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         # index rows once, probe the state from them, and append the
         # SURVIVOR SUBSET of the same rows — probing the text and then
         # re-fingerprinting the survivors ran the (dominant) signature
-        # compute twice per batch
+        # compute twice per batch. spread=False: the hot-loop opt-out —
+        # a micro-batch is one tiny arrival file, and the operator's
+        # conditional spread would repartition its text rows per batch
+        # (a per-batch exchange) for a batch-sized build.
         rows = build_minhash_index(
-            batch_df.select("doc_id", "text")
+            batch_df.select("doc_id", "text"), spread=False
         ).localCheckpoint(eager=True)
-        index = spark.read.parquet(state_dir)
+        # explicit schema — the state layout is fixed by
+        # build_minhash_index; skips per-batch footer inference
+        index = spark.read.schema(
+            "id bigint, band int, bucket bigint, set_fp string"
+        ).parquet(state_dir)
         res = probe_minhash_rows(rows, index).localCheckpoint(eager=True)
         row = res.agg(
             F.count(F.lit(1)).alias("n"),
@@ -1750,7 +1757,7 @@ def q437_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from ..operators.semantic_dedup import (
         build_semantic_index,
-        probe_semantic_index,
+        probe_semantic_rows,
     )
     from ..operators.similarity import train_ivf_codebook
 
@@ -1798,26 +1805,30 @@ def q437_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     results: dict[int, tuple[int, int]] = {}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
-        index = spark.read.parquet(state_dir)
-        res = probe_semantic_index(batch, index, codebook).localCheckpoint(
-            eager=True
-        )
+        # ONE Arrow matmul + fingerprint pass per micro-batch: build
+        # the batch's index rows once, probe the state FROM them, and
+        # append the SURVIVOR SUBSET of the same rows — probing the
+        # vectors and then re-deriving the survivors' cells ran the
+        # (dominant) cell-scoring matmul twice per batch (the q392
+        # probe_minhash_rows pattern, r13)
+        rows = build_semantic_index(
+            batch_df.select("vec_id", "embedding"), codebook
+        ).localCheckpoint(eager=True)
+        # explicit schema — the state layout is fixed by
+        # build_semantic_index; skips per-batch footer inference
+        index = spark.read.schema(
+            "id bigint, cell int, vec_fp string"
+        ).parquet(state_dir)
+        res = probe_semantic_rows(rows, index).localCheckpoint(eager=True)
         row = res.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("is_dup").cast("bigint")).alias("d"),
         ).first()
         results[int(batch_id)] = (int(row.n or 0), int(row.d or 0))
-        survivors = batch.join(
-            res.filter(~F.col("is_dup")).select(F.col("id").alias("vec_id")),
-            "vec_id",
-        )
-        # survivors-only cell re-derivation (batch-sized matmul) — the
-        # index rows appended are exactly what a probe-time capture
-        # would have kept, and cell assignment is deterministic
-        build_semantic_index(survivors, codebook).repartition(
+        surv_rows = rows.join(res.filter(~F.col("is_dup")).select("id"), "id")
+        surv_rows.repartition("cell").write.mode("append").partitionBy(
             "cell"
-        ).write.mode("append").partitionBy("cell").parquet(state_dir)
+        ).parquet(state_dir)
 
     schema = spark.read.option("recursiveFileLookup", "true").parquet(src).schema
     stream = (
@@ -2013,8 +2024,12 @@ def q443_stream_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # onto query-term hits, so non-battery terms never surface —
         # the term IN-filter prunes row groups of the term-sorted
         # layout instead of aggregating the whole postings table per
-        # batch (identical served scores)
-        postings = spark.read.parquet(state + "/postings")
+        # batch (identical served scores). Explicit schema: the state
+        # layout is fixed by build_bm25_index, so the per-batch footer
+        # read schema inference would pay is skipped (3× per replay).
+        postings = spark.read.schema(
+            "t string, doc_id bigint, tf bigint, len bigint"
+        ).parquet(state + "/postings")
         dfreq = (
             postings.filter(F.col("t").isin(*terms))
             .groupBy("t")

@@ -3787,41 +3787,45 @@ def q401_incremental_vocab_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     prep(spark)
-    from ..operators.partitioning import spread_partitions
+    from ..operators.partitioning import needs_spread
     from ..operators.ranking import pin_cache
 
     d = table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "text")
+    # single-split regime only (needs_spread — the spread_partitions
+    # probe): spread the scan AND pin the bigram stream, because the
+    # batch filter is on a DERIVED column, so each of the four
+    # sequential state steps otherwise re-runs the full
+    # tokenize+bigram-explode subtree on one task. At scale the probe
+    # is FALSE and neither the spread nor the pin — which would
+    # persist a corpus-sized exploded bigram frame, a §5 spill hazard
+    # — is taken: each step re-reads its own (already wide) splits,
+    # the production posture. The measured operation — distinct,
+    # anti-join, append — is unchanged either way.
+    narrow = needs_spread(src)
+    if narrow:
+        src = src.repartition(spark.sparkContext.defaultParallelism)
     # bigram types (q372's type space): unigram vocab saturates in the
     # first batch on any real corpus, collapsing the curve to one row
-    dt = (
-        spread_partitions(d.select("doc_id", "text"))
-        .select(
-            (F.col("doc_id") % 4).cast("int").alias("batch"),
-            tokens("text").alias("toks"),
-        )
-        .filter(F.size("toks") >= 2)
+    dt = src.select(
+        (F.col("doc_id") % 4).cast("int").alias("batch"),
+        tokens("text").alias("toks"),
+    ).filter(F.size("toks") >= 2)
+    toks = dt.select(
+        "batch",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.element_at("toks", i),
+                    F.lit(" "),
+                    F.element_at("toks", i + 1),
+                ),
+            )
+        ).alias("tok"),
     )
-    # tokenize ONCE and pin: the batch filter is on a DERIVED column,
-    # so each of the four sequential state steps otherwise re-ran the
-    # full tokenize+bigram-explode subtree (and on the single-file
-    # fixture scan, on one task — hence the spread). The measured
-    # operation — distinct, anti-join, append — is unchanged; at scale
-    # a batch reads its own files and this pin is simply absent.
-    toks = pin_cache(
-        dt.select(
-            "batch",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 1),
-                    lambda i: F.concat(
-                        F.element_at("toks", i),
-                        F.lit(" "),
-                        F.element_at("toks", i + 1),
-                    ),
-                )
-            ).alias("tok"),
-        )
-    )
+    if narrow:
+        toks = pin_cache(toks)
 
     base = tempfile.mkdtemp(prefix="mcetl_q401_")
     state_dir = os.path.join(base, "vocab_state")

@@ -9,9 +9,11 @@ isolating the query from sweep effects (GC pressure, cache residue).
 
 Usage:
     python tools/isolate.py q357_grouped_quantile_scalable [more...] \
-        [--runs 3] [--explain plans/r12/suffix] [--noop]
+        [--runs 3] [--explain plans/r13:suffix] [--noop]
 
---explain DIR   write <query>_<suffix>.txt with .explain("formatted")
+--explain DIR:SUFFIX  write <query>_<SUFFIX>.txt with
+                      .explain("formatted") into DIR (the part before
+                      the last ':'); a bare DIR uses suffix "plan"
 --noop          additionally time a noop-sink write (guide §1.4)
 """
 
